@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextHashing._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines. Five
+ * families, all engine-portable (md5-based hashing) and all designed so the
+ * expensive per-document work is a per-row expression (codegen, no shuffle)
+ * and only *candidate generation* shuffles:
+ *
+ *  - exact:        hash-groupBy on content (or normalized content)
+ *  - MinHash+LSH:  shingle → k-minhash signature (per-row) → banded bucket
+ *                  join (shuffle on band key) → exact-Jaccard verification
+ *  - SimHash:      60-bit signature (per-row) → pigeonhole band join —
+ *                  *exact* for hamming ≤ bands-1
+ *  - n-gram Jaccard: inverted-index self-join (exact, no approximation)
+ *  - embedding cosine: exact pair scan (small n) — LSH-bucketed variant in
+ *                  [[Similarity]] for the scale path
+ *
+ * At 100 TB: signatures add O(1) columns per row; band-join shuffle volume is
+ * `docs × bands` small fixed-width rows, not text; verification joins only
+ * candidate pairs back to shingle sets. Skewed buckets (boilerplate docs)
+ * are handled by AQE skew-join splitting.
+ */
+object Dedup {
+
+  /** Canonical content hash; `normalized=true` collapses whitespace+case
+    * first (catches trivial reformat dups). */
+  def contentHash(text: Column, normalized: Boolean = false): Column =
+    if (normalized) md5(lower(regexp_replace(trim(text), "\\s+", " "))) else md5(text)
+
+  /**
+   * Exact dedup: annotate each row with its content hash, the group's
+   * canonical (min) id and the group size. Survivors = `is_canonical`.
+   * One hash-aggregation shuffle; at scale prefer this over
+   * `dropDuplicates` because it keeps the audit trail.
+   */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, "content_hash")
+      .select(col(idCol), col("content_hash"), col("canonical_id"),
+        col("group_size"), (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** k-minhash signature as an array<long> column — pure per-row expression. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val hashes = shingleHashes(wordShingles(text, shingleN))
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      when(size(hashes) > 0, array_min(transform(hashes, h => universalHash(h, j))))
+        .otherwise(lit(P)))
+  }
+
+  /** LSH band keys: md5 over each band's minhash slice → `bands` rows of
+    * (band_idx, band_key) per doc when exploded. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))).as("key")))
+
+  /**
+   * MinHash+LSH near-dup pairs, verified: emit (id_a, id_b, jaccard) for
+   * pairs whose *exact* word-`shingleN`-gram Jaccard ≥ `threshold`, using
+   * LSH (bands×rowsPerBand minhashes) to generate candidates. With
+   * 32 bands × 4 rows, recall at J≥0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8 —
+   * effectively exact after verification, at a fraction of the n² cost.
+   */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                 threshold: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val bandRows = withSig
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val candidates = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, withSig.select(col("id"), col("shingles")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sa = shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard via inverted-index self-join — the classic
+   * SIGMOD-style exact set-similarity join: explode distinct shingles, join
+   * on shingle, count intersections per pair, then Jaccard from
+   * |A|+|B|-|A∩B|. Exact (no approximation); shuffle is bounded by the
+   * inverted index, and frequent-shingle skew is the known cost — at scale,
+   * drop ultra-frequent shingles (stop-shingles) or switch to [[minhashLsh]].
+   */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles"))
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val inter = inv.as("x").join(inv.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 60-bit SimHash signature over word unigrams (with multiplicity) — pure
+    * per-row expression. Bit j is set iff ≥ half the tokens have bit j set
+    * (integer comparison: `2*cnt_j >= n`, ties→set, no FP involved). */
+  def simhashSignature(text: Column, bits: Int = 60): Column = {
+    val hs = transform(words(text), w => md5Long60(w))
+    val n = size(hs)
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, j) => {
+      val cnt = size(filter(hs, h =>
+        pmod(call_function("shiftright", h, j.cast("int")), lit(2L)) === 1))
+      acc + when(cnt * 2 >= n, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+    })
+  }
+
+  /**
+   * SimHash near-dup pairs with hamming distance ≤ `maxHamming`, found by
+   * pigeonhole banding: split the signature into `maxHamming+1` bands — any
+   * pair within the distance must agree exactly on ≥1 band, so a band-equality
+   * join has recall 1 (this variant is EXACT, unlike MinHash LSH). Verify
+   * with `bit_count(xor)`.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val sigs = docs.select(col(idCol).as("id"), simhashSignature(col(textCol), bits).as("sig"))
+    val bandRows = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+          struct(b.as("band"),
+            pmod(call_function("shiftright", col("sig"), (b * bandBits).cast("int")),
+              pow(lit(2.0), bandBits).cast("long")).as("v")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bitwise_not(lit(0L)).as("__dummy"), // keep sigs
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .drop("__dummy").distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding-cosine near-dup: exact pairwise scan (for bounded n, or within
+   * LSH buckets at scale — see [[Similarity.annLsh]]). Arithmetic is done in
+   * double after an exact float→double widening, dot/norm as sequential
+   * folds — deterministic and engine-portable.
+   */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

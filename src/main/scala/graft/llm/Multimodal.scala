@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, plus decode / feature-extract / frame-sample stages.
+ *
+ * The decode step itself is STUBBED (this container has no image/audio
+ * codecs): [[DecodeStub]] produces deterministic fake features derived from
+ * the bytes. Everything around it — schema, batch iteration, partition
+ * sizing, output shape — is the real Spark plumbing a production decoder
+ * (JNI/FFI or `mapInPandas` on the PySpark side) would drop into.
+ *
+ * Scale notes: media bytes dominate row size, so (a) metadata-only queries
+ * must prune the binary column at the scan (columnar parquet makes that
+ * free once the projection omits it), (b) decode runs `mapPartitions` with
+ * bounded batch memory, and (c) `spark.sql.files.maxPartitionBytes` governs
+ * per-task media volume.
+ */
+object Multimodal {
+
+  /** Canonical media schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),        // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))
+  ))
+
+  /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) — the
+    * deterministic stand-in for real binary columns, exercising the full
+    * schema/pruning path. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = col(textCol).cast(BinaryType)
+    val len = octet_length(col(textCol)).cast(LongType)
+    docs.select(
+      col(idCol).as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast(IntegerType)).as("kind"),
+      payload.as("payload"),
+      struct(
+        len.as("byte_len"),
+        element_at(typedLit(Seq("png", "jpg", "webp")),
+          (pmod(col(idCol), lit(3)) + 1).cast(IntegerType)).as("format"),
+        (pmod(len, lit(640)) + 1).cast(IntegerType).as("width"),
+        (pmod(len * 7, lit(480)) + 1).cast(IntegerType).as("height"),
+        (pmod(len, lit(30)) + 1).cast(IntegerType).as("n_frames")).as("meta"))
+  }
+
+  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("feat_dim", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+    StructField("ok", BooleanType)))
+
+  /**
+   * STUB decoder — deterministic fake "pixel decode + feature extraction":
+   * features are a folded byte histogram. A real implementation replaces
+   * only the body of `decodeOne`; the partition-batch iteration (bounded
+   * memory, one decoder init per partition) is the production shape.
+   */
+  object DecodeStub {
+    val featDim = 8
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](featDim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % featDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Decode/feature-extract stage: `mapPartitions` over the payloads with a
+    * per-partition "decoder" lifecycle. Binary column pruned immediately
+    * after use. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      // per-partition decoder init would go here (e.g. JNI handle)
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val ok = payload != null
+        val feat = if (ok) Multimodal.DecodeStub.decodeOne(payload) else Array.empty[Float]
+        Row(id, Multimodal.DecodeStub.featDim, feat.toSeq, ok)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Frame sampling for video-kind rows: emit every `stride`-th frame index
+    * up to `meta.n_frames` — generator expression, no shuffle. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride))).as("frame_idx"))
+}

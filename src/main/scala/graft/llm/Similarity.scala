@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - [[topK]] — brute-force cosine top-k against one query vector: a single
+ *    codegen'd projection + `TakeOrderedAndProject` (no shuffle of the data,
+ *    only k rows to the driver). The correct baseline, and at 100 TB still
+ *    the right *plan shape* — the scan is embarrassingly parallel and the
+ *    top-k combine is logarithmic.
+ *  - [[annLsh]] — random-hyperplane (sign) LSH: per-row bucket signature,
+ *    then search only same-bucket candidates. Hyperplanes are derived from a
+ *    deterministic integer formula, so buckets are reproducible across runs
+ *    and engines (no RNG state to ship).
+ *  - [[ivfAssign]] — IVF-style coarse quantization given a centroid table:
+ *    cross join against broadcast centroids, argmin distance; the scale path
+ *    for repeated query workloads.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic FP
+    * order; engine-portable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Cosine similarity rounded to 6 dp (rounding absorbs cross-engine ulp
+    * differences in division order; see SURVEY oracle notes). */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  /** Brute-force top-k by cosine against `queryVec` (driver-provided). */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+           queryVec: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val q = typedLit(queryVec)
+    val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val e1 = excludeId.map(x => e0.where(col("id") =!= x)).getOrElse(e0)
+    e1.select(col("id"),
+        cosine(col("v"), q, norm(col("v")), lit(qn)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * uniform in [-0.5, 0.5), derived from an integer hash — no RNG state. */
+  private def hyperplane(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      val x = ((j.toLong * dims + d) * 2654435761L) % 1000003L
+      x.toDouble / 1000003.0 - 0.5
+    }
+
+  /** Sign-LSH bucket id (one bit per hyperplane) as a column. */
+  def lshBucket(vecDouble: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val hp = typedLit(hyperplane(j, dims))
+      when(dot(vecDouble, hp) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * ANN via sign-LSH bucketing: candidate pairs share a bucket; cosine
+   * computed only within buckets. Approximate (recall < 1 near bucket
+   * boundaries) — the scale path; use [[Dedup.embeddingNearDup]] when
+   * exactness is required at bounded n.
+   */
+  def annLsh(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+             planes: Int = 12, minCosine: Double = 0.4): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("norm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** IVF coarse assignment: nearest centroid per vector (broadcast
+    * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = broadcast(centroids.select(col("centroid_id"), col("vec")))
+    val joined = e.crossJoin(c)
+      .withColumn("dist",
+        aggregate(zip_with(col("v"), col("vec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+    joined.groupBy("id")
+      .agg(min_by(struct(col("centroid_id"), col("dist")), struct(col("dist"), col("centroid_id")))
+        .as("best"))
+      .select(col("id"), col("best.centroid_id").as("centroid_id"),
+        round(col("best.dist"), 6).as("dist"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID
+ * (stopword-hit heuristic), quality scoring (length/punctuation/stopword
+ * ratios), token counting (whitespace + BPE-ish regex), and document
+ * fingerprinting. All pure per-row expressions (codegen'd; zero shuffle) —
+ * at 100 TB these run at scan speed.
+ */
+object TextAnalysis {
+
+  /** Stopword marker lists per language for the n-gram/stopword heuristic.
+    * Deterministic and tiny by design — a real pipeline would swap in
+    * per-language frequency tables; the operator shape is identical. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "dans")
+  )
+
+  private def hitCount(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /** Per-language stopword-hit scores as columns `score_<lang>`. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ws = split(text, " ")
+    stopwords.map { case (lang, list) => lang -> hitCount(ws, list) }
+  }
+
+  /** Language ID: argmax of stopword hits with fixed priority tie-break
+    * (en > de > es > fr — deterministic, engine-portable). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val (langs, cols) = scores.unzip
+    // argmax with first-wins tie-break
+    langs.zip(cols).zipWithIndex.foldRight(lit(langs.last): Column) {
+      case (((lang, c), i), acc) =>
+        if (i == langs.size - 1) lit(lang)
+        else when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count (`\S+` runs). */
+  def tokenCountWs(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the standard pre-tokenizer shape (letters|digit|other). */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))
+
+  /** Quality features + composite score in [0,1]:
+    * 0.5·min(words/100,1) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val wc = tokenCountWs(t)
+    val cc = length(t)
+    val punct = regexp_count(t, lit("[^A-Za-z0-9 ]"))
+    val stop = hitCount(split(t, " "), stopwords.flatMap(_._2))
+    df.select(
+      col(idCol),
+      cc.as("n_chars"),
+      wc.as("n_words"),
+      round(cc.cast("double") / wc, 4).as("avg_word_len"),
+      punct.as("n_punct"),
+      round(stop.cast("double") / wc, 4).as("stopword_ratio"),
+      round(
+        least(wc.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (stop.cast("double") / wc) * 0.3 +
+          (lit(1.0) - punct.cast("double") / cc) * 0.2, 4).as("quality"))
+  }
+
+  /** Document fingerprints: md5 of whitespace/case-normalized text plus a
+    * 60-bit integer form (rolling-hash stand-in; engine-portable). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    df.select(col(idCol),
+      md5(norm).as("fp_md5"),
+      TextHashing.md5Long60(norm).as("fp_60"))
+  }
+}

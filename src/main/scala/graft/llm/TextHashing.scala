@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Shared, engine-portable hashing primitives for the dedup/similarity
+ * operators. Everything here is defined over md5 (bit-identical in any
+ * engine) rather than an engine-private hash (Spark's Murmur3 vs DuckDB's
+ * internal hash differ), so results are reproducible across engines and
+ * stable across Spark versions — important when a 100 TB dedup job is
+ * resumed or audited with different tooling.
+ *
+ * All functions are pure per-row Catalyst expressions (no UDFs, no shuffle):
+ * at scale they run inside whole-stage codegen over the scan.
+ */
+object TextHashing {
+
+  /** Mersenne prime 2^31-1: hash values stay < 2^31 so (a*h+b) stays well
+    * inside 64-bit — identical overflow-free arithmetic in any engine. */
+  val P: Long = 2147483647L
+  /** Multiplier constants for the k-wise hash family (Knuth + arbitrary odd). */
+  val A: Long = 2654435761L
+  val B: Long = 2654592567L
+
+  /** First 60 bits of md5 as a non-negative BIGINT — the portable base hash.
+    * (15 hex chars < 2^60; engine equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.) */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Base hash reduced mod P for the minhash family. */
+  def baseHash(c: Column): Column = pmod(md5Long60(c), lit(P))
+
+  /** The j-th universal hash of a reduced base hash h:
+    * `((j+1)*A % P) * h + ((j+1)*B % P)) % P`. `j` is a Column. */
+  def universalHash(h: Column, j: Column): Column =
+    pmod(pmod((j + 1) * lit(A), lit(P)) * h + pmod((j + 1) * lit(B), lit(P)), lit(P))
+
+  /** Whitespace word split matching `string_split(text, ' ')`. */
+  def words(text: Column): Column = split(text, " ")
+
+  /**
+   * Distinct word n-gram shingles of a text column. Pure array expression —
+   * the shingle *set* never leaves the row until an operator explicitly
+   * explodes it, which is what keeps the 100 TB plan shuffle-free until the
+   * candidate-generation stage.
+   */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val count = size(ws) - lit(n - 1)
+    val grams = transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    array_distinct(when(count > 0, grams).otherwise(array()))
+  }
+
+  /** Reduced hashes of a shingle array (mod P). */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => baseHash(s))
+}

@@ -1,0 +1,95 @@
+package graft.sink
+
+import graft.model.DbMapping
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.sql.Connection
+
+/**
+ * K1–K5 — the JDBC upsert/delete/truncate sink (reference
+ * `service/PhoenixSyncService.java:370-513` sync path,
+ * `service/PhoenixEtlService.java:348-482` bulk path).
+ *
+ * Architecture: rows are routed with [[graft.cdc.PkHash]] (same-key →
+ * same-partition, per-key order restored by a local sort), then each
+ * partition opens one connection and applies its rows *sequentially* through
+ * a [[BatchExecutor]] — the Spark analog of the reference's N single-thread
+ * workers. D5 self-heal (schema-miss retry) wraps the partition body: on
+ * `ColumnNotFound`/`TableNotFound`-style failures the supplied `heal`
+ * callback runs (schema sync) and the partition batch replays once
+ * (`PhoenixSyncService.java:103-131`) — safe because UPSERT/DELETE-by-PK are
+ * idempotent (at-least-once, SURVEY §7.4 risk 5).
+ *
+ * `connFactory` must be serializable-friendly (a function creating the
+ * connection *on the executor*); no connection ever crosses the driver
+ * boundary.
+ */
+object UpsertSink {
+
+  final case class RowOp(op: String, values: Seq[Any], pkValues: Seq[Any])
+
+  /** Names whose presence in an exception chain triggers self-heal
+    * (`PhoenixSyncService.java:107-119` checks cause suffixes). */
+  private def isSchemaMiss(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      val n = cur.getClass.getSimpleName
+      if (n.endsWith("ColumnNotFoundException") || n.endsWith("TableNotFoundException")) return true
+      val msg = Option(cur.getMessage).getOrElse("")
+      if (msg.contains("ColumnNotFound") || msg.contains("TableNotFound")) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
+  /**
+   * Apply a partition of ordered ops. Exposed separately so semantics are
+   * unit-testable against any JDBC-ish target.
+   */
+  def applyPartition(ops: Iterator[RowOp], mapping: DbMapping, targetCols: Seq[String],
+                     conn: () => Connection,
+                     heal: Option[Throwable => Unit] = None): Unit = {
+    val buffered = ops.toSeq // partition batch must be replayable for D5
+    def run(): Unit = {
+      val exec = new BatchExecutor(conn(), mapping.commitBatch)
+      try {
+        val upsert = PhoenixDialect.upsertSql(mapping, targetCols)
+        val delete = PhoenixDialect.deleteSql(mapping)
+        buffered.foreach {
+          case RowOp("DELETE", _, pkVals) => exec.execute(delete, pkVals)
+          case RowOp("TRUNCATE", _, _) => exec.executeDirect(PhoenixDialect.truncateSql(mapping))
+          case RowOp(_, values, _) => exec.execute(upsert, values) // INSERT/UPDATE → UPSERT (K1)
+        }
+        exec.commit()
+      } catch {
+        case t: Throwable => exec.rollback(); throw t
+      } finally exec.close()
+    }
+    try run()
+    catch {
+      case t: Throwable if heal.isDefined && isSchemaMiss(t) =>
+        heal.get.apply(t) // D4 schema sync
+        run()             // single replay (PhoenixSyncService.java:121-127)
+    }
+  }
+
+  /**
+   * Sink a materialized DataFrame (ETL path K5): every row becomes an UPSERT.
+   * The reference's per-row DELETE-then-UPSERT (`PhoenixEtlService.java:409-420`)
+   * is unnecessary when the PK is stable — UPSERT alone is idempotent
+   * (SURVEY §2.1 K5 note).
+   */
+  def writeUpserts(df: DataFrame, mapping: DbMapping, connFactory: () => Connection,
+                   numPartitions: Int = 0): Unit = {
+    val cols = df.columns.toSeq
+    val pkIdx = mapping.targetPk.keys.toSeq.sorted.map(cols.indexOf)
+    val routed = if (numPartitions > 0) df.repartition(numPartitions) else df
+    routed.foreachPartition { (rows: Iterator[Row]) =>
+      val ops = rows.map { r =>
+        val vals = cols.indices.map(r.get)
+        RowOp("INSERT", vals, pkIdx.map(r.get))
+      }
+      applyPartition(ops, mapping, cols, connFactory)
+    }
+  }
+}

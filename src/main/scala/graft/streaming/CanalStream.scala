@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.cdc.{CdcApply, PkHash}
+import graft.model.{CanalEvent, MappingConfig}
+import graft.transform.DmlTransforms
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.atomic.AtomicReference
+
+/**
+ * S1/X2/X5 + the §3.1 sync hot path as Structured Streaming:
+ *
+ * `readStream (Canal JSON) → from_json → flatten (T1) → route (X2) →
+ * repartition by PK hash (P2/P3) → foreachBatch { ordered apply K1–K4 with
+ * D5 self-heal }`.
+ *
+ * The reference's push-batch SPI (`PhoenixAdapter.sync`,
+ * `PhoenixAdapter.java:143-152`) maps to a micro-batch; its in-process
+ * worker queues map to the shuffle; binlog order is carried explicitly as
+ * `(es, ts, seq, pos)` (SURVEY §7.4 risk 1). DDL events act as a barrier:
+ * each micro-batch is split at DDL boundaries and segments apply
+ * sequentially (`PhoenixSyncService.java:180-198` runs DDL inline; risk 4).
+ *
+ * X5 — config hot-reload: the route table is an `AtomicReference` read at
+ * the top of every micro-batch, updated by a driver-side watcher
+ * (reference polls the conf dir every 3 s,
+ * `monitor/PhoenixConfigMonitor.java:41-51`).
+ */
+object CanalStream {
+
+  /** Parse a raw JSON-line stream into Dml rows. */
+  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(from_json(col(valueCol).cast("string"), CanalEvent.dmlSchema).as("e"))
+      .select("e.*")
+
+  /** X2 — route one micro-batch to the configs matching its
+    * destination/database/table (an event can fan out to several configs). */
+  def routeFor(batch: DataFrame, config: MappingConfig): DataFrame = {
+    val m = config.dbMapping
+    batch.filter(
+      col("destination") === config.destination &&
+        col("database") === m.database && col("table") === m.table)
+  }
+
+  /**
+   * Start the sync stream. `applyBatch` receives (config, orderedSingles)
+   * per micro-batch — in production it applies through
+   * [[graft.sink.UpsertSink]]; tests can capture state instead.
+   */
+  def start(spark: SparkSession, raw: DataFrame,
+            configsRef: AtomicReference[Seq[MappingConfig]],
+            numPartitions: Int,
+            applyBatch: (MappingConfig, DataFrame) => Unit): StreamingQuery = {
+    parse(raw).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val withSeq = batch.withColumn("seq", monotonically_increasing_id())
+        val flat = DmlTransforms.withOrderKey(DmlTransforms.flatten(withSeq))
+        flat.persist()
+        try {
+          configsRef.get().foreach { config =>
+            val routed = routeFor(flat, config)
+            val pk = config.dbMapping.targetPk.values.toSeq.sorted
+            val ordered =
+              if (config.concurrent)
+                PkHash.routeConcurrent(routed,
+                  pk.map(p => s"data.$p"), numPartitions, Seq("order_key"))
+              else PkHash.routeSerial(routed, Seq("order_key"))
+            applyBatch(config, ordered)
+          }
+        } finally flat.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Batch-equivalent materialization of the stream (used for oracle
+   * checks): fold a bounded Dml log into final per-table state.
+   */
+  def materialize(dmls: DataFrame, pkCols: Seq[String], payload: Seq[String]): DataFrame = {
+    val flat = DmlTransforms.withOrderKey(
+      DmlTransforms.flatten(dmls.withColumn("seq", col("es"))))
+    val afterTrunc = CdcApply.afterLastTruncate(
+      flat, Seq("database", "table"), col("order_key"), col("type"))
+    val expanded = CdcApply.expandPkChanges(afterTrunc, pkCols)
+    val projected = expanded.select(
+      (Seq(col("type"), struct(col("order_key"), col("sub_seq")).as("ord")) ++
+        pkCols.map(p => element_at(col("data"), p).as(p)) ++
+        payload.map(p => element_at(col("data"), p).as(p))): _*)
+    CdcApply.latestState(projected, pkCols, col("ord"), col("type"), payload)
+  }
+}
