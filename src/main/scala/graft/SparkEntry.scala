@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{LlmQueries, ParityQueries, RelationalQueries, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Query registry: one entry per implemented operator of SURVEY §2
+ * (ParityQueries), the relational surface Spark provides over the same data
+ * (RelationalQueries — SURVEY §2.3 categories), and the LLM-pipeline
+ * extensions (LlmQueries). Each query with an oracle hash-matches DuckDB on
+ * the same inputs; queries without an oracle (approximate/RDD-plumbing ops)
+ * get the driver's rows-only check.
+ */
 object SparkEntry {
+
+  val defs: Seq[QueryDef] =
+    ParityQueries.all ++ RelationalQueries.all ++ LlmQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("join_broadcast")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

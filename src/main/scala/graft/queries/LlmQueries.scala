@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-data-pipeline operators as correctness queries. Dedup oracles are the
+ * *exact* computation (inverted-index Jaccard / full-pair scans) — the Spark
+ * side uses the scalable candidate-generation path (LSH banding / pigeonhole
+ * banding) whose verified output equals the exact result (recall analysis in
+ * [[graft.llm.Dedup]] scaladoc).
+ */
+object LlmQueries {
+
+  def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
+    dedupSimhash, dedupEmbedding, simTopK, simAnn, textLangid, textQuality,
+    textTokens, textFingerprint, mmMeta, mmDecode)
+
+  private val docShingles3 =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |        for i in range(1, len(ws) - 1)]) AS shs FROM w)""".stripMargin
+
+  val dedupExact: QueryDef = QueryDef("dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+    Some("""WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+           |g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+           |      FROM h GROUP BY 1)
+           |SELECT doc_id, h.content_hash, canonical_id, group_size,
+           |  doc_id = canonical_id AS is_canonical
+           |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin))
+
+  /** MinHash(128)+LSH(32×4) candidates, exact-Jaccard verified at 0.8 —
+    * oracle is the exact inverted-index Jaccard join. */
+  val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
+    (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $docShingles3,
+            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b,
+            |  round(inter * 1.0 / (len(x.shs) + len(y.shs) - inter), 6) AS jaccard
+            |FROM p JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+            |WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8
+            |ORDER BY 1, 2""".stripMargin))
+
+  /** Exact word-2-gram Jaccard via inverted-index self-join at 0.6. */
+  val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 2, threshold = 0.6)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1]
+           |        for i in range(1, len(ws))]) AS shs FROM w),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(inter * 1.0 / (len(x.shs) + len(y.shs) - inter), 6) AS jaccard
+           |FROM p JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+           |WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.6
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** SimHash(60-bit) pairs at hamming ≤ 3 via pigeonhole banding (exact —
+    * recall 1 by construction); oracle is the full-pair scan. */
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in ws] AS hs
+           |      FROM w),
+           |sig AS (SELECT doc_id,
+           |  list_sum([CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) % 2 = 1)) >= len(hs)
+           |                 THEN (1::BIGINT << j) ELSE 0 END
+           |            for j in range(0, 60)])::BIGINT AS sg FROM h)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY 1, 2""".stripMargin))
+
+  /** Embedding-cosine near-dup pairs at 0.5 (double arithmetic, exact). */
+  val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
+    (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.45)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |    AS cosine
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |      >= 0.45
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  val simTopK: QueryDef = QueryDef("sim_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.topK(emb, "vec_id", "embedding", qv, k = 10, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("cosine"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+           |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+           |SELECT e2.vec_id,
+           |  round(list_sum([e2.v[i] * q.qv[i] for i in range(1, 65)]) / (e2.nrm * q.qn), 6)
+           |    AS cosine
+           |FROM n e2, q WHERE e2.vec_id <> 0
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Sign-LSH ANN (approximate — rows-only check; exactness is covered by
+    * dedup_embedding, and recall is exercised in DedupSpec). */
+  val simAnn: QueryDef = QueryDef("sim_ann_lsh",
+    (s, d) => Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+      dims = 64, planes = 12, minCosine = 0.3)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  val textLangid: QueryDef = QueryDef("text_langid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id") +:
+        TextAnalysis.langScores(col("text")).map { case (l, c) =>
+          c.cast("long").as(s"s_$l") }: _*)
+      scored.withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (SELECT doc_id,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it')))::BIGINT AS s_en,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS s_de,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','es','un','en')))::BIGINT AS s_es,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','est','un','dans')))::BIGINT AS s_fr
+           |FROM documents)
+           |SELECT doc_id, s_en, s_de, s_es, s_fr,
+           |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+           |FROM s ORDER BY doc_id""".stripMargin))
+
+  val textQuality: QueryDef = QueryDef("text_quality",
+    (s, d) => TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+           |  round(length(text) / len(regexp_extract_all(text, '\S+')), 4) AS avg_word_len,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
+           |  round(len(list_filter(string_split(text,' '), w -> w IN
+           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+           |     'el','la','de','y','es','un','en','le','et','est','dans')))
+           |    / len(regexp_extract_all(text, '\S+')), 4) AS stopword_ratio,
+           |  round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
+           |        (len(list_filter(string_split(text,' '), w -> w IN
+           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+           |     'el','la','de','y','es','un','en','le','et','est','dans')))
+           |          / len(regexp_extract_all(text, '\S+'))) * 0.3 +
+           |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
+           |        4) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val textTokens: QueryDef = QueryDef("text_tokens",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+      t.select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe,
+           |  length(text)::BIGINT AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val textFingerprint: QueryDef = QueryDef("text_fingerprint",
+    (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5,
+           |  ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp_60
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal metadata plumbing: binary payload + typed meta, projected
+    * without touching the payload (column pruning keeps bytes out of the
+    * scan at scale). */
+  val mmMeta: QueryDef = QueryDef("mm_meta",
+    (s, d) => Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      .select(col("media_id"), col("kind"),
+        col("meta.byte_len").as("byte_len"), col("meta.format").as("format"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.n_frames").cast("long").as("n_frames"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+           |  (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+           |  octet_length(encode(text))::BIGINT AS byte_len,
+           |  (['png','jpg','webp'])[(doc_id % 3)::INT + 1] AS format,
+           |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+           |  (octet_length(encode(text)) * 7 % 480 + 1)::BIGINT AS height,
+           |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
+           |FROM documents ORDER BY media_id""".stripMargin))
+
+  /** Decode stage plumbing (stubbed decoder — rows-only check). */
+  val mmDecode: QueryDef = QueryDef("mm_decode",
+    (s, d) => Multimodal.decodeFeatures(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
+      .select(col("media_id"), col("feat_dim").cast("long").as("feat_dim"), col("ok"))
+      .orderBy("media_id"),
+    None)
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Relational surface — the SURVEY §2.3 "explicitly absent" categories the
+ * Spark engine provides as built-ins (joins, aggregation, windows, sorts,
+ * set ops, scalar functions, event-time windows). Each query is written the
+ * way the 100 TB plan should look: broadcast hints on dims, partial
+ * aggregation, TakeOrderedAndProject for top-k.
+ *
+ * FP-determinism convention for oracles: double columns that get *aggregated*
+ * are first cast to DECIMAL (exact, association-free) and the exact sum is
+ * converted back to DOUBLE — both engines then produce bit-identical values
+ * regardless of partitioning/order. Raw pass-through doubles are safe as-is.
+ */
+object RelationalQueries {
+
+  /** `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` — exact distributed sum. */
+  private def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, joinBroadcast,
+    joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
+    scalarFuncs, dateFuncs, streamWindow, streamSession)
+
+  /** TPC-H Q1-shaped grouped aggregation (partial+final, exact sums). */
+  val aggQ1: QueryDef = QueryDef("agg_q1",
+    (s, d) => Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           |    AS sum_disc_price,
+           |  count(*) AS count_order,
+           |  round(sum(l_quantity) / count(*), 6) AS avg_qty
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Exact distinct aggregation per group. */
+  val aggDistinct: QueryDef = QueryDef("agg_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** ROLLUP grouping sets over the region⋈nation dim join. */
+  val aggRollup: QueryDef = QueryDef("agg_rollup",
+    (s, d) => Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"), col("n"))
+      .orderBy("region_name", "nation_name"),
+    Some("""SELECT coalesce(r_name, 'ALL') AS region_name,
+           |  coalesce(n_name, 'ALL') AS nation_name, count(*) AS n
+           |FROM nation JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name""".stripMargin))
+
+  /** Star join with broadcast dims: orders ⋈ customer ⋈ nation. */
+  val joinBroadcast: QueryDef = QueryDef("join_broadcast",
+    (s, d) => Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("total"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Large-table shuffle join (sort-merge/shuffled-hash territory at scale). */
+  val joinShuffle: QueryDef = QueryDef("join_shuffle",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+           |  sum(l_quantity) AS sum_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Semi/anti joins: customers with vs without orders. */
+  val joinSemiAnti: QueryDef = QueryDef("join_semi_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      without.unionAll(withO).orderBy("tag", "c_custkey")
+    },
+    Some("""SELECT 'no_orders' AS tag, c_custkey FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |UNION ALL
+           |SELECT 'has_orders' AS tag, c_custkey FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY tag, c_custkey""".stripMargin))
+
+  /** Ranking window: top-3 orders per customer. */
+  val windowRank: QueryDef = QueryDef("window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+           |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  /** Running-frame window: cumulative per-user value (exact decimal sum —
+    * DuckDB's segment-tree window aggregation would otherwise differ in FP
+    * association from Spark's sequential frame). */
+  val windowRunning: QueryDef = QueryDef("window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("run_sum",
+          sum(col("value").cast(DecimalType(14, 2))).over(w).cast("double"))
+        .select("event_id", "user_id", "run_sum")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Top-k: planned as TakeOrderedAndProject (no full sort at scale). */
+  val topK: QueryDef = QueryDef("topk",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** Set operations: INTERSECT + EXCEPT with tags. */
+  val setOps: QueryDef = QueryDef("set_ops",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val both = c.intersect(o).select(lit("both").as("tag"), col("k"))
+      val custOnly = c.except(o).select(lit("cust_only").as("tag"), col("k"))
+      both.unionAll(custOnly).orderBy("tag", "k")
+    },
+    Some("""SELECT 'both' AS tag, k FROM
+           |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+           |UNION ALL
+           |SELECT 'cust_only' AS tag, k FROM
+           |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+           |ORDER BY tag, k""".stripMargin))
+
+  /** Scalar string/math function battery. */
+  val scalarFuncs: QueryDef = QueryDef("scalar_funcs",
+    (s, d) => Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+        regexp_replace(col("p_type"), " ", "_").as("repl"),
+        abs(col("p_size") - 25).cast("long").as("ab"),
+        round(col("p_retailprice") * 1.1, 2).as("adj"),
+        when(col("p_size") > 30, "big").otherwise("small").as("sz"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS sub,
+           |  length(p_name)::BIGINT AS len, concat(p_brand, '-', p_type) AS cat,
+           |  replace(p_type, ' ', '_') AS repl, abs(p_size - 25)::BIGINT AS ab,
+           |  round(p_retailprice * 1.1, 2) AS adj,
+           |  CASE WHEN p_size > 30 THEN 'big' ELSE 'small' END AS sz
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** Date/time function battery. */
+  val dateFuncs: QueryDef = QueryDef("date_funcs",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, year(o_orderdate)::BIGINT AS y,
+           |  month(o_orderdate)::BIGINT AS m, day(o_orderdate)::BIGINT AS dom,
+           |  date_trunc('month', o_orderdate)::TIMESTAMP AS mon_start,
+           |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Event-time tumbling window aggregation (Structured Streaming `window()`
+    * semantics, batch-checked; streaming run covered in StreamingSpec). */
+  val streamWindow: QueryDef = QueryDef("stream_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(14, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type"),
+    Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS win_start, event_type,
+           |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Session windows (10-minute gap) per user — `session_window` vs the
+    * classic gaps-and-islands SQL. */
+  val streamSession: QueryDef = QueryDef("stream_session",
+    (s, d) => Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH g AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL 10 MINUTE AS session_end, count(*) AS n
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+}

@@ -30,7 +30,7 @@ object DmlTransforms {
   def flatten(dmls: DataFrame): DataFrame = {
     val keep = dmls.columns.filter(c => c != "data" && c != "old").map(col)
     dmls
-      .select(keep :+ posexplode_outer(col("data")).as(Seq("pos", "row")): _*)
+      .select(keep ++ Seq(col("old"), posexplode_outer(col("data")).as(Seq("pos", "row"))): _*)
       .withColumn("old_row",
         when(col("old").isNotNull && size(col("old")) > col("pos"),
           element_at(col("old"), col("pos") + 1)))
