@@ -48,10 +48,11 @@ object EtlJob {
   /** Full import of one config (§3.2 lifecycle). */
   def importOne(spark: SparkSession, config: MappingConfig, sourcePath: String,
                 params: Seq[String], connFactory: () => Connection,
-                numPartitions: Int = 0): EtlResult = {
+                numPartitions: Int = 0,
+                dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): EtlResult = {
     try {
       val out = transform(readSource(spark, sourcePath), config, params)
-      UpsertSink.writeUpserts(out, config.dbMapping, connFactory, numPartitions)
+      UpsertSink.writeUpserts(out, config.dbMapping, connFactory, numPartitions, dialect)
       EtlResult(succeeded = true, s"imported into ${config.dbMapping.targetTable}")
     } catch {
       case t: Throwable =>
@@ -66,10 +67,12 @@ object EtlJob {
    */
   def etl(spark: SparkSession, task: String, configs: Map[String, MappingConfig],
           params: Seq[String], sourcePathFor: MappingConfig => String,
-          connFactory: () => Connection): Seq[EtlResult] = {
+          connFactory: () => Connection,
+          dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): Seq[EtlResult] = {
     val selected = configs.get(task).map(Seq(_)).getOrElse(
       configs.values.filter(_.destination == task).toSeq)
-    selected.map(c => importOne(spark, c, sourcePathFor(c), params, connFactory))
+    selected.map(c => importOne(spark, c, sourcePathFor(c), params, connFactory,
+      dialect = dialect))
   }
 
   /** A1 — count endpoint (`PhoenixAdapter.java:216-255`). Against a remote

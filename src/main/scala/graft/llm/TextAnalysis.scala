@@ -35,12 +35,11 @@ object TextAnalysis {
     * (en > de > es > fr — deterministic, engine-portable). */
   def langId(text: Column): Column = {
     val scores = langScores(text)
-    val (langs, cols) = scores.unzip
-    // argmax with first-wins tie-break
-    langs.zip(cols).zipWithIndex.foldRight(lit(langs.last): Column) {
+    val cols = scores.map(_._2)
+    // first lang whose score >= every later lang's score wins (CASE chain)
+    scores.zipWithIndex.init.foldRight(lit(scores.last._1): Column) {
       case (((lang, c), i), acc) =>
-        if (i == langs.size - 1) lit(lang)
-        else when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), lit(lang)).otherwise(acc)
+        when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), lit(lang)).otherwise(acc)
     }
   }
 

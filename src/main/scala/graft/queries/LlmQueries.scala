@@ -126,15 +126,10 @@ object LlmQueries {
   val textLangid: QueryDef = QueryDef("text_langid",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val scored = docs.select(col("doc_id") +:
-        TextAnalysis.langScores(col("text")).map { case (l, c) =>
-          c.cast("long").as(s"s_$l") }: _*)
-      scored.withColumn("lang_pred",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-            col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      docs.select(col("doc_id") +:
+        (TextAnalysis.langScores(col("text")).map { case (l, c) =>
+          c.cast("long").as(s"s_$l") } :+
+          TextAnalysis.langId(col("text")).as("lang_pred")): _*)
         .orderBy("doc_id")
     },
     Some("""WITH s AS (SELECT doc_id,

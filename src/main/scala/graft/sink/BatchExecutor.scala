@@ -14,22 +14,39 @@ import java.sql.{Connection, PreparedStatement}
 final class BatchExecutor(conn: Connection, commitBatch: Int = 5000) extends AutoCloseable {
   conn.setAutoCommit(false)
 
-  private var pending = 0
+  private var pending = 0      // statements in the open JDBC batch
+  private var sinceCommit = 0  // statements since last commit (cadence counter)
   private val stmts = scala.collection.mutable.Map[String, PreparedStatement]()
+  private var currentSql: String = null // whose JDBC batch is open
 
   private def stmt(sql: String): PreparedStatement =
     stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
 
-  /** Queue one parameterized statement; auto-commits every `commitBatch`. */
+  /**
+   * Queue one parameterized statement; auto-commits every `commitBatch`.
+   *
+   * ORDERING INVARIANT: statements must take effect in call order — a CDC
+   * partition interleaves DELETE/INSERT for the same keys, and reordering
+   * them corrupts final state. JDBC batching is therefore *run-length* only:
+   * consecutive calls with the same SQL share a batch; switching statement
+   * text flushes the open batch first. (The reference executes every
+   * statement immediately — `BatchExecutor.java:60-75` — batching only the
+   * commit; run-length batching keeps that ordering while recovering the
+   * executeBatch round-trip win for homogeneous stretches, which is what
+   * ETL/bulk loads are.)
+   */
   def execute(sql: String, params: Seq[Any]): Unit = {
+    if (currentSql != null && currentSql != sql) flush()
+    currentSql = sql
     val ps = stmt(sql)
     params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
     ps.addBatch()
     pending += 1
-    if (pending >= commitBatch) commit()
+    sinceCommit += 1
+    if (sinceCommit >= commitBatch) commit()
   }
 
-  /** Execute an unparameterized DDL/utility statement immediately. */
+  /** Execute an unparameterized DDL/utility statement immediately (in order). */
   def executeDirect(sql: String): Unit = {
     flush()
     val s = conn.createStatement()
@@ -37,14 +54,17 @@ final class BatchExecutor(conn: Connection, commitBatch: Int = 5000) extends Aut
   }
 
   private def flush(): Unit = {
-    stmts.values.foreach(_.executeBatch())
+    if (currentSql != null) stmts(currentSql).executeBatch()
+    currentSql = null
     pending = 0
   }
 
-  def commit(): Unit = { flush(); conn.commit() }
+  def commit(): Unit = { flush(); sinceCommit = 0; conn.commit() }
 
   def rollback(): Unit = {
-    stmts.values.foreach(_.clearBatch()); pending = 0; conn.rollback()
+    stmts.values.foreach(_.clearBatch())
+    currentSql = null; pending = 0; sinceCommit = 0
+    conn.rollback()
   }
 
   override def close(): Unit = {

@@ -2,6 +2,7 @@ package graft.sink
 
 import graft.model.DbMapping
 import org.apache.spark.sql.{DataFrame, Row}
+// dialects: PhoenixSqlDialect (native UPSERT) | DeleteInsertDialect (generic)
 
 import java.sql.Connection
 
@@ -48,17 +49,19 @@ object UpsertSink {
    */
   def applyPartition(ops: Iterator[RowOp], mapping: DbMapping, targetCols: Seq[String],
                      conn: () => Connection,
-                     heal: Option[Throwable => Unit] = None): Unit = {
+                     heal: Option[Throwable => Unit] = None,
+                     dialect: SqlDialect = PhoenixSqlDialect): Unit = {
     val buffered = ops.toSeq // partition batch must be replayable for D5
     def run(): Unit = {
       val exec = new BatchExecutor(conn(), mapping.commitBatch)
       try {
-        val upsert = PhoenixDialect.upsertSql(mapping, targetCols)
-        val delete = PhoenixDialect.deleteSql(mapping)
         buffered.foreach {
-          case RowOp("DELETE", _, pkVals) => exec.execute(delete, pkVals)
-          case RowOp("TRUNCATE", _, _) => exec.executeDirect(PhoenixDialect.truncateSql(mapping))
-          case RowOp(_, values, _) => exec.execute(upsert, values) // INSERT/UPDATE → UPSERT (K1)
+          case RowOp("DELETE", _, pkVals) =>
+            dialect.delete(mapping, pkVals).foreach { case (sql, ps) => exec.execute(sql, ps) }
+          case RowOp("TRUNCATE", _, _) => exec.executeDirect(dialect.truncate(mapping))
+          case RowOp(_, values, pkVals) => // INSERT/UPDATE → UPSERT (K1)
+            dialect.upsert(mapping, targetCols, values, pkVals)
+              .foreach { case (sql, ps) => exec.execute(sql, ps) }
         }
         exec.commit()
       } catch {
@@ -80,7 +83,8 @@ object UpsertSink {
    * (SURVEY §2.1 K5 note).
    */
   def writeUpserts(df: DataFrame, mapping: DbMapping, connFactory: () => Connection,
-                   numPartitions: Int = 0): Unit = {
+                   numPartitions: Int = 0,
+                   dialect: SqlDialect = PhoenixSqlDialect): Unit = {
     val cols = df.columns.toSeq
     val pkIdx = mapping.targetPk.keys.toSeq.sorted.map(cols.indexOf)
     val routed = if (numPartitions > 0) df.repartition(numPartitions) else df
@@ -89,7 +93,7 @@ object UpsertSink {
         val vals = cols.indices.map(r.get)
         RowOp("INSERT", vals, pkIdx.map(r.get))
       }
-      applyPartition(ops, mapping, cols, connFactory)
+      applyPartition(ops, mapping, cols, connFactory, dialect = dialect)
     }
   }
 }

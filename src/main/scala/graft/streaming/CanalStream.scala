@@ -63,17 +63,64 @@ object CanalStream {
           configsRef.get().foreach { config =>
             val routed = routeFor(flat, config)
             val pk = config.dbMapping.targetPk.values.toSeq.sorted
+            // K2 pk-change expansion BEFORE the shuffle: the old-key DELETE
+            // must route to the OLD key's partition to stay ordered against
+            // that key's other ops. (The reference routes the whole UPDATE by
+            // the post-image hash — `PhoenixSyncService.java:609-628` — which
+            // races the old-key delete against concurrent old-key writes; the
+            // pre-shuffle expansion removes that race entirely.)
+            val expanded = CdcApply.expandPkChanges(routed, pk)
             val ordered =
               if (config.concurrent)
-                PkHash.routeConcurrent(routed,
-                  pk.map(p => s"data.$p"), numPartitions, Seq("order_key"))
-              else PkHash.routeSerial(routed, Seq("order_key"))
+                PkHash.routeConcurrent(expanded,
+                  pk.map(p => s"data.$p"), numPartitions, Seq("order_key", "sub_seq"))
+              else PkHash.routeSerial(expanded, Seq("order_key", "sub_seq"))
             applyBatch(config, ordered)
           }
         } finally flat.unpersist()
         ()
       }
       .start()
+  }
+
+  /**
+   * Apply one routed+ordered micro-batch to a JDBC target (the production
+   * `applyBatch` for [[start]]): K2 pk-change expansion, T3 coercion of the
+   * string row images to the probed target schema (S4), E1 enum decode,
+   * then per-partition sequential apply through the sink (K1–K4) with D5
+   * self-heal delegated to the caller-supplied `heal`.
+   */
+  def applyBatchToJdbc(config: MappingConfig, ordered: DataFrame,
+                       targetSchema: org.apache.spark.sql.types.StructType,
+                       connFactory: () => java.sql.Connection,
+                       dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect,
+                       heal: Option[Throwable => Unit] = None): Unit = {
+    import graft.sink.UpsertSink
+    import graft.transform.Coercion
+    val m = config.dbMapping
+    // input is already pk-change-expanded and partition-ordered by start()
+    val fields = targetSchema.fields.toSeq
+    val decoded = fields.map { f =>
+      val raw = element_at(col("data"), f.name)
+      val withEnum = m.enumColumns.get(f.name) match {
+        case Some(labels) => graft.transform.EnumDecode.decode(raw, labels)
+        case None => raw
+      }
+      Coercion.coerce(withEnum, f.dataType).as(f.name)
+    }
+    val projected = ordered.select(Seq(col("type")) ++ decoded: _*)
+    val names = fields.map(_.name)
+    val pkTargetCols = m.targetPk.keys.toSeq.sorted
+    val pkIdx = pkTargetCols.map(p => names.indexWhere(_.equalsIgnoreCase(p)) + 1)
+    val mapping = m
+    projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val ops = rows.map { r =>
+        val op = r.getString(0)
+        val vals = (1 to names.size).map(r.get)
+        UpsertSink.RowOp(op, vals, pkIdx.map(r.get))
+      }
+      UpsertSink.applyPartition(ops, mapping, names, connFactory, heal, dialect)
+    }
   }
 
   /**

@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical docs, keeps canonical min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((1L, 2L, true)))   // canonical of the dup group
+    assert(byId(4L) == ((1L, 2L, false)))  // duplicate, canonical=1
+    assert(byId(3L) == ((3L, 1L, true)))
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, none below threshold") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3,
+        bands = 32, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH verified pairs equal exact ngram jaccard at same n/threshold") {
+    val d = Tables10
+    val lsh = Dedup.minhashLsh(d, "doc_id", "text", shingleN = 3,
+        bands = 32, rowsPerBand = 4, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccard(d, "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  private def Tables10 =
+    graft.queries.Tables.documents(spark, TestSpark.sf).limit(100)
+
+  test("simhash banded pairs = exact hamming≤3 pairs (pigeonhole recall 1)") {
+    val d = Tables10
+    val banded = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact: brute-force over all pairs
+    val sigs = d
+      .select(col("doc_id"), transform(split(col("text"), " "),
+        w => TextHashing.md5Long60(w)).as("hs"))
+      .select(col("doc_id"), Dedup.simhashSignature(col("hs")).as("sig"))
+    val exact = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("h"))
+      .where(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact)
+  }
+
+  test("embedding near-dup is symmetric-free (a<b) and respects threshold") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // high cosine with 1
+      (3L, Seq(0.0f, 1.0f, 0.0f))    // orthogonal to 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("topK returns k best by cosine, excludes the query id, ordered") {
+    val emb = Tables10Emb
+    val qv = emb.where(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val top = Similarity.topK(emb, "vec_id", "embedding", qv, k = 5, excludeId = Some(0L))
+      .collect()
+    assert(top.length == 5)
+    assert(!top.exists(_.getLong(0) == 0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // brute-force check of the winner
+    val all = Dedup.embeddingNearDup(
+        emb.where(col("vec_id") <= 50), "vec_id", "embedding", threshold = -1.0)
+      .where(col("id_a") === 0 || col("id_b") === 0)
+    assert(all.count() == 50)
+  }
+
+  private def Tables10Emb =
+    graft.queries.Tables.embeddings(spark, TestSpark.sf).limit(100)
+
+  test("annLsh candidates are a subset of exact pairs at the same threshold") {
+    val emb = Tables10Emb
+    val ann = Similarity.annLsh(emb, "vec_id", "embedding", dims = 64,
+        planes = 8, minCosine = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact))
+  }
+
+  test("ivfAssign assigns each vector to its nearest centroid") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "vec")
+    val out = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
+  }
+
+  test("text analysis: token counts, langid priority, fingerprint normalization") {
+    val t = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"),
+      (3L, "  The   Cat  and the dog "), (4L, "qq rr zz"))
+      .toDF("doc_id", "text")
+    val tok = t.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .orderBy("doc_id").collect()
+    assert(tok(0).getInt(1) == 5 && tok(2).getInt(1) == 5)
+    val lang = t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(lang(0) == "en" && lang(1) == "de" && lang(3) == "en") // zero scores → en priority
+    val fp = TextAnalysis.fingerprints(t, "doc_id", "text").orderBy("doc_id").collect()
+    assert(fp(0).getString(1) == fp(2).getString(1)) // whitespace/case-normalized equal
+    assert(fp(0).getLong(2) == fp(2).getLong(2))
+  }
+
+  test("multimodal: media schema, stub decode features, frame sampling") {
+    val docs2 = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs2, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    val m0 = media.where(col("media_id") === 0).head()
+    assert(m0.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
+    val feats = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 3 && feats.forall(_.getBoolean(3)))
+    assert(feats.head.getSeq[Float](2).take(3).toSeq ==
+      Multimodal.DecodeStub.decodeOne("abc".getBytes("UTF-8")).take(3).toSeq)
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val vids = media.where(col("kind") === "video").select("media_id", "meta.n_frames").collect()
+    val expected = vids.map(r => (r.getInt(1) + 1) / 2).sum
+    assert(frames.count() == expected)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape assertions — the 100 TB scalability contract, checked on the
+ * actual optimized plans: pushdown reaches the scan, projections prune
+ * columns, dims broadcast, top-k avoids a full sort, aggregation is
+ * partial+final, and per-row operators add no shuffle.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s2_scan: filter pushed to parquet, schema pruned to 4+1 columns") {
+    val p = plan("s2_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThan(l_quantity"), p)
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_tax"), "projection must prune unused columns\n" + p)
+  }
+
+  test("join_broadcast: dims join as BroadcastHashJoin, no shuffle join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk: planned as TakeOrderedAndProject (no global sort)") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("agg_q1: partial then final hash aggregation (map-side combine)") {
+    val p = plan("agg_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("k1 fold: single shuffle, hash-agg max_by, no window sort") {
+    val df = graft.SparkEntry.queries("k1_upsert_lww")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "LWW fold must be an aggregation, not a window\n" + p)
+    assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    // exactly one exchange for the groupBy (plus the orderBy's range exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges)\n" + p)
+  }
+
+  test("dedup/text per-row signature stages add no shuffle before candidate join") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sigs = docs
+      .select(col("doc_id"), graft.llm.TextHashing.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("hashes", graft.llm.TextHashing.shingleHashes(col("sh")))
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "signature computation must be shuffle-free\n" + p)
+    val tq = graft.SparkEntry.queries("text_quality")(spark, sf)
+    val tp = tq.queryExecution.executedPlan.toString
+    // only the final presentation orderBy may exchange (range partitioning)
+    assert(!tp.contains("Exchange hashpartitioning"), tp)
+  }
+
+  test("whole-stage codegen covers the hot paths (no interpreted islands)") {
+    val df = graft.SparkEntry.queries("agg_q1")(spark, sf)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+}
