@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first timed query doesn't absorb classloading
+    locally {
+      import spark.implicits._
+      val w = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      w.join(org.apache.spark.sql.functions.broadcast(w), "k")
+        .groupBy("k").count().collect()
+      spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -78,10 +78,22 @@ object Dedup {
                  shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // signatures are self-joined (candidates) and re-joined (verify): cache
+    // them — in a production pipeline they'd be materialized to storage.
+    // Typed kernel (bit-identical integer arithmetic to the expression form,
+    // see TextHashing): 5000 docs × 128 hashes × ~300 shingles is ~200M
+    // lambda evaluations interpreted, ~1 s JIT-compiled.
     val withSig = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("hashes", shingleHashes(col("shingles")))
-      .withColumn("sig", minhashSignature(col("hashes"), k))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = TextHashing.wordShinglesKernel(t, shingleN)
+        (id, sh, TextHashing.minhashSignatureKernel(sh, k))
+      }
+      .toDF("id", "shingles", "sig")
+      .persist()
     val bandRows = withSig
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -117,7 +129,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 2, threshold: Double = 0.6): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("shingles"))
+      wordShingles(col(textCol), shingleN).as("shingles")).persist()
     val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
     val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
     val inter = inv.as("x").join(inv.as("y"),
@@ -161,6 +173,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         transform(words(col(textCol)), w => md5Long60(w)).as("hs"))
       .select(col("id"), simhashSignature(col("hs"), bits).as("sig"))
+      .persist() // self-joined below — compute the 60-bit signatures once
     val bandRows = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band"),
@@ -187,13 +200,18 @@ object Dedup {
    */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.5): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
-          .as("cosine"))
-      .where(col("cosine") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.vecRows(emb, idCol, vecCol).persist()
+    // typed pair kernel: JIT'd loop, same sequential IEEE order as the
+    // expression path (interpreted HOFs cost ~10× on millions of pairs)
+    val pairs = e.as("a").joinWith(e.as("b"), col("a.id") < col("b.id"))
+      .map { case (a, b) =>
+        (a.id, b.id,
+          Similarity.roundHalfUp(
+            Similarity.dotKernel(a.v, b.v) / (a.norm * b.norm), 6))
+      }
+      .toDF("id_a", "id_b", "cosine")
+    pairs.where(col("cosine") >= threshold)
   }
 }

@@ -19,12 +19,41 @@ import org.apache.spark.sql.functions._
  *    cross join against broadcast centroids, argmin distance; the scale path
  *    for repeated query workloads.
  */
+/** Typed row for the JIT-compiled pair kernels (top-level for Encoder derivation). */
+final case class VecRow(id: Long, v: Array[Double], norm: Double)
+
 object Similarity {
 
   /** Sequential-fold dot product of two double arrays (deterministic FP
     * order; engine-portable). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Scala kernel with the same left-to-right IEEE order as [[dot]] —
+    * higher-order functions evaluate interpreted (no codegen), so for
+    * millions of pairs the typed-Dataset path with a JIT'd loop is ~10×
+    * faster while producing bit-identical doubles. */
+  def dotKernel(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Replica of Spark's `round(double, scale)` (BigDecimal HALF_UP). */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** (id, v_double, norm) as a typed Dataset — the staged form every pair
+    * kernel starts from (norm = sqrt of sequential sum of squares, matching
+    * the expression path bit-for-bit). */
+  def vecRows(emb: DataFrame, idCol: String, vecCol: String): org.apache.spark.sql.Dataset[VecRow] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => VecRow(id, v, math.sqrt(dotKernel(v, v))) }
+  }
 
   def norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 

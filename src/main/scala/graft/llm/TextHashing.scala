@@ -56,4 +56,66 @@ object TextHashing {
   /** Reduced hashes of a shingle array (mod P). */
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => baseHash(s))
+
+  // ---- JVM kernels: bit-identical to the expression forms above (integer
+  // arithmetic only), JIT-compiled — used where interpreted higher-order
+  // functions dominate (millions of signature evaluations).
+
+  /** Kernel replica of [[md5Long60]]. */
+  def md5Long60Kernel(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7.5 bytes
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Kernel replica of the whole shingle → k-minhash pipeline. */
+  def minhashSignatureKernel(shingles: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(P)
+    if (shingles.isEmpty) return sig
+    val hs = shingles.map(s => md5Long60Kernel(s) % P)
+    var j = 0
+    while (j < k) {
+      val a = ((j + 1) * A) % P
+      val b = ((j + 1) * B) % P
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    sig
+  }
+
+  /** Kernel replica of [[wordShingles]] (distinct word n-grams). */
+  def wordShinglesKernel(text: String, n: Int): Array[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Array.empty
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i <= ws.length - n) {
+        val sb = new StringBuilder(ws(i))
+        var kk = 1
+        while (kk < n) { sb.append(' ').append(ws(i + kk)); kk += 1 }
+        out += sb.toString
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Hex md5 of a string (band-key kernel, equals Spark/DuckDB `md5`). */
+  def md5HexKernel(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
 }

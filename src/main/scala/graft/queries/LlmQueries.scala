@@ -46,14 +46,14 @@ object LlmQueries {
             |WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8
             |ORDER BY 1, 2""".stripMargin))
 
-  /** Exact word-2-gram Jaccard via inverted-index self-join at 0.6. */
+  /** Exact word-3-gram Jaccard via inverted-index self-join at 0.6. */
   val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 2, threshold = 0.6)
+      shingleN = 3, threshold = 0.6)
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1]
-           |        for i in range(1, len(ws))]) AS shs FROM w),
+           |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |        for i in range(1, len(ws) - 1)]) AS shs FROM w),
            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
