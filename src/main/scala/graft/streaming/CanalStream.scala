@@ -52,7 +52,8 @@ object CanalStream {
   def start(spark: SparkSession, raw: DataFrame,
             configsRef: AtomicReference[Seq[MappingConfig]],
             numPartitions: Int,
-            applyBatch: (MappingConfig, DataFrame) => Unit): StreamingQuery = {
+            applyBatch: (MappingConfig, DataFrame) => Unit,
+            onDdl: (MappingConfig, DdlBarrier.DdlEvent) => Unit = (_, _) => ()): StreamingQuery = {
     parse(raw).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -60,22 +61,31 @@ object CanalStream {
         val flat = DmlTransforms.withOrderKey(DmlTransforms.flatten(withSeq))
         flat.persist()
         try {
+          // DDL presence probed once per batch on the cached flatten (rare)
+          val anyDdl = !flat.where(col("isDdl")).limit(1).isEmpty
           configsRef.get().foreach { config =>
-            val routed = routeFor(flat, config)
-            val pk = config.dbMapping.targetPk.values.toSeq.sorted
-            // K2 pk-change expansion BEFORE the shuffle: the old-key DELETE
-            // must route to the OLD key's partition to stay ordered against
-            // that key's other ops. (The reference routes the whole UPDATE by
-            // the post-image hash — `PhoenixSyncService.java:609-628` — which
-            // races the old-key delete against concurrent old-key writes; the
-            // pre-shuffle expansion removes that race entirely.)
-            val expanded = CdcApply.expandPkChanges(routed, pk)
-            val ordered =
-              if (config.concurrent)
-                PkHash.routeConcurrent(expanded,
-                  pk.map(p => s"data.$p"), numPartitions, Seq("order_key", "sub_seq"))
-              else PkHash.routeSerial(expanded, Seq("order_key", "sub_seq"))
-            applyBatch(config, ordered)
+            val routedAll = routeFor(flat, config)
+            val ddl = if (anyDdl) DdlBarrier.ddlEvents(routedAll, config) else Seq.empty
+            val dml = routedAll.where(!coalesce(col("isDdl"), lit(false)))
+            // DDL acts as an ordering barrier (SURVEY §7.4 risk 4): apply
+            // each DML segment, then its following DDL, sequentially
+            DdlBarrier.segments(dml, ddl).foreach { case (ddlEvt, segment) =>
+              ddlEvt.foreach(d => onDdl(config, d))
+              val pk = config.dbMapping.targetPk.values.toSeq.sorted
+              // K2 pk-change expansion BEFORE the shuffle: the old-key DELETE
+              // must route to the OLD key's partition to stay ordered against
+              // that key's other ops. (The reference routes the whole UPDATE
+              // by the post-image hash — `PhoenixSyncService.java:609-628` —
+              // which races the old-key delete against concurrent old-key
+              // writes; the pre-shuffle expansion removes that race.)
+              val expanded = CdcApply.expandPkChanges(segment, pk)
+              val ordered =
+                if (config.concurrent)
+                  PkHash.routeConcurrent(expanded,
+                    pk.map(p => s"data.$p"), numPartitions, Seq("order_key", "sub_seq"))
+                else PkHash.routeSerial(expanded, Seq("order_key", "sub_seq"))
+              applyBatch(config, ordered)
+            }
           }
         } finally flat.unpersist()
         ()
