@@ -131,9 +131,16 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")).persist()
     val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
-    val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val inv = sets.select(col("id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("sh"))
+    // size-ratio prefilter (PPJoin-style): J ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // pairs violating the ratio can't reach the threshold — cuts the
+    // candidate-pair volume before the aggregation shuffle
+    val ratioOk =
+      least(col("x.n"), col("y.n")).cast("double") >=
+        greatest(col("x.n"), col("y.n")) * threshold
     val inter = inv.as("x").join(inv.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") && ratioOk)
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
