@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/**
+ * Native Catalyst expressions for the vector hot path — preference ladder
+ * step (b) from the build plan: a codegen'd `Expression` beats a typed-map
+ * kernel (stays inside whole-stage codegen, no row↔object serialization)
+ * and beats any UDF (no boxing).
+ *
+ * Semantics match [[graft.llm.Similarity.dotKernel]] exactly: sequential
+ * left-to-right IEEE-754 accumulation, so results are bit-identical across
+ * the expression, kernel, and DuckDB-oracle paths.
+ */
+object VectorExpressions {
+
+  /** `dot(array<double>, array<double>) → double`, null if lengths differ. */
+  final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        val n = x.numElements()
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+        acc
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n$$ = $a.numElements();
+           |if (n$$ != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double acc$$ = 0.0;
+           |  for (int i$$ = 0; i$$ < n$$; i$$++) {
+           |    acc$$ += $a.getDouble(i$$) * $b.getDouble(i$$);
+           |  }
+           |  ${ev.value} = acc$$;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: dot product of two `array<double>` columns. */
+  def graft_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Column API: L2 norm via the same sequential accumulation. */
+  def graft_norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(graft_dot(a, a))
+
+  /** Register `graft_dot` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+}

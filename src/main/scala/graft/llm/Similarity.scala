@@ -24,10 +24,11 @@ final case class VecRow(id: Long, v: Array[Double], norm: Double)
 
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (deterministic FP
-    * order; engine-portable). */
+  /** Sequential dot product of two double arrays — the native codegen'd
+    * Catalyst expression ([[graft.functions.VectorExpressions.DotProduct]]);
+    * same left-to-right IEEE order as the HOF fold and [[dotKernel]]. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.graft_dot(a, b)
 
   /** Scala kernel with the same left-to-right IEEE order as [[dot]] —
     * higher-order functions evaluate interpreted (no codegen), so for

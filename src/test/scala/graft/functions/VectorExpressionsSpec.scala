@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val df = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(0.1, 0.2, 0.3), Seq(-1.0, 0.5, 2.0))
+  ).toDF("id", "a", "b")
+
+  test("graft_dot equals the JVM kernel bit-for-bit (codegen path)") {
+    val got = df.select(col("id"), VectorExpressions.graft_dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    val expected = Seq(
+      Similarity.dotKernel(Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      Similarity.dotKernel(Array(0.1, 0.2, 0.3), Array(-1.0, 0.5, 2.0)))
+    assert(got.toSeq == expected)
+    assert(java.lang.Double.doubleToLongBits(got(1)) ==
+      java.lang.Double.doubleToLongBits(expected(1)))
+  }
+
+  test("graft_dot equals the interpreted HOF fold (engine-portable form)") {
+    val hof = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .as("d")).orderBy("d").collect().map(_.getDouble(0))
+    val native = df.select(VectorExpressions.graft_dot(col("a"), col("b")).as("d"))
+      .orderBy("d").collect().map(_.getDouble(0))
+    assert(hof.toSeq == native.toSeq)
+  }
+
+  test("length mismatch yields null; nulls propagate") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(bad.select(VectorExpressions.graft_dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(withNull.select(VectorExpressions.graft_dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("SQL registration: graft_dot usable from spark.sql") {
+    VectorExpressions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs WHERE id = 1").head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("type check rejects non-double arrays") {
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ints.select(VectorExpressions.graft_dot(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH") || e.getMessage.contains("graft_dot"))
+  }
+
+  test("stays inside whole-stage codegen (no interpreted island)") {
+    val plan = df.select(VectorExpressions.graft_dot(col("a"), col("b")))
+      .queryExecution.executedPlan
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+}
