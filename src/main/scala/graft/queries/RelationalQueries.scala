@@ -23,8 +23,8 @@ object RelationalQueries {
   private def exactSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, joinBroadcast,
-    joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
+  def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
+    joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
     scalarFuncs, dateFuncs, streamWindow, streamSession)
 
   /** TPC-H Q1-shaped grouped aggregation (partial+final, exact sums). */
@@ -78,6 +78,35 @@ object RelationalQueries {
            |  coalesce(n_name, 'ALL') AS nation_name, count(*) AS n
            |FROM nation JOIN region ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name""".stripMargin))
+
+  /** CUBE grouping sets over two independent dimensions. */
+  val aggCube: QueryDef = QueryDef("agg_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY rf, ls""".stripMargin))
+
+  /** PIVOT: per-user event counts fanned across event types. */
+  val pivotEvents: QueryDef = QueryDef("pivot_events",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Star join with broadcast dims: orders ⋈ customer ⋈ nation. */
   val joinBroadcast: QueryDef = QueryDef("join_broadcast",
