@@ -200,6 +200,83 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster assignment: connected components over the near-dup
+   * pair graph, labeling every doc with the min doc-id of its component —
+   * the canonicalization step after any pair-finding dedup. Label
+   * propagation to fixpoint: O(diameter) joins, each a hash join on id;
+   * dup-cluster diameters are tiny in practice (dup groups are cliques or
+   * short chains), so this converges in 2–4 rounds even at 100 TB.
+   */
+  def duplicateClusters(pairs: DataFrame, allIds: DataFrame,
+                        localThreshold: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).persist()
+    val nEdges = p.count()
+    if (nEdges <= localThreshold) {
+      // adaptive local path: dup-pair graphs are usually tiny relative to the
+      // corpus (verified near-dup pairs), so a driver union-find + broadcast
+      // join beats O(diameter) distributed rounds. The distributed loop below
+      // remains the scale path for pathological pair volumes.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      p.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toDF("id", "lab")
+      return allIds.join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // propagate only over docs that appear in an edge (the overwhelming
+    // majority are singletons and keep their own id as cluster label)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prev = labels.persist()
+      val viaNeighbors = edges
+        .join(prev.select(col("id").as("src"), col("lab")), "src")
+        .select(col("dst").as("id"), col("lab"))
+      val next = prev.select(col("id"), col("lab"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .persist()
+      changed = next.join(prev.withColumnRenamed("lab", "old"), "id")
+        .where(col("lab") =!= col("old")).count()
+      labels = next
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
+  /** Deterministic content-hash train/test split (pipeline staple):
+    * bucket = md5-60-bit(text) mod 100; < trainPct → train. */
+  def trainTestSplit(docs: DataFrame, idCol: String, textCol: String,
+                     trainPct: Int = 80): DataFrame =
+    docs.select(col(idCol),
+      pmod(md5Long60(col(textCol)), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train").otherwise("test"))
+
+  /**
    * Embedding-cosine near-dup: exact pairwise scan (for bounded n, or within
    * LSH buckets at scale — see [[Similarity.annLsh]]). Arithmetic is done in
    * double after an exact float→double widening, dot/norm as sequential

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
-    dedupSimhash, dedupEmbedding, simTopK, simAnn, textLangid, textQuality,
-    textTokens, textFingerprint, mmMeta, mmDecode)
+    dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
+    textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode)
 
   private val docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -95,6 +95,44 @@ object LlmQueries {
            |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
            |      >= 0.45
            |ORDER BY 1, 2""".stripMargin))
+
+  /** Duplicate-cluster canonicalization: connected components over the
+    * verified minhash pair graph (min-id labels); oracle is a recursive-CTE
+    * reachability closure over the exact-Jaccard edges. */
+  val dedupClusters: QueryDef = QueryDef("dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8)
+      Dedup.duplicateClusters(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $docShingles3,
+            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b FROM p
+            |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+            |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+            |edges AS (SELECT id_a AS a, id_b AS b FROM j
+            |          UNION ALL SELECT id_b, id_a FROM j),
+            |r(id, lab) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id)
+            |SELECT id AS doc_id, min(lab) AS cluster_id FROM r
+            |GROUP BY id ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic content-hash train/test split. */
+  val textSplit: QueryDef = QueryDef("text_split",
+    (s, d) => Dedup.trainTestSplit(Tables.documents(s, d), "doc_id", "text",
+      trainPct = 80).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+           |  CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   val simTopK: QueryDef = QueryDef("sim_topk",

@@ -21,10 +21,35 @@ final case class QueryDef(name: String,
  */
 object ParityQueries {
 
-  def all: Seq[QueryDef] = Seq(s2Scan, s3Metadata, t1Explode, t2Projection,
+  def all: Seq[QueryDef] = Seq(s1Parse, s2Scan, s3Metadata, t1Explode, t2Projection,
     t3Coercion, e1Enum, f1Incremental, f2Templated, a1Count, k1UpsertLww,
     k3CdcApply, k2PkChange, k4Truncate, p1PartitionedScan, p2PkHash,
     d1DdlParse, d4SchemaDiff, x2Router)
+
+  /** S1 — Canal JSON event parsing (the stream ingress layer, exercised on
+    * literal event lines; golden oracle). */
+  val s1Parse: QueryDef = QueryDef("s1_parse",
+    (s, _) => {
+      import s.implicits._
+      val lines = Seq(
+        """{"destination":"example","groupId":"g1","database":"mytest","table":"user","type":"INSERT","isDdl":false,"es":1,"ts":2,"data":[{"id":"1","name":"a"},{"id":"2","name":"b"}],"old":null}""",
+        """{"destination":"example","groupId":"g1","database":"mytest","table":"user","type":"UPDATE","isDdl":false,"es":3,"ts":4,"data":[{"id":"2","name":"b2"}],"old":[{"name":"b"}]}""",
+        """{"destination":"example","groupId":"g1","database":"mytest","table":"user","type":"ALTER","isDdl":true,"sql":"ALTER TABLE user ADD c INT","es":5,"ts":6,"data":null,"old":null}"""
+      ).toDF("value")
+      CanalStream.parse(lines)
+        .select(col("destination"), col("database"), col("table"), col("type"),
+          col("isDdl"), col("es"),
+          coalesce(size(col("data")), lit(-1)).cast("long").as("n_rows"),
+          element_at(element_at(col("data"), 1), "id").as("first_id"),
+          element_at(element_at(col("old"), 1), "name").as("first_old_name"))
+        .orderBy("es")
+    },
+    Some("""SELECT * FROM (VALUES
+           | ('example','mytest','user','INSERT',false,1::BIGINT,2::BIGINT,'1',NULL),
+           | ('example','mytest','user','UPDATE',false,3::BIGINT,1::BIGINT,'2','b'),
+           | ('example','mytest','user','ALTER',true,5::BIGINT,-1::BIGINT,NULL,NULL))
+           | AS t(destination, database, "table", "type", isDdl, es, n_rows, first_id, first_old_name)
+           | ORDER BY es""".stripMargin))
 
   /** S2 — source table scan with condition; filter + projection reach the
     * parquet scan (PushedFilters/ReadSchema verified in PlanSpec). */

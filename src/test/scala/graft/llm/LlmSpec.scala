@@ -119,6 +119,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
   }
 
+  test("duplicateClusters: local and distributed paths agree (min-id labels)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val ids = (1L to 10L).toDF("id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L)
+    val local = Dedup.duplicateClusters(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    val distributed = Dedup.duplicateClusters(pairs, ids, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected)
+  }
+
+  test("trainTestSplit is deterministic and content-based") {
+    val t = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val out = Dedup.trainTestSplit(t, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out(0)._2 == out(2)._2 && out(0)._3 == out(2)._3) // same content → same split
+    assert(out.forall(r => (r._2 < 80) == (r._3 == "train")))
+  }
+
   test("text analysis: token counts, langid priority, fingerprint normalization") {
     val t = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"),
       (3L, "  The   Cat  and the dog "), (4L, "qq rr zz"))
