@@ -25,7 +25,7 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
-    scalarFuncs, dateFuncs, streamWindow, streamSession)
+    scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct)
 
   /** TPC-H Q1-shaped grouped aggregation (partial+final, exact sums). */
   val aggQ1: QueryDef = QueryDef("agg_q1",
@@ -262,6 +262,35 @@ object RelationalQueries {
     Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS win_start, event_type,
            |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Skew pattern: salted two-phase aggregation — partial aggregate on
+    * (key, salt) spreads a hot key over the cluster, final aggregate merges.
+    * Result must equal the plain GROUP BY (the oracle) exactly; exact
+    * decimal sums make the two-phase re-association safe. */
+  val saltedAgg: QueryDef = QueryDef("salted_agg",
+    (s, d) => {
+      val salted = Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** HLL approximate distinct (sketch aggregate — rows-only check: sketch
+    * internals are engine-specific; exactness is covered by agg_distinct). */
+  val approxDistinct: QueryDef = QueryDef("approx_distinct",
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type"),
+    None)
 
   /** Session windows (10-minute gap) per user — `session_window` vs the
     * classic gaps-and-islands SQL. */
