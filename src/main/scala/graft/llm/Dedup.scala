@@ -126,16 +126,59 @@ object Dedup {
    * inverted index, and frequent-shingle skew is the known cost — at scale,
    * drop ultra-frequent shingles (stop-shingles) or switch to [[minhashLsh]].
    */
+  /**
+   * Exact n-gram Jaccard join, adaptive:
+   *  - small corpora: naive inverted-index join + count aggregation (fewest
+   *    stages; the index is small enough that candidate volume is cheap);
+   *  - at scale (`usePrefixFilter`, auto above [[PrefixFilterThreshold]]
+   *    docs): PPJoin prefix filtering — under any consistent total order of
+   *    shingles, two sets with J ≥ t must share a shingle within their first
+   *    |X| - ⌈t·|X|⌉ + 1 shingles; ordering rarest-first (by global document
+   *    frequency) keeps frequent "stop-shingles" out of the index entirely,
+   *    which is what bounds the self-join at corpus scale.
+   * Both paths produce IDENTICAL output (prefix filtering is lossless), so
+   * the DuckDB oracle stays the plain exact computation.
+   */
+  val PrefixFilterThreshold = 50000L
+
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 2, threshold: Double = 0.6): DataFrame = {
+                   shingleN: Int = 2, threshold: Double = 0.6,
+                   usePrefixFilter: Option[Boolean] = None): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")).persist()
-    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    val prefixOn = usePrefixFilter.getOrElse(sets.count() >= PrefixFilterThreshold)
     val inv = sets.select(col("id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("sh"))
-    // size-ratio prefilter (PPJoin-style): J ≤ min(|A|,|B|)/max(|A|,|B|), so
-    // pairs violating the ratio can't reach the threshold — cuts the
-    // candidate-pair volume before the aggregation shuffle
+    if (!prefixOn) return ngramJaccardNaive(sets, inv, threshold)
+    val freq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val prefix = inv.join(freq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("n"), col("sh"))
+    // size-ratio filter: J ≤ min/max sizes
+    val ratioOk =
+      least(col("x.n"), col("y.n")).cast("double") >=
+        greatest(col("x.n"), col("y.n")) * threshold
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") && ratioOk)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact verification on the full shingle sets
+    val sa = sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def ngramJaccardNaive(sets: DataFrame, inv: DataFrame,
+                                threshold: Double): DataFrame = {
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
     val ratioOk =
       least(col("x.n"), col("y.n")).cast("double") >=
         greatest(col("x.n"), col("y.n")) * threshold

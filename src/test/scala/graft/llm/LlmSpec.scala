@@ -119,6 +119,15 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
   }
 
+  test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
+    val d = Tables10
+    val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive == prefix)
+  }
+
   test("duplicateClusters: local and distributed paths agree (min-id labels)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
       .toDF("id_a", "id_b")
