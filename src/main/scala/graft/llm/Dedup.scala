@@ -94,7 +94,12 @@ object Dedup {
       }
       .toDF("id", "shingles", "sig")
       .persist()
+    // empty shingle sets (doc shorter than the shingle width) all share the
+    // degenerate all-P signature — they are not duplicates of anything
+    // (Jaccard undefined), so they never enter the banding index. The exact
+    // oracle agrees: an empty set produces no inverted-index entries.
     val bandRows = withSig
+      .where(size(col("shingles")) > 0)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
     val candidates = bandRows.as("x").join(bandRows.as("y"),
@@ -113,7 +118,8 @@ object Dedup {
     pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          // guard ANSI divide-by-zero for (impossible-after-filter) empty pairs
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

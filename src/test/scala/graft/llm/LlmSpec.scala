@@ -142,6 +142,42 @@ class LlmSpec extends AnyFunSuite {
     assert(distributed == expected)
   }
 
+  test("degenerate inputs: empty and sub-shingle-length docs don't break dedup") {
+    val weird = Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "now three words here for real"), (5L, "now three words here for real"))
+      .toDF("doc_id", "text")
+    // shingle set empty for docs 1-3 at n=3 → they join nothing, crash nothing
+    val mh = Dedup.minhashLsh(weird, "doc_id", "text", 3, 32, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSeq == Seq((4L, 5L)))
+    val ng = Dedup.ngramJaccard(weird, "doc_id", "text", 3, 0.6, Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ng.toSeq == Seq((4L, 5L)))
+    val sh = Dedup.simhashPairs(weird, "doc_id", "text", 3).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).contains((4L, 5L)))
+    assert(Dedup.exact(weird, "doc_id", "text").count() == 5)
+  }
+
+  test("duplicateClusters: paths agree on random graphs (property)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val n = 20
+      val edges = (0 until 15).map(_ => {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }).filter(p => p._1 != p._2).distinct
+      val pairs = edges.toDF("id_a", "id_b")
+      val ids = (0L until n.toLong).toDF("id")
+      val local = Dedup.duplicateClusters(pairs, ids)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.duplicateClusters(pairs, ids, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist)
+      // labels are component minima: every label ≤ its node and is a fixpoint
+      assert(local.forall { case (id, lab) => lab <= id && local(lab) == lab })
+    }
+  }
+
   test("trainTestSplit is deterministic and content-based") {
     val t = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
     val out = Dedup.trainTestSplit(t, "doc_id", "text").orderBy("doc_id")
