@@ -24,6 +24,20 @@ import org.apache.spark.sql.types._
  */
 object Coercion {
 
+  /**
+   * TRY-mode cast: malformed values coerce to null instead of aborting the
+   * job (Spark 4 runs ANSI mode by default, where `cast('garbage' AS INT)`
+   * throws). The reference is lenient the same way for temporals
+   * (`Util.parseDate` → null, `SyncUtil.java:199-210`), and a CDC pipeline
+   * must not die on one bad binlog value at 100 TB scale.
+   */
+  def tryCast(c: Column, target: DataType): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    GraftColumnBridge.column(
+      Cast(GraftColumnBridge.expression(c), target, None, EvalMode.TRY))
+  }
+
   /** `"0000-00-00"`-prefixed date/datetime strings → null. */
   def zeroDateToNull(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit(null).cast(StringType)).otherwise(c)
@@ -32,11 +46,12 @@ object Coercion {
   def coerce(c: Column, target: DataType): Column = target match {
     case BooleanType =>
       // "0"→false, other numerics→true, else standard boolean cast
-      when(c.rlike("^-?[0-9]+$"), c.cast(LongType) =!= 0).otherwise(c.cast(BooleanType))
-    case DateType => zeroDateToNull(c).cast(DateType)
-    case TimestampType => zeroDateToNull(c).cast(TimestampType)
+      when(c.rlike("^-?[0-9]+$"), tryCast(c, LongType) =!= 0)
+        .otherwise(tryCast(c, BooleanType))
+    case DateType => tryCast(zeroDateToNull(c), DateType)
+    case TimestampType => tryCast(zeroDateToNull(c), TimestampType)
     case BinaryType => encode(c, "ISO-8859-1")
-    case dt => c.cast(dt)
+    case dt => tryCast(c, dt)
   }
 
   /** Coerce all columns of `df` present in `target` to their target types. */

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
  */
 object EnumDecode {
 
-  /** Decode `c` (numeric-string or numeric ordinal) against `labels`. */
+  /** Decode `c` (numeric-string or numeric ordinal) against `labels`.
+    * Non-numeric input passes through raw (ANSI-safe TRY cast — the
+    * reference would throw on `Integer.valueOf`, SURVEY §2.2; passing
+    * through is the documented, more forgiving choice). */
   def decode(c: Column, labels: Seq[String]): Column = {
-    val ord = c.cast(IntegerType)
+    val ord = Coercion.tryCast(c, IntegerType)
     val inRange = ord.isNotNull && ord >= 1 && ord <= labels.size
     when(inRange, element_at(typedLit(labels), ord))
       .otherwise(c.cast(StringType))

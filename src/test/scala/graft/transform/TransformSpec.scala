@@ -67,6 +67,22 @@ class TransformSpec extends AnyFunSuite {
     assert(out.length == 5) // é is one byte in latin-1, two in utf-8
   }
 
+  test("T3 malformed values coerce to null, never abort (ANSI leniency)") {
+    val df = Seq("not-a-number", "2024-13-99 99:99:99", "garbage").toDF("s")
+    val out = df.select(
+      Coercion.coerce($"s", LongType).as("l"),
+      Coercion.coerce($"s", TimestampType).as("t"),
+      Coercion.coerce($"s", DoubleType).as("d")).collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("E1 non-numeric enum input passes through raw (no ANSI crash)") {
+    val df = Seq("1", "2", "banana", "99").toDF("s")
+    val out = df.select(EnumDecode.decode($"s", Seq("Male", "Female")).as("g"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Male", "Female", "banana", "99"))
+  }
+
   test("F2 placeholder substitution and WHERE-prefix strip") {
     assert(Conditions.substitute("a > {0} AND b = '{1}'", Seq("5", "x")) == "a > 5 AND b = 'x'")
     assert(Conditions.substitute("WHERE a > {0}", Seq("5")) == "a > 5")
