@@ -14,7 +14,8 @@ object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
-    textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode)
+    textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode,
+    trainingPipeline)
 
   private val docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -160,6 +161,79 @@ object LlmQueries {
       dims = 64, planes = 12, minCosine = 0.3)
       .orderBy("id_a", "id_b"),
     None)
+
+  /**
+   * The composed training-data pipeline (north-star flagship): quality
+   * scoring → near-dup canonicalization (MinHash-LSH clusters, keep the
+   * min-id member) → deterministic train/test split. One declarative plan —
+   * Catalyst fuses the per-row stages; only the dedup candidate generation
+   * and cluster closure shuffle.
+   */
+  val trainingPipeline: QueryDef = QueryDef("pipeline_training_set",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 4, 0.8)
+      val clusters = Dedup.duplicateClusters(pairs, docs.select(col("doc_id").as("id")))
+        .withColumnRenamed("id", "doc_id")
+      val split = Dedup.trainTestSplit(docs, "doc_id", "text")
+        .select(col("doc_id"), col("split"))
+      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(quality, "doc_id")
+        .join(clusters, "doc_id")
+        .join(split, "doc_id")
+        .where(col("quality") >= 0.45 && col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |        for i in range(1, len(ws) - 1)]) AS shs FROM w),
+           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |j AS (SELECT id_a, id_b FROM p
+           |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+           |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM j
+           |          UNION ALL SELECT id_b, id_a FROM j),
+           |r(id, lab) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
+           |clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
+           |feat AS (SELECT doc_id,
+           |  CASE WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+           |       THEN 'en'
+           |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+           |       THEN 'de'
+           |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+           |       THEN 'es' ELSE 'fr' END AS lang_pred,
+           |  round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
+           |        (len(list_filter(string_split(text,' '), w1 -> w1 IN
+           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+           |     'el','la','de','y','es','un','en','le','et','est','dans')))
+           |          / len(regexp_extract_all(text, '\S+'))) * 0.3 +
+           |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
+           |        4) AS quality,
+           |  CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM documents)
+           |SELECT f.doc_id, f.lang_pred, f.quality, f.split
+           |FROM feat f JOIN clusters c ON f.doc_id = c.doc_id
+           |WHERE f.quality >= 0.45 AND f.doc_id = c.cluster_id
+           |ORDER BY f.doc_id""".stripMargin))
 
   val textLangid: QueryDef = QueryDef("text_langid",
     (s, d) => {
