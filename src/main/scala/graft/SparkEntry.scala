@@ -18,9 +18,11 @@ object SparkEntry {
   val defs: Seq[QueryDef] =
     ParityQueries.all ++ RelationalQueries.all ++ LlmQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed training-data pipeline: quality scoring → lang-ID →
+    * MinHash-LSH dedup canonicalization → deterministic train/test split. */
   def entry(spark: SparkSession): DataFrame =
-    queries("join_broadcast")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_training_set")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
