@@ -103,8 +103,7 @@ object LlmQueries {
   val dedupClusters: QueryDef = QueryDef("dedup_clusters",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8)
+      val pairs = Materialized.minhashPairs(s, d)
       Dedup.duplicateClusters(pairs, docs.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
@@ -174,7 +173,7 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 4, 0.8)
+      val pairs = Materialized.minhashPairs(s, d)
       val clusters = Dedup.duplicateClusters(pairs, docs.select(col("doc_id").as("id")))
         .withColumnRenamed("id", "doc_id")
       val split = Dedup.trainTestSplit(docs, "doc_id", "text")

@@ -38,6 +38,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(m.readBatch == 5000) // default kept (MappingConfig.java:115)
   }
 
+  test("YAML block lists parse (excludeColumns as '- item' lines)") {
+    val blockYml =
+      """destination: example
+        |dbMapping:
+        |  database: d
+        |  table: t
+        |  targetTable: tt
+        |  excludeColumns:
+        |    - password
+        |    - secret
+        |  mapAll: true
+        |""".stripMargin
+    val m = MappingConfigLoader.parse(blockYml).dbMapping
+    assert(m.excludeColumns == Set("password", "secret"))
+    assert(m.mapAll)
+  }
+
   test("targetDb/targetTable split") {
     val m = MappingConfigLoader.parse(yml).dbMapping
     assert(m.targetDb.contains("mytest2") && m.targetTableName == "user")
