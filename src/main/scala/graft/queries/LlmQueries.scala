@@ -14,8 +14,35 @@ object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
-    textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode,
+    simIvf, textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode,
     trainingPipeline)
+
+  /** IVF coarse assignment: nearest of 8 deterministic centroids (the first
+    * 8 corpus vectors) per embedding — the scale path for repeated query
+    * workloads (search only the probed cell). */
+  val simIvf: QueryDef = QueryDef("sim_ivf_assign",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+           |dists AS (SELECT e.vec_id, c.centroid_id,
+           |    round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+           |                    for i in range(1, 65)]), 6) AS dist,
+           |    list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+           |              for i in range(1, 65)]) AS rawdist
+           |  FROM e, c),
+           |ranked AS (SELECT vec_id, centroid_id, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY rawdist, centroid_id) AS rn
+           |  FROM dists)
+           |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin))
 
   private val docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -25,7 +25,8 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
-    scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct)
+    scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct,
+    windowLag, joinRange)
 
   /** TPC-H Q1-shaped grouped aggregation (partial+final, exact sums). */
   val aggQ1: QueryDef = QueryDef("agg_q1",
@@ -186,6 +187,51 @@ object RelationalQueries {
            |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id
            |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
            |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Analytic window: lead/lag deltas per user (exact decimal deltas). */
+  val windowLag: QueryDef = QueryDef("window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value",
+          lag(col("value").cast(DecimalType(14, 2)), 1).over(w))
+        .withColumn("delta",
+          (col("value").cast(DecimalType(14, 2)) - col("prev_value")).cast("double"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          col("prev_value").cast("double").as("prev_value"), col("delta"), col("next_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CAST(lag(CAST(value AS DECIMAL(14,2)), 1) OVER w AS DOUBLE) AS prev_value,
+           |  CAST(CAST(value AS DECIMAL(14,2)) - lag(CAST(value AS DECIMAL(14,2)), 1) OVER w
+           |       AS DOUBLE) AS delta,
+           |  lead(event_type, 1) OVER w AS next_type
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin))
+
+  /** Range (theta) join: orders bucketed into literal price bands — plans as
+    * a broadcast nested-loop against the tiny band table (the correct shape:
+    * broadcast the bands, never shuffle the facts for a non-equi join). */
+  val joinRange: QueryDef = QueryDef("join_range",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+        ("high", 300000.0, 1e9)).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"))
+        .orderBy("band")
+    },
+    Some("""WITH bands(band, lo, hi) AS (VALUES
+           |  ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0), ('high', 300000.0, 1e9))
+           |SELECT band, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin))
 
   /** Top-k: planned as TakeOrderedAndProject (no full sort at scale). */
   val topK: QueryDef = QueryDef("topk",
