@@ -53,16 +53,23 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // ctx.freshName, not fixed locals: several DotProduct instances in
+        // one projection (e.g. lshBucket's planes) inline into one codegen
+        // scope; duplicate declarations would fail janino and silently fall
+        // back to interpreted eval.
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
         s"""
-           |int n$$ = $a.numElements();
-           |if (n$$ != $b.numElements()) {
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
            |  ${ev.isNull} = true;
            |} else {
-           |  double acc$$ = 0.0;
-           |  for (int i$$ = 0; i$$ < n$$; i$$++) {
-           |    acc$$ += $a.getDouble(i$$) * $b.getDouble(i$$);
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
            |  }
-           |  ${ev.value} = acc$$;
+           |  ${ev.value} = $acc;
            |}
          """.stripMargin
       })

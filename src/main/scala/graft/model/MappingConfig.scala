@@ -129,6 +129,13 @@ object MappingConfigLoader {
         }.toMap
     def inlineList(s: String): Seq[String] =
       s.stripPrefix("[").stripSuffix("]").split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    // validate the fields no config can route without (the reference's
+    // SnakeYAML load into a typed config fails on malformed input; a silent
+    // null-field config here would never match a destination and could mask a
+    // bad edit — throw so ConfigMonitor can retain the prior good config)
+    require(root.contains("destination"), "mapping config missing 'destination'")
+    Seq("database", "table", "targetTable").foreach(k =>
+      require(db.contains(k), s"mapping config dbMapping missing '$k'"))
     val enumCols: Map[String, Seq[String]] = db.get("enumColumns").map { s =>
       // shape: {gender: [Male, Female]} — split on top-level keys
       val body = s.stripPrefix("{").stripSuffix("}")

@@ -86,7 +86,14 @@ object UpsertSink {
                    numPartitions: Int = 0,
                    dialect: SqlDialect = PhoenixSqlDialect): Unit = {
     val cols = df.columns.toSeq
-    val pkIdx = mapping.targetPk.keys.toSeq.sorted.map(cols.indexOf)
+    // case-insensitive, fail-fast: consistent with applyBatchToJdbc's lookup;
+    // a -1 here would otherwise crash opaquely inside foreachPartition
+    val pkIdx = mapping.targetPk.keys.toSeq.sorted.map { p =>
+      val i = cols.indexWhere(_.equalsIgnoreCase(p))
+      require(i >= 0, s"target PK column '$p' not found in DataFrame columns " +
+        s"(${cols.mkString(", ")})")
+      i
+    }
     val routed = if (numPartitions > 0) df.repartition(numPartitions) else df
     routed.foreachPartition { (rows: Iterator[Row]) =>
       val ops = rows.map { r =>

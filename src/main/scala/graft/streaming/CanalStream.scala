@@ -57,7 +57,13 @@ object CanalStream {
     parse(raw).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val withSeq = batch.withColumn("seq", monotonically_increasing_id())
+        // seq must reflect source order: canal delivers one ordered binlog
+        // stream, so the raw batch is sequenced on a single partition (cheap —
+        // micro-batches are bounded). A partition-prefixed id would misorder
+        // same-timestamp events across source partitions and could place DML
+        // on the wrong side of a DDL barrier (DdlBarrier compares raw seq).
+        // Parallelism is restored by the PK-hash shuffle before apply.
+        val withSeq = batch.coalesce(1).withColumn("seq", monotonically_increasing_id())
         val flat = DmlTransforms.withOrderKey(DmlTransforms.flatten(withSeq))
         flat.persist()
         try {
@@ -121,7 +127,13 @@ object CanalStream {
     val projected = ordered.select(Seq(col("type")) ++ decoded: _*)
     val names = fields.map(_.name)
     val pkTargetCols = m.targetPk.keys.toSeq.sorted
-    val pkIdx = pkTargetCols.map(p => names.indexWhere(_.equalsIgnoreCase(p)) + 1)
+    val pkIdx = pkTargetCols.map { p =>
+      val i = names.indexWhere(_.equalsIgnoreCase(p))
+      // -1 + 1 = 0 would silently read the op column as the PK value
+      require(i >= 0, s"target PK column '$p' missing from probed target schema " +
+        s"(${names.mkString(", ")})")
+      i + 1
+    }
     val mapping = m
     projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val ops = rows.map { r =>

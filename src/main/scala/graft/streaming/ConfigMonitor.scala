@@ -21,6 +21,7 @@ final class ConfigMonitor(confDir: File,
                           pollMs: Long = 3000) extends AutoCloseable {
 
   private var mtimes = Map.empty[String, Long]
+  private var lastGood = Map.empty[String, MappingConfig] // per-file last parseable config
   private var scheduler: ScheduledExecutorService = _
 
   /** One poll cycle (exposed for tests — production uses [[start]]). */
@@ -37,14 +38,22 @@ final class ConfigMonitor(confDir: File,
           // (reference PhoenixConfigMonitor.java:95-101)
           val prior = configs.get().find(_.routeKey(includeGroup = true) ==
             parsed.routeKey(includeGroup = true))
-          prior match {
+          val chosen = prior match {
             case Some(p) if p.outerAdapterKey != null &&
               p.outerAdapterKey != parsed.outerAdapterKey =>
-              Some(p) // keep the old config; change rejected
-            case _ => Some(parsed)
+              p // keep the old config; change rejected
+            case _ => parsed
           }
-        } catch { case NonFatal(_) => None } // bad yml → skip (keep running)
+          lastGood += f.getName -> chosen
+          Some(chosen)
+        } catch {
+          // bad yml: retain the previously loaded config for this file (the
+          // reference keeps the prior config on reload failure) — a transient
+          // bad edit must not silently stop routing for that table
+          case NonFatal(_) => lastGood.get(f.getName)
+        }
       }
+      lastGood = lastGood.filter { case (name, _) => now.contains(name) } // drop deleted files
       configs.set(loaded)
       mtimes = now
     }

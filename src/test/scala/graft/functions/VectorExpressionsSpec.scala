@@ -57,6 +57,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
       e.getMessage.contains("DATATYPE_MISMATCH") || e.getMessage.contains("graft_dot"))
   }
 
+  test("many distinct graft_dot instances in one projection compile (fresh codegen locals)") {
+    // regression: fixed Java local names collided when several non-nullable
+    // DotProduct instances inlined into one codegen scope → janino failure →
+    // silent interpreted fallback. fallback=false makes that failure loud.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // arrays built from a non-nullable column: children non-nullable (no
+      // scoping block from nullSafeCodeGen) and not constant-foldable
+      val a = array(col("id").cast("double"), lit(2.0), lit(3.0))
+      val b = array(lit(4.0), col("id").cast("double"), lit(6.0))
+      val r = df.where(col("id") === 1).select(
+        VectorExpressions.graft_dot(a, b).as("ab"),
+        VectorExpressions.graft_dot(b, a).as("ba"),
+        VectorExpressions.graft_dot(a, a).as("aa"),
+        VectorExpressions.graft_dot(b, b).as("bb")).head()
+      assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+        ((24.0, 24.0, 14.0, 53.0)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("stays inside whole-stage codegen (no interpreted island)") {
     val plan = df.select(VectorExpressions.graft_dot(col("a"), col("b")))
       .queryExecution.executedPlan

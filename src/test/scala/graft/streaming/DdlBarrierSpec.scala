@@ -137,6 +137,34 @@ class DdlBarrierSpec extends AnyFunSuite {
     mon.close()
   }
 
+  test("ConfigMonitor retains the prior config when a reload fails to parse") {
+    val dir = Files.createTempDirectory("conf-badyml").toFile
+    val yml =
+      """destination: example
+        |groupId: g1
+        |dbMapping:
+        |  database: mytest
+        |  table: user
+        |  targetTable: mytest2.user
+        |""".stripMargin
+    Files.write(new File(dir, "a.yml").toPath, yml.getBytes)
+    val ref = new AtomicReference[Seq[MappingConfig]](Seq.empty)
+    val mon = new ConfigMonitor(dir, ref, pollMs = 100000)
+    mon.poll()
+    assert(ref.get().size == 1 && ref.get().head.dbMapping.table == "user")
+    // transient bad edit → prior config kept (routing must not stop)
+    Files.write(new File(dir, "a.yml").toPath, "{{{ not yaml".getBytes)
+    new File(dir, "a.yml").setLastModified(System.currentTimeMillis() + 2000)
+    mon.poll()
+    assert(ref.get().size == 1 && ref.get().head.dbMapping.table == "user")
+    // fixed edit → new content applies
+    Files.write(new File(dir, "a.yml").toPath, yml.replace("table: user", "table: orders").getBytes)
+    new File(dir, "a.yml").setLastModified(System.currentTimeMillis() + 4000)
+    mon.poll()
+    assert(ref.get().head.dbMapping.table == "orders")
+    mon.close()
+  }
+
   test("ChangeNotifier posts database/table JSON to notifyUrl") {
     val posted = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
     val cfg = config.copy(notifyUrl = "http://example.invalid/hook")

@@ -101,6 +101,18 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("applyBatchToJdbc fails fast when the target PK column is absent from the probed schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ordered = Seq(("INSERT", Map("id" -> "1", "name" -> "x"))).toDF("type", "data")
+    val noPk = StructType(Seq(StructField("name", StringType))) // 'id' missing
+    val e = intercept[IllegalArgumentException] {
+      CanalStream.applyBatchToJdbc(config, ordered, noPk, () => conn(), DeleteInsertDialect)
+    }
+    // regression: indexWhere -1 + 1 = 0 used to silently read the op column as the PK
+    assert(e.getMessage.contains("id"))
+  }
+
   test("X5 config hot-swap between micro-batches routes new tables") {
     // routing is read per-batch from the AtomicReference: swap → new config applies
     val configs = new AtomicReference[Seq[MappingConfig]](Seq(config))
