@@ -6,6 +6,7 @@ import graft.transform.{ColumnMapper, Conditions, EnumDecode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.sql.Connection
+import java.util.Properties
 
 /**
  * S2/P1/X3/A1 — the bulk-import path (reference
@@ -20,18 +21,84 @@ import java.sql.Connection
  *    cheap for small inputs too.
  *  - conditions (F1/F2) and projection (T2) are Catalyst filters/projects,
  *    so pushdown/pruning reach the scan (the reference always scans
- *    `SELECT *`, `:243-244`).
+ *    `SELECT *`, `:243-244`). For a JDBC source the filter lands in the
+ *    remote `WHERE` clause (`PushedFilters` on the JDBCRelation scan).
  */
 object EtlJob {
 
+  /** Import outcome (reference `EtlResult`): `importedCount` mirrors the
+    * per-table success counts the reference reports
+    * (`PhoenixAdapter.java:191-205`). */
   final case class EtlResult(succeeded: Boolean, resultMessage: String,
-                             errorMessage: Option[String] = None)
+                             errorMessage: Option[String] = None,
+                             importedCount: Long = 0L)
 
-  /** Read the source. For the test corpus this is parquet; a JDBC source
-    * would use `spark.read.jdbc(url, table, partitionColumn, lb, ub, n,
-    * props)` with identical downstream code. */
+  /** Where an import reads from. The reference only reads JDBC
+    * (`PhoenixEtlService.java:243-247`); parquet is the in-engine test
+    * corpus — both flow through identical downstream code. */
+  sealed trait EtlSource
+  object EtlSource {
+    final case class Parquet(path: String) extends EtlSource
+
+    /**
+     * Partitioned JDBC read (P1). With `partitionColumn` + `numPartitions`,
+     * the bounds are probed from the remote table when not supplied (one
+     * `MIN/MAX` statement — the Spark analog of the reference's row-count
+     * probe that decides its thread split, `PhoenixEtlService.java:264-287`)
+     * and the scan issues `numPartitions` parallel range queries.
+     */
+    final case class Jdbc(url: String, table: String,
+                          partitionColumn: String = null,
+                          numPartitions: Int = 0,
+                          lowerBound: Option[Long] = None,
+                          upperBound: Option[Long] = None,
+                          props: Properties = new Properties()) extends EtlSource
+  }
+
+  /** Read the source (parquet corpus convenience overload). */
   def readSource(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    readSource(spark, EtlSource.Parquet(path))
+
+  /** Read the source. JDBC sources with a partition column become parallel
+    * range scans; bounds are auto-probed when absent. An empty or
+    * single-value partition column degrades to an unpartitioned read. */
+  def readSource(spark: SparkSession, source: EtlSource): DataFrame = source match {
+    case EtlSource.Parquet(p) => spark.read.parquet(p)
+    case j: EtlSource.Jdbc if j.partitionColumn != null && j.numPartitions > 1 =>
+      val bounds = (j.lowerBound, j.upperBound) match {
+        case (Some(l), Some(u)) => Some((l, u))
+        case _ => probeBounds(j)
+      }
+      bounds match {
+        case Some((lb, ub)) if lb < ub =>
+          spark.read.jdbc(j.url, j.table, j.partitionColumn, lb, ub, j.numPartitions, j.props)
+        case _ => spark.read.jdbc(j.url, j.table, j.props)
+      }
+    case j: EtlSource.Jdbc => spark.read.jdbc(j.url, j.table, j.props)
+  }
+
+  /** One driver-side `SELECT MIN(c), MAX(c)` over the source connection —
+    * rows never cross the driver; only the two bounds do. Plain column names
+    * are ANSI-quoted (case-exact — sources created by Spark carry quoted
+    * lowercase identifiers); pre-quoted/expression columns pass verbatim. */
+  private def probeBounds(j: EtlSource.Jdbc): Option[(Long, Long)] = {
+    val c =
+      if (j.partitionColumn.forall(ch => ch.isLetterOrDigit || ch == '_'))
+        "\"" + j.partitionColumn + "\""
+      else j.partitionColumn
+    val conn = java.sql.DriverManager.getConnection(j.url, j.props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($c), MAX($c) FROM ${j.table}")
+        if (rs.next()) {
+          val lo = rs.getLong(1); val loNull = rs.wasNull()
+          val hi = rs.getLong(2); val hiNull = rs.wasNull()
+          if (loNull || hiNull) None else Some((lo, hi))
+        } else None
+      } finally st.close()
+    } finally conn.close()
+  }
 
   /** The transform stage of the import: condition → projection → enum
     * decode. Kept separate from the sink for testability and reuse by the
@@ -45,15 +112,38 @@ object EtlJob {
     EnumDecode.decodeAll(projected, m.enumColumns)
   }
 
-  /** Full import of one config (§3.2 lifecycle). */
+  /** Full import of one config from the parquet corpus (§3.2 lifecycle). */
   def importOne(spark: SparkSession, config: MappingConfig, sourcePath: String,
                 params: Seq[String], connFactory: () => Connection,
                 numPartitions: Int = 0,
-                dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): EtlResult = {
+                dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): EtlResult =
+    importSource(spark, config, EtlSource.Parquet(sourcePath), params, connFactory,
+      numPartitions, dialect)
+
+  /**
+   * Full import of one config from any source. `config.debug` enables
+   * per-row logging in the sink (reference `_debug` etl param,
+   * `PhoenixEtlService.java:233-236`); `readBatch` becomes the JDBC fetch
+   * size (reference read batch, `MappingConfig.java:115`).
+   */
+  def importSource(spark: SparkSession, config: MappingConfig, source: EtlSource,
+                   params: Seq[String], connFactory: () => Connection,
+                   numPartitions: Int = 0,
+                   dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): EtlResult = {
     try {
-      val out = transform(readSource(spark, sourcePath), config, params)
-      UpsertSink.writeUpserts(out, config.dbMapping, connFactory, numPartitions, dialect)
-      EtlResult(succeeded = true, s"imported into ${config.dbMapping.targetTable}")
+      val sized = source match {
+        case j: EtlSource.Jdbc if !j.props.containsKey("fetchsize") =>
+          val p = new Properties()
+          p.putAll(j.props)
+          p.setProperty("fetchsize", config.dbMapping.readBatch.toString)
+          j.copy(props = p)
+        case s => s
+      }
+      val out = transform(readSource(spark, sized), config, params)
+      val n = UpsertSink.writeUpserts(out, config.dbMapping, connFactory, numPartitions,
+        dialect, debug = config.debug)
+      EtlResult(succeeded = true,
+        s"imported $n rows into ${config.dbMapping.targetTable}", importedCount = n)
     } catch {
       case t: Throwable =>
         EtlResult(succeeded = false, "import failed", Some(t.toString))
@@ -63,15 +153,15 @@ object EtlJob {
   /**
    * X3 — task orchestration (`PhoenixAdapter.java:162-207`): run one config
    * by name, or fan out over all configs whose `destination == task`,
-   * aggregating messages.
+   * aggregating per-table results (with counts).
    */
   def etl(spark: SparkSession, task: String, configs: Map[String, MappingConfig],
-          params: Seq[String], sourcePathFor: MappingConfig => String,
+          params: Seq[String], sourceFor: MappingConfig => EtlSource,
           connFactory: () => Connection,
           dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect): Seq[EtlResult] = {
     val selected = configs.get(task).map(Seq(_)).getOrElse(
       configs.values.filter(_.destination == task).toSeq)
-    selected.map(c => importOne(spark, c, sourcePathFor(c), params, connFactory,
+    selected.map(c => importSource(spark, c, sourceFor(c), params, connFactory,
       dialect = dialect))
   }
 

@@ -81,10 +81,16 @@ object UpsertSink {
    * The reference's per-row DELETE-then-UPSERT (`PhoenixEtlService.java:409-420`)
    * is unnecessary when the PK is stable — UPSERT alone is idempotent
    * (SURVEY §2.1 K5 note).
+   *
+   * Returns the number of rows applied (accumulator-summed across
+   * partitions — the reference's per-table success count,
+   * `PhoenixAdapter.java:191-205`). `debug` logs every row before applying
+   * (reference `_debug` etl param, `PhoenixEtlService.java:233-236`).
    */
   def writeUpserts(df: DataFrame, mapping: DbMapping, connFactory: () => Connection,
                    numPartitions: Int = 0,
-                   dialect: SqlDialect = PhoenixSqlDialect): Unit = {
+                   dialect: SqlDialect = PhoenixSqlDialect,
+                   debug: Boolean = false): Long = {
     val cols = df.columns.toSeq
     // case-insensitive, fail-fast: consistent with applyBatchToJdbc's lookup;
     // a -1 here would otherwise crash opaquely inside foreachPartition
@@ -94,13 +100,20 @@ object UpsertSink {
         s"(${cols.mkString(", ")})")
       i
     }
+    val applied = df.sparkSession.sparkContext.longAccumulator("graft.upserts.applied")
     val routed = if (numPartitions > 0) df.repartition(numPartitions) else df
     routed.foreachPartition { (rows: Iterator[Row]) =>
+      val log = if (debug) org.slf4j.LoggerFactory.getLogger("graft.sink.UpsertSink") else null
+      var n = 0L
       val ops = rows.map { r =>
+        n += 1
         val vals = cols.indices.map(r.get)
+        if (debug) log.info(s"etl row ${cols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString(", ")}")
         RowOp("INSERT", vals, pkIdx.map(r.get))
       }
       applyPartition(ops, mapping, cols, connFactory, dialect = dialect)
+      applied.add(n) // ops fully consumed by applyPartition's buffering
     }
+    applied.value
   }
 }

@@ -22,13 +22,16 @@ object ColumnMapper {
    */
   def columnsMap(mapping: DbMapping, sourceColumns: Seq[String]): Seq[(String, String)] = {
     if (mapping.mapAll) {
-      // targetColumns may rename a subset: srcCol -> targetCol overrides
+      // targetColumns may rename a subset: srcCol -> targetCol overrides.
+      // Lookup is case-insensitive — JDBC sources surface upper-cased
+      // column names while configs are written lowercase (the reference
+      // compares lowercased throughout, `SyncUtil.java:42`).
       val renames: Map[String, String] = mapping.targetColumns.collect {
-        case (tgt, src) if src != null && src.nonEmpty => src -> tgt
+        case (tgt, src) if src != null && src.nonEmpty => src.toLowerCase -> tgt
       }
       sourceColumns
         .filterNot(mapping.isExcluded)
-        .map(src => renames.getOrElse(src, src) -> src)
+        .map(src => renames.getOrElse(src.toLowerCase, src) -> src)
     } else {
       mapping.targetColumns.toSeq.sortBy(_._1).map { case (tgt, src) =>
         tgt -> (if (src == null || src.isEmpty) tgt else src)
