@@ -111,11 +111,47 @@ object CanalStream {
                        connFactory: () => java.sql.Connection,
                        dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect,
                        heal: Option[Throwable => Unit] = None): Unit = {
-    import graft.sink.UpsertSink
+    import graft.sink.{SchemaProbe, UpsertSink}
     import graft.transform.Coercion
     val m = config.dbMapping
+    // skipMissing (reference PhoenixSyncService.java:399-404): a mapped
+    // column absent from the probed target schema is warn-and-skipped when
+    // true; when false the miss is a schema error — heal (D4 sync) then
+    // re-probe, failing if still missing. Mapped columns come from the
+    // batch's own row images (one tiny distinct-keys agg per segment; the
+    // reference checks the same thing per row against target metadata).
+    val batchSourceCols = ordered
+      .select(explode(map_keys(col("data"))).as("k")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val mappedTargets = graft.transform.ColumnMapper.columnsMap(m, batchSourceCols).map(_._1)
+    def missingFrom(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+      mappedTargets.filterNot(t => schema.fieldNames.exists(_.equalsIgnoreCase(t)))
+    // segments with no row images (TRUNCATE-only, or empty between two DDL
+    // barriers) have nothing to project — never trigger a spurious heal
+    val missing = if (batchSourceCols.isEmpty) Seq.empty else missingFrom(targetSchema)
+    val effectiveSchema =
+      if (missing.isEmpty) targetSchema
+      else if (m.skipMissing) {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"skipMissing: target ${m.targetTable} lacks mapped columns " +
+            s"${missing.mkString(", ")} — skipped")
+        targetSchema
+      } else {
+        val err = new RuntimeException(
+          s"ColumnNotFound: target ${m.targetTable} lacks mapped columns ${missing.mkString(", ")}")
+        heal match {
+          case Some(h) =>
+            h(err) // D4 schema sync, then re-probe the healed target
+            val reprobed = SchemaProbe.probe(m, connFactory, dialect)
+            val still = missingFrom(reprobed)
+            if (still.nonEmpty) throw new RuntimeException(
+              s"ColumnNotFound: target ${m.targetTable} still lacks ${still.mkString(", ")} after heal")
+            reprobed
+          case None => throw err
+        }
+      }
     // input is already pk-change-expanded and partition-ordered by start()
-    val fields = targetSchema.fields.toSeq
+    val fields = effectiveSchema.fields.toSeq
     val decoded = fields.map { f =>
       val raw = element_at(col("data"), f.name)
       val withEnum = m.enumColumns.get(f.name) match {

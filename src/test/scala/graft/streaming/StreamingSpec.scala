@@ -106,11 +106,64 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val ordered = Seq(("INSERT", Map("id" -> "1", "name" -> "x"))).toDF("type", "data")
     val noPk = StructType(Seq(StructField("name", StringType))) // 'id' missing
-    val e = intercept[IllegalArgumentException] {
+    // regression: indexWhere -1 + 1 = 0 used to silently read the op column
+    // as the PK. Today the earlier skipMissing schema check already names the
+    // missing column; either way the batch must fail loudly naming 'id'.
+    val e = intercept[RuntimeException] {
       CanalStream.applyBatchToJdbc(config, ordered, noPk, () => conn(), DeleteInsertDialect)
     }
-    // regression: indexWhere -1 + 1 = 0 used to silently read the op column as the PK
     assert(e.getMessage.contains("id"))
+  }
+
+  test("skipMissing: true warn-skips a mapped column absent from the target; false heals then applies") {
+    import spark.implicits._
+    val u = "jdbc:derby:memory:skipmissdb;create=true"
+    val c = DriverManager.getConnection(u)
+    c.createStatement().execute(
+      """CREATE TABLE "SM"."T" ("ID" BIGINT PRIMARY KEY, "NAME" VARCHAR(32))""")
+    c.close()
+    val cfg = config.copy(dbMapping = config.dbMapping.copy(
+      table = "sm", targetTable = "SM.T", enumColumns = Map.empty, skipMissing = true))
+    val ordered = Seq(("INSERT", Map("id" -> "1", "name" -> "a", "extra" -> "x")))
+      .toDF("type", "data")
+    val schema = SchemaProbe.probe(cfg.dbMapping, DerbyConn.factory(u), DeleteInsertDialect)
+
+    // fully-closed query helper — a lingering ResultSet holds Derby locks
+    // that would block the heal's ALTER below
+    def queryRow(sql: String, cols: Int): Option[Seq[String]] = {
+      val cc = DriverManager.getConnection(u)
+      try {
+        val st = cc.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          try { if (rs.next()) Some((1 to cols).map(rs.getString)) else None }
+          finally rs.close()
+        } finally st.close()
+      } finally cc.close()
+    }
+
+    // skipMissing=true: row applies, the unmapped 'extra' is warn-skipped
+    // (reference PhoenixSyncService.java:399-404)
+    CanalStream.applyBatchToJdbc(cfg, ordered, schema, DerbyConn.factory(u), DeleteInsertDialect)
+    assert(queryRow("""SELECT "NAME" FROM "SM"."T" WHERE "ID" = 1""", 1).contains(Seq("a")))
+
+    // skipMissing=false, no heal: fail fast with the missing column named
+    val strict = cfg.copy(dbMapping = cfg.dbMapping.copy(skipMissing = false))
+    val e = intercept[RuntimeException] {
+      CanalStream.applyBatchToJdbc(strict, ordered, schema, DerbyConn.factory(u), DeleteInsertDialect)
+    }
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("ColumnNotFound"))
+
+    // skipMissing=false with heal: heal adds the column, batch applies fully
+    val heal: Throwable => Unit = { _ =>
+      val hc = DriverManager.getConnection(u)
+      hc.createStatement().execute("""ALTER TABLE "SM"."T" ADD "EXTRA" VARCHAR(32)""")
+      hc.close()
+    }
+    CanalStream.applyBatchToJdbc(strict, ordered, schema, DerbyConn.factory(u),
+      DeleteInsertDialect, Some(heal))
+    assert(queryRow("""SELECT "NAME", "EXTRA" FROM "SM"."T" WHERE "ID" = 1""", 2)
+      .contains(Seq("a", "x")))
   }
 
   test("X5 config hot-swap between micro-batches routes new tables") {
