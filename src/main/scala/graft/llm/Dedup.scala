@@ -390,16 +390,29 @@ object Dedup {
    */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
                           threshold: Double = 0.45,
-                          planesPerBand: Int = 3, bands: Int = 64): DataFrame = {
+                          planesPerBand: Int = 3, bands: Int = 64,
+                          maxBucket: Int = 100000): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v"))
       .withColumn("norm", Similarity.norm(col("v")))
     val bandRows = e.select(col("id"),
         explode(Similarity.lshBandBuckets(col("v"), bands, planesPerBand, dims)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val candidates = bandRows.as("x").join(bandRows.as("y"),
+    // dense-bucket skew guard: a bucket of m members produces an m² join
+    // task; above `maxBucket` the bucket is split into ⌈m/maxBucket⌉ chunks
+    // and the self-join runs per chunk pair (classic salting: the left side
+    // replicates over peer chunks, the right side is keyed by its own
+    // chunk), bounding any single join partition without changing the
+    // output — every pair still meets in exactly one (chunk_x=peer_y) cell.
+    val sizes = bandRows.groupBy("band", "bucket")
+      .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("nchunks"))
+    val withChunk = bandRows.join(sizes, Seq("band", "bucket"))
+      .withColumn("chunk", pmod(col("id"), col("nchunks")).cast("int"))
+    val xs = withChunk.withColumn("peer",
+      explode(sequence(lit(0), col("nchunks") - 1)))
+    val candidates = xs.as("x").join(withChunk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
+          col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // exact verification: same rounded cosine as the all-pairs scan/oracle

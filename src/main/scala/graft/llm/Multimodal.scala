@@ -1,8 +1,12 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed decode output (top-level for Encoder derivation). */
+final case class MediaFeature(media_id: Long, feat_dim: Int,
+                              feature: Seq[Double], ok: Boolean)
 
 /**
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
@@ -59,44 +63,47 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("feat_dim", IntegerType),
-    StructField("feature", ArrayType(FloatType)),
+    StructField("feature", ArrayType(DoubleType)),
     StructField("ok", BooleanType)))
 
   /**
    * STUB decoder — deterministic fake "pixel decode + feature extraction":
-   * features are a folded byte histogram. A real implementation replaces
-   * only the body of `decodeOne`; the partition-batch iteration (bounded
-   * memory, one decoder init per partition) is the production shape.
+   * features are a folded byte histogram, accumulated in double in byte
+   * order so the result is bit-identical to a sequential fold in any engine
+   * (the DuckDB oracle reproduces it with a list comprehension). A real
+   * implementation replaces only the body of `decodeOne`; the
+   * partition-batch iteration (bounded memory, one decoder init per
+   * partition) is the production shape.
    */
   object DecodeStub {
     val featDim = 8
-    def decodeOne(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](featDim)
+    def decodeOne(payload: Array[Byte]): Array[Double] = {
+      val acc = new Array[Double](featDim)
       var i = 0
       while (i < payload.length) {
-        acc(i % featDim) += (payload(i) & 0xff) / 255.0f
+        acc(i % featDim) += (payload(i) & 0xff) / 255.0
         i += 1
       }
       acc
     }
   }
 
-  /** Decode/feature-extract stage: `mapPartitions` over the payloads with a
-    * per-partition "decoder" lifecycle. Binary column pruned immediately
-    * after use. */
+  /** Decode/feature-extract stage: typed `mapPartitions` over the payloads
+    * with a per-partition "decoder" lifecycle (typed Dataset keeps Tungsten
+    * encoding — no raw-RDD detour). Binary column pruned immediately after
+    * use. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
-      // per-partition decoder init would go here (e.g. JNI handle)
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val ok = payload != null
-        val feat = if (ok) Multimodal.DecodeStub.decodeOne(payload) else Array.empty[Float]
-        Row(id, Multimodal.DecodeStub.featDim, feat.toSeq, ok)
-      }
-    }
-    spark.createDataFrame(rows, featureSchema)
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (e.g. JNI handle)
+        it.map { case (id, payload) =>
+          val ok = payload != null
+          val feat = if (ok) DecodeStub.decodeOne(payload) else Array.empty[Double]
+          MediaFeature(id, DecodeStub.featDim, feat.toSeq, ok)
+        }
+      }.toDF()
   }
 
   /** Frame sampling for video-kind rows: emit every `stride`-th frame index

@@ -115,12 +115,14 @@ object LlmQueries {
 
   /** Embedding-cosine near-dup pairs at 0.45: banded sign-LSH candidates
     * (equi-join, no all-pairs nested loop) + exact cosine verification —
-    * output identical to the all-pairs scan (per-pair banding miss ≈7e-16
-    * at the threshold); oracle is the exact full-pair computation, and
-    * LlmSpec asserts banded == all-pairs on the corpus. */
+    * output identical to the all-pairs scan (banding recall 1 at the
+    * threshold, see [[Dedup.embeddingNearDupLsh]]); oracle is the exact
+    * full-pair computation, and LlmSpec asserts banded == all-pairs on the
+    * corpus. Filters the session-materialized ≥0.3 pair table shared with
+    * `sim_ann_lsh`. */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
-    (s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-      dims = 64, threshold = 0.45)
+    (s, d) => Materialized.embeddingPairs(s, d)
+      .where(col("cosine") >= 0.45)
       .orderBy("id_a", "id_b"),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
@@ -188,13 +190,26 @@ object LlmQueries {
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
 
-  /** Sign-LSH ANN (approximate — rows-only check; exactness is covered by
-    * dedup_embedding, and recall is exercised in DedupSpec). */
+  /** Banded sign-LSH ANN pair search at cosine ≥ 0.3, fully oracled as a
+    * summary: the emitted pair count must equal DuckDB's exact full-pair
+    * count (count equality + every pair exact-verified ≥ threshold ⇒ set
+    * equality ⇒ banding recall 1), and `all_above_threshold` gates
+    * verification conformance. Single-probe [[Similarity.annLsh]] remains
+    * the point-lookup variant (subset property in LlmSpec). */
   val simAnn: QueryDef = QueryDef("sim_ann_lsh",
-    (s, d) => Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-      dims = 64, planes = 12, minCosine = 0.3)
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, d) => {
+      import s.implicits._
+      val pairs = Materialized.embeddingPairs(s, d)
+      val n = pairs.count()
+      val conform = pairs.agg(min(col("cosine"))).head().getDouble(0) >= 0.3
+      Seq((n, conform)).toDF("n_pairs", "all_above_threshold")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
+           |SELECT count(*)::BIGINT AS n_pairs, TRUE AS all_above_threshold
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |      >= 0.3""".stripMargin))
 
   /**
    * The composed training-data pipeline (north-star flagship): quality
@@ -353,11 +368,27 @@ object LlmQueries {
            |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  /** Decode stage plumbing (stubbed decoder — rows-only check). */
+  /** Decode stage plumbing. The stub decoder's folded byte histogram is
+    * deterministic (sequential double fold over UTF-8 bytes), so the full
+    * feature vector is oracled: DuckDB reproduces each of the 8 folded
+    * components with a filtered list comprehension (corpus is ASCII, so
+    * byte i == char i). */
   val mmDecode: QueryDef = QueryDef("mm_decode",
-    (s, d) => Multimodal.decodeFeatures(
+    (s, d) => {
+      val f = Multimodal.decodeFeatures(
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
-      .select(col("media_id"), col("feat_dim").cast("long").as("feat_dim"), col("ok"))
-      .orderBy("media_id"),
-    None)
+      f.select(Seq(col("media_id"), col("feat_dim").cast("long").as("feat_dim"), col("ok")) ++
+          (0 until Multimodal.DecodeStub.featDim).map(k =>
+            round(element_at(col("feature"), k + 1), 6).as(s"f$k")): _*)
+        .orderBy("media_id")
+    },
+    Some {
+      val feats = (0 until Multimodal.DecodeStub.featDim).map(k =>
+        s"  coalesce(round(list_sum([ascii(substr(text, i, 1)) / 255.0 " +
+          s"for i in range(1, length(text) + 1) if (i - 1) % 8 = $k]), 6), 0.0) AS f$k")
+        .mkString(",\n")
+      s"""SELECT doc_id AS media_id, 8::BIGINT AS feat_dim, TRUE AS ok,
+         |$feats
+         |FROM documents ORDER BY media_id""".stripMargin
+    })
 }

@@ -27,4 +27,18 @@ object Materialized {
         shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8,
         materialize = true)
     })
+
+  private val embCache = TrieMap.empty[(String, String), DataFrame]
+
+  /** Banded-LSH embedding pair table at the lowest consumed threshold
+    * (cosine ≥ 0.3, recall 1 at 0.3 per the banding analysis in
+    * [[Dedup.embeddingNearDupLsh]]): `dedup_embedding` filters it at 0.45,
+    * `sim_ann_lsh` summarizes it at 0.3 — one banded join per session. */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    embCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+      val r = Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", dims = 64, threshold = 0.3).persist()
+      r.count() // eager (tiny verified-pair table; intermediates are unpersisted-free)
+      r
+    })
 }

@@ -328,15 +328,23 @@ object RelationalQueries {
            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** HLL approximate distinct (sketch aggregate — rows-only check: sketch
-    * internals are engine-specific; exactness is covered by agg_distinct). */
+  /** HLL approximate distinct. Sketch internals are engine-specific, so the
+    * oracle gates the *error bound* instead of the estimate: the emitted
+    * boolean `within_bound` (relative error ≤ 5% at rsd 0.02) must
+    * hash-match DuckDB's literal TRUE; exactness itself is covered by
+    * agg_distinct. */
   val approxDistinct: QueryDef = QueryDef("approx_distinct",
     (s, d) => Tables.events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_bound"))
       .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           |  TRUE AS within_bound
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Session windows (10-minute gap) per user — `session_window` vs the
     * classic gaps-and-islands SQL. */

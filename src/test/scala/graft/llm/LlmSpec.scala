@@ -112,6 +112,17 @@ class LlmSpec extends AnyFunSuite {
       s"banded path must not fall back to an all-pairs join:\n$plan")
   }
 
+  test("dense-bucket skew guard leaves banded output unchanged (property)") {
+    val emb = Tables10Emb
+    def pairs(cap: Int) =
+      Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", dims = 64,
+          threshold = 0.3, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap=2 forces nearly every bucket through the chunk-split path; output
+    // must equal the unsplit join (every pair meets in exactly one cell)
+    assert(pairs(2) == pairs(100000))
+  }
+
   test("materialized minhash pair cache equals a fresh recomputation") {
     val d = graft.queries.Tables.documents(spark, TestSpark.sf)
     val fresh = Dedup.minhashLsh(d, "doc_id", "text",
@@ -234,7 +245,7 @@ class LlmSpec extends AnyFunSuite {
     assert(m0.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
     val feats = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
     assert(feats.length == 3 && feats.forall(_.getBoolean(3)))
-    assert(feats.head.getSeq[Float](2).take(3).toSeq ==
+    assert(feats.head.getSeq[Double](2).take(3).toSeq ==
       Multimodal.DecodeStub.decodeOne("abc".getBytes("UTF-8")).take(3).toSeq)
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val vids = media.where(col("kind") === "video").select("media_id", "meta.n_frames").collect()
