@@ -138,6 +138,40 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /**
+   * IVF probed-cell search — the reason the coarse index exists: find the
+   * `nprobe` centroids nearest the query (driver-side; the centroid table
+   * is tiny and broadcast anyway), then compute cosine ONLY over vectors
+   * assigned to those cells. The scan shrinks by ~nprobe/n_centroids while
+   * the plan stays scan → broadcast-join on cell → TakeOrderedAndProject
+   * (k rows to the driver, no data shuffle).
+   */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+                queryVec: Seq[Double], k: Int, nprobe: Int,
+                excludeId: Option[Long] = None): DataFrame = {
+    val q = queryVec.toArray
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = cents.map { case (cid, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val dx = v(i) - q(i); s += dx * dx; i += 1 }
+        (cid, s)
+      }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
+    val cells = ivfAssign(emb, idCol, vecCol, centroids)
+      .where(col("centroid_id").isin(probed: _*))
+      .select(col("id"), col("centroid_id").as("cell"))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qc = typedLit(queryVec)
+    val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val e1 = excludeId.map(x => e.where(col("id") =!= x)).getOrElse(e)
+    e1.join(cells, "id")
+      .select(col("id"), col("cell"),
+        cosine(col("v"), qc, norm(col("v")), lit(qn)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -14,8 +14,8 @@ object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
-    simIvf, textLangid, textQuality, textTokens, textFingerprint, mmMeta, mmDecode,
-    trainingPipeline)
+    simIvf, simIvfSearch, textLangid, textQuality, textTokens, textFingerprint,
+    mmMeta, mmDecode, trainingPipeline)
 
   /** IVF coarse assignment: nearest of 8 deterministic centroids (the first
     * 8 corpus vectors) per embedding — the scale path for repeated query
@@ -43,6 +43,47 @@ object LlmQueries {
            |  FROM dists)
            |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1
            |ORDER BY vec_id""".stripMargin))
+
+  /** IVF probed-cell search: assign the query (vec_id=0) to its nprobe=2
+    * nearest of the 8 deterministic centroids, then cosine top-10 over ONLY
+    * the vectors assigned to those cells — oracled against DuckDB
+    * brute-force top-k restricted to the same cells. Completes the IVF
+    * story: `sim_ivf_assign` builds the index side, this searches it. */
+  val simIvfSearch: QueryDef = QueryDef("sim_ivf_search",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val qv = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.ivfSearch(emb, "vec_id", "embedding", cents, qv,
+          k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |probe AS (SELECT centroid_id FROM c, q
+           |  ORDER BY list_sum([(cv[i] - qv[i]) * (cv[i] - qv[i])
+           |                     for i in range(1, 65)]), centroid_id
+           |  LIMIT 2),
+           |dists AS (SELECT e.vec_id, c.centroid_id,
+           |    list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+           |              for i in range(1, 65)]) AS rawdist
+           |  FROM e, c),
+           |assign AS (SELECT vec_id, centroid_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY rawdist, centroid_id) AS rn
+           |  FROM dists),
+           |cells AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE rn = 1),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
+           |SELECT n.vec_id, cells.cell,
+           |  round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) / (n.nrm *
+           |    (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) AS cosine
+           |FROM n JOIN cells ON n.vec_id = cells.vec_id, q
+           |WHERE cells.cell IN (SELECT centroid_id FROM probe) AND n.vec_id <> 0
+           |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
 
   private val docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -153,6 +153,27 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
   }
 
+  test("ivfSearch: all cells probed = global topK; nprobe=1 stays in the query's cell") {
+    val emb = Tables10Emb
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val qv = emb.where(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val all = Similarity.ivfSearch(emb, "vec_id", "embedding", cents, qv,
+        k = 5, nprobe = 4, excludeId = Some(0L))
+      .select("id", "cosine").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val global = Similarity.topK(emb, "vec_id", "embedding", qv, k = 5, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == global) // probing every cell degenerates to exact search
+    val one = Similarity.ivfSearch(emb, "vec_id", "embedding", cents, qv,
+      k = 5, nprobe = 1, excludeId = Some(0L))
+    val cellOf = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one.collect().forall(_.getLong(1) == cellOf(0L)))
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))
