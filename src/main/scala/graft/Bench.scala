@@ -1,5 +1,7 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,15 +24,83 @@ object Bench {
         .groupBy("k").count().collect()
       spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
     }
+    // a failed query must fail the bench loudly (nonzero rc + an "errors"
+    // entry) — a -1 timing would make a regression look like a fast run
+    var rc = 0
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case t: Throwable =>
+          errors(name) = t.toString.linesIterator.next().take(160)
+          rc = 1
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // CDC sync hot path: JSON micro-batches → parse/flatten/route/pk-hash →
+    // ordered JDBC apply into in-memory Derby (rows/s makes sync-path
+    // regressions visible — batch queries never exercise this path)
+    val stream =
+      try { val (n, secs) = streamThroughput(spark); f""""stream":{"rows":$n,"secs":$secs%.3f,"rows_per_sec":${n / secs}%.0f},""" }
+      catch { case t: Throwable => rc = 1; errors("stream_cdc") = t.toString.take(160); "" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"$k\":\"${v.replace("\"", "'")}\"" }
+        .mkString(""""errors":{""", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson"sf":"$sfDir"}""")
     spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Drive the full sync path over `files` micro-batches of canal-JSON
+    * events against an in-memory Derby target; returns (rows, seconds). */
+  def streamThroughput(spark: SparkSession, files: Int = 8,
+                       eventsPerFile: Int = 50, rowsPerEvent: Int = 25): (Long, Double) = {
+    import graft.model.{DbMapping, MappingConfig}
+    import graft.sink.{DeleteInsertDialect, SchemaProbe}
+    import graft.streaming.CanalStream
+    import java.util.concurrent.atomic.AtomicReference
+    val url = "jdbc:derby:memory:benchcdc;create=true"
+    val conn = { val u = url; () => java.sql.DriverManager.getConnection(u) }
+    val c = conn()
+    try c.createStatement().execute(
+      """CREATE TABLE "BENCH"."T" ("ID" BIGINT PRIMARY KEY, "V" VARCHAR(64), "W" VARCHAR(64))""")
+    finally c.close()
+    val config = MappingConfig(
+      dataSourceKey = "ds", destination = "bench", groupId = "g1", concurrent = true,
+      dbMapping = DbMapping("benchdb", "t", "BENCH.T",
+        targetPk = Map("id" -> "id"), mapAll = true))
+    val dir = java.nio.file.Files.createTempDirectory("bench-cdc")
+    val total = files.toLong * eventsPerFile * rowsPerEvent
+    var seq = 0L
+    (0 until files).foreach { f =>
+      val lines = (0 until eventsPerFile).map { e =>
+        val op = if (e % 5 == 4) "UPDATE" else "INSERT"
+        val rows = (0 until rowsPerEvent).map { r =>
+          val id = (seq + r) % (total / 2) // cycle ids → real upsert conflicts
+          s"""{"id":"$id","v":"val_${seq + r}","w":"w$r"}"""
+        }.mkString("[", ",", "]")
+        seq += rowsPerEvent
+        s"""{"destination":"bench","groupId":"g1","database":"benchdb","table":"t","type":"$op","isDdl":false,"es":${f * 1000 + e},"ts":${f * 1000 + e},"data":$rows,"old":null}"""
+      }
+      java.nio.file.Files.write(dir.resolve(f"batch$f%03d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val targetSchema = SchemaProbe.probe(config.dbMapping, conn, DeleteInsertDialect)
+    val configs = new AtomicReference[Seq[MappingConfig]](Seq(config))
+    val raw = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .text(dir.toString)
+    val t0 = System.nanoTime()
+    val q = CanalStream.start(spark, raw, configs, numPartitions = 4,
+      (cfg, ordered) => CanalStream.applyBatchToJdbc(cfg, ordered, targetSchema,
+        conn, DeleteInsertDialect))
+    q.processAllAvailable()
+    q.stop()
+    (total, (System.nanoTime() - t0) / 1e9)
   }
 }
