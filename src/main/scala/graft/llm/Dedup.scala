@@ -394,7 +394,6 @@ object Dedup {
                           maxBucket: Int = 100000): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v"))
-      .withColumn("norm", Similarity.norm(col("v")))
     val bandRows = e.select(col("id"),
         explode(Similarity.lshBandBuckets(col("v"), bands, planesPerBand, dims)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -415,12 +414,15 @@ object Dedup {
           col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // exact verification: same rounded cosine as the all-pairs scan/oracle
-    val ea = e.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
-    val eb = e.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    // exact verification with the fused one-pass cosine expression — bit-
+    // identical to the staged dot/norm form (same accumulation order), one
+    // third the array traversals, and no norm column through the join
+    val ea = e.select(col("id").as("id_a"), col("v").as("va"))
+    val eb = e.select(col("id").as("id_b"), col("v").as("vb"))
     candidates.join(ea, "id_a").join(eb, "id_b")
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+        round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -83,4 +83,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val codegen = org.apache.spark.sql.execution.debug.codegenString(plan)
     assert(codegen.contains("WholeStageCodegen"))
   }
+
+  test("graft_cosine (fused one-pass) is bit-identical to the composed dot/norm form") {
+    val emb = graft.queries.Tables.embeddings(spark, graft.TestSpark.sf).limit(200)
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val composed = e.as("a").crossJoin(e.as("b").limit(5))
+      .select(col("a.vec_id"),
+        (VectorExpressions.graft_dot(col("a.v"), col("b.v")) /
+          (sqrt(VectorExpressions.graft_dot(col("a.v"), col("a.v"))) *
+            sqrt(VectorExpressions.graft_dot(col("b.v"), col("b.v"))))).as("c"))
+      .collect().map(_.getDouble(1))
+    val fused = e.as("a").crossJoin(e.as("b").limit(5))
+      .select(col("a.vec_id"),
+        VectorExpressions.graft_cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(_.getDouble(1))
+    assert(composed.length == fused.length && composed.length == 1000)
+    composed.zip(fused).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+    }
+    // codegen + SQL registration
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      VectorExpressions.register(spark)
+      df.createOrReplaceTempView("vecs2")
+      val r = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs2 WHERE id = 1").head().getDouble(0)
+      assert(math.abs(r - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
