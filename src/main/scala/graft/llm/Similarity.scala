@@ -172,6 +172,44 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Distributed k-means (Lloyd) training of the IVF coarse centroids:
+   * deterministic init (first `k` corpus vectors), then `iters` rounds of
+   * assign (broadcast-centroid argmin, [[ivfAssign]]) + recompute means.
+   *
+   * Means use exact DECIMAL(30,15) sums — associativity-free, so partial
+   * aggregation parallelizes arbitrarily AND the result is engine-portable
+   * (the DuckDB oracle sums the same decimals; double sums would drift with
+   * partition order). Per iteration: one broadcast join + one shuffle of
+   * `n×dims` (centroid_id, dim, value) rows — map-side combine reduces that
+   * to `k×dims` per partition, so the shuffle is tiny at any scale. A
+   * centroid whose cell empties (e.g. duplicate init vectors tie-broken
+   * away) drops out, deterministically in both engines.
+   *
+   * Returns long form `(centroid_id, dim, m)` — the trained centroid
+   * components, dim 0-based, rounded to 6 dp.
+   */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    var cents = emb.where(col(idCol) < k)
+      .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec"))
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(e, "id", "v", cents).select(col("id"), col("centroid_id"))
+      val means = e.join(assigned, "id")
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy("centroid_id", "dim")
+        .agg((sum(col("val").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("m"))
+      cents = means.groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
+        .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("vec"))
+    }
+    cents.select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "mval")))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        round(col("mval"), 6).as("m"))
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -14,8 +14,8 @@ object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
-    simIvf, simIvfSearch, textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, trainingPipeline)
+    simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
+    textFingerprint, mmMeta, mmDecode, trainingPipeline)
 
   /** IVF coarse assignment: nearest of 8 deterministic centroids (the first
     * 8 corpus vectors) per embedding — the scale path for repeated query
@@ -84,6 +84,37 @@ object LlmQueries {
            |FROM n JOIN cells ON n.vec_id = cells.vec_id, q
            |WHERE cells.cell IN (SELECT centroid_id FROM probe) AND n.vec_id <> 0
            |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
+
+  /** Distributed k-means training of the IVF coarse index (2 Lloyd rounds
+    * from the deterministic first-8 init). Means use exact DECIMAL sums —
+    * associativity-free, so the oracle reproduces them bit-for-bit while
+    * Spark's partial aggregation parallelizes arbitrarily. */
+  val simIvfTrain: QueryDef = QueryDef("sim_ivf_train",
+    (s, d) => Similarity.ivfTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .orderBy("centroid_id", "dim"),
+    Some {
+      def iter(n: Int, centsCte: String) =
+        s"""d$n AS (SELECT e.vec_id, c.centroid_id,
+           |    list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+           |              for i in range(1, 65)]) AS rd
+           |  FROM e, $centsCte c),
+           |a$n AS (SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
+           |    FROM d$n) WHERE rn = 1),
+           |m$n AS (SELECT a.centroid_id, t.i - 1 AS dim,
+           |    (sum(CAST(e.v[t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+           |  FROM a$n a JOIN e ON a.vec_id = e.vec_id, range(1, 65) t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         |${iter(1, "c0")},
+         |c1 AS (SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+         |${iter(2, "c1")}
+         |SELECT centroid_id, dim::BIGINT AS dim, round(m, 6) AS m FROM m2
+         |ORDER BY centroid_id, dim""".stripMargin
+    })
 
   private val docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -174,6 +174,21 @@ class LlmSpec extends AnyFunSuite {
     assert(one.collect().forall(_.getLong(1) == cellOf(0L)))
   }
 
+  test("ivfTrain: Lloyd iterations do not increase the k-means objective") {
+    val emb = Tables10Emb
+    def centsOf(iters: Int) =
+      Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4, iters = iters)
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
+        .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("vec"))
+    def objective(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .agg(sum("dist")).head().getDouble(0)
+    val o1 = objective(centsOf(1))
+    val o2 = objective(centsOf(2))
+    assert(o2 <= o1 + 1e-3) // slack: per-row dist is rounded to 6 dp
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))
