@@ -26,7 +26,38 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
     scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct,
-    windowLag, joinRange)
+    windowLag, joinRange, joinAsof)
+
+  /** Backward as-of join (kdb aj / DuckDB ASOF): each click picks up the
+    * most recent purchase of the same user at or before its timestamp, via
+    * [[graft.operators.AsofJoin]]'s union-and-sweep (one shuffle, one sort,
+    * no range self-join); oracle is DuckDB's native ASOF LEFT JOIN. The
+    * purchase side is pre-deduped per (user, ts) with a max-event_id
+    * tie-break so the matched payload is well-defined in both engines. */
+  val joinAsof: QueryDef = QueryDef("join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(pw)).where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+      graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_event_id", "purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |p0 AS (SELECT user_id, ts, event_id, value,
+           |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           |  FROM events WHERE event_type = 'purchase'),
+           |p AS (SELECT user_id, ts, event_id AS purchase_event_id,
+           |    value AS purchase_value FROM p0 WHERE rn = 1)
+           |SELECT c.event_id, c.user_id, c.ts, p.purchase_event_id, p.purchase_value
+           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+           |ORDER BY c.event_id""".stripMargin))
 
   /** TPC-H Q1-shaped grouped aggregation (partial+final, exact sums). */
   val aggQ1: QueryDef = QueryDef("agg_q1",
