@@ -40,6 +40,15 @@ object EtlJob {
   object EtlSource {
     final case class Parquet(path: String) extends EtlSource
 
+    /** Delimited text with an optional explicit schema (inferSchema scans
+      * the file twice — pass `schemaDdl` at scale). */
+    final case class Csv(path: String, header: Boolean = true,
+                         delimiter: String = ",", schemaDdl: String = null) extends EtlSource
+
+    /** JSON-lines with an optional explicit schema (schema inference scans
+      * the file twice — pass `schemaDdl` at scale). */
+    final case class Json(path: String, schemaDdl: String = null) extends EtlSource
+
     /**
      * Partitioned JDBC read (P1). With `partitionColumn` + `numPartitions`,
      * the bounds are probed from the remote table when not supplied (one
@@ -64,6 +73,12 @@ object EtlJob {
     * single-value partition column degrades to an unpartitioned read. */
   def readSource(spark: SparkSession, source: EtlSource): DataFrame = source match {
     case EtlSource.Parquet(p) => spark.read.parquet(p)
+    case EtlSource.Csv(p, header, delim, ddl) =>
+      val r = spark.read.option("header", header.toString).option("delimiter", delim)
+      (if (ddl != null) r.schema(ddl) else r.option("inferSchema", "true")).csv(p)
+    case EtlSource.Json(p, ddl) =>
+      val r = spark.read
+      (if (ddl != null) r.schema(ddl) else r).json(p)
     case j: EtlSource.Jdbc if j.partitionColumn != null && j.numPartitions > 1 =>
       val bounds = (j.lowerBound, j.upperBound) match {
         case (Some(l), Some(u)) => Some((l, u))

@@ -107,6 +107,35 @@ class EtlJobSpec extends AnyFunSuite {
     assert(df.count() == 0) // MIN/MAX null → no range split, still readable
   }
 
+  test("importSource: CSV and JSON sources flow through the same transform + sink") {
+    val base = java.nio.file.Files.createTempDirectory("etl-srcfmt")
+    val cust = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    cust.write.option("header", "true").csv(s"$base/csv")
+    cust.write.json(s"$base/json")
+    val expected = cust.where("c_nationkey < 5").count()
+
+    val c = conn()
+    c.createStatement().execute(
+      """CREATE TABLE "TPCH2"."CUSTOMER_F" ("ID" BIGINT PRIMARY KEY,
+        | "C_NAME" VARCHAR(64), "C_NATIONKEY" INT, "C_MKTSEGMENT" VARCHAR(32))""".stripMargin)
+    c.close()
+    val cfg = config.copy(dbMapping = config.dbMapping.copy(targetTable = "TPCH2.CUSTOMER_F"))
+    val ddl = "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_mktsegment STRING"
+
+    val rc = EtlJob.importSource(spark, cfg,
+      EtlJob.EtlSource.Csv(s"$base/csv", schemaDdl = ddl), Seq("5"),
+      DerbyConn.factory(url), dialect = DeleteInsertDialect)
+    assert(rc.succeeded && rc.importedCount == expected, rc.errorMessage)
+    assert(targetCount("\"TPCH2\".\"CUSTOMER_F\"") == expected)
+
+    val rj = EtlJob.importSource(spark, cfg,
+      EtlJob.EtlSource.Json(s"$base/json", schemaDdl = ddl), Seq("5"),
+      DerbyConn.factory(url), dialect = DeleteInsertDialect)
+    assert(rj.succeeded && rj.importedCount == expected, rj.errorMessage)
+    assert(targetCount("\"TPCH2\".\"CUSTOMER_F\"") == expected) // idempotent across formats
+  }
+
   test("X3 orchestration fans out over configs matching the destination") {
     val other = config.copy(destination = "elsewhere")
     val src = (_: MappingConfig) =>

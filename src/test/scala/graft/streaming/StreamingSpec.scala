@@ -101,6 +101,35 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("streaming dedup within watermark drops replayed event ids (at-least-once → exactly-once)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-dedup").toFile
+    // at-least-once delivery: event 2 replayed in a later file, within watermark
+    Files.write(new java.io.File(dir, "a.json").toPath,
+      Seq(
+        """{"event_id":1,"ts":"2024-01-01 00:00:01","v":10.0}""",
+        """{"event_id":2,"ts":"2024-01-01 00:00:02","v":20.0}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b.json").toPath,
+      Seq(
+        """{"event_id":2,"ts":"2024-01-01 00:00:02","v":20.0}""", // duplicate
+        """{"event_id":3,"ts":"2024-01-01 00:00:03","v":30.0}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir.getAbsolutePath)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedupstream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_id, v FROM dedupstream ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))) // replay suppressed
+  }
+
   test("applyBatchToJdbc fails fast when the target PK column is absent from the probed schema") {
     import spark.implicits._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
