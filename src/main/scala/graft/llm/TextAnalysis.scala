@@ -80,4 +80,13 @@ object TextAnalysis {
       md5(norm).as("fp_md5"),
       TextHashing.md5Long60(norm).as("fp_60"))
   }
+
+  /** Corpus n-gram frequencies (all occurrences, not per-doc deduped):
+    * per-row gram expansion → one hash-agg shuffle with map-side combine.
+    * Feeds stop-shingle lists for the PPJoin prefix filter and
+    * heavy-hitter corpus statistics; at 100 TB the shuffle carries only
+    * (gram, partial count) pairs. */
+  def ngramFrequencies(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
+    df.select(explode(TextHashing.wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
 }

@@ -53,6 +53,16 @@ object TextHashing {
     array_distinct(when(count > 0, grams).otherwise(array()))
   }
 
+  /** All word n-gram occurrences, NOT deduped (corpus-frequency form of
+    * [[wordShingles]] — dedup would undercount repeated phrases). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val count = size(ws) - lit(n - 1)
+    val grams = transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    when(count > 0, grams).otherwise(array())
+  }
+
   /** Reduced hashes of a shingle array (mod P). */
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => baseHash(s))

@@ -15,7 +15,20 @@ object LlmQueries {
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
-    textFingerprint, mmMeta, mmDecode, trainingPipeline)
+    textFingerprint, textNgramFreq, mmMeta, mmDecode, trainingPipeline)
+
+  /** Corpus-wide bigram heavy hitters (top 50, deterministic tie-break) —
+    * the statistic that feeds stop-shingle lists for the PPJoin prefix
+    * filter at scale. */
+  val textNgramFreq: QueryDef = QueryDef("text_ngram_freq",
+    (s, d) => TextAnalysis.ngramFrequencies(Tables.documents(s, d), "text", n = 2)
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(50),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |b AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+           |                     for i in range(1, len(ws))]) AS ngram FROM w)
+           |SELECT ngram, count(*)::BIGINT AS cnt FROM b
+           |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin))
 
   /** IVF coarse assignment: nearest of 8 deterministic centroids (the first
     * 8 corpus vectors) per embedding — the scale path for repeated query
