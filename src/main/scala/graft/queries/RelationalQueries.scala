@@ -26,7 +26,49 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
     scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct,
-    windowLag, joinRange, joinAsof)
+    windowLag, joinRange, joinAsof, aggPercentile, unpivotLineitem)
+
+  /** Exact percentiles (median/p95, linear interpolation) per group — the
+    * distributed exact form sorts only within each group's aggregation
+    * buffer; round(6) absorbs the one-ulp interpolation-formula difference
+    * between engines. */
+  val aggPercentile: QueryDef = QueryDef("agg_percentile",
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 6) AS p50,
+           |  round(quantile_cont(value, 0.95), 6) AS p95,
+           |  count(*)::BIGINT AS n
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** UNPIVOT (wide → long melt, the inverse of pivot_events): three measure
+    * columns become (metric, val) rows — a generator expression per row, no
+    * shuffle. */
+  val unpivotLineitem: QueryDef = QueryDef("unpivot_lineitem",
+    (s, d) => Tables.lineitem(s, d)
+      .where(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").as("l_quantity"),
+          col("l_extendedprice").as("l_extendedprice"),
+          col("l_discount").as("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric"),
+    Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+           |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+           |  FROM lineitem WHERE l_orderkey < 100
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           |  FROM lineitem WHERE l_orderkey < 100
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           |  FROM lineitem WHERE l_orderkey < 100)
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
 
   /** Backward as-of join (kdb aj / DuckDB ASOF): each click picks up the
     * most recent purchase of the same user at or before its timestamp, via
