@@ -210,6 +210,21 @@ object Similarity {
         round(col("mval"), 6).as("m"))
   }
 
+  /**
+   * Symmetric int8 quantization of an embedding column (4× storage shrink
+   * for ANN indexes): per-vector scale = max|x|, q_i = round(x_i/scale·127).
+   * Pure per-row expression — no shuffle; dequantize error ≤ scale/254 per
+   * component. Zero vectors quantize to all-zero with scale 0.
+   */
+  def quantizeInt8(vecDouble: Column): Column = {
+    val scale = array_max(transform(vecDouble, x => abs(x)))
+    struct(
+      scale.as("scale"),
+      transform(vecDouble, x =>
+        when(scale === 0.0, lit(0L))
+          .otherwise(round(x / scale * 127.0, 0).cast("long"))).as("q"))
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -15,7 +15,33 @@ object LlmQueries {
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
-    textFingerprint, textNgramFreq, mmMeta, mmDecode, trainingPipeline)
+    textFingerprint, textNgramFreq, simQuantize, mmMeta, mmDecode, trainingPipeline)
+
+  /** Int8 embedding quantization (ANN index storage shrink). Gated through
+    * integer checksums (sum and L1 of the quantized components — exact,
+    * associative, engine-portable) plus the round-6 scale. */
+  val simQuantize: QueryDef = QueryDef("sim_quantize",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(
+        transform(col("embedding"), x => x.cast("double")))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), q.as("qz"))
+        .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id,
+           |    list_max([abs(x) for x in v]) AS scale,
+           |    [CASE WHEN list_max([abs(y) for y in v]) = 0 THEN 0
+           |          ELSE round(x / list_max([abs(y) for y in v]) * 127.0, 0)::BIGINT
+           |     END for x in v] AS qv
+           |  FROM e)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |  list_sum(qv)::BIGINT AS q_sum,
+           |  list_sum([abs(x) for x in qv])::BIGINT AS q_l1
+           |FROM q ORDER BY vec_id""".stripMargin))
 
   /** Corpus-wide bigram heavy hitters (top 50, deterministic tie-break) —
     * the statistic that feeds stop-shingle lists for the PPJoin prefix
