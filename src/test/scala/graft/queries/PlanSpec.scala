@@ -68,6 +68,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!tp.contains("Exchange hashpartitioning"), tp)
   }
 
+  test("join_asof: union-and-sweep — window sweep, no nested-loop or range self-join") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_ivf_search: cell-restricted top-k via TakeOrderedAndProject") {
+    val p = plan("sim_ivf_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only nested-loop allowed is the intended broadcast crossJoin
+    // against the tiny centroid table (IVF assignment shape)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast\n" + p)
+  }
+
+  test("per-row ops (quantize, unpivot) shuffle only for presentation ordering") {
+    Seq("sim_quantize", "unpivot_lineitem").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle — per-row expressions only\n$p")
+    }
+  }
+
+  test("text_ngram_freq: partial+final aggregation (map-side combine on grams)") {
+    val p = plan("text_ngram_freq")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted islands)") {
     val df = graft.SparkEntry.queries("agg_q1")(spark, sf)
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
