@@ -121,8 +121,11 @@ object CanalStream {
     // batch's own row images (one tiny distinct-keys agg per segment; the
     // reference checks the same thing per row against target metadata).
     val batchSourceCols = ordered
-      .select(explode(map_keys(col("data"))).as("k")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .agg(array_distinct(flatten(collect_set(map_keys(col("data"))))).as("ks"))
+      .head() match {
+        case r if r.isNullAt(0) => Seq.empty[String]
+        case r => r.getSeq[String](0)
+      }
     val mappedTargets = graft.transform.ColumnMapper.columnsMap(m, batchSourceCols).map(_._1)
     def missingFrom(schema: org.apache.spark.sql.types.StructType): Seq[String] =
       mappedTargets.filterNot(t => schema.fieldNames.exists(_.equalsIgnoreCase(t)))
