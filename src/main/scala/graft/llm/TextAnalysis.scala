@@ -81,6 +81,24 @@ object TextAnalysis {
       TextHashing.md5Long60(norm).as("fp_60"))
   }
 
+  /**
+   * Deterministic stratified sampling: keep a row iff its content-hash
+   * bucket falls under the stratum's percentage. Hash-based (not RNG-based)
+   * sampling is reproducible across runs, engines, and resumed 100 TB jobs,
+   * and needs no per-partition RNG state; per-row expression, no shuffle.
+   * `rates`: stratum → keep percentage (missing strata default to
+   * `defaultPct`).
+   */
+  def sampleStratified(df: DataFrame, textCol: String, stratumCol: Column,
+                       rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", pmod(TextHashing.md5Long60(col(textCol)), lit(100L)))
+      .withColumn("keep_pct", rateExpr.cast("long"))
+      .where(col("bucket") < col("keep_pct"))
+  }
+
   /** Corpus n-gram frequencies (all occurrences, not per-doc deduped):
     * per-row gram expansion → one hash-agg shuffle with map-side combine.
     * Feeds stop-shingle lists for the PPJoin prefix filter and

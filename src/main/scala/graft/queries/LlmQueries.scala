@@ -15,7 +15,38 @@ object LlmQueries {
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
-    textFingerprint, textNgramFreq, simQuantize, mmMeta, mmDecode, trainingPipeline)
+    textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
+    mmDecode, trainingPipeline)
+
+  /** Deterministic stratified sampling by predicted language (en kept at
+    * 40%, es at 70%, rest at 100%) — hash-bucket sampling is reproducible
+    * across runs and engines, unlike RNG-based sampleBy. */
+  val textSampleStratified: QueryDef = QueryDef("text_sample_stratified",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val withLang = docs.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      TextAnalysis.sampleStratified(withLang, "text", col("lang_pred"),
+          Map("en" -> 40, "es" -> 70))
+        .select(col("doc_id"), col("lang_pred"), col("bucket"), col("keep_pct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sc AS (SELECT doc_id, text,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it')))::BIGINT AS s_en,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS s_de,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','es','un','en')))::BIGINT AS s_es,
+           |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','est','un','dans')))::BIGINT AS s_fr
+           |FROM documents),
+           |s AS (SELECT doc_id,
+           |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+           |  ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+           |FROM sc)
+           |SELECT doc_id, lang_pred, bucket,
+           |  (CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END)::BIGINT AS keep_pct
+           |FROM s
+           |WHERE bucket < CASE lang_pred WHEN 'en' THEN 40 WHEN 'es' THEN 70 ELSE 100 END
+           |ORDER BY doc_id""".stripMargin))
 
   /** Int8 embedding quantization (ANN index storage shrink). Gated through
     * integer checksums (sum and L1 of the quantized components — exact,
