@@ -16,7 +16,20 @@ object LlmQueries {
     dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
-    mmDecode, trainingPipeline)
+    mmDecode, mmFrames, trainingPipeline)
+
+  /** Video frame sampling: every 2nd frame index per video-kind row — a
+    * generator expression (explode of a bounded sequence), no shuffle. */
+  val mmFrames: QueryDef = QueryDef("mm_frames",
+    (s, d) => Multimodal.sampleFrames(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), stride = 2)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("media_id", "frame_idx"),
+    Some("""SELECT doc_id AS media_id,
+           |  unnest(range(0, (octet_length(encode(text)) % 30 + 1)::BIGINT, 2)) AS frame_idx
+           |FROM documents
+           |WHERE (['image','audio','video'])[(doc_id % 3)::INT + 1] = 'video'
+           |ORDER BY media_id, frame_idx""".stripMargin))
 
   /** Deterministic stratified sampling by predicted language (en kept at
     * 40%, es at 70%, rest at 100%) — hash-bucket sampling is reproducible
