@@ -28,7 +28,10 @@ object Bench {
     // entry) — a -1 timing would make a regression look like a fast run
     var rc = 0
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: cache-population cost (Materialized.*) lands on a
+    // deterministic query every round, so per-query diffs across rounds
+    // compare like with like (Map iteration order is hash-dependent)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -43,14 +46,29 @@ object Bench {
     // regressions visible — batch queries never exercise this path)
     val stream =
       try { val (n, secs) = streamThroughput(spark); f""""stream":{"rows":$n,"secs":$secs%.3f,"rows_per_sec":${n / secs}%.0f},""" }
-      catch { case t: Throwable => rc = 1; errors("stream_cdc") = t.toString.take(160); "" }
+      catch {
+        case t: Throwable =>
+          rc = 1
+          errors("stream_cdc") = t.toString.linesIterator.next().take(160)
+          ""
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // bench output is ONE JSON line — exception text must not break it
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"\"$k\":\"${v.replace("\"", "'")}\"" }
+      else errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
         .mkString(""""errors":{""", ",", "},")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson"sf":"$sfDir"}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)

@@ -40,6 +40,10 @@ object EtlJob {
   object EtlSource {
     final case class Parquet(path: String) extends EtlSource
 
+    /** Columnar ORC — same split-planned parallel scan and predicate
+      * pushdown/column pruning as parquet (SURVEY §2.3 built-in formats). */
+    final case class Orc(path: String) extends EtlSource
+
     /** Delimited text with an optional explicit schema (inferSchema scans
       * the file twice — pass `schemaDdl` at scale). */
     final case class Csv(path: String, header: Boolean = true,
@@ -73,6 +77,7 @@ object EtlJob {
     * single-value partition column degrades to an unpartitioned read. */
   def readSource(spark: SparkSession, source: EtlSource): DataFrame = source match {
     case EtlSource.Parquet(p) => spark.read.parquet(p)
+    case EtlSource.Orc(p) => spark.read.orc(p)
     case EtlSource.Csv(p, header, delim, ddl) =>
       val r = spark.read.option("header", header.toString).option("delimiter", delim)
       (if (ddl != null) r.schema(ddl) else r.option("inferSchema", "true")).csv(p)
@@ -97,22 +102,34 @@ object EtlJob {
     * are ANSI-quoted (case-exact — sources created by Spark carry quoted
     * lowercase identifiers); pre-quoted/expression columns pass verbatim. */
   private def probeBounds(j: EtlSource.Jdbc): Option[(Long, Long)] = {
+    require(j.partitionColumn.nonEmpty,
+      s"Jdbc source for ${j.table}: partitionColumn must be non-empty when numPartitions > 1")
     val c =
       if (j.partitionColumn.forall(ch => ch.isLetterOrDigit || ch == '_'))
         "\"" + j.partitionColumn + "\""
       else j.partitionColumn
-    val conn = java.sql.DriverManager.getConnection(j.url, j.props)
     try {
-      val st = conn.createStatement()
+      val conn = java.sql.DriverManager.getConnection(j.url, j.props)
       try {
-        val rs = st.executeQuery(s"SELECT MIN($c), MAX($c) FROM ${j.table}")
-        if (rs.next()) {
-          val lo = rs.getLong(1); val loNull = rs.wasNull()
-          val hi = rs.getLong(2); val hiNull = rs.wasNull()
-          if (loNull || hiNull) None else Some((lo, hi))
-        } else None
-      } finally st.close()
-    } finally conn.close()
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT MIN($c), MAX($c) FROM ${j.table}")
+          if (rs.next()) {
+            val lo = rs.getLong(1); val loNull = rs.wasNull()
+            val hi = rs.getLong(2); val hiNull = rs.wasNull()
+            if (loNull || hiNull) None else Some((lo, hi))
+          } else None
+        } finally st.close()
+      } finally conn.close()
+    } catch {
+      case e: java.sql.SQLException =>
+        // a non-numeric partition column surfaces here as an opaque cast/SQL
+        // error — name the column and the requirement instead
+        throw new IllegalArgumentException(
+          s"MIN/MAX bounds probe failed for partition column '${j.partitionColumn}' on " +
+            s"${j.table} — the JDBC partition column must exist and be numeric " +
+            s"(or pass lowerBound/upperBound explicitly): ${e.getMessage}", e)
+    }
   }
 
   /** The transform stage of the import: condition → projection → enum

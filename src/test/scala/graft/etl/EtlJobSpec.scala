@@ -134,6 +134,34 @@ class EtlJobSpec extends AnyFunSuite {
       DerbyConn.factory(url), dialect = DeleteInsertDialect)
     assert(rj.succeeded && rj.importedCount == expected, rj.errorMessage)
     assert(targetCount("\"TPCH2\".\"CUSTOMER_F\"") == expected) // idempotent across formats
+
+    cust.write.orc(s"$base/orc")
+    val ro = EtlJob.importSource(spark, cfg,
+      EtlJob.EtlSource.Orc(s"$base/orc"), Seq("5"),
+      DerbyConn.factory(url), dialect = DeleteInsertDialect)
+    assert(ro.succeeded && ro.importedCount == expected, ro.errorMessage)
+    assert(targetCount("\"TPCH2\".\"CUSTOMER_F\"") == expected)
+  }
+
+  test("probeBounds names the partition column on a non-numeric or empty column") {
+    val srcUrl = "jdbc:derby:memory:etlsrcbad;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    sc.createStatement().execute(
+      """CREATE TABLE "BADT" ("ID" BIGINT PRIMARY KEY, "NAME" VARCHAR(8))""")
+    sc.createStatement().execute("""INSERT INTO "BADT" VALUES (1, 'a')""")
+    sc.close()
+    // non-numeric column: MIN/MAX succeeds in SQL but getLong fails — the
+    // probe must surface the column name and the numeric requirement
+    val e = intercept[IllegalArgumentException] {
+      EtlJob.readSource(spark,
+        EtlJob.EtlSource.Jdbc(srcUrl, "BADT", partitionColumn = "NAME", numPartitions = 4))
+    }
+    assert(e.getMessage.contains("NAME") && e.getMessage.toLowerCase.contains("numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      EtlJob.readSource(spark,
+        EtlJob.EtlSource.Jdbc(srcUrl, "BADT", partitionColumn = "", numPartitions = 4))
+    }
+    assert(e2.getMessage.contains("partitionColumn"))
   }
 
   test("X3 orchestration fans out over configs matching the destination") {
