@@ -75,14 +75,35 @@ object Bench {
   }
 
   /** Drive the full sync path over `files` micro-batches of canal-JSON
-    * events against an in-memory Derby target; returns (rows, seconds). */
+    * events against an in-memory Derby target; returns (rows, seconds).
+    * Uses the generic DELETE+INSERT dialect through BatchExecutor's
+    * pk-distinct window batching, so the bench exercises real
+    * `executeBatch` round trips on the portable path. (MergeDialect is
+    * semantically proven in SinkSpec, but embedded Derby's MERGE is
+    * unreliable under concurrent batched partitions — XSCH6 "heap
+    * container closed" — so the bench avoids it.) Batch sizes are
+    * production-shaped (thousands of rows per trigger) so per-micro-batch
+    * fixed cost doesn't dominate the rows/s signal. */
   def streamThroughput(spark: SparkSession, files: Int = 8,
-                       eventsPerFile: Int = 50, rowsPerEvent: Int = 25): (Long, Double) = {
+                       eventsPerFile: Int = 50, rowsPerEvent: Int = 250): (Long, Double) =
+    streamRun(spark, files, eventsPerFile, rowsPerEvent, sink = true)
+
+  /** The same stream with a count-only applyBatch (no JDBC): isolates the
+    * parse/flatten/route/shuffle pipeline cost from the sink cost. */
+  def streamPipelineOnly(spark: SparkSession, files: Int = 8,
+                         eventsPerFile: Int = 50, rowsPerEvent: Int = 250): (Long, Double) =
+    streamRun(spark, files, eventsPerFile, rowsPerEvent, sink = false)
+
+  private val benchRunId = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def streamRun(spark: SparkSession, files: Int,
+                        eventsPerFile: Int, rowsPerEvent: Int,
+                        sink: Boolean): (Long, Double) = {
     import graft.model.{DbMapping, MappingConfig}
     import graft.sink.{DeleteInsertDialect, SchemaProbe}
     import graft.streaming.CanalStream
     import java.util.concurrent.atomic.AtomicReference
-    val url = "jdbc:derby:memory:benchcdc;create=true"
+    val url = s"jdbc:derby:memory:benchcdc${benchRunId.incrementAndGet()};create=true"
     val conn = { val u = url; () => java.sql.DriverManager.getConnection(u) }
     val c = conn()
     try c.createStatement().execute(
@@ -114,9 +135,13 @@ object Bench {
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
       .text(dir.toString)
     val t0 = System.nanoTime()
-    val q = CanalStream.start(spark, raw, configs, numPartitions = 4,
-      (cfg, ordered) => CanalStream.applyBatchToJdbc(cfg, ordered, targetSchema,
-        conn, DeleteInsertDialect))
+    val apply: (MappingConfig, org.apache.spark.sql.DataFrame, CanalStream.SegmentCtx) => Unit =
+      if (sink)
+        (cfg, ordered, ctx) => CanalStream.applyBatchToJdbc(cfg, ordered, targetSchema,
+          conn, DeleteInsertDialect, sourceColsHint = ctx.sourceCols)
+      else
+        (_, ordered, _) => { ordered.count(); () }
+    val q = CanalStream.start(spark, raw, configs, numPartitions = 4, apply)
     q.processAllAvailable()
     q.stop()
     (total, (System.nanoTime() - t0) / 1e9)

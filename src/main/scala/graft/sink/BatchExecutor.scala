@@ -10,43 +10,74 @@ import java.sql.{Connection, PreparedStatement}
  * `PhoenixEtlService.java:456-459`), `commit`/`rollback` per
  * partition-batch (`:77-91`). Mirrors Spark's own `JdbcUtils.savePartition`
  * idiom; lives inside `foreachPartition`, below Catalyst.
+ *
+ * ORDERING INVARIANT: row-ops must take effect in call order per key — a
+ * CDC partition interleaves DELETE/INSERT for the same keys, and reordering
+ * them corrupts final state. (The reference executes every statement
+ * immediately — `BatchExecutor.java:60-75` — batching only the commit.)
+ *
+ * Batching model — *pk-distinct windows*: [[addOp]] accumulates one open
+ * window of row-ops in which every PK appears at most once (a repeat key
+ * flushes first). Within such a window, ops on different keys touch
+ * disjoint rows, so replaying the window as per-SQL `executeBatch` calls in
+ * first-seen SQL order is state-equivalent to strict row order — each key's
+ * own statements keep their relative order because every dialect emits its
+ * statements in a fixed SQL order (DELETE before INSERT for
+ * [[DeleteInsertDialect]], a single statement for Phoenix UPSERT /
+ * [[MergeDialect]]). This recovers the `executeBatch` round-trip win even
+ * for dialects that alternate statement text per row (DELETE+INSERT),
+ * where naive run-length batching degrades to batches of 1.
+ *
+ * A required global SQL order across ops of one dialect is the one
+ * precondition (upsert ops must not emit INSERT-then-DELETE while delete
+ * ops batch DELETEs) — both shipped dialect families satisfy it.
  */
 final class BatchExecutor(conn: Connection, commitBatch: Int = 5000) extends AutoCloseable {
   conn.setAutoCommit(false)
 
-  private var pending = 0      // statements in the open JDBC batch
   private var sinceCommit = 0  // statements since last commit (cadence counter)
   private val stmts = scala.collection.mutable.Map[String, PreparedStatement]()
-  private var currentSql: String = null // whose JDBC batch is open
+  // the open window: per-SQL pending counts in first-seen order + keys seen
+  private val openSqls = scala.collection.mutable.ArrayBuffer[String]()
+  private val pending = scala.collection.mutable.Map[String, Int]()
+  private val windowKeys = scala.collection.mutable.HashSet[Seq[Any]]()
+  private var lastSql: String = null
 
   private def stmt(sql: String): PreparedStatement =
     stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
 
   /**
-   * Queue one parameterized statement; auto-commits every `commitBatch`.
-   *
-   * ORDERING INVARIANT: statements must take effect in call order — a CDC
-   * partition interleaves DELETE/INSERT for the same keys, and reordering
-   * them corrupts final state. JDBC batching is therefore *run-length* only:
-   * consecutive calls with the same SQL share a batch; switching statement
-   * text flushes the open batch first. (The reference executes every
-   * statement immediately — `BatchExecutor.java:60-75` — batching only the
-   * commit; run-length batching keeps that ordering while recovering the
-   * executeBatch round-trip win for homogeneous stretches, which is what
-   * ETL/bulk loads are.)
+   * Queue one row-op (all the statements one logical CDC/ETL row expands
+   * to, e.g. DELETE+INSERT) under its PK; auto-commits every `commitBatch`
+   * statements. `key == null` means "unknown key": the op degrades to
+   * strict run-length batching (flush whenever the SQL text changes).
    */
-  def execute(sql: String, params: Seq[Any]): Unit = {
-    if (currentSql != null && currentSql != sql) flush()
-    currentSql = sql
-    val ps = stmt(sql)
-    params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
-    ps.addBatch()
-    pending += 1
-    sinceCommit += 1
+  def addOp(key: Seq[Any], ops: Seq[(String, Seq[Any])]): Unit = {
+    if (key == null) {
+      // unknown key: only a homogeneous run is provably order-safe
+      if (ops.exists { case (sql, _) => lastSql != null && sql != lastSql }) flush()
+    } else if (!windowKeys.add(key)) {
+      flush() // second op for this key → new window keeps per-key order exact
+      windowKeys.add(key)
+    }
+    ops.foreach { case (sql, params) =>
+      val ps = stmt(sql)
+      if (!pending.contains(sql)) { openSqls += sql; pending(sql) = 0 }
+      params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      ps.addBatch()
+      pending(sql) += 1
+      lastSql = sql
+      sinceCommit += 1
+    }
     if (sinceCommit >= commitBatch) commit()
   }
 
-  /** Execute an unparameterized DDL/utility statement immediately (in order). */
+  /** Queue one parameterized statement with no key context (run-length
+    * batching only). */
+  def execute(sql: String, params: Seq[Any]): Unit = addOp(null, Seq(sql -> params))
+
+  /** Execute an unparameterized DDL/utility statement immediately (a hard
+    * ordering barrier: the open window flushes first). */
   def executeDirect(sql: String): Unit = {
     flush()
     val s = conn.createStatement()
@@ -54,16 +85,17 @@ final class BatchExecutor(conn: Connection, commitBatch: Int = 5000) extends Aut
   }
 
   private def flush(): Unit = {
-    if (currentSql != null) stmts(currentSql).executeBatch()
-    currentSql = null
-    pending = 0
+    openSqls.foreach(sql => stmts(sql).executeBatch())
+    openSqls.clear(); pending.clear(); windowKeys.clear()
+    lastSql = null
   }
 
   def commit(): Unit = { flush(); sinceCommit = 0; conn.commit() }
 
   def rollback(): Unit = {
     stmts.values.foreach(_.clearBatch())
-    currentSql = null; pending = 0; sinceCommit = 0
+    openSqls.clear(); pending.clear(); windowKeys.clear()
+    lastSql = null; sinceCommit = 0
     conn.rollback()
   }
 

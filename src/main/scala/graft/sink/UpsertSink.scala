@@ -57,11 +57,10 @@ object UpsertSink {
       try {
         buffered.foreach {
           case RowOp("DELETE", _, pkVals) =>
-            dialect.delete(mapping, pkVals).foreach { case (sql, ps) => exec.execute(sql, ps) }
+            exec.addOp(pkVals, dialect.delete(mapping, pkVals))
           case RowOp("TRUNCATE", _, _) => exec.executeDirect(dialect.truncate(mapping))
           case RowOp(_, values, pkVals) => // INSERT/UPDATE → UPSERT (K1)
-            dialect.upsert(mapping, targetCols, values, pkVals)
-              .foreach { case (sql, ps) => exec.execute(sql, ps) }
+            exec.addOp(pkVals, dialect.upsert(mapping, targetCols, values, pkVals))
         }
         exec.commit()
       } catch {

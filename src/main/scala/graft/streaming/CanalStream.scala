@@ -27,8 +27,62 @@ import java.util.concurrent.atomic.AtomicReference
  * the top of every micro-batch, updated by a driver-side watcher
  * (reference polls the conf dir every 3 s,
  * `monitor/PhoenixConfigMonitor.java:41-51`).
+ *
+ * INGRESS ORDERING — the reference consumes ONE ordered binlog stream
+ * (`PhoenixAdapter.java:143-152`); a Spark ingress is multi-partition, so
+ * the order must come from source metadata rather than a driver-side
+ * re-sequencing. [[IngressOrdering]] picks the order key:
+ *
+ *  - [[IngressOrdering.KafkaOffsets]]: `seq = partition << 42 | offset` —
+ *    Kafka's per-partition offsets ARE the binlog order under canal's MQ
+ *    partitioning (all events of one table hash to one partition, DDL
+ *    included), so every comparison the engine makes — per-key order and
+ *    DDL-barrier splits, both scoped to one table — happens between seqs
+ *    of the SAME partition, where the composite is exact. No extra job, no
+ *    coalesce: micro-batches parse/flatten at full source parallelism.
+ *  - [[IngressOrdering.FileOrder]]: `seq = fileRank << 42 | positionInFile`
+ *    — canal file rotation is chronological, so files rank by name (one
+ *    tiny driver `distinct` on the batch's file list); position within a
+ *    file is the intra-partition read index (exact while a file stays
+ *    within one scan split — set `maxPartitionBytes` ≥ the rotation size).
+ *    Batches with no file metadata (memory source) degrade to SingleStream.
+ *  - [[IngressOrdering.SingleStream]]: the strict fallback — sequence the
+ *    whole batch on one task (`coalesce(1)`). Exact for any source, but
+ *    serializes parse/flatten; at 100× CDC volume that single task is the
+ *    ingest ceiling, so it is no longer the default.
+ *
+ * In every mode the seq only breaks ties within `(es, ts)` — binlog
+ * timestamps lead the order key ([[DmlTransforms.withOrderKey]]) — and
+ * parallelism downstream of the flatten comes from the PK-hash shuffle.
  */
 object CanalStream {
+
+  /** How the per-event `seq` (binlog order within equal `(es, ts)`) is
+    * derived from the ingress source. See the class doc for the contract
+    * each mode assumes. */
+  sealed trait IngressOrdering
+  object IngressOrdering {
+    /** `KafkaOffsets` when the raw stream carries `partition`/`offset`
+      * columns, else `FileOrder` (which itself degrades to `SingleStream`
+      * on batches without file metadata). */
+    case object Auto extends IngressOrdering
+    case object SingleStream extends IngressOrdering
+    case object KafkaOffsets extends IngressOrdering
+    case object FileOrder extends IngressOrdering
+  }
+
+  /** Low 42 bits of `seq` hold the within-stream position (Kafka offset /
+    * in-file index); bits above hold the stream id (Kafka partition / file
+    * rank). Comparisons are only ever made within one table's stream, where
+    * the high bits are constant. */
+  private val SeqPosBits = 42
+
+  /** Per-segment context handed to `applyBatch`: the distinct source
+    * columns seen in this table's batch rows (from the same single pass
+    * that probes DDL presence), or None when the table has a DDL barrier in
+    * the batch — then columns must be re-derived per segment, since a
+    * column may only exist after the ALTER. */
+  final case class SegmentCtx(sourceCols: Option[Seq[String]] = None)
 
   /** Parse a raw JSON-line stream into Dml rows. */
   def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
@@ -44,40 +98,135 @@ object CanalStream {
         col("database") === m.database && col("table") === m.table)
   }
 
+  /** Resolve `Auto` against the raw stream's columns (exposed for tests). */
+  private[streaming] def resolveOrdering(rawColumns: Seq[String],
+                                         ordering: IngressOrdering): IngressOrdering =
+    ordering match {
+      case IngressOrdering.Auto =>
+        if (rawColumns.contains("partition") && rawColumns.contains("offset"))
+          IngressOrdering.KafkaOffsets
+        else IngressOrdering.FileOrder
+      case m => m
+    }
+
+  /** Parse, carrying the mode's ordering metadata through `from_json`. */
+  private def parseOrdered(raw: DataFrame, mode: IngressOrdering): DataFrame = mode match {
+    case IngressOrdering.KafkaOffsets =>
+      raw.select(
+        from_json(col("value").cast("string"), CanalEvent.dmlSchema).as("e"),
+        (shiftleft(col("partition").cast("long"), SeqPosBits) +
+          col("offset").cast("long")).as("_seq"))
+        .select(col("e.*"), col("_seq"))
+    case IngressOrdering.FileOrder =>
+      raw.select(
+        from_json(col("value").cast("string"), CanalEvent.dmlSchema).as("e"),
+        input_file_name().as("_src_file"))
+        .select(col("e.*"), col("_src_file"))
+    case _ => parse(raw)
+  }
+
+  /** Materialize the mode's order key as the `seq` column over the cached
+    * flattened batch (exposed for tests). `files` is the batch's sorted
+    * file list (FileOrder only — aggregated for free in the stats pass);
+    * no mode runs an extra Spark job here. */
+  private[streaming] def assignSeq(flat0: DataFrame, mode: IngressOrdering,
+                                   files: Seq[String] = Seq.empty): DataFrame =
+    mode match {
+      case IngressOrdering.KafkaOffsets =>
+        flat0.withColumnRenamed("_seq", "seq")
+      case IngressOrdering.FileOrder =>
+        if (files.isEmpty || files.forall(_.isEmpty))
+          // no file metadata (memory source): strict single-stream fallback
+          flat0.drop("_src_file").coalesce(1)
+            .withColumn("seq", monotonically_increasing_id())
+        else {
+          val rank = map(files.zipWithIndex.flatMap {
+            case (f, i) => Seq(lit(f), lit(i.toLong))
+          }: _*)
+          // a lookup miss (file-name rendering drift between the rank list
+          // and input_file_name) must fail the batch, not silently null the
+          // order key
+          val rankCol = element_at(rank, col("_src_file"))
+          val checked = when(rankCol.isNotNull, rankCol)
+            .otherwise(raise_error(concat(lit("unranked source file: "), col("_src_file")))
+              .cast("long"))
+          // in-file position = intra-partition read index (a rotation-sized
+          // file stays in one scan split, so the masked partition bits are
+          // constant per file and the index carries the line order;
+          // monotonically_increasing_id over the CACHED partitions is
+          // deterministic across the batch's downstream jobs)
+          flat0.withColumn("seq",
+              shiftleft(checked, SeqPosBits) +
+                monotonically_increasing_id().bitwiseAND(lit((1L << SeqPosBits) - 1)))
+            .drop("_src_file")
+        }
+      case _ =>
+        flat0.coalesce(1).withColumn("seq", monotonically_increasing_id())
+    }
+
   /**
-   * Start the sync stream. `applyBatch` receives (config, orderedSingles)
-   * per micro-batch — in production it applies through
-   * [[graft.sink.UpsertSink]]; tests can capture state instead.
+   * Start the sync stream. `applyBatch` receives (config, orderedSingles,
+   * segmentCtx) per micro-batch segment — in production it applies through
+   * [[graft.sink.UpsertSink]] (pass `ctx.sourceCols` to
+   * [[applyBatchToJdbc]]); tests can capture state instead.
    */
   def start(spark: SparkSession, raw: DataFrame,
             configsRef: AtomicReference[Seq[MappingConfig]],
             numPartitions: Int,
-            applyBatch: (MappingConfig, DataFrame) => Unit,
-            onDdl: (MappingConfig, DdlBarrier.DdlEvent) => Unit = (_, _) => ()): StreamingQuery = {
-    parse(raw).writeStream
+            applyBatch: (MappingConfig, DataFrame, SegmentCtx) => Unit,
+            onDdl: (MappingConfig, DdlBarrier.DdlEvent) => Unit = (_, _) => (),
+            ordering: IngressOrdering = IngressOrdering.Auto): StreamingQuery = {
+    val mode = resolveOrdering(raw.columns.toSeq, ordering)
+    parseOrdered(raw, mode).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // seq must reflect source order: canal delivers one ordered binlog
-        // stream, so the raw batch is sequenced on a single partition (cheap —
-        // micro-batches are bounded). A partition-prefixed id would misorder
-        // same-timestamp events across source partitions and could place DML
-        // on the wrong side of a DDL barrier (DdlBarrier compares raw seq).
-        // Parallelism is restored by the PK-hash shuffle before apply.
-        val withSeq = batch.coalesce(1).withColumn("seq", monotonically_increasing_id())
-        val flat = DmlTransforms.withOrderKey(DmlTransforms.flatten(withSeq))
-        flat.persist()
+        // flatten first (order-preserving per partition), THEN derive the
+        // order key — so the single stats pass below can also collect the
+        // batch's file list and no ingress mode pays an extra job
+        val flat0 = DmlTransforms.flatten(batch)
+        flat0.persist()
         try {
-          // DDL presence probed once per batch on the cached flatten (rare)
-          val anyDdl = !flat.where(col("isDdl")).limit(1).isEmpty
+          // ONE pass over the cached flatten yields, per routed table, the
+          // DDL-presence flag and the distinct source columns (replacing a
+          // DDL probe plus one agg per segment on the hot path; the mapped-
+          // column check itself is per-row in the reference,
+          // `PhoenixSyncService.java:399-404`) — plus, for FileOrder, the
+          // source-file set that ranks the batch's files
+          val fileAgg =
+            if (mode == IngressOrdering.FileOrder)
+              Seq(collect_set(col("_src_file")).as("src_files"))
+            else Seq.empty
+          val aggs = Seq(
+            max(coalesce(col("isDdl"), lit(false))).as("any_ddl"),
+            array_distinct(flatten(collect_set(map_keys(col("data"))))).as("src_cols")) ++
+            fileAgg
+          val statRows = flat0.groupBy("destination", "database", "table")
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+          val files =
+            if (mode == IngressOrdering.FileOrder)
+              statRows.flatMap(r => Option(r.getSeq[String](5)).getOrElse(Seq.empty))
+                .distinct.sorted.toSeq
+            else Seq.empty
+          val tableStats = statRows
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+              ((r.getBoolean(3), Option(r.getSeq[String](4)).getOrElse(Seq.empty))))
+            .toMap
+          val flat = DmlTransforms.withOrderKey(assignSeq(flat0, mode, files))
           configsRef.get().foreach { config =>
+            val m = config.dbMapping
+            val (tableHasDdl, srcCols) =
+              tableStats.getOrElse((config.destination, m.database, m.table),
+                (false, Seq.empty[String]))
             val routedAll = routeFor(flat, config)
-            val ddl = if (anyDdl) DdlBarrier.ddlEvents(routedAll, config) else Seq.empty
+            val ddl = if (tableHasDdl) DdlBarrier.ddlEvents(routedAll, config) else Seq.empty
             val dml = routedAll.where(!coalesce(col("isDdl"), lit(false)))
+            val ctx = SegmentCtx(if (tableHasDdl) None else Some(srcCols))
             // DDL acts as an ordering barrier (SURVEY §7.4 risk 4): apply
             // each DML segment, then its following DDL, sequentially
             DdlBarrier.segments(dml, ddl).foreach { case (ddlEvt, segment) =>
               ddlEvt.foreach(d => onDdl(config, d))
-              val pk = config.dbMapping.targetPk.values.toSeq.sorted
+              val pk = m.targetPk.values.toSeq.sorted
               // K2 pk-change expansion BEFORE the shuffle: the old-key DELETE
               // must route to the OLD key's partition to stay ordered against
               // that key's other ops. (The reference routes the whole UPDATE
@@ -90,10 +239,10 @@ object CanalStream {
                   PkHash.routeConcurrent(expanded,
                     pk.map(p => s"data.$p"), numPartitions, Seq("order_key", "sub_seq"))
                 else PkHash.routeSerial(expanded, Seq("order_key", "sub_seq"))
-              applyBatch(config, ordered)
+              applyBatch(config, ordered, ctx)
             }
           }
-        } finally flat.unpersist()
+        } finally flat0.unpersist()
         ()
       }
       .start()
@@ -110,7 +259,8 @@ object CanalStream {
                        targetSchema: org.apache.spark.sql.types.StructType,
                        connFactory: () => java.sql.Connection,
                        dialect: graft.sink.SqlDialect = graft.sink.PhoenixSqlDialect,
-                       heal: Option[Throwable => Unit] = None): Unit = {
+                       heal: Option[Throwable => Unit] = None,
+                       sourceColsHint: Option[Seq[String]] = None): Unit = {
     import graft.sink.{SchemaProbe, UpsertSink}
     import graft.transform.Coercion
     val m = config.dbMapping
@@ -118,14 +268,17 @@ object CanalStream {
     // column absent from the probed target schema is warn-and-skipped when
     // true; when false the miss is a schema error — heal (D4 sync) then
     // re-probe, failing if still missing. Mapped columns come from the
-    // batch's own row images (one tiny distinct-keys agg per segment; the
-    // reference checks the same thing per row against target metadata).
-    val batchSourceCols = ordered
-      .agg(array_distinct(flatten(collect_set(map_keys(col("data"))))).as("ks"))
-      .head() match {
-        case r if r.isNullAt(0) => Seq.empty[String]
-        case r => r.getSeq[String](0)
-      }
+    // batch's own row images — via `sourceColsHint` when the caller already
+    // derived them ([[start]]'s single stats pass), else one distinct-keys
+    // agg here (the reference checks the same per row against metadata).
+    val batchSourceCols = sourceColsHint.getOrElse {
+      ordered
+        .agg(array_distinct(flatten(collect_set(map_keys(col("data"))))).as("ks"))
+        .head() match {
+          case r if r.isNullAt(0) => Seq.empty[String]
+          case r => r.getSeq[String](0)
+        }
+    }
     val mappedTargets = graft.transform.ColumnMapper.columnsMap(m, batchSourceCols).map(_._1)
     def missingFrom(schema: org.apache.spark.sql.types.StructType): Seq[String] =
       mappedTargets.filterNot(t => schema.fieldNames.exists(_.equalsIgnoreCase(t)))

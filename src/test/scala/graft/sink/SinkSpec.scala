@@ -117,6 +117,32 @@ class SinkSpec extends AnyFunSuite {
     assert(queryAll("t3") == Seq((1L, "a")))
   }
 
+  test("MergeDialect: single-statement upsert matches DeleteInsertDialect final state; runs batch") {
+    setup("tm1"); setup("tm2")
+    val ops = Seq(
+      RowOp("INSERT", Seq(1L, "alice"), Seq(1L)),
+      RowOp("INSERT", Seq(2L, "bob"), Seq(2L)),
+      RowOp("UPDATE", Seq(1L, "alice2"), Seq(1L)), // same-key rewrite inside one run
+      RowOp("INSERT", Seq(4L, "dan"), Seq(4L)),
+      RowOp("DELETE", Seq.empty, Seq(2L)),         // breaks the run (different SQL)
+      RowOp("INSERT", Seq(3L, "carol"), Seq(3L)))
+    UpsertSink.applyPartition(ops.iterator, mapping, Seq("id", "name"),
+      derby("tm1"), dialect = MergeDialect())
+    UpsertSink.applyPartition(ops.iterator, mapping, Seq("id", "name"),
+      derby("tm2"), dialect = DeleteInsertDialect)
+    assert(queryAll("tm1") == queryAll("tm2"))
+    assert(queryAll("tm1") == Seq((1L, "alice2"), (3L, "carol"), (4L, "dan")))
+    // replay converges (at-least-once)
+    UpsertSink.applyPartition(ops.iterator, mapping, Seq("id", "name"),
+      derby("tm1"), dialect = MergeDialect())
+    assert(queryAll("tm1") == Seq((1L, "alice2"), (3L, "carol"), (4L, "dan")))
+    // the homogeneous upsert run shares ONE statement text — the batching
+    // precondition DeleteInsertDialect (alternating DELETE/INSERT) lacks
+    val stmts = ops.take(4).flatMap(op =>
+      MergeDialect().upsert(mapping, Seq("id", "name"), op.values, op.pkValues)).map(_._1)
+    assert(stmts.distinct.size == 1)
+  }
+
   test("writeUpserts: DataFrame → Derby via foreachPartition (K5 bulk path)") {
     val spark = TestSpark.spark
     import spark.implicits._

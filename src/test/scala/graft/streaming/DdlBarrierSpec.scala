@@ -71,11 +71,15 @@ class DdlBarrierSpec extends AnyFunSuite {
     val ref = new AtomicReference[Seq[MappingConfig]](Seq(config))
     // probe the schema fresh per segment — after the DDL the new column appears
     val q = CanalStream.start(spark, raw, ref, 2,
-      (cfg, ordered) => {
+      (cfg, ordered, ctx) => {
         val schema = graft.sink.SchemaProbe.probe(cfg.dbMapping,
           DerbyConn.factory(url), DeleteInsertDialect)
+        // ctx.sourceCols is None here — this table has a DDL barrier in the
+        // batch, so columns re-derive per segment (post-ALTER columns exist
+        // only in the later segment)
+        assert(ctx.sourceCols.isEmpty)
         CanalStream.applyBatchToJdbc(cfg, ordered, schema,
-          DerbyConn.factory(url), DeleteInsertDialect)
+          DerbyConn.factory(url), DeleteInsertDialect, sourceColsHint = ctx.sourceCols)
       },
       onDdl = (cfg, d) => {
         ddlSeen.add(d.sql)

@@ -55,8 +55,8 @@ class StreamingSpec extends AnyFunSuite {
 
     val configs = new AtomicReference[Seq[MappingConfig]](Seq(config))
     val q = CanalStream.start(spark, raw, configs, numPartitions = 3,
-      (cfg, ordered) => CanalStream.applyBatchToJdbc(cfg, ordered, targetSchema,
-        DerbyConn.factory(url), DeleteInsertDialect))
+      (cfg, ordered, ctx) => CanalStream.applyBatchToJdbc(cfg, ordered, targetSchema,
+        DerbyConn.factory(url), DeleteInsertDialect, sourceColsHint = ctx.sourceCols))
     q.processAllAvailable()
     q.stop()
 
@@ -69,6 +69,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (2L, "bob", "Male"),
       (3L, "alice2", "Female")))
+  }
+
+  test("Kafka-offset ingress: multi-partition batch keeps per-partition order and DDL-barrier placement (no coalesce)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Long)]
+    // a Kafka-shaped raw stream: (value, partition, offset) — canal MQ mode
+    // keys by table, so table ta lives on partition 0 and tb on partition 1
+    val raw = ms.toDF.toDF("value", "partition", "offset")
+    def ev(table: String, typ: String, id: Int, v: String) =
+      s"""{"destination":"example","groupId":"g1","database":"mytest","table":"$table","type":"$typ","isDdl":false,"es":7,"ts":7,"data":[{"id":"$id","v":"$v"}],"old":null}"""
+    def ddl(table: String) =
+      s"""{"destination":"example","groupId":"g1","database":"mytest","table":"$table","type":"ALTER","isDdl":true,"sql":"ALTER TABLE $table ADD COLUMN c INT","es":7,"ts":7,"data":null,"old":null}"""
+    // every event shares (es, ts): ONLY the offset-derived seq can order them
+    ms.addData(
+      (ev("ta", "INSERT", 1, "a0"), 0, 100L),
+      (ev("tb", "INSERT", 1, "b0"), 1, 7L),
+      (ddl("ta"), 0, 101L),
+      (ev("ta", "UPDATE", 1, "a1"), 0, 102L),
+      (ev("tb", "UPDATE", 1, "b1"), 1, 8L))
+    val mk = (t: String) => config.copy(dbMapping = config.dbMapping.copy(
+      table = t, targetTable = s"X.${t.toUpperCase}", enumColumns = Map.empty))
+    val events = new java.util.concurrent.CopyOnWriteArrayList[
+      (String, Seq[(Long, String, String)], Option[Set[String]])]()
+    val q = CanalStream.start(spark, raw,
+      new AtomicReference[Seq[MappingConfig]](Seq(mk("ta"), mk("tb"))), numPartitions = 3,
+      (cfg, ordered, ctx) => {
+        val rows = ordered.orderBy("order_key", "sub_seq")
+          .select(col("seq"), col("type"), element_at(col("data"), "v"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        events.add((cfg.dbMapping.table, rows.toSeq, ctx.sourceCols.map(_.toSet)))
+      },
+      onDdl = (cfg, d) => events.add((s"ddl:${cfg.dbMapping.table}", Seq((d.seq, d.sql, "")), None)))
+    q.processAllAvailable()
+    q.stop()
+    val p0 = 0L; val p1 = 1L << 42
+    // ta: [DML < ddl] ; DDL ; [DML > ddl] — offsets place the UPDATE after
+    // the barrier even though (es, ts) are identical everywhere
+    assert(events.get(0) == (("ta", Seq((p0 + 100, "INSERT", "a0")), None)))
+    assert(events.get(1)._1 == "ddl:ta" && events.get(1)._2.head._1 == p0 + 101)
+    assert(events.get(2) == (("ta", Seq((p0 + 102, "UPDATE", "a1")), None)))
+    // tb: no DDL → single segment, per-partition offset order within it, and
+    // the source columns came from the batch-level stats pass (no extra agg)
+    assert(events.get(3) == (("tb",
+      Seq((p1 + 7, "INSERT", "b0"), (p1 + 8, "UPDATE", "b1")), Some(Set("id", "v")))))
+    assert(events.size == 4)
+  }
+
+  test("FileOrder ingress: multi-file batch ordered by file rank, in-file position breaks (es,ts) ties") {
+    val dir = Files.createTempDirectory("canal-multifile").toFile
+    def ev(typ: String, v: String) =
+      s"""{"destination":"example","groupId":"g1","database":"mytest","table":"mf","type":"$typ","isDdl":false,"es":9,"ts":9,"data":[{"id":"5","v":"$v"}],"old":null}"""
+    // same (es, ts) everywhere: order must come from (file rank, line index)
+    Files.write(new java.io.File(dir, "a.json").toPath,
+      Seq(ev("INSERT", "old"), ev("UPDATE", "mid")).mkString("\n").getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b.json").toPath,
+      ev("UPDATE", "new").getBytes("UTF-8"))
+    val raw = spark.readStream.schema("value STRING").text(dir.getAbsolutePath)
+    val cfg = config.copy(dbMapping = config.dbMapping.copy(
+      table = "mf", targetTable = "X.MF", enumColumns = Map.empty))
+    val got = new java.util.concurrent.CopyOnWriteArrayList[Seq[(String, String, Long)]]()
+    val q = CanalStream.start(spark, raw,
+      new AtomicReference[Seq[MappingConfig]](Seq(cfg)), numPartitions = 3,
+      (_, ordered, _) => got.add(
+        ordered.orderBy("order_key", "sub_seq")
+          .select(col("type"), element_at(col("data"), "v"), col("seq"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size == 1)
+    assert(got.get(0).map(t => (t._1, t._2)) ==
+      Seq(("INSERT", "old"), ("UPDATE", "mid"), ("UPDATE", "new")))
+    // seq really is (file rank << 42 | in-file position): a.json rows carry
+    // rank 0 in ascending position order, b.json's row carries rank 1 — a
+    // null-rank lookup failure would surface here, not as a flaky ordering
+    val seqs = got.get(0).map(_._3)
+    assert(seqs.map(_ >> 42) == Seq(0L, 0L, 1L), seqs)
+    assert(seqs(0) < seqs(1))
   }
 
   test("event-time windowed aggregation with watermark (streaming run)") {
