@@ -394,6 +394,34 @@ object Dedup {
                           maxBucket: Int = 100000): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v"))
+    val candidates = lshCandidatePairs(e, dims, planesPerBand, bands, maxBucket)
+    // exact verification with the fused one-pass cosine expression — bit-
+    // identical to the staged dot/norm form (same accumulation order), one
+    // third the array traversals, and no norm column through the join
+    val ea = e.select(col("id").as("id_a"), col("v").as("va"))
+    val eb = e.select(col("id").as("id_b"), col("v").as("vb"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** The banded candidate pair set of [[embeddingNearDupLsh]] BEFORE exact
+    * verification — exposed so the candidate mass (the dominant cost at
+    * scale: every candidate pays one exact-cosine evaluation through the
+    * join) can be measured and asserted `≪ n(n-1)/2` at production
+    * thresholds. */
+  def embeddingLshCandidates(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+                             planesPerBand: Int = 3, bands: Int = 64,
+                             maxBucket: Int = 100000): DataFrame =
+    lshCandidatePairs(
+      emb.select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v")),
+      dims, planesPerBand, bands, maxBucket)
+
+  private def lshCandidatePairs(e: DataFrame, dims: Int, planesPerBand: Int,
+                                bands: Int, maxBucket: Int): DataFrame = {
     val bandRows = e.select(col("id"),
         explode(Similarity.lshBandBuckets(col("v"), bands, planesPerBand, dims)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -409,20 +437,10 @@ object Dedup {
       .withColumn("chunk", pmod(col("id"), col("nchunks")).cast("int"))
     val xs = withChunk.withColumn("peer",
       explode(sequence(lit(0), col("nchunks") - 1)))
-    val candidates = xs.as("x").join(withChunk.as("y"),
+    xs.as("x").join(withChunk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // exact verification with the fused one-pass cosine expression — bit-
-    // identical to the staged dot/norm form (same accumulation order), one
-    // third the array traversals, and no norm column through the join
-    val ea = e.select(col("id").as("id_a"), col("v").as("va"))
-    val eb = e.select(col("id").as("id_b"), col("v").as("vb"))
-    candidates.join(ea, "id_a").join(eb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
-          .as("cosine"))
-      .where(col("cosine") >= threshold)
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
-    dedupSimhash, dedupEmbedding, dedupClusters, textSplit, simTopK, simAnn,
+    dedupSimhash, dedupEmbedding, dedupEmbeddingT90, dedupClusters, textSplit,
+    simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, trainingPipeline)
@@ -288,6 +289,59 @@ object LlmQueries {
            |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
            |      >= 0.45
            |ORDER BY 1, 2""".stripMargin))
+
+  /**
+   * The production-threshold banded-LSH datapoint: the corpus's own max
+   * cosine is ~0.6, so [[dedupEmbedding]]'s t=0.3/0.45 registration proves
+   * the *plan shape* but banding cannot prune there (every pair collides in
+   * some band — an exact sub-quadratic dense join at t≈0.45 does not
+   * exist). Real near-dup dedup runs at t ≥ 0.9, where r=8×b=32 banding
+   * prunes hard; this query plants deterministic near-duplicates to create
+   * that regime and runs the SAME code path at t=0.9.
+   *
+   * Planting is exact in both engines: one copy with the first 3 components
+   * sign-flipped (pure sign change — no rounding; cosine ≈ 0.95) and one
+   * exact copy (cosine 1.0), derived from rows with `vec_id % 10 ∈ {0, 5}`.
+   * Candidate-mass ≪ n(n-1)/2 is asserted in LlmSpec (the measured prune
+   * the 100 TB design relies on); recall 1 vs the exact scan is asserted
+   * there too. Banding miss at the weakest passing pair (cosine = 0.9):
+   * `(1 - p^8)^32 ≈ 1.1e-5`, `p = 1 - acos(0.9)/π ≈ 0.86`.
+   */
+  val dedupEmbeddingT90: QueryDef = QueryDef("dedup_embedding_t90",
+    (s, d) => Dedup.embeddingNearDupLsh(plantedEmbeddings(s, d),
+        "vec_id", "embedding", dims = 64, threshold = 0.9,
+        planesPerBand = 8, bands = 32)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |planted AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_concat([-v[1], -v[2], -v[3]], v[4:])
+           |  FROM base WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000, v FROM base WHERE vec_id % 10 = 5),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM planted)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |    AS cosine
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |      >= 0.9
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** The t90 corpus: embeddings plus deterministic planted near/exact
+    * duplicates (sign flips and copies are representation-exact in float
+    * AND double, so Spark and DuckDB derive bit-identical vectors). */
+  def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
+                                         d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val near = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i < 3, -x).otherwise(x)).as("embedding"))
+    val exact = base.where(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    base.unionByName(near).unionByName(exact)
+  }
 
   /** Duplicate-cluster canonicalization: connected components over the
     * verified minhash pair graph (min-id labels); oracle is a recursive-CTE

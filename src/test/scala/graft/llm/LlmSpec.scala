@@ -112,6 +112,29 @@ class LlmSpec extends AnyFunSuite {
       s"banded path must not fall back to an all-pairs join:\n$plan")
   }
 
+  test("t90 banded dedup: recall 1 vs exact scan AND candidate mass well below n(n-1)/2") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // the measured prune at a production threshold — the 100 TB cost driver
+    // (every candidate pays one exact-cosine verification). At t=0.3/0.45 the
+    // corpus makes banding pruneless by construction; at t=0.9 with r=8,b=32
+    // it must bite hard.
+    val candidates = Dedup.embeddingLshCandidates(emb, "vec_id", "embedding",
+      dims = 64, planesPerBand = 8, bands = 32).count()
+    assert(candidates * 5 < allPairs,
+      s"banding pruned only ${allPairs.toDouble / candidates}x ($candidates of $allPairs)")
+    // and the pruned candidate set still yields the exact answer (recall 1)
+    val banded = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+      dims = 64, threshold = 0.9, planesPerBand = 8, bands = 32)
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bandedSet = asSet(banded)
+    assert(bandedSet == asSet(exact))
+    assert(bandedSet.nonEmpty) // the planted pairs are really found
+  }
+
   test("dense-bucket skew guard leaves banded output unchanged (property)") {
     val emb = Tables10Emb
     def pairs(cap: Int) =
