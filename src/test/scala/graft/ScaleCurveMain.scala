@@ -1,0 +1,43 @@
+package graft
+
+import graft.llm.Dedup
+import graft.queries.{LlmQueries, Materialized, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: empirical scale curve for the dedup/ANN family across
+  * sf0.001 / sf0.01 / sf0.1 — wall time + candidate/pair counts, the
+  * datapoints behind BASELINE.md's growth table. */
+object ScaleCurveMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val d = s"/root/testdata/$sf"
+      val nDocs = Tables.documents(spark, d).count()
+      val nVecs = Tables.embeddings(spark, d).count()
+      val (mh, tMh) = timed(Materialized.minhashPairs(spark, d).count())
+      val (emb, tEmb) = timed(Materialized.embeddingPairs(spark, d).count())
+      val planted = LlmQueries.plantedEmbeddings(spark, d)
+      val nPlanted = planted.count()
+      val (cand90, tCand) = timed(Dedup.embeddingLshCandidates(
+        planted, "vec_id", "embedding", dims = 64, planesPerBand = 8, bands = 32).count())
+      val (t90, tT90) = timed(Dedup.embeddingNearDupLsh(planted, "vec_id", "embedding",
+        dims = 64, threshold = 0.9, planesPerBand = 8, bands = 32).count())
+      val (cl, tCl) = timed(Dedup.duplicateClusters(
+        Materialized.minhashPairs(spark, d),
+        Tables.documents(spark, d).select(
+          org.apache.spark.sql.functions.col("doc_id").as("id"))).count())
+      println(f"$sf docs=$nDocs vecs=$nVecs | minhash pairs=$mh ${tMh}%.2fs | " +
+        f"emb03 pairs=$emb ${tEmb}%.2fs | t90 n=$nPlanted cand=$cand90 ${tCand}%.2fs " +
+        f"verified=$t90 ${tT90}%.2fs | clusters rows=$cl ${tCl}%.2fs")
+    }
+    spark.stop()
+  }
+}
