@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Native Catalyst expressions for the vector hot path — preference ladder
@@ -150,6 +150,165 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /**
+   * `first_match(array<long>, array<long>) → int` — 1-based index of the
+   * first position where the two arrays agree, 0 if none. The LSH
+   * OR-construction dedup filter: a banded candidate join emits a pair once
+   * per matching band; keeping only `band == first_match(sigX, sigY)` makes
+   * dedup a streamed, allocation-free filter with early exit instead of a
+   * post-join `distinct` shuffle of the ~bands× blow-up (and instead of a
+   * per-row `zip_with` array allocation, which measured ~7× slower at
+   * sf0.1). Null if lengths differ (never happens for fixed-b signatures).
+   */
+  final case class FirstMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_first_match"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) null
+      else {
+        var i = 0
+        while (i < n) {
+          if (x.getLong(i) == y.getLong(i)) return i + 1
+          i += 1
+        }
+        0
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val res = ctx.freshName("res")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $res = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.getLong($i) == $b.getLong($i)) { $res = $i + 1; break; }
+           |  }
+           |  ${ev.value} = $res;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /**
+   * `lsh_signature(array<double>) → array<long>` — ALL banded sign-LSH
+   * buckets in one fused loop: `planes` is the flat row-major hyperplane
+   * matrix (`bands × planesPerBand × dims`), bucket bit j of band b is the
+   * sign of the sequential dot with plane `b·r+j`. Replaces a projection of
+   * `bands × planesPerBand` separate dot-product expressions, which blew
+   * past janino's method budget and fell back to interpreted eval (~3 ms/row
+   * — the dominant cost of every banded-LSH query). Dot accumulation order
+   * is identical to [[DotProduct]], so the buckets are bit-identical to the
+   * composed form. Null if the vector's length differs from `dims`.
+   */
+  final case class LshSignature(child: Expression, planes: Array[Double],
+                                planesPerBand: Int, dims: Int)
+    extends UnaryExpression {
+
+    private val bands: Int = planes.length / (planesPerBand * dims)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_lsh_signature"
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      if (v.numElements() != dims) null
+      else {
+        val out = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var bucket = 0L
+          var j = 0
+          while (j < planesPerBand) {
+            var acc = 0.0
+            val off = (b * planesPerBand + j) * dims
+            var i = 0
+            while (i < dims) { acc += v.getDouble(i) * planes(off + i); i += 1 }
+            if (acc >= 0.0) bucket |= (1L << j)
+            j += 1
+          }
+          out(b) = bucket
+          b += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out")
+        val b = ctx.freshName("b")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val off = ctx.freshName("off")
+        val bucket = ctx.freshName("bucket")
+        s"""
+           |if ($a.numElements() != $dims) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long[] $out = new long[$bands];
+           |  for (int $b = 0; $b < $bands; $b++) {
+           |    long $bucket = 0L;
+           |    for (int $j = 0; $j < $planesPerBand; $j++) {
+           |      double $acc = 0.0;
+           |      int $off = ($b * $planesPerBand + $j) * $dims;
+           |      for (int $i = 0; $i < $dims; $i++) {
+           |        $acc += $a.getDouble($i) * $planesRef[$off + $i];
+           |      }
+           |      if ($acc >= 0.0) $bucket |= (1L << $j);
+           |    }
+           |    $out[$b] = $bucket;
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: fused banded sign-LSH signature (see [[LshSignature]]). */
+  def graft_lsh_signature(v: Column, planes: Array[Double],
+                          planesPerBand: Int, dims: Int): Column =
+    GraftColumnBridge.column(LshSignature(GraftColumnBridge.expression(v),
+      planes, planesPerBand, dims))
+
   /** Column API: dot product of two `array<double>` columns. */
   def graft_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
@@ -158,6 +317,11 @@ object VectorExpressions {
   /** Column API: one-pass cosine similarity of two `array<double>` columns. */
   def graft_cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Column API: 1-based first agreeing index of two `array<long>` columns. */
+  def graft_first_match(a: Column, b: Column): Column =
+    GraftColumnBridge.column(FirstMatch(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
   /** Column API: L2 norm via the same sequential accumulation. */

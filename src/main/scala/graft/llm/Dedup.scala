@@ -422,25 +422,39 @@ object Dedup {
 
   private def lshCandidatePairs(e: DataFrame, dims: Int, planesPerBand: Int,
                                 bands: Int, maxBucket: Int): DataFrame = {
-    val bandRows = e.select(col("id"),
-        explode(Similarity.lshBandBuckets(col("v"), bands, planesPerBand, dims)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    // full per-row signature (bucket per band, band-indexed) rides along so
+    // the join below can dedupe pairs WITHOUT a post-join distinct: an
+    // OR-construction pair collides in up to `bands` bands (at low
+    // thresholds, most of them — ~bands× the candidate mass), and shuffling
+    // that blow-up into a distinct dominates the whole operator. Keeping a
+    // pair only where `band == first band whose buckets agree` is a
+    // map-side filter on the streamed join output: every colliding pair
+    // survives exactly once, nothing is materialized or re-shuffled.
+    val sigCol = Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims)
+    val bandRows = e.select(col("id"), sigCol.as("sig"))
+      .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bucket")))
     // dense-bucket skew guard: a bucket of m members produces an m² join
     // task; above `maxBucket` the bucket is split into ⌈m/maxBucket⌉ chunks
     // and the self-join runs per chunk pair (classic salting: the left side
     // replicates over peer chunks, the right side is keyed by its own
     // chunk), bounding any single join partition without changing the
-    // output — every pair still meets in exactly one (chunk_x=peer_y) cell.
+    // output — every pair still meets in exactly one (chunk_x=peer_y) cell
+    // per matching band, and the first-match filter keeps one band.
     val sizes = bandRows.groupBy("band", "bucket")
       .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("nchunks"))
     val withChunk = bandRows.join(sizes, Seq("band", "bucket"))
       .withColumn("chunk", pmod(col("id"), col("nchunks")).cast("int"))
     val xs = withChunk.withColumn("peer",
       explode(sequence(lit(0), col("nchunks") - 1)))
+    // early-exit codegen'd scan (graft_first_match) — a zip_with/
+    // array_position formulation allocates a bands-sized array per joined
+    // row and measured ~7× slower than even the distinct it replaces
+    val firstMatch = graft.functions.VectorExpressions.graft_first_match(
+      col("x.sig"), col("y.sig"))
     xs.as("x").join(withChunk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
+      .where(firstMatch === col("x.band") + 1) // first_match is 1-based
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
   }
 }

@@ -96,29 +96,44 @@ object Similarity {
       (mix64(j.toLong * dims + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
 
-  /** Sign-LSH bucket id (one bit per hyperplane) as a column. */
+  /** Flat row-major hyperplane matrix for `nPlanes` planes — the data the
+    * fused signature kernel consumes (same [[hyperplane]] values). */
+  private def planeMatrix(nPlanes: Int, dims: Int): Array[Double] = {
+    val flat = new Array[Double](nPlanes * dims)
+    var j = 0
+    while (j < nPlanes) {
+      val hp = hyperplane(j, dims)
+      var d = 0
+      while (d < dims) { flat(j * dims + d) = hp(d); d += 1 }
+      j += 1
+    }
+    flat
+  }
+
+  /** Sign-LSH bucket id (one bit per hyperplane) as a column — the 1-band
+    * case of [[lshBandSignature]] (identical global plane indexing). */
   def lshBucket(vecDouble: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { j =>
-      val hp = typedLit(hyperplane(j, dims))
-      when(dot(vecDouble, hp) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(lshBandSignature(vecDouble, 1, planes, dims), 1)
 
   /**
-   * Banded sign-LSH: `bands` independent buckets of `planesPerBand` planes
-   * each (plane index is global, so bands never share a hyperplane),
-   * returned as `array<struct<band,bucket>>` for an OR-construction
-   * candidate join — a pair collides if it agrees on ALL planes of ANY band.
-   * Per-pair miss probability for cosine ≥ t is `(1 - p^r)^b` with
-   * `p = 1 - acos(t)/π` (e.g. t=0.45, r=2, b=64 → ≈7e-16).
+   * Banded sign-LSH signature as `array<long>` (bucket per band, band-
+   * indexed): `bands` independent buckets of `planesPerBand` planes each
+   * (plane index is global, so bands never share a hyperplane). ONE fused
+   * codegen'd kernel ([[graft.functions.VectorExpressions.LshSignature]])
+   * — the composed per-plane expression form exceeded janino's method
+   * budget and ran interpreted, at ~3 ms/row. Per-pair miss probability
+   * for cosine ≥ t is `(1 - p^r)^b` with `p = 1 - acos(t)/π`.
    */
+  def lshBandSignature(vecDouble: Column, bands: Int, planesPerBand: Int,
+                       dims: Int): Column =
+    graft.functions.VectorExpressions.graft_lsh_signature(
+      vecDouble, planeMatrix(bands * planesPerBand, dims), planesPerBand, dims)
+
+  /** [[lshBandSignature]] shaped as `array<struct<band,bucket>>` for
+    * explode-based OR-construction joins. */
   def lshBandBuckets(vecDouble: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
-    array((0 until bands).map { b =>
-      val bucket = (0 until planesPerBand).map { j =>
-        val hp = typedLit(hyperplane(b * planesPerBand + j, dims))
-        when(dot(vecDouble, hp) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }: _*)
+    transform(lshBandSignature(vecDouble, bands, planesPerBand, dims),
+      (bucket, i) => struct(i.as("band"), bucket.as("bucket")))
 
   /**
    * ANN via sign-LSH bucketing: candidate pairs share a bucket; cosine
