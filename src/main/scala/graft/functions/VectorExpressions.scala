@@ -20,6 +20,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
  */
 object VectorExpressions {
 
+  /**
+   * JVM kernel for the banded sign-LSH signature — the single source of
+   * truth for the signature arithmetic: [[LshSignature]]'s interpreted eval
+   * delegates here, its codegen emits the same loop, and the typed
+   * deep-banding path ([[graft.llm.Similarity.lshBandSignatureKernel]]) calls
+   * it directly. `planes` is the flat row-major hyperplane matrix
+   * (`bands × planesPerBand × dims`); accumulation order is the sequential
+   * left-to-right IEEE order of [[DotProduct]], so all three paths produce
+   * bit-identical buckets.
+   */
+  def lshSignatureKernel(v: Array[Double], planes: Array[Double],
+                         planesPerBand: Int, dims: Int): Array[Long] = {
+    val bands = planes.length / (planesPerBand * dims)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        var acc = 0.0
+        val off = (b * planesPerBand + j) * dims
+        var i = 0
+        while (i < dims) { acc += v(i) * planes(off + i); i += 1 }
+        if (acc >= 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    out
+  }
+
   /** `dot(array<double>, array<double>) → double`, null if lengths differ. */
   final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -245,25 +277,8 @@ object VectorExpressions {
     override def nullSafeEval(a: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
       if (v.numElements() != dims) null
-      else {
-        val out = new Array[Long](bands)
-        var b = 0
-        while (b < bands) {
-          var bucket = 0L
-          var j = 0
-          while (j < planesPerBand) {
-            var acc = 0.0
-            val off = (b * planesPerBand + j) * dims
-            var i = 0
-            while (i < dims) { acc += v.getDouble(i) * planes(off + i); i += 1 }
-            if (acc >= 0.0) bucket |= (1L << j)
-            j += 1
-          }
-          out(b) = bucket
-          b += 1
-        }
-        new GenericArrayData(out)
-      }
+      else new GenericArrayData(
+        lshSignatureKernel(v.toDoubleArray(), planes, planesPerBand, dims))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
