@@ -243,7 +243,8 @@ object Dedup {
    * with `bit_count(xor)`.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+                   maxHamming: Int = 3, bits: Int = 60,
+                   materialize: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val sigs = docs
@@ -251,6 +252,15 @@ object Dedup {
         transform(words(col(textCol)), w => md5Long60(w)).as("hs"))
       .select(col("id"), simhashSignature(col("hs"), bits).as("sig"))
       .persist() // self-joined below — compute the 60-bit signatures once
+    val out = simhashBandJoin(sigs, nBands, bandBits, maxHamming)
+    // same persist discipline as minhashLsh/ngramJaccard: materialize=true
+    // frees the signature intermediate once the (tiny) pair result is cached,
+    // so repeated calls don't accumulate persisted tables across a session
+    materializeAndRelease(out, materialize, sigs)
+  }
+
+  private def simhashBandJoin(sigs: DataFrame, nBands: Int, bandBits: Int,
+                              maxHamming: Int): DataFrame = {
     val bandRows = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band"),

@@ -255,7 +255,7 @@ object LlmQueries {
     * recall 1 by construction); oracle is the full-pair scan. */
   val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = 3, materialize = true)
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in ws] AS hs

@@ -146,6 +146,31 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs(2) == pairs(100000))
   }
 
+  test("materialize=true releases every intermediate: only the result stays cached") {
+    // unique row slice → unique logical plans: an input shared with another
+    // test would make persist() here re-register an already-cached plan and
+    // the eager unpersist would drop that shared entry (count delta 0)
+    val d = graft.queries.Tables.documents(spark, TestSpark.sf).limit(97)
+    // each pair-finding op persists signature/shingle intermediates; with
+    // materialize=true exactly ONE new persisted table (the result) may
+    // remain, and unpersisting it must restore the session to baseline —
+    // the discipline that keeps a 66-query bench session leak-free
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    val ops: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, materialize = true),
+      () => Dedup.minhashLsh(d, "doc_id", "text", shingleN = 3, bands = 32,
+        rowsPerBand = 4, threshold = 0.8, materialize = true),
+      () => Dedup.ngramJaccard(d, "doc_id", "text", shingleN = 3, threshold = 0.6,
+        materialize = true))
+    ops.foreach { op =>
+      val out = op()
+      assert(persisted() == before + 1, "intermediates must be released eagerly")
+      out.unpersist(blocking = true)
+      assert(persisted() == before)
+    }
+  }
+
   test("materialized minhash pair cache equals a fresh recomputation") {
     val d = graft.queries.Tables.documents(spark, TestSpark.sf)
     val fresh = Dedup.minhashLsh(d, "doc_id", "text",
