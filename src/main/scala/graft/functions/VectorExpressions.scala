@@ -32,6 +32,14 @@ object VectorExpressions {
    */
   def lshSignatureKernel(v: Array[Double], planes: Array[Double],
                          planesPerBand: Int, dims: Int): Array[Long] = {
+    // direct callers get loud errors, not silently wrong buckets: >64 planes
+    // per band would wrap the bucket's long bit mask (1L << j is mod-64), and
+    // a plane matrix not divisible into bands would drop trailing planes
+    require(planesPerBand >= 1 && planesPerBand <= 64,
+      s"planesPerBand must be in [1, 64], got $planesPerBand")
+    require(planes.length % (planesPerBand * dims) == 0,
+      s"planes length ${planes.length} is not a whole number of " +
+        s"bands × $planesPerBand planes × $dims dims")
     val bands = planes.length / (planesPerBand * dims)
     val out = new Array[Long](bands)
     var b = 0

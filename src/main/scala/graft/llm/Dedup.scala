@@ -430,6 +430,15 @@ object Dedup {
         Similarity.asDouble(col(vecCol)).as("v")),
       dims, planesPerBand, bands, maxBucket)
 
+  /** Above this many total hyperplanes the banded signature is computed by
+    * the typed JIT kernel ([[Similarity.lshSigRowsTyped]], plane matrix
+    * broadcast once) instead of the codegen expression — at production
+    * depth (r=16 × b=128 = 2,048 planes ≈ 1 MB of plane data) a
+    * per-expression reference object would ride in every serialized plan
+    * fragment, and janino gains nothing on a loop this large. Both paths
+    * produce bit-identical buckets (property-tested in LlmSpec). */
+  val TypedSignaturePlaneThreshold = 512
+
   private def lshCandidatePairs(e: DataFrame, dims: Int, planesPerBand: Int,
                                 bands: Int, maxBucket: Int): DataFrame = {
     // full per-row signature (bucket per band, band-indexed) rides along so
@@ -440,8 +449,13 @@ object Dedup {
     // pair only where `band == first band whose buckets agree` is a
     // map-side filter on the streamed join output: every colliding pair
     // survives exactly once, nothing is materialized or re-shuffled.
-    val sigCol = Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims)
-    val bandRows = e.select(col("id"), sigCol.as("sig"))
+    val sigs =
+      if (bands * planesPerBand > TypedSignaturePlaneThreshold)
+        Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims)
+      else
+        e.select(col("id"),
+          Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims).as("sig"))
+    val bandRows = sigs
       .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bucket")))
     // dense-bucket skew guard: a bucket of m members produces an m² join
     // task; above `maxBucket` the bucket is split into ⌈m/maxBucket⌉ chunks

@@ -129,6 +129,47 @@ object Similarity {
     graft.functions.VectorExpressions.graft_lsh_signature(
       vecDouble, planeMatrix(bands * planesPerBand, dims), planesPerBand, dims)
 
+  /**
+   * JVM-side banded signature kernel — the typed path for PRODUCTION
+   * banding depths (r=16 × b=128 = 2,048 planes): materializes the flat
+   * plane matrix once on the driver and returns a closure that delegates to
+   * [[graft.functions.VectorExpressions.lshSignatureKernel]], so a typed
+   * `Dataset.map` computes signatures in one JIT'd loop per row with zero
+   * Catalyst plumbing. Buckets are bit-identical to the [[lshBandSignature]]
+   * codegen expression at any (bands, planesPerBand): same [[planeMatrix]]
+   * values, same sequential IEEE accumulation (property-tested in LlmSpec).
+   */
+  def lshBandSignatureKernel(bands: Int, planesPerBand: Int,
+                             dims: Int): Array[Double] => Array[Long] = {
+    val planes = planeMatrix(bands * planesPerBand, dims)
+    v => graft.functions.VectorExpressions.lshSignatureKernel(
+      v, planes, planesPerBand, dims)
+  }
+
+  /**
+   * Staged `(id, sig)` banded-signature table via the typed kernel — the
+   * deep-banding front half of candidate generation. The plane matrix
+   * (2,048 × dims doubles ≈ 1 MB at production depth) ships to executors
+   * ONCE as a broadcast variable instead of riding in every task closure.
+   */
+  def lshSigRowsTyped(emb: DataFrame, idCol: String, vecCol: String,
+                      bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planesBc = spark.sparkContext.broadcast(
+      planeMatrix(bands * planesPerBand, dims))
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      // expression-path parity: a null or wrong-dims vector gets a null
+      // signature there and never enters the banding index — drop it here
+      .filter(r => r._2 != null && r._2.length == dims)
+      .map { case (id, v) =>
+        (id, graft.functions.VectorExpressions.lshSignatureKernel(
+          v, planesBc.value, planesPerBand, dims))
+      }
+      .toDF("id", "sig")
+  }
+
   /** [[lshBandSignature]] shaped as `array<struct<band,bucket>>` for
     * explode-based OR-construction joins. */
   def lshBandBuckets(vecDouble: Column, bands: Int, planesPerBand: Int, dims: Int): Column =

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
-    dedupSimhash, dedupEmbedding, dedupEmbeddingT90, dedupClusters, textSplit,
+    dedupSimhash, dedupEmbedding, dedupEmbeddingT90, dedupEmbeddingDeep,
+    dedupClusters, textSplit,
     simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
@@ -311,6 +312,43 @@ object LlmQueries {
     (s, d) => Dedup.embeddingNearDupLsh(plantedEmbeddings(s, d),
         "vec_id", "embedding", dims = 64, threshold = 0.9,
         planesPerBand = 8, bands = 32)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |planted AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_concat([-v[1], -v[2], -v[3]], v[4:])
+           |  FROM base WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000, v FROM base WHERE vec_id % 10 = 5),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM planted)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |    AS cosine
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |      >= 0.9
+           |ORDER BY 1, 2""".stripMargin))
+
+  /**
+   * The deep-banding PRODUCTION configuration (r=16 × b=128 = 2,048
+   * hyperplanes) on the same planted corpus and threshold as
+   * [[dedupEmbeddingT90]]: identical oracle (banding recall stays
+   * effectively 1 — miss at the weakest passing pair is
+   * `(1 - p^16)^128 ≈ 1.4e-5` at cosine 0.9, `p ≈ 0.856`), but the random
+   * collision floor drops from `32·2⁻⁸ ≈ 11.8%` to `128·2⁻¹⁶ ≈ 0.2%` —
+   * the ~100×-deeper candidate prune that BASELINE.md derives as the 100 TB
+   * operating point. Above [[Dedup.TypedSignaturePlaneThreshold]] planes the
+   * signature runs through the typed JIT kernel with the plane matrix
+   * broadcast once ([[graft.llm.Similarity.lshSigRowsTyped]]); LlmSpec
+   * asserts the measured prune (≥100× vs n(n-1)/2) and recall 1 vs the
+   * exact scan, and the bucket bit-identity between the typed and codegen
+   * signature paths.
+   */
+  val dedupEmbeddingDeep: QueryDef = QueryDef("dedup_embedding_deep",
+    (s, d) => Dedup.embeddingNearDupLsh(plantedEmbeddings(s, d),
+        "vec_id", "embedding", dims = 64, threshold = 0.9,
+        planesPerBand = 16, bands = 128)
       .orderBy("id_a", "id_b"),
     Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |planted AS (

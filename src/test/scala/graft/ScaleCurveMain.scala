@@ -30,13 +30,20 @@ object ScaleCurveMain {
         planted, "vec_id", "embedding", dims = 64, planesPerBand = 8, bands = 32).count())
       val (t90, tT90) = timed(Dedup.embeddingNearDupLsh(planted, "vec_id", "embedding",
         dims = 64, threshold = 0.9, planesPerBand = 8, bands = 32).count())
+      // deep-banding production config: 2,048 planes through the typed kernel
+      val (candDeep, tCandDeep) = timed(Dedup.embeddingLshCandidates(
+        planted, "vec_id", "embedding", dims = 64, planesPerBand = 16, bands = 128).count())
+      val (tDeep, tTDeep) = timed(Dedup.embeddingNearDupLsh(planted, "vec_id", "embedding",
+        dims = 64, threshold = 0.9, planesPerBand = 16, bands = 128).count())
       val (cl, tCl) = timed(Dedup.duplicateClusters(
         Materialized.minhashPairs(spark, d),
         Tables.documents(spark, d).select(
           org.apache.spark.sql.functions.col("doc_id").as("id"))).count())
       println(f"$sf docs=$nDocs vecs=$nVecs | minhash pairs=$mh ${tMh}%.2fs | " +
         f"emb03 pairs=$emb ${tEmb}%.2fs | t90 n=$nPlanted cand=$cand90 ${tCand}%.2fs " +
-        f"verified=$t90 ${tT90}%.2fs | clusters rows=$cl ${tCl}%.2fs")
+        f"verified=$t90 ${tT90}%.2fs | deep(r16b128) cand=$candDeep ${tCandDeep}%.2fs " +
+        f"verified=$tDeep ${tTDeep}%.2fs prune=${nPlanted * (nPlanted - 1) / 2.0 / candDeep}%.0fx | " +
+        f"clusters rows=$cl ${tCl}%.2fs")
     }
     spark.stop()
   }

@@ -135,6 +135,69 @@ class LlmSpec extends AnyFunSuite {
     assert(bandedSet.nonEmpty) // the planted pairs are really found
   }
 
+  test("deep banding (r=16×b=128): recall 1 vs exact scan, candidate prune ≥100×") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // the production operating point from BASELINE.md: deep banding drops
+    // the random collision floor to 128·2⁻¹⁶ ≈ 0.2%, so candidate mass must
+    // be ≥100× below the all-pairs count (r=8×b=32 achieves only ~7×)
+    val candidates = Dedup.embeddingLshCandidates(emb, "vec_id", "embedding",
+      dims = 64, planesPerBand = 16, bands = 128).count()
+    assert(candidates * 100 < allPairs,
+      s"deep banding pruned only ${allPairs.toDouble / candidates}x ($candidates of $allPairs)")
+    // and the 100×-pruned candidate set still yields the exact answer
+    val banded = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+      dims = 64, threshold = 0.9, planesPerBand = 16, bands = 128)
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bandedSet = asSet(banded)
+    assert(bandedSet == asSet(exact))
+    assert(bandedSet.nonEmpty)
+  }
+
+  test("typed signature kernel is bit-identical to the codegen expression path") {
+    val emb = Tables10Emb
+    // the two front halves of candidate generation — the broadcast typed
+    // kernel (deep-banding path) and the fused codegen expression — must
+    // bucket identically at any (bands, planesPerBand); same plane matrix,
+    // same sequential IEEE accumulation
+    for ((bands, r) <- Seq((8, 4), (32, 8), (128, 16))) {
+      val typed = Similarity.lshSigRowsTyped(emb, "vec_id", "embedding",
+          bands, r, dims = 64)
+        .collect().map(row => row.getLong(0) -> row.getSeq[Long](1).toVector).toMap
+      val expr = emb.select(col("vec_id").cast("long").as("id"),
+          Similarity.lshBandSignature(
+            Similarity.asDouble(col("embedding")), bands, r, dims = 64).as("sig"))
+        .collect().map(row => row.getLong(0) -> row.getSeq[Long](1).toVector).toMap
+      assert(typed == expr, s"bucket mismatch at bands=$bands r=$r")
+    }
+    // and the driver-side kernel closure agrees with both on a raw vector
+    val v = emb.select(Similarity.asDouble(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val k = Similarity.lshBandSignatureKernel(bands = 8, planesPerBand = 4, dims = 64)
+    val viaExpr = Similarity.lshSigRowsTyped(
+        emb.limit(1), "vec_id", "embedding", 8, 4, 64)
+      .head().getSeq[Long](1).toVector
+    assert(k(v).toVector == viaExpr)
+  }
+
+  test("signature kernel rejects invalid banding configs loudly") {
+    val kernelOk = Similarity.lshBandSignatureKernel(2, 4, 8)
+    assert(kernelOk(Array.fill(8)(0.5)).length == 2)
+    // >64 planes/band would silently wrap the long bit mask; a plane matrix
+    // not divisible into bands would silently drop trailing planes
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorExpressions.lshSignatureKernel(
+        Array.fill(8)(0.5), Array.fill(8 * 65)(0.1), 65, 8)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorExpressions.lshSignatureKernel(
+        Array.fill(8)(0.5), Array.fill(100)(0.1), 4, 8)
+    }
+  }
+
   test("dense-bucket skew guard leaves banded output unchanged (property)") {
     val emb = Tables10Emb
     def pairs(cap: Int) =
