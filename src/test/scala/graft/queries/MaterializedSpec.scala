@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.llm.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/**
+ * The write-once / read-many contract of [[Materialized]]: pair tables are
+ * built and published to parquet storage exactly once per (corpus,
+ * configuration); a fresh consumer (session restart) reads the stored table
+ * without rebuilding, and the scalar stats sidecar round-trips bit-exact.
+ */
+class MaterializedSpec extends AnyFunSuite {
+  @transient lazy val spark = TestSpark.spark
+
+  /** Run `body` against an isolated store root, restoring the session's
+    * store config and handle caches afterwards (other suites use the
+    * default root). */
+  private def withTempStore[A](body: java.nio.file.Path => A): A = {
+    val root = Files.createTempDirectory("graft-mat-spec")
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", root.toString)
+    Materialized.clearSessionCache()
+    try body(root)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      // drop handles pointing into the temp root so later suites re-resolve
+      // against the default store
+      Materialized.clearSessionCache()
+    }
+  }
+
+  test("minhash pair table: built once, published atomically, reused from storage by a fresh consumer") {
+    withTempStore { root =>
+      val b0 = Materialized.buildsStarted.get()
+      val first = Materialized.minhashPairs(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+      // published as a committed parquet dir (atomic rename, _SUCCESS marker,
+      // no leftover .tmp- staging dir)
+      val published = Files.list(root.resolve("v1")).iterator().asScala.toSeq
+      val tableDir = published.filter(_.getFileName.toString.startsWith("minhash_pairs_"))
+      assert(tableDir.size == 1 && Files.exists(tableDir.head.resolve("_SUCCESS")))
+      assert(!published.exists(_.getFileName.toString.contains(".tmp-")))
+
+      // fresh consumer: drop in-session handles — the next call must take
+      // the storage-read path, NOT rebuild
+      Materialized.clearSessionCache()
+      val second = Materialized.minhashPairs(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(Materialized.buildsStarted.get() == b0 + 1, "stored table must be reused")
+      assert(second == first)
+    }
+  }
+
+  test("embedding pair stats: one streaming agg, then the JSON sidecar round-trips bit-exact") {
+    withTempStore { root =>
+      val b0 = Materialized.buildsStarted.get()
+      val first = Materialized.embeddingPairStats(spark, TestSpark.sf)
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+      val sidecars = Files.list(root.resolve("v1")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("emb_pair_stats_")).toSeq
+      assert(sidecars.size == 1 && sidecars.head.getFileName.toString.endsWith(".json"))
+
+      Materialized.clearSessionCache()
+      val second = Materialized.embeddingPairStats(spark, TestSpark.sf)
+      assert(Materialized.buildsStarted.get() == b0 + 1, "stats sidecar must be reused")
+      assert(second == first) // Double.toString round-trips exactly
+      assert(first.minCosine.forall(_ >= 0.3))
+    }
+  }
+
+  test("embedding pair table is stored at the consumed threshold and equals a fresh banded run") {
+    withTempStore { _ =>
+      val stored = Materialized.embeddingPairs(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fresh = Dedup.embeddingNearDupLsh(
+          Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding",
+          dims = 64, threshold = 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stored == fresh)
+      assert(stored.forall(_._3 >= 0.45), "no sub-threshold rows in the stored table")
+    }
+  }
+
+  test("no persisted tables linger after materialization (storage replaces caching)") {
+    withTempStore { _ =>
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Materialized.minhashPairs(spark, TestSpark.sf).count()
+      Materialized.embeddingPairs(spark, TestSpark.sf).count()
+      Materialized.embeddingPairStats(spark, TestSpark.sf)
+      assert(spark.sparkContext.getPersistentRDDs.size == before)
+    }
+  }
+}
