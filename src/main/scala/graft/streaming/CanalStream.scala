@@ -169,16 +169,29 @@ object CanalStream {
    * segmentCtx) per micro-batch segment — in production it applies through
    * [[graft.sink.UpsertSink]] (pass `ctx.sourceCols` to
    * [[applyBatchToJdbc]]); tests can capture state instead.
+   *
+   * `checkpointLocation` enables restart/recovery: source offsets and batch
+   * commits go to the WAL, so a restarted query resumes at the first
+   * uncommitted batch. The sink contract is at-least-once — a crash between
+   * the JDBC apply and the commit marker replays that whole micro-batch on
+   * restart — which is exactly the reference's delivery model
+   * (`PhoenixAdapter.sync` retries the push batch until acked), and safe
+   * here for the same reason: the apply is an idempotent PK-keyed upsert /
+   * delete, so a replay converges to the same final state (SURVEY §7.4
+   * risk 5; exercised end-to-end in StreamingSpec's kill-and-restart case).
    */
   def start(spark: SparkSession, raw: DataFrame,
             configsRef: AtomicReference[Seq[MappingConfig]],
             numPartitions: Int,
             applyBatch: (MappingConfig, DataFrame, SegmentCtx) => Unit,
             onDdl: (MappingConfig, DdlBarrier.DdlEvent) => Unit = (_, _) => (),
-            ordering: IngressOrdering = IngressOrdering.Auto): StreamingQuery = {
+            ordering: IngressOrdering = IngressOrdering.Auto,
+            checkpointLocation: Option[String] = None): StreamingQuery = {
     val mode = resolveOrdering(raw.columns.toSeq, ordering)
-    parseOrdered(raw, mode).writeStream
+    val writer = parseOrdered(raw, mode).writeStream
       .outputMode("append")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // flatten first (order-preserving per partition), THEN derive the
         // order key — so the single stats pass below can also collect the

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.sql.DriverManager
 import java.util.concurrent.atomic.AtomicReference
+import scala.jdk.CollectionConverters._
 
 /**
  * §3.1 sync hot path end-to-end as Structured Streaming: Canal JSON files →
@@ -271,6 +272,74 @@ class StreamingSpec extends AnyFunSuite {
       DeleteInsertDialect, Some(heal))
     assert(queryRow("""SELECT "NAME", "EXTRA" FROM "SM"."T" WHERE "ID" = 1""", 2)
       .contains(Seq("a", "x")))
+  }
+
+  test("checkpointed restart: crash between sink and commit replays the batch; idempotent apply converges (SURVEY §7.4 risk 5)") {
+    val u = "jdbc:derby:memory:restartdb;create=true"
+    val c = DriverManager.getConnection(u)
+    c.createStatement().execute(
+      """CREATE TABLE "RST"."T" ("ID" BIGINT PRIMARY KEY, "V" VARCHAR(64))""")
+    c.close()
+    val cfg = config.copy(dbMapping = config.dbMapping.copy(
+      table = "rst", targetTable = "RST.T", enumColumns = Map.empty))
+    val targetSchema = SchemaProbe.probe(cfg.dbMapping, DerbyConn.factory(u), DeleteInsertDialect)
+    val dir = Files.createTempDirectory("canal-restart")
+    val ckpt = Files.createTempDirectory("canal-restart-ckpt").toString
+    def ev(es: Int, typ: String, id: Int, v: String) =
+      s"""{"destination":"example","groupId":"g1","database":"mytest","table":"rst","type":"$typ","isDdl":false,"es":$es,"ts":$es,"data":[{"id":"$id","v":"$v"}],"old":null}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    def startQ() = CanalStream.start(spark,
+      spark.readStream.schema("value STRING").option("maxFilesPerTrigger", "1")
+        .text(dir.toString),
+      new AtomicReference[Seq[MappingConfig]](Seq(cfg)), numPartitions = 3,
+      (cf, ordered, ctx) => CanalStream.applyBatchToJdbc(cf, ordered, targetSchema,
+        DerbyConn.factory(u), DeleteInsertDialect, sourceColsHint = ctx.sourceCols),
+      checkpointLocation = Some(ckpt))
+
+    // phase 1: two micro-batches applied, then the query stops ("crash")
+    writeFile("f1.json", Seq(ev(1, "INSERT", 1, "a1"), ev(2, "INSERT", 2, "b1")))
+    val q1 = startQ()
+    q1.processAllAvailable()
+    writeFile("f2.json", Seq(ev(3, "UPDATE", 2, "b2"), ev(4, "INSERT", 3, "c1"),
+      ev(5, "DELETE", 1, "a1")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // simulate the worst-case crash window: batch 1's JDBC apply completed
+    // (Derby has it) but the commit marker was never written — on restart
+    // the WAL reconstructs batch 1 from its offsets entry and REPLAYS it
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    assert(last.getFileName.toString == "1")
+    Files.delete(last)
+    // the local checksum FS writes a .crc sidecar with the commit marker —
+    // a real crash would have produced neither file
+    Files.deleteIfExists(commits.resolve(".1.crc"))
+
+    // phase 2: restart resumes from the checkpoint — replays batch 1 into
+    // the already-applied Derby state, then processes the new file
+    val q2 = startQ()
+    q2.processAllAvailable() // replay of f2's batch (at-least-once)
+    writeFile("f3.json", Seq(ev(6, "UPDATE", 3, "c2"), ev(7, "INSERT", 4, "d1")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rs = DriverManager.getConnection(u).createStatement().executeQuery(
+      """SELECT "ID", "V" FROM "RST"."T" ORDER BY "ID"""")
+    val got = scala.collection.mutable.ListBuffer[(Long, String)]()
+    while (rs.next()) got += ((rs.getLong(1), rs.getString(2)))
+
+    // the recovered state must equal a single uninterrupted run: the
+    // batch-side materialization of the full event log is the oracle
+    val expected = CanalStream.materialize(
+        CanalStream.parse(spark.read.text(dir.toString).toDF("value")),
+        pkCols = Seq("id"), payload = Seq("v"))
+      .collect().map(r => (r.getString(0).toLong, r.getString(1))).sortBy(_._1)
+    assert(expected.toSeq == Seq((2L, "b2"), (3L, "c2"), (4L, "d1")))
+    assert(got.toSeq == expected.toSeq)
   }
 
   test("X5 config hot-swap between micro-batches routes new tables") {
