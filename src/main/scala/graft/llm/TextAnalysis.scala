@@ -107,4 +107,78 @@ object TextAnalysis {
   def ngramFrequencies(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
     df.select(explode(TextHashing.wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Benchmark decontamination: flag training documents that share any
+   * distinct word `n`-gram with the evaluation set (the GPT-3-style
+   * n-gram-overlap test — at real scale n is 8–13 so random collisions
+   * vanish and only genuine leakage matches). Plan shape for 100 TB: the
+   * eval set's distinct grams are TINY relative to the train corpus
+   * (benchmarks are thousands of docs, training sets billions), so they
+   * broadcast — the train side never shuffles, each scan task probes the
+   * broadcast gram set and only per-doc overlap counts reach the one small
+   * aggregation.
+   */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(TextHashing.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(TextHashing.wordShingles(col(textCol), n)).as("g"))
+    // wordShingles is per-doc distinct, so count(*) is the distinct-overlap count
+    val hits = trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Within-document repetition signals (Gopher-style quality filters):
+    * fraction of duplicated words / 2-grams / 3-grams, each
+    * `1 - distinct/total`. Pure per-row array expressions — scan speed at
+    * any scale; docs shorter than the gram width score 0. The gram arrays
+    * are STAGED as real columns first: each ratio references its array
+    * three times, and an inline higher-order-function subtree would be
+    * re-evaluated (interpreted) per reference — the same trap documented at
+    * [[Dedup.minhashSignature]]. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def rep(grams: Column): Column = {
+      val total = size(grams)
+      when(total > 0,
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / total, 6))
+        .otherwise(lit(0.0))
+    }
+    val t = col(textCol)
+    df.select(col(idCol),
+        TextHashing.words(t).as("__ws"),
+        TextHashing.wordNgrams(t, 2).as("__g2"),
+        TextHashing.wordNgrams(t, 3).as("__g3"))
+      .select(col(idCol),
+        rep(col("__ws")).as("rep_word"),
+        rep(col("__g2")).as("rep_2gram"),
+        rep(col("__g3")).as("rep_3gram"))
+  }
+
+  /**
+   * Sequence packing for training (concat-then-split): documents are laid
+   * out in deterministic `idCol` order within each `partitionCol` stream and
+   * split into fixed `budget`-token context windows; each document is
+   * labeled with its running `start_offset` and the `chunk_id` its first
+   * token lands in. One running-sum window per stream — at 100 TB packing
+   * runs per shard (`partitionCol` = source/shard), so no global sort or
+   * single-partition window exists in the plan.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, partitionCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(partitionCol),
+        tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("chunk_id", floor(col("start_offset") / lit(budget.toDouble)))
+  }
 }

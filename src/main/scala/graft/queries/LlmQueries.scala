@@ -18,7 +18,64 @@ object LlmQueries {
     simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
-    mmDecode, mmFrames, trainingPipeline)
+    mmDecode, mmFrames, trainingPipeline,
+    textDecontaminate, textRepetition, textPack)
+
+  /** Benchmark decontamination: train docs sharing any distinct word
+    * 5-gram with the eval set (doc_id % 50 == 0 plays the benchmark) are
+    * flagged — the GPT-3-style n-gram overlap test. The tiny eval gram set
+    * broadcasts; the train side never shuffles (see
+    * [[TextAnalysis.decontaminate]]). */
+  val textDecontaminate: QueryDef = QueryDef("text_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, list_distinct([list_reduce(ws[i:i+4], (a, b) -> a || ' ' || b)
+           |        for i in range(1, len(ws) - 3)]) AS gs FROM w),
+           |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
+           |hit AS (SELECT doc_id, count(*)::BIGINT AS n_overlap FROM tr JOIN ev USING (g) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+           |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+           |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin))
+
+  /** Within-document repetition ratios (duplicate word/2-gram/3-gram
+    * fractions) — Gopher-style quality filters, pure per-row expressions. */
+  val textRepetition: QueryDef = QueryDef("text_repetition",
+    (s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, ws,
+           |  [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS g2,
+           |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)] AS g3
+           |FROM w)
+           |SELECT doc_id,
+           |  CASE WHEN len(ws) > 0 THEN round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) ELSE 0.0 END AS rep_word,
+           |  CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6) ELSE 0.0 END AS rep_2gram,
+           |  CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) ELSE 0.0 END AS rep_3gram
+           |FROM g ORDER BY doc_id""".stripMargin))
+
+  /** Sequence packing (concat-then-split into 512-token context windows,
+    * one running-sum window per source shard — no global sort at scale). */
+  val textPack: QueryDef = QueryDef("text_pack",
+    (s, d) => TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, partitionCol = "source")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source,
+           |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens FROM documents),
+           |o AS (SELECT doc_id, source, n_tokens,
+           |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)::BIGINT AS start_offset
+           |  FROM t)
+           |SELECT doc_id, source, n_tokens, start_offset,
+           |  floor(start_offset / 512.0)::BIGINT AS chunk_id
+           |FROM o ORDER BY doc_id""".stripMargin))
 
   /** Video frame sampling: every 2nd frame index per video-kind row — a
     * generator expression (explode of a bounded sequence), no shuffle. */

@@ -28,8 +28,8 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("registry size matches the declared coverage (67 queries, all oracled)") {
-    assert(SparkEntry.queries.size == 67, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 67, s"got ${SparkEntry.oracleSql.size}")
+  test("registry size matches the declared coverage (70 queries, all oracled)") {
+    assert(SparkEntry.queries.size == 70, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 70, s"got ${SparkEntry.oracleSql.size}")
   }
 }

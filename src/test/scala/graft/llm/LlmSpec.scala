@@ -399,4 +399,53 @@ class LlmSpec extends AnyFunSuite {
     val expected = vids.map(r => (r.getInt(1) + 1) / 2).sum
     assert(frames.count() == expected)
   }
+
+  test("decontaminate flags only train docs sharing an n-gram with the eval set, with distinct-overlap counts") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares two distinct 3-grams with eval (overlapping window)
+      (1L, "x alpha beta gamma delta y"),
+      (2L, "totally unrelated words here only friend"),
+      (3L, "ab"), // shorter than the gram width: zero grams, never flagged
+      // repeats the same leaked 3-gram twice — still ONE distinct overlap
+      (4L, "alpha beta gamma pad alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, 0L, false),
+      (3L, 0L, false), (4L, 1L, true)))
+  }
+
+  test("repetitionSignals: duplicate word/ngram fractions, zero for sub-gram-width docs") {
+    val d = Seq(
+      (1L, "a a a a"),            // 1 distinct of 4 words; 2-grams all "a a"
+      (2L, "w x y z"),            // no repetition anywhere
+      (3L, "q")                   // single word: no 2/3-grams → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 0.75, 0.666667, 0.5))) // 1 - 1/3 rounded to 6 dp
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0)))
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
+  }
+
+  test("packSequences: per-stream running offsets, chunk = floor(start/budget), no cross-stream coupling") {
+    val d = Seq(
+      (1L, "w1 w2 w3", "s1"),       // 3 tokens, start 0, chunk 0
+      (2L, "w1 w2 w3 w4", "s1"),    // start 3, crosses into chunk 0 (budget 4: floor(3/4)=0)
+      (3L, "w1 w2", "s1"),          // start 7 → chunk 1
+      (4L, "w1 w2 w3 w4 w5", "s2")  // other stream starts fresh at 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packSequences(d, "doc_id", "text", budget = 4,
+        partitionCol = "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L),
+      (3L, 2L, 7L, 1L), (4L, 5L, 0L, 0L)))
+    // invariant: within a stream each doc starts where the previous ended
+    val s1 = out.filter(_._1 <= 3)
+    assert(s1.sliding(2).forall { case Array(a, b) => a._3 + a._2 == b._3 })
+  }
 }
