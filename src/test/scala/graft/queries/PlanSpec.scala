@@ -97,6 +97,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("text_decontaminate: eval grams broadcast; the train side never hash-shuffles before the overlap agg") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_repetition: per-row expression, no hash shuffle") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "repetition signals must be per-row only\n" + p)
+  }
+
+  test("text_pack: one window per source shard, no single-partition global sort") {
+    val p = plan("text_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing must stay per-shard — a global window would serialize at scale\n" + p)
+  }
+
+  test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("Join"), "the pair table must be read, not re-derived\n" + p)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted islands)") {
     val df = graft.SparkEntry.queries("agg_q1")(spark, sf)
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
