@@ -121,14 +121,23 @@ object TextAnalysis {
    */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int = 5): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(TextHashing.wordShingles(col(textCol), n)).as("g"))
-      .distinct()
-    val trainGrams = train.select(col(idCol),
-      explode(TextHashing.wordShingles(col(textCol), n)).as("g"))
+    val spark = train.sparkSession
+    import spark.implicits._
+    // gram expansion through the typed JIT kernel (bit-identical to the
+    // wordShingles expression, see TextHashing) — the interpreted
+    // higher-order-function form costs ~1 ms/row and dominates the operator
+    def grams(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextHashing.wordShinglesKernel(t, n).map(g => (id, g))
+      }
+      .toDF("id", "g")
+    val evalGrams = grams(evalDocs).select(col("g")).distinct()
     // wordShingles is per-doc distinct, so count(*) is the distinct-overlap count
-    val hits = trainGrams.join(broadcast(evalGrams), "g")
-      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    val hits = grams(train).join(broadcast(evalGrams), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .withColumnRenamed("id", idCol)
     train.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
@@ -138,28 +147,37 @@ object TextAnalysis {
 
   /** Within-document repetition signals (Gopher-style quality filters):
     * fraction of duplicated words / 2-grams / 3-grams, each
-    * `1 - distinct/total`. Pure per-row array expressions — scan speed at
-    * any scale; docs shorter than the gram width score 0. The gram arrays
-    * are STAGED as real columns first: each ratio references its array
-    * three times, and an inline higher-order-function subtree would be
-    * re-evaluated (interpreted) per reference — the same trap documented at
-    * [[Dedup.minhashSignature]]. */
+    * `1 - distinct/total`; docs shorter than the gram width score 0.
+    * Per-row work in one typed JIT kernel (split once, three hash-set
+    * distinct counts) — the array-expression form runs interpreted
+    * higher-order functions at ~1 ms/row; rounding is the HALF_UP replica
+    * of Spark/DuckDB `round(x, 6)` so all paths agree bit-for-bit. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def rep(grams: Column): Column = {
-      val total = size(grams)
-      when(total > 0,
-        round(lit(1.0) - size(array_distinct(grams)).cast("double") / total, 6))
-        .otherwise(lit(0.0))
-    }
-    val t = col(textCol)
-    df.select(col(idCol),
-        TextHashing.words(t).as("__ws"),
-        TextHashing.wordNgrams(t, 2).as("__g2"),
-        TextHashing.wordNgrams(t, 3).as("__g3"))
-      .select(col(idCol),
-        rep(col("__ws")).as("rep_word"),
-        rep(col("__g2")).as("rep_2gram"),
-        rep(col("__g3")).as("rep_3gram"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        def ratio(n: Int): Double = {
+          val total = ws.length - n + 1
+          if (total <= 0) 0.0
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i <= ws.length - n) {
+              val sb = new StringBuilder(ws(i))
+              var k = 1
+              while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+            Similarity.roundHalfUp(1.0 - seen.size.toDouble / total, 6)
+          }
+        }
+        (id, ratio(1), ratio(2), ratio(3))
+      }
+      .toDF(idCol, "rep_word", "rep_2gram", "rep_3gram")
   }
 
   /**
