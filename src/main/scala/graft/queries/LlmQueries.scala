@@ -292,10 +292,10 @@ object LlmQueries {
             |WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8
             |ORDER BY 1, 2""".stripMargin))
 
-  /** Exact word-3-gram Jaccard via inverted-index self-join at 0.6. */
+  /** Exact word-3-gram Jaccard via inverted-index self-join at 0.6,
+    * written once to the pair store ([[Materialized.ngramPairs]]). */
   val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, threshold = 0.6, materialize = true)
+    (s, d) => Materialized.ngramPairs(s, d)
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -310,10 +310,10 @@ object LlmQueries {
            |ORDER BY 1, 2""".stripMargin))
 
   /** SimHash(60-bit) pairs at hamming ≤ 3 via pigeonhole banding (exact —
-    * recall 1 by construction); oracle is the full-pair scan. */
+    * recall 1 by construction); oracle is the full-pair scan. Reads the
+    * written pair table ([[Materialized.simhashPairs]]). */
   val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
-    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 3, materialize = true)
+    (s, d) => Materialized.simhashPairs(s, d)
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in ws] AS hs

@@ -141,6 +141,22 @@ object Materialized {
         materialize = true)
     }
 
+  /** Exact word-3-gram Jaccard pair table at J ≥ 0.6 (inverted-index /
+    * PPJoin adaptive join) — `dedup_ngram_jaccard` reads it. */
+  def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "ngram_pairs", "n3_t060", sfDir, "documents") {
+      Dedup.ngramJaccard(Tables.documents(spark, sfDir), "doc_id", "text",
+        shingleN = 3, threshold = 0.6, materialize = true)
+    }
+
+  /** SimHash(60-bit) pair table at hamming ≤ 3 (pigeonhole banding,
+    * exact) — `dedup_simhash` reads it. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "simhash_pairs", "h3_b60", sfDir, "documents") {
+      Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        maxHamming = 3, materialize = true)
+    }
+
   /** Banded-LSH embedding near-dup pair table at the CONSUMED threshold
     * (cosine ≥ 0.45, banding recall 1 there — see
     * [[Dedup.embeddingNearDupLsh]]) — `dedup_embedding` reads it as-is.
