@@ -104,9 +104,17 @@ object TextAnalysis {
     * Feeds stop-shingle lists for the PPJoin prefix filter and
     * heavy-hitter corpus statistics; at 100 TB the shuffle carries only
     * (gram, partial count) pairs. */
-  def ngramFrequencies(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
-    df.select(explode(TextHashing.wordNgrams(col(textCol), n)).as("ngram"))
+  def ngramFrequencies(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed JIT gram expansion (bit-identical to the wordNgrams expression;
+    // the interpreted higher-order-function form costs ~0.5 ms/row)
+    df.select(col(textCol)).as[String]
+      .flatMap(t => if (t == null) Iterator.empty
+        else TextHashing.wordNgramsKernel(t, n).iterator)
+      .toDF("ngram")
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Benchmark decontamination: flag training documents that share any

@@ -122,6 +122,24 @@ object TextHashing {
     }
   }
 
+  /** Kernel replica of [[wordNgrams]] (all occurrences, NOT deduped). */
+  def wordNgramsKernel(text: String, n: Int): Array[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Array.empty
+    else {
+      val out = new Array[String](ws.length - n + 1)
+      var i = 0
+      while (i <= ws.length - n) {
+        val sb = new StringBuilder(ws(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Hex md5 of a string (band-key kernel, equals Spark/DuckDB `md5`). */
   def md5HexKernel(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
