@@ -89,6 +89,30 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram and simhash stored pair tables equal fresh computations") {
+    withTempStore { _ =>
+      val docs = Tables.documents(spark, TestSpark.sf)
+      val ngramStored = Materialized.ngramPairs(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // materialize=true + unpersist: release the intermediates the fresh
+      // runs would otherwise leave cached across the suite
+      val ngramDf = Dedup.ngramJaccard(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6, materialize = true)
+      val ngramFresh = ngramDf
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      ngramDf.unpersist(blocking = true)
+      assert(ngramStored == ngramFresh)
+      val simhashStored = Materialized.simhashPairs(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val simhashDf = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        materialize = true)
+      val simhashFresh = simhashDf
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      simhashDf.unpersist(blocking = true)
+      assert(simhashStored == simhashFresh)
+    }
+  }
+
   test("no persisted tables linger after materialization (storage replaces caching)") {
     withTempStore { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size
