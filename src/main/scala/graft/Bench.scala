@@ -50,18 +50,21 @@ object Bench {
       var failed = false
       while (run < Runs && !failed) {
         val t0 = System.nanoTime()
-        try fullyEvaluate(fn(spark, sfDir))
-        catch {
+        try {
+          fullyEvaluate(fn(spark, sfDir))
+          // successful runs only: a fail-fast exception's near-zero elapsed
+          // time must not become the reported median (phantom speedup)
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
           case t: Throwable =>
             errors(name) = t.toString.linesIterator.next().take(160)
             rc = 1
             failed = true
         }
-        times += (System.nanoTime() - t0) / 1e9
         run += 1
       }
-      val median = times.sorted.apply(times.size / 2)
-      if (times.head > 2 * median && times.head - median > 0.5)
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      if (times.nonEmpty && times.head > 2 * median && times.head - median > 0.5)
         cold(name) = times.head
       name -> median
     }
@@ -69,11 +72,15 @@ object Bench {
     // ordered JDBC apply into in-memory Derby (rows/s makes sync-path
     // regressions visible — batch queries never exercise this path). Also
     // median-of-Runs: each attempt is an independent Derby DB + input dir.
+    // locale-pinned decimal formatting: the f interpolator uses the JVM
+    // default locale, which would emit comma decimals (invalid JSON) on
+    // comma-decimal systems
+    def num3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val stream =
       try {
         val runs = (0 until Runs).map(_ => streamThroughput(spark)).sortBy(_._2)
         val (n, secs) = runs(runs.size / 2)
-        f""""stream":{"rows":$n,"secs":$secs%.3f,"rows_per_sec":${n / secs}%.0f},"""
+        s""""stream":{"rows":$n,"secs":${num3(secs)},"rows_per_sec":${(n / secs).round}},"""
       }
       catch {
         case t: Throwable =>
@@ -99,7 +106,7 @@ object Bench {
         .mkString(""""errors":{""", ",", "},")
     val coldJson =
       if (cold.isEmpty) ""
-      else cold.map { case (k, v) => f"${jsonStr(k)}:$v%.3f" }
+      else cold.map { case (k, v) => s"${jsonStr(k)}:${num3(v)}" }
         .mkString(""""cold_first_run":{""", ",", "},")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"timing_action":"xxhash64_agg","sf":"$sfDir"}""")

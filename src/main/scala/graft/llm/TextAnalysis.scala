@@ -137,8 +137,11 @@ object TextAnalysis {
     def grams(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
+      // null text yields no grams — same as the expression form and the
+      // oracle (unnest of a NULL list produces no rows)
       .flatMap { case (id, t) =>
-        TextHashing.wordShinglesKernel(t, n).map(g => (id, g))
+        if (t == null) Iterator.empty
+        else TextHashing.wordShinglesKernel(t, n).iterator.map(g => (id, g))
       }
       .toDF("id", "g")
     val evalGrams = grams(evalDocs).select(col("g")).distinct()
@@ -166,22 +169,14 @@ object TextAnalysis {
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val ws = t.split(" ", -1)
+        // null text scores 0 everywhere — parity with the expression form
+        // (size(null)=-1 fails the total>0 guard) and the SQL CASE
+        val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
         def ratio(n: Int): Double = {
-          val total = ws.length - n + 1
-          if (total <= 0) 0.0
-          else {
-            val seen = new java.util.HashSet[String]()
-            var i = 0
-            while (i <= ws.length - n) {
-              val sb = new StringBuilder(ws(i))
-              var k = 1
-              while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
-              seen.add(sb.toString)
-              i += 1
-            }
-            Similarity.roundHalfUp(1.0 - seen.size.toDouble / total, 6)
-          }
+          val grams = TextHashing.wordNgramsKernel(ws, n)
+          if (grams.isEmpty) 0.0
+          else Similarity.roundHalfUp(
+            1.0 - grams.toSet.size.toDouble / grams.length, 6)
         }
         (id, ratio(1), ratio(2), ratio(3))
       }

@@ -104,27 +104,14 @@ object TextHashing {
     sig
   }
 
-  /** Kernel replica of [[wordShingles]] (distinct word n-grams). */
-  def wordShinglesKernel(text: String, n: Int): Array[String] = {
-    val ws = text.split(" ", -1)
-    if (ws.length < n) Array.empty
-    else {
-      val out = new scala.collection.mutable.LinkedHashSet[String]
-      var i = 0
-      while (i <= ws.length - n) {
-        val sb = new StringBuilder(ws(i))
-        var kk = 1
-        while (kk < n) { sb.append(' ').append(ws(i + kk)); kk += 1 }
-        out += sb.toString
-        i += 1
-      }
-      out.toArray
-    }
-  }
+  /** Kernel replica of [[wordShingles]] (distinct word n-grams,
+    * first-occurrence order). */
+  def wordShinglesKernel(text: String, n: Int): Array[String] =
+    wordNgramsKernel(text, n).distinct
 
-  /** Kernel replica of [[wordNgrams]] (all occurrences, NOT deduped). */
-  def wordNgramsKernel(text: String, n: Int): Array[String] = {
-    val ws = text.split(" ", -1)
+  /** The single gram-building loop every kernel variant shares — one place
+    * to keep the split/join semantics bit-identical to the expression forms. */
+  def wordNgramsKernel(ws: Array[String], n: Int): Array[String] =
     if (ws.length < n) Array.empty
     else {
       val out = new Array[String](ws.length - n + 1)
@@ -138,7 +125,10 @@ object TextHashing {
       }
       out
     }
-  }
+
+  /** Kernel replica of [[wordNgrams]] (all occurrences, NOT deduped). */
+  def wordNgramsKernel(text: String, n: Int): Array[String] =
+    wordNgramsKernel(text.split(" ", -1), n)
 
   /** Hex md5 of a string (band-key kernel, equals Spark/DuckDB `md5`). */
   def md5HexKernel(s: String): String = {

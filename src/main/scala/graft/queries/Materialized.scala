@@ -94,6 +94,30 @@ object Materialized {
       } finally s.close()
     }
 
+  /** Staging leftovers older than this are fair game for the sweep below —
+    * age-gated so a live concurrent writer's staging dir is never touched. */
+  private val StaleTmpMs = 60L * 60 * 1000
+
+  /** Remove `<dest>.tmp-*` siblings abandoned by a writer killed between
+    * its parquet write and the atomic publish — otherwise each crash leaks
+    * a full-size staged copy of the table under the store root. */
+  private def sweepStaleTmp(dest: Path): Unit = {
+    val parent = dest.getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val prefix = dest.getFileName.toString + ".tmp-"
+      val cutoff = System.currentTimeMillis() - StaleTmpMs
+      val s = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: java.io.IOException => false })
+          .foreach(deleteRecursively)
+      } finally s.close()
+    }
+  }
+
   /** Atomically publish `tmp` as `dest`: rename wins or loses cleanly — if
     * another writer published first, keep theirs and drop ours. */
   private def publish(tmp: Path, dest: Path): Unit =
@@ -118,6 +142,7 @@ object Materialized {
       if (!Files.exists(dir.resolve("_SUCCESS"))) {
         buildsStarted.incrementAndGet()
         Files.createDirectories(dir.getParent)
+        sweepStaleTmp(dir)
         val tmp = dir.getParent.resolve(
           s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         val df = build
@@ -198,6 +223,7 @@ object Materialized {
         val stats = EmbeddingPairStats(row.getLong(0),
           Option(row.getAs[java.lang.Double]("m")).map(_.doubleValue))
         Files.createDirectories(file.getParent)
+        sweepStaleTmp(file)
         val tmp = file.getParent.resolve(
           s"${file.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         Files.writeString(tmp, renderStats(stats))

@@ -15,6 +15,11 @@ object ScaleCurveMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the curve measures the JOINS, not parquet reads: an isolated store
+    // root per run keeps the persistent pair store (shared default under
+    // java.io.tmpdir) from serving a previous run's tables
+    spark.conf.set("spark.graft.materialized.dir",
+      java.nio.file.Files.createTempDirectory("graft-scale-curve").toString)
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
@@ -23,7 +28,12 @@ object ScaleCurveMain {
       val nDocs = Tables.documents(spark, d).count()
       val nVecs = Tables.embeddings(spark, d).count()
       val (mh, tMh) = timed(Materialized.minhashPairs(spark, d).count())
-      val (emb, tEmb) = timed(Materialized.embeddingPairs(spark, d).count())
+      // the emb03 curve column is the LIVE t=0.3 banded join (the stored
+      // table moved to the consumed 0.45 threshold in round 5 — reading it
+      // here would silently change what this column has measured since r3)
+      val (emb, tEmb) = timed(Dedup.embeddingNearDupLsh(
+        Tables.embeddings(spark, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.3).count())
       val planted = LlmQueries.plantedEmbeddings(spark, d)
       val nPlanted = planted.count()
       val (cand90, tCand) = timed(Dedup.embeddingLshCandidates(

@@ -417,6 +417,18 @@ class LlmSpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, true)))
   }
 
+  test("null text: repetition scores 0 and decontamination yields no grams (oracle parity)") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert((1 to 3).forall(i => rep(0).getDouble(i) == 0.0))
+    val eval = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val dec = TextAnalysis.decontaminate(d, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(dec(0).getLong(1) == 0L && !dec(0).getBoolean(2)) // null doc: clean
+    assert(dec(1).getLong(1) == 1L && dec(1).getBoolean(2))
+  }
+
   test("repetitionSignals: duplicate word/ngram fractions, zero for sub-gram-width docs") {
     val d = Seq(
       (1L, "a a a a"),            // 1 distinct of 4 words; 2-grams all "a a"
