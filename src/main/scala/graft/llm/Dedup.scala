@@ -347,6 +347,27 @@ object Dedup {
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
   }
 
+  /**
+   * Canonical-member selection by score: given cluster labels
+   * ([[duplicateClusters]]) and a per-doc score, keep the highest-scoring
+   * member of each cluster (ties → min id) — what a real pipeline keeps
+   * after dedup (the best copy), rather than the arbitrary min-id member.
+   * One hash-agg argmax per cluster + a broadcast-size join back: the
+   * cluster table is docs-sized but the aggregate output is
+   * clusters-sized, so the second shuffle carries only (cluster, best_id).
+   */
+  def keepBestInCluster(clusters: DataFrame, scores: DataFrame,
+                        idCol: String, scoreCol: String): DataFrame = {
+    val joined = clusters.join(scores, idCol)
+    // max_by over (score, -id): max score, then min id — matches a
+    // `row_number() OVER (ORDER BY score DESC, id)` = 1 oracle
+    val best = joined.groupBy("cluster_id")
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("__best_id"))
+    joined.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        (col(idCol) === col("__best_id")).as("keep"))
+  }
+
   /** Deterministic content-hash train/test split (pipeline staple):
     * bucket = md5-60-bit(text) mod 100; < trainPct → train. */
   def trainTestSplit(docs: DataFrame, idCol: String, textCol: String,

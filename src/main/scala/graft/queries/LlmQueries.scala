@@ -19,7 +19,52 @@ object LlmQueries {
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, trainingPipeline,
-    textDecontaminate, textRepetition, textPack)
+    textDecontaminate, textRepetition, textPack, dedupBestInCluster)
+
+  /** Canonical selection by quality: keep each minhash cluster's
+    * highest-quality member (ties → min doc_id) — the production keep
+    * policy after dedup; shares the stored pair table. Oracle = recursive
+    * CTE clusters + the quality expression + a per-cluster row_number. */
+  val dedupBestInCluster: QueryDef = QueryDef("dedup_best_in_cluster",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.duplicateClusters(Materialized.minhashPairs(s, d),
+          docs.select(col("doc_id").as("id")))
+        .withColumnRenamed("id", "doc_id")
+      val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Dedup.keepBestInCluster(clusters, quality, "doc_id", "quality")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $docShingles3,
+            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b FROM p
+            |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+            |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+            |edges AS (SELECT id_a AS a, id_b AS b FROM j
+            |          UNION ALL SELECT id_b, id_a FROM j),
+            |r(id, lab) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
+            |c AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
+            |q AS (SELECT doc_id,
+            |  round(least(len(regexp_extract_all(text, '\\S+')) / 100.0, 1.0) * 0.5 +
+            |        (len(list_filter(string_split(text,' '), w1 -> w1 IN
+            |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+            |     'el','la','de','y','es','un','en','le','et','est','dans')))
+            |          / len(regexp_extract_all(text, '\\S+'))) * 0.3 +
+            |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
+            |        4) AS quality
+            |  FROM documents),
+            |b AS (SELECT c.doc_id, c.cluster_id, q.quality,
+            |      row_number() OVER (PARTITION BY c.cluster_id
+            |                         ORDER BY q.quality DESC, c.doc_id) AS rn
+            |      FROM c JOIN q USING (doc_id))
+            |SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM b
+            |ORDER BY doc_id""".stripMargin))
 
   /** Benchmark decontamination: train docs sharing any distinct word
     * 5-gram with the eval set (doc_id % 50 == 0 plays the benchmark) are
@@ -258,7 +303,9 @@ object LlmQueries {
          |ORDER BY centroid_id, dim""".stripMargin
     })
 
-  private val docShingles3 =
+  // def, not val: referenced by queries declared ABOVE this point — a val
+  // would interpolate as null during object initialization
+  private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |        for i in range(1, len(ws) - 1)]) AS shs FROM w)""".stripMargin

@@ -417,6 +417,18 @@ class LlmSpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, true)))
   }
 
+  test("keepBestInCluster keeps the max-score member, ties broken by min id; singletons always keep") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.keepBestInCluster(clusters, scores, "doc_id", "quality")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    // 2 and 3 tie at 0.9 → min id 2 kept; min-id member 1 loses on score
+    assert(out.toSeq == Seq((1L, false), (2L, true), (3L, false), (9L, true)))
+  }
+
   test("null text: repetition scores 0 and decontamination yields no grams (oracle parity)") {
     val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
     val rep = TextAnalysis.repetitionSignals(d, "doc_id", "text")
