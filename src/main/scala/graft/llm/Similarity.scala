@@ -281,6 +281,33 @@ object Similarity {
           .otherwise(round(x / scale * 127.0, 0).cast("long"))).as("q"))
   }
 
+  /** Typed-kernel form of the [[quantizeInt8]] summary (per-vector scale +
+    * integer checksums of the quantized components) — bit-identical to the
+    * expression path (same widening, same HALF_UP rounding; property-tested
+    * in LlmSpec) with the five interpreted per-element lambda folds replaced
+    * by one JIT'd loop per row. */
+  def quantizeChecksums(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var scale = Double.NegativeInfinity
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i)); if (a > scale) scale = a; i += 1 }
+        var qSum = 0L; var qL1 = 0L
+        if (scale != 0.0) {
+          i = 0
+          while (i < v.length) {
+            val q = roundHalfUp(v(i) / scale * 127.0, 0).toLong
+            qSum += q; qL1 += math.abs(q); i += 1
+          }
+        }
+        (id, roundHalfUp(scale, 6), qSum, qL1)
+      }
+      .toDF(idCol, "scale", "q_sum", "q_l1")
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -167,18 +167,14 @@ object LlmQueries {
 
   /** Int8 embedding quantization (ANN index storage shrink). Gated through
     * integer checksums (sum and L1 of the quantized components — exact,
-    * associative, engine-portable) plus the round-6 scale. */
+    * associative, engine-portable) plus the round-6 scale. Runs through the
+    * typed kernel ([[Similarity.quantizeChecksums]], bit-identical to the
+    * [[Similarity.quantizeInt8]] expression — LlmSpec property); the
+    * expression form's five interpreted lambda folds per row made this the
+    * costliest per-row query on the board. */
   val simQuantize: QueryDef = QueryDef("sim_quantize",
-    (s, d) => {
-      val q = Similarity.quantizeInt8(
-        transform(col("embedding"), x => x.cast("double")))
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), q.as("qz"))
-        .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
-          aggregate(col("qz.q"), lit(0L), (a, x) => a + x).as("q_sum"),
-          aggregate(col("qz.q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
-        .orderBy("vec_id")
-    },
+    (s, d) => Similarity.quantizeChecksums(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("vec_id"),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |q AS (SELECT vec_id,
            |    list_max([abs(x) for x in v]) AS scale,

@@ -417,6 +417,19 @@ class LlmSpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, true)))
   }
 
+  test("quantizeChecksums kernel is bit-identical to the quantizeInt8 expression form") {
+    val emb = graft.queries.Tables.embeddings(spark, graft.TestSpark.sf)
+    val q = Similarity.quantizeInt8(transform(col("embedding"), x => x.cast("double")))
+    val expr = emb.select(col("vec_id"), q.as("qz"))
+      .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+        aggregate(col("qz.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("qz.q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val kern = Similarity.quantizeChecksums(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(kern == expr)
+  }
+
   test("keepBestInCluster keeps the max-score member, ties broken by min id; singletons always keep") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
