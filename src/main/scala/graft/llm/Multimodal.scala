@@ -112,4 +112,23 @@ object Multimodal {
     media.where(col("kind") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize stage for image/video rows: fit into a `box`×`box` bounding box
+    * preserving aspect ratio, never upscaling (`max(1, ⌊dim·box/maxdim⌋)`).
+    * The pixel work belongs to the stubbed decode step; THIS is the real
+    * planning arithmetic a resize stage runs at scale — pure per-row integer
+    * expressions (no shuffle), emitting target dims and the RGB byte volume
+    * the resized media will occupy (the number that sizes the output
+    * dataset and downstream `maxPartitionBytes`). */
+  def resizeMeta(media: DataFrame, box: Int = 256): DataFrame = {
+    val w = col("meta.width").cast(LongType)
+    val h = col("meta.height").cast(LongType)
+    val m = greatest(w, h)
+    def fit(d: org.apache.spark.sql.Column) =
+      when(m <= box, d).otherwise(greatest(floor(d * box / m), lit(1L)))
+    media.where(col("kind") =!= "audio")
+      .select(col("media_id"), col("kind"), w.as("width"), h.as("height"),
+        fit(w).as("out_width"), fit(h).as("out_height"),
+        (fit(w) * fit(h) * 3).as("out_bytes"))
+  }
 }

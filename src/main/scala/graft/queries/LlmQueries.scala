@@ -18,8 +18,29 @@ object LlmQueries {
     simTopK, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
-    mmDecode, mmFrames, trainingPipeline,
+    mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster)
+
+  /** Resize planning for image/video media: fit-to-256 box, aspect
+    * preserved, no upscale — per-row integer arithmetic, fully oracled. */
+  val mmResize: QueryDef = QueryDef("mm_resize",
+    (s, d) => Multimodal.resizeMeta(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), box = 256)
+      .orderBy("media_id"),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |  (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+           |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS w,
+           |  (octet_length(encode(text)) * 7 % 480 + 1)::BIGINT AS h
+           |FROM documents),
+           |r AS (SELECT media_id, kind, w, h,
+           |  CASE WHEN greatest(w, h) <= 256 THEN w
+           |       ELSE greatest(floor(w * 256.0 / greatest(w, h))::BIGINT, 1) END AS ow,
+           |  CASE WHEN greatest(w, h) <= 256 THEN h
+           |       ELSE greatest(floor(h * 256.0 / greatest(w, h))::BIGINT, 1) END AS oh
+           |FROM m WHERE kind <> 'audio')
+           |SELECT media_id, kind, w AS width, h AS height,
+           |  ow AS out_width, oh AS out_height, ow * oh * 3 AS out_bytes
+           |FROM r ORDER BY media_id""".stripMargin))
 
   /** Canonical selection by quality: keep each minhash cluster's
     * highest-quality member (ties → min doc_id) — the production keep

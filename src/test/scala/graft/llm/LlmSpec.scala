@@ -400,6 +400,21 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
+  test("resizeMeta fits into the box preserving aspect, never upscales, skips audio") {
+    // widths/heights via asMedia are byte_len-derived; craft texts whose
+    // lengths produce a small image (no resize) and an oversized video
+    val docs2 = Seq((0L, "x" * 100), (2L, "y" * 500)).toDF("doc_id", "text")
+    val out = Multimodal.resizeMeta(Multimodal.asMedia(docs2, "doc_id", "text"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc 0: image 101×221 — within 256 box, unchanged
+    assert(out(0) == ((0L, 101L, 221L, 101L, 221L, 101L * 221 * 3)))
+    // doc 2: video 501×141 → scale by 256/501: (256, 72)
+    val (ow, oh) = (math.floor(501.0 * 256 / 501).toLong, math.floor(141.0 * 256 / 501).toLong)
+    assert(out(1) == ((2L, 501L, 141L, ow, oh, ow * oh * 3)))
+    assert(out.forall(r => math.max(r._4, r._5) <= 256 || math.max(r._2, r._3) <= 256))
+  }
+
   test("decontaminate flags only train docs sharing an n-gram with the eval set, with distinct-overlap counts") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
