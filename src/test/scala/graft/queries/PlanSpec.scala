@@ -83,8 +83,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "centroids must broadcast\n" + p)
   }
 
-  test("per-row ops (quantize, unpivot) shuffle only for presentation ordering") {
-    Seq("sim_quantize", "unpivot_lineitem").foreach { q =>
+  test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
+    Seq("sim_quantize", "unpivot_lineitem", "mm_resize").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q must not hash-shuffle — per-row expressions only\n$p")
