@@ -352,20 +352,21 @@ object Dedup {
    * ([[duplicateClusters]]) and a per-doc score, keep the highest-scoring
    * member of each cluster (ties → min id) — what a real pipeline keeps
    * after dedup (the best copy), rather than the arbitrary min-id member.
-   * One hash-agg argmax per cluster + a broadcast-size join back: the
-   * cluster table is docs-sized but the aggregate output is
-   * clusters-sized, so the second shuffle carries only (cluster, best_id).
+   * One shuffle, one pass: a per-cluster `row_number` window over
+   * (score desc, id asc) — generic over any orderable id type (a
+   * `max_by(struct(score, -id))` formulation would silently break the
+   * min-id tie guarantee on string ids) and the score input is evaluated
+   * exactly once (an argmax-then-join-back shape re-runs the score
+   * lineage on both branches). Cluster partitions are dup-group-sized, so
+   * the window sort is tiny at any corpus scale.
    */
   def keepBestInCluster(clusters: DataFrame, scores: DataFrame,
                         idCol: String, scoreCol: String): DataFrame = {
-    val joined = clusters.join(scores, idCol)
-    // max_by over (score, -id): max score, then min id — matches a
-    // `row_number() OVER (ORDER BY score DESC, id)` = 1 oracle
-    val best = joined.groupBy("cluster_id")
-      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("__best_id"))
-    joined.join(best, "cluster_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scores, idCol)
       .select(col(idCol), col("cluster_id"), col(scoreCol),
-        (col(idCol) === col("__best_id")).as("keep"))
+        (row_number().over(w) === 1).as("keep"))
   }
 
   /** Deterministic content-hash train/test split (pipeline staple):

@@ -292,18 +292,27 @@ object Similarity {
     emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        var scale = Double.NegativeInfinity
-        var i = 0
-        while (i < v.length) { val a = math.abs(v(i)); if (a > scale) scale = a; i += 1 }
-        var qSum = 0L; var qL1 = 0L
-        if (scale != 0.0) {
-          i = 0
-          while (i < v.length) {
-            val q = roundHalfUp(v(i) / scale * 127.0, 0).toLong
-            qSum += q; qL1 += math.abs(q); i += 1
+        // null/empty parity with the expression path: array_max over a
+        // null/empty array is null (aggregates over it are the 0 seed)
+        if (v == null || v.isEmpty) (id, Option.empty[Double], 0L, 0L)
+        else {
+          var scale = 0.0
+          var i = 0
+          while (i < v.length) { val a = math.abs(v(i)); if (a > scale) scale = a; i += 1 }
+          // the expression path degrades silently on NaN (non-ANSI NaN→long
+          // casts); a vector that broken should fail the job loudly instead
+          require(!scale.isNaN && (0 until v.length).forall(j => !v(j).isNaN),
+            s"NaN component in vector $id")
+          var qSum = 0L; var qL1 = 0L
+          if (scale != 0.0) {
+            i = 0
+            while (i < v.length) {
+              val q = roundHalfUp(v(i) / scale * 127.0, 0).toLong
+              qSum += q; qL1 += math.abs(q); i += 1
+            }
           }
+          (id, Some(roundHalfUp(scale, 6)), qSum, qL1)
         }
-        (id, roundHalfUp(scale, 6), qSum, qL1)
       }
       .toDF(idCol, "scale", "q_sum", "q_l1")
   }

@@ -58,27 +58,9 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $docShingles3,
-            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-            |j AS (SELECT id_a, id_b FROM p
-            |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
-            |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
-            |edges AS (SELECT id_a AS a, id_b AS b FROM j
-            |          UNION ALL SELECT id_b, id_a FROM j),
-            |r(id, lab) AS (
-            |  SELECT doc_id, doc_id FROM documents
-            |  UNION
-            |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
-            |c AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
+            |$clusterClosureSql,
             |q AS (SELECT doc_id,
-            |  round(least(len(regexp_extract_all(text, '\\S+')) / 100.0, 1.0) * 0.5 +
-            |        (len(list_filter(string_split(text,' '), w1 -> w1 IN
-            |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
-            |     'el','la','de','y','es','un','en','le','et','est','dans')))
-            |          / len(regexp_extract_all(text, '\\S+'))) * 0.3 +
-            |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
-            |        4) AS quality
+            |  $qualityExprSql AS quality
             |  FROM documents),
             |b AS (SELECT c.doc_id, c.cluster_id, q.quality,
             |      row_number() OVER (PARTITION BY c.cluster_id
@@ -320,12 +302,44 @@ object LlmQueries {
          |ORDER BY centroid_id, dim""".stripMargin
     })
 
-  // def, not val: referenced by queries declared ABOVE this point — a val
+  // defs, not vals: referenced by queries declared ABOVE this point — a val
   // would interpolate as null during object initialization
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |        for i in range(1, len(ws) - 1)]) AS shs FROM w)""".stripMargin
+
+  /** The minhash-cluster closure over [[docShingles3]]'s `sh` (exact-Jaccard
+    * edges at 0.8 → recursive reachability → min-label), ending in CTE
+    * `c(doc_id, cluster_id)` — shared by every cluster-consuming oracle so a
+    * threshold edit cannot silently diverge between them. */
+  private def clusterClosureSql =
+    """ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b FROM p
+      |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
+      |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM j
+      |          UNION ALL SELECT id_b, id_a FROM j),
+      |r(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
+      |c AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id)""".stripMargin
+
+  /** The composite quality score expression (same text in the `text_quality`
+    * oracle, the pipeline oracle, and the best-in-cluster oracle). Plain
+    * triple-quoted (single backslashes) — interpolation passes values
+    * through unprocessed, so hosts embed it safely from `s"..."` strings. */
+  private def qualityExprSql =
+    """round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
+      |        (len(list_filter(string_split(text,' '), w1 -> w1 IN
+      |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+      |     'el','la','de','y','es','un','en','le','et','est','dans')))
+      |          / len(regexp_extract_all(text, '\S+'))) * 0.3 +
+      |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
+      |        4)""".stripMargin
 
   val dedupExact: QueryDef = QueryDef("dedup_exact",
     (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
@@ -513,20 +527,8 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $docShingles3,
-            |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-            |j AS (SELECT id_a, id_b FROM p
-            |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
-            |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
-            |edges AS (SELECT id_a AS a, id_b AS b FROM j
-            |          UNION ALL SELECT id_b, id_a FROM j),
-            |r(id, lab) AS (
-            |  SELECT doc_id, doc_id FROM documents
-            |  UNION
-            |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id)
-            |SELECT id AS doc_id, min(lab) AS cluster_id FROM r
-            |GROUP BY id ORDER BY doc_id""".stripMargin))
+            |$clusterClosureSql
+            |SELECT doc_id, cluster_id FROM c ORDER BY doc_id""".stripMargin))
 
   /** Deterministic content-hash train/test split. */
   val textSplit: QueryDef = QueryDef("text_split",
@@ -606,53 +608,32 @@ object LlmQueries {
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE
-           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-           |        for i in range(1, len(ws) - 1)]) AS shs FROM w),
-           |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |j AS (SELECT id_a, id_b FROM p
-           |      JOIN sh x ON p.id_a = x.doc_id JOIN sh y ON p.id_b = y.doc_id
-           |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
-           |edges AS (SELECT id_a AS a, id_b AS b FROM j
-           |          UNION ALL SELECT id_b, id_a FROM j),
-           |r(id, lab) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
-           |clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
-           |feat AS (SELECT doc_id,
-           |  CASE WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
-           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
-           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
-           |       THEN 'en'
-           |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
-           |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
-           |       THEN 'de'
-           |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
-           |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
-           |       THEN 'es' ELSE 'fr' END AS lang_pred,
-           |  round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
-           |        (len(list_filter(string_split(text,' '), w1 -> w1 IN
-           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
-           |     'el','la','de','y','es','un','en','le','et','est','dans')))
-           |          / len(regexp_extract_all(text, '\S+'))) * 0.3 +
-           |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
-           |        4) AS quality,
-           |  CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80
-           |       THEN 'train' ELSE 'test' END AS split
-           |FROM documents)
-           |SELECT f.doc_id, f.lang_pred, f.quality, f.split
-           |FROM feat f JOIN clusters c ON f.doc_id = c.doc_id
-           |WHERE f.quality >= 0.45 AND f.doc_id = c.cluster_id
-           |ORDER BY f.doc_id""".stripMargin))
+    Some(s"""WITH RECURSIVE $docShingles3,
+            |$clusterClosureSql,
+            |feat AS (SELECT doc_id,
+            |  CASE WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+            |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+            |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('the','a','of','and','to','in','is','it')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+            |       THEN 'en'
+            |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+            |       AND len(list_filter(string_split(text,' '), w1 -> w1 IN ('der','die','das','und','ist','ein','zu')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+            |       THEN 'de'
+            |       WHEN len(list_filter(string_split(text,' '), w1 -> w1 IN ('el','la','de','y','es','un','en')))
+            |            >= len(list_filter(string_split(text,' '), w1 -> w1 IN ('le','la','de','et','est','un','dans')))
+            |       THEN 'es' ELSE 'fr' END AS lang_pred,
+            |  $qualityExprSql AS quality,
+            |  CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80
+            |       THEN 'train' ELSE 'test' END AS split
+            |FROM documents)
+            |SELECT f.doc_id, f.lang_pred, f.quality, f.split
+            |FROM feat f JOIN c ON f.doc_id = c.doc_id
+            |WHERE f.quality >= 0.45 AND f.doc_id = c.cluster_id
+            |ORDER BY f.doc_id""".stripMargin))
 
   val textLangid: QueryDef = QueryDef("text_langid",
     (s, d) => {
