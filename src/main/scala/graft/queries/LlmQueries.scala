@@ -659,23 +659,17 @@ object LlmQueries {
   val textQuality: QueryDef = QueryDef("text_quality",
     (s, d) => TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-           |  length(text)::BIGINT AS n_chars,
-           |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
-           |  round(length(text) / len(regexp_extract_all(text, '\S+')), 4) AS avg_word_len,
-           |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
-           |  round(len(list_filter(string_split(text,' '), w -> w IN
-           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
-           |     'el','la','de','y','es','un','en','le','et','est','dans')))
-           |    / len(regexp_extract_all(text, '\S+')), 4) AS stopword_ratio,
-           |  round(least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.5 +
-           |        (len(list_filter(string_split(text,' '), w -> w IN
-           |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
-           |     'el','la','de','y','es','un','en','le','et','est','dans')))
-           |          / len(regexp_extract_all(text, '\S+'))) * 0.3 +
-           |        (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text)) * 0.2,
-           |        4) AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin))
+    Some(s"""SELECT doc_id,
+            |  length(text)::BIGINT AS n_chars,
+            |  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+            |  round(length(text) / len(regexp_extract_all(text, '\\S+')), 4) AS avg_word_len,
+            |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
+            |  round(len(list_filter(string_split(text,' '), w1 -> w1 IN
+            |    ('the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','zu',
+            |     'el','la','de','y','es','un','en','le','et','est','dans')))
+            |    / len(regexp_extract_all(text, '\\S+')), 4) AS stopword_ratio,
+            |  $qualityExprSql AS quality
+            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val textTokens: QueryDef = QueryDef("text_tokens",
     (s, d) => {
