@@ -26,7 +26,60 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(aggQ1, aggDistinct, aggRollup, aggCube, pivotEvents,
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
     scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct,
-    windowLag, joinRange, joinAsof, aggPercentile, unpivotLineitem)
+    windowLag, joinRange, joinAsof, aggPercentile, unpivotLineitem,
+    funnelEvents, jsonFuncs)
+
+  /** Multi-stage conversion funnel with per-stage windows (view → click
+    * within 24 h → purchase within 72 h), each stage the user's FIRST
+    * qualifying event after the previous stage. Every aggregation and join
+    * keys on `user_id`, so after the first exchange the whole funnel is
+    * co-partitioned — one shuffle end-to-end regardless of stage count. */
+  val funnelEvents: QueryDef = QueryDef("funnel_events",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + col("t_click").isNotNull.cast("int") +
+            col("t_purchase").isNotNull.cast("int")).cast("long").as("stage"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           |          WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, min(e.ts) AS t_click
+           |      FROM events e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+           |        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+           |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           |      FROM events e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           |        AND e.ts <= c.t_click + INTERVAL 72 HOUR GROUP BY 1)
+           |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           |  (1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT)::BIGINT AS stage
+           |FROM v LEFT JOIN c ON v.user_id = c.user_id
+           |       LEFT JOIN p ON v.user_id = p.user_id
+           |ORDER BY v.user_id""".stripMargin))
+
+  /** JSON scalar extraction over the `props` payload column (the §2.3
+    * json-function category) — per-row, codegen'd, no shuffle. */
+  val jsonFuncs: QueryDef = QueryDef("json_funcs",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k,
+           |  json_extract_string(props, '$.k') AS k_str
+           |FROM events ORDER BY event_id""".stripMargin))
 
   /** Exact percentiles (median/p95, linear interpolation) per group — the
     * distributed exact form sorts only within each group's aggregation
