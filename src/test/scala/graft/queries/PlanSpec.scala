@@ -122,6 +122,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the pair table must be read, not re-derived\n" + p)
   }
 
+  test("funnel_events: every hash exchange keys on user_id (stages co-partitioned)") {
+    val p = plan("funnel_events")
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(_.contains("user_id")),
+      "a funnel stage shuffled on something other than the funnel key\n" + p)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted islands)") {
     val df = graft.SparkEntry.queries("agg_q1")(spark, sf)
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
