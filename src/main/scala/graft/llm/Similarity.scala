@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
  *    then search only same-bucket candidates. Hyperplanes are derived from a
  *    deterministic integer formula, so buckets are reproducible across runs
  *    and engines (no RNG state to ship).
- *  - [[ivfAssign]] — IVF-style coarse quantization given a centroid table:
- *    cross join against broadcast centroids, argmin distance; the scale path
- *    for repeated query workloads.
+ *  - [[ivfAssign]] / [[ivfIndexRows]] / [[ivfSearch]] — IVF coarse
+ *    quantization: assignment resolves at BUILD time into a stored,
+ *    cell-partitioned index (`graft.queries.Materialized.ivfIndex`); a
+ *    search reads only the probed cells' files via partition pruning — the
+ *    scale path for repeated query workloads.
  */
 /** Typed row for the JIT-compiled pair kernels (top-level for Encoder derivation). */
 final case class VecRow(id: Long, v: Array[Double], norm: Double)
+
+/** One stored IVF index row: the vector co-located with its cell plus the
+  * build-time stats search needs (top-level for Encoder derivation). */
+final case class IvfRow(id: Long, centroid_id: Long, dist: Double,
+                        norm: Double, v: Array[Double])
 
 object Similarity {
 
@@ -195,14 +202,17 @@ object Similarity {
   }
 
   /**
-   * IVF probed-cell search — the reason the coarse index exists: find the
-   * `nprobe` centroids nearest the query (driver-side; the centroid table
-   * is tiny and broadcast anyway), then compute cosine ONLY over vectors
-   * assigned to those cells. The scan shrinks by ~nprobe/n_centroids while
-   * the plan stays scan → broadcast-join on cell → TakeOrderedAndProject
-   * (k rows to the driver, no data shuffle).
+   * IVF probed-cell search over a STORED index ([[ivfIndexRows]] written
+   * partitioned by `centroid_id` — see `graft.queries.Materialized.ivfIndex`):
+   * find the `nprobe` centroids nearest the query (driver-side; the centroid
+   * table is tiny and collected anyway for the probe), then compute cosine
+   * ONLY over the probed cells. Because cell membership was resolved at
+   * BUILD time and `centroid_id` is a storage partition key, the filter is a
+   * partition-pruning predicate — a search reads only the probed cells'
+   * files, O(probed cells) not O(corpus), and the plan is a pruned scan →
+   * TakeOrderedAndProject (k rows to the driver, no join, no shuffle).
    */
-  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+  def ivfSearch(index: DataFrame, centroids: DataFrame,
                 queryVec: Seq[Double], k: Int, nprobe: Int,
                 excludeId: Option[Long] = None): DataFrame = {
     val q = queryVec.toArray
@@ -214,18 +224,53 @@ object Similarity {
         while (i < v.length) { val dx = v(i) - q(i); s += dx * dx; i += 1 }
         (cid, s)
       }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
-    val cells = ivfAssign(emb, idCol, vecCol, centroids)
-      .where(col("centroid_id").isin(probed: _*))
-      .select(col("id"), col("centroid_id").as("cell"))
     val qn = math.sqrt(q.map(x => x * x).sum)
     val qc = typedLit(queryVec)
-    val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val e1 = excludeId.map(x => e.where(col("id") =!= x)).getOrElse(e)
-    e1.join(cells, "id")
-      .select(col("id"), col("cell"),
-        cosine(col("v"), qc, norm(col("v")), lit(qn)).as("cosine"))
+    val base = index.where(col("centroid_id").isin(probed: _*))
+    val e1 = excludeId.map(x => base.where(col("id") =!= x)).getOrElse(base)
+    e1.select(col("id"), col("centroid_id").cast("long").as("cell"),
+        cosine(col("v"), qc, col("norm"), lit(qn)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
+  }
+
+  /**
+   * Build rows of the stored IVF index: every vector co-located with its
+   * nearest-centroid cell, plus the stats search consumes (`norm`) and the
+   * build diagnostic (`dist`, rounded 6 dp). One typed JIT kernel per row —
+   * the k×dims centroid matrix is collected once (tiny by construction) and
+   * broadcast, so assignment is a shuffle-free scan at any corpus size.
+   * Bit-identical to the [[ivfAssign]] expression path (same sequential IEEE
+   * distance order, same (dist, centroid_id) tie-break, same HALF_UP
+   * rounding; property-tested in LlmSpec).
+   */
+  def ivfIndexRows(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfIndexRows: empty centroid table")
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var bestId = cs(0)._1
+        var best = Double.PositiveInfinity
+        var j = 0
+        while (j < cs.length) {
+          val cv = cs(j)._2
+          var s = 0.0; var i = 0
+          while (i < v.length) { val dx = v(i) - cv(i); s += dx * dx; i += 1 }
+          // strict < over centroid_id-ascending order = min_by struct(dist, centroid_id)
+          if (s < best) { best = s; bestId = cs(j)._1 }
+          j += 1
+        }
+        IvfRow(id, bestId, roundHalfUp(best, 6), math.sqrt(dotKernel(v, v)), v)
+      }
+      .toDF()
   }
 
   /**
@@ -246,7 +291,17 @@ object Similarity {
    * components, dim 0-based, rounded to 6 dp.
    */
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int): DataFrame = {
+               k: Int, iters: Int): DataFrame =
+    ivfTrainCentroids(emb, idCol, vecCol, k, iters)
+      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "mval")))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        round(col("mval"), 6).as("m"))
+
+  /** [[ivfTrain]]'s centroids in wide form `(centroid_id, vec)`, UNROUNDED —
+    * the table the stored index is built against (assignment must use the
+    * exact trained values, not the 6-dp presentation rounding). */
+  def ivfTrainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
     var cents = emb.where(col(idCol) < k)
       .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec"))
@@ -261,9 +316,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
         .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("vec"))
     }
-    cents.select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "mval")))
-      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
-        round(col("mval"), 6).as("m"))
+    cents
   }
 
   /**

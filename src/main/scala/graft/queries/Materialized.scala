@@ -134,7 +134,8 @@ object Materialized {
     * unpersisted after the write (no-op if it wasn't cached), so builders
     * may hand back their eagerly-cached form. */
   private def parquetBacked(spark: SparkSession, kind: String, config: String,
-                            sfDir: String, inputTable: String)
+                            sfDir: String, inputTable: String,
+                            partitionCols: Seq[String] = Nil)
                            (build: => DataFrame): DataFrame = {
     val dir = storeRoot(spark).resolve(s"v$FormatVersion")
       .resolve(s"${kind}_${corpusFingerprint(sfDir, inputTable)}_$config")
@@ -146,7 +147,9 @@ object Materialized {
         val tmp = dir.getParent.resolve(
           s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         val df = build
-        df.write.mode("overwrite").parquet(tmp.toString)
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp.toString)
         df.unpersist()
         publish(tmp, dir)
       }
@@ -195,6 +198,42 @@ object Materialized {
       Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sfDir),
         "vec_id", "embedding", dims = 64, threshold = 0.45)
     }
+
+  /** The two stored tables of an IVF index: `assignment` is
+    * `(id, centroid_id, dist, norm, v)` PARTITIONED BY `centroid_id`
+    * (searches prune to the probed cells' files); `centroids` is the
+    * trained `(centroid_id, vec)` sidecar, unrounded. */
+  final case class IvfIndex(assignment: DataFrame, centroids: DataFrame)
+
+  /**
+   * Stored IVF index over `embeddings`: k-means centroids trained ONCE
+   * ([[graft.llm.Similarity.ivfTrainCentroids]], the expensive Lloyd
+   * iterations), then every vector written into its cell —
+   * `partitionBy(centroid_id)`, so the directory layout IS the inverted
+   * file and a probed-cell search scans only `nprobe/k` of the corpus via
+   * partition pruning. Keyed like every other store entry (corpus
+   * fingerprint + (k, iters) config): a regenerated corpus or changed
+   * config builds a fresh index instead of serving a stale one.
+   */
+  def ivfIndex(spark: SparkSession, sfDir: String,
+               k: Int = 8, iters: Int = 2): IvfIndex = {
+    val cfg = s"k${k}_i$iters"
+    val cents = parquetBacked(spark, "ivf_centroids", cfg, sfDir, "embeddings") {
+      graft.llm.Similarity.ivfTrainCentroids(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k, iters)
+    }
+    val assignment = parquetBacked(spark, "ivf_index", cfg, sfDir, "embeddings",
+        partitionCols = Seq("centroid_id")) {
+      graft.llm.Similarity.ivfIndexRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", cents)
+    }
+    // the partition column round-trips through directory names (inferred
+    // int) — restore the build-time long type and column order for consumers
+    IvfIndex(
+      assignment.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("dist"), col("norm"), col("v")),
+      cents)
+  }
 
   /** Pair-table summary at the ANN search threshold (cosine ≥ 0.3).
     * `minCosine` is None on a corpus with no pairs ≥ 0.3. */

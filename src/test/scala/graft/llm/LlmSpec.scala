@@ -269,20 +269,38 @@ class LlmSpec extends AnyFunSuite {
     val cents = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
     val qv = emb.where(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
       .head().getSeq[Double](0)
-    val all = Similarity.ivfSearch(emb, "vec_id", "embedding", cents, qv,
+    val all = Similarity.ivfSearch(index, cents, qv,
         k = 5, nprobe = 4, excludeId = Some(0L))
       .select("id", "cosine").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val global = Similarity.topK(emb, "vec_id", "embedding", qv, k = 5, excludeId = Some(0L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(all == global) // probing every cell degenerates to exact search
-    val one = Similarity.ivfSearch(emb, "vec_id", "embedding", cents, qv,
+    val one = Similarity.ivfSearch(index, cents, qv,
       k = 5, nprobe = 1, excludeId = Some(0L))
     val cellOf = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one.collect().forall(_.getLong(1) == cellOf(0L)))
+  }
+
+  test("ivfIndexRows: typed build kernel is bit-identical to the ivfAssign expression path") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val expr = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val kernel = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select("id", "centroid_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(kernel == expr)
+    // norm column matches the vecRows staging norm bit-for-bit
+    val normsIdx = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select("id", "norm").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val normsVec = Similarity.vecRows(emb, "vec_id", "embedding")
+      .collect().map(r => r.id -> r.norm).toMap
+    assert(normsIdx == normsVec)
   }
 
   test("ivfTrain: Lloyd iterations do not increase the k-means objective") {

@@ -113,6 +113,40 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf index: centroids + cell-partitioned assignment built once, reused from storage") {
+    withTempStore { root =>
+      val b0 = Materialized.buildsStarted.get()
+      val first = Materialized.ivfIndex(spark, TestSpark.sf)
+      val assignRows = first.assignment
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // two store entries: the centroid sidecar and the assignment table
+      assert(Materialized.buildsStarted.get() == b0 + 2)
+      val published = Files.list(root.resolve("v1")).iterator().asScala.toSeq
+      val idxDir = published.filter(_.getFileName.toString.startsWith("ivf_index_"))
+      assert(idxDir.size == 1 && Files.exists(idxDir.head.resolve("_SUCCESS")))
+      // partitionBy(centroid_id) layout: the directory structure IS the
+      // inverted file — one subdirectory per cell
+      val cellDirs = Files.list(idxDir.head).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("centroid_id=")).toSeq
+      assert(cellDirs.nonEmpty && cellDirs.size <= 8, cellDirs.toString)
+
+      // fresh consumer reuses both tables without rebuilding
+      Materialized.clearSessionCache()
+      val second = Materialized.ivfIndex(spark, TestSpark.sf)
+      assert(Materialized.buildsStarted.get() == b0 + 2, "stored index must be reused")
+      val secondRows = second.assignment
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(secondRows == assignRows)
+
+      // the stored assignment equals a fresh expression-path assignment
+      // against the stored centroids
+      val fresh = graft.llm.Similarity.ivfAssign(
+          Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding", second.centroids)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(assignRows == fresh)
+    }
+  }
+
   test("no persisted tables linger after materialization (storage replaces caching)") {
     withTempStore { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size

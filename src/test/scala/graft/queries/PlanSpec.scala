@@ -74,13 +74,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("sim_ivf_search: cell-restricted top-k via TakeOrderedAndProject") {
+  test("sim_ivf_search: partition-pruned scan of the stored index, no join over the corpus") {
     val p = plan("sim_ivf_search")
     assert(p.contains("TakeOrderedAndProject"), p)
-    // the only nested-loop allowed is the intended broadcast crossJoin
-    // against the tiny centroid table (IVF assignment shape)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastExchange"), "centroids must broadcast\n" + p)
+    // the search must read the STORED cell-partitioned index: the probed-cell
+    // restriction is a partition filter on centroid_id (only those cells'
+    // files are read), and cell membership is NOT re-derived — no crossJoin
+    // against centroids, no join of any kind in the search plan
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the parquet scan\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"),
+      "cell membership must come from storage, not a per-query re-derivation\n" + p)
   }
 
   test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
