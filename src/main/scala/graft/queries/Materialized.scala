@@ -19,7 +19,7 @@ import scala.collection.concurrent.TrieMap
  * near-dup pair table feeds many downstream jobs across days, and each one
  * re-deriving it would re-pay the dominant shuffle of the whole pipeline.
  *
- * Store layout: `<root>/v<FormatVersion>/<kind>_<corpusFp>_<config>/`
+ * Store layout: `<root>/v<FormatVersion>/<kind>_p<pathFp>_<contentFp>_<config>/`
  * (parquet dir with `_SUCCESS`), plus `<...>.json` for scalar summaries.
  *  - `root` comes from `spark.graft.materialized.dir` (default: a
  *    `graft-materialized` dir under `java.io.tmpdir`); production would
@@ -27,8 +27,11 @@ import scala.collection.concurrent.TrieMap
  *    commit protocol — the local-FS equivalent here is write-to-temp +
  *    atomic directory rename, so a killed writer never leaves a
  *    half-visible table).
- *  - `corpusFp` fingerprints the input table's files (name, size, mtime):
- *    regenerated inputs get a fresh key instead of stale reuse.
+ *  - `pathFp` keys the input table's PATH, `contentFp` its content (name,
+ *    size, mtime, footer-tail sample per file): a regenerated input gets a
+ *    fresh key instead of stale reuse, and retention ([[gc]] and the
+ *    build-time [[sweepSuperseded]]) removes the superseded generation's
+ *    table while leaving parallel corpora (other paths) alone.
  *  - `config` pins the operator parameters; [[FormatVersion]] must be
  *    bumped when stored SEMANTICS change so old rounds' tables can't leak
  *    into new code.
@@ -40,8 +43,12 @@ import scala.collection.concurrent.TrieMap
  */
 object Materialized {
 
-  /** Bump when the stored pair-table or summary semantics change. */
-  private val FormatVersion = 1
+  /** Bump when the stored pair-table/summary semantics OR the entry-name
+    * layout change (v2: `<kind>_p<pathFp>_<contentFp>_<config>` — the input
+    * path got its own component so retention can tell a SUPERSEDED corpus
+    * (same path, new content) from a PARALLEL one (different path, e.g.
+    * sf0.01 and sf0.1 sharing the default store root)). */
+  private[queries] val FormatVersion = 2
 
   /** Build count, exposed so MaterializedSpec can prove storage reuse
     * (a second consumer must NOT increment it). */
@@ -62,10 +69,42 @@ object Materialized {
     Paths.get(spark.conf.get("spark.graft.materialized.dir",
       Paths.get(sys.props("java.io.tmpdir"), "graft-materialized").toString))
 
-  /** Fingerprint of the input table's storage files — (relative name, size,
-    * mtime) of every file under `<sfDir>/<table>.parquet`, hashed. Local-FS
-    * walk (the corpus is a driver-provided directory); a production store
-    * would use the catalog's snapshot/version id instead. */
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Last `n` bytes of a file, base64 — a content sample for the corpus
+    * fingerprint. For parquet the tail is the footer (row-group offsets,
+    * column stats, metadata length), which changes with any data change, so
+    * a corpus regenerated in place with identical file names/sizes inside
+    * the filesystem's mtime granularity still gets a fresh fingerprint
+    * instead of silently serving a stale table. */
+  private def tailSample(f: Path, n: Int = 64): String = {
+    val size = Files.size(f)
+    val len = math.min(n.toLong, size).toInt
+    if (len == 0) ""
+    else {
+      val ch = java.nio.channels.FileChannel.open(f)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(len)
+        var pos = size - len
+        while (buf.hasRemaining) {
+          val r = ch.read(buf, pos)
+          if (r < 0) throw new java.io.EOFException(f.toString)
+          pos += r
+        }
+        java.util.Base64.getEncoder.encodeToString(buf.array())
+      } finally ch.close()
+    }
+  }
+
+  /** Content fingerprint of the input table's storage files — (relative
+    * name, size, mtime, footer-tail sample) of every file under
+    * `<sfDir>/<table>.parquet`, hashed. Local-FS walk (the corpus is a
+    * driver-provided directory); a production store would use the catalog's
+    * snapshot/version id instead. */
   private def corpusFingerprint(sfDir: String, table: String): String = {
     val p = Paths.get(sfDir, s"$table.parquet")
     val entries =
@@ -75,14 +114,26 @@ object Materialized {
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
-            s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+            s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}:${tailSample(f)}"
           }.toSeq.sorted
         } finally s.close()
-      } else Seq(s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update((p.toAbsolutePath.toString +: entries).mkString("\n").getBytes("UTF-8"))
-    md.digest().map("%02x".format(_)).mkString.take(16)
+      } else Seq(s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}:${tailSample(p)}")
+    md5Hex(entries.mkString("\n")).take(16)
   }
+
+  /** Stable key of the input table's PATH (not content) — the grouping
+    * component retention uses to distinguish "this corpus was regenerated"
+    * from "that is a different corpus". */
+  private def pathFingerprint(sfDir: String, table: String): String =
+    md5Hex(Paths.get(sfDir, s"$table.parquet").toAbsolutePath.toString).take(8)
+
+  /** Store entry name: `<kind>_p<pathFp>_<contentFp>_<config>`. */
+  private def entryName(kind: String, sfDir: String, table: String,
+                        config: String): String =
+    s"${kind}_p${pathFingerprint(sfDir, table)}_${corpusFingerprint(sfDir, table)}_$config"
+
+  /** Parse of [[entryName]] — (kind, pathFp, contentFp, config). */
+  private val EntryName = """(.+)_p([0-9a-f]{8})_([0-9a-f]{16})_(.+)""".r
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -128,6 +179,89 @@ object Materialized {
         if (Files.exists(dest)) deleteRecursively(tmp) else throw e
     }
 
+  /** Age gate for retention sweeps (same idiom as [[StaleTmpMs]]): an entry
+    * younger than this is never deleted, so a reader that resolved a path
+    * moments before its corpus regenerated doesn't lose the files mid-scan.
+    * Overridable for tests via `spark.graft.materialized.gc.ageMs`. */
+  private def gcAgeMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.materialized.gc.ageMs", StaleTmpMs.toString).toLong
+
+  /** Delete a store entry and drop any in-session handle pointing at it. */
+  private def deleteEntry(p: Path): Unit = {
+    deleteRecursively(p)
+    val suffix = s"|$p"
+    dfCache.keys.filter(_.endsWith(suffix)).foreach(dfCache.remove)
+    statsCache.keys.filter(_.endsWith(suffix)).foreach(statsCache.remove)
+  }
+
+  /**
+   * Retention at build time: publishing a fresh entry for (kind, input
+   * path, config) supersedes every sibling with the SAME three components
+   * but a DIFFERENT content fingerprint — the old corpus generation's
+   * table, which nothing can resolve anymore (lookups always key on the
+   * current fingerprint). Without this sweep the store grows by one dead
+   * pair table per corpus regeneration — at 100 TB pair-table sizes an
+   * operational leak, not a nicety. Entries for other input paths (a
+   * parallel corpus, e.g. another scale factor in the shared default root)
+   * are untouched, as is anything younger than the age gate.
+   */
+  private def sweepSuperseded(spark: SparkSession, live: Path): Unit = {
+    val parent = live.getParent
+    live.getFileName.toString match {
+      case EntryName(kind, pfp, cfp, cfg) if parent != null && Files.isDirectory(parent) =>
+        val cutoff = System.currentTimeMillis() - gcAgeMs(spark)
+        val s = Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            p.getFileName.toString match {
+              case EntryName(`kind`, `pfp`, fp2, `cfg`) =>
+                fp2 != cfp &&
+                  (try Files.getLastModifiedTime(p).toMillis < cutoff
+                   catch { case _: java.io.IOException => false })
+              case _ => false
+            }
+          }.toSeq.foreach(deleteEntry)
+        } finally s.close()
+      case _ => ()
+    }
+  }
+
+  /**
+   * Explicit store-wide retention sweep: within every (kind, input path,
+   * config) group the newest entry is live; older siblings past
+   * `olderThanMs` are superseded corpus generations and are deleted.
+   * Returns the deleted paths. Entries of the current [[FormatVersion]]
+   * only — older version directories belong to older code and are left
+   * alone.
+   */
+  def gc(spark: SparkSession, olderThanMs: Long = StaleTmpMs): Seq[Path] = {
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    if (!Files.isDirectory(vdir)) return Nil
+    val entries = {
+      val s = Files.list(vdir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case EntryName(kind, pfp, _, cfg) =>
+              val mtime = try Files.getLastModifiedTime(p).toMillis
+                          catch { case _: java.io.IOException => Long.MaxValue }
+              Some(((kind, pfp, cfg), p, mtime))
+            case _ => None
+          }
+        }.toSeq
+      } finally s.close()
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = entries.groupBy(_._1).values.toSeq.flatMap { group =>
+      val newest = group.maxBy(_._3)
+      group.filterNot(_._2 == newest._2).filter(_._3 < cutoff).map(_._2)
+    }
+    dead.foreach(deleteEntry)
+    dead
+  }
+
   /** Write-once / read-many parquet table: build + write on first use (per
     * corpus fingerprint + config, atomic publish), read back everywhere
     * else — including a fresh session after restart. `build`'s result is
@@ -138,7 +272,7 @@ object Materialized {
                             partitionCols: Seq[String] = Nil)
                            (build: => DataFrame): DataFrame = {
     val dir = storeRoot(spark).resolve(s"v$FormatVersion")
-      .resolve(s"${kind}_${corpusFingerprint(sfDir, inputTable)}_$config")
+      .resolve(entryName(kind, sfDir, inputTable, config))
     dfCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$dir", {
       if (!Files.exists(dir.resolve("_SUCCESS"))) {
         buildsStarted.incrementAndGet()
@@ -152,6 +286,7 @@ object Materialized {
           .parquet(tmp.toString)
         df.unpersist()
         publish(tmp, dir)
+        sweepSuperseded(spark, dir)
       }
       spark.read.parquet(dir.toString)
     })
@@ -250,7 +385,7 @@ object Materialized {
    */
   def embeddingPairStats(spark: SparkSession, sfDir: String): EmbeddingPairStats = {
     val file = storeRoot(spark).resolve(s"v$FormatVersion").resolve(
-      s"emb_pair_stats_${corpusFingerprint(sfDir, "embeddings")}_d64_t030_r3b64.json")
+      entryName("emb_pair_stats", sfDir, "embeddings", "d64_t030_r3b64") + ".json")
     statsCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$file", {
       if (Files.exists(file)) parseStats(Files.readString(file))
       else {
@@ -267,6 +402,7 @@ object Materialized {
           s"${file.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         Files.writeString(tmp, renderStats(stats))
         publish(tmp, file)
+        sweepSuperseded(spark, file)
         stats
       }
     })

@@ -44,7 +44,7 @@ class MaterializedSpec extends AnyFunSuite {
       assert(Materialized.buildsStarted.get() == b0 + 1)
       // published as a committed parquet dir (atomic rename, _SUCCESS marker,
       // no leftover .tmp- staging dir)
-      val published = Files.list(root.resolve("v1")).iterator().asScala.toSeq
+      val published = Files.list(root.resolve(s"v${Materialized.FormatVersion}")).iterator().asScala.toSeq
       val tableDir = published.filter(_.getFileName.toString.startsWith("minhash_pairs_"))
       assert(tableDir.size == 1 && Files.exists(tableDir.head.resolve("_SUCCESS")))
       assert(!published.exists(_.getFileName.toString.contains(".tmp-")))
@@ -64,7 +64,7 @@ class MaterializedSpec extends AnyFunSuite {
       val b0 = Materialized.buildsStarted.get()
       val first = Materialized.embeddingPairStats(spark, TestSpark.sf)
       assert(Materialized.buildsStarted.get() == b0 + 1)
-      val sidecars = Files.list(root.resolve("v1")).iterator().asScala
+      val sidecars = Files.list(root.resolve(s"v${Materialized.FormatVersion}")).iterator().asScala
         .filter(_.getFileName.toString.startsWith("emb_pair_stats_")).toSeq
       assert(sidecars.size == 1 && sidecars.head.getFileName.toString.endsWith(".json"))
 
@@ -121,7 +121,7 @@ class MaterializedSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       // two store entries: the centroid sidecar and the assignment table
       assert(Materialized.buildsStarted.get() == b0 + 2)
-      val published = Files.list(root.resolve("v1")).iterator().asScala.toSeq
+      val published = Files.list(root.resolve(s"v${Materialized.FormatVersion}")).iterator().asScala.toSeq
       val idxDir = published.filter(_.getFileName.toString.startsWith("ivf_index_"))
       assert(idxDir.size == 1 && Files.exists(idxDir.head.resolve("_SUCCESS")))
       // partitionBy(centroid_id) layout: the directory structure IS the
@@ -144,6 +144,77 @@ class MaterializedSpec extends AnyFunSuite {
           Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding", second.centroids)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(assignRows == fresh)
+    }
+  }
+
+  /** Write a tiny `documents.parquet` corpus under `dir` (regenerable). */
+  private def writeCorpus(dir: java.nio.file.Path, salt: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $salt"),
+      (2L, s"alpha beta gamma delta epsilon zeta $salt"),
+      (3L, "completely unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+  }
+
+  private def minhashDirs(root: java.nio.file.Path): Seq[String] = {
+    val v = root.resolve(s"v${Materialized.FormatVersion}")
+    if (!Files.isDirectory(v)) Nil
+    else Files.list(v).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("minhash_pairs_")).toSeq
+  }
+
+  test("build-time retention: a regenerated corpus's superseded table is swept; a parallel corpus survives") {
+    withTempStore { root =>
+      // age gate 0 so the sweep fires immediately (production default 1 h)
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        val corpus = Files.createTempDirectory("graft-gc-corpus")
+        writeCorpus(corpus, "gen1")
+        Materialized.minhashPairs(spark, corpus.toString).count()
+        // a PARALLEL corpus (different input path) sharing the store root
+        Materialized.minhashPairs(spark, TestSpark.sf).count()
+        val before = minhashDirs(root)
+        assert(before.size == 2, before.toString)
+
+        // regenerate the corpus in place with different content → new
+        // fingerprint; the rebuild must sweep the superseded generation
+        writeCorpus(corpus, "gen2-different-content")
+        Materialized.clearSessionCache()
+        Materialized.minhashPairs(spark, corpus.toString).count()
+        val after = minhashDirs(root)
+        assert(after.size == 2, s"superseded entry must be gone: $after")
+        assert(after.toSet.intersect(before.toSet).size == 1,
+          "the parallel corpus's entry must survive; the regenerated corpus's old entry must not\n" +
+            s"before=$before after=$after")
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
+  test("explicit gc keeps the newest generation per (kind, corpus, config) and honors the age gate") {
+    withTempStore { root =>
+      val corpus = Files.createTempDirectory("graft-gc-corpus2")
+      writeCorpus(corpus, "gen1")
+      Materialized.minhashPairs(spark, corpus.toString).count()
+      // second generation; default 1 h age gate keeps the old entry at build
+      writeCorpus(corpus, "gen2")
+      Materialized.clearSessionCache()
+      Materialized.minhashPairs(spark, corpus.toString).count()
+      assert(minhashDirs(root).size == 2)
+
+      // everything is seconds old: an age-gated sweep deletes nothing
+      assert(Materialized.gc(spark).isEmpty)
+      assert(minhashDirs(root).size == 2)
+
+      // age gate 0: the superseded generation goes, the newest stays
+      val deleted = Materialized.gc(spark, olderThanMs = 0)
+      assert(deleted.size == 1, deleted.toString)
+      val left = minhashDirs(root)
+      assert(left.size == 1)
+      // the survivor still serves reads
+      Materialized.clearSessionCache()
+      assert(Materialized.minhashPairs(spark, corpus.toString).count() >= 1)
     }
   }
 
