@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/**
+ * Cross-PROCESS write-once / read-many proof: a writer JVM builds and
+ * publishes the store entries, then a brand-new reader JVM consumes them
+ * with ZERO builds. MaterializedSpec's same-JVM `clearSessionCache()` only
+ * simulates a restart; this spec performs one — separate processes, so no
+ * in-memory state (handle caches, broadcast vars, Spark session) can leak
+ * from writer to reader.
+ */
+class StoreReuseE2eSpec extends AnyFunSuite {
+
+  /** The JDK17 module opens Spark needs (same list as tools/run.sh). */
+  private def addOpens: Seq[String] = {
+    val base = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic")
+    val sun = Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
+    (base ++ sun).map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+  }
+
+  /** Run [[StoreReuseMain]] in a fresh JVM; returns its last stdout
+    * line (`builds=<n> minhash=<rows> ivf=<rows>`). */
+  private def runProcess(storeRoot: String, sfDir: String): String = {
+    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin, "-Xmx4g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.queries.StoreReuseMain", storeRoot, sfDir)).asJava
+    val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    assert(rc == 0, s"StoreReuseMain exited $rc\nstdout:\n$out\nstderr tail:\n${err.takeRight(2000)}")
+    out.linesIterator.toSeq.reverseIterator
+      .find(_.startsWith("builds=")).getOrElse(fail(s"no builds= line in:\n$out"))
+  }
+
+  test("a fresh reader PROCESS serves minhash pairs and the ivf index from storage with zero builds") {
+    val root = Files.createTempDirectory("graft-store-e2e").toString
+    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+)""".r
+    val (wBuilds, wMinhash, wIvf) = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i) => (b.toInt, m.toLong, i.toLong)
+    }
+    assert(wBuilds > 0, "writer must build on an empty store")
+
+    val (rBuilds, rMinhash, rIvf) = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i) => (b.toInt, m.toLong, i.toLong)
+    }
+    assert(rBuilds == 0, "a restarted process must reuse the published store, not rebuild")
+    assert((rMinhash, rIvf) == ((wMinhash, wIvf)), "reader must see the writer's tables")
+  }
+}
