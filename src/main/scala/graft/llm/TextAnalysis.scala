@@ -126,24 +126,45 @@ object TextAnalysis {
    * broadcast — the train side never shuffles, each scan task probes the
    * broadcast gram set and only per-doc overlap counts reach the one small
    * aggregation.
+   *
+   * The broadcast carries 60-bit gram HASHES ([[TextHashing.md5Long60Kernel]]),
+   * not gram strings: a real eval suite has millions of distinct grams at
+   * ~40 bytes each, which strains the driver/executor broadcast budget,
+   * while the hashed set is 8 bytes per gram (~10× smaller, and a long-keyed
+   * broadcast hash join probes faster than a string-keyed one). Correctness
+   * cost: a false overlap needs an md5-60 collision between a train gram and
+   * an eval gram — for G distinct grams corpus-wide the probability of ANY
+   * collision is ≤ G²·2⁻⁶¹ (birthday bound), ~10⁻⁶ even at G = 10⁹ — and a
+   * within-doc collision can at most understate `n_overlap` by 1, never
+   * clear a genuinely contaminated flag. `hashGrams = false` keeps the
+   * string-keyed path; LlmSpec property-tests both paths equal.
    */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, n: Int = 5): DataFrame = {
+                    textCol: String, n: Int = 5,
+                    hashGrams: Boolean = true): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     // gram expansion through the typed JIT kernel (bit-identical to the
     // wordShingles expression, see TextHashing) — the interpreted
     // higher-order-function form costs ~1 ms/row and dominates the operator
-    def grams(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
+    def grams(df: DataFrame): DataFrame = {
+      val src = df
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+        .as[(Long, String)]
       // null text yields no grams — same as the expression form and the
       // oracle (unnest of a NULL list produces no rows)
-      .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else TextHashing.wordShinglesKernel(t, n).iterator.map(g => (id, g))
-      }
-      .toDF("id", "g")
+      if (hashGrams)
+        src.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else TextHashing.wordShinglesKernel(t, n).iterator
+            .map(g => (id, TextHashing.md5Long60Kernel(g)))
+        }.toDF("id", "g")
+      else
+        src.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else TextHashing.wordShinglesKernel(t, n).iterator.map(g => (id, g))
+        }.toDF("id", "g")
+    }
     val evalGrams = grams(evalDocs).select(col("g")).distinct()
     // wordShingles is per-doc distinct, so count(*) is the distinct-overlap count
     val hits = grams(train).join(broadcast(evalGrams), "g")

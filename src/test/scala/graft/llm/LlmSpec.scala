@@ -450,6 +450,17 @@ class LlmSpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, true)))
   }
 
+  test("decontaminate: hashed-gram broadcast path equals the string-gram path on the corpus") {
+    val docs = graft.queries.Tables.documents(spark, graft.TestSpark.sf)
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val eval = docs.where(col("doc_id") % 50 === 0)
+    def run(hashGrams: Boolean) =
+      TextAnalysis.decontaminate(train, eval, "doc_id", "text", n = 5,
+          hashGrams = hashGrams)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(hashGrams = true) == run(hashGrams = false))
+  }
+
   test("quantizeChecksums kernel is bit-identical to the quantizeInt8 expression form") {
     val emb = graft.queries.Tables.embeddings(spark, graft.TestSpark.sf)
     val q = Similarity.quantizeInt8(transform(col("embedding"), x => x.cast("double")))
