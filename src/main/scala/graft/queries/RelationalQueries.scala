@@ -29,25 +29,38 @@ object RelationalQueries {
     windowLag, joinRange, joinAsof, aggPercentile, unpivotLineitem,
     funnelEvents, jsonFuncs)
 
-  /** Multi-stage conversion funnel with per-stage windows (view → click
-    * within 24 h → purchase within 72 h), each stage the user's FIRST
-    * qualifying event after the previous stage. Every aggregation and join
-    * keys on `user_id`, so after the first exchange the whole funnel is
-    * co-partitioned — one shuffle end-to-end regardless of stage count. */
+  /** Multi-stage conversion funnel (view → click within 24 h → purchase
+    * within 72 h), each stage the user's FIRST qualifying event after the
+    * previous stage. ONE scan of events (stage predicates share it; only
+    * the three funnel event types survive the pushed filter) and ONE
+    * exchange: each stage is a per-user window minimum over the previous
+    * stage's column, and chained windows plus the final fold all reuse the
+    * same `user_id` hash partitioning — at 100 TB the events table is read
+    * once instead of once per stage. */
   val funnelEvents: QueryDef = QueryDef("funnel_events",
     (s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = e.where(col("event_type") === "click").join(v, "user_id")
-        .where(col("ts") > col("t_view") &&
-          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
-        .where(col("ts") > col("t_click") &&
-          col("ts") <= col("t_click") + expr("INTERVAL 72 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view") &&
+            col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click") &&
+            col("ts") <= col("t_click") + expr("INTERVAL 72 HOURS"),
+            col("ts"))).over(w))
+      // stage columns are per-user constants: the fold to one row per user
+      // reuses the window's partitioning (no second hash exchange)
+      staged.groupBy("user_id")
+        .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+          min("t_purchase").as("t_purchase"))
+        .where(col("t_view").isNotNull)
         .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
           (lit(1) + col("t_click").isNotNull.cast("int") +
             col("t_purchase").isNotNull.cast("int")).cast("long").as("stage"))

@@ -127,8 +127,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the pair table must be read, not re-derived\n" + p)
   }
 
-  test("funnel_events: every hash exchange keys on user_id (stages co-partitioned)") {
+  test("funnel_events: one events scan, every hash exchange keys on user_id") {
     val p = plan("funnel_events")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"funnel must read the events table once, saw $scans scans\n" + p)
     val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
     assert(exchanges.nonEmpty, p)
     assert(exchanges.forall(_.contains("user_id")),
