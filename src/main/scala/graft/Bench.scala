@@ -80,6 +80,10 @@ object Bench {
       try {
         val runs = (0 until Runs).map(_ => streamThroughput(spark)).sortBy(_._2)
         val (n, secs) = runs(runs.size / 2)
+        // a degenerate elapsed time must fail loudly: n/0.0 is Infinity and
+        // Infinity.round is Long.MaxValue — a plausible-looking junk number
+        if (!(secs > 0.0))
+          throw new IllegalStateException(s"non-positive stream elapsed time: $secs")
         s""""stream":{"rows":$n,"secs":${num3(secs)},"rows_per_sec":${(n / secs).round}},"""
       }
       catch {

@@ -271,9 +271,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bitwise_not(lit(0L)).as("__dummy"), // keep sigs
         col("x.sig").as("sa"), col("y.sig").as("sb"))
-      .drop("__dummy").distinct()
+      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -359,12 +358,18 @@ object Dedup {
    * exactly once (an argmax-then-join-back shape re-runs the score
    * lineage on both branches). Cluster partitions are dup-group-sized, so
    * the window sort is tiny at any corpus scale.
+   *
+   * `scores` joins LEFT: a cluster member missing from the score table
+   * keeps its row with a null score and loses to every scored sibling
+   * (nulls sort last under `desc`, then the min-id tie rule) — an inner
+   * join would silently drop it from the output entirely AND could shift
+   * which member is kept.
    */
   def keepBestInCluster(clusters: DataFrame, scores: DataFrame,
                         idCol: String, scoreCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc)
-    clusters.join(scores, idCol)
+    clusters.join(scores, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"), col(scoreCol),
         (row_number().over(w) === 1).as("keep"))
   }

@@ -336,18 +336,24 @@ object Similarity {
 
   /** Typed-kernel form of the [[quantizeInt8]] summary (per-vector scale +
     * integer checksums of the quantized components) — bit-identical to the
-    * expression path (same widening, same HALF_UP rounding; property-tested
-    * in LlmSpec) with the five interpreted per-element lambda folds replaced
-    * by one JIT'd loop per row. */
+    * expression path for real vectors (same widening, same HALF_UP
+    * rounding; property-tested in LlmSpec) with the five interpreted
+    * per-element lambda folds replaced by one JIT'd loop per row.
+    *
+    * Degenerate vectors follow the SQL-oracle semantics: a null or empty
+    * vector yields null scale AND null checksums (DuckDB `list_sum(NULL)` /
+    * `list_sum([])` are NULL). This deliberately diverges from a Spark
+    * `aggregate(v, 0L, ...)` fold, whose empty-array result is the 0 seed —
+    * a zero checksum would make a missing vector indistinguishable from a
+    * legitimate all-zero quantization. */
   def quantizeChecksums(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        // null/empty parity with the expression path: array_max over a
-        // null/empty array is null (aggregates over it are the 0 seed)
-        if (v == null || v.isEmpty) (id, Option.empty[Double], 0L, 0L)
+        if (v == null || v.isEmpty)
+          (id, Option.empty[Double], Option.empty[Long], Option.empty[Long])
         else {
           var scale = 0.0
           var i = 0
@@ -364,7 +370,7 @@ object Similarity {
               qSum += q; qL1 += math.abs(q); i += 1
             }
           }
-          (id, Some(roundHalfUp(scale, 6)), qSum, qL1)
+          (id, Some(roundHalfUp(scale, 6)), Some(qSum), Some(qL1))
         }
       }
       .toDF(idCol, "scale", "q_sum", "q_l1")

@@ -486,6 +486,32 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, false), (2L, true), (3L, false), (9L, true)))
   }
 
+  test("keepBestInCluster: an unscored member stays in the output and loses to any scored sibling") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((2L, 0.5)).toDF("doc_id", "quality") // 1, 7, 8 unscored
+    val out = Dedup.keepBestInCluster(clusters, scores, "doc_id", "quality")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    // 1 survives the left join with a null score and loses to scored 2;
+    // an all-unscored cluster falls back to the min-id tie rule
+    assert(out.toSeq == Seq((1L, None, false), (2L, Some(0.5), true),
+      (7L, None, true), (8L, None, false)))
+  }
+
+  test("quantizeChecksums: null and empty vectors yield null scale AND null checksums (oracle semantics)") {
+    val d = Seq((1L, Seq(0.5f, -1.0f)), (2L, Seq.empty[Float]),
+        (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeChecksums(d, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getLong(2) == 64L - 127L && out(0).getLong(3) == 191L)
+    Seq(1, 2).foreach { i =>
+      assert(out(i).isNullAt(1) && out(i).isNullAt(2) && out(i).isNullAt(3),
+        s"row ${out(i)}: degenerate vector must be all-null, not zero")
+    }
+  }
+
   test("null text: repetition scores 0 and decontamination yields no grams (oracle parity)") {
     val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
     val rep = TextAnalysis.repetitionSignals(d, "doc_id", "text")
