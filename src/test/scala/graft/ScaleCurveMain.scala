@@ -23,7 +23,9 @@ object ScaleCurveMain {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+    val sfs = if (args.contains("crossover-only")) Nil
+              else Seq("sf0.001", "sf0.01", "sf0.1")
+    sfs.foreach { sf =>
       val d = s"/root/testdata/$sf"
       val nDocs = Tables.documents(spark, d).count()
       val nVecs = Tables.embeddings(spark, d).count()
@@ -55,6 +57,61 @@ object ScaleCurveMain {
         f"verified=$tDeep ${tTDeep}%.2fs prune=${nPlanted * (nPlanted - 1) / 2.0 / candDeep}%.0fx | " +
         f"clusters rows=$cl ${tCl}%.2fs")
     }
+    crossover50k(spark)
     spark.stop()
+  }
+
+  /** splitmix64 finalizer (same formula as Similarity's plane derivation). */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * The shallow-vs-deep banding crossover measured PAST the derived n ≈ 15k
+   * point (BASELINE.md): a deterministic 50k-vector synthetic corpus
+   * (hash-derived uniform components, so random-pair cosines concentrate
+   * near 0) plus 10% exact copies as the planted t=0.9 dup set. Measures
+   * candidate-generation and full verified wall time at r=8×b=32 vs
+   * r=16×b=128 — at this n the shallow config's 11.8% random collision
+   * floor is the dominant cost and the 8× deeper signatures win outright.
+   */
+  private def crossover50k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = spark.range(50000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding")
+    val planted = base.unionByName(
+        base.where(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      .persist()
+    val n = planted.count() // materialize: time the joins, not the generator
+    val allPairs = n * (n - 1) / 2.0
+    // at this bounded n the ~30 MB vector table must BROADCAST into the
+    // verify joins: the shallow config's ~1.5×10⁸-pair candidate stream then
+    // pipelines through two hash probes + the fused cosine, instead of
+    // sort-merge-joining (sorting the pair stream with vectors attached
+    // spills ~80 GB and fills local disk). The default 10 MB threshold
+    // picks SMJ — the right call only when BOTH sides are huge.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+    try {
+      Seq(("r8xb32", 8, 32), ("r16xb128", 16, 128)).foreach { case (label, r, b) =>
+        val (cand, tCand) = timed(Dedup.embeddingLshCandidates(
+          planted, "vec_id", "embedding", dims = 64, planesPerBand = r, bands = b).count())
+        val (ver, tVer) = timed(Dedup.embeddingNearDupLsh(planted, "vec_id", "embedding",
+          dims = 64, threshold = 0.9, planesPerBand = r, bands = b).count())
+        println(f"crossover n=$n $label cand=$cand (${tCand}%.1fs, prune=${allPairs / cand}%.1fx) " +
+          f"verified=$ver (${tVer}%.1fs)")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    planted.unpersist()
   }
 }
