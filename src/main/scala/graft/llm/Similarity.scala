@@ -376,6 +376,47 @@ object Similarity {
       .toDF(idCol, "scale", "q_sum", "q_l1")
   }
 
+  /**
+   * Brute-force top-k over int8-QUANTIZED vectors — the ranking an ANN
+   * index that stores [[quantizeInt8]] codes (4× memory shrink) actually
+   * produces: each vector is quantized, dequantized (`round(x/s·127)·s/127`)
+   * and ranked by cosine against the full-precision query. One typed JIT
+   * kernel per row (quantize + dequantized dot + norm fused in one loop —
+   * the expression form would run four interpreted lambda folds per row);
+   * plan is scan → TakeOrderedAndProject, no shuffle. Same HALF_UP rounding
+   * and sequential IEEE order as the SQL oracle. A zero/degenerate vector
+   * (norm 0) yields a null cosine and ranks last.
+   */
+  def topKQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                    queryVec: Seq[Double], k: Int,
+                    excludeId: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qArr = queryVec.toArray
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val scored = emb
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var scale = 0.0
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i)); if (a > scale) scale = a; i += 1 }
+        var dot = 0.0; var nn = 0.0
+        if (scale != 0.0) {
+          i = 0
+          while (i < v.length) {
+            val qd = roundHalfUp(v(i) / scale * 127.0, 0) * scale / 127.0
+            dot += qd * qArr(i); nn += qd * qd; i += 1
+          }
+        }
+        (id, if (nn == 0.0) Option.empty[Double]
+             else Some(roundHalfUp(dot / (math.sqrt(nn) * qn), 6)))
+      }
+      .toDF("id", "cosine")
+    val e1 = excludeId.map(x => scored.where(col("id") =!= x)).getOrElse(scored)
+    e1.orderBy(col("cosine").desc, col("id")).limit(k)
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -177,6 +177,26 @@ object TextAnalysis {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /**
+   * PII scrubbing (training-data redaction staple): replace email
+   * addresses and IPv4 literals with typed placeholder tokens and count
+   * the hits per document. Pure per-row codegen regex
+   * (`regexp_replace`/`regexp_count`) — no shuffle, scan-speed at 100 TB
+   * like the other per-row text ops. Patterns are RE2-compatible (no
+   * backreferences/lookaround) so SQL engines replay them identically;
+   * emails are redacted before IPs so a dotted quad inside a hostname is
+   * consumed by the email token, not double-redacted.
+   */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
+        ip, "<IP>").as("scrubbed"),
+      regexp_count(col(textCol), lit(email)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(ip)).cast("long").as("n_ip"))
+  }
+
   /** Within-document repetition signals (Gopher-style quality filters):
     * fraction of duplicated words / 2-grams / 3-grams, each
     * `1 - distinct/total`; docs shorter than the gram width score 0.

@@ -15,11 +15,12 @@ object LlmQueries {
   def all: Seq[QueryDef] = Seq(dedupExact, dedupMinhash, dedupNgram,
     dedupSimhash, dedupEmbedding, dedupEmbeddingT90, dedupEmbeddingDeep,
     dedupClusters, textSplit,
-    simTopK, simAnn,
+    simTopK, simTopKQ8, simAnn,
     simIvf, simIvfSearch, simIvfTrain, textLangid, textQuality, textTokens,
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
-    textDecontaminate, textRepetition, textPack, dedupBestInCluster)
+    textDecontaminate, textRepetition, textPack, dedupBestInCluster,
+    textScrub)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -562,6 +563,59 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
+    * the memory-shrunk (4×) ranking an ANN index storing quantized codes
+    * produces; oracle replays quantize → dequantize → cosine exactly. */
+  val simTopKQ8: QueryDef = QueryDef("sim_topk_q8",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.topKQuantized(emb, "vec_id", "embedding", qv, k = 10,
+          excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("cosine"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |qz AS (SELECT vec_id, list_max([abs(x) for x in v]) AS scale, v FROM e),
+           |dq AS (SELECT vec_id,
+           |  [CASE WHEN scale = 0 THEN 0.0
+           |        ELSE round(x / scale * 127.0, 0) * scale / 127.0 END
+           |   for x in v] AS dv FROM qz)
+           |SELECT dq.vec_id,
+           |  round(list_sum([dq.dv[i] * q.qv[i] for i in range(1, 65)]) /
+           |    (sqrt(list_sum([x * x for x in dq.dv])) *
+           |     (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) AS cosine
+           |FROM dq, q WHERE dq.vec_id <> 0
+           |ORDER BY cosine DESC, dq.vec_id LIMIT 10""".stripMargin))
+
+  /** PII scrubbing over documents: deterministic synthetic PII (an email
+    * and a dotted-quad per doc — the corpus itself is clean word streams)
+    * is appended in-query, then redacted and counted. Both engines build
+    * the same augmented text, so the oracle hash covers the full scrubbed
+    * string. */
+  val textScrub: QueryDef = QueryDef("text_scrub",
+    (s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      TextAnalysis.scrubPii(withPii, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+           |  (doc_id % 256) || '.7' AS text FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed,
+           |  len(regexp_extract_all(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           |  len(regexp_extract_all(text,
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip
+           |FROM w ORDER BY doc_id""".stripMargin))
 
   /** Banded sign-LSH ANN pair search at cosine ≥ 0.3, fully oracled as a
     * summary: the emitted pair count must equal DuckDB's exact full-pair

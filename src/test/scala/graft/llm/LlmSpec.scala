@@ -512,6 +512,35 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii redacts emails before IPs and counts hits from the original text") {
+    val d = Seq(
+      (1L, "mail a.user+tag@sub.example.org and host 192.168.0.1 twice 10.0.0.7"),
+      (2L, "no pii here at all"),
+      (3L, "double bob@x.io carol@y.co")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(d, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == (("mail <EMAIL> and host <IP> twice <IP>", 1L, 2L)))
+    assert(out(1) == (("no pii here at all", 0L, 0L)))
+    assert(out(2) == (("double <EMAIL> <EMAIL>", 2L, 0L)))
+  }
+
+  test("topKQuantized: quantized ranking tracks the exact top-k (>=8/10 overlap) and self-query ranks first") {
+    val emb = graft.queries.Tables.embeddings(spark, graft.TestSpark.sf)
+    val qv = emb.where(col("vec_id") === 7)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val quantized = Similarity.topKQuantized(emb, "vec_id", "embedding", qv, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    // the query's own (quantized) vector still wins: per-component error
+    // <= scale/254 cannot displace cosine ~1
+    assert(quantized.head == 7L)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(quantized.toSet.intersect(exact).size >= 8,
+      s"quantization degraded ranking too far: $quantized vs $exact")
+  }
+
   test("null text: repetition scores 0 and decontamination yields no grams (oracle parity)") {
     val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
     val rep = TextAnalysis.repetitionSignals(d, "doc_id", "text")
