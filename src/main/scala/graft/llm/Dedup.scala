@@ -47,6 +47,48 @@ object Dedup {
   }
 
   /**
+   * Line-level exact dedup (paragraph dedup in the Dolma/CCNet mold): split
+   * each document on `\n`, keep the corpus-wide FIRST occurrence — min
+   * `(id, pos)` — of every distinct line, drop every later repeat, and
+   * reconstruct the scrubbed document in original line order. Output per
+   * doc: `n_lines`, `n_kept`, `text_dedup` (null when no line survives,
+   * matching SQL `string_agg` over an all-null group).
+   *
+   * 100 TB shape: winner election groups by a 60-bit line hash, so the
+   * shuffle carries `(hash, id, pos)` — never line text — and `min` is
+   * partial-aggregable, so a boilerplate line repeated a billion times
+   * contributes one row per map partition instead of a skewed reduce
+   * partition (deliberately NOT a window over the duplicate set). The
+   * reconstruction groups by doc id, bounded by document size. An md5-60
+   * collision between two of G distinct lines (prob ≤ G²·2⁻⁶¹, ~1e-6 at
+   * G=1e9) drops a unique line — acceptable for a dedup filter. Docs whose
+   * text is null keep their row with zero counts and null `text_dedup`.
+   */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keyed = lines.withColumn("line_h", md5Long60(col("line")))
+    val winners = keyed.groupBy("line_h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("line_h"), col("w.id").as("w_id"), col("w.pos").as("w_pos"))
+    val perDoc = keyed.join(winners, "line_h")
+      .withColumn("keep", col("id") === col("w_id") && col("pos") === col("w_pos"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))).as("kept"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0,
+          array_join(transform(col("kept"), s => s.getField("line")), "\n"))
+          .as("text_dedup"))
+  }
+
+  /**
    * k-minhash signature from a *pre-staged* reduced-hash array column —
    * pure per-row expression. `hashes` MUST be an attribute reference (a
    * materialized column), not an inline expression: higher-order functions

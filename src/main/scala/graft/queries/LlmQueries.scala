@@ -20,7 +20,7 @@ object LlmQueries {
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
-    textScrub)
+    textScrub, textLineDedup)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -616,6 +616,32 @@ object LlmQueries {
            |  len(regexp_extract_all(text,
            |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip
            |FROM w ORDER BY doc_id""".stripMargin))
+
+  /** Line-level (paragraph) exact dedup over documents. The corpus is
+    * single-line word streams, so two shared boilerplate lines are appended
+    * in-query (the Dolma/CCNet motivating case — repeated navigation/footer
+    * text); the corpus-wide first occurrence of each line survives, so only
+    * doc 0 keeps its boilerplate. Null-safe: a doc losing every line gets a
+    * null `text_dedup` (string_agg semantics), pinned by the oracle shape. */
+  val textLineDedup: QueryDef = QueryDef("text_line_dedup",
+    (s, d) => {
+      val boiler = "\nsubscribe to our newsletter today\nall rights reserved worldwide"
+      val withLines = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(boiler)).as("text"))
+      Dedup.dedupLines(withLines, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+           |  text || chr(10) || 'subscribe to our newsletter today' || chr(10) ||
+           |  'all rights reserved worldwide' AS text FROM documents),
+           |l AS (SELECT doc_id,
+           |  unnest(string_split(text, chr(10))) AS line,
+           |  generate_subscripts(string_split(text, chr(10)), 1)::BIGINT AS pos FROM w),
+           |k AS (SELECT doc_id, pos, line,
+           |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)
+           |SELECT doc_id, count(*)::BIGINT AS n_lines,
+           |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text_dedup
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Banded sign-LSH ANN pair search at cosine ≥ 0.3, fully oracled as a
     * summary: the emitted pair count must equal DuckDB's exact full-pair

@@ -512,6 +512,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLines keeps the corpus-wide first occurrence and reconstructs in line order") {
+    val d = Seq(
+      (1L, "alpha\nbeta\nalpha"),      // intra-doc repeat: pos-2 alpha dropped
+      (2L, "beta\ngamma"),             // beta lost to doc 1; gamma survives
+      (3L, "alpha\nbeta"),             // loses every line -> null text_dedup
+      (4L, null.asInstanceOf[String])  // null text -> zero counts, null
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L
+      && out(0).getString(3) == "alpha\nbeta")
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 1L
+      && out(1).getString(3) == "gamma")
+    assert(out(2).getLong(1) == 2L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
+    assert(out(3).getLong(1) == 0L && out(3).getLong(2) == 0L && out(3).isNullAt(3))
+  }
+
   test("scrubPii redacts emails before IPs and counts hits from the original text") {
     val d = Seq(
       (1L, "mail a.user+tag@sub.example.org and host 192.168.0.1 twice 10.0.0.7"),
