@@ -417,6 +417,73 @@ object Similarity {
     e1.orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
+  /**
+   * Batch kNN join: every query vector gets its cosine top-k corpus
+   * neighbors in ONE corpus scan. The query side is a bounded control-plane
+   * pull (`require` ≤ maxQueries) broadcast to every partition; each
+   * partition keeps one k-bounded heap per query (Q×k tuples of memory), so
+   * the corpus — the 100 TB side — is never shuffled: the only exchange
+   * carries the ≤ partitions×Q×k partial winners into a per-query
+   * row_number that cuts the final k. A per-query driver loop of [[topK]]
+   * would launch Q jobs and scan the corpus Q times; a crossJoin + global
+   * window would shuffle n×Q scored rows. Scores use the same sequential
+   * IEEE dot, HALF_UP 6-dp rounding, and (cosine desc, id asc) tie rule as
+   * [[topK]] (property-tested equal per query in LlmSpec). Corpus vectors
+   * that are null/empty/zero-norm have no cosine and are skipped.
+   */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qIdCol: String, k: Int,
+              excludeSelf: Boolean = true, maxQueries: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries
+      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) => (qid, v, math.sqrt(dotKernel(v, v))) }
+    require(q.length <= maxQueries,
+      s"query side has ${q.length} vectors; broadcast kNN is bounded at $maxQueries")
+    val qB = spark.sparkContext.broadcast(q)
+    // worst element at the heap top: lower cosine, then LARGER id (the tie
+    // rule prefers smaller ids, so the larger id is evicted first)
+    val worstFirst: Ordering[(Double, Long)] = (a, b) => {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+    val kk = k
+    val self = excludeSelf
+    val partial = vecRows(corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0),
+        idCol, vecCol)
+      .mapPartitions { it =>
+        val qs = qB.value
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { row =>
+          if (row.norm > 0.0) {
+            var j = 0
+            while (j < qs.length) {
+              val (qid, qv, qn) = qs(j)
+              if (!(self && qid == row.id)) {
+                val cand = (roundHalfUp(dotKernel(row.v, qv) / (row.norm * qn), 6), row.id)
+                val h = heaps(j)
+                if (h.size < kk) h.enqueue(cand)
+                else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+              }
+              j += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, j) =>
+          h.iterator.map { case (c, id) => (qs(j)._1, id, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    partial.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kk)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

@@ -20,7 +20,7 @@ object LlmQueries {
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
-    textScrub, textLineDedup)
+    textScrub, textLineDedup, simKnnJoin)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -563,6 +563,29 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Batch kNN join: the first 20 vectors each retrieve their cosine top-5
+    * corpus neighbors in ONE corpus scan (broadcast query side,
+    * per-partition bounded heaps, partial-winner merge) — the retrieval
+    * shape for embedding-based data curation at 100 TB. */
+  val simKnnJoin: QueryDef = QueryDef("sim_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb, emb.where(col("vec_id") < 20), "vec_id",
+          "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+           |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           |  round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) / (n.nrm * q.qn), 6)
+           |    AS cosine
+           |  FROM n, q WHERE n.vec_id <> q.query_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, neighbor_id, rank, cosine FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes

@@ -512,6 +512,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin matches a per-query brute-force topK loop exactly") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val joined = Similarity.knnJoin(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", k = 4)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(3))).toSeq).toMap
+    (0L until 5L).foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      val exact = Similarity.topK(emb, "vec_id", "embedding", qv, k = 4,
+          excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(qid) == exact, s"query $qid: ${joined(qid)} vs $exact")
+    }
+  }
+
   test("dedupLines keeps the corpus-wide first occurrence and reconstructs in line order") {
     val d = Seq(
       (1L, "alpha\nbeta\nalpha"),      // intra-doc repeat: pos-2 alpha dropped
