@@ -99,6 +99,33 @@ object TextAnalysis {
       .where(col("bucket") < col("keep_pct"))
   }
 
+  /**
+   * Domain-mixture sampling with upsampling: each document is replicated
+   * `floor(w)` times and kept for one extra epoch with probability
+   * `frac(w)`, where `w` is its mixture key's weight (the Pile/DoReMi
+   * domain-reweighting shape; [[sampleStratified]] is the downsample-only
+   * special case). The fractional keep is a deterministic content-hash
+   * Bernoulli — no RNG state, so the sample is resumable, engine-portable,
+   * and a re-run at 100 TB reproduces it row-for-row. Pure per-row
+   * expression + explode: zero shuffle, scan speed. Weights must be
+   * non-negative; a key absent from `weights` gets weight 0 (dropped).
+   * Weight fractions should be exactly representable in binary (quarters,
+   * eighths, …) so `floor(frac·10⁶)` agrees across engines.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+                    keyCol: String, weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "mixture weights must be >= 0")
+    val wt = coalesce(element_at(typedLit(weights), col(keyCol)), lit(0.0))
+    val bucket = pmod(TextHashing.md5Long60(col(textCol)), lit(1000000L))
+    val nEpochs = floor(wt).cast("long") +
+      when(bucket < floor((wt - floor(wt)) * 1000000.0).cast("long"), 1L)
+        .otherwise(0L)
+    df.select(col(idCol), col(keyCol).as("mix_key"), nEpochs.as("n_epochs"))
+      .where(col("n_epochs") > 0)
+      .select(col(idCol), col("mix_key"),
+        explode(sequence(lit(0L), col("n_epochs") - 1)).as("epoch"))
+  }
+
   /** Corpus n-gram frequencies (all occurrences, not per-doc deduped):
     * per-row gram expansion → one hash-agg shuffle with map-side combine.
     * Feeds stop-shingle lists for the PPJoin prefix filter and

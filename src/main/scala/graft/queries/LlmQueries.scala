@@ -20,7 +20,7 @@ object LlmQueries {
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
-    textScrub, textLineDedup, simKnnJoin)
+    textScrub, textLineDedup, simKnnJoin, textMixSample)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -563,6 +563,27 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Domain-mixture sampling keyed on language: en upsampled 1.5×, es
+    * 2.25×, de kept, zh/fr downsampled — replication via epochs plus a
+    * deterministic content-hash Bernoulli for the fractional part. */
+  val textMixSample: QueryDef = QueryDef("text_mix_sample",
+    (s, d) => TextAnalysis.mixtureSample(Tables.documents(s, d), "doc_id",
+        "text", "lang",
+        Map("en" -> 1.5, "de" -> 1.0, "fr" -> 0.5, "es" -> 2.25, "zh" -> 0.75))
+      .orderBy("doc_id", "epoch"),
+    Some("""WITH w AS (SELECT doc_id, lang,
+           |  CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5
+           |            WHEN 'es' THEN 2.25 WHEN 'zh' THEN 0.75 ELSE 0.0 END AS wt,
+           |  ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000 AS bucket
+           |  FROM documents),
+           |n AS (SELECT doc_id, lang AS mix_key,
+           |  floor(wt)::BIGINT + (CASE WHEN bucket <
+           |      floor((wt - floor(wt)) * 1000000)::BIGINT THEN 1 ELSE 0 END)
+           |    AS n_epochs FROM w)
+           |SELECT doc_id, mix_key,
+           |  unnest(generate_series(0, n_epochs - 1))::BIGINT AS epoch
+           |FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""".stripMargin))
 
   /** Batch kNN join: the first 20 vectors each retrieve their cosine top-5
     * corpus neighbors in ONE corpus scan (broadcast query side,

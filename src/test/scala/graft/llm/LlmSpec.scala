@@ -512,6 +512,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample: integer weights replicate exactly, fractions are deterministic, absent keys drop") {
+    val d = Seq(
+      (1L, "alpha text", "double"),   // w=2.0: exactly epochs 0,1
+      (2L, "beta text", "half"),      // w=0.5: 0 or 1 copy, hash-decided
+      (3L, "gamma text", "other")     // absent key: dropped
+    ).toDF("doc_id", "text", "src")
+    val w = Map("double" -> 2.0, "half" -> 0.5)
+    val out = TextAnalysis.mixtureSample(d, "doc_id", "text", "src", w)
+      .orderBy("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count(_._1 == 1L) == 2 && out.filter(_._1 == 1L).map(_._3).toSeq == Seq(0L, 1L))
+    assert(out.count(_._1 == 2L) <= 1)
+    assert(!out.exists(_._1 == 3L))
+    // deterministic: a second run yields the identical multiset
+    val again = TextAnalysis.mixtureSample(d, "doc_id", "text", "src", w)
+      .orderBy("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("knnJoin matches a per-query brute-force topK loop exactly") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val joined = Similarity.knnJoin(emb, emb.where(col("vec_id") < 5),
