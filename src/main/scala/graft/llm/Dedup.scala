@@ -47,6 +47,37 @@ object Dedup {
   }
 
   /**
+   * Incremental exact dedup: classify a NEW batch of documents against an
+   * EXISTING corpus — `dup_of_corpus` (content already ingested),
+   * `dup_in_batch` (a smaller id in the same batch has the same content),
+   * or `kept`. This is the continuous-ingestion production shape: the
+   * corpus is never re-deduped, only the day's batch is judged.
+   *
+   * 100 TB shape: the corpus — the huge side — is scanned ONCE and never
+   * shuffled; the new batch's distinct hashes broadcast into a left-semi
+   * join against that scan, so only the (tiny) collision set comes back,
+   * and it broadcasts into the batch-side classification. Both joins keep
+   * the big side streaming. Within-batch winners are a hash-group min
+   * (partial-aggregable). Hashing uses [[contentHash]] (md5), same as
+   * [[exact]]; null texts hash to null and group together.
+   */
+  def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val nh = newDocs.select(col(idCol).as("id"), contentHash(col(textCol)).as("h"))
+    val hits = corpus.select(contentHash(col(textCol)).as("h"))
+      .join(broadcast(nh.select("h").distinct()), Seq("h"), "left_semi")
+      .distinct()
+    val firstInBatch = nh.groupBy("h").agg(min("id").as("first_id"))
+    nh.join(broadcast(hits.withColumn("in_corpus", lit(true))), Seq("h"), "left")
+      .join(firstInBatch, Seq("h"))
+      .select(col("id").as(idCol),
+        when(col("in_corpus"), "dup_of_corpus")
+          .when(col("id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("kept").as("status"))
+      .withColumn("keep", col("status") === "kept")
+  }
+
+  /**
    * Line-level exact dedup (paragraph dedup in the Dolma/CCNet mold): split
    * each document on `\n`, keep the corpus-wide FIRST occurrence — min
    * `(id, pos)` — of every distinct line, drop every later repeat, and

@@ -20,7 +20,7 @@ object LlmQueries {
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
-    textScrub, textLineDedup, simKnnJoin, textMixSample)
+    textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -563,6 +563,35 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Incremental exact dedup: docs ≥400 arrive as a new batch against the
+    * <400 corpus, with five corpus copies (ids +1000) and one in-batch copy
+    * (id 1100 of doc 450) appended to exercise both duplicate classes. */
+  val dedupIncremental: QueryDef = QueryDef("dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") === 450)
+          .select(lit(1100L).as("doc_id"), col("text")))
+      Dedup.dedupIncremental(batch, corpus, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+           |nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+           |       UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+           |       UNION ALL SELECT 1100::BIGINT, text FROM documents WHERE doc_id = 450),
+           |ct AS (SELECT DISTINCT text FROM corpus),
+           |j AS (SELECT nb.doc_id, ct.text IS NOT NULL AS in_corpus,
+           |        min(nb.doc_id) OVER (PARTITION BY nb.text) AS first_id
+           |      FROM nb LEFT JOIN ct ON nb.text = ct.text)
+           |SELECT doc_id,
+           |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+           |       WHEN doc_id <> first_id THEN 'dup_in_batch'
+           |       ELSE 'kept' END AS status,
+           |  (NOT in_corpus AND doc_id = first_id) AS keep
+           |FROM j ORDER BY doc_id""".stripMargin))
 
   /** Domain-mixture sampling keyed on language: en upsampled 1.5×, es
     * 2.25×, de kept, zh/fr downsampled — replication via epochs plus a

@@ -512,6 +512,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIncremental: corpus duplicates outrank batch duplicates; first-in-batch wins") {
+    val corpus = Seq((1L, "seen before")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new"),
+      (11L, "seen before"),    // already in the corpus
+      (12L, "twice in batch"),
+      (13L, "twice in batch"), // 12 arrived first
+      (14L, "seen before")     // corpus dup even though 11 precedes it in batch
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((10L, "kept", true), (11L, "dup_of_corpus", false),
+      (12L, "kept", true), (13L, "dup_in_batch", false),
+      (14L, "dup_of_corpus", false)))
+  }
+
   test("mixtureSample: integer weights replicate exactly, fractions are deterministic, absent keys drop") {
     val d = Seq(
       (1L, "alpha text", "double"),   // w=2.0: exactly epochs 0,1

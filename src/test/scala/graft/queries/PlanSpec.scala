@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup_incremental: corpus scan semi-joins the broadcast batch-hash set") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the corpus side must stream against a broadcast hash set\n" + p)
+  }
+
+  test("text_mix_sample: per-row replication, no hash shuffle") {
+    val p = plan("text_mix_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "mixture sampling must be per-row only\n" + p)
+  }
+
   test("text_repetition: per-row expression, no hash shuffle") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange hashpartitioning"),
