@@ -100,6 +100,28 @@ object TextAnalysis {
   }
 
   /**
+   * Global training-order shuffle as hash sharding: every document gets a
+   * shard (`hash % nShards`) and a position within that shard (rank by
+   * hash). Reading shards in order yields a corpus-wide pseudo-random
+   * permutation — the "shuffle before training" step — without a global
+   * sort, without RNG state (deterministic and resumable), and with
+   * hash-balanced shard sizes. At 100 TB the plan is one exchange keyed on
+   * shard_id plus a per-shard local sort (spill-friendly); choose nShards
+   * so corpus/nShards fits a task's sort comfortably. A writer follows
+   * with `partitionBy(shard_id)`.
+   */
+  def shuffleShards(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    val h = df.select(col(idCol),
+      TextHashing.md5Long60(col(textCol)).as("hkey"))
+      .withColumn("shard_id", pmod(col("hkey"), lit(nShards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(col("hkey"), col(idCol))
+    h.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard_id"), col("pos"))
+  }
+
+  /**
    * Domain-mixture sampling with upsampling: each document is replicated
    * `floor(w)` times and kept for one extra epoch with probability
    * `frac(w)`, where `w` is its mixture key's weight (the Pile/DoReMi

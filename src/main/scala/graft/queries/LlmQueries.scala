@@ -20,7 +20,8 @@ object LlmQueries {
     textFingerprint, textNgramFreq, textSampleStratified, simQuantize, mmMeta,
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
-    textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental)
+    textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
+    textShard)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -563,6 +564,21 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Deterministic training-order shuffle into 8 hash shards: shard by
+    * content hash, position by in-shard hash rank — a corpus permutation
+    * with no global sort and no RNG state. */
+  val textShard: QueryDef = QueryDef("text_shard",
+    (s, d) => TextAnalysis.shuffleShards(Tables.documents(s, d), "doc_id",
+        "text", nShards = 8)
+      .orderBy("doc_id"),
+    Some("""WITH h AS (SELECT doc_id,
+           |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS hkey FROM documents),
+           |s AS (SELECT doc_id, hkey, hkey % 8 AS shard_id FROM h)
+           |SELECT doc_id, shard_id,
+           |  row_number() OVER (PARTITION BY shard_id ORDER BY hkey, doc_id)::BIGINT
+           |    AS pos
+           |FROM s ORDER BY doc_id""".stripMargin))
 
   /** Incremental exact dedup: docs ≥400 arrive as a new batch against the
     * <400 corpus, with five corpus copies (ids +1000) and one in-batch copy

@@ -512,6 +512,16 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards: every doc lands once with contiguous per-shard positions from 1") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.sf).limit(200)
+    val out = TextAnalysis.shuffleShards(docs, "doc_id", "text", nShards = 4).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length && out.length == 200)
+    out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length.toLong),
+        s"shard $shard positions not contiguous")
+    }
+  }
+
   test("dedupIncremental: corpus duplicates outrank batch duplicates; first-in-batch wins") {
     val corpus = Seq((1L, "seen before")).toDF("doc_id", "text")
     val batch = Seq(

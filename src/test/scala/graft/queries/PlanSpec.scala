@@ -120,6 +120,13 @@ class PlanSpec extends AnyFunSuite {
       "mixture sampling must be per-row only\n" + p)
   }
 
+  test("text_shard: one exchange on shard_id, no single-partition global sort") {
+    val p = plan("text_shard")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "shard permutation must not globally sort\n" + p)
+  }
+
   test("text_repetition: per-row expression, no hash shuffle") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange hashpartitioning"),
