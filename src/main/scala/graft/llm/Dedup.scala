@@ -77,6 +77,89 @@ object Dedup {
       .withColumn("keep", col("status") === "kept")
   }
 
+  /** MinHash signature table `(id, n_sh, sig)` — the artifact a corpus
+    * stores once so future batches can be judged against it (see
+    * [[graft.queries.Materialized.minhashSignatures]]). Signatures are
+    * k×8 bytes per doc — a far smaller scan than the text at corpus
+    * scale; shingle sets are deliberately NOT stored (they re-encode the
+    * corpus) — [[dedupIncrementalNear]] re-derives shingles for the tiny
+    * candidate set only. */
+  def minhashSignatureTable(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = TextHashing.wordShinglesKernel(t, shingleN)
+        (id, sh.length.toLong, TextHashing.minhashSignatureKernel(sh, k))
+      }
+      .toDF("id", "n_sh", "sig")
+  }
+
+  /**
+   * Incremental NEAR-dup: judge a new batch against a corpus WITHOUT
+   * re-deduping the corpus, using its stored minhash signature table.
+   * Each batch doc gets its best corpus match at exact word-`shingleN`-gram
+   * Jaccard ≥ `threshold` (`dup_of`/`jaccard` null ⇒ `keep`). Ties at the
+   * 6-dp-rounded Jaccard break to the smaller corpus id.
+   *
+   * 100 TB shape: the corpus contributes only its signature scan (k longs
+   * per doc) — the banded candidate join broadcasts the BATCH band keys
+   * (the small, new side) into it; corpus TEXT is touched only for the
+   * tiny candidate set (broadcast semi-join prune) to exact-verify. Same
+   * banding recall as [[minhashLsh]]: 1-(1-t^r)^b ≈ 1 at t ≥ 0.8 with
+   * 32×4. Batch docs shorter than the shingle width have an undefined
+   * Jaccard and are kept.
+   */
+  def dedupIncrementalNear(batch: DataFrame, corpusSigs: DataFrame,
+                           corpusDocs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                           threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val batchSig = batch
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = TextHashing.wordShinglesKernel(t, shingleN)
+        (id, sh, TextHashing.minhashSignatureKernel(sh, k))
+      }
+      .toDF("id", "sh", "sig").persist()
+    def bandRows(sigs: DataFrame, nonEmpty: Column) = sigs
+      .where(nonEmpty)
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val candidates = bandRows(corpusSigs, col("n_sh") > 0).as("c")
+      .join(broadcast(bandRows(batchSig, size(col("sh")) > 0).as("x")),
+        col("c.band") === col("x.band") && col("c.key") === col("x.key"))
+      .select(col("x.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    val corpusSh = corpusDocs
+      .select(col(idCol).cast("long").as("id_b"), col(textCol).as("t"))
+      .join(broadcast(candidates.select("id_b").distinct()), Seq("id_b"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, TextHashing.wordShinglesKernel(t, shingleN)) }
+      .toDF("id_b", "sh_b")
+    val verified = candidates
+      .join(batchSig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(corpusSh, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("jaccard").desc, col("id_b"))
+    val best = verified.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val out = batchSig.select(col("id").as(idCol))
+      .join(best.select(col("id_a").as(idCol), col("id_b").as("dup_of"),
+        col("jaccard")), Seq(idCol), "left")
+      .withColumn("keep", col("dup_of").isNull)
+    materializeAndRelease(out, materialize = true, batchSig)
+  }
+
   /**
    * Line-level exact dedup (paragraph dedup in the Dolma/CCNet mold): split
    * each document on `\n`, keep the corpus-wide FIRST occurrence — min

@@ -21,7 +21,7 @@ object LlmQueries {
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
-    textShard)
+    textShard, dedupIncrementalNear)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -564,6 +564,49 @@ object LlmQueries {
            |    AS cosine
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Incremental NEAR-dup against the STORED corpus signature table: docs
+    * ≥400 arrive as a batch (plus five last-word-dropped near-copies of
+    * docs 0-4, ids +2000) and are judged against the <400 corpus via its
+    * stored MinHash signatures — the corpus is signed once, never
+    * re-deduped; batch band keys broadcast into the signature scan. */
+  val dedupIncrementalNear: QueryDef = QueryDef("dedup_incremental_near",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + 2000).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text")))
+      val corpusSigs = Materialized.minhashSignatures(s, d)
+        .where(col("id") < 400)
+      Dedup.dedupIncrementalNear(batch, corpusSigs, corpus, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+            |nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+            |       UNION ALL SELECT doc_id + 2000, regexp_replace(text, ' \\S+$$', '')
+            |                 FROM documents WHERE doc_id < 5),
+            |wb AS (SELECT doc_id, string_split(text, ' ') AS ws FROM nb),
+            |shb AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            |        for i in range(1, len(ws) - 1)]) AS shs FROM wb),
+            |wc AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            |shc AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            |        for i in range(1, len(ws) - 1)]) AS shs FROM wc),
+            |exb AS (SELECT doc_id, unnest(shs) AS s FROM shb),
+            |exc AS (SELECT doc_id, unnest(shs) AS s FROM shc),
+            |p AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+            |      FROM exb b JOIN exc c ON b.s = c.s GROUP BY 1, 2),
+            |j AS (SELECT bid, cid,
+            |        round(inter * 1.0 / (len(x.shs) + len(y.shs) - inter), 6) AS jac
+            |      FROM p JOIN shb x ON p.bid = x.doc_id JOIN shc y ON p.cid = y.doc_id
+            |      WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+            |best AS (SELECT bid, cid, jac,
+            |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+            |         FROM j)
+            |SELECT nb.doc_id, b.cid AS dup_of, b.jac AS jaccard, b.cid IS NULL AS keep
+            |FROM nb LEFT JOIN best b ON nb.doc_id = b.bid AND b.rn = 1
+            |ORDER BY nb.doc_id""".stripMargin))
 
   /** Deterministic training-order shuffle into 8 hash shards: shard by
     * content hash, position by in-shard hash rank — a corpus permutation

@@ -304,6 +304,18 @@ object Materialized {
         materialize = true)
     }
 
+  /** Stored MinHash(128) signature table `(id, n_sh, sig)` over
+    * `documents` — the corpus artifact incremental near-dup
+    * ([[graft.llm.Dedup.dedupIncrementalNear]]) judges new batches
+    * against: the corpus is signed ONCE; every future batch band-joins
+    * its (broadcast) band keys into this table and touches corpus text
+    * only to exact-verify the tiny candidate set. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
+      Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
+        "doc_id", "text", shingleN = 3, k = 128)
+    }
+
   /** Exact word-3-gram Jaccard pair table at J ≥ 0.6 (inverted-index /
     * PPJoin adaptive join) — `dedup_ngram_jaccard` reads it. */
   def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =

@@ -522,6 +522,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIncrementalNear: near-dups matched via corpus signatures, fresh and sub-shingle docs kept") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "completely different words entirely here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureTable(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"), // J = 8/9 vs doc 1
+      (11L, "utterly unrelated fresh content with brand new tokens only"),
+      (12L, "xy")                                   // shorter than shingle width
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrementalNear(batch, sigs, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) > 0.8 && !out(0).getBoolean(3))
+    assert(out(1).isNullAt(1) && out(1).getBoolean(3))
+    assert(out(2).isNullAt(1) && out(2).getBoolean(3))
+  }
+
   test("dedupIncremental: corpus duplicates outrank batch duplicates; first-in-batch wins") {
     val corpus = Seq((1L, "seen before")).toDF("doc_id", "text")
     val batch = Seq(

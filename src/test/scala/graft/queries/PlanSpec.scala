@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
       "mixture sampling must be per-row only\n" + p)
   }
 
+  test("dedup_incremental_near: batch band keys broadcast into the stored signature scan") {
+    val p = plan("dedup_incremental_near")
+    assert(p.contains("minhash_sigs"),
+      "must read the stored corpus signature table\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the batch side must broadcast into the signature scan\n" + p)
+  }
+
   test("text_shard: one exchange on shard_id, no single-partition global sort") {
     val p = plan("text_shard")
     assert(p.contains("Window"), p)
