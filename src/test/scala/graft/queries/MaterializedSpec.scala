@@ -59,6 +59,24 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature table: signed once, reused by a fresh consumer, matches a fresh signing") {
+    withTempStore { _ =>
+      val b0 = Materialized.buildsStarted.get()
+      val stored = Materialized.minhashSignatures(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+      Materialized.clearSessionCache()
+      val again = Materialized.minhashSignatures(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(Materialized.buildsStarted.get() == b0 + 1, "stored signatures must be reused")
+      assert(again == stored)
+      val fresh = Dedup.minhashSignatureTable(
+          Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(fresh == stored, "stored signatures must equal a fresh signing")
+    }
+  }
+
   test("embedding pair stats: one streaming agg, then the JSON sidecar round-trips bit-exact") {
     withTempStore { root =>
       val b0 = Materialized.buildsStarted.get()
