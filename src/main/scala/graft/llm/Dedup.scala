@@ -161,6 +161,60 @@ object Dedup {
   }
 
   /**
+   * Incremental embedding near-dup: judge a batch of NEW vectors against a
+   * corpus via its stored sign-LSH bucket table
+   * ([[graft.queries.Materialized.embeddingSignatures]]). The hyperplanes
+   * derive from a deterministic integer formula
+   * ([[Similarity.lshBandSignature]]) — no RNG state to persist — so a
+   * batch signs itself bit-consistently with signatures stored in an
+   * earlier run. Each batch vector gets its best corpus match at cosine ≥
+   * `threshold` (6-dp rounded; ties → smaller corpus id) or `keep`.
+   *
+   * 100 TB shape: mirrors [[dedupIncrementalNear]] — the corpus
+   * contributes only its (bands longs per vector) signature scan, the
+   * batch band keys broadcast into it, and corpus vectors are fetched
+   * only for the tiny candidate set. Banding recall at the default
+   * (8 planes × 32 bands, t ≥ 0.9) is the measured-recall-1 production
+   * config of `dedup_embedding_t90`; exact duplicates collide in every
+   * band by construction.
+   */
+  def dedupIncrementalEmbedding(batch: DataFrame, corpusSigs: DataFrame,
+                                corpusEmb: DataFrame, idCol: String, vecCol: String,
+                                dims: Int, threshold: Double = 0.9,
+                                planesPerBand: Int = 8, bands: Int = 32): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    val bBands = b
+      .withColumn("sig", Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims))
+      .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    val cBands = corpusSigs
+      .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    val candidates = cBands.as("c")
+      .join(broadcast(bBands.as("x")),
+        col("c.band") === col("x.band") && col("c.bucket") === col("x.bucket"))
+      .select(col("x.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    val cVecs = corpusEmb
+      .select(col(idCol).cast("long").as("id_b"),
+        Similarity.asDouble(col(vecCol)).as("vb"))
+      .join(broadcast(candidates.select("id_b").distinct()), Seq("id_b"), "left_semi")
+    val verified = candidates
+      .join(b.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(cVecs, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    val best = verified.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    b.select(col("id").as(idCol))
+      .join(best.select(col("id_a").as(idCol), col("id_b").as("dup_of"),
+        col("cosine")), Seq(idCol), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /**
    * Line-level exact dedup (paragraph dedup in the Dolma/CCNet mold): split
    * each document on `\n`, keep the corpus-wide FIRST occurrence — min
    * `(id, pos)` — of every distinct line, drop every later repeat, and

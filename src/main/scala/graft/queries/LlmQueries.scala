@@ -21,7 +21,7 @@ object LlmQueries {
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
-    textShard, dedupIncrementalNear)
+    textShard, dedupIncrementalNear, dedupIncrementalEmb)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -607,6 +607,41 @@ object LlmQueries {
             |SELECT nb.doc_id, b.cid AS dup_of, b.jac AS jaccard, b.cid IS NULL AS keep
             |FROM nb LEFT JOIN best b ON nb.doc_id = b.bid AND b.rn = 1
             |ORDER BY nb.doc_id""".stripMargin))
+
+  /** Incremental embedding near-dup against the STORED sign-LSH bucket
+    * table: vectors ≥450 arrive as a batch (plus five exact copies of
+    * vectors 0-4, ids +3000) and are judged against the <450 corpus via
+    * its stored band signatures; deterministic hyperplanes mean the batch
+    * signs itself consistently with the store. */
+  val dedupIncrementalEmb: QueryDef = QueryDef("dedup_incremental_emb",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.where(col("vec_id") < 450)
+      val batch = emb.where(col("vec_id") >= 450)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 3000).as("vec_id"), col("embedding")))
+      val sigs = Materialized.embeddingSignatures(s, d).where(col("id") < 450)
+      Dedup.dedupIncrementalEmbedding(batch, sigs, corpus, "vec_id", "embedding",
+        dims = 64, threshold = 0.9).orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |corpus AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+           |           FROM e WHERE vec_id < 450),
+           |nb0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 450
+           |        UNION ALL SELECT vec_id + 3000, v FROM e WHERE vec_id < 5),
+           |nb AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM nb0),
+           |p AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
+           |        round(list_sum([b.v[i] * c.v[i] for i in range(1, 65)]) /
+           |          (b.nrm * c.nrm), 6) AS cs
+           |      FROM nb b, corpus c),
+           |j AS (SELECT bid, cid, cs FROM p WHERE cs >= 0.9),
+           |best AS (SELECT bid, cid, cs,
+           |         row_number() OVER (PARTITION BY bid ORDER BY cs DESC, cid) AS rn
+           |         FROM j)
+           |SELECT nb.vec_id, b.cid AS dup_of, b.cs AS cosine, b.cid IS NULL AS keep
+           |FROM nb LEFT JOIN best b ON nb.vec_id = b.bid AND b.rn = 1
+           |ORDER BY nb.vec_id""".stripMargin))
 
   /** Deterministic training-order shuffle into 8 hash shards: shard by
     * content hash, position by in-shard hash rank — a corpus permutation

@@ -316,6 +316,21 @@ object Materialized {
         "doc_id", "text", shingleN = 3, k = 128)
     }
 
+  /** Stored sign-LSH bucket table `(id, sig)` over `embeddings` at the
+    * measured-recall-1 production config (8 planes × 32 bands) — the
+    * corpus artifact incremental embedding near-dup
+    * ([[graft.llm.Dedup.dedupIncrementalEmbedding]]) judges new vector
+    * batches against. Hyperplanes derive from a deterministic integer
+    * formula, so a later batch signs itself consistently with this
+    * table without any persisted RNG state. */
+  def embeddingSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "emb_sigs", "d64_r8b32", sfDir, "embeddings") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long").as("id"),
+          graft.llm.Similarity.lshBandSignature(
+            graft.llm.Similarity.asDouble(col("embedding")), 32, 8, 64).as("sig"))
+    }
+
   /** Exact word-3-gram Jaccard pair table at J ≥ 0.6 (inverted-index /
     * PPJoin adaptive join) — `dedup_ngram_jaccard` reads it. */
   def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =

@@ -540,6 +540,21 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).getBoolean(3))
   }
 
+  test("dedupIncrementalEmbedding: exact copies match via stored-style signatures, fresh vectors keep") {
+    val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sigs = corpus.select(col("vec_id").as("id"),
+      Similarity.lshBandSignature(
+        Similarity.asDouble(col("embedding")), 32, 8, 4).as("sig"))
+    val batch = Seq((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupIncrementalEmbedding(batch, sigs, corpus,
+        "vec_id", "embedding", dims = 4, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0 && !out(0).getBoolean(3))
+    assert(out(1).isNullAt(1) && out(1).getBoolean(3))
+  }
+
   test("dedupIncremental: corpus duplicates outrank batch duplicates; first-in-batch wins") {
     val corpus = Seq((1L, "seen before")).toDF("doc_id", "text")
     val batch = Seq(

@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
       "the batch side must broadcast into the signature scan\n" + p)
   }
 
+  test("dedup_incremental_emb: batch band keys broadcast into the stored embedding-signature scan") {
+    val p = plan("dedup_incremental_emb")
+    assert(p.contains("emb_sigs"),
+      "must read the stored embedding signature table\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the batch side must broadcast into the signature scan\n" + p)
+  }
+
   test("text_shard: one exchange on shard_id, no single-partition global sort") {
     val p = plan("text_shard")
     assert(p.contains("Window"), p)
