@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.File
+import java.nio.file.Files
+
+class StreamingDedupSpec extends AnyFunSuite {
+  @transient lazy val spark = TestSpark.spark
+
+  test("first-seen keeper persists across micro-batches; keeper replay stays keep=true") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sdedup").toFile
+    val ckpt = Files.createTempDirectory("sdedup-ckpt").toFile
+
+    def writeBatch(name: String, rows: Seq[StreamingDedup.Doc]): Unit =
+      Files.write(new File(dir, name).toPath,
+        rows.map(r => s"${r.docId},${r.contentHash}")
+          .mkString("\n").getBytes("UTF-8"))
+
+    writeBatch("b1.csv", Seq(
+      StreamingDedup.Doc(2, "hA"), // min-id election: 1 beats 2 within the batch
+      StreamingDedup.Doc(1, "hA"),
+      StreamingDedup.Doc(3, "hB")))
+
+    val raw = spark.readStream
+      .schema("docId LONG, contentHash STRING")
+      .csv(dir.getAbsolutePath)
+      .as[StreamingDedup.Doc]
+
+    val q = StreamingDedup.judged(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .format("memory").queryName("sdedup")
+      .start()
+    q.processAllAvailable()
+
+    // batch 2: hA dup from a later batch; hC brand new; keeper replay of doc 1
+    writeBatch("b2.csv", Seq(
+      StreamingDedup.Doc(4, "hA"),
+      StreamingDedup.Doc(5, "hC"),
+      StreamingDedup.Doc(1, "hA")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT docId, keeperId, keep FROM sdedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = out.groupBy(_._1)
+    // batch 1: doc 1 keeps hA, doc 2 loses to it, doc 3 keeps hB
+    assert(byDoc(2L).toSet == Set((2L, 1L, false)))
+    assert(byDoc(3L).toSet == Set((3L, 3L, true)))
+    // batch 2: doc 4 loses to the stored keeper; doc 5 keeps hC
+    assert(byDoc(4L).toSet == Set((4L, 1L, false)))
+    assert(byDoc(5L).toSet == Set((5L, 5L, true)))
+    // doc 1 judged keep=true in BOTH batches (idempotent under replay)
+    assert(byDoc(1L).toSeq.sorted == Seq((1L, 1L, true), (1L, 1L, true)))
+  }
+}
