@@ -21,7 +21,7 @@ object LlmQueries {
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
-    textShard, dedupIncrementalNear, dedupIncrementalEmb)
+    textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -607,6 +607,34 @@ object LlmQueries {
             |SELECT nb.doc_id, b.cid AS dup_of, b.jac AS jaccard, b.cid IS NULL AS keep
             |FROM nb LEFT JOIN best b ON nb.doc_id = b.bid AND b.rn = 1
             |ORDER BY nb.doc_id""".stripMargin))
+
+  /** Per-language corpus statistics (the curation dashboard query): doc
+    * counts, char volume, exact token percentiles. One partial+final hash
+    * agg; the exact `percentile` buffers a counts-map over the BOUNDED
+    * token-count domain (doc lengths), so it parallelizes — for unbounded
+    * value domains `approx_distinct`'s pattern (approx_percentile) is the
+    * scale path. */
+  val textStats: QueryDef = QueryDef("text_stats",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_tokens"), 6).as("avg_tokens"),
+        round(expr("percentile(n_tokens, 0.5D)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.95D)"), 6).as("p95_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+           |  round(avg(len(regexp_extract_all(text, '\S+'))), 6) AS avg_tokens,
+           |  round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 6)
+           |    AS p50_tokens,
+           |  round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 6)
+           |    AS p95_tokens,
+           |  min(len(regexp_extract_all(text, '\S+')))::BIGINT AS min_tokens,
+           |  max(len(regexp_extract_all(text, '\S+')))::BIGINT AS max_tokens
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Incremental embedding near-dup against the STORED sign-LSH bucket
     * table: vectors ≥450 arrive as a batch (plus five exact copies of
