@@ -21,7 +21,8 @@ object LlmQueries {
     mmDecode, mmFrames, mmResize, trainingPipeline,
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
-    textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats)
+    textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
+    pipelineIntegrity)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -607,6 +608,34 @@ object LlmQueries {
             |SELECT nb.doc_id, b.cid AS dup_of, b.jac AS jaccard, b.cid IS NULL AS keep
             |FROM nb LEFT JOIN best b ON nb.doc_id = b.bid AND b.rn = 1
             |ORDER BY nb.doc_id""".stripMargin))
+
+  /** Cross-modal integrity audit: documents FULL OUTER joined to their
+    * embeddings (window shifts carve out both failure classes) → per-status
+    * counts with id ranges. The join co-partitions both sides on the id —
+    * one exchange each at any scale — and is the only full-outer in the
+    * registry. */
+  val pipelineIntegrity: QueryDef = QueryDef("pipeline_integrity",
+    (s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") >= 5).select("doc_id")
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 495).select("vec_id")
+      docs.join(emb, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+          when(col("doc_id").isNull, "orphan_embedding")
+            .when(col("vec_id").isNull, "missing_embedding")
+            .otherwise("matched").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("status")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id >= 5),
+           |e AS (SELECT vec_id FROM embeddings WHERE vec_id < 495),
+           |j AS (SELECT coalesce(d.doc_id, e.vec_id) AS id,
+           |        CASE WHEN d.doc_id IS NULL THEN 'orphan_embedding'
+           |             WHEN e.vec_id IS NULL THEN 'missing_embedding'
+           |             ELSE 'matched' END AS status
+           |      FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+           |SELECT status, count(*)::BIGINT AS n, min(id) AS min_id, max(id) AS max_id
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Per-language corpus statistics (the curation dashboard query): doc
     * counts, char volume, exact token percentiles. One partial+final hash

@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
       "mixture sampling must be per-row only\n" + p)
   }
 
+  test("text_line_dedup: every hash exchange keys on the line hash or the doc id") {
+    val p = plan("text_line_dedup")
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(e => e.contains("line_h") || e.contains("doc_id") || e.contains("id")),
+      "line dedup shuffled on an unexpected key\n" + p)
+  }
+
   test("dedup_incremental_near: batch band keys broadcast into the stored signature scan") {
     val p = plan("dedup_incremental_near")
     assert(p.contains("minhash_sigs"),
