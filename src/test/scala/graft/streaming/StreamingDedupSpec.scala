@@ -9,6 +9,49 @@ import java.nio.file.Files
 class StreamingDedupSpec extends AnyFunSuite {
   @transient lazy val spark = TestSpark.spark
 
+  test("keeper state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sdedup-restart").toFile
+    val ckpt = Files.createTempDirectory("sdedup-restart-ckpt").toFile
+
+    def writeBatch(name: String, rows: Seq[StreamingDedup.Doc]): Unit =
+      Files.write(new File(dir, name).toPath,
+        rows.map(r => s"${r.docId},${r.contentHash}")
+          .mkString("\n").getBytes("UTF-8"))
+
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+    def startQuery() = StreamingDedup.judged(
+        spark.readStream
+          .schema("docId LONG, contentHash STRING")
+          .csv(dir.getAbsolutePath)
+          .as[StreamingDedup.Doc])
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingDedup.Judged], _: Long) =>
+        df.collect().foreach(j => sunk.add((j.docId, j.keeperId, j.keep)))
+      }
+      .start()
+
+    writeBatch("b1.csv", Seq(StreamingDedup.Doc(1, "hA")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // kill the query — state lives only in the checkpointed store
+
+    writeBatch("b2.csv", Seq(StreamingDedup.Doc(9, "hA")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val out = sunk.iterator().asScala.toSet
+    // doc 9 must lose to the PRE-RESTART keeper: the hash→keeper marker was
+    // recovered from the state store, not re-elected
+    assert(out.contains((9L, 1L, false)),
+      s"keeper state was not recovered across restart: $out")
+  }
+
   test("first-seen keeper persists across micro-batches; keeper replay stays keep=true") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sdedup").toFile
