@@ -58,7 +58,36 @@ object ScaleCurveMain {
         f"clusters rows=$cl ${tCl}%.2fs")
     }
     crossover50k(spark)
+    knn55k(spark)
     spark.stop()
+  }
+
+  /** One-scan batch retrieval vs Q repeated scans: [[Similarity.knnJoin]]
+    * at Q=32, k=10 over a 55k synthetic corpus against a driver loop of
+    * [[Similarity.topK]] — the wall-clock evidence for the broadcast-heap
+    * shape (the loop re-scans and re-projects the corpus Q times). */
+  private def knn55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = spark.range(55000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding").persist()
+    base.count()
+    val queries = base.where(col("vec_id") < 32)
+    val (nJoin, tJoin) = timed(graft.llm.Similarity.knnJoin(
+      base, queries, "vec_id", "embedding", "vec_id", k = 10).count())
+    val qvs = queries.as[(Long, Array[Double])].collect()
+    val (nLoop, tLoop) = timed(qvs.map { case (qid, v) =>
+      graft.llm.Similarity.topK(base, "vec_id", "embedding", v.toSeq,
+        k = 10, excludeId = Some(qid)).count()
+    }.sum)
+    println(f"knn n=55000 Q=32 k=10 join=$nJoin (${tJoin}%.1fs) " +
+      f"loop=$nLoop (${tLoop}%.1fs, ${tLoop / tJoin}%.1fx slower)")
+    base.unpersist()
   }
 
   /** splitmix64 finalizer (same formula as Similarity's plane derivation). */
