@@ -59,12 +59,15 @@ object Dedup {
    * and it broadcasts into the batch-side classification. Both joins keep
    * the big side streaming. Within-batch winners are a hash-group min
    * (partial-aggregable). Hashing uses [[contentHash]] (md5), same as
-   * [[exact]]; null texts hash to null and group together.
+   * [[exact]]; null texts take a sentinel hash (no hex md5 collides with
+   * it) so they group together INSTEAD of silently dropping out of the
+   * equi-joins (null keys never match).
    */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    val nh = newDocs.select(col(idCol).as("id"), contentHash(col(textCol)).as("h"))
-    val hits = corpus.select(contentHash(col(textCol)).as("h"))
+    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
+    val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
+    val hits = corpus.select(h(col(textCol)).as("h"))
       .join(broadcast(nh.select("h").distinct()), Seq("h"), "left_semi")
       .distinct()
     val firstInBatch = nh.groupBy("h").agg(min("id").as("first_id"))

@@ -572,6 +572,21 @@ class LlmSpec extends AnyFunSuite {
       (14L, "dup_of_corpus", false)))
   }
 
+  test("dedupIncremental: null-text docs keep their rows and dedupe against each other") {
+    val corpus = Seq((1L, "real text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]), // loses to 10 within the batch
+      (12L, "real text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((10L, "kept", true), (11L, "dup_in_batch", false),
+      (12L, "dup_of_corpus", false)),
+      "null-text rows must not silently drop out of the equi-joins")
+  }
+
   test("mixtureSample: integer weights replicate exactly, fractions are deterministic, absent keys drop") {
     val d = Seq(
       (1L, "alpha text", "double"),   // w=2.0: exactly epochs 0,1
