@@ -439,7 +439,14 @@ object Similarity {
     val q = queries
       .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .as[(Long, Array[Double])].collect()
-      .map { case (qid, v) => (qid, v, math.sqrt(dotKernel(v, v))) }
+      .map { case (qid, v) =>
+        // fail loud: a null/zero query would NPE in the kernel or rank by
+        // NaN silently (Double.compare sorts NaN above every real cosine)
+        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
+        val qn = math.sqrt(dotKernel(v, v))
+        require(qn > 0.0, s"kNN query $qid has zero norm — cosine undefined")
+        (qid, v, qn)
+      }
     require(q.length <= maxQueries,
       s"query side has ${q.length} vectors; broadcast kNN is bounded at $maxQueries")
     val qB = spark.sparkContext.broadcast(q)

@@ -607,6 +607,15 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("knnJoin rejects degenerate query vectors loudly") {
+    val corpus = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val zeroQ = Seq((7L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(corpus, zeroQ, "vec_id", "embedding", "vec_id", k = 1)
+    }
+    assert(ex.getMessage.contains("zero norm"))
+  }
+
   test("knnJoin matches a per-query brute-force topK loop exactly") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val joined = Similarity.knnJoin(emb, emb.where(col("vec_id") < 5),
