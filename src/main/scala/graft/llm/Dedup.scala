@@ -122,45 +122,51 @@ object Dedup {
     val spark = batch.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
-    val batchSig = batch
+    // pure (no persist — nothing lingers in the session cache): the batch
+    // is signed once for band keys and re-shingled once for verification;
+    // the final id list comes from the raw batch with no kernel at all
+    def raw(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    def shingles(idT: DataFrame, outId: String) = idT
+      .as[(Long, String)]
+      .map { case (id, t) => (id, TextHashing.wordShinglesKernel(t, shingleN)) }
+      .toDF(outId, s"sh_$outId")
+    val bBandRows = raw(batch)
       .as[(Long, String)]
       .map { case (id, t) =>
         val sh = TextHashing.wordShinglesKernel(t, shingleN)
-        (id, sh, TextHashing.minhashSignatureKernel(sh, k))
+        (id, sh.length, TextHashing.minhashSignatureKernel(sh, k))
       }
-      .toDF("id", "sh", "sig").persist()
-    def bandRows(sigs: DataFrame, nonEmpty: Column) = sigs
-      .where(nonEmpty)
+      .toDF("id", "n_sh", "sig")
+      .where(col("n_sh") > 0)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-    val candidates = bandRows(corpusSigs, col("n_sh") > 0).as("c")
-      .join(broadcast(bandRows(batchSig, size(col("sh")) > 0).as("x")),
+    val cBandRows = corpusSigs.where(col("n_sh") > 0)
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val candidates = cBandRows.as("c")
+      .join(broadcast(bBandRows.as("x")),
         col("c.band") === col("x.band") && col("c.key") === col("x.key"))
       .select(col("x.id").as("id_a"), col("c.id").as("id_b"))
       .distinct()
-    val corpusSh = corpusDocs
-      .select(col(idCol).cast("long").as("id_b"), col(textCol).as("t"))
-      .join(broadcast(candidates.select("id_b").distinct()), Seq("id_b"), "left_semi")
-      .as[(Long, String)]
-      .map { case (id, t) => (id, TextHashing.wordShinglesKernel(t, shingleN)) }
-      .toDF("id_b", "sh_b")
+    val corpusSh = shingles(raw(corpusDocs)
+      .join(broadcast(candidates.select(col("id_b").as("id")).distinct()),
+        Seq("id"), "left_semi"), "id_b")
     val verified = candidates
-      .join(batchSig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingles(raw(batch), "id_a"), "id_a")
       .join(corpusSh, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+        size(array_intersect(col("sh_id_a"), col("sh_id_b"))).cast("double") /
+          greatest(size(array_union(col("sh_id_a"), col("sh_id_b"))), lit(1)).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("jaccard").desc, col("id_b"))
     val best = verified.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-    val out = batchSig.select(col("id").as(idCol))
+    batch.select(col(idCol).cast("long").as(idCol))
       .join(best.select(col("id_a").as(idCol), col("id_b").as("dup_of"),
         col("jaccard")), Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
-    materializeAndRelease(out, materialize = true, batchSig)
   }
 
   /**

@@ -522,6 +522,16 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIncrementalNear is pure: no persisted tables linger after consumption") {
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureTable(corpus, "doc_id", "text")
+    val batch = Seq((10L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.dedupIncrementalNear(batch, sigs, corpus, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "incremental near-dup must not leak session cache entries per call")
+  }
+
   test("dedupIncrementalNear: near-dups matched via corpus signatures, fresh and sub-shingle docs kept") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
