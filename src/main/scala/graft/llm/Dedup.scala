@@ -182,19 +182,27 @@ object Dedup {
    * 100 TB shape: mirrors [[dedupIncrementalNear]] — the corpus
    * contributes only its (bands longs per vector) signature scan, the
    * batch band keys broadcast into it, and corpus vectors are fetched
-   * only for the tiny candidate set. Banding recall at the default
-   * (8 planes × 32 bands, t ≥ 0.9) is the measured-recall-1 production
-   * config of `dedup_embedding_t90`; exact duplicates collide in every
-   * band by construction.
+   * only for the tiny candidate set. The default is the DEEP banding
+   * production config (16 planes × 128 bands): the shallow 8×32's
+   * ~12% random-collision floor would make batch×corpus candidate mass
+   * quadratic-ish at scale, exactly the effect BASELINE.md's crossover
+   * measures; at 2,048 planes the signature goes through the typed JIT
+   * kernel (bit-identical to the expression path, property-tested).
+   * Analytic recall at cosine 0.9 is 1-(1-p¹⁶)¹²⁸ ≈ 0.99998 and exact
+   * duplicates collide in every band by construction.
    */
   def dedupIncrementalEmbedding(batch: DataFrame, corpusSigs: DataFrame,
                                 corpusEmb: DataFrame, idCol: String, vecCol: String,
                                 dims: Int, threshold: Double = 0.9,
-                                planesPerBand: Int = 8, bands: Int = 32): DataFrame = {
+                                planesPerBand: Int = 16, bands: Int = 128): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as("id"),
       Similarity.asDouble(col(vecCol)).as("v"))
-    val bBands = b
-      .withColumn("sig", Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims))
+    val bSigs =
+      if (bands * planesPerBand > TypedSignaturePlaneThreshold)
+        Similarity.lshSigRowsTyped(batch, idCol, vecCol, bands, planesPerBand, dims)
+      else b.select(col("id"),
+        Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims).as("sig"))
+    val bBands = bSigs
       .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
     val cBands = corpusSigs
       .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))

@@ -317,18 +317,19 @@ object Materialized {
     }
 
   /** Stored sign-LSH bucket table `(id, sig)` over `embeddings` at the
-    * measured-recall-1 production config (8 planes × 32 bands) — the
-    * corpus artifact incremental embedding near-dup
+    * DEEP banding production config (16 planes × 128 bands — the 252×
+    * measured-prune operating point from BASELINE.md's crossover; the
+    * 2,048-plane signing goes through the typed JIT kernel) — the corpus
+    * artifact incremental embedding near-dup
     * ([[graft.llm.Dedup.dedupIncrementalEmbedding]]) judges new vector
     * batches against. Hyperplanes derive from a deterministic integer
     * formula, so a later batch signs itself consistently with this
     * table without any persisted RNG state. */
   def embeddingSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "emb_sigs", "d64_r8b32", sfDir, "embeddings") {
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id").cast("long").as("id"),
-          graft.llm.Similarity.lshBandSignature(
-            graft.llm.Similarity.asDouble(col("embedding")), 32, 8, 64).as("sig"))
+    parquetBacked(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
+      graft.llm.Similarity.lshSigRowsTyped(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        bands = 128, planesPerBand = 16, dims = 64)
     }
 
   /** Exact word-3-gram Jaccard pair table at J ≥ 0.6 (inverted-index /

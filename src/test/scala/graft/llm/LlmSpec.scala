@@ -559,7 +559,8 @@ class LlmSpec extends AnyFunSuite {
     val batch = Seq((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
       .toDF("vec_id", "embedding")
     val out = Dedup.dedupIncrementalEmbedding(batch, sigs, corpus,
-        "vec_id", "embedding", dims = 4, threshold = 0.9)
+        "vec_id", "embedding", dims = 4, threshold = 0.9,
+        planesPerBand = 8, bands = 32) // must match how `sigs` was signed
       .orderBy("vec_id").collect()
     assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0 && !out(0).getBoolean(3))
     assert(out(1).isNullAt(1) && out(1).getBoolean(3))
