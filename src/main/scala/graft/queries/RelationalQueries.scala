@@ -27,7 +27,7 @@ object RelationalQueries {
     joinBroadcast, joinShuffle, joinSemiAnti, windowRank, windowRunning, topK, setOps,
     scalarFuncs, dateFuncs, streamWindow, streamSession, saltedAgg, approxDistinct,
     windowLag, joinRange, joinAsof, aggPercentile, unpivotLineitem,
-    funnelEvents, jsonFuncs)
+    funnelEvents, jsonFuncs, aggGroupingSets)
 
   /** Multi-stage conversion funnel (view → click within 24 h → purchase
     * within 72 h), each stage the user's FIRST qualifying event after the
@@ -218,6 +218,25 @@ object RelationalQueries {
            |  coalesce(n_name, 'ALL') AS nation_name, count(*) AS n
            |FROM nation JOIN region ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name""".stripMargin))
+
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to):
+    * per-flag, per-status, and grand-total groups in ONE pass — the
+    * Expand operator replicates each input row once per matching set, so
+    * three aggregations cost one scan and one partial+final agg. */
+  val aggGroupingSets: QueryDef = QueryDef("agg_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |  coalesce(l_linestatus, 'ALL') AS ls,
+           |  count(*) AS n, sum(l_quantity) AS sum_qty
+           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY rf, ls""".stripMargin))
 
   /** CUBE grouping sets over two independent dimensions. */
   val aggCube: QueryDef = QueryDef("agg_cube",
