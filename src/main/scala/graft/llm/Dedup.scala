@@ -61,7 +61,10 @@ object Dedup {
    * (partial-aggregable). Hashing uses [[contentHash]] (md5), same as
    * [[exact]]; null texts take a sentinel hash (no hex md5 collides with
    * it) so they group together INSTEAD of silently dropping out of the
-   * equi-joins (null keys never match).
+   * equi-joins (null keys never match). The SQL oracle mirrors the
+   * sentinel with `IS NOT DISTINCT FROM` (and window PARTITION BY, which
+   * already groups nulls), so a null-text batch doc matches a null-text
+   * corpus doc in both engines.
    */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
@@ -94,7 +97,11 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val sh = TextHashing.wordShinglesKernel(t, shingleN)
+        // null text ⇒ zero shingles with the degenerate all-P sentinel
+        // signature (what an empty doc gets) — mirrors decontaminate's null
+        // guard; one bad corpus row must not NPE the whole signature build
+        val sh = if (t == null) Array.empty[String]
+                 else TextHashing.wordShinglesKernel(t, shingleN)
         (id, sh.length.toLong, TextHashing.minhashSignatureKernel(sh, k))
       }
       .toDF("id", "n_sh", "sig")
@@ -127,14 +134,20 @@ object Dedup {
     // the final id list comes from the raw batch with no kernel at all
     def raw(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // null text ⇒ empty shingle set (Jaccard undefined): such docs never
+    // enter the banding index and are kept — same verdict as a too-short
+    // doc, and no NPE on a corpus/batch containing one null-text row
     def shingles(idT: DataFrame, outId: String) = idT
       .as[(Long, String)]
-      .map { case (id, t) => (id, TextHashing.wordShinglesKernel(t, shingleN)) }
+      .map { case (id, t) => (id,
+        if (t == null) Array.empty[String]
+        else TextHashing.wordShinglesKernel(t, shingleN)) }
       .toDF(outId, s"sh_$outId")
     val bBandRows = raw(batch)
       .as[(Long, String)]
       .map { case (id, t) =>
-        val sh = TextHashing.wordShinglesKernel(t, shingleN)
+        val sh = if (t == null) Array.empty[String]
+                 else TextHashing.wordShinglesKernel(t, shingleN)
         (id, sh.length, TextHashing.minhashSignatureKernel(sh, k))
       }
       .toDF("id", "n_sh", "sig")

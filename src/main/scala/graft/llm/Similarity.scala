@@ -302,6 +302,8 @@ object Similarity {
     * exact trained values, not the 6-dp presentation rounding). */
   def ivfTrainCentroids(emb: DataFrame, idCol: String, vecCol: String,
                         k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
     var cents = emb.where(col(idCol) < k)
       .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec"))
@@ -312,9 +314,20 @@ object Similarity {
         .groupBy("centroid_id", "dim")
         .agg((sum(col("val").cast("decimal(30,15)")).cast("double") /
           count(lit(1))).as("m"))
-      cents = means.groupBy("centroid_id")
+      val next = means.groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
         .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("vec"))
+      // lineage truncation: round-trip the k×dims centroid table through the
+      // driver (a bounded control-plane pull — every consumer collects it
+      // anyway for the broadcast probe). Without this, each Lloyd round
+      // layers join+agg on the previous round's PLAN and optimizer time
+      // balloons past a handful of iterations; localCheckpoint would truncate
+      // too, but leaks one persisted RDD per iteration per call (the
+      // "retained cache" class LlmSpec's purity pin exists to forbid). The
+      // collected doubles are exact, so results are bit-identical.
+      cents = next.select(col("centroid_id"), col("vec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .toDF("centroid_id", "vec")
     }
     cents
   }

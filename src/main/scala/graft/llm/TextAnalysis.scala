@@ -235,6 +235,14 @@ object TextAnalysis {
    * backreferences/lookaround) so SQL engines replay them identically;
    * emails are redacted before IPs so a dotted quad inside a hostname is
    * consumed by the email token, not double-redacted.
+   *
+   * Count semantics: `n_email`/`n_ip` are RAW-TEXT match counts (what the
+   * SQL oracle counts), not placeholder-token counts — because redaction
+   * is sequential, a dotted quad inside an email hostname (`user@1.2.3.4`)
+   * increments `n_ip` yet leaves no `<IP>` token in `scrubbed`. The IP
+   * pattern is also deliberately permissive (octets > 255 and substrings
+   * of longer dotted runs match): for redaction, over-matching is the safe
+   * direction, and boundary anchoring needs lookaround (not RE2-portable).
    */
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -733,10 +733,10 @@ object LlmQueries {
            |nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
            |       UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
            |       UNION ALL SELECT 1100::BIGINT, text FROM documents WHERE doc_id = 450),
-           |ct AS (SELECT DISTINCT text FROM corpus),
-           |j AS (SELECT nb.doc_id, ct.text IS NOT NULL AS in_corpus,
+           |ct AS (SELECT DISTINCT text, TRUE AS hit FROM corpus),
+           |j AS (SELECT nb.doc_id, coalesce(ct.hit, FALSE) AS in_corpus,
            |        min(nb.doc_id) OVER (PARTITION BY nb.text) AS first_id
-           |      FROM nb LEFT JOIN ct ON nb.text = ct.text)
+           |      FROM nb LEFT JOIN ct ON nb.text IS NOT DISTINCT FROM ct.text)
            |SELECT doc_id,
            |  CASE WHEN in_corpus THEN 'dup_of_corpus'
            |       WHEN doc_id <> first_id THEN 'dup_in_batch'

@@ -255,7 +255,14 @@ object Materialized {
     }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dead = entries.groupBy(_._1).values.toSeq.flatMap { group =>
-      val newest = group.maxBy(_._3)
+      // newest mtime is live; the entry NAME breaks coarse-mtime-granularity
+      // ties deterministically (two generations published within one
+      // filesystem tick must elect the same survivor on every gc run). The
+      // age gate stays the primary guard: nothing younger than `olderThanMs`
+      // is ever deleted, so an unlucky-but-deterministic tie can only retire
+      // an entry that already aged past the gate — and a keyed lookup that
+      // loses its table simply rebuilds (correctness is never at stake).
+      val newest = group.maxBy(e => (e._3, e._2.getFileName.toString))
       group.filterNot(_._2 == newest._2).filter(_._3 < cutoff).map(_._2)
     }
     dead.foreach(deleteEntry)

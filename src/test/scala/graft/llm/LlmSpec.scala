@@ -318,6 +318,28 @@ class LlmSpec extends AnyFunSuite {
     assert(o2 <= o1 + 1e-3) // slack: per-row dist is rounded to 6 dp
   }
 
+  test("ivfTrainCentroids: iters=10 runs flat (per-iter lineage truncation) with no persisted RDDs") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf).where(col("vec_id") < 100)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 4, iters = 10).count()
+    assert(n >= 1 && n <= 4) // cells may empty deterministically, never multiply
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "Lloyd lineage truncation must not retain persisted RDDs (localCheckpoint would)")
+  }
+
+  test("minhashSignatureTable + dedupIncrementalNear survive null-text rows (kept, no NPE)") {
+    val corpus = Seq((1L, "one two three four five"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureTable(corpus, "doc_id", "text")
+    assert(sigs.where(col("n_sh") === 0).count() == 1) // null row: sentinel signature
+    val batch = Seq((10L, "one two three four five"),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrementalNear(batch, sigs, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && !out(0).getBoolean(3)) // exact dup of corpus doc 1
+    assert(out(1).isNullAt(1) && out(1).getBoolean(3)) // null text: Jaccard undefined, kept
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))
