@@ -22,7 +22,7 @@ object LlmQueries {
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
-    pipelineIntegrity)
+    pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -699,6 +699,163 @@ object LlmQueries {
            |SELECT nb.vec_id, b.cid AS dup_of, b.cs AS cosine, b.cid IS NULL AS keep
            |FROM nb LEFT JOIN best b ON nb.vec_id = b.bid AND b.rn = 1
            |ORDER BY nb.vec_id""".stripMargin))
+
+  /** Day-2 incremental near-dup — the continuous-ingestion contract
+    * completed: batch B1 (docs 400-449 plus five NOVEL 'qx'-interleaved
+    * rewrites of docs 0-4, ids +2000) is judged against the <400 corpus
+    * via the stored signatures, its keeps' signatures are ABSORBED into
+    * the store as a batch-sized delta generation
+    * ([[Materialized.absorbMinhashSignatures]]), and batch B2 (docs ≥450
+    * plus last-word-dropped near-copies of three absorbed B1 keeps, ids
+    * +3000, and of corpus doc 10, id 4000) is judged against corpus ∪
+    * kept(B1) — the day-2 signatures resolved THROUGH the absorbed store
+    * head, so a B2 duplicate of a B1 keep classifies as a dup. The corpus
+    * is signed once, ever; day-2 reads never re-touch corpus text beyond
+    * the candidate set. */
+  val dedupIncrementalNear2: QueryDef = QueryDef("dedup_incremental_near2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 400)
+      val novel = regexp_replace(col("text"), " ", " qx ")
+      val b1 = docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + 2000).as("doc_id"), novel.as("text")))
+      val corpusSigs = Materialized.minhashSignatures(s, d).where(col("id") < 400)
+      val keptIds = Dedup.dedupIncrementalNear(b1, corpusSigs, corpus,
+          "doc_id", "text")
+        .where(col("keep")).select(col("doc_id"))
+      val keptDocs = b1.join(keptIds, Seq("doc_id"), "left_semi")
+      Materialized.absorbMinhashSignatures(s, d,
+        Dedup.minhashSignatureTable(keptDocs, "doc_id", "text"), "near2_b1")
+      val b2 = docs.where(col("doc_id") >= 450).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 3)
+          .select((col("doc_id") + 3000).as("doc_id"),
+            regexp_replace(novel, " \\S+$", "").as("text")))
+        .unionByName(docs.where(col("doc_id") === 10)
+          .select(lit(4000L).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text")))
+      val headSigs = Materialized.minhashSignatures(s, d)
+      val day2Sigs = headSigs.where(col("id") < 400)
+        .unionByName(headSigs.join(keptIds.select(col("doc_id").as("id")),
+          Seq("id"), "left_semi"))
+      val day2Docs = corpus.select(col("doc_id"), col("text")).unionByName(keptDocs)
+      Dedup.dedupIncrementalNear(b2, day2Sigs, day2Docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+           |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 450
+           |       UNION ALL SELECT doc_id + 2000, replace(text, ' ', ' qx ')
+           |                 FROM documents WHERE doc_id < 5),
+           |shc AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |        for i in range(1, len(ws) - 1)]) AS shs
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)),
+           |shb1 AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |         for i in range(1, len(ws) - 1)]) AS shs
+           |         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM b1)),
+           |exc AS (SELECT doc_id, unnest(shs) AS s FROM shc),
+           |exb1 AS (SELECT doc_id, unnest(shs) AS s FROM shb1),
+           |p1 AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+           |       FROM exb1 b JOIN exc c ON b.s = c.s GROUP BY 1, 2),
+           |j1 AS (SELECT DISTINCT bid FROM p1
+           |       JOIN shb1 x ON p1.bid = x.doc_id JOIN shc y ON p1.cid = y.doc_id
+           |       WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+           |kept1 AS (SELECT doc_id, text FROM b1 WHERE doc_id NOT IN (SELECT bid FROM j1)),
+           |day2 AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM kept1),
+           |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 450
+           |       UNION ALL SELECT doc_id + 3000,
+           |                   regexp_replace(replace(text, ' ', ' qx '), ' \S+$', '')
+           |                 FROM documents WHERE doc_id < 3
+           |       UNION ALL SELECT 4000::BIGINT, regexp_replace(text, ' \S+$', '')
+           |                 FROM documents WHERE doc_id = 10),
+           |shd AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |        for i in range(1, len(ws) - 1)]) AS shs
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM day2)),
+           |shb2 AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |         for i in range(1, len(ws) - 1)]) AS shs
+           |         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM b2)),
+           |exd AS (SELECT doc_id, unnest(shs) AS s FROM shd),
+           |exb2 AS (SELECT doc_id, unnest(shs) AS s FROM shb2),
+           |p2 AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+           |       FROM exb2 b JOIN exd c ON b.s = c.s GROUP BY 1, 2),
+           |j2 AS (SELECT bid, cid,
+           |         round(inter * 1.0 / (len(x.shs) + len(y.shs) - inter), 6) AS jac
+           |       FROM p2 JOIN shb2 x ON p2.bid = x.doc_id JOIN shd y ON p2.cid = y.doc_id
+           |       WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
+           |best AS (SELECT bid, cid, jac,
+           |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+           |         FROM j2)
+           |SELECT b2.doc_id, b.cid AS dup_of, b.jac AS jaccard, b.cid IS NULL AS keep
+           |FROM b2 LEFT JOIN best b ON b2.doc_id = b.bid AND b.rn = 1
+           |ORDER BY b2.doc_id""".stripMargin))
+
+  /** Day-2 incremental EMBEDDING near-dup: batch B1 (vectors 450-474 plus
+    * five novel negated copies of vectors 0-4, ids +5000) is judged
+    * against the <450 corpus via its stored sign-LSH buckets, kept
+    * vectors' signatures are absorbed
+    * ([[Materialized.absorbEmbeddingSignatures]]), and batch B2 (vectors
+    * ≥475 plus exact copies of three absorbed keeps, ids +6000, and of
+    * corpus vector 7, id 7000) is judged against corpus ∪ kept(B1)
+    * through the absorbed store — deterministic hyperplanes keep every
+    * generation's signatures mutually consistent. */
+  val dedupIncrementalEmb2: QueryDef = QueryDef("dedup_incremental_emb2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.where(col("vec_id") < 450)
+      val neg = transform(col("embedding"), x => -x)
+      val b1 = emb.where(col("vec_id") >= 450 && col("vec_id") < 475)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 5000).as("vec_id"), neg.as("embedding")))
+      val corpusSigs = Materialized.embeddingSignatures(s, d).where(col("id") < 450)
+      val keptIds = Dedup.dedupIncrementalEmbedding(b1, corpusSigs, corpus,
+          "vec_id", "embedding", dims = 64, threshold = 0.9)
+        .where(col("keep")).select(col("vec_id"))
+      val keptVecs = b1.join(keptIds, Seq("vec_id"), "left_semi")
+      Materialized.absorbEmbeddingSignatures(s, d,
+        Similarity.lshSigRowsTyped(keptVecs, "vec_id", "embedding",
+          bands = 128, planesPerBand = 16, dims = 64), "emb2_b1")
+      val b2 = emb.where(col("vec_id") >= 475).select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 6000).as("vec_id"), neg.as("embedding")))
+        .unionByName(emb.where(col("vec_id") === 7)
+          .select(lit(7000L).as("vec_id"), col("embedding")))
+      val headSigs = Materialized.embeddingSignatures(s, d)
+      val day2Sigs = headSigs.where(col("id") < 450)
+        .unionByName(headSigs.join(keptIds.select(col("vec_id").as("id")),
+          Seq("id"), "left_semi"))
+      val day2Emb = corpus.select(col("vec_id"), col("embedding")).unionByName(keptVecs)
+      Dedup.dedupIncrementalEmbedding(b2, day2Sigs, day2Emb,
+          "vec_id", "embedding", dims = 64, threshold = 0.9)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |corpus AS (SELECT vec_id, v FROM e WHERE vec_id < 450),
+           |b1 AS (SELECT vec_id, v FROM e WHERE vec_id >= 450 AND vec_id < 475
+           |       UNION ALL SELECT vec_id + 5000, [-x for x in v] FROM e WHERE vec_id < 5),
+           |nc AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM corpus),
+           |nb1 AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM b1),
+           |j1 AS (SELECT DISTINCT b.vec_id AS bid
+           |       FROM nb1 b, nc c
+           |       WHERE round(list_sum([b.v[i] * c.v[i] for i in range(1, 65)]) /
+           |         (b.nrm * c.nrm), 6) >= 0.9),
+           |kept1 AS (SELECT vec_id, v FROM b1 WHERE vec_id NOT IN (SELECT bid FROM j1)),
+           |day2 AS (SELECT vec_id, v FROM corpus UNION ALL SELECT vec_id, v FROM kept1),
+           |b2 AS (SELECT vec_id, v FROM e WHERE vec_id >= 475
+           |       UNION ALL SELECT vec_id + 6000, [-x for x in v] FROM e WHERE vec_id < 3
+           |       UNION ALL SELECT 7000::BIGINT, v FROM e WHERE vec_id = 7),
+           |nd AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM day2),
+           |nb2 AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM b2),
+           |p AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
+           |        round(list_sum([b.v[i] * c.v[i] for i in range(1, 65)]) /
+           |          (b.nrm * c.nrm), 6) AS cs
+           |      FROM nb2 b, nd c),
+           |j2 AS (SELECT bid, cid, cs FROM p WHERE cs >= 0.9),
+           |best AS (SELECT bid, cid, cs,
+           |         row_number() OVER (PARTITION BY bid ORDER BY cs DESC, cid) AS rn FROM j2)
+           |SELECT b2.vec_id, b.cid AS dup_of, b.cs AS cosine, b.cid IS NULL AS keep
+           |FROM b2 LEFT JOIN best b ON b2.vec_id = b.bid AND b.rn = 1
+           |ORDER BY b2.vec_id""".stripMargin))
 
   /** Deterministic training-order shuffle into 8 hash shards: shard by
     * content hash, position by in-shard hash rank — a corpus permutation

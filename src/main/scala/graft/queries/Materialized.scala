@@ -54,6 +54,11 @@ object Materialized {
     * (a second consumer must NOT increment it). */
   private[queries] val buildsStarted = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Delta-publish count of [[absorbInto]], separate from [[buildsStarted]]
+    * so specs can prove an absorb never re-signs the corpus AND that
+    * re-absorbing an already-absorbed batch publishes nothing. */
+  private[queries] val absorbsPublished = new java.util.concurrent.atomic.AtomicInteger()
+
   // in-session handle caches (the parquet scan is cheap, but consumers call
   // these per query — keep one DataFrame/stats handle per store path)
   private val dfCache = TrieMap.empty[String, DataFrame]
@@ -186,12 +191,13 @@ object Materialized {
   private def gcAgeMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.materialized.gc.ageMs", StaleTmpMs.toString).toLong
 
-  /** Delete a store entry and drop any in-session handle pointing at it. */
+  /** Delete a store entry and drop any in-session handle pointing at it
+    * (head-resolved handles key on a `;`-joined dir list, so match by
+    * containment, not suffix). */
   private def deleteEntry(p: Path): Unit = {
     deleteRecursively(p)
-    val suffix = s"|$p"
-    dfCache.keys.filter(_.endsWith(suffix)).foreach(dfCache.remove)
-    statsCache.keys.filter(_.endsWith(suffix)).foreach(statsCache.remove)
+    dfCache.keys.filter(_.contains(p.toString)).foreach(dfCache.remove)
+    statsCache.keys.filter(_.contains(p.toString)).foreach(statsCache.remove)
   }
 
   /**
@@ -229,20 +235,22 @@ object Materialized {
 
   /**
    * Explicit store-wide retention sweep: within every (kind, input path,
-   * config) group the newest entry is live; older siblings past
-   * `olderThanMs` are superseded corpus generations and are deleted.
-   * Returns the deleted paths. Entries of the current [[FormatVersion]]
+   * config) group the live set is what the group's head pointer references
+   * (absorb-able stores) or, headless, the newest entry; other siblings
+   * past `olderThanMs` are superseded corpus generations or orphaned
+   * absorb deltas and are deleted. Returns the deleted paths. Entries of the current [[FormatVersion]]
    * only — older version directories belong to older code and are left
    * alone.
    */
   def gc(spark: SparkSession, olderThanMs: Long = StaleTmpMs): Seq[Path] = {
     val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
     if (!Files.isDirectory(vdir)) return Nil
-    val entries = {
+    val (entries, headRefs) = {
       val s = Files.list(vdir)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala.flatMap { p =>
+        val all = s.iterator().asScala.toSeq
+        val es = all.flatMap { p =>
           p.getFileName.toString match {
             case EntryName(kind, pfp, _, cfg) =>
               val mtime = try Files.getLastModifiedTime(p).toMillis
@@ -250,20 +258,39 @@ object Materialized {
               Some(((kind, pfp, cfg), p, mtime))
             case _ => None
           }
-        }.toSeq
+        }
+        // entries referenced by a head pointer are the LIVE set of their
+        // group — the head is the election, not mtime. Stale heads (corpus
+        // regenerated) are removed on the next base rebuild, after which
+        // their deltas stop being referenced and age out here.
+        val refs = all.flatMap { p =>
+          p.getFileName.toString match {
+            case HeadFileName(kind, pfp, cfg) =>
+              readHead(p).toSeq.flatMap(h =>
+                h.entries.map(e => ((kind, pfp, cfg), e)))
+            case _ => Nil
+          }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        (es, refs)
       } finally s.close()
     }
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val dead = entries.groupBy(_._1).values.toSeq.flatMap { group =>
-      // newest mtime is live; the entry NAME breaks coarse-mtime-granularity
-      // ties deterministically (two generations published within one
-      // filesystem tick must elect the same survivor on every gc run). The
-      // age gate stays the primary guard: nothing younger than `olderThanMs`
-      // is ever deleted, so an unlucky-but-deterministic tie can only retire
-      // an entry that already aged past the gate — and a keyed lookup that
-      // loses its table simply rebuilds (correctness is never at stake).
-      val newest = group.maxBy(e => (e._3, e._2.getFileName.toString))
-      group.filterNot(_._2 == newest._2).filter(_._3 < cutoff).map(_._2)
+    val dead = entries.groupBy(_._1).toSeq.flatMap { case (key, group) =>
+      val live: Path => Boolean = headRefs.get(key) match {
+        case Some(refs) => p => refs.contains(p.getFileName.toString)
+        case None =>
+          // newest mtime is live; the entry NAME breaks coarse-mtime-
+          // granularity ties deterministically (two generations published
+          // within one filesystem tick must elect the same survivor on
+          // every gc run). The age gate stays the primary guard: nothing
+          // younger than `olderThanMs` is ever deleted, so an unlucky-but-
+          // deterministic tie can only retire an entry that already aged
+          // past the gate — and a keyed lookup that loses its table simply
+          // rebuilds (correctness is never at stake).
+          val newest = group.maxBy(e => (e._3, e._2.getFileName.toString))
+          p => p == newest._2
+      }
+      group.filterNot(e => live(e._2)).filter(_._3 < cutoff).map(_._2)
     }
     dead.foreach(deleteEntry)
     dead
@@ -299,6 +326,197 @@ object Materialized {
     })
   }
 
+  // ------------------------------------------------------------------
+  // Absorb-able stores: base + delta generations behind a head pointer
+  // ------------------------------------------------------------------
+
+  /** Head state of an absorb-able signature store: `baseFp` pins the corpus
+    * generation the chain grew from (a regenerated corpus invalidates the
+    * whole head), `absorbed` the exactly-once batch-id ledger, `entries`
+    * the store-entry names whose union IS the current table —
+    * `entries(0)` is the base (the corpus signed once, ever), each later
+    * entry a small per-batch delta. */
+  private final case class StoreHead(baseFp: String, absorbed: Seq[String],
+                                     entries: Seq[String])
+
+  private def renderHead(h: StoreHead): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"baseFp":"${h.baseFp}","absorbed":${arr(h.absorbed)},"entries":${arr(h.entries)}}"""
+  }
+
+  private def parseHead(json: String): Option[StoreHead] = {
+    val re = """\{"baseFp":"([0-9a-f]{16})","absorbed":\[(.*?)\],"entries":\[(.*?)\]\}""".r
+    def arr(s: String): Seq[String] =
+      if (s.isEmpty) Nil
+      else s.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+    json.trim match {
+      case re(fp, abs, ents) => Some(StoreHead(fp, arr(abs), arr(ents)))
+      case _ => None // corrupt head: fall back to the base build path
+    }
+  }
+
+  /** Head pointer sidecar: `<kind>_p<pathFp>_head_<config>.json`. The
+    * `head` token can never collide with a content fingerprint (not
+    * 16-hex), so entry-name parsing ignores it. */
+  private def headFile(spark: SparkSession, kind: String, config: String,
+                       sfDir: String, table: String): Path =
+    storeRoot(spark).resolve(s"v$FormatVersion").resolve(
+      s"${kind}_p${pathFingerprint(sfDir, table)}_head_$config.json")
+
+  /** Parse of [[headFile]] names — (kind, pathFp, config). */
+  private val HeadFileName = """(.+)_p([0-9a-f]{8})_head_(.+)\.json""".r
+
+  private def readHead(hf: Path): Option[StoreHead] =
+    if (Files.exists(hf)) parseHead(Files.readString(hf)) else None
+
+  /** The head, IF it is live: base fingerprint matches the current corpus
+    * and every listed entry is a committed table. A lost/corrupt delta
+    * degrades to the base build path — absorbed batches re-absorb safely
+    * (exactly-once by batch id makes replay idempotent). */
+  private def liveHead(spark: SparkSession, kind: String, config: String,
+                       sfDir: String, table: String): Option[(StoreHead, Seq[Path])] =
+    readHead(headFile(spark, kind, config, sfDir, table))
+      .filter(_.baseFp == corpusFingerprint(sfDir, table))
+      .flatMap { h =>
+        val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+        val dirs = h.entries.map(vdir.resolve(_))
+        if (dirs.forall(d => Files.exists(d.resolve("_SUCCESS")))) Some((h, dirs))
+        else None
+      }
+
+  /** Read through the head when one is live (union of base + deltas);
+    * otherwise serve/build the base generation and clear a stale head —
+    * this is the ONE point where the current corpus fingerprint is in
+    * hand, so heads orphaned by a corpus regeneration die here and their
+    * deltas become [[gc]]-able. */
+  private def headAware(spark: SparkSession, kind: String, config: String,
+                        sfDir: String, table: String)
+                       (buildBase: => DataFrame): DataFrame =
+    liveHead(spark, kind, config, sfDir, table) match {
+      case Some((_, dirs)) =>
+        dfCache.getOrElseUpdate(
+          s"${spark.sparkContext.applicationId}|${dirs.mkString(";")}",
+          spark.read.parquet(dirs.map(_.toString): _*))
+      case None =>
+        val df = parquetBacked(spark, kind, config, sfDir, table)(buildBase)
+        val hf = headFile(spark, kind, config, sfDir, table)
+        if (readHead(hf).exists(_.baseFp != corpusFingerprint(sfDir, table)))
+          Files.deleteIfExists(hf)
+        df
+    }
+
+  /** Atomically (re)write a small sidecar file. */
+  private def replaceFile(dest: Path, content: String): Unit = {
+    Files.createDirectories(dest.getParent)
+    val tmp = dest.getParent.resolve(
+      s"${dest.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Entries of (kind, pathFp, config) that the new head no longer
+    * references — a superseded absorb chain (or a base generation the
+    * corpus regenerated away) — deleted past the age gate. */
+  private def sweepUnreferenced(spark: SparkSession, kind: String, config: String,
+                                sfDir: String, table: String,
+                                head: StoreHead): Unit = {
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    if (!Files.isDirectory(vdir)) return
+    val pfp = pathFingerprint(sfDir, table)
+    val keep = head.entries.toSet
+    val cutoff = System.currentTimeMillis() - gcAgeMs(spark)
+    val s = Files.list(vdir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        p.getFileName.toString match {
+          case EntryName(`kind`, `pfp`, _, `config`) =>
+            !keep.contains(p.getFileName.toString) &&
+              (try Files.getLastModifiedTime(p).toMillis < cutoff
+               catch { case _: java.io.IOException => false })
+          case _ => false
+        }
+      }.toSeq.foreach(deleteEntry)
+    } finally s.close()
+  }
+
+  /**
+   * Absorb a judged batch's kept signature rows into an absorb-able store:
+   * the continuous-ingestion write path. The corpus base table is built
+   * (once, ever) if absent; the batch's NOVEL rows — ids not already in
+   * the current view — are written as a small DELTA entry (batch-sized,
+   * never a rewrite of the corpus artifact); the head pointer then
+   * atomically advances to `entries :+ delta`, so a day-3 batch is judged
+   * against corpus ∪ kept(day 1) ∪ kept(day 2). Absorption is
+   * exactly-once per `batchId`: re-absorbing an absorbed id is a no-op
+   * (idempotent replay after a crashed writer), and the delta entry name
+   * chains `baseFp` with the absorbed-id ledger, so a half-published
+   * retry resolves to the same entry and the atomic publish dedupes.
+   *
+   * 100 TB shape: the store grows by one batch-sized delta per absorb;
+   * reads union base + deltas (compaction = absorb-all into a fresh base,
+   * out of scope here). The novelty anti-join ships only the store's id
+   * column — 8 bytes/doc — against the (small) batch side; in production
+   * ids are globally unique and it degenerates to a no-match pass.
+   */
+  private def absorbInto(spark: SparkSession, kind: String, config: String,
+                         sfDir: String, table: String, keptRows: DataFrame,
+                         batchId: String)(buildBase: => DataFrame): DataFrame = {
+    require(batchId.matches("[A-Za-z0-9_.-]+"),
+      s"batchId must be [A-Za-z0-9_.-]+ (it is stored in the head ledger): $batchId")
+    val baseFp = corpusFingerprint(sfDir, table)
+    // serves the current view AND guarantees the base entry exists (built
+    // at most once) AND clears any head orphaned by a corpus regeneration
+    val current = headAware(spark, kind, config, sfDir, table)(buildBase)
+    val hf = headFile(spark, kind, config, sfDir, table)
+    val head0 = readHead(hf).filter(_.baseFp == baseFp).getOrElse(
+      StoreHead(baseFp, Nil, Seq(entryName(kind, sfDir, table, config))))
+    if (head0.absorbed.contains(batchId)) return current // exactly-once
+    val absorbed1 = head0.absorbed :+ batchId
+    val deltaName = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
+      s"${md5Hex(s"$baseFp:${absorbed1.mkString(",")}").take(16)}_$config"
+    val deltaDir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(deltaName)
+    if (!Files.exists(deltaDir.resolve("_SUCCESS"))) {
+      absorbsPublished.incrementAndGet()
+      Files.createDirectories(deltaDir.getParent)
+      sweepStaleTmp(deltaDir)
+      val tmp = deltaDir.getParent.resolve(
+        s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      keptRows.join(current.select("id"), Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      publish(tmp, deltaDir)
+    }
+    val head1 = StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
+    replaceFile(hf, renderHead(head1))
+    sweepUnreferenced(spark, kind, config, sfDir, table, head1)
+    headAware(spark, kind, config, sfDir, table)(buildBase)
+  }
+
+  /** Absorb kept batch docs' MinHash signatures (schema of
+    * [[graft.llm.Dedup.minhashSignatureTable]]: `(id, n_sh, sig)`) into
+    * [[minhashSignatures]]'s store — after this, the next batch judged via
+    * the stored signatures sees corpus ∪ kept(this batch). */
+  def absorbMinhashSignatures(spark: SparkSession, sfDir: String,
+                              keptSigs: DataFrame, batchId: String): DataFrame =
+    absorbInto(spark, "minhash_sigs", "n3_k128", sfDir, "documents",
+        keptSigs, batchId) {
+      Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
+        "doc_id", "text", shingleN = 3, k = 128)
+    }
+
+  /** Absorb kept batch vectors' sign-LSH signatures (schema of
+    * [[graft.llm.Similarity.lshSigRowsTyped]]: `(id, sig)`) into
+    * [[embeddingSignatures]]'s store. */
+  def absorbEmbeddingSignatures(spark: SparkSession, sfDir: String,
+                                keptSigs: DataFrame, batchId: String): DataFrame =
+    absorbInto(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings",
+        keptSigs, batchId) {
+      graft.llm.Similarity.lshSigRowsTyped(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        bands = 128, planesPerBand = 16, dims = 64)
+    }
+
   /** Verified MinHash(128)+LSH(32×4) near-dup pair table at J ≥ 0.8 over
     * `documents` — written once, read by `dedup_minhash`, `dedup_clusters`
     * and `pipeline_training_set`. */
@@ -316,9 +534,11 @@ object Materialized {
     * ([[graft.llm.Dedup.dedupIncrementalNear]]) judges new batches
     * against: the corpus is signed ONCE; every future batch band-joins
     * its (broadcast) band keys into this table and touches corpus text
-    * only to exact-verify the tiny candidate set. */
+    * only to exact-verify the tiny candidate set. Absorb-able: after
+    * [[absorbMinhashSignatures]] the view is corpus ∪ absorbed batches
+    * (base + delta union behind the head pointer). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
+    headAware(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
       Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
         "doc_id", "text", shingleN = 3, k = 128)
     }
@@ -333,7 +553,7 @@ object Materialized {
     * formula, so a later batch signs itself consistently with this
     * table without any persisted RNG state. */
   def embeddingSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
+    headAware(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
       graft.llm.Similarity.lshSigRowsTyped(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
         bands = 128, planesPerBand = 16, dims = 64)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.TestSpark
 import graft.llm.Dedup
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -233,6 +234,127 @@ class MaterializedSpec extends AnyFunSuite {
       // the survivor still serves reads
       Materialized.clearSessionCache()
       assert(Materialized.minhashPairs(spark, corpus.toString).count() >= 1)
+    }
+  }
+
+  private def sigDirs(root: java.nio.file.Path): Seq[String] = {
+    val v = root.resolve(s"v${Materialized.FormatVersion}")
+    if (!Files.isDirectory(v)) Nil
+    else Files.list(v).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("minhash_sigs_") && !n.endsWith(".json")).toSeq
+  }
+
+  test("absorb: batch-sized delta published, corpus signed once, exactly-once per batch id, overlapping ids not duplicated") {
+    withTempStore { root =>
+      import spark.implicits._
+      val b0 = Materialized.buildsStarted.get()
+      val base = Materialized.minhashSignatures(spark, TestSpark.sf)
+      val nBase = base.count()
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+
+      // kept batch: two novel docs plus one id that already exists in the
+      // store (the overlap must NOT be duplicated by the absorb)
+      val batch = Seq(
+        (9001L, "entirely novel content alpha beta gamma delta epsilon"),
+        (9002L, "another novel document with its own distinct words here"),
+        (0L, "collides with an existing stored id and must be dropped"))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatureTable(batch, "doc_id", "text")
+      val a0 = Materialized.absorbsPublished.get()
+      val absorbed = Materialized.absorbMinhashSignatures(
+        spark, TestSpark.sf, sigs, "batch-1")
+      assert(Materialized.absorbsPublished.get() == a0 + 1)
+      assert(Materialized.buildsStarted.get() == b0 + 1, "absorb must not re-sign the corpus")
+      assert(absorbed.count() == nBase + 2)
+      assert(absorbed.where(col("id") === 0L).count() == 1, "overlapping id must not duplicate")
+      // the delta entry is batch-sized: base + one delta on disk
+      assert(sigDirs(root).size == 2, sigDirs(root).toString)
+
+      // fresh consumer resolves the head: corpus ∪ absorbed, no rebuild
+      Materialized.clearSessionCache()
+      val again = Materialized.minhashSignatures(spark, TestSpark.sf)
+      assert(again.count() == nBase + 2)
+      assert(again.where(col("id") === 9001L).count() == 1)
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+
+      // exactly-once: re-absorbing the same batch id publishes nothing
+      val replay = Materialized.absorbMinhashSignatures(
+        spark, TestSpark.sf, sigs, "batch-1")
+      assert(Materialized.absorbsPublished.get() == a0 + 1, "replay must be a no-op")
+      assert(replay.count() == nBase + 2)
+
+      // a second batch chains: corpus ∪ b1 ∪ b2
+      val sigs2 = Dedup.minhashSignatureTable(
+        Seq((9003L, "a third batch brings one more novel doc into the store"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      val v2 = Materialized.absorbMinhashSignatures(spark, TestSpark.sf, sigs2, "batch-2")
+      assert(v2.count() == nBase + 3)
+      assert(Materialized.buildsStarted.get() == b0 + 1, "corpus still signed exactly once")
+    }
+  }
+
+  test("absorb day-2 semantics: a B2 near-dup of a B1 keep classifies as dup_of the B1 doc") {
+    withTempStore { _ =>
+      import spark.implicits._
+      val corpusDir = Files.createTempDirectory("graft-absorb-corpus")
+      writeCorpus(corpusDir, "day0")
+      val sfDir = corpusDir.toString
+      val corpus = Tables.documents(spark, sfDir)
+
+      // day 1: a novel doc arrives and is kept
+      val b1 = Seq((100L, "the quick brown fox jumps over the lazy dog repeatedly today"))
+        .toDF("doc_id", "text")
+      val day1 = Dedup.dedupIncrementalNear(b1,
+        Materialized.minhashSignatures(spark, sfDir), corpus, "doc_id", "text")
+      assert(day1.where(col("keep")).count() == 1, "novel B1 doc must be kept")
+      Materialized.absorbMinhashSignatures(spark, sfDir,
+        Dedup.minhashSignatureTable(b1, "doc_id", "text"), "day1")
+
+      // day 2: a near-copy of the B1 keep (last word dropped) arrives —
+      // without absorption it would be judged novel; through the absorbed
+      // store it classifies as a dup of doc 100
+      val b2 = Seq((200L, "the quick brown fox jumps over the lazy dog repeatedly"))
+        .toDF("doc_id", "text")
+      val day2Docs = corpus.select(col("doc_id"), col("text")).unionByName(b1)
+      val day2 = Dedup.dedupIncrementalNear(b2,
+          Materialized.minhashSignatures(spark, sfDir), day2Docs, "doc_id", "text")
+        .collect()
+      assert(day2.length == 1)
+      assert(day2(0).getLong(1) == 100L, s"B2 must be a dup of the absorbed B1 keep: ${day2(0)}")
+      assert(!day2(0).getBoolean(3))
+    }
+  }
+
+  test("corpus regeneration invalidates the head: rebuild serves the fresh corpus only and sweeps the absorb chain") {
+    withTempStore { root =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        val corpusDir = Files.createTempDirectory("graft-regen-corpus")
+        writeCorpus(corpusDir, "gen1")
+        val sfDir = corpusDir.toString
+        Materialized.minhashSignatures(spark, sfDir).count()
+        Materialized.absorbMinhashSignatures(spark, sfDir,
+          Dedup.minhashSignatureTable(
+            Seq((500L, "an absorbed doc that dies with its corpus generation"))
+              .toDF("doc_id", "text"), "doc_id", "text"), "b1")
+        Materialized.clearSessionCache()
+        assert(Materialized.minhashSignatures(spark, sfDir).count() == 4) // 3 + 1 absorbed
+
+        // regenerate the corpus: the head's base fingerprint no longer
+        // matches — the next read rebuilds from the new corpus, drops the
+        // stale head, and the orphaned base+delta become sweepable
+        writeCorpus(corpusDir, "gen2-regenerated")
+        Materialized.clearSessionCache()
+        val fresh = Materialized.minhashSignatures(spark, sfDir)
+        assert(fresh.count() == 3, "absorbed rows must not survive a corpus regeneration")
+        Materialized.gc(spark, olderThanMs = 0)
+        val v = root.resolve(s"v${Materialized.FormatVersion}")
+        val left = Files.list(v).iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("minhash_sigs_")).toSeq
+        assert(left.count(!_.endsWith(".json")) == 1,
+          s"only the fresh base generation may remain: $left")
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
     }
   }
 
