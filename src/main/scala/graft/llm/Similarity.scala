@@ -444,6 +444,14 @@ object Similarity {
    * [[topK]] (property-tested equal per query in LlmSpec). Corpus vectors
    * that are null/empty/zero-norm have no cosine and are skipped.
    */
+  /** Worst element at the heap top: lower cosine, then LARGER id (the tie
+    * rule prefers smaller ids, so the larger id is evicted first) — shared
+    * by [[knnJoin]] and [[knnJoinIvf]] so their rankings cannot diverge. */
+  private val worstFirst: Ordering[(Double, Long)] = (a, b) => {
+    val c = java.lang.Double.compare(b._1, a._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qIdCol: String, k: Int,
               excludeSelf: Boolean = true, maxQueries: Int = 4096): DataFrame = {
@@ -463,12 +471,6 @@ object Similarity {
     require(q.length <= maxQueries,
       s"query side has ${q.length} vectors; broadcast kNN is bounded at $maxQueries")
     val qB = spark.sparkContext.broadcast(q)
-    // worst element at the heap top: lower cosine, then LARGER id (the tie
-    // rule prefers smaller ids, so the larger id is evicted first)
-    val worstFirst: Ordering[(Double, Long)] = (a, b) => {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
     val kk = k
     val self = excludeSelf
     val partial = vecRows(corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0),
@@ -489,6 +491,101 @@ object Similarity {
                 else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
               }
               j += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, j) =>
+          h.iterator.map { case (c, id) => (qs(j)._1, id, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    partial.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kk)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * IVF-probed batch kNN join over a STORED index
+   * (`graft.queries.Materialized.ivfIndex`): each query probes its
+   * `nprobe` nearest cells (driver-side against the tiny centroid
+   * sidecar, same (dist, centroid_id) rule as [[ivfSearch]]), the scan
+   * reads ONLY the union of all queries' probed cells — `centroid_id` is
+   * a storage partition key, so the filter prunes at the file level — and
+   * each partition keeps one k-bounded heap per query, consulting only
+   * the queries that probed the row's cell (cell → query-index map, so
+   * per-row work is O(queries probing this cell), not O(Q)).
+   *
+   * This is the large-Q retrieval shape [[knnJoin]]'s 4,096-query bound
+   * points at: per-query cost is O(probed cells) instead of O(corpus),
+   * total scan volume is the probed-cell union (≤ nprobe/k of the corpus
+   * when queries cluster), and Q is bounded by broadcast memory alone
+   * (`maxQueries` default 65,536 ≈ 32 MB of query vectors at 64 dims)
+   * rather than by per-partition heap arithmetic. Approximate in the
+   * standard IVF sense: a true neighbor living in an unprobed cell is
+   * missed; at `nprobe` = #cells the result equals [[knnJoin]] exactly
+   * (property-tested in LlmSpec), and recall rises monotonically with
+   * `nprobe` because probed sets are nested.
+   */
+  def knnJoinIvf(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+                 qIdCol: String, vecCol: String, k: Int, nprobe: Int,
+                 excludeSelf: Boolean = true,
+                 maxQueries: Int = 65536): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "knnJoinIvf: empty centroid table")
+    val q = queries
+      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) =>
+        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
+        val qn = math.sqrt(dotKernel(v, v))
+        require(qn > 0.0, s"kNN query $qid has zero norm — cosine undefined")
+        val probed = cents.map { case (cid, cv) =>
+            var s = 0.0; var i = 0
+            while (i < cv.length) { val dx = cv(i) - v(i); s += dx * dx; i += 1 }
+            (cid, s)
+          }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1)
+        (qid, v, qn, probed)
+      }
+    require(q.length <= maxQueries,
+      s"query side has ${q.length} vectors; broadcast kNN is bounded at $maxQueries")
+    val cellToQ: Map[Long, Array[Int]] = q.zipWithIndex
+      .flatMap { case ((_, _, _, probed), j) => probed.map(_ -> j) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val allCells = cellToQ.keys.toSeq.sorted
+    val qB = spark.sparkContext.broadcast(q.map { case (qid, v, qn, _) => (qid, v, qn) })
+    val cellQB = spark.sparkContext.broadcast(cellToQ)
+    val kk = k
+    val self = excludeSelf
+    val partial = index
+      .where(col("centroid_id").isin(allCells: _*))
+      .select(col("id").cast("long"), col("centroid_id").cast("long"),
+        col("norm"), col("v"))
+      .as[(Long, Long, Double, Array[Double])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        val cq = cellQB.value
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { case (id, cell, norm, v) =>
+          if (norm > 0.0) {
+            val js = cq.getOrElse(cell, Array.emptyIntArray)
+            var x = 0
+            while (x < js.length) {
+              val j = js(x)
+              val (qid, qv, qn) = qs(j)
+              if (!(self && qid == id)) {
+                val cand = (roundHalfUp(dotKernel(v, qv) / (norm * qn), 6), id)
+                val h = heaps(j)
+                if (h.size < kk) h.enqueue(cand)
+                else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+              }
+              x += 1
             }
           }
         }

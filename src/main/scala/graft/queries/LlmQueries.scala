@@ -22,7 +22,8 @@ object LlmQueries {
     textDecontaminate, textRepetition, textPack, dedupBestInCluster,
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
-    pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2)
+    pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
+    simKnnJoinIvf)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -944,6 +945,43 @@ object LlmQueries {
            |  ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
            |SELECT query_id, neighbor_id, rank, cosine FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** IVF-probed batch kNN join over the STORED index: the first 20 vectors
+    * each probe their 2 nearest cells and rank neighbors ONLY within the
+    * probed-cell union — per-query cost O(probed cells), scan pruned to
+    * the probed partitions, Q bounded by broadcast memory instead of
+    * [[Similarity.knnJoin]]'s hard 4,096. The oracle replays train →
+    * assign → per-query probe → rank exactly. */
+  val simKnnJoinIvf: QueryDef = QueryDef("sim_knn_join_ivf",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinIvf(idx.assignment, idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qs AS (SELECT vec_id AS query_id, v AS qv,
+            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+            |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+            |        JOIN probe p ON a3.centroid_id = p.centroid_id
+            |        JOIN qs q ON p.query_id = q.query_id
+            |      WHERE n.vec_id <> q.query_id),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+            |SELECT query_id, neighbor_id, rank, cosine FROM r
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes

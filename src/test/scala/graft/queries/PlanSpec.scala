@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
       "cell membership must come from storage, not a per-query re-derivation\n" + p)
   }
 
+  test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
+    val p = plan("sim_knn_join_ivf")
+    // the batch retrieval must read only the probed cells' files — the
+    // cell-union restriction lands as a partition filter on the stored index
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed-cell union must prune partitions at the parquet scan\n" + p)
+    // queries ride a broadcast into per-partition heaps: no join operator,
+    // no full-corpus exchange — the only shuffle carries partial winners
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), "query×corpus scoring must not be a join\n" + p)
+  }
+
   test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
     Seq("sim_quantize", "unpivot_lineitem", "mm_resize").foreach { q =>
       val p = plan(q)
