@@ -1,0 +1,188 @@
+package graft.streaming
+
+import graft.llm.TextHashing
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming NEAR-dup (banded MinHash): the fuzzy counterpart of
+ * [[StreamingDedup]] — a continuous document feed is judged against every
+ * previously kept document at Jaccard ≥ `threshold` without ever
+ * re-scanning the corpus, because the corpus lives in the state store as
+ * its LSH index: state is keyed by band key and holds the `(keeper id,
+ * signature)` entries registered in that bucket. An arrival compares its
+ * signature against each band candidate (the unbiased signature-estimate
+ * Jaccard — matching components / k, σ ≈ √(J(1−J)/k) ≈ 0.035 at k = 128)
+ * and is a duplicate when any band produces an estimate ≥ `threshold`;
+ * otherwise it registers itself in that bucket. Per-doc verdicts are the
+ * stateless per-micro-batch reduction [[StreamingNearDedup.verdicts]]
+ * (best candidate across the doc's bands, ties to the smaller id — the
+ * same rule as [[graft.llm.Dedup.dedupIncrementalNear]]), applied inside
+ * `foreachBatch` where all of a doc's band rows are co-batched.
+ *
+ * Design notes, 100 TB shape:
+ *  - The judgment is band-LOCAL and the match target is the first
+ *    registrant of the bucket, so `dupOf` may itself be a duplicate that
+ *    registered in a bucket its own match never probed — verdicts are
+ *    exact (duplicate vs kept, up to banding recall and estimator noise),
+ *    attribution is resolved to canonical roots downstream exactly like
+ *    the batch pair tables (`dedup_clusters`).
+ *  - No document text is retained anywhere: state carries signatures
+ *    only (k longs per entry per probed band). The bands-fold duplication
+ *    is the classic LSH state trade — RocksDB-backed state stores absorb
+ *    it; production deployments add state TTL
+ *    ([[GroupStateTimeout]]) when the dedup horizon is bounded.
+ *  - Keeper replay is idempotent: a re-arrival of a registered id never
+ *    matches itself, never re-registers, and re-emits `keep = true` —
+ *    at-least-once sources keep the output stable.
+ *  - Shingle-less docs (null/short text) take a per-doc sentinel band,
+ *    match nothing, register nothing, and are kept — the batch family's
+ *    verdict for an undefined Jaccard.
+ */
+final case class StreamingNearDedup(shingleN: Int = 3, bands: Int = 32,
+                                    rowsPerBand: Int = 4,
+                                    threshold: Double = 0.8) {
+  import StreamingNearDedup._
+
+  /** Signature length, k = bands×rows as in the batch family. */
+  val k: Int = bands * rowsPerBand
+
+  /** Independent md5-derived permutation coefficients, one pair per
+    * component. The batch kernel's `(j+1)·A, (j+1)·B` family is fine
+    * there — banding only GENERATES candidates and exact Jaccard verifies
+    * them — but its components are scalar multiples of one permutation,
+    * which biases the component-match estimator (measured ~0.73 for a
+    * true J = 0.92). Estimate-based verdicts need independent components;
+    * these are deterministic, so every generation of the stream state
+    * signs consistently. Precomputed once and shipped in the closure
+    * (2k longs). */
+  private val aCoef: Array[Long] = Array.tabulate(k)(j =>
+    math.floorMod(TextHashing.md5Long60Kernel(s"snd-a:$j"), TextHashing.P - 1) + 1)
+  private val bCoef: Array[Long] = Array.tabulate(k)(j =>
+    math.floorMod(TextHashing.md5Long60Kernel(s"snd-b:$j"), TextHashing.P))
+
+  /** k-minhash with the independent family — unbiased component-match
+    * estimator (σ = √(J(1−J)/k)). */
+  private[streaming] def signature(shingles: Array[String]): Array[Long] = {
+    val sig = Array.fill(k)(TextHashing.P)
+    if (shingles.isEmpty) return sig
+    val hs = shingles.map(s => TextHashing.md5Long60Kernel(s) % TextHashing.P)
+    var j = 0
+    while (j < k) {
+      val a = aCoef(j)
+      val b = bCoef(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % TextHashing.P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    sig
+  }
+
+  /** Explode a doc into its band rows: one row per band carrying the FULL
+    * signature (the bucket needs it to verify future arrivals), band key =
+    * the band's sub-signature (exact — no re-hash collisions). Per-row
+    * kernel work only; no shuffle until the stateful groupByKey. */
+  def bandRows(docs: Dataset[TextDoc]): Dataset[BandRow] = {
+    val (n, b, r) = (shingleN, bands, rowsPerBand)
+    docs.flatMap { d =>
+      val sh = if (d.text == null) Array.empty[String]
+               else TextHashing.wordShinglesKernel(d.text, n)
+      if (sh.isEmpty)
+        Iterator.single(BandRow(d.docId, s"empty:${d.docId}", Array.emptyLongArray))
+      else {
+        val sig = signature(sh)
+        (0 until b).iterator.map { bi =>
+          val sub = java.util.Arrays.copyOfRange(sig, bi * r, bi * r + r)
+          BandRow(d.docId, s"$bi:${sub.mkString("-")}", sig)
+        }
+      }
+    }(bandRowEnc)
+  }
+
+  /** Per-bucket judgment: candidates are the stored entries plus earlier
+    * (smaller-id) same-batch registrants; the best estimate ≥ threshold
+    * wins, otherwise the arrival registers. Pure function of (state,
+    * batch) — replays are deterministic. */
+  def judgeBand(key: String, rows: Iterator[BandRow],
+                state: GroupState[Bucket]): Iterator[BandVerdict] = {
+    val batch = rows.toSeq.sortBy(_.docId)
+    if (batch.isEmpty) return Iterator.empty
+    var entries = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+    val before = entries.size
+    val out = batch.map { r =>
+      if (r.sig.isEmpty) BandVerdict(r.docId, None, None)
+      else {
+        var bestId = Long.MaxValue
+        var bestEst = -1.0
+        entries.foreach { e =>
+          if (e.id != r.docId) { // keeper replay never matches itself
+            val est = sigEstimate(r.sig, e.sig)
+            if (est > bestEst || (est == bestEst && e.id < bestId)) {
+              bestEst = est; bestId = e.id
+            }
+          }
+        }
+        if (bestEst >= threshold) BandVerdict(r.docId, Some(bestId), Some(bestEst))
+        else {
+          if (!entries.exists(_.id == r.docId)) // replay: no duplicate entry
+            entries = entries :+ Entry(r.docId, r.sig)
+          BandVerdict(r.docId, None, None)
+        }
+      }
+    }
+    if (entries.size != before) state.update(Bucket(entries))
+    out.iterator
+  }
+
+  /** Wire the stateful banded judgment over a document stream. Output is
+    * one verdict per (doc, band) — reduce with [[StreamingNearDedup.verdicts]]
+    * inside `foreachBatch`. */
+  def judged(docs: Dataset[TextDoc]): Dataset[BandVerdict] =
+    bandRows(docs).groupByKey(_.bandKey)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        judgeBand _)(bucketEnc, bandVerdictEnc)
+}
+
+object StreamingNearDedup {
+
+  final case class TextDoc(docId: Long, text: String)
+  final case class BandRow(docId: Long, bandKey: String, sig: Array[Long])
+  final case class Entry(id: Long, sig: Array[Long])
+  final case class Bucket(entries: Seq[Entry])
+  final case class BandVerdict(docId: Long, candId: Option[Long], est: Option[Double])
+
+  implicit val textDocEnc: Encoder[TextDoc] = Encoders.product[TextDoc]
+  implicit val bandRowEnc: Encoder[BandRow] = Encoders.product[BandRow]
+  implicit val bucketEnc: Encoder[Bucket] = Encoders.product[Bucket]
+  implicit val bandVerdictEnc: Encoder[BandVerdict] = Encoders.product[BandVerdict]
+
+  /** Matching-components / k — the unbiased MinHash estimate of Jaccard.
+    * Exact in binary for power-of-two k, so no rounding step. */
+  private def sigEstimate(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Per-doc reduction of a micro-batch's band verdicts: best candidate by
+    * (estimate desc, candidate id asc) — the batch family's tie rule —
+    * null candidate ⇒ `keep`. Plain batch function for `foreachBatch`. */
+  def verdicts(bandVerdicts: DataFrame): DataFrame = {
+    val matched = bandVerdicts.where(col("candId").isNotNull)
+      .groupBy("docId")
+      .agg(max_by(struct(col("candId"), col("est")),
+        struct(col("est"), (-col("candId")).as("neg"))).as("best"))
+    bandVerdicts.select("docId").distinct()
+      .join(matched, Seq("docId"), "left")
+      .select(col("docId"), col("best.candId").as("dupOf"),
+        col("best.est").as("est"), col("best.candId").isNull.as("keep"))
+  }
+}
