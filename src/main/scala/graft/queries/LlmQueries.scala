@@ -23,7 +23,7 @@ object LlmQueries {
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
-    simKnnJoinIvf)
+    simKnnJoinIvf, simIvfSearch2)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -251,6 +251,57 @@ object LlmQueries {
             |    (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) AS cosine
             |FROM n JOIN a3 ON n.vec_id = a3.vec_id, q
             |WHERE a3.centroid_id IN (SELECT centroid_id FROM probe) AND n.vec_id <> 0
+            |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
+
+  /** Probed search over the INCREMENTALLY MAINTAINED IVF index: a batch of
+    * five novel vectors (negated copies of 0-4, ids +8000) is assigned
+    * against the STORED centroids — no retrain, no corpus re-read — and
+    * published as an appended cell-partitioned generation
+    * ([[Materialized.appendIvfIndex]]); the search (query = negated
+    * vector 1) then finds its exact appended copy at cosine 1.0 — a
+    * result only the appended generation can produce. The oracle replays
+    * train → base assign → batch assign → union → probe → rank. */
+  val simIvfSearch2: QueryDef = QueryDef("sim_ivf_search2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 8000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
+        "ivf2_b1")
+      val qv = emb.where(col("vec_id") === 1)
+        .select(transform(col("embedding"), x => -x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.ivfSearch(idx.assignment, idx.centroids, qv, k = 10, nprobe = 2)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
+            |       FROM e WHERE vec_id < 5),
+            |d4 AS (SELECT nb.vec_id, c.centroid_id,
+            |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM nb, c2 c),
+            |a4 AS (SELECT vec_id, centroid_id FROM (
+            |    SELECT vec_id, centroid_id,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
+            |    FROM d4) WHERE rn = 1),
+            |allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM nb),
+            |cells AS (SELECT vec_id, centroid_id FROM a3
+            |          UNION ALL SELECT vec_id, centroid_id FROM a4),
+            |q AS (SELECT [-x for x in v] AS qv FROM e WHERE vec_id = 1),
+            |probe AS (SELECT centroid_id FROM c2 c, q
+            |  ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                     for i in range(1, 65)]), centroid_id
+            |  LIMIT 2),
+            |n AS (SELECT a.vec_id, a.v, sqrt(list_sum([x * x for x in a.v])) AS nrm
+            |      FROM allv a)
+            |SELECT n.vec_id, cl.centroid_id AS cell,
+            |  round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) / (n.nrm *
+            |    (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) AS cosine
+            |FROM n JOIN cells cl ON n.vec_id = cl.vec_id, q
+            |WHERE cl.centroid_id IN (SELECT centroid_id FROM probe)
             |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
 
   /** Distributed k-means training of the IVF coarse index (2 Lloyd rounds

@@ -390,15 +390,21 @@ object Materialized {
     * hand, so heads orphaned by a corpus regeneration die here and their
     * deltas become [[gc]]-able. */
   private def headAware(spark: SparkSession, kind: String, config: String,
-                        sfDir: String, table: String)
+                        sfDir: String, table: String,
+                        partitionCols: Seq[String] = Nil)
                        (buildBase: => DataFrame): DataFrame =
     liveHead(spark, kind, config, sfDir, table) match {
       case Some((_, dirs)) =>
         dfCache.getOrElseUpdate(
           s"${spark.sparkContext.applicationId}|${dirs.mkString(";")}",
-          spark.read.parquet(dirs.map(_.toString): _*))
+          // one read per generation, unioned: partition discovery rejects
+          // multiple partitioned roots in a single load, and per-root scans
+          // keep partition pruning intact across every generation
+          dirs.map(d => spark.read.parquet(d.toString))
+            .reduce(_.unionByName(_)))
       case None =>
-        val df = parquetBacked(spark, kind, config, sfDir, table)(buildBase)
+        val df = parquetBacked(spark, kind, config, sfDir, table,
+          partitionCols)(buildBase)
         val hf = headFile(spark, kind, config, sfDir, table)
         if (readHead(hf).exists(_.baseFp != corpusFingerprint(sfDir, table)))
           Files.deleteIfExists(hf)
@@ -462,13 +468,14 @@ object Materialized {
    */
   private def absorbInto(spark: SparkSession, kind: String, config: String,
                          sfDir: String, table: String, keptRows: DataFrame,
-                         batchId: String)(buildBase: => DataFrame): DataFrame = {
+                         batchId: String, partitionCols: Seq[String] = Nil)
+                        (buildBase: => DataFrame): DataFrame = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId must be [A-Za-z0-9_.-]+ (it is stored in the head ledger): $batchId")
     val baseFp = corpusFingerprint(sfDir, table)
     // serves the current view AND guarantees the base entry exists (built
     // at most once) AND clears any head orphaned by a corpus regeneration
-    val current = headAware(spark, kind, config, sfDir, table)(buildBase)
+    val current = headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
     val hf = headFile(spark, kind, config, sfDir, table)
     val head0 = readHead(hf).filter(_.baseFp == baseFp).getOrElse(
       StoreHead(baseFp, Nil, Seq(entryName(kind, sfDir, table, config))))
@@ -483,14 +490,16 @@ object Materialized {
       sweepStaleTmp(deltaDir)
       val tmp = deltaDir.getParent.resolve(
         s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-      keptRows.join(current.select("id"), Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp.toString)
+      val novel = keptRows.join(current.select("id"), Seq("id"), "left_anti")
+      val w = novel.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
       publish(tmp, deltaDir)
     }
     val head1 = StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
     replaceFile(hf, renderHead(head1))
     sweepUnreferenced(spark, kind, config, sfDir, table, head1)
-    headAware(spark, kind, config, sfDir, table)(buildBase)
+    headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
   }
 
   /** Absorb kept batch docs' MinHash signatures (schema of
@@ -607,22 +616,70 @@ object Materialized {
    */
   def ivfIndex(spark: SparkSession, sfDir: String,
                k: Int = 8, iters: Int = 2): IvfIndex = {
-    val cfg = s"k${k}_i$iters"
-    val cents = parquetBacked(spark, "ivf_centroids", cfg, sfDir, "embeddings") {
-      graft.llm.Similarity.ivfTrainCentroids(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k, iters)
-    }
-    val assignment = parquetBacked(spark, "ivf_index", cfg, sfDir, "embeddings",
-        partitionCols = Seq("centroid_id")) {
-      graft.llm.Similarity.ivfIndexRows(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding", cents)
+    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val assignment = parquetBacked(spark, "ivf_index", s"k${k}_i$iters", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      ivfBaseRows(spark, sfDir, cents)
     }
     // the partition column round-trips through directory names (inferred
     // int) — restore the build-time long type and column order for consumers
-    IvfIndex(
-      assignment.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
-        col("dist"), col("norm"), col("v")),
-      cents)
+    IvfIndex(normalizeIvf(assignment), cents)
+  }
+
+  private def normalizeIvf(assignment: DataFrame): DataFrame =
+    assignment.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+      col("dist"), col("norm"), col("v"))
+
+  private def ivfCentroids(spark: SparkSession, sfDir: String,
+                           k: Int, iters: Int): DataFrame =
+    parquetBacked(spark, "ivf_centroids", s"k${k}_i$iters", sfDir, "embeddings") {
+      graft.llm.Similarity.ivfTrainCentroids(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k, iters)
+    }
+
+  private def ivfBaseRows(spark: SparkSession, sfDir: String,
+                          cents: DataFrame): DataFrame =
+    graft.llm.Similarity.ivfIndexRows(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", cents)
+
+  /**
+   * Incremental IVF maintenance: assign a NEW vector batch against the
+   * STORED centroids — no retrain, no corpus re-read — and publish the
+   * assigned rows as an appended, cell-partitioned index generation
+   * (the same head/delta machinery as the signature stores; exactly-once
+   * per `batchId`). The delta directory carries its own
+   * `centroid_id=<cell>` layout, so probed-cell searches over the
+   * appended index still prune at the file level across ALL generations.
+   *
+   * [[ivfIndex]] deliberately keeps serving the pinned BASE generation —
+   * a reproducibility contract for consumers that must not see the index
+   * move under them (`sim_ivf_search` reads it); [[ivfIndexCurrent]] and
+   * this method follow the head. Centroid drift is the documented limit:
+   * appended batches live in cells trained on the original corpus, the
+   * standard IVF trade until a periodic retrain rebuilds the base.
+   */
+  def appendIvfIndex(spark: SparkSession, sfDir: String, newVectors: DataFrame,
+                     idCol: String, vecCol: String, batchId: String,
+                     k: Int = 8, iters: Int = 2): IvfIndex = {
+    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val batchRows = graft.llm.Similarity.ivfIndexRows(newVectors, idCol, vecCol, cents)
+    val view = absorbInto(spark, "ivf_index", s"k${k}_i$iters", sfDir, "embeddings",
+        batchRows, batchId, partitionCols = Seq("centroid_id")) {
+      ivfBaseRows(spark, sfDir, cents)
+    }
+    IvfIndex(normalizeIvf(view), cents)
+  }
+
+  /** The head view of the stored IVF index — base ∪ appended batches
+    * (equal to [[ivfIndex]] until the first [[appendIvfIndex]]). */
+  def ivfIndexCurrent(spark: SparkSession, sfDir: String,
+                      k: Int = 8, iters: Int = 2): IvfIndex = {
+    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val view = headAware(spark, "ivf_index", s"k${k}_i$iters", sfDir, "embeddings",
+        partitionCols = Seq("centroid_id")) {
+      ivfBaseRows(spark, sfDir, cents)
+    }
+    IvfIndex(normalizeIvf(view), cents)
   }
 
   /** Pair-table summary at the ANN search threshold (cosine ≥ 0.3).

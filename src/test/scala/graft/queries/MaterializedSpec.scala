@@ -358,6 +358,64 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf append: batch assigned against stored centroids, appended generation serves searches, base stays pinned") {
+    withTempStore { root =>
+      import org.apache.spark.sql.functions.transform
+      val sf = TestSpark.sf
+      val base = Materialized.ivfIndex(spark, sf)
+      val nBase = base.assignment.count()
+      val b0 = Materialized.buildsStarted.get()
+
+      val batch = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+        .select((col("vec_id") + 8000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val appended = Materialized.appendIvfIndex(spark, sf, batch,
+        "vec_id", "embedding", "b1")
+      // no retrain, no corpus re-read: zero new builds, one delta publish
+      assert(Materialized.buildsStarted.get() == b0, "append must not rebuild anything")
+      assert(appended.assignment.count() == nBase + 3)
+      // the delta is cell-partitioned like the base (pruning works across
+      // generations)
+      val v = root.resolve(s"v${Materialized.FormatVersion}")
+      val idxDirs = Files.list(v).iterator().asScala
+        .filter { p => val n = p.getFileName.toString
+          n.startsWith("ivf_index_") && !n.endsWith(".json") }.toSeq
+      assert(idxDirs.size == 2, idxDirs.toString)
+      assert(idxDirs.forall(d => Files.list(d).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("centroid_id="))))
+
+      // appended cells match a fresh assignment against the stored centroids
+      val fresh = graft.llm.Similarity.ivfAssign(batch, "vec_id", "embedding",
+          appended.centroids)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stored = appended.assignment.where(col("id") >= 8000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == fresh)
+
+      // the pinned base view is unchanged; the head view serves the union,
+      // also for a fresh consumer; replay of the same batch id is a no-op
+      assert(Materialized.ivfIndex(spark, sf).assignment.count() == nBase)
+      Materialized.clearSessionCache()
+      assert(Materialized.ivfIndexCurrent(spark, sf).assignment.count() == nBase + 3)
+      val a0 = Materialized.absorbsPublished.get()
+      Materialized.appendIvfIndex(spark, sf, batch, "vec_id", "embedding", "b1")
+      assert(Materialized.absorbsPublished.get() == a0)
+
+      // a probed search over the appended index finds the appended copy at
+      // cosine 1.0 AND the scan still partition-prunes on centroid_id
+      val qv = Tables.embeddings(spark, sf).where(col("vec_id") === 1)
+        .select(transform(col("embedding"), x => -x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      val hit = graft.llm.Similarity.ivfSearch(appended.assignment,
+        appended.centroids, qv, k = 1, nprobe = 2)
+      val p = hit.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+        "probed search over the appended generations must still prune\n" + p)
+      val top = hit.collect()(0)
+      assert(top.getLong(0) == 8001L && top.getDouble(2) == 1.0, top.toString)
+    }
+  }
+
   test("no persisted tables linger after materialization (storage replaces caching)") {
     withTempStore { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size
