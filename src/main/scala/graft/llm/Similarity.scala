@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
 final case class VecRow(id: Long, v: Array[Double], norm: Double)
 
 /** One stored IVF index row: the vector co-located with its cell plus the
-  * build-time stats search needs (top-level for Encoder derivation). */
+  * build-time stats search needs, AND its int8 quantization (`scale` +
+  * 1-byte-per-component `qcode`, the [[Similarity.quantizeInt8]] codes) —
+  * quantized searches column-prune to (id, scale, qcode) and never read
+  * the 8-byte-per-component `v` (top-level for Encoder derivation). */
 final case class IvfRow(id: Long, centroid_id: Long, dist: Double,
-                        norm: Double, v: Array[Double])
+                        norm: Double, v: Array[Double],
+                        scale: Double, qcode: Array[Byte])
 
 object Similarity {
 
@@ -235,6 +239,59 @@ object Similarity {
   }
 
   /**
+   * [[ivfSearch]] over the index's int8 QUANTIZATION: ranks the probed
+   * cells by dequantized cosine (`qcode·scale/127` against the
+   * full-precision query — the [[topKQuantized]] ranking, bit-identical
+   * because the stored codes use the same HALF_UP rounding). The scan
+   * column-prunes to `(id, scale, qcode)` — 1 byte per component instead
+   * of the 8-byte `v` doubles, so a probed cell reads ~8× less vector
+   * data — and still partition-prunes to the probed cells. One fused JIT
+   * kernel per row (dequantize + dot + norm), then TakeOrderedAndProject;
+   * a zero/degenerate quantization (scale 0) yields a null cosine and
+   * ranks last.
+   */
+  def ivfSearchQ8(index: DataFrame, centroids: DataFrame,
+                  queryVec: Seq[Double], k: Int, nprobe: Int,
+                  excludeId: Option[Long] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queryVec.toArray
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = cents.map { case (cid, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val dx = v(i) - q(i); s += dx * dx; i += 1 }
+        (cid, s)
+      }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qB = spark.sparkContext.broadcast(q)
+    val base = index.where(col("centroid_id").isin(probed: _*))
+    val e1 = excludeId.map(x => base.where(col("id") =!= x)).getOrElse(base)
+    e1.select(col("id").cast("long"), col("centroid_id").cast("long"),
+        col("scale"), col("qcode"))
+      .as[(Long, Long, Double, Array[Byte])]
+      .map { case (id, cell, scale, qc) =>
+        val qv = qB.value
+        var dot = 0.0
+        var nn = 0.0
+        if (scale != 0.0) {
+          var i = 0
+          while (i < qc.length) {
+            val dq = qc(i) * scale / 127.0
+            dot += dq * qv(i); nn += dq * dq; i += 1
+          }
+        }
+        (id, cell,
+          if (nn == 0.0) Option.empty[Double]
+          else Some(roundHalfUp(dot / (math.sqrt(nn) * qn), 6)))
+      }
+      .toDF("id", "cell", "cosine")
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
    * Build rows of the stored IVF index: every vector co-located with its
    * nearest-centroid cell, plus the stats search consumes (`norm`) and the
    * build diagnostic (`dist`, rounded 6 dp). One typed JIT kernel per row —
@@ -268,7 +325,23 @@ object Similarity {
           if (s < best) { best = s; bestId = cs(j)._1 }
           j += 1
         }
-        IvfRow(id, bestId, roundHalfUp(best, 6), math.sqrt(dotKernel(v, v)), v)
+        var scale = 0.0
+        var i2 = 0
+        while (i2 < v.length) {
+          val a = math.abs(v(i2)); if (a > scale) scale = a; i2 += 1
+        }
+        val qc = new Array[Byte](v.length)
+        if (scale != 0.0) {
+          i2 = 0
+          while (i2 < v.length) {
+            // same HALF_UP rounding as quantizeInt8 / topKQuantized, so the
+            // stored codes are bit-replayable by the SQL oracle
+            qc(i2) = roundHalfUp(v(i2) / scale * 127.0, 0).toByte
+            i2 += 1
+          }
+        }
+        IvfRow(id, bestId, roundHalfUp(best, 6), math.sqrt(dotKernel(v, v)), v,
+          scale, qc)
       }
       .toDF()
   }

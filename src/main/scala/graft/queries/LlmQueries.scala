@@ -23,7 +23,7 @@ object LlmQueries {
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
-    simKnnJoinIvf, simIvfSearch2)
+    simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -252,6 +252,42 @@ object LlmQueries {
             |FROM n JOIN a3 ON n.vec_id = a3.vec_id, q
             |WHERE a3.centroid_id IN (SELECT centroid_id FROM probe) AND n.vec_id <> 0
             |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
+
+  /** Probed search over the index's int8 QUANTIZATION: same probe as
+    * `sim_ivf_search`, but ranking reads only the stored codes — 1 byte
+    * per component (`qcode` binary + `scale`), column-pruned so the
+    * 8-byte-per-component `v` doubles are never read — and scores by
+    * dequantized cosine in one fused kernel. The oracle replays
+    * quantize → dequantize → cosine exactly over the probed cells. */
+  val simIvfSearchQ8: QueryDef = QueryDef("sim_ivf_search_q8",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.ivfSearchQ8(idx.assignment, idx.centroids, qv,
+          k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            |probe AS (SELECT centroid_id FROM c2 c, q
+            |  ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                     for i in range(1, 65)]), centroid_id
+            |  LIMIT 2),
+            |qz AS (SELECT vec_id, list_max([abs(x) for x in v]) AS scale, v FROM e),
+            |dq AS (SELECT vec_id,
+            |  [CASE WHEN scale = 0 THEN 0.0
+            |        ELSE round(x / scale * 127.0, 0) * scale / 127.0 END
+            |   for x in v] AS dv FROM qz)
+            |SELECT dq.vec_id, a3.centroid_id AS cell,
+            |  round(list_sum([dq.dv[i] * q.qv[i] for i in range(1, 65)]) /
+            |    (sqrt(list_sum([x * x for x in dq.dv])) *
+            |     (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) AS cosine
+            |FROM dq JOIN a3 ON dq.vec_id = a3.vec_id, q
+            |WHERE a3.centroid_id IN (SELECT centroid_id FROM probe) AND dq.vec_id <> 0
+            |ORDER BY cosine DESC, dq.vec_id LIMIT 10""".stripMargin))
 
   /** Probed search over the INCREMENTALLY MAINTAINED IVF index: a batch of
     * five novel vectors (negated copies of 0-4, ids +8000) is assigned

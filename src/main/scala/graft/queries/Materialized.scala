@@ -47,8 +47,10 @@ object Materialized {
     * layout change (v2: `<kind>_p<pathFp>_<contentFp>_<config>` — the input
     * path got its own component so retention can tell a SUPERSEDED corpus
     * (same path, new content) from a PARALLEL one (different path, e.g.
-    * sf0.01 and sf0.1 sharing the default store root)). */
-  private[queries] val FormatVersion = 2
+    * sf0.01 and sf0.1 sharing the default store root); v3: IVF index rows
+    * carry the int8 quantization (`scale`, `qcode`) for column-pruned
+    * quantized searches). */
+  private[queries] val FormatVersion = 3
 
   /** Build count, exposed so MaterializedSpec can prove storage reuse
     * (a second consumer must NOT increment it). */
@@ -628,7 +630,7 @@ object Materialized {
 
   private def normalizeIvf(assignment: DataFrame): DataFrame =
     assignment.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
-      col("dist"), col("norm"), col("v"))
+      col("dist"), col("norm"), col("v"), col("scale"), col("qcode"))
 
   private def ivfCentroids(spark: SparkSession, sfDir: String,
                            k: Int, iters: Int): DataFrame =

@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
       "cell membership must come from storage, not a per-query re-derivation\n" + p)
   }
 
+  test("sim_ivf_search_q8: partition-pruned AND column-pruned to the int8 codes") {
+    val p = plan("sim_ivf_search_q8")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the parquet scan\n" + p)
+    // the quantized ranking must read the codes, not the double vectors:
+    // scale+qcode in the read schema, v (and dist/norm) pruned away
+    assert(p.contains("qcode"), p)
+    assert("ReadSchema: [^\\n]*v:array".r.findFirstIn(p).isEmpty,
+      "q8 search must not read the full-precision vectors\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the
