@@ -300,4 +300,34 @@ object TextAnalysis {
         (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
       .withColumn("chunk_id", floor(col("start_offset") / lit(budget.toDouble)))
   }
+
+  /**
+   * The PACKED artifact a trainer consumes: [[packSequences]]' layout
+   * materialized as per-chunk document spans — one row per (chunk, doc
+   * slice) with `token_start`/`token_end` (doc-relative, end exclusive),
+   * INCLUDING budget-boundary splits: a document straddling chunk
+   * boundaries emits one span per chunk it touches (explode of its chunk
+   * range), so every chunk's spans sum to exactly `budget` tokens except
+   * each stream's tail. Token-less docs occupy no stream positions and
+   * emit nothing.
+   *
+   * Same plan shape as the labeling pass — one running-sum window per
+   * `partitionCol` stream plus a generator — no global sort, no extra
+   * shuffle at any scale.
+   */
+  def packEmit(df: DataFrame, idCol: String, textCol: String,
+               budget: Int, partitionCol: String): DataFrame = {
+    val b = lit(budget.toLong)
+    packSequences(df, idCol, textCol, budget, partitionCol)
+      .drop("chunk_id")
+      .where(col("n_tokens") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("start_offset") / lit(budget.toDouble)),
+        floor((col("start_offset") + col("n_tokens") - 1) / lit(budget.toDouble)))))
+      .select(col(partitionCol), col("chunk_id"), col(idCol),
+        greatest(lit(0L), col("chunk_id") * b - col("start_offset"))
+          .cast("long").as("token_start"),
+        least(col("n_tokens"), (col("chunk_id") + 1) * b - col("start_offset"))
+          .cast("long").as("token_end"))
+  }
 }

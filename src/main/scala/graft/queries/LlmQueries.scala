@@ -23,7 +23,7 @@ object LlmQueries {
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
-    simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8)
+    simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -128,6 +128,31 @@ object LlmQueries {
            |SELECT doc_id, source, n_tokens, start_offset,
            |  floor(start_offset / 512.0)::BIGINT AS chunk_id
            |FROM o ORDER BY doc_id""".stripMargin))
+
+  /** The packed training artifact: per-chunk document spans — one row per
+    * (source stream, 512-token chunk, doc slice) with doc-relative
+    * token_start/token_end, including budget-boundary splits, so every
+    * chunk's spans sum to exactly 512 tokens except each stream's tail.
+    * Same no-global-sort plan as `text_pack` plus a generator. */
+  val textPackEmit: QueryDef = QueryDef("text_pack_emit",
+    (s, d) => TextAnalysis.packEmit(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, partitionCol = "source")
+      .orderBy("source", "chunk_id", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source,
+           |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens FROM documents),
+           |o AS (SELECT doc_id, source, n_tokens,
+           |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)::BIGINT
+           |    AS start_offset
+           |  FROM t),
+           |x AS (SELECT doc_id, source, n_tokens, start_offset,
+           |        unnest(generate_series(floor(start_offset / 512.0)::BIGINT,
+           |                               floor((start_offset + n_tokens - 1) / 512.0)::BIGINT))
+           |          AS chunk_id
+           |      FROM o WHERE n_tokens > 0)
+           |SELECT source, chunk_id, doc_id,
+           |  greatest(0, chunk_id * 512 - start_offset)::BIGINT AS token_start,
+           |  least(n_tokens, (chunk_id + 1) * 512 - start_offset)::BIGINT AS token_end
+           |FROM x ORDER BY source, chunk_id, doc_id""".stripMargin))
 
   /** Video frame sampling: every 2nd frame index per video-kind row — a
     * generator expression (explode of a bounded sequence), no shuffle. */

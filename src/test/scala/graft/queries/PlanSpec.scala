@@ -188,6 +188,14 @@ class PlanSpec extends AnyFunSuite {
       "packing must stay per-shard — a global window would serialize at scale\n" + p)
   }
 
+  test("text_pack_emit: per-shard window + generator, no single-partition global sort") {
+    val p = plan("text_pack_emit")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), "span emission must be a generator (explode)\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "packed-span emission must stay per-shard\n" + p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
