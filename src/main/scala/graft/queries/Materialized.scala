@@ -504,6 +504,73 @@ object Materialized {
     headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
   }
 
+  /**
+   * Compact an absorb-able store: rewrite the current view (base ∪ all
+   * deltas) as ONE fresh entry and point the head at it, preserving the
+   * absorbed-batch ledger — batch ids stay exactly-once across the
+   * compaction, and nothing is re-signed/re-assigned (rows are copied,
+   * not recomputed). Bounds the read amplification of a long absorb
+   * chain: after N days of daily batches a reader unions N+1 entries;
+   * compaction resets that to 1. The superseded base + deltas age out
+   * via [[sweepUnreferenced]]/[[gc]]. No-op when the head has no deltas.
+   */
+  private def compactStore(spark: SparkSession, kind: String, config: String,
+                           sfDir: String, table: String,
+                           partitionCols: Seq[String] = Nil)
+                          (buildBase: => DataFrame): DataFrame = {
+    val current = headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
+    val hf = headFile(spark, kind, config, sfDir, table)
+    val baseFp = corpusFingerprint(sfDir, table)
+    readHead(hf).filter(_.baseFp == baseFp) match {
+      case Some(h) if h.entries.size > 1 =>
+        val name = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
+          s"${md5Hex(s"$baseFp:compact:${h.absorbed.mkString(",")}").take(16)}_$config"
+        val dir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(name)
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          Files.createDirectories(dir.getParent)
+          sweepStaleTmp(dir)
+          val tmp = dir.getParent.resolve(
+            s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+          val w = current.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(tmp.toString)
+          publish(tmp, dir)
+        }
+        val h1 = StoreHead(baseFp, h.absorbed, Seq(name))
+        replaceFile(hf, renderHead(h1))
+        sweepUnreferenced(spark, kind, config, sfDir, table, h1)
+        headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
+      case _ => current
+    }
+  }
+
+  /** [[compactStore]] for the MinHash signature store. */
+  def compactMinhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
+      Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
+        "doc_id", "text", shingleN = 3, k = 128)
+    }
+
+  /** [[compactStore]] for the embedding signature store. */
+  def compactEmbeddingSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
+      graft.llm.Similarity.lshSigRowsTyped(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        bands = 128, planesPerBand = 16, dims = 64)
+    }
+
+  /** [[compactStore]] for the IVF index (keeps the cell-partitioned
+    * layout, so searches over the compacted index prune identically). */
+  def compactIvfIndex(spark: SparkSession, sfDir: String,
+                      k: Int = 8, iters: Int = 2): IvfIndex = {
+    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val view = compactStore(spark, "ivf_index", s"k${k}_i$iters", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      ivfBaseRows(spark, sfDir, cents)
+    }
+    IvfIndex(normalizeIvf(view), cents)
+  }
+
   /** Absorb kept batch docs' MinHash signatures (schema of
     * [[graft.llm.Dedup.minhashSignatureTable]]: `(id, n_sh, sig)`) into
     * [[minhashSignatures]]'s store — after this, the next batch judged via

@@ -358,6 +358,47 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: absorb chain rewritten to one entry, ledger preserved, content identical") {
+    withTempStore { root =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        val b0 = Materialized.buildsStarted.get()
+        Materialized.minhashSignatures(spark, TestSpark.sf).count()
+        def sigsOf(rows: Seq[(Long, String)]) = Dedup.minhashSignatureTable(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        Materialized.absorbMinhashSignatures(spark, TestSpark.sf,
+          sigsOf(Seq((9001L, "first absorbed batch novel doc with its words"))), "c-b1")
+        Materialized.absorbMinhashSignatures(spark, TestSpark.sf,
+          sigsOf(Seq((9002L, "second absorbed batch novel doc other words"))), "c-b2")
+        val before = Materialized.minhashSignatures(spark, TestSpark.sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(sigDirs(root).size == 3) // base + 2 deltas
+
+        val compacted = Materialized.compactMinhashSignatures(spark, TestSpark.sf)
+        assert(compacted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before,
+          "compaction must not change the view's content")
+        assert(sigDirs(root).size == 1, s"superseded chain must be swept: ${sigDirs(root)}")
+        assert(Materialized.buildsStarted.get() == b0 + 1, "compaction copies, never re-signs")
+
+        // ledger preserved: absorbed batch ids replay as no-ops
+        val a0 = Materialized.absorbsPublished.get()
+        Materialized.absorbMinhashSignatures(spark, TestSpark.sf,
+          sigsOf(Seq((9001L, "first absorbed batch novel doc with its words"))), "c-b1")
+        assert(Materialized.absorbsPublished.get() == a0,
+          "compaction must preserve the exactly-once ledger")
+
+        // fresh consumer reads the compacted entry; compacting again no-ops
+        Materialized.clearSessionCache()
+        assert(Materialized.minhashSignatures(spark, TestSpark.sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+        Materialized.compactMinhashSignatures(spark, TestSpark.sf)
+        assert(sigDirs(root).size == 1)
+        assert(Materialized.buildsStarted.get() == b0 + 1)
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
   test("ivf append: batch assigned against stored centroids, appended generation serves searches, base stays pinned") {
     withTempStore { root =>
       import org.apache.spark.sql.functions.transform
