@@ -59,7 +59,7 @@ object Materialized {
   /** Delta-publish count of [[absorbInto]], separate from [[buildsStarted]]
     * so specs can prove an absorb never re-signs the corpus AND that
     * re-absorbing an already-absorbed batch publishes nothing. */
-  private[queries] val absorbsPublished = new java.util.concurrent.atomic.AtomicInteger()
+  private[graft] val absorbsPublished = new java.util.concurrent.atomic.AtomicInteger()
 
   // in-session handle caches (the parquet scan is cheap, but consumers call
   // these per query — keep one DataFrame/stats handle per store path)
@@ -68,7 +68,7 @@ object Materialized {
 
   /** Test hook: drop in-session handles so the next call exercises the
     * storage-read path like a fresh session would. */
-  private[queries] def clearSessionCache(): Unit = {
+  private[graft] def clearSessionCache(): Unit = {
     dfCache.clear(); statsCache.clear()
   }
 

@@ -87,20 +87,26 @@ final case class StreamingNearDedup(shingleN: Int = 3, bands: Int = 32,
 
   /** Explode a doc into its band rows: one row per band carrying the FULL
     * signature (the bucket needs it to verify future arrivals), band key =
-    * the band's sub-signature (exact — no re-hash collisions). Per-row
-    * kernel work only; no shuffle until the stateful groupByKey. */
+    * the band's sub-signature (exact — no re-hash collisions). The text
+    * rides on exactly ONE band row per doc (band 0) so downstream
+    * `foreachBatch` consumers — [[StreamingNearDedup.absorbKeepers]] —
+    * can re-sign keepers for the shared store without a second input; the
+    * other `bands − 1` rows carry None. Per-row kernel work only; no
+    * shuffle until the stateful groupByKey. */
   def bandRows(docs: Dataset[TextDoc]): Dataset[BandRow] = {
     val (n, b, r) = (shingleN, bands, rowsPerBand)
     docs.flatMap { d =>
       val sh = if (d.text == null) Array.empty[String]
                else TextHashing.wordShinglesKernel(d.text, n)
       if (sh.isEmpty)
-        Iterator.single(BandRow(d.docId, s"empty:${d.docId}", Array.emptyLongArray))
+        Iterator.single(BandRow(d.docId, s"empty:${d.docId}",
+          Array.emptyLongArray, Option(d.text)))
       else {
         val sig = signature(sh)
         (0 until b).iterator.map { bi =>
           val sub = java.util.Arrays.copyOfRange(sig, bi * r, bi * r + r)
-          BandRow(d.docId, s"$bi:${sub.mkString("-")}", sig)
+          BandRow(d.docId, s"$bi:${sub.mkString("-")}", sig,
+            if (bi == 0) Option(d.text) else None)
         }
       }
     }(bandRowEnc)
@@ -117,7 +123,7 @@ final case class StreamingNearDedup(shingleN: Int = 3, bands: Int = 32,
     var entries = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
     val before = entries.size
     val out = batch.map { r =>
-      if (r.sig.isEmpty) BandVerdict(r.docId, None, None)
+      if (r.sig.isEmpty) BandVerdict(r.docId, None, None, r.text)
       else {
         var bestId = Long.MaxValue
         var bestEst = -1.0
@@ -129,11 +135,12 @@ final case class StreamingNearDedup(shingleN: Int = 3, bands: Int = 32,
             }
           }
         }
-        if (bestEst >= threshold) BandVerdict(r.docId, Some(bestId), Some(bestEst))
+        if (bestEst >= threshold)
+          BandVerdict(r.docId, Some(bestId), Some(bestEst), r.text)
         else {
           if (!entries.exists(_.id == r.docId)) // replay: no duplicate entry
             entries = entries :+ Entry(r.docId, r.sig)
-          BandVerdict(r.docId, None, None)
+          BandVerdict(r.docId, None, None, r.text)
         }
       }
     }
@@ -153,10 +160,12 @@ final case class StreamingNearDedup(shingleN: Int = 3, bands: Int = 32,
 object StreamingNearDedup {
 
   final case class TextDoc(docId: Long, text: String)
-  final case class BandRow(docId: Long, bandKey: String, sig: Array[Long])
+  final case class BandRow(docId: Long, bandKey: String, sig: Array[Long],
+                           text: Option[String])
   final case class Entry(id: Long, sig: Array[Long])
   final case class Bucket(entries: Seq[Entry])
-  final case class BandVerdict(docId: Long, candId: Option[Long], est: Option[Double])
+  final case class BandVerdict(docId: Long, candId: Option[Long],
+                               est: Option[Double], text: Option[String])
 
   implicit val textDocEnc: Encoder[TextDoc] = Encoders.product[TextDoc]
   implicit val bandRowEnc: Encoder[BandRow] = Encoders.product[BandRow]
@@ -170,6 +179,35 @@ object StreamingNearDedup {
     var i = 0
     while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
     eq.toDouble / a.length
+  }
+
+  /**
+   * `foreachBatch` bridge from the stream to the BATCH signature store:
+   * reduce the micro-batch's band verdicts, then absorb the kept docs'
+   * batch-family MinHash signatures into
+   * [[graft.queries.Materialized.minhashSignatures]]'s store — so batch
+   * jobs (`dedupIncrementalNear`) judge future data against streaming
+   * keeps too, not just the original corpus. Absorption is exactly-once
+   * per micro-batch id: a checkpoint replay re-offers the same
+   * `stream-<id>` batch id and the store ledger makes it a no-op, so
+   * at-least-once delivery cannot double-absorb. Returns the per-doc
+   * verdicts for the caller's own sink.
+   *
+   * The stored signatures are the BATCH family's (re-signed from the kept
+   * text) — the stream-internal independent-coefficient signatures are
+   * estimator-correct but deliberately never leave the state store, so
+   * the shared artifact stays consistent with every batch consumer.
+   */
+  def absorbKeepers(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    bandVerdicts: DataFrame, microBatchId: Long): DataFrame = {
+    val v = verdicts(bandVerdicts)
+    val keptDocs = bandVerdicts.where(col("text").isNotNull)
+      .select(col("docId"), col("text"))
+      .join(v.where(col("keep")).select("docId"), Seq("docId"), "left_semi")
+    graft.queries.Materialized.absorbMinhashSignatures(spark, sfDir,
+      graft.llm.Dedup.minhashSignatureTable(keptDocs, "docId", "text"),
+      s"stream-$microBatchId")
+    v
   }
 
   /** Per-doc reduction of a micro-batch's band verdicts: best candidate by

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.io.File
@@ -83,6 +84,83 @@ class StreamingNearDedupSpec extends AnyFunSuite {
       minhashSignatureKernel(sh2, 128))
     assert(correlated < indep - 0.05,
       s"expected the correlated family to understate J: $correlated vs $indep")
+  }
+
+  test("streaming keepers absorb into the batch signature store; batch jobs then judge against them") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("snd-absorb-corpus")
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta corpus doc"),
+        (2L, "completely different corpus content with other words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir.resolve("documents.parquet").toString)
+    val store = Files.createTempDirectory("snd-absorb-store")
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", store.toString)
+    graft.queries.Materialized.clearSessionCache()
+    try {
+      val dir = Files.createTempDirectory("snd-absorb-src").toFile
+      val ckpt = Files.createTempDirectory("snd-absorb-ckpt").toFile
+      Files.write(new File(dir, "b1.csv").toPath,
+        s"100,$t1".getBytes("UTF-8"))
+      def startQuery() = {
+        val op = StreamingNearDedup()
+        op.judged(
+            spark.readStream.schema("docId LONG, text STRING")
+              .csv(dir.getAbsolutePath).as[StreamingNearDedup.TextDoc])
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingNearDedup.BandVerdict], id: Long) =>
+            StreamingNearDedup.absorbKeepers(spark, corpusDir.toString, df.toDF(), id)
+            ()
+          }
+          .start()
+      }
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+
+      // the streamed keeper's signatures are now in the shared store: a
+      // BATCH incremental near-dup judges a near-copy of it as a dup
+      val sigs = graft.queries.Materialized.minhashSignatures(spark, corpusDir.toString)
+      assert(sigs.count() == 3, s"corpus 2 + 1 streamed keeper, got ${sigs.count()}")
+      val day2Docs = graft.queries.Tables.documents(spark, corpusDir.toString)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((100L, t1)).toDF("doc_id", "text"))
+      val out = graft.llm.Dedup.dedupIncrementalNear(
+          Seq((500L, t1drop)).toDF("doc_id", "text"), sigs, day2Docs,
+          "doc_id", "text")
+        .collect()
+      assert(out.length == 1 && out(0).getLong(1) == 100L && !out(0).getBoolean(3),
+        s"batch near-copy must lose to the STREAMED keeper via the store: ${out.toSeq}")
+
+      // checkpoint replay cannot double-absorb: drop batch 0's COMMIT so
+      // the WAL reconstructs it from the offsets entry and REPLAYS it with
+      // the same micro-batch id — which the store ledger already holds
+      val a0 = graft.queries.Materialized.absorbsPublished.get()
+      val before = sigs.count()
+      Files.delete(ckpt.toPath.resolve("commits").resolve("0"))
+      Files.deleteIfExists(ckpt.toPath.resolve("commits").resolve(".0.crc"))
+      // the replayed batch legitimately re-commits state version 1 — relax
+      // the commit-count validation for this deliberate at-least-once replay
+      spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+      val q2 = try {
+        val q = startQuery()
+        q.processAllAvailable()
+        q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.commitValidation.enabled")
+      assert(graft.queries.Materialized.absorbsPublished.get() == a0,
+        "replayed micro-batch must not publish a second delta")
+      graft.queries.Materialized.clearSessionCache()
+      assert(graft.queries.Materialized.minhashSignatures(spark, corpusDir.toString)
+        .count() == before)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      graft.queries.Materialized.clearSessionCache()
+    }
   }
 
   test("in-batch near-dup resolves to the smaller id; shingle-less docs are kept") {
