@@ -115,10 +115,11 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // headline redundancy: the driver's artifact capture has truncated the
     // long per-query line from one end before (BENCH_r06 lost its front
-    // half), so the total is printed standalone FIRST (head-capture) and
-    // repeated as the LAST key of the full line (tail-capture) — a cut from
-    // either end still records the number that matters
-    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+    // half), so the total is printed standalone FIRST (head-capture, under
+    // a DISTINCT metric key so line-oriented consumers never double-count
+    // "total") and repeated as the LAST key of the full line (tail-capture)
+    // — a cut from either end still records the number that matters
+    println(s"""{"metric":"total_headline","value":$total,"unit":"sec"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"timing_action":"xxhash64_agg","sf":"$sfDir","total_secs":$total}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)

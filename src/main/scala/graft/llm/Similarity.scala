@@ -256,6 +256,12 @@ object Similarity {
     val spark = index.sparkSession
     import spark.implicits._
     val q = queryVec.toArray
+    // fail loud at the driver: a zero-norm query makes every cosine 0/0,
+    // which the HALF_UP rounding would turn into an executor-side
+    // NumberFormatException on NaN (ivfSearch's expression path tolerates
+    // the degenerate query; the kernel path must reject it instead)
+    require(q.nonEmpty && q.exists(_ != 0.0),
+      "ivfSearchQ8: zero/empty query vector — cosine undefined")
     val cents = centroids
       .select(col("centroid_id").cast("long"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -217,6 +217,13 @@ object Materialized {
     val parent = live.getParent
     live.getFileName.toString match {
       case EntryName(kind, pfp, cfp, cfg) if parent != null && Files.isDirectory(parent) =>
+        // entries referenced by this group's head — when the head belongs to
+        // the SAME corpus generation as the just-published entry — are live
+        // (absorb deltas / a compacted chain whose names embed the ledger
+        // hash, never the corpus fingerprint) and must survive a base
+        // rebuild; a stale head (other baseFp) protects nothing
+        val headRef = readHead(parent.resolve(s"${kind}_p${pfp}_head_$cfg.json"))
+          .filter(_.baseFp == cfp).map(_.entries.toSet).getOrElse(Set.empty)
         val cutoff = System.currentTimeMillis() - gcAgeMs(spark)
         val s = Files.list(parent)
         try {
@@ -224,7 +231,7 @@ object Materialized {
           s.iterator().asScala.filter { p =>
             p.getFileName.toString match {
               case EntryName(`kind`, `pfp`, fp2, `cfg`) =>
-                fp2 != cfp &&
+                fp2 != cfp && !headRef.contains(p.getFileName.toString) &&
                   (try Files.getLastModifiedTime(p).toMillis < cutoff
                    catch { case _: java.io.IOException => false })
               case _ => false
@@ -264,12 +271,22 @@ object Materialized {
         // entries referenced by a head pointer are the LIVE set of their
         // group — the head is the election, not mtime. Stale heads (corpus
         // regenerated) are removed on the next base rebuild, after which
-        // their deltas stop being referenced and age out here.
+        // their deltas stop being referenced and age out here. A BROKEN
+        // head — one referencing entries that no longer exist — must not
+        // elect: trusting it would mark the group's actual current entry
+        // dead; it is deleted here and the group falls back to
+        // newest-mtime election.
+        val names = all.map(_.getFileName.toString).toSet
         val refs = all.flatMap { p =>
           p.getFileName.toString match {
             case HeadFileName(kind, pfp, cfg) =>
-              readHead(p).toSeq.flatMap(h =>
-                h.entries.map(e => ((kind, pfp, cfg), e)))
+              readHead(p) match {
+                case Some(h) if h.entries.forall(names.contains) =>
+                  h.entries.map(e => ((kind, pfp, cfg), e))
+                case _ =>
+                  Files.deleteIfExists(p)
+                  Nil
+              }
             case _ => Nil
           }
         }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -468,6 +485,20 @@ object Materialized {
    * column — 8 bytes/doc — against the (small) batch side; in production
    * ids are globally unique and it degenerates to a no-match pass.
    */
+  /** Serialize head read-modify-write cycles across processes on this
+    * store: an exclusive lock on a `.lock` sibling of the head file.
+    * Local-FS scope (a production store would use the catalog's commit
+    * protocol instead — same caveat as [[publish]]). */
+  private def withHeadLock[A](hf: Path)(body: => A): A = {
+    Files.createDirectories(hf.getParent)
+    val ch = java.nio.channels.FileChannel.open(
+      hf.getParent.resolve(hf.getFileName.toString + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() }
+    finally ch.close()
+  }
+
   private def absorbInto(spark: SparkSession, kind: String, config: String,
                          sfDir: String, table: String, keptRows: DataFrame,
                          batchId: String, partitionCols: Seq[String] = Nil)
@@ -479,28 +510,44 @@ object Materialized {
     // at most once) AND clears any head orphaned by a corpus regeneration
     val current = headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
     val hf = headFile(spark, kind, config, sfDir, table)
-    val head0 = readHead(hf).filter(_.baseFp == baseFp).getOrElse(
-      StoreHead(baseFp, Nil, Seq(entryName(kind, sfDir, table, config))))
-    if (head0.absorbed.contains(batchId)) return current // exactly-once
-    val absorbed1 = head0.absorbed :+ batchId
-    val deltaName = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
-      s"${md5Hex(s"$baseFp:${absorbed1.mkString(",")}").take(16)}_$config"
-    val deltaDir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(deltaName)
-    if (!Files.exists(deltaDir.resolve("_SUCCESS"))) {
-      absorbsPublished.incrementAndGet()
-      Files.createDirectories(deltaDir.getParent)
-      sweepStaleTmp(deltaDir)
-      val tmp = deltaDir.getParent.resolve(
-        s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-      val novel = keptRows.join(current.select("id"), Seq("id"), "left_anti")
-      val w = novel.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(tmp.toString)
-      publish(tmp, deltaDir)
+    withHeadLock(hf) {
+      // resolve the head through liveHead, NOT a raw read: a head whose
+      // entries were lost is broken — trusting its ledger would make the
+      // exactly-once check permanently swallow the very re-absorbs that
+      // recover the lost rows. A broken head restarts the chain from the
+      // base (batch ids become re-absorbable, which is safe: their rows
+      // are gone from the view, so the anti-join re-admits them).
+      val head0 = liveHead(spark, kind, config, sfDir, table).map(_._1).getOrElse(
+        StoreHead(baseFp, Nil, Seq(entryName(kind, sfDir, table, config))))
+      if (!head0.absorbed.contains(batchId)) { // exactly-once
+        val absorbed1 = head0.absorbed :+ batchId
+        val novel = keptRows.join(current.select("id"), Seq("id"), "left_anti")
+        val head1 = if (novel.isEmpty) {
+          // nothing novel: record the batch id in the ledger with NO entry —
+          // a partitioned write of an empty frame leaves a directory with no
+          // readable footer, which would poison every later head read
+          StoreHead(baseFp, absorbed1, head0.entries)
+        } else {
+          val deltaName = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
+            s"${md5Hex(s"$baseFp:${absorbed1.mkString(",")}").take(16)}_$config"
+          val deltaDir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(deltaName)
+          if (!Files.exists(deltaDir.resolve("_SUCCESS"))) {
+            absorbsPublished.incrementAndGet()
+            Files.createDirectories(deltaDir.getParent)
+            sweepStaleTmp(deltaDir)
+            val tmp = deltaDir.getParent.resolve(
+              s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+            val w = novel.write.mode("overwrite")
+            (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+              .parquet(tmp.toString)
+            publish(tmp, deltaDir)
+          }
+          StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
+        }
+        replaceFile(hf, renderHead(head1))
+        sweepUnreferenced(spark, kind, config, sfDir, table, head1)
+      }
     }
-    val head1 = StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
-    replaceFile(hf, renderHead(head1))
-    sweepUnreferenced(spark, kind, config, sfDir, table, head1)
     headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
   }
 

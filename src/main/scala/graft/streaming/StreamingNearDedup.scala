@@ -188,10 +188,12 @@ object StreamingNearDedup {
    * [[graft.queries.Materialized.minhashSignatures]]'s store — so batch
    * jobs (`dedupIncrementalNear`) judge future data against streaming
    * keeps too, not just the original corpus. Absorption is exactly-once
-   * per micro-batch id: a checkpoint replay re-offers the same
-   * `stream-<id>` batch id and the store ledger makes it a no-op, so
-   * at-least-once delivery cannot double-absorb. Returns the per-doc
-   * verdicts for the caller's own sink.
+   * per (streamId, micro-batch id): a checkpoint replay re-offers the
+   * same `<streamId>-<id>` batch id and the store ledger makes it a
+   * no-op, so at-least-once delivery cannot double-absorb — give each
+   * logical stream feeding the store a distinct `streamId` (e.g. derived
+   * from its checkpoint location). Returns the per-doc verdicts for the
+   * caller's own sink.
    *
    * The stored signatures are the BATCH family's (re-signed from the kept
    * text) — the stream-internal independent-coefficient signatures are
@@ -199,14 +201,19 @@ object StreamingNearDedup {
    * the shared artifact stays consistent with every batch consumer.
    */
   def absorbKeepers(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                    bandVerdicts: DataFrame, microBatchId: Long): DataFrame = {
+                    bandVerdicts: DataFrame, streamId: String,
+                    microBatchId: Long): DataFrame = {
     val v = verdicts(bandVerdicts)
     val keptDocs = bandVerdicts.where(col("text").isNotNull)
       .select(col("docId"), col("text"))
       .join(v.where(col("keep")).select("docId"), Seq("docId"), "left_semi")
+    // the ledger id namespaces by STREAM, not just micro-batch: two
+    // different queries feeding the same store both start at micro-batch 0,
+    // and without the caller-chosen streamId the second stream's early
+    // batches would silently no-op against the first's ledger entries
     graft.queries.Materialized.absorbMinhashSignatures(spark, sfDir,
       graft.llm.Dedup.minhashSignatureTable(keptDocs, "docId", "text"),
-      s"stream-$microBatchId")
+      s"$streamId-$microBatchId")
     v
   }
 

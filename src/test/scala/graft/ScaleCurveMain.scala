@@ -23,6 +23,8 @@ object ScaleCurveMain {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
+    val modes = Set("crossover-only", "knn-ivf-only")
+    require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
       val d = s"/root/testdata/$sf"
@@ -56,13 +58,9 @@ object ScaleCurveMain {
         f"verified=$tDeep ${tTDeep}%.2fs prune=${nPlanted * (nPlanted - 1) / 2.0 / candDeep}%.0fx | " +
         f"clusters rows=$cl ${tCl}%.2fs")
     }
-    if (args.contains("knn-ivf-only")) {
-      knnIvf55k(spark)
-    } else {
-      crossover50k(spark)
-      knn55k(spark)
-      knnIvf55k(spark)
-    }
+    if (args.contains("knn-ivf-only")) knnIvf55k(spark)
+    else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
+    else { crossover50k(spark); knn55k(spark); knnIvf55k(spark) }
     spark.stop()
   }
 
@@ -117,7 +115,12 @@ object ScaleCurveMain {
       val (bruteRows, tBrute) = timed(graft.llm.Similarity.knnJoin(
           corpus, queries, "vec_id", "embedding", "vec_id", k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
-      val recall10 = ivfRows.count(bruteRows.contains).toDouble / bruteRows.size
+      // recall over (query, neighbor) MEMBERSHIP, rank dropped: one missed
+      // true neighbor shifts every later rank by one, and triple-equality
+      // would cascade that single miss into up to k scored misses
+      val ivfPairs = ivfRows.map(r => (r._1, r._2))
+      val brutePairs = bruteRows.map(r => (r._1, r._2))
+      val recall10 = ivfPairs.count(brutePairs.contains).toDouble / brutePairs.size
       val plantedNote = if (checkPlanted) {
         val ids = 5L until 256L by 10L
         val hit = ids.count(q => ivfRows.contains((q, q + 2000000L, 1L)))

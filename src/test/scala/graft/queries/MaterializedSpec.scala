@@ -241,7 +241,7 @@ class MaterializedSpec extends AnyFunSuite {
     val v = root.resolve(s"v${Materialized.FormatVersion}")
     if (!Files.isDirectory(v)) Nil
     else Files.list(v).iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith("minhash_sigs_") && !n.endsWith(".json")).toSeq
+      .filter(n => n.startsWith("minhash_sigs_") && !n.contains(".json")).toSeq
   }
 
   test("absorb: batch-sized delta published, corpus signed once, exactly-once per batch id, overlapping ids not duplicated") {
@@ -352,9 +352,52 @@ class MaterializedSpec extends AnyFunSuite {
         val v = root.resolve(s"v${Materialized.FormatVersion}")
         val left = Files.list(v).iterator().asScala.map(_.getFileName.toString)
           .filter(_.startsWith("minhash_sigs_")).toSeq
-        assert(left.count(!_.endsWith(".json")) == 1,
+        assert(left.count(!_.contains(".json")) == 1,
           s"only the fresh base generation may remain: $left")
       } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
+  test("absorb edges: zero-novel batch records ledger-only; a lost delta re-opens its batch id") {
+    withTempStore { root =>
+      import spark.implicits._
+      val n0 = Materialized.minhashSignatures(spark, TestSpark.sf).count()
+      def sigsOf(rows: Seq[(Long, String)]) = Dedup.minhashSignatureTable(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+
+      // batch whose only id already exists: NO delta entry may be written
+      // (an empty partitioned dir has no readable footer and would poison
+      // every later head read) — the ledger alone records the batch
+      val a0 = Materialized.absorbsPublished.get()
+      val dup = sigsOf(Seq((0L, "id collides with a stored row")))
+      assert(Materialized.absorbMinhashSignatures(spark, TestSpark.sf, dup, "noop-1")
+        .count() == n0)
+      assert(Materialized.absorbsPublished.get() == a0, "no delta for a zero-novel batch")
+      Materialized.clearSessionCache()
+      assert(Materialized.minhashSignatures(spark, TestSpark.sf).count() == n0,
+        "head view must stay readable after a ledger-only absorb")
+      Materialized.absorbMinhashSignatures(spark, TestSpark.sf, dup, "noop-1")
+      assert(Materialized.absorbsPublished.get() == a0, "ledger-only batch replays as no-op")
+
+      // destroy an absorbed delta: the broken head degrades to the base
+      // view AND re-opens the batch id, so re-absorbing recovers the rows
+      // (the ledger must not swallow the recovery)
+      val before = sigDirs(root).toSet
+      val novel = sigsOf(Seq((9100L, "novel doc for the loss recovery test words")))
+      Materialized.absorbMinhashSignatures(spark, TestSpark.sf, novel, "lost-1")
+      assert(Materialized.minhashSignatures(spark, TestSpark.sf).count() == n0 + 1)
+      val deltaDir = (sigDirs(root).toSet -- before).head
+      val v = root.resolve(s"v${Materialized.FormatVersion}")
+      Files.walk(v.resolve(deltaDir)).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      Materialized.clearSessionCache()
+      assert(Materialized.minhashSignatures(spark, TestSpark.sf).count() == n0,
+        "a lost delta must degrade reads to the surviving entries")
+      val a1 = Materialized.absorbsPublished.get()
+      Materialized.absorbMinhashSignatures(spark, TestSpark.sf, novel, "lost-1")
+      assert(Materialized.absorbsPublished.get() == a1 + 1,
+        "the broken head must re-open the lost batch id for recovery")
+      assert(Materialized.minhashSignatures(spark, TestSpark.sf).count() == n0 + 1)
     }
   }
 
@@ -420,7 +463,7 @@ class MaterializedSpec extends AnyFunSuite {
       val v = root.resolve(s"v${Materialized.FormatVersion}")
       val idxDirs = Files.list(v).iterator().asScala
         .filter { p => val n = p.getFileName.toString
-          n.startsWith("ivf_index_") && !n.endsWith(".json") }.toSeq
+          n.startsWith("ivf_index_") && !n.contains(".json") }.toSeq
       assert(idxDirs.size == 2, idxDirs.toString)
       assert(idxDirs.forall(d => Files.list(d).iterator().asScala
         .exists(_.getFileName.toString.startsWith("centroid_id="))))

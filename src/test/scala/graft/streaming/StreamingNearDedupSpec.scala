@@ -111,7 +111,8 @@ class StreamingNearDedupSpec extends AnyFunSuite {
           .outputMode("append")
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingNearDedup.BandVerdict], id: Long) =>
-            StreamingNearDedup.absorbKeepers(spark, corpusDir.toString, df.toDF(), id)
+            StreamingNearDedup.absorbKeepers(spark, corpusDir.toString, df.toDF(),
+              "ingest-a", id)
             ()
           }
           .start()
