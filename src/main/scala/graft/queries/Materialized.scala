@@ -798,6 +798,61 @@ object Materialized {
     IvfIndex(normalizeIvf(view), cents)
   }
 
+  /** One store entry's operational status: `role` is `head-base` /
+    * `head-delta` (position in a live head's entry list), `headless`
+    * (no head for the group — the newest-mtime entry is the live one), or
+    * `unreferenced` (superseded generation or orphaned delta awaiting a
+    * sweep). */
+  final case class StoreEntryStatus(name: String, kind: String, pathFp: String,
+                                    config: String, role: String, files: Long,
+                                    bytes: Long, modifiedMs: Long)
+
+  /**
+   * Ops introspection of the materialized store: one row per entry with
+   * its size and head role — what a day-N ingestion operator checks
+   * before/after absorbs, appends, [[gc]] and compaction ("how many
+   * generations is this chain? what would a sweep reclaim?"). Driver-side
+   * directory walk, same scope as the store itself (the store root is
+   * local/shared-FS by construction).
+   */
+  def storeStatus(spark: SparkSession): Seq[StoreEntryStatus] = {
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    if (!Files.isDirectory(vdir)) return Nil
+    import scala.jdk.CollectionConverters._
+    val all = { val s = Files.list(vdir); try s.iterator().asScala.toSeq finally s.close() }
+    val heads: Map[(String, String, String), StoreHead] = all.flatMap { p =>
+      p.getFileName.toString match {
+        case HeadFileName(kind, pfp, cfg) =>
+          readHead(p).map(h => ((kind, pfp, cfg), h))
+        case _ => None
+      }
+    }.toMap
+    all.flatMap { p =>
+      p.getFileName.toString match {
+        case EntryName(kind, pfp, _, cfg) =>
+          val name = p.getFileName.toString
+          val role = heads.get((kind, pfp, cfg)) match {
+            case Some(h) if h.entries.headOption.contains(name) => "head-base"
+            case Some(h) if h.entries.contains(name) => "head-delta"
+            case Some(_) => "unreferenced"
+            case None => "headless"
+          }
+          val (files, bytes) =
+            if (Files.isDirectory(p)) {
+              val s = Files.walk(p)
+              try {
+                val fs = s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+                (fs.size.toLong, fs.map(f => Files.size(f)).sum)
+              } finally s.close()
+            } else (1L, Files.size(p))
+          val mtime = try Files.getLastModifiedTime(p).toMillis
+                      catch { case _: java.io.IOException => 0L }
+          Some(StoreEntryStatus(name, kind, pfp, cfg, role, files, bytes, mtime))
+        case _ => None
+      }
+    }.sortBy(e => (e.kind, e.pathFp, e.config, e.name))
+  }
+
   /** Pair-table summary at the ANN search threshold (cosine ≥ 0.3).
     * `minCosine` is None on a corpus with no pairs ≥ 0.3. */
   final case class EmbeddingPairStats(nPairs: Long, minCosine: Option[Double])

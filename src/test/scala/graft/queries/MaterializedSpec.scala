@@ -500,6 +500,41 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("storeStatus reports head roles: base, delta, headless, and unreferenced after regeneration") {
+    withTempStore { _ =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        val corpusDir = Files.createTempDirectory("graft-status-corpus")
+        writeCorpus(corpusDir, "gen1")
+        val sfDir = corpusDir.toString
+        // a headless entry (plain pair table) and an absorb-able chain
+        Materialized.minhashPairs(spark, sfDir).count()
+        Materialized.minhashSignatures(spark, sfDir).count()
+        Materialized.absorbMinhashSignatures(spark, sfDir,
+          Dedup.minhashSignatureTable(
+            Seq((500L, "a novel absorbed document with several words"))
+              .toDF("doc_id", "text"), "doc_id", "text"), "s1")
+        val byRole = Materialized.storeStatus(spark).groupBy(_.role)
+        assert(byRole("headless").exists(_.kind == "minhash_pairs"), byRole.toString)
+        assert(byRole("head-base").exists(_.kind == "minhash_sigs"), byRole.toString)
+        assert(byRole("head-delta").exists(_.kind == "minhash_sigs"), byRole.toString)
+        assert(Materialized.storeStatus(spark).forall(e => e.bytes > 0 && e.files > 0))
+
+        // regenerate the corpus WITHOUT reading: the old chain's head is
+        // still on disk, so its entries stay referenced; the fresh base
+        // built by the next read makes them unreferenced
+        writeCorpus(corpusDir, "gen2")
+        Materialized.clearSessionCache()
+        Materialized.minhashSignatures(spark, sfDir).count() // rebuild, drops stale head
+        val after = Materialized.storeStatus(spark)
+          .filter(_.kind == "minhash_sigs").groupBy(_.role)
+        assert(after.contains("headless") || after.contains("head-base"),
+          s"fresh base missing: $after")
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
   test("no persisted tables linger after materialization (storage replaces caching)") {
     withTempStore { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size
