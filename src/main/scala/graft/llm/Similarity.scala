@@ -256,12 +256,14 @@ object Similarity {
     val spark = index.sparkSession
     import spark.implicits._
     val q = queryVec.toArray
-    // fail loud at the driver: a zero-norm query makes every cosine 0/0,
-    // which the HALF_UP rounding would turn into an executor-side
-    // NumberFormatException on NaN (ivfSearch's expression path tolerates
-    // the degenerate query; the kernel path must reject it instead)
-    require(q.nonEmpty && q.exists(_ != 0.0),
-      "ivfSearchQ8: zero/empty query vector — cosine undefined")
+    // fail loud at the driver: a zero-norm OR non-finite query makes the
+    // cosine NaN, which the HALF_UP rounding would turn into an
+    // executor-side NumberFormatException (ivfSearch's expression path
+    // tolerates the degenerate query; the kernel path must reject it
+    // instead). NaN != 0.0 is TRUE, so the finiteness check cannot be
+    // folded into the zero check.
+    require(q.nonEmpty && q.forall(java.lang.Double.isFinite) && q.exists(_ != 0.0),
+      "ivfSearchQ8: zero/empty/non-finite query vector — cosine undefined")
     val cents = centroids
       .select(col("centroid_id").cast("long"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -271,6 +273,8 @@ object Similarity {
         (cid, s)
       }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
     val qn = math.sqrt(q.map(x => x * x).sum)
+    require(java.lang.Double.isFinite(qn), // components finite but norm overflowed
+      "ivfSearchQ8: query norm overflows Double — rescale the query")
     val qB = spark.sparkContext.broadcast(q)
     val base = index.where(col("centroid_id").isin(probed: _*))
     val e1 = excludeId.map(x => base.where(col("id") =!= x)).getOrElse(base)
@@ -544,7 +548,8 @@ object Similarity {
         // NaN silently (Double.compare sorts NaN above every real cosine)
         require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
         val qn = math.sqrt(dotKernel(v, v))
-        require(qn > 0.0, s"kNN query $qid has zero norm — cosine undefined")
+        require(qn > 0.0 && !qn.isInfinite, // NaN fails the > (non-finite components land here)
+          s"kNN query $qid has zero/non-finite norm — cosine undefined")
         (qid, v, qn)
       }
     require(q.length <= maxQueries,
@@ -623,7 +628,8 @@ object Similarity {
       .map { case (qid, v) =>
         require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
         val qn = math.sqrt(dotKernel(v, v))
-        require(qn > 0.0, s"kNN query $qid has zero norm — cosine undefined")
+        require(qn > 0.0 && !qn.isInfinite, // NaN fails the > (non-finite components land here)
+          s"kNN query $qid has zero/non-finite norm — cosine undefined")
         val probed = cents.map { case (cid, cv) =>
             var s = 0.0; var i = 0
             while (i < cv.length) { val dx = cv(i) - v(i); s += dx * dx; i += 1 }

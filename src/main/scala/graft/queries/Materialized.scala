@@ -259,6 +259,11 @@ object Materialized {
       try {
         import scala.jdk.CollectionConverters._
         val all = s.iterator().asScala.toSeq
+          // in-flight `.tmp-` staging dirs are NOT entries: they must never
+          // win the newest-mtime election below (electing one live would
+          // condemn the real published entry); their own retention is
+          // [[sweepStaleTmp]]'s age-gated sweep at the writer
+          .filterNot(_.getFileName.toString.contains(".tmp-"))
         val es = all.flatMap { p =>
           p.getFileName.toString match {
             case EntryName(kind, pfp, _, cfg) =>
@@ -274,8 +279,11 @@ object Materialized {
         // their deltas stop being referenced and age out here. A BROKEN
         // head — one referencing entries that no longer exist — must not
         // elect: trusting it would mark the group's actual current entry
-        // dead; it is deleted here and the group falls back to
-        // newest-mtime election.
+        // dead; it is deleted and the group falls back to newest-mtime
+        // election. The listing snapshot alone must NOT condemn it — a
+        // concurrent absorber may publish the referenced delta AFTER
+        // `Files.list` (gc takes no lock on the fast path), so the verdict
+        // is re-checked under the head lock with fresh existence probes.
         val names = all.map(_.getFileName.toString).toSet
         val refs = all.flatMap { p =>
           p.getFileName.toString match {
@@ -284,8 +292,16 @@ object Materialized {
                 case Some(h) if h.entries.forall(names.contains) =>
                   h.entries.map(e => ((kind, pfp, cfg), e))
                 case _ =>
-                  Files.deleteIfExists(p)
-                  Nil
+                  withHeadLock(p) {
+                    readHead(p) match {
+                      case Some(h2) if h2.entries.forall(e =>
+                          Files.exists(vdir.resolve(e).resolve("_SUCCESS"))) =>
+                        h2.entries.map(e => ((kind, pfp, cfg), e)) // live after all
+                      case _ =>
+                        Files.deleteIfExists(p)
+                        Nil
+                    }
+                  }
               }
             case _ => Nil
           }
@@ -394,14 +410,31 @@ object Materialized {
     * (exactly-once by batch id makes replay idempotent). */
   private def liveHead(spark: SparkSession, kind: String, config: String,
                        sfDir: String, table: String): Option[(StoreHead, Seq[Path])] =
+    liveHeadAt(spark, kind, config, sfDir, table, corpusFingerprint(sfDir, table))
+
+  /** [[liveHead]] against a PRE-COMPUTED corpus fingerprint — the in-lock
+    * resolution path: the fingerprint walk (every corpus file's tail) must
+    * not run while the exclusive head lock blocks other writers. */
+  private def liveHeadAt(spark: SparkSession, kind: String, config: String,
+                         sfDir: String, table: String,
+                         baseFp: String): Option[(StoreHead, Seq[Path])] =
     readHead(headFile(spark, kind, config, sfDir, table))
-      .filter(_.baseFp == corpusFingerprint(sfDir, table))
+      .filter(_.baseFp == baseFp)
       .flatMap { h =>
         val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
         val dirs = h.entries.map(vdir.resolve(_))
         if (dirs.forall(d => Files.exists(d.resolve("_SUCCESS")))) Some((h, dirs))
         else None
       }
+
+  /** Union view over a generation list — one read per generation:
+    * partition discovery rejects multiple partitioned roots in a single
+    * load, and per-root scans keep partition pruning intact across every
+    * generation. */
+  private def readView(spark: SparkSession, dirs: Seq[Path]): DataFrame =
+    dfCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}|${dirs.mkString(";")}",
+      dirs.map(d => spark.read.parquet(d.toString)).reduce(_.unionByName(_)))
 
   /** Read through the head when one is live (union of base + deltas);
     * otherwise serve/build the base generation and clear a stale head —
@@ -413,14 +446,7 @@ object Materialized {
                         partitionCols: Seq[String] = Nil)
                        (buildBase: => DataFrame): DataFrame =
     liveHead(spark, kind, config, sfDir, table) match {
-      case Some((_, dirs)) =>
-        dfCache.getOrElseUpdate(
-          s"${spark.sparkContext.applicationId}|${dirs.mkString(";")}",
-          // one read per generation, unioned: partition discovery rejects
-          // multiple partitioned roots in a single load, and per-root scans
-          // keep partition pruning intact across every generation
-          dirs.map(d => spark.read.parquet(d.toString))
-            .reduce(_.unionByName(_)))
+      case Some((_, dirs)) => readView(spark, dirs)
       case None =>
         val df = parquetBacked(spark, kind, config, sfDir, table,
           partitionCols)(buildBase)
@@ -485,18 +511,29 @@ object Materialized {
    * column — 8 bytes/doc — against the (small) batch side; in production
    * ids are globally unique and it degenerates to a no-match pass.
    */
-  /** Serialize head read-modify-write cycles across processes on this
-    * store: an exclusive lock on a `.lock` sibling of the head file.
-    * Local-FS scope (a production store would use the catalog's commit
-    * protocol instead — same caveat as [[publish]]). */
+  /** Per-lock-file JVM-local monitors: `FileChannel.lock` throws
+    * `OverlappingFileLockException` (it does not block) when another
+    * THREAD of the same JVM holds the lock — exactly the
+    * two-streaming-queries-one-driver shape `absorbKeepers`' streamId
+    * supports — so same-process writers must serialize on a monitor
+    * before touching the file lock. */
+  private val headMonitors = TrieMap.empty[String, Object]
+
+  /** Serialize head read-modify-write cycles on this store: a JVM-local
+    * monitor (same-process threads), then an exclusive lock on a `.lock`
+    * sibling of the head file (other processes). Local-FS scope (a
+    * production store would use the catalog's commit protocol instead —
+    * same caveat as [[publish]]). */
   private def withHeadLock[A](hf: Path)(body: => A): A = {
     Files.createDirectories(hf.getParent)
-    val ch = java.nio.channels.FileChannel.open(
-      hf.getParent.resolve(hf.getFileName.toString + ".lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try { val l = ch.lock(); try body finally l.release() }
-    finally ch.close()
+    val lockPath = hf.getParent.resolve(hf.getFileName.toString + ".lock")
+    headMonitors.getOrElseUpdate(lockPath.toString, new Object).synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
   }
 
   private def absorbInto(spark: SparkSession, kind: String, config: String,
@@ -506,9 +543,13 @@ object Materialized {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId must be [A-Za-z0-9_.-]+ (it is stored in the head ledger): $batchId")
     val baseFp = corpusFingerprint(sfDir, table)
-    // serves the current view AND guarantees the base entry exists (built
-    // at most once) AND clears any head orphaned by a corpus regeneration
-    val current = headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
+    val pfp = pathFingerprint(sfDir, table)
+    val baseName = s"${kind}_p${pfp}_${baseFp}_$config"
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    // guarantees the base entry exists (built at most once) and clears any
+    // head orphaned by a corpus regeneration — OUTSIDE the lock: the base
+    // build is the expensive corpus signing, and its publish is idempotent
+    headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
     val hf = headFile(spark, kind, config, sfDir, table)
     withHeadLock(hf) {
       // resolve the head through liveHead, NOT a raw read: a head whose
@@ -517,35 +558,44 @@ object Materialized {
       // recover the lost rows. A broken head restarts the chain from the
       // base (batch ids become re-absorbable, which is safe: their rows
       // are gone from the view, so the anti-join re-admits them).
-      val head0 = liveHead(spark, kind, config, sfDir, table).map(_._1).getOrElse(
-        StoreHead(baseFp, Nil, Seq(entryName(kind, sfDir, table, config))))
+      val (head0, dirs0) = liveHeadAt(spark, kind, config, sfDir, table, baseFp)
+        .getOrElse((StoreHead(baseFp, Nil, Seq(baseName)), Seq(vdir.resolve(baseName))))
       if (!head0.absorbed.contains(batchId)) { // exactly-once
         val absorbed1 = head0.absorbed :+ batchId
+        // the novelty view MUST resolve inside the lock, from head0's own
+        // entries: a concurrent absorber's just-published delta has to be
+        // visible to the anti-join, or an id shared between racing batches
+        // is written twice. Persisted because both the isEmpty probe and
+        // the delta write consume it — unpersisted before returning.
+        val current = readView(spark, dirs0)
         val novel = keptRows.join(current.select("id"), Seq("id"), "left_anti")
-        val head1 = if (novel.isEmpty) {
-          // nothing novel: record the batch id in the ledger with NO entry —
-          // a partitioned write of an empty frame leaves a directory with no
-          // readable footer, which would poison every later head read
-          StoreHead(baseFp, absorbed1, head0.entries)
-        } else {
-          val deltaName = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
-            s"${md5Hex(s"$baseFp:${absorbed1.mkString(",")}").take(16)}_$config"
-          val deltaDir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(deltaName)
-          if (!Files.exists(deltaDir.resolve("_SUCCESS"))) {
-            absorbsPublished.incrementAndGet()
-            Files.createDirectories(deltaDir.getParent)
-            sweepStaleTmp(deltaDir)
-            val tmp = deltaDir.getParent.resolve(
-              s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-            val w = novel.write.mode("overwrite")
-            (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-              .parquet(tmp.toString)
-            publish(tmp, deltaDir)
+          .persist()
+        try {
+          val head1 = if (novel.isEmpty) {
+            // nothing novel: record the batch id in the ledger with NO entry —
+            // a partitioned write of an empty frame leaves a directory with no
+            // readable footer, which would poison every later head read
+            StoreHead(baseFp, absorbed1, head0.entries)
+          } else {
+            val deltaName = s"${kind}_p${pfp}_" +
+              s"${md5Hex(s"$baseFp:${absorbed1.mkString(",")}").take(16)}_$config"
+            val deltaDir = vdir.resolve(deltaName)
+            if (!Files.exists(deltaDir.resolve("_SUCCESS"))) {
+              absorbsPublished.incrementAndGet()
+              Files.createDirectories(deltaDir.getParent)
+              sweepStaleTmp(deltaDir)
+              val tmp = deltaDir.getParent.resolve(
+                s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+              val w = novel.write.mode("overwrite")
+              (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+                .parquet(tmp.toString)
+              publish(tmp, deltaDir)
+            }
+            StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
           }
-          StoreHead(baseFp, absorbed1, head0.entries :+ deltaName)
-        }
-        replaceFile(hf, renderHead(head1))
-        sweepUnreferenced(spark, kind, config, sfDir, table, head1)
+          replaceFile(hf, renderHead(head1))
+          sweepUnreferenced(spark, kind, config, sfDir, table, head1)
+        } finally novel.unpersist()
       }
     }
     headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
@@ -568,24 +618,39 @@ object Materialized {
     val current = headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
     val hf = headFile(spark, kind, config, sfDir, table)
     val baseFp = corpusFingerprint(sfDir, table)
-    readHead(hf).filter(_.baseFp == baseFp) match {
-      case Some(h) if h.entries.size > 1 =>
+    // resolve through liveHead, NOT a raw head read: a BROKEN head (lost
+    // delta) must never be compacted — the degraded view would be
+    // installed as the single entry while the ledger still lists the lost
+    // batches, permanently swallowing the re-absorbs that recover them
+    liveHeadAt(spark, kind, config, sfDir, table, baseFp) match {
+      case Some((h, dirs)) if h.entries.size > 1 =>
+        val snapshot = readView(spark, dirs)
         val name = s"${kind}_p${pathFingerprint(sfDir, table)}_" +
           s"${md5Hex(s"$baseFp:compact:${h.absorbed.mkString(",")}").take(16)}_$config"
         val dir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(name)
+        // the rewrite (the expensive step) runs OUTSIDE the lock, from the
+        // snapshot's own entry list — concurrent absorbers are not blocked
         if (!Files.exists(dir.resolve("_SUCCESS"))) {
           Files.createDirectories(dir.getParent)
           sweepStaleTmp(dir)
           val tmp = dir.getParent.resolve(
             s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-          val w = current.write.mode("overwrite")
+          val w = snapshot.write.mode("overwrite")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(tmp.toString)
           publish(tmp, dir)
         }
         val h1 = StoreHead(baseFp, h.absorbed, Seq(name))
-        replaceFile(hf, renderHead(h1))
-        sweepUnreferenced(spark, kind, config, sfDir, table, h1)
+        // install iff the head is UNCHANGED since the snapshot (a CAS): a
+        // delta published by a concurrent absorber after our snapshot must
+        // not be dropped from the view. On a lost race the compacted entry
+        // is simply unreferenced (ages out via the sweeps) and the caller
+        // may re-compact against the longer chain.
+        val installed = withHeadLock(hf) {
+          if (readHead(hf).contains(h)) { replaceFile(hf, renderHead(h1)); true }
+          else false
+        }
+        if (installed) sweepUnreferenced(spark, kind, config, sfDir, table, h1)
         headAware(spark, kind, config, sfDir, table, partitionCols)(buildBase)
       case _ => current
     }
@@ -799,10 +864,12 @@ object Materialized {
   }
 
   /** One store entry's operational status: `role` is `head-base` /
-    * `head-delta` (position in a live head's entry list), `headless`
-    * (no head for the group — the newest-mtime entry is the live one), or
+    * `head-delta` (position in a valid head's entry list), `headless`
+    * (no head for the group — the newest-mtime entry is the live one),
     * `unreferenced` (superseded generation or orphaned delta awaiting a
-    * sweep). */
+    * sweep), or `broken-head-ref` (referenced by a head whose chain lost
+    * an entry — reads do NOT serve that chain; the next absorb restarts
+    * it from the base). */
   final case class StoreEntryStatus(name: String, kind: String, pathFp: String,
                                     config: String, role: String, files: Long,
                                     bytes: Long, modifiedMs: Long)
@@ -819,11 +886,28 @@ object Materialized {
     val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
     if (!Files.isDirectory(vdir)) return Nil
     import scala.jdk.CollectionConverters._
-    val all = { val s = Files.list(vdir); try s.iterator().asScala.toSeq finally s.close() }
-    val heads: Map[(String, String, String), StoreHead] = all.flatMap { p =>
+    val all = {
+      val s = Files.list(vdir)
+      // in-flight `.tmp-` staging copies are not entries — reporting them
+      // would inflate the reclaimable-bytes picture with phantom rows
+      try s.iterator().asScala
+        .filterNot(_.getFileName.toString.contains(".tmp-")).toSeq
+      finally s.close()
+    }
+    // a head is trusted only after the SAME existence validation readers
+    // apply ([[liveHead]]'s entry check): a head whose chain lost an entry
+    // is BROKEN — reads degrade past it, so reporting its roles as live
+    // would hide exactly the store damage this report exists to surface.
+    // (baseFp currency needs the corpus path, which the store-wide walk
+    // does not have — staleness stays the reader's check.)
+    val heads: Map[(String, String, String), (StoreHead, Boolean)] = all.flatMap { p =>
       p.getFileName.toString match {
         case HeadFileName(kind, pfp, cfg) =>
-          readHead(p).map(h => ((kind, pfp, cfg), h))
+          readHead(p).map { h =>
+            val intact = h.entries.forall(e =>
+              Files.exists(vdir.resolve(e).resolve("_SUCCESS")))
+            ((kind, pfp, cfg), (h, intact))
+          }
         case _ => None
       }
     }.toMap
@@ -832,19 +916,27 @@ object Materialized {
         case EntryName(kind, pfp, _, cfg) =>
           val name = p.getFileName.toString
           val role = heads.get((kind, pfp, cfg)) match {
-            case Some(h) if h.entries.headOption.contains(name) => "head-base"
-            case Some(h) if h.entries.contains(name) => "head-delta"
+            case Some((h, true)) if h.entries.headOption.contains(name) => "head-base"
+            case Some((h, true)) if h.entries.contains(name) => "head-delta"
+            case Some((h, false)) if h.entries.contains(name) => "broken-head-ref"
             case Some(_) => "unreferenced"
             case None => "headless"
           }
+          // per-file size reads race concurrent sweeps — a file deleted
+          // between the walk and its stat contributes 0 instead of
+          // crashing the report exactly when the store is busy
+          def safeSize(f: Path): Long =
+            try Files.size(f) catch { case _: java.io.IOException => 0L }
           val (files, bytes) =
-            if (Files.isDirectory(p)) {
-              val s = Files.walk(p)
-              try {
-                val fs = s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-                (fs.size.toLong, fs.map(f => Files.size(f)).sum)
-              } finally s.close()
-            } else (1L, Files.size(p))
+            try {
+              if (Files.isDirectory(p)) {
+                val s = Files.walk(p)
+                try {
+                  val fs = s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+                  (fs.size.toLong, fs.map(safeSize).sum)
+                } finally s.close()
+              } else (1L, safeSize(p))
+            } catch { case _: java.io.IOException => (0L, 0L) }
           val mtime = try Files.getLastModifiedTime(p).toMillis
                       catch { case _: java.io.IOException => 0L }
           Some(StoreEntryStatus(name, kind, pfp, cfg, role, files, bytes, mtime))

@@ -675,7 +675,28 @@ class LlmSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       Similarity.knnJoin(corpus, zeroQ, "vec_id", "embedding", "vec_id", k = 1)
     }
-    assert(ex.getMessage.contains("zero norm"))
+    assert(ex.getMessage.contains("zero/non-finite norm"))
+    // NaN > 0.0 and Infinity > 0.0 behave differently — both must reject
+    // (a NaN norm would otherwise rank every candidate by NaN silently)
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity)) {
+      val badQ = Seq((8L, Seq(bad, 1f))).toDF("vec_id", "embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.knnJoin(corpus, badQ, "vec_id", "embedding", "vec_id", k = 1)
+      }
+      assert(e2.getMessage.contains("norm"), e2.getMessage)
+    }
+  }
+
+  test("ivfSearchQ8 rejects zero and non-finite query vectors at the driver") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    for (bad <- Seq(Seq.empty[Double], Seq(0.0, 0.0),
+                    Seq(Double.NaN, 1.0), Seq(Double.PositiveInfinity, 1.0))) {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.ivfSearchQ8(idx.assignment, idx.centroids, bad, k = 1, nprobe = 1)
+      }
+      assert(ex.getMessage.contains("ivfSearchQ8"), ex.getMessage)
+    }
   }
 
   test("knnJoin matches a per-query brute-force topK loop exactly") {

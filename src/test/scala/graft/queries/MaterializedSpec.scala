@@ -535,6 +535,79 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent same-JVM absorbers: both commit, shared ids written exactly once") {
+    withTempStore { _ =>
+      import spark.implicits._
+      val corpusDir = Files.createTempDirectory("graft-conc-corpus")
+      writeCorpus(corpusDir, "conc")
+      val sfDir = corpusDir.toString
+      Materialized.minhashSignatures(spark, sfDir).count() // base signed once up front
+      def sigsOf(rows: Seq[(Long, String)]) = Dedup.minhashSignatureTable(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      // two batches racing from two threads of ONE JVM (the two-streaming-
+      // queries-one-driver shape): FileChannel.lock alone would throw
+      // OverlappingFileLockException on same-JVM overlap, and an anti-join
+      // resolved outside the lock would admit the shared id twice
+      val bA = sigsOf(Seq((700L, "shared novel doc words present in both racing batches"),
+                          (701L, "batch a private novel doc words")))
+      val bB = sigsOf(Seq((700L, "shared novel doc words present in both racing batches"),
+                          (702L, "batch b private novel doc words")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val futs = Seq(("cc-a", bA), ("cc-b", bB)).map { case (bid, b) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              gate.await()
+              Materialized.absorbMinhashSignatures(spark, sfDir, b, bid); ()
+            }
+          })
+        }
+        gate.countDown()
+        futs.foreach(_.get()) // rethrows either absorber's failure
+      } finally pool.shutdown()
+      Materialized.clearSessionCache()
+      val ids = Materialized.minhashSignatures(spark, sfDir)
+        .select("id").as[Long].collect().toSeq
+      assert(ids.count(_ == 700L) == 1,
+        s"shared id absorbed ${ids.count(_ == 700L)} times — the novelty " +
+          "anti-join must see the concurrent absorber's delta")
+      assert(ids.contains(701L) && ids.contains(702L), ids.sorted.toString)
+    }
+  }
+
+  test("storeStatus: in-flight tmp dirs are not entries; a broken head reports broken-head-ref") {
+    withTempStore { root =>
+      import spark.implicits._
+      val corpusDir = Files.createTempDirectory("graft-status2-corpus")
+      writeCorpus(corpusDir, "status2")
+      val sfDir = corpusDir.toString
+      Materialized.minhashSignatures(spark, sfDir).count()
+      Materialized.absorbMinhashSignatures(spark, sfDir,
+        Dedup.minhashSignatureTable(
+          Seq((800L, "a freshly absorbed novel doc with words"))
+            .toDF("doc_id", "text"), "doc_id", "text"), "st-1")
+      val v = root.resolve(s"v${Materialized.FormatVersion}")
+      // a staged in-flight copy (EntryName's trailing group would swallow
+      // the .tmp- suffix) must not surface as a phantom entry
+      val anyEntry = Files.list(v).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("minhash_sigs_")).toSeq.head
+      val tmp = v.resolve(anyEntry.getFileName.toString + ".tmp-deadbeef")
+      Files.createDirectories(tmp)
+      Files.writeString(tmp.resolve("part-0.parquet"), "staged")
+      val st = Materialized.storeStatus(spark)
+      assert(!st.exists(_.name.contains(".tmp-")), st.map(_.name).toString)
+      // destroy the absorbed delta: reads no longer serve the chain, so
+      // the report must say broken — not claim live head roles
+      val delta = st.filter(e => e.kind == "minhash_sigs" && e.role == "head-delta")
+      assert(delta.size == 1, st.toString)
+      Files.walk(v.resolve(delta.head.name)).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      val st2 = Materialized.storeStatus(spark).filter(_.kind == "minhash_sigs")
+      assert(st2.nonEmpty && st2.forall(_.role == "broken-head-ref"), st2.toString)
+    }
+  }
+
   test("no persisted tables linger after materialization (storage replaces caching)") {
     withTempStore { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size
