@@ -191,6 +191,76 @@ object VectorExpressions {
   }
 
   /**
+   * `l2sq(array<double>, array<double>) → double` — squared L2 distance,
+   * accumulated over the SUBTRACTION form `Σ(x−y)²` left-to-right (NOT
+   * the algebraic `|x|²+|y|²−2x·y`, which differs in ulps and could flip
+   * near-equal centroid tie-breaks against the oracle's replay). The
+   * probe-assignment kernel of the distributed kNN join: a HOF
+   * `zip_with`+`aggregate` form evaluates interpreted per row — at a
+   * full-table query side that is the measured ~0.5 ms/row trap.
+   * Null if lengths differ.
+   */
+  final case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_l2sq"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = x.getDouble(i) - y.getDouble(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = $a.getDouble($i) - $b.getDouble($i);
+           |    $acc += $d * $d;
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /**
    * `first_match(array<long>, array<long>) → int` — 1-based index of the
    * first position where the two arrays agree, 0 if none. The LSH
    * OR-construction dedup filter: a banded candidate join emits a pair once
@@ -340,6 +410,12 @@ object VectorExpressions {
   /** Column API: one-pass cosine similarity of two `array<double>` columns. */
   def graft_cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Column API: squared L2 distance of two `array<double>` columns
+    * (subtraction-form accumulation). */
+  def graft_l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Sq(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
   /** Column API: 1-based first agreeing index of two `array<long>` columns. */

@@ -686,6 +686,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /**
+   * Fully DISTRIBUTED IVF-probed kNN join: both the stored index AND the
+   * query set stay DataFrames end-to-end — no driver-side collect, no
+   * broadcast of query vectors, so Q scales to a full table. This is the
+   * day-N retrieval shape ("for every new document, its k nearest stored
+   * neighbors") that [[knnJoin]]'s hard 4,096 bound and [[knnJoinIvf]]'s
+   * broadcast-memory bound both point at.
+   *
+   * Plan shape (declarative — every stage is the optimizer's own bound,
+   * not a hand-rolled heap):
+   *  1. probe: queries × broadcast(centroids) (k rows, the only broadcast)
+   *     → per-query `nprobe` nearest cells by codegen'd subtraction-form
+   *     L2 ([[graft.functions.VectorExpressions.L2Sq]]; same (dist, cell)
+   *     tie rule as [[ivfSearch]]). `row_number ≤ nprobe` rewrites to
+   *     WindowGroupLimit, pruning before the exchange.
+   *  2. candidates: probe ⋈ index on `centroid_id`. With a small query
+   *     side Catalyst broadcasts it and dynamic partition pruning reaches
+   *     the cell-partitioned scan; at huge Q it becomes a co-partitioned
+   *     shuffle join, and AQE's skew split handles hot cells.
+   *  3. rank: codegen'd dot/norm cosine, then `row_number ≤ k` per query —
+   *     WindowGroupLimit again caps each input partition's contribution at
+   *     k rows per query before the final exchange (the same
+   *     partial-winner bound [[knnJoinIvf]] enforces with heaps).
+   *
+   * Degenerate queries (null/zero/non-finite norm) fail the JOB loudly via
+   * a codegen'd `raise_error` — the distributed counterpart of the
+   * driver-side requires in [[knnJoin]]/[[knnJoinIvf]]; a silent drop
+   * would break the every-query-gets-a-verdict contract. Rows with
+   * degenerate STORED vectors are skipped, matching [[knnJoinIvf]].
+   * Output and semantics are identical to [[knnJoinIvf]] at the same
+   * (k, nprobe) — property-tested in LlmSpec.
+   */
+  def knnJoinDistributed(index: DataFrame, centroids: DataFrame,
+                         queries: DataFrame, qIdCol: String, vecCol: String,
+                         k: Int, nprobe: Int,
+                         excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn0 = sqrt(dot(col("qv"), col("qv")))
+    val q = queries
+      .select(col(qIdCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", when(
+        qn0.isNull || isnan(qn0) || qn0 <= 0.0 || qn0 === Double.PositiveInfinity,
+        raise_error(concat(lit("kNN query "), col("query_id").cast("string"),
+          lit(" has a null/zero/non-finite vector — cosine undefined"))))
+        .otherwise(qn0))
+    val cents = broadcast(centroids
+      .select(col("centroid_id").cast("long").as("cell"), col("vec")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    val probe = q.crossJoin(cents)
+      .withColumn("cdist",
+        graft.functions.VectorExpressions.graft_l2sq(col("qv"), col("vec")))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val cand = index
+      .select(col("id").cast("long").as("neighbor_id"),
+        col("centroid_id").cast("long").as("cell"), col("norm"), col("v"))
+      .where(col("norm") > 0.0)
+      .join(probe, Seq("cell"))
+    val cand1 =
+      if (excludeSelf) cand.where(col("neighbor_id") =!= col("query_id")) else cand
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand1
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

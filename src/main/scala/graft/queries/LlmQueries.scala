@@ -23,7 +23,8 @@ object LlmQueries {
     textScrub, textLineDedup, simKnnJoin, textMixSample, dedupIncremental,
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
-    simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit)
+    simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
+    simKnnJoinDist)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -1076,6 +1077,49 @@ object LlmQueries {
             |$ivfAssignFromTrainedSql,
             |qs AS (SELECT vec_id AS query_id, v AS qv,
             |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+            |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+            |        JOIN probe p ON a3.centroid_id = p.centroid_id
+            |        JOIN qs q ON p.query_id = q.query_id
+            |      WHERE n.vec_id <> q.query_id),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+            |SELECT query_id, neighbor_id, rank, cosine FROM r
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Fully DISTRIBUTED IVF-probed kNN join
+    * ([[Similarity.knnJoinDistributed]]): the query side stays a DataFrame
+    * end-to-end — no driver collect, no query broadcast, no Q bound — so
+    * this is the table-vs-table retrieval shape ("every new doc's k
+    * nearest stored neighbors") at any scale. Probe assignment runs as a
+    * codegen'd L2 against the broadcast centroid sidecar with a
+    * WindowGroupLimit capping it at nprobe rows per query; candidates come
+    * from one equi-join on the index's `centroid_id` partition key; the
+    * final per-query top-k is again WindowGroupLimit-bounded before its
+    * exchange. Results are identical to `sim_knn_join_ivf` at the same
+    * (k, nprobe) — LlmSpec property-pins the equality; the oracle replays
+    * train → assign → probe → rank over a 40-query set. */
+  val simKnnJoinDist: QueryDef = QueryDef("sim_knn_join_dist",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinDistributed(idx.assignment, idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 40),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qs AS (SELECT vec_id AS query_id, v AS qv,
+            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 40),
             |pd AS (SELECT q.query_id, c.centroid_id,
             |         row_number() OVER (PARTITION BY q.query_id
             |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])

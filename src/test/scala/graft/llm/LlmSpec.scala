@@ -369,6 +369,35 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"nprobe=2/$nCells recall collapsed: $recall")
   }
 
+  test("knnJoinDistributed: equals knnJoinIvf at every nprobe; degenerate queries fail the job") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    val nCells = idx.centroids.count().toInt
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the declarative plan (join + WindowGroupLimit) must reproduce the
+    // broadcast-heap variant bit-exactly: same probe tie rule, same
+    // cosine accumulation order, same rank tie-break
+    for (np <- Seq(1, 2, nCells)) {
+      val a = rows(Similarity.knnJoinIvf(idx.assignment, idx.centroids, queries,
+        "vec_id", "embedding", k = 5, nprobe = np))
+      val b = rows(Similarity.knnJoinDistributed(idx.assignment, idx.centroids,
+        queries, "vec_id", "embedding", k = 5, nprobe = np))
+      assert(a == b, s"nprobe=$np: distributed and heap variants diverge")
+    }
+    // no silent drop: a zero vector in the query TABLE fails the job
+    // loudly (the raise_error counterpart of the driver-side requires)
+    val zeroQ = Seq((7L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.knnJoinDistributed(idx.assignment, idx.centroids, zeroQ,
+        "vec_id", "embedding", k = 1, nprobe = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null/zero/non-finite")), ex.toString)
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))

@@ -112,6 +112,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "query×corpus scoring must not be a join\n" + p)
   }
 
+  test("sim_knn_join_dist: no driver collect — probe and rank both WindowGroupLimit-bounded, cross join only vs centroids") {
+    val p = plan("sim_knn_join_dist")
+    // probe (≤ nprobe cells/query) and final rank (≤ k rows/query) must
+    // both plan as WindowGroupLimit — the optimizer-enforced partial-winner
+    // bound that replaces knnJoinIvf's hand-rolled heaps
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "probe and rank must both be WindowGroupLimit-bounded\n" + p)
+    // the only nested-loop join is queries × the k-row centroid sidecar
+    // (it legitimately appears twice: once as the probe side, once as the
+    // replica Catalyst clones into the SubqueryAdaptiveBroadcast that feeds
+    // dynamic partition pruning); query×corpus scoring must be the
+    // centroid_id equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2 &&
+      !p.contains("CartesianProduct"), p)
+    // the probed cells must reach the stored index scan as a dynamic
+    // partition-pruning filter — only probed cells' files are read
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      "probe must dynamically prune the cell-partitioned index scan\n" + p)
+    // ranking reads full-precision vectors but never the quantized codes —
+    // the index scan (the one reading the stored `norm`) must prune
+    // (scale, qcode) away
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+      .filter(_.contains("norm"))
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("qcode")),
+      "index scan must column-prune the quantized codes\n" + p)
+  }
+
   test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
     Seq("sim_quantize", "unpivot_lineitem", "mm_resize").foreach { q =>
       val p = plan(q)
