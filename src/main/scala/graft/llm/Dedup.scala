@@ -287,6 +287,62 @@ object Dedup {
   }
 
   /**
+   * Cross-document repeated-SPAN detection (exact-substring dedup in the
+   * "Deduplicating Training Data Makes Language Models Better" mold,
+   * Lee et al. 2022 — suffix-array semantics re-expressed as a distributed
+   * rolling n-gram join): every word-`n`-gram occurrence is hashed; a gram
+   * whose corpus-wide occurrence count is > 1 marks every occurrence EXCEPT
+   * the corpus-first one (min `(id, pos)` — the canonical copy survives,
+   * exactly [[dedupLines]]' winner rule) as repeated; per document, the
+   * marked gram positions — each covering words `[pos, pos+n-1]` — are
+   * merged into maximal spans (gap > n words starts a new span, so
+   * overlapping AND back-to-back repeated regions fuse). Output: one row
+   * per merged span `(id, span_id, span_start, span_end, n_tokens,
+   * n_grams)`, 1-based inclusive word indices — the cut list a trainer
+   * applies before tokenization. Docs with no repeated gram (and null-text
+   * docs, which have no grams) emit no rows.
+   *
+   * 100 TB shape: the only corpus-wide shuffle carries `(gram_hash60, id,
+   * pos)` — never gram text — and both `count` and the winner `min(struct)`
+   * are partial-aggregable, so a boilerplate sentence repeated a billion
+   * times is map-side combined instead of hammering one reduce key (same
+   * scale argument as [[dedupLines]]). Span merging is a per-document
+   * window — bounded by document length, never global. An md5-60 collision
+   * (prob ≤ G²·2⁻⁶¹ over G distinct grams) flags a unique span —
+   * acceptable for a dedup filter.
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(wordNgrams(col(textCol), n)).as(Seq("pos0", "gram")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        md5Long60(col("gram")).as("gh"))
+    val winners = grams.groupBy("gh").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("id"), col("pos"))).as("w"))
+    val flagged = grams.join(winners, "gh")
+      .where(col("cnt") > 1 &&
+        !(col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(byDoc)
+    flagged
+      .withColumn("brk",
+        when(prev.isNull || col("pos") > prev + n, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_id"), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"),
+        col("n_grams"))
+  }
+
+  /**
    * k-minhash signature from a *pre-staged* reduced-hash array column —
    * pure per-row expression. `hashes` MUST be an attribute reference (a
    * materialized column), not an inline expression: higher-order functions

@@ -24,7 +24,7 @@ object LlmQueries {
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
-    simKnnJoinDist)
+    simKnnJoinDist, textSpanDedup)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -1217,6 +1217,39 @@ object LlmQueries {
            |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text_dedup
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Cross-document repeated-span cut list ([[Dedup.repeatedSpans]],
+    * Lee-et-al-style exact-substring dedup): 10-word-gram occurrences
+    * whose corpus count > 1 are flagged at every non-canonical position
+    * and merged into maximal per-doc spans. The one corpus-wide shuffle
+    * carries (hash60, id, pos); count+min winner election is map-side
+    * combined; span merge is a per-doc window. Oracle replays gram
+    * explode → window winner → island merge in SQL. */
+  val textSpanDedup: QueryDef = QueryDef("text_span_dedup",
+    (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", 10)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+9], ' ') for i in range(1, len(ws) - 8)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr,
+           |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
+           |k AS (SELECT doc_id, pos,
+           |        row_number() OVER (PARTITION BY gr ORDER BY doc_id, pos) AS rn,
+           |        count(*) OVER (PARTITION BY gr) AS cnt FROM ex),
+           |f AS (SELECT doc_id, pos FROM k WHERE cnt > 1 AND rn > 1),
+           |i AS (SELECT doc_id, pos,
+           |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+           |             THEN 1 ELSE 0 END AS brk FROM f),
+           |sp AS (SELECT doc_id, pos,
+           |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS span_id
+           |       FROM i)
+           |SELECT doc_id, span_id, min(pos) AS span_start,
+           |  max(pos) + 9 AS span_end,
+           |  max(pos) + 9 - min(pos) + 1 AS n_tokens, count(*)::BIGINT AS n_grams
+           |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
+    )
 
   /** Banded sign-LSH ANN pair search at cosine ≥ 0.3, fully oracled as a
     * summary: the emitted pair count must equal DuckDB's exact full-pair

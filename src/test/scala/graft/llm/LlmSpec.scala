@@ -398,6 +398,38 @@ class LlmSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("null/zero/non-finite")), ex.toString)
   }
 
+  test("repeatedSpans: cross-doc and within-doc repeats merge into maximal spans; canonical copy and null text emit none") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),                 // canonical copy of the shared passage
+      (2L, "x y a b c d e q r s"),             // shares "a b c d e" with doc 1
+      (3L, null.asInstanceOf[String]),          // null text: no grams, no crash
+      (4L, "p q r z z z p q r")                // within-doc repeat of "p q r"
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // doc 2: flagged gram positions 3,4,5 merge into one span [3, 7]
+    // doc 4: second "p q r" occurrence (pos 7) → span [7, 9]
+    // doc 1 is the corpus-first winner everywhere; docs 1 and 3 emit nothing
+    assert(out == Set((2L, 1L, 3L, 7L, 5L, 3L), (4L, 1L, 7L, 9L, 3L, 1L)), out.toString)
+  }
+
+  test("repeatedSpans: a gap > n between flagged grams starts a new span") {
+    val shared1 = "alpha beta gamma delta"          // 4 words → two 3-grams
+    val shared2 = "omega sigma tau upsilon"
+    val filler = (1 to 12).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared1 $shared2"),
+      (2L, s"$shared1 $filler $shared2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 3)
+      .where(col("doc_id") === 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    // doc 2: shared1 at words 1-4, shared2 at words 17-20 — far apart, two spans
+    assert(spans == Set((1L, 4L), (17L, 20L)), spans.toString)
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))

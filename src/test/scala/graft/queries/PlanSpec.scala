@@ -139,6 +139,20 @@ class PlanSpec extends AnyFunSuite {
       "index scan must column-prune the quantized codes\n" + p)
   }
 
+  test("text_span_dedup: winner election is partial-aggregated on the 60-bit hash — gram text never shuffles") {
+    val p = plan("text_span_dedup")
+    // the corpus-wide exchange must hash-partition on the gram HASH, and
+    // the winner count/min must partial-aggregate before it (the map-side
+    // combine that absorbs billion-fold boilerplate grams)
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert("partial_(count|min)".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate(keys=[gh"), "winner election must be partial+final\n" + p)
+    // no exchange carries the gram string — only its hash, id, pos
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(e => !e.contains("gram")),
+      "gram text must not shuffle\n" + exchanges.mkString("\n"))
+  }
+
   test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
     Seq("sim_quantize", "unpivot_lineitem", "mm_resize").foreach { q =>
       val p = plan(q)
