@@ -330,4 +330,62 @@ object TextAnalysis {
         least(col("n_tokens"), (col("chunk_id") + 1) * b - col("start_offset"))
           .cast("long").as("token_end"))
   }
+
+  /**
+   * BM25 keyword retrieval (Robertson/Sparck-Jones, the `+1` idf variant
+   * Lucene uses so scores stay positive): top-`k` documents per query by
+   * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+   * `idf = ln((N−df+0.5)/(df+0.5) + 1)`. `queries` is a tiny
+   * (query_id, qtext) table; terms are whitespace tokens, matched exactly.
+   *
+   * 100 TB shape: the token stream is pruned by a BROADCAST left-semi join
+   * against the distinct query-term set BEFORE the tf aggregation — the
+   * only corpus-wide shuffle carries (id, dl, term) for matching tokens
+   * only, and tf/df are partial-aggregable. Corpus stats (N, avgdl) come
+   * from one map-side-combined agg over per-doc lengths; df derives from
+   * the already-pruned tf table. Scoring joins are all broadcast
+   * (query terms × df × stats), and the final per-query top-k is a
+   * WindowGroupLimit — no global sort.
+   *
+   * Determinism: each term's contribution is rounded to 6 decimals BEFORE
+   * the per-(query, doc) sum, making the reduction order-independent
+   * (6-dp values scaled by 1e6 are integers; their double sum is exact
+   * far beyond any real query length), so the score hash-matches an
+   * engine that sums in any other order; the summed score is rounded
+   * again for presentation.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("term"))
+    val doclens = docs.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("double").as("dl"))
+    val stats = doclens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qex = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val tf = toks
+      .join(broadcast(qex.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(qex), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c", round(col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    contrib.groupBy("query_id", "id")
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as(idCol), col("rank"), col("score"))
+  }
 }

@@ -24,7 +24,7 @@ object LlmQueries {
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
-    simKnnJoinDist, textSpanDedup)
+    simKnnJoinDist, textSpanDedup, textBm25)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -1250,6 +1250,40 @@ object LlmQueries {
            |  max(pos) + 9 - min(pos) + 1 AS n_tokens, count(*)::BIGINT AS n_grams
            |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
     )
+
+  /** BM25 keyword retrieval ([[TextAnalysis.bm25]]): top-10 documents per
+    * query for three multi-term queries. The token stream is pruned by a
+    * broadcast semi-join on the query-term set before the tf shuffle;
+    * per-term contributions are rounded to 6 dp before the score sum so
+    * the reduction is order-independent and hash-matches any engine. */
+  val textBm25: QueryDef = QueryDef("text_bm25",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join merge"), (2L, "customer order stream"),
+        (3L, "vector window agg")).toDF("query_id", "qtext")
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text", qs, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q(query_id, qtext) AS (VALUES (1::BIGINT, 'hash join merge'),
+           |  (2::BIGINT, 'customer order stream'), (3::BIGINT, 'vector window agg')),
+           |qex AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM t),
+           |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+           |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           |       WHERE term IN (SELECT DISTINCT term FROM qex) GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+           |c AS (SELECT q.query_id, tf.doc_id,
+           |        round(ln((s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) * tf.tf * 2.2 /
+           |          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS c
+           |      FROM tf JOIN qex q USING (term) JOIN dfq USING (term)
+           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+           |sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score FROM c GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+           |SELECT query_id, doc_id, rank, score FROM r
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
   /** Banded sign-LSH ANN pair search at cosine ≥ 0.3, fully oracled as a
     * summary: the emitted pair count must equal DuckDB's exact full-pair

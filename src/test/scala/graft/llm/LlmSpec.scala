@@ -430,6 +430,28 @@ class LlmSpec extends AnyFunSuite {
     assert(spans == Set((1L, 4L), (17L, 20L)), spans.toString)
   }
 
+  test("bm25: scores match the closed-form formula; unmatched docs absent; top-k bounded") {
+    val d = Seq(
+      (1L, "x x x a"), (2L, "a b"), (3L, "b b c"), (4L, "c")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "a b")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25(d, "doc_id", "text", qs, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // closed form: N=4, avgdl=2.5, df(a)=df(b)=2, idf=ln(2); contributions
+    // rounded to 6 dp before the sum, like the operator
+    def c(tf: Double, dl: Double): Double = {
+      val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5))
+      math.rint(raw * 1e6) / 1e6
+    }
+    val exp2 = c(1, 2) + c(1, 2)   // doc 2 matches both terms
+    val exp3 = c(2, 3)             // doc 3: tf(b)=2
+    assert(out.map(_._1).toSeq == Seq(2L, 3L), out.mkString(","))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0)._3 - exp2) < 1e-9 && math.abs(out(1)._3 - exp3) < 1e-9,
+      out.mkString(",") + s" expected $exp2, $exp3")
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite {
       "gram text must not shuffle\n" + exchanges.mkString("\n"))
   }
 
+  test("text_bm25: token stream pruned by broadcast semi-join before the tf shuffle; top-k is WindowGroupLimit") {
+    val p = plan("text_bm25")
+    // the query-term set must reach the token stream as a broadcast
+    // LeftSemi BEFORE any aggregation exchange — the 100 TB prune
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // per-query top-k must not be a global sort
+    assert(p.contains("WindowGroupLimit"), p)
+    // scoring joins (terms, df, stats) are all broadcast — the only
+    // sort-merge-sized shuffle is the tf aggregation itself
+    assert(!p.contains("SortMergeJoin"), "scoring joins must broadcast\n" + p)
+  }
+
   test("per-row ops (quantize, unpivot, resize) shuffle only for presentation ordering") {
     Seq("sim_quantize", "unpivot_lineitem", "mm_resize").foreach { q =>
       val p = plan(q)
