@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming EMBEDDING near-dup (banded sign-LSH): the vector counterpart
+ * of [[StreamingNearDedup]] — a continuous embedding feed is judged
+ * against every previously kept vector at cosine ≥ `threshold` without
+ * re-scanning anything, because the kept corpus lives in the state store
+ * as its sign-LSH index: state is keyed by band key (one bucket per
+ * band-local bit pattern) and holds the `(keeper id, vector, norm)`
+ * entries registered there. An arrival colliding with a bucket verifies
+ * by EXACT cosine against each entry — unlike the MinHash stream, whose
+ * component-match estimate carries σ ≈ 0.035, the vector itself is the
+ * state, so streaming verdicts are exact up to banding recall
+ * (`1 − (1 − p^r)^b`, `p = 1 − acos(t)/π`, same geometry as the batch
+ * family). Per-doc verdicts reduce with [[StreamingNearDedup.verdicts]]
+ * (identical column contract: best candidate by (score desc, id asc)).
+ *
+ * Design notes, 100 TB shape:
+ *  - Judgment is band-local; `dupOf` attribution resolves to canonical
+ *    roots downstream, exactly like the batch pair tables.
+ *  - State carries `bands` copies of each kept vector (dims doubles per
+ *    entry per band) — the LSH state trade. RocksDB-backed stores absorb
+ *    it; bound the horizon with state TTL when the feed is unbounded, or
+ *    drop `bands` (recall falls predictably, state shrinks linearly).
+ *  - The banding planes are the SAME deterministic hyperplane family as
+ *    the batch signers ([[Similarity.lshBandSignatureKernel]] — md5-mixed,
+ *    no RNG state), so every restart and every generation of the stream
+ *    signs identically; checkpoint replay of a keeper never matches
+ *    itself, never re-registers, and re-emits `keep = true`.
+ *  - Degenerate vectors (null / wrong dims / zero or non-finite norm)
+ *    take a per-doc sentinel band, match nothing, register nothing, and
+ *    are kept — cosine is undefined, the batch family's verdict.
+ */
+final case class StreamingEmbDedup(bands: Int = 16, planesPerBand: Int = 8,
+                                   dims: Int = 64, threshold: Double = 0.9) {
+  import StreamingEmbDedup._
+
+  /** Shared signer closure: plane matrix built once on the driver,
+    * shipped in the task closure (bands×planes×dims doubles). */
+  private val signer: Array[Double] => Array[Long] =
+    Similarity.lshBandSignatureKernel(bands, planesPerBand, dims)
+
+  /** Explode a vector into its band rows (band key = band index + that
+    * band's bucket id — exact, no re-hash collisions). The vector rides
+    * on EVERY row (each bucket needs it to verify and register); `carry`
+    * marks band 0 so downstream `foreachBatch` consumers re-emit each
+    * doc's vector exactly once. Per-row kernel work only; no shuffle
+    * until the stateful groupByKey. */
+  def bandRows(docs: Dataset[VecDoc]): Dataset[EmbBandRow] = {
+    val b = bands
+    val d = dims
+    val sign = signer
+    docs.flatMap { doc =>
+      val v = doc.vec
+      val bad = v == null || v.length != d || {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        !(s > 0.0) || s.isInfinite
+      }
+      if (bad)
+        Iterator.single(EmbBandRow(doc.vecId, s"empty:${doc.vecId}",
+          Array.emptyDoubleArray, carry = true))
+      else {
+        val sig = sign(v)
+        (0 until b).iterator.map { bi =>
+          EmbBandRow(doc.vecId, s"$bi:${sig(bi)}", v, carry = bi == 0)
+        }
+      }
+    }(embBandRowEnc)
+  }
+
+  /** Per-bucket judgment: candidates are the stored entries plus earlier
+    * (smaller-id) same-batch registrants; best EXACT cosine ≥ threshold
+    * wins (ties to the smaller id), otherwise the arrival registers.
+    * Pure function of (state, batch) — replays are deterministic. */
+  def judgeBand(key: String, rows: Iterator[EmbBandRow],
+                state: GroupState[EmbBucket]): Iterator[EmbBandVerdict] = {
+    val batch = rows.toSeq.sortBy(_.vecId)
+    if (batch.isEmpty) return Iterator.empty
+    var entries = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+    val before = entries.size
+    val out = batch.map { r =>
+      if (r.vec.isEmpty) EmbBandVerdict(r.vecId, None, None, r.carry, None)
+      else {
+        val rn = norm(r.vec)
+        var bestId = Long.MaxValue
+        var bestCos = -2.0
+        entries.foreach { e =>
+          if (e.id != r.vecId) { // keeper replay never matches itself
+            val cos = dot(r.vec, e.vec) / (rn * e.norm)
+            if (cos > bestCos || (cos == bestCos && e.id < bestId)) {
+              bestCos = cos; bestId = e.id
+            }
+          }
+        }
+        if (bestCos >= threshold)
+          EmbBandVerdict(r.vecId, Some(bestId), Some(bestCos), r.carry,
+            if (r.carry) Some(r.vec) else None)
+        else {
+          if (!entries.exists(_.id == r.vecId)) // replay: no duplicate entry
+            entries = entries :+ EmbEntry(r.vecId, r.vec, rn)
+          EmbBandVerdict(r.vecId, None, None, r.carry,
+            if (r.carry) Some(r.vec) else None)
+        }
+      }
+    }
+    if (entries.size != before) state.update(EmbBucket(entries))
+    out.iterator
+  }
+
+  /** Wire the stateful banded judgment over an embedding stream. Output is
+    * one verdict per (doc, band) — reduce with
+    * [[StreamingNearDedup.verdicts]] (shared column contract) inside
+    * `foreachBatch`. */
+  def judged(docs: Dataset[VecDoc]): Dataset[EmbBandVerdict] =
+    bandRows(docs).groupByKey(_.bandKey)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        judgeBand _)(embBucketEnc, embBandVerdictEnc)
+}
+
+object StreamingEmbDedup {
+
+  final case class VecDoc(vecId: Long, vec: Array[Double])
+  final case class EmbBandRow(vecId: Long, bandKey: String,
+                              vec: Array[Double], carry: Boolean)
+  final case class EmbEntry(id: Long, vec: Array[Double], norm: Double)
+  final case class EmbBucket(entries: Seq[EmbEntry])
+  /** Column contract shared with [[StreamingNearDedup.verdicts]]:
+    * `docId`, `candId`, `est` (here: exact cosine). */
+  final case class EmbBandVerdict(docId: Long, candId: Option[Long],
+                                  est: Option[Double], carry: Boolean,
+                                  vec: Option[Array[Double]])
+
+  implicit val vecDocEnc: Encoder[VecDoc] = Encoders.product[VecDoc]
+  implicit val embBandRowEnc: Encoder[EmbBandRow] = Encoders.product[EmbBandRow]
+  implicit val embBucketEnc: Encoder[EmbBucket] = Encoders.product[EmbBucket]
+  implicit val embBandVerdictEnc: Encoder[EmbBandVerdict] =
+    Encoders.product[EmbBandVerdict]
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  /**
+   * `foreachBatch` bridge from the stream to the BATCH signature store:
+   * reduce the micro-batch's band verdicts, then absorb the kept vectors'
+   * deep-banding signatures (the batch family's d64_r16b128 config, signed
+   * by [[Similarity.lshSigRowsTyped]] — the stream-internal shallow
+   * banding never leaves the state store) into
+   * [[graft.queries.Materialized.embeddingSignatures]]'s store, so batch
+   * jobs (`dedupIncrementalEmb`) judge future data against streaming keeps
+   * too. Exactly-once per (streamId, micro-batch id) via the store ledger,
+   * same contract as [[StreamingNearDedup.absorbKeepers]]. Returns the
+   * per-doc verdicts for the caller's own sink.
+   */
+  def absorbKeepers(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    bandVerdicts: DataFrame, streamId: String,
+                    microBatchId: Long): DataFrame = {
+    val v = StreamingNearDedup.verdicts(bandVerdicts)
+    val keptVecs = bandVerdicts.where(col("carry") && col("vec").isNotNull)
+      .select(col("docId"), col("vec"))
+      .join(v.where(col("keep")).select("docId"), Seq("docId"), "left_semi")
+    graft.queries.Materialized.absorbEmbeddingSignatures(spark, sfDir,
+      Similarity.lshSigRowsTyped(keptVecs, "docId", "vec",
+        bands = 128, planesPerBand = 16, dims = 64),
+      s"$streamId-$microBatchId")
+    v
+  }
+}
