@@ -23,7 +23,7 @@ object ScaleCurveMain {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val modes = Set("crossover-only", "knn-ivf-only")
+    val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -59,9 +59,64 @@ object ScaleCurveMain {
         f"clusters rows=$cl ${tCl}%.2fs")
     }
     if (args.contains("knn-ivf-only")) knnIvf55k(spark)
+    else if (args.contains("knn-dist-only")) knnDist55k(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
-    else { crossover50k(spark); knn55k(spark); knnIvf55k(spark) }
+    else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark) }
     spark.stop()
+  }
+
+  /**
+   * Fully distributed IVF-probed kNN join ([[Similarity.knnJoinDistributed]])
+   * vs the broadcast-heap variant ([[Similarity.knnJoinIvf]]) over the same
+   * 60.5k stored cell-partitioned index at growing Q: at the heap variant's
+   * comfort zone (Q=256) the broadcast shape should win (no probe window,
+   * no candidate exchange); past its hard 4,096 bound only the distributed
+   * shape runs at all — the measurement documents both the constant-factor
+   * price of staying declarative and the scale regime that pays it.
+   */
+  private def knnDist55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base0 = spark.range(55000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding")
+    val planted = base0.unionByName(
+      base0.where(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-dist")
+    val cents = graft.llm.Similarity.ivfTrainCentroids(
+      base0, "vec_id", "embedding", k = 64, iters = 2)
+    graft.llm.Similarity.ivfIndexRows(planted, "vec_id", "embedding", cents)
+      .write.partitionBy("centroid_id").parquet(root.resolve("idx").toString)
+    val index = spark.read.parquet(root.resolve("idx").toString)
+    val n = index.count()
+
+    // correctness pin at Q=256: identical (query, neighbor, rank) sets
+    val qs256 = index.where(col("id") < 256).select(col("id").as("vec_id"), col("v").as("embedding"))
+    val heapSet = graft.llm.Similarity.knnJoinIvf(index, cents, qs256,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val distSet = graft.llm.Similarity.knnJoinDistributed(index, cents, qs256,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    println(s"knn-dist equality@Q=256: ${heapSet == distSet} (${distSet.size} rows)")
+
+    Seq(256, 4096, 16384).foreach { q =>
+      val queries = index.where(col("id") < q)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val (nd, td) = timed(graft.llm.Similarity.knnJoinDistributed(
+        index, cents, queries, "vec_id", "embedding", k = 10, nprobe = 4).count())
+      val heapNote = if (q <= 4096) {
+        val (nh, th) = timed(graft.llm.Similarity.knnJoinIvf(
+          index, cents, queries, "vec_id", "embedding", k = 10, nprobe = 4).count())
+        f"heap=${th}%.1fs ($nh rows)"
+      } else "heap=n/a (beyond the 4,096 broadcast bound)"
+      println(f"knn-dist n=$n Q=$q k=10 nprobe=4 dist=${td}%.1fs ($nd rows) $heapNote")
+    }
   }
 
   /**
