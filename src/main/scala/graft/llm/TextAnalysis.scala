@@ -332,6 +332,49 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram language-model scoring — the perplexity-PROXY quality filter
+   * (the KenLM-filter shape from CCNet/RedPajama pipelines, with the
+   * n-gram model reduced to its unigram term so the statistic is exactly
+   * replayable in SQL): train `p(w) = count(w) / total` on the corpus
+   * itself in one map-side-combined aggregation, then score every
+   * document by its total negative log-likelihood
+   * (`nll_sum = −Σ_w tf_dw · ln p(w)`, nats; divide by `n_words` for the
+   * per-word mean — low mean = stereotypical text, high = rare-word-heavy
+   * or noise; filter by either tail). The SUM is the emitted statistic
+   * deliberately: it is an exact 6-dp decimal (see below), where a mean
+   * would put the final rounding on a division boundary. A real pipeline
+   * swaps the broadcast unigram table for its KenLM scores; the operator
+   * shape — train-once, broadcast, score-at-scan-speed — is identical.
+   *
+   * 100 TB shape: the vocabulary aggregation is partial-aggregable (one
+   * shuffle of (word, count) — vocab-sized, not corpus-sized); the scored
+   * side shuffles (id, dl, word) once for per-doc tf and joins the vocab
+   * BROADCAST (a real-text vocabulary is millions of rows ≈ tens of MB —
+   * still broadcast range; beyond that Catalyst falls back to a
+   * shuffle join on the same plan). Determinism: each distinct word's
+   * `ln p` is rounded to 6 dp BEFORE the tf-weighted sum, so the
+   * per-doc reduction is order-independent across engines (the same
+   * integer-scaled argument as [[bm25]]).
+   */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val tf = toks.groupBy("id", "dl", "word")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(vocab), Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("cnt") / col("total")), 6))
+      .groupBy("id", "dl")
+      .agg(round(-sum(col("tf") * col("lp")), 6).as("nll_sum"))
+      .select(col("id").as(idCol), col("dl").cast("long").as("n_words"),
+        col("nll_sum"))
+  }
+
+  /**
    * BM25 keyword retrieval (Robertson/Sparck-Jones, the `+1` idf variant
    * Lucene uses so scores stay positive): top-`k` documents per query by
    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with

@@ -24,7 +24,7 @@ object LlmQueries {
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
-    simKnnJoinDist, textSpanDedup, textBm25)
+    simKnnJoinDist, textSpanDedup, textBm25, textLmScore)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -1250,6 +1250,25 @@ object LlmQueries {
            |  max(pos) + 9 - min(pos) + 1 AS n_tokens, count(*)::BIGINT AS n_grams
            |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
     )
+
+  /** Unigram-LM quality scoring ([[TextAnalysis.lmScore]]): the
+    * perplexity-proxy filter — per-doc mean negative log-likelihood in
+    * nats under the corpus's own unigram model. Vocab trains in one
+    * partial-aggregable shuffle and joins back broadcast; per-word ln p
+    * is rounded to 6 dp before the tf-weighted sum so the reduction is
+    * order-independent. */
+  val textLmScore: QueryDef = QueryDef("text_lm_score",
+    (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS word FROM t),
+           |vocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(cnt) AS total FROM vocab),
+           |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+           |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
+           |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t)
+           |SELECT doc_id, dl::BIGINT AS n_words, round(-sum(tf * lp), 6) AS nll_sum
+           |FROM c GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin))
 
   /** BM25 keyword retrieval ([[TextAnalysis.bm25]]): top-10 documents per
     * query for three multi-term queries. The token stream is pruned by a

@@ -452,6 +452,17 @@ class LlmSpec extends AnyFunSuite {
       out.mkString(",") + s" expected $exp2, $exp3")
   }
 
+  test("lmScore: per-doc nll matches the closed-form unigram model") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: a×2, b×2, c×1, total 5; lp rounded to 6 dp like the operator
+    def lp(c: Double) = math.rint(math.log(c / 5.0) * 1e6) / 1e6
+    val nll1 = math.rint(-(2 * lp(2) + 1 * lp(2)) * 1e6) / 1e6
+    val nll2 = math.rint(-(lp(2) + lp(1)) * 1e6) / 1e6
+    assert(out(1L) == ((3L, nll1)) && out(2L) == ((2L, nll2)), out.toString)
+  }
+
   test("ngramJaccard: prefix-filtered and naive paths produce identical output") {
     val d = Tables10
     val naive = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6, Some(false))
