@@ -302,29 +302,41 @@ object Dedup {
    * applies before tokenization. Docs with no repeated gram (and null-text
    * docs, which have no grams) emit no rows.
    *
-   * 100 TB shape: the only corpus-wide shuffle carries `(gram_hash60, id,
-   * pos)` — never gram text — and both `count` and the winner `min(struct)`
-   * are partial-aggregable, so a boilerplate sentence repeated a billion
-   * times is map-side combined instead of hammering one reduce key (same
-   * scale argument as [[dedupLines]]). Span merging is a per-document
-   * window — bounded by document length, never global. An md5-60 collision
-   * (prob ≤ G²·2⁻⁶¹ over G distinct grams) flags a unique span —
-   * acceptable for a dedup filter.
+   * 100 TB shape: the ONE corpus-wide shuffle carries `(gram_hash60, id,
+   * pos)` — never gram text — and both the occurrence count and the
+   * canonical-copy election happen in a single window pass over that
+   * exchange (an earlier agg + self-join formulation paid the same skewed
+   * occurrence shuffle TWICE plus a second full gram expansion). A
+   * pathological gram repeated ~millions of times lands on one window
+   * partition in either formulation — its non-canonical occurrences ARE
+   * the output — and the sort is per-partition, never global. Span
+   * merging is a per-document window — bounded by document length. An
+   * md5-60 collision (prob ≤ G²·2⁻⁶¹ over G distinct grams) flags a
+   * unique span — acceptable for a dedup filter.
    */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed JIT gram expansion + hash (bit-identical to the
+    // posexplode(wordNgrams)/md5Long60 expression form, LlmSpec-pinned;
+    // the interpreted higher-order-function form re-evaluates the word
+    // split per lambda element — measured ~5 ms/row on 500-word docs)
     val grams = docs
-      .select(col(idCol).as("id"),
-        posexplode(wordNgrams(col(textCol), n)).as(Seq("pos0", "gram")))
-      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
-        md5Long60(col("gram")).as("gh"))
-    val winners = grams.groupBy("gh").agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("id"), col("pos"))).as("w"))
-    val flagged = grams.join(winners, "gh")
-      .where(col("cnt") > 1 &&
-        !(col("id") === col("w.id") && col("pos") === col("w.pos")))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else TextHashing.wordNgramsKernel(t, n).iterator.zipWithIndex.map {
+          case (g, i) => (id, (i + 1).toLong, TextHashing.md5Long60Kernel(g))
+        }
+      }.toDF("id", "pos", "gh")
+    val byGram = Window.partitionBy("gh")
+    val flagged = grams
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGram.orderBy("id", "pos")))
+      .where(col("cnt") > 1 && col("rn") > 1)
       .select(col("id"), col("pos"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(byDoc)
