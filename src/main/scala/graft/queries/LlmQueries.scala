@@ -836,10 +836,17 @@ object LlmQueries {
         .unionByName(docs.where(col("doc_id") < 5)
           .select((col("doc_id") + 2000).as("doc_id"), novel.as("text")))
       val corpusSigs = Materialized.minhashSignatures(s, d).where(col("id") < 400)
-      val keptIds = Dedup.dedupIncrementalNear(b1, corpusSigs, corpus,
+      // the B1 verdict is evaluated ONCE and its keep-id set pinned
+      // driver-side — the incremental family already bounds the batch to
+      // broadcast size, so the day's keep ledger is driver-safe; reusing
+      // the lazy plan instead would re-run the whole B1 judgment at every
+      // reference (measured 2x the query cost)
+      import s.implicits._
+      val keptIdSeq = Dedup.dedupIncrementalNear(b1, corpusSigs, corpus,
           "doc_id", "text")
-        .where(col("keep")).select(col("doc_id"))
-      val keptDocs = b1.join(keptIds, Seq("doc_id"), "left_semi")
+        .where(col("keep")).select(col("doc_id")).as[Long].collect().toSeq
+      val keptIds = keptIdSeq.toDF("doc_id")
+      val keptDocs = b1.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       Materialized.absorbMinhashSignatures(s, d,
         Dedup.minhashSignatureTable(keptDocs, "doc_id", "text"), "near2_b1")
       val b2 = docs.where(col("doc_id") >= 450).select(col("doc_id"), col("text"))
@@ -850,9 +857,8 @@ object LlmQueries {
           .select(lit(4000L).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text")))
       val headSigs = Materialized.minhashSignatures(s, d)
-      val day2Sigs = headSigs.where(col("id") < 400)
-        .unionByName(headSigs.join(keptIds.select(col("doc_id").as("id")),
-          Seq("id"), "left_semi"))
+      val day2Sigs = headSigs.where(col("id") < 400 ||
+        col("id").isInCollection(keptIdSeq))
       val day2Docs = corpus.select(col("doc_id"), col("text")).unionByName(keptDocs)
       Dedup.dedupIncrementalNear(b2, day2Sigs, day2Docs, "doc_id", "text")
         .orderBy("doc_id")
@@ -922,10 +928,15 @@ object LlmQueries {
         .unionByName(emb.where(col("vec_id") < 5)
           .select((col("vec_id") + 5000).as("vec_id"), neg.as("embedding")))
       val corpusSigs = Materialized.embeddingSignatures(s, d).where(col("id") < 450)
-      val keptIds = Dedup.dedupIncrementalEmbedding(b1, corpusSigs, corpus,
+      // B1 verdict evaluated once, keep ids pinned driver-side (the batch
+      // side is broadcast-bounded by the operator's own contract — see
+      // dedup_incremental_near2)
+      import s.implicits._
+      val keptIdSeq = Dedup.dedupIncrementalEmbedding(b1, corpusSigs, corpus,
           "vec_id", "embedding", dims = 64, threshold = 0.9)
-        .where(col("keep")).select(col("vec_id"))
-      val keptVecs = b1.join(keptIds, Seq("vec_id"), "left_semi")
+        .where(col("keep")).select(col("vec_id")).as[Long].collect().toSeq
+      val keptIds = keptIdSeq.toDF("vec_id")
+      val keptVecs = b1.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
       Materialized.absorbEmbeddingSignatures(s, d,
         Similarity.lshSigRowsTyped(keptVecs, "vec_id", "embedding",
           bands = 128, planesPerBand = 16, dims = 64), "emb2_b1")
@@ -935,9 +946,8 @@ object LlmQueries {
         .unionByName(emb.where(col("vec_id") === 7)
           .select(lit(7000L).as("vec_id"), col("embedding")))
       val headSigs = Materialized.embeddingSignatures(s, d)
-      val day2Sigs = headSigs.where(col("id") < 450)
-        .unionByName(headSigs.join(keptIds.select(col("vec_id").as("id")),
-          Seq("id"), "left_semi"))
+      val day2Sigs = headSigs.where(col("id") < 450 ||
+        col("id").isInCollection(keptIdSeq))
       val day2Emb = corpus.select(col("vec_id"), col("embedding")).unionByName(keptVecs)
       Dedup.dedupIncrementalEmbedding(b2, day2Sigs, day2Emb,
           "vec_id", "embedding", dims = 64, threshold = 0.9)
