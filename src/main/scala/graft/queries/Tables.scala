@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /**
  * Loaders for the driver corpus (`TESTDATA.md`): one parquet per table under
- * `sfDir`. `events.parquet` carries nanosecond-precision timestamps, which
- * Spark's TimestampType (µs) refuses by default — we read them as raw nanos
- * (`nanosAsLong`) and truncate to µs (`ts div 1000`), matching DuckDB's
- * ns→µs truncation bit-for-bit (verified in round 1).
+ * `sfDir`. `events.parquet` has carried two physical encodings of `ts`
+ * across driver generations: nanosecond int64 (rounds 1-6), which Spark's
+ * TimestampType (µs) refuses by default — read as raw nanos (`nanosAsLong`)
+ * and truncated to µs (`ts div 1000`), matching DuckDB's ns→µs truncation
+ * bit-for-bit — and plain `timestamp[us]` (round 7+), which arrives as
+ * TIMESTAMP_NTZ and is cast to TimestampType (identity under the pinned UTC
+ * session zone) so every downstream query and oracle sees the same µs
+ * TimestampType either way.
  */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -26,7 +30,13 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
