@@ -680,28 +680,34 @@ object LlmQueries {
            |FROM n e2, q WHERE e2.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
 
-  /** Incremental NEAR-dup against the STORED corpus signature table: docs
-    * ≥400 arrive as a batch (plus five last-word-dropped near-copies of
-    * docs 0-4, ids +2000) and are judged against the <400 corpus via its
-    * stored MinHash signatures — the corpus is signed once, never
-    * re-deduped; batch band keys broadcast into the signature scan. */
+  /** Incremental NEAR-dup against the STORED corpus signature table: the
+    * last 100 docs arrive as a batch (plus five last-word-dropped
+    * near-copies of docs 0-4 at collision-free synthetic ids) and are
+    * judged against the preceding corpus via its stored MinHash
+    * signatures — the corpus is signed once, never re-deduped; batch band
+    * keys broadcast into the signature scan. */
   val dedupIncrementalNear: QueryDef = QueryDef("dedup_incremental_near",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") < 400)
-      val batch = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      // slices anchored at max(doc_id): fixed-size batch, corpus grows
+      // with sf, synthetic ids collision-free (see dedup_incremental)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val corpus = docs.where(col("doc_id") < cut)
+      val batch = docs.where(col("doc_id") >= cut).select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") < 5)
-          .select((col("doc_id") + 2000).as("doc_id"),
+          .select((col("doc_id") + maxd + 1001).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text")))
       val corpusSigs = Materialized.minhashSignatures(s, d)
-        .where(col("id") < 400)
+        .where(col("id") < cut)
       Dedup.dedupIncrementalNear(batch, corpusSigs, corpus, "doc_id", "text")
         .orderBy("doc_id")
     },
-    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-            |nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-            |       UNION ALL SELECT doc_id + 2000, regexp_replace(text, ' \\S+$$', '')
-            |                 FROM documents WHERE doc_id < 5),
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            |corpus AS (SELECT doc_id, text FROM documents, mx WHERE doc_id < m - 99),
+            |nb AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 99
+            |       UNION ALL SELECT doc_id + m + 1001, regexp_replace(text, ' \\S+$$', '')
+            |                 FROM documents, mx WHERE doc_id < 5),
             |wb AS (SELECT doc_id, string_split(text, ' ') AS ws FROM nb),
             |shb AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
             |        for i in range(1, len(ws) - 1)]) AS shs FROM wb),
@@ -780,27 +786,32 @@ object LlmQueries {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Incremental embedding near-dup against the STORED sign-LSH bucket
-    * table: vectors ≥450 arrive as a batch (plus five exact copies of
-    * vectors 0-4, ids +3000) and are judged against the <450 corpus via
-    * its stored band signatures; deterministic hyperplanes mean the batch
-    * signs itself consistently with the store. */
+    * table: the last 50 vectors arrive as a batch (plus five exact copies
+    * of vectors 0-4 at collision-free synthetic ids) and are judged
+    * against the preceding corpus via its stored band signatures;
+    * deterministic hyperplanes mean the batch signs itself consistently
+    * with the store. Slices anchored at max(vec_id): fixed-size batch at
+    * every sf. */
   val dedupIncrementalEmb: QueryDef = QueryDef("dedup_incremental_emb",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val corpus = emb.where(col("vec_id") < 450)
-      val batch = emb.where(col("vec_id") >= 450)
+      val maxe = emb.agg(max("vec_id")).head.getLong(0)
+      val cut = maxe - 49
+      val corpus = emb.where(col("vec_id") < cut)
+      val batch = emb.where(col("vec_id") >= cut)
         .select(col("vec_id"), col("embedding"))
         .unionByName(emb.where(col("vec_id") < 5)
-          .select((col("vec_id") + 3000).as("vec_id"), col("embedding")))
-      val sigs = Materialized.embeddingSignatures(s, d).where(col("id") < 450)
+          .select((col("vec_id") + maxe + 1001).as("vec_id"), col("embedding")))
+      val sigs = Materialized.embeddingSignatures(s, d).where(col("id") < cut)
       Dedup.dedupIncrementalEmbedding(batch, sigs, corpus, "vec_id", "embedding",
         dims = 64, threshold = 0.9).orderBy("vec_id")
     },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some("""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |corpus AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
-           |           FROM e WHERE vec_id < 450),
-           |nb0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 450
-           |        UNION ALL SELECT vec_id + 3000, v FROM e WHERE vec_id < 5),
+           |           FROM e, mx WHERE vec_id < m - 49),
+           |nb0 AS (SELECT vec_id, v FROM e, mx WHERE vec_id >= m - 49
+           |        UNION ALL SELECT vec_id + m + 1001, v FROM e, mx WHERE vec_id < 5),
            |nb AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM nb0),
            |p AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
            |        round(list_sum([b.v[i] * c.v[i] for i in range(1, 65)]) /
@@ -815,27 +826,32 @@ object LlmQueries {
            |ORDER BY nb.vec_id""".stripMargin))
 
   /** Day-2 incremental near-dup — the continuous-ingestion contract
-    * completed: batch B1 (docs 400-449 plus five NOVEL 'qx'-interleaved
-    * rewrites of docs 0-4, ids +2000) is judged against the <400 corpus
-    * via the stored signatures, its keeps' signatures are ABSORBED into
-    * the store as a batch-sized delta generation
-    * ([[Materialized.absorbMinhashSignatures]]), and batch B2 (docs ≥450
-    * plus last-word-dropped near-copies of three absorbed B1 keeps, ids
-    * +3000, and of corpus doc 10, id 4000) is judged against corpus ∪
+    * completed: batch B1 (the 50 docs before the last 50, plus five NOVEL
+    * 'qx'-interleaved rewrites of docs 0-4 at synthetic ids) is judged
+    * against the preceding corpus via the stored signatures, its keeps'
+    * signatures are ABSORBED into the store as a batch-sized delta
+    * generation ([[Materialized.absorbMinhashSignatures]]), and batch B2
+    * (the last 50 docs plus last-word-dropped near-copies of three
+    * absorbed B1 keeps and of corpus doc 10) is judged against corpus ∪
     * kept(B1) — the day-2 signatures resolved THROUGH the absorbed store
     * head, so a B2 duplicate of a B1 keep classifies as a dup. The corpus
     * is signed once, ever; day-2 reads never re-touch corpus text beyond
-    * the candidate set. */
+    * the candidate set. Slices anchored at max(doc_id): both days stay
+    * fixed-size at every sf while the corpus grows. */
   val dedupIncrementalNear2: QueryDef = QueryDef("dedup_incremental_near2",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") < 400)
+      // slices anchored at max(doc_id): two fixed-size 50-doc days against
+      // a corpus that grows with sf (see dedup_incremental)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val corpus = docs.where(col("doc_id") < cut)
       val novel = regexp_replace(col("text"), " ", " qx ")
-      val b1 = docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+      val b1 = docs.where(col("doc_id") >= cut && col("doc_id") < cut + 50)
         .select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") < 5)
-          .select((col("doc_id") + 2000).as("doc_id"), novel.as("text")))
-      val corpusSigs = Materialized.minhashSignatures(s, d).where(col("id") < 400)
+          .select((col("doc_id") + maxd + 1001).as("doc_id"), novel.as("text")))
+      val corpusSigs = Materialized.minhashSignatures(s, d).where(col("id") < cut)
       // the B1 verdict is evaluated ONCE and its keep-id set pinned
       // driver-side — the incremental family already bounds the batch to
       // broadcast size, so the day's keep ledger is driver-safe; reusing
@@ -848,25 +864,27 @@ object LlmQueries {
       val keptIds = keptIdSeq.toDF("doc_id")
       val keptDocs = b1.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       Materialized.absorbMinhashSignatures(s, d,
-        Dedup.minhashSignatureTable(keptDocs, "doc_id", "text"), "near2_b1")
-      val b2 = docs.where(col("doc_id") >= 450).select(col("doc_id"), col("text"))
+        Dedup.minhashSignatureTable(keptDocs, "doc_id", "text"), "near2_b1v2")
+      val b2 = docs.where(col("doc_id") >= cut + 50).select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") < 3)
-          .select((col("doc_id") + 3000).as("doc_id"),
+          .select((col("doc_id") + maxd + 2001).as("doc_id"),
             regexp_replace(novel, " \\S+$", "").as("text")))
         .unionByName(docs.where(col("doc_id") === 10)
-          .select(lit(4000L).as("doc_id"),
+          .select(lit(maxd + 3001).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text")))
       val headSigs = Materialized.minhashSignatures(s, d)
-      val day2Sigs = headSigs.where(col("id") < 400 ||
+      val day2Sigs = headSigs.where(col("id") < cut ||
         col("id").isInCollection(keptIdSeq))
       val day2Docs = corpus.select(col("doc_id"), col("text")).unionByName(keptDocs)
       Dedup.dedupIncrementalNear(b2, day2Sigs, day2Docs, "doc_id", "text")
         .orderBy("doc_id")
     },
-    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-           |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 450
-           |       UNION ALL SELECT doc_id + 2000, replace(text, ' ', ' qx ')
-           |                 FROM documents WHERE doc_id < 5),
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |corpus AS (SELECT doc_id, text FROM documents, mx WHERE doc_id < m - 99),
+           |b1 AS (SELECT doc_id, text FROM documents, mx
+           |       WHERE doc_id >= m - 99 AND doc_id < m - 49
+           |       UNION ALL SELECT doc_id + m + 1001, replace(text, ' ', ' qx ')
+           |                 FROM documents, mx WHERE doc_id < 5),
            |shc AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
            |        for i in range(1, len(ws) - 1)]) AS shs
            |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)),
@@ -882,12 +900,12 @@ object LlmQueries {
            |       WHERE inter * 1.0 / (len(x.shs) + len(y.shs) - inter) >= 0.8),
            |kept1 AS (SELECT doc_id, text FROM b1 WHERE doc_id NOT IN (SELECT bid FROM j1)),
            |day2 AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM kept1),
-           |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 450
-           |       UNION ALL SELECT doc_id + 3000,
+           |b2 AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 49
+           |       UNION ALL SELECT doc_id + m + 2001,
            |                   regexp_replace(replace(text, ' ', ' qx '), ' \S+$', '')
-           |                 FROM documents WHERE doc_id < 3
-           |       UNION ALL SELECT 4000::BIGINT, regexp_replace(text, ' \S+$', '')
-           |                 FROM documents WHERE doc_id = 10),
+           |                 FROM documents, mx WHERE doc_id < 3
+           |       UNION ALL SELECT m + 3001, regexp_replace(text, ' \S+$', '')
+           |                 FROM documents, mx WHERE doc_id = 10),
            |shd AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
            |        for i in range(1, len(ws) - 1)]) AS shs
            |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM day2)),
@@ -909,25 +927,28 @@ object LlmQueries {
            |FROM b2 LEFT JOIN best b ON b2.doc_id = b.bid AND b.rn = 1
            |ORDER BY b2.doc_id""".stripMargin))
 
-  /** Day-2 incremental EMBEDDING near-dup: batch B1 (vectors 450-474 plus
-    * five novel negated copies of vectors 0-4, ids +5000) is judged
-    * against the <450 corpus via its stored sign-LSH buckets, kept
-    * vectors' signatures are absorbed
-    * ([[Materialized.absorbEmbeddingSignatures]]), and batch B2 (vectors
-    * ≥475 plus exact copies of three absorbed keeps, ids +6000, and of
-    * corpus vector 7, id 7000) is judged against corpus ∪ kept(B1)
-    * through the absorbed store — deterministic hyperplanes keep every
-    * generation's signatures mutually consistent. */
+  /** Day-2 incremental EMBEDDING near-dup: batch B1 (the 25 vectors before
+    * the last 25, plus five novel negated copies of vectors 0-4 at
+    * synthetic ids) is judged against the preceding corpus via its stored
+    * sign-LSH buckets, kept vectors' signatures are absorbed
+    * ([[Materialized.absorbEmbeddingSignatures]]), and batch B2 (the last
+    * 25 vectors plus exact copies of three absorbed keeps and of corpus
+    * vector 7) is judged against corpus ∪ kept(B1) through the absorbed
+    * store — deterministic hyperplanes keep every generation's signatures
+    * mutually consistent. Slices anchored at max(vec_id): both days stay
+    * fixed-size at every sf. */
   val dedupIncrementalEmb2: QueryDef = QueryDef("dedup_incremental_emb2",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val corpus = emb.where(col("vec_id") < 450)
+      val maxe = emb.agg(max("vec_id")).head.getLong(0)
+      val cut = maxe - 49
+      val corpus = emb.where(col("vec_id") < cut)
       val neg = transform(col("embedding"), x => -x)
-      val b1 = emb.where(col("vec_id") >= 450 && col("vec_id") < 475)
+      val b1 = emb.where(col("vec_id") >= cut && col("vec_id") < cut + 25)
         .select(col("vec_id"), col("embedding"))
         .unionByName(emb.where(col("vec_id") < 5)
-          .select((col("vec_id") + 5000).as("vec_id"), neg.as("embedding")))
-      val corpusSigs = Materialized.embeddingSignatures(s, d).where(col("id") < 450)
+          .select((col("vec_id") + maxe + 1001).as("vec_id"), neg.as("embedding")))
+      val corpusSigs = Materialized.embeddingSignatures(s, d).where(col("id") < cut)
       // B1 verdict evaluated once, keep ids pinned driver-side (the batch
       // side is broadcast-bounded by the operator's own contract — see
       // dedup_incremental_near2)
@@ -939,24 +960,26 @@ object LlmQueries {
       val keptVecs = b1.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
       Materialized.absorbEmbeddingSignatures(s, d,
         Similarity.lshSigRowsTyped(keptVecs, "vec_id", "embedding",
-          bands = 128, planesPerBand = 16, dims = 64), "emb2_b1")
-      val b2 = emb.where(col("vec_id") >= 475).select(col("vec_id"), col("embedding"))
+          bands = 128, planesPerBand = 16, dims = 64), "emb2_b1v2")
+      val b2 = emb.where(col("vec_id") >= cut + 25).select(col("vec_id"), col("embedding"))
         .unionByName(emb.where(col("vec_id") < 3)
-          .select((col("vec_id") + 6000).as("vec_id"), neg.as("embedding")))
+          .select((col("vec_id") + maxe + 2001).as("vec_id"), neg.as("embedding")))
         .unionByName(emb.where(col("vec_id") === 7)
-          .select(lit(7000L).as("vec_id"), col("embedding")))
+          .select(lit(maxe + 3001).as("vec_id"), col("embedding")))
       val headSigs = Materialized.embeddingSignatures(s, d)
-      val day2Sigs = headSigs.where(col("id") < 450 ||
+      val day2Sigs = headSigs.where(col("id") < cut ||
         col("id").isInCollection(keptIdSeq))
       val day2Emb = corpus.select(col("vec_id"), col("embedding")).unionByName(keptVecs)
       Dedup.dedupIncrementalEmbedding(b2, day2Sigs, day2Emb,
           "vec_id", "embedding", dims = 64, threshold = 0.9)
         .orderBy("vec_id")
     },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |corpus AS (SELECT vec_id, v FROM e WHERE vec_id < 450),
-           |b1 AS (SELECT vec_id, v FROM e WHERE vec_id >= 450 AND vec_id < 475
-           |       UNION ALL SELECT vec_id + 5000, [-x for x in v] FROM e WHERE vec_id < 5),
+    Some("""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |corpus AS (SELECT vec_id, v FROM e, mx WHERE vec_id < m - 49),
+           |b1 AS (SELECT vec_id, v FROM e, mx WHERE vec_id >= m - 49 AND vec_id < m - 24
+           |       UNION ALL SELECT vec_id + m + 1001, [-x for x in v]
+           |                 FROM e, mx WHERE vec_id < 5),
            |nc AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM corpus),
            |nb1 AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM b1),
            |j1 AS (SELECT DISTINCT b.vec_id AS bid
@@ -965,9 +988,10 @@ object LlmQueries {
            |         (b.nrm * c.nrm), 6) >= 0.9),
            |kept1 AS (SELECT vec_id, v FROM b1 WHERE vec_id NOT IN (SELECT bid FROM j1)),
            |day2 AS (SELECT vec_id, v FROM corpus UNION ALL SELECT vec_id, v FROM kept1),
-           |b2 AS (SELECT vec_id, v FROM e WHERE vec_id >= 475
-           |       UNION ALL SELECT vec_id + 6000, [-x for x in v] FROM e WHERE vec_id < 3
-           |       UNION ALL SELECT 7000::BIGINT, v FROM e WHERE vec_id = 7),
+           |b2 AS (SELECT vec_id, v FROM e, mx WHERE vec_id >= m - 24
+           |       UNION ALL SELECT vec_id + m + 2001, [-x for x in v]
+           |                 FROM e, mx WHERE vec_id < 3
+           |       UNION ALL SELECT m + 3001, v FROM e, mx WHERE vec_id = 7),
            |nd AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM day2),
            |nb2 AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM b2),
            |p AS (SELECT b.vec_id AS bid, c.vec_id AS cid,
@@ -996,24 +1020,32 @@ object LlmQueries {
            |    AS pos
            |FROM s ORDER BY doc_id""".stripMargin))
 
-  /** Incremental exact dedup: docs ≥400 arrive as a new batch against the
-    * <400 corpus, with five corpus copies (ids +1000) and one in-batch copy
-    * (id 1100 of doc 450) appended to exercise both duplicate classes. */
+  /** Incremental exact dedup: the LAST 100 docs arrive as a new batch
+    * against the preceding corpus (slices anchored at max(doc_id) so the
+    * batch stays fixed-size at every sf), with five corpus copies and one
+    * in-batch copy appended to exercise both duplicate classes. */
   val dedupIncremental: QueryDef = QueryDef("dedup_incremental",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") < 400)
-      val batch = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      // anchor the demo slices at the END of the table so the batch stays
+      // FIXED-SIZE at every sf (the operator's production shape: small
+      // batch, growing corpus) and synthetic ids (maxd-offset) can never
+      // collide with real doc ids
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val corpus = docs.where(col("doc_id") < cut)
+      val batch = docs.where(col("doc_id") >= cut).select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") < 5)
-          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
-        .unionByName(docs.where(col("doc_id") === 450)
-          .select(lit(1100L).as("doc_id"), col("text")))
+          .select((col("doc_id") + maxd + 1001).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") === cut + 50)
+          .select(lit(maxd + 1101).as("doc_id"), col("text")))
       Dedup.dedupIncremental(batch, corpus, "doc_id", "text").orderBy("doc_id")
     },
-    Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
-           |nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-           |       UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
-           |       UNION ALL SELECT 1100::BIGINT, text FROM documents WHERE doc_id = 450),
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |corpus AS (SELECT text FROM documents, mx WHERE doc_id < m - 99),
+           |nb AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 99
+           |       UNION ALL SELECT doc_id + m + 1001, text FROM documents, mx WHERE doc_id < 5
+           |       UNION ALL SELECT m + 1101, text FROM documents, mx WHERE doc_id = m - 49),
            |ct AS (SELECT DISTINCT text, TRUE AS hit FROM corpus),
            |j AS (SELECT nb.doc_id, coalesce(ct.hit, FALSE) AS in_corpus,
            |        min(nb.doc_id) OVER (PARTITION BY nb.text) AS first_id
