@@ -415,6 +415,235 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (the FAISS-style IVF-PQ scale path): split the
+  // vector into `m` subspaces, k-means a tiny per-subspace codebook, and
+  // represent each vector by its m nearest-code ids — m bytes-ish per
+  // vector instead of 8·dims, so a probed-cell ADC search reads ~64×
+  // less vector data than full doubles (and ~8× less than int8 codes).
+  // Residual-free variant: codes quantize the raw vector (cells are used
+  // for pruning only), which keeps every stage exactly replayable by the
+  // SQL oracle.
+  // ------------------------------------------------------------------
+
+  /** Driver-side codebook form: per subspace (ascending), the (code_id,
+    * code vector) list ascending by code id — the tie-break scan order of
+    * every assignment kernel. m·ksub·(dims/m) doubles — tiny by
+    * construction (the whole point of PQ), so collect + broadcast is the
+    * correct distribution strategy at any corpus size. */
+  private def collectBooks(codebooks: DataFrame): Array[(Int, Array[(Long, Array[Double])])] =
+    codebooks.select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (s, rows) => (s, rows.map(r => (r._2, r._3)).sortBy(_._1)) }
+
+  /** Nearest code per subspace — strict `<` over the code_id-ascending
+    * scan = min_by struct(dist, code_id), the same deterministic
+    * tie-break as [[ivfIndexRows]], identical in the SQL oracle replay. */
+  private def pqAssignOne(v: Array[Double], subDim: Int,
+                          books: Array[(Int, Array[(Long, Array[Double])])]): Array[Long] = {
+    val out = new Array[Long](books.length)
+    var s = 0
+    while (s < books.length) {
+      val (sub, codes) = books(s)
+      val off = sub * subDim
+      var bestCode = codes(0)._1
+      var best = Double.PositiveInfinity
+      var j = 0
+      while (j < codes.length) {
+        val cv = codes(j)._2
+        var acc = 0.0; var i = 0
+        while (i < subDim) { val dx = v(off + i) - cv(i); acc += dx * dx; i += 1 }
+        if (acc < best) { best = acc; bestCode = codes(j)._1 }
+        j += 1
+      }
+      out(s) = bestCode
+      s += 1
+    }
+    out
+  }
+
+  /**
+   * Train per-subspace PQ codebooks by distributed k-means: deterministic
+   * init (subspace slices of the first `ksub` corpus vectors, code_id =
+   * the donor's id), then `iters` Lloyd rounds. Each round is ONE
+   * distributed job over the corpus: a typed kernel assigns all m
+   * subspaces per row against the broadcast codebook (m·ksub·subDim
+   * doubles — tiny), emits `(subspace, code, dim, value)` and the means
+   * reduce with exact DECIMAL(30,15) sums — associativity-free, so
+   * partial aggregation parallelizes arbitrarily AND the result is
+   * engine-portable (the DuckDB oracle sums the same decimals). The
+   * shuffle after map-side combine is m·ksub·subDim rows per partition.
+   * The codebook round-trips through the driver between rounds (bounded
+   * control-plane pull, same lineage-truncation rationale as
+   * [[ivfTrainCentroids]]). A code whose cell empties drops out,
+   * deterministically in both engines.
+   *
+   * Returns wide form `(subspace, code_id, cv)`, UNROUNDED — the table
+   * assignments must be computed against ([[pqTrain]] is the 6-dp
+   * presentation form).
+   */
+  def pqTrainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"pqTrainCodebooks: dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+    val init = e.filter(_._1 < ksub).collect().sortBy(_._1)
+    require(init.nonEmpty, "pqTrainCodebooks: no init vectors (ids < ksub)")
+    var books: Array[(Int, Array[(Long, Array[Double])])] =
+      (0 until m).map { s =>
+        (s, init.map { case (id, v) => (id, v.slice(s * subDim, (s + 1) * subDim)) })
+      }.toArray
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val rows = e.flatMap { case (_, v) =>
+        val bks = bc.value
+        val out = new Array[(Int, Long, Int, Double)](v.length)
+        var o = 0; var s = 0
+        while (s < bks.length) {
+          val (sub, codes) = bks(s)
+          val off = sub * subDim
+          var bestCode = codes(0)._1
+          var best = Double.PositiveInfinity
+          var j = 0
+          while (j < codes.length) {
+            val cv = codes(j)._2
+            var acc = 0.0; var i = 0
+            while (i < subDim) { val dx = v(off + i) - cv(i); acc += dx * dx; i += 1 }
+            if (acc < best) { best = acc; bestCode = codes(j)._1 }
+            j += 1
+          }
+          var i = 0
+          while (i < subDim) { out(o) = (sub, bestCode, i, v(off + i)); o += 1; i += 1 }
+          s += 1
+        }
+        out.toIndexedSeq
+      }.toDF("subspace", "code_id", "dim", "value")
+      val means = rows.groupBy("subspace", "code_id", "dim")
+        .agg((sum(col("value").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      books = means.groupBy(r => (r._1, r._2)).toArray
+        .map { case ((s, c), vs) =>
+          (s, c, vs.sortBy(_._3).map(_._4))
+        }
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (s, rows2) => (s, rows2.map(r => (r._2, r._3)).sortBy(_._1)) }
+    }
+    books.flatMap { case (s, codes) =>
+      codes.map { case (cid, cv) => (s.toLong, cid, cv.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "code_id", "cv")
+  }
+
+  /** [[pqTrainCodebooks]] in long presentation form
+    * `(subspace, code_id, dim, m)`, 6-dp rounded — the `sim_pq_train`
+    * result shape. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int, dims: Int): DataFrame =
+    pqTrainCodebooks(emb, idCol, vecCol, m, ksub, iters, dims)
+      .select(col("subspace"), col("code_id"),
+        posexplode(col("cv")).as(Seq("dim", "mval")))
+      .select(col("subspace"), col("code_id"), col("dim").cast("long").as("dim"),
+        round(col("mval"), 6).as("m"))
+
+  /**
+   * Encode vectors against trained codebooks: one shuffle-free scan, a
+   * typed kernel computing all m codes per row against the broadcast
+   * codebook. `cellCol` passes a coarse-cell column through (the IVF-PQ
+   * layout: codes stored partitioned by the cell, so an ADC search
+   * partition-prunes to the probed cells and reads ONLY m small code ids
+   * per candidate).
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, dims: Int,
+               cellCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val books = collectBooks(codebooks)
+    require(books.nonEmpty, "pqEncode: empty codebook table")
+    val m = books.length
+    val subDim = dims / m
+    val bc = spark.sparkContext.broadcast(books)
+    cellCol match {
+      case Some(cc) =>
+        df.select(col(idCol).cast("long").as("id"), col(cc).cast("long").as("cell"),
+            asDouble(col(vecCol)).as("v"))
+          .as[(Long, Long, Array[Double])]
+          .map { case (id, cell, v) => (id, cell, pqAssignOne(v, subDim, bc.value)) }
+          .toDF("id", "centroid_id", "codes")
+      case None =>
+        df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+          .as[(Long, Array[Double])]
+          .map { case (id, v) => (id, pqAssignOne(v, subDim, bc.value)) }
+          .toDF("id", "codes")
+    }
+  }
+
+  /**
+   * ADC (asymmetric distance computation) probed-cell search over a
+   * stored PQ-coded index: probe the `nprobe` nearest coarse cells
+   * (driver-side against the tiny centroid sidecar, same as
+   * [[ivfSearch]]), build the per-query lookup table — for every
+   * (subspace, code): the query-subvector·code dot product and the code's
+   * squared norm, each HALF_UP-rounded to 6 dp so the decimal reduction
+   * is order-independent and engine-portable — then rank candidates by
+   * approximate cosine from their codes alone: the scan partition-prunes
+   * to the probed cells and reads ONLY `(id, codes)`. The plan is a
+   * pruned scan → posexplode → broadcast LUT join (m·ksub rows) → partial
+   * hash-agg of exact DECIMAL sums → TakeOrderedAndProject. A candidate
+   * whose codes reconstruct to zero norm yields a null cosine and ranks
+   * last (the [[ivfSearchQ8]] degenerate-vector convention).
+   */
+  def pqSearchAdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                  queryVec: Seq[Double], k: Int, nprobe: Int,
+                  excludeId: Option[Long] = None): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = queryVec.toArray
+    val books = collectBooks(codebooks)
+    require(books.nonEmpty, "pqSearchAdc: empty codebook table")
+    val subDim = books(0)._2(0)._2.length
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = cents.map { case (cid, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val dx = v(i) - q(i); s += dx * dx; i += 1 }
+        (cid, s)
+      }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
+    val qn = math.sqrt(dotKernel(q, q))
+    val lut = books.flatMap { case (s, cs) =>
+      cs.map { case (cid, cv) =>
+        var dt = 0.0; var nn = 0.0; var i = 0
+        while (i < cv.length) {
+          dt += q(s * subDim + i) * cv(i); nn += cv(i) * cv(i); i += 1
+        }
+        (s.toLong, cid, roundHalfUp(dt, 6), roundHalfUp(nn, 6))
+      }
+    }.toIndexedSeq.toDF("subspace", "code_id", "dot6", "nn6")
+    val base = codes.where(col("centroid_id").isin(probed: _*))
+    val e1 = excludeId.map(x => base.where(col("id") =!= x)).getOrElse(base)
+    e1.select(col("id"), col("centroid_id").cast("long").as("cell"),
+        posexplode(col("codes")).as(Seq("subspace", "code_id")))
+      .withColumn("subspace", col("subspace").cast("long"))
+      .join(broadcast(lut), Seq("subspace", "code_id"))
+      .groupBy("id", "cell")
+      .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
+        sum(col("nn6").cast("decimal(20,6)")).as("snn"))
+      .select(col("id"), col("cell"),
+        when(col("snn") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sdot").cast("double") /
+            (sqrt(col("snn").cast("double")) * qn), 6))
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /**
    * Symmetric int8 quantization of an embedding column (4× storage shrink
    * for ANN indexes): per-vector scale = max|x|, q_i = round(x_i/scale·127).

@@ -24,7 +24,8 @@ object LlmQueries {
     textShard, dedupIncrementalNear, dedupIncrementalEmb, textStats,
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
-    simKnnJoinDist, textSpanDedup, textBm25, textLmScore)
+    simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
+    simPqTrain, simPqEncode, simIvfSearchPq)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -366,6 +367,90 @@ object LlmQueries {
             |WHERE cl.centroid_id IN (SELECT centroid_id FROM probe)
             |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
 
+  /** Product-quantization codebook training (live cost, the PQ sibling of
+    * `sim_ivf_train`): 8 subspaces × 16 codes × 8 dims, 2 distributed
+    * Lloyd rounds — one corpus job per round against the broadcast
+    * codebook, exact DECIMAL means. The oracle replays the per-subspace
+    * k-means bit-for-bit ([[pqTrainedSql]]). */
+  val simPqTrain: QueryDef = QueryDef("sim_pq_train",
+    (s, d) => Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, dims = 64)
+      .orderBy("subspace", "code_id", "dim"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |$pqTrainedSql
+            |SELECT subspace, code_id, dim::BIGINT AS dim, round(m, 6) AS m FROM pm2
+            |ORDER BY subspace, code_id, dim""".stripMargin))
+
+  /** The stored PQ code table ([[Materialized.pqCodes]]) read back in
+    * relational form: every vector's 8 code ids, one row per (vector,
+    * subspace) — this query is a scan of the published codes (trained
+    * once, encoded in one shuffle-free corpus scan, co-located with the
+    * IVF cells), not a recomputation. Oracle replays train-then-encode. */
+  val simPqEncode: QueryDef = QueryDef("sim_pq_encode",
+    (s, d) => Materialized.pqCodes(s, d)
+      .select(col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code_id")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code_id"))
+      .orderBy("vec_id", "subspace"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |$pqTrainedSql,
+            |$pqEncodeSql
+            |SELECT vec_id, subspace, code_id FROM pa3
+            |ORDER BY vec_id, subspace""".stripMargin))
+
+  /** IVF-PQ probed ADC search — the 100 TB retrieval operating point:
+    * probe nprobe=2 cells (driver-side against the centroid sidecar),
+    * build the per-query (subspace, code) lookup table of 6-dp-rounded
+    * dot products and code norms, and rank candidates from their stored
+    * codes ALONE — the scan partition-prunes to the probed cells and
+    * column-prunes to `(id, codes)`, ~64× less vector data than the
+    * full doubles. Exact DECIMAL sums of the rounded LUT entries make
+    * the reduction order-independent, so the DuckDB oracle replays the
+    * ranking bit-for-bit. `sim_ivf_search` (exact, reads `v`) /
+    * `sim_ivf_search_q8` (int8) / this (PQ codes) are one family:
+    * precision vs bytes-scanned, same probe, same plan shape. */
+  val simIvfSearchPq: QueryDef = QueryDef("sim_ivf_search_pq",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.pqSearchAdc(Materialized.pqCodes(s, d),
+          Materialized.pqCodebooks(s, d), idx.centroids, qv,
+          k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            |probe AS (SELECT centroid_id FROM c2 c, q
+            |  ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                     for i in range(1, 65)]), centroid_id
+            |  LIMIT 2),
+            |lut AS (SELECT p.subspace, p.code_id,
+            |        round(list_sum([q.qv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS dot6,
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
+            |        FROM pb2 p, q),
+            |sc AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot,
+            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn
+            |       FROM pa3 a
+            |       JOIN lut l ON a.subspace = l.subspace AND a.code_id = l.code_id
+            |       JOIN a3 ON a.vec_id = a3.vec_id
+            |       WHERE a3.centroid_id IN (SELECT centroid_id FROM probe)
+            |         AND a.vec_id <> 0
+            |       GROUP BY 1, 2)
+            |SELECT vec_id, cell,
+            |  CASE WHEN snn = 0 THEN NULL
+            |       ELSE round((sdot::DOUBLE) / (sqrt(snn::DOUBLE) *
+            |         (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) END
+            |    AS adc_cosine
+            |FROM sc ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin))
+
   /** Distributed k-means training of the IVF coarse index (2 Lloyd rounds
     * from the deterministic first-8 init) — kept LIVE as the training-cost
     * datapoint (the stored index's build consumes the same computation).
@@ -424,6 +509,54 @@ object LlmQueries {
       |    SELECT vec_id, centroid_id, rd,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
       |    FROM d3) WHERE rn = 1)""".stripMargin
+
+  /** One per-subspace Lloyd round of the PQ training replay (assumes CTE
+    * `e(vec_id, v)` and the previous codebook `prev(subspace, code_id,
+    * cv)`): assign every (vector, subspace) to its nearest code —
+    * row_number over (rd, code_id) = the kernel's strict-< scan — then
+    * recompute means with the same exact DECIMAL(30,15) sums as the Spark
+    * side. Subspace s covers v[s·8+1 .. s·8+8] (1-based). */
+  private def pqIterSql(n: Int, prev: String) =
+    s"""pd$n AS (SELECT e.vec_id, p.subspace, p.code_id,
+       |    list_sum([(e.v[p.subspace*8 + i] - p.cv[i]) * (e.v[p.subspace*8 + i] - p.cv[i])
+       |              for i in range(1, 9)]) AS rd
+       |  FROM e, $prev p),
+       |pa$n AS (SELECT vec_id, subspace, code_id FROM (
+       |    SELECT vec_id, subspace, code_id,
+       |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn
+       |    FROM pd$n) WHERE rn = 1),
+       |pm$n AS (SELECT a.subspace, a.code_id, t.i - 1 AS dim,
+       |    (sum(CAST(e.v[a.subspace*8 + t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+       |  FROM pa$n a JOIN e ON a.vec_id = e.vec_id, range(1, 9) t(i)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The PQ(m=8, ksub=16, iters=2) training closure (assumes CTE `e`),
+    * ending in `pb2(subspace, code_id, cv)` — the UNROUNDED trained
+    * codebooks (and `pm2`, their long form) — shared by all PQ oracles so
+    * the training parameters cannot silently diverge between them. Init:
+    * subspace slices of the first 16 vectors, code_id = the donor id
+    * (the [[graft.llm.Similarity.pqTrainCodebooks]] init replayed). */
+  private def pqTrainedSql =
+    s"""pb0 AS (SELECT s.s::BIGINT AS subspace, e.vec_id AS code_id,
+       |        list_slice(e.v, s.s*8 + 1, s.s*8 + 8) AS cv
+       |        FROM e, range(0, 8) s(s) WHERE e.vec_id < 16),
+       |${pqIterSql(1, "pb0")},
+       |pb1 AS (SELECT subspace, code_id, list(m ORDER BY dim) AS cv FROM pm1 GROUP BY 1, 2),
+       |${pqIterSql(2, "pb1")},
+       |pb2 AS (SELECT subspace, code_id, list(m ORDER BY dim) AS cv FROM pm2 GROUP BY 1, 2)""".stripMargin
+
+  /** Final PQ encode against the trained `pb2` codebooks, ending in
+    * `pa3(vec_id, subspace, code_id)` — the oracle replica of the stored
+    * code table ([[Materialized.pqCodes]]). */
+  private def pqEncodeSql =
+    """pd3 AS (SELECT e.vec_id, p.subspace, p.code_id,
+      |    list_sum([(e.v[p.subspace*8 + i] - p.cv[i]) * (e.v[p.subspace*8 + i] - p.cv[i])
+      |              for i in range(1, 9)]) AS rd
+      |  FROM e, pb2 p),
+      |pa3 AS (SELECT vec_id, subspace, code_id FROM (
+      |    SELECT vec_id, subspace, code_id,
+      |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn
+      |    FROM pd3) WHERE rn = 1)""".stripMargin
 
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

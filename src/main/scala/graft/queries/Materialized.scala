@@ -863,6 +863,36 @@ object Materialized {
     IvfIndex(normalizeIvf(view), cents)
   }
 
+  /** Trained PQ codebooks over `embeddings` (8 subspaces × 16 codes × 8
+    * dims, 2 Lloyd rounds) — wide unrounded form `(subspace, code_id,
+    * cv)`, the table every PQ assignment is computed against. Tiny by
+    * construction; stored so search sessions never re-train. */
+  def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "pq_codebooks", "m8_k16_i2", sfDir, "embeddings") {
+      graft.llm.Similarity.pqTrainCodebooks(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, dims = 64)
+    }
+
+  /** The stored PQ-coded index: every vector's m code ids co-located with
+    * its IVF cell — `partitionBy(centroid_id)`, the IVF-PQ layout: an ADC
+    * search partition-prunes to the probed cells and reads ONLY
+    * `(id, codes)`, m small ints per candidate instead of the 8-byte-per-
+    * component doubles (~64× less vector data than `v`, ~8× less than the
+    * int8 `qcode`s). Built from the stored IVF assignment in one
+    * shuffle-free encode scan. */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = pqCodebooks(spark, sfDir)
+    val view = parquetBacked(spark, "pq_codes", "m8_k16_i2", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      graft.llm.Similarity.pqEncode(ivfIndex(spark, sfDir).assignment,
+        "id", "v", cb, dims = 64, cellCol = Some("centroid_id"))
+    }
+    // partition column round-trips through directory names — restore type
+    view.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+      col("codes"))
+  }
+
   /** One store entry's operational status: `role` is `head-base` /
     * `head-delta` (position in a valid head's entry list), `headless`
     * (no head for the group — the newest-mtime entry is the live one),

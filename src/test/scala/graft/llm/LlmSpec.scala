@@ -327,6 +327,103 @@ class LlmSpec extends AnyFunSuite {
       "Lloyd lineage truncation must not retain persisted RDDs (localCheckpoint would)")
   }
 
+  test("pqEncode: every stored code is the true per-subspace argmin (driver replay)") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dims = 64)
+    val books = cb.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) => s -> rows.map(r => (r._2, r._3)).sortBy(_._1) }.toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(enc.keySet == vecs.keySet)
+    enc.foreach { case (id, codesArr) =>
+      val v = vecs(id)
+      codesArr.zipWithIndex.foreach { case (code, s) =>
+        val sub = v.slice(s * 8, s * 8 + 8)
+        val best = books(s).map { case (cid, cv) =>
+          (cid, sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (cid, d) => (d, cid) }._1
+        assert(code == best, s"vec $id subspace $s: got $code want $best")
+      }
+    }
+  }
+
+  test("pqTrainCodebooks: a Lloyd round does not increase the reconstruction error") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    def sse(iters: Int): Double = {
+      val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = iters, dims = 64)
+      val books = cb.collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+      emb.select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray).map { v =>
+          (0 until 8).map { s =>
+            val sub = v.slice(s * 8, s * 8 + 8)
+            books(s).map(c => sub.zip(c._2).map { case (a, b) => (a - b) * (a - b) }.sum).min
+          }.sum
+        }.sum
+    }
+    assert(sse(2) <= sse(1) + 1e-9)
+  }
+
+  test("pqSearchAdc is EXACT when quantization is lossless (every vector a code donor, iters=0)") {
+    // 12 distinct 8-d vectors, m=4 subspaces of 2 dims, ksub = corpus size,
+    // iters=0: the init codebook holds every vector's exact slices, so codes
+    // reconstruct each vector bit-for-bit and the ADC cosine must equal the
+    // exact cosine up to the LUT's 6-dp rounding.
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 12L).map(i =>
+        (i, Seq.fill(8)((math.rint(rnd.nextDouble() * 100) / 100.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 12, iters = 0, dims = 8)
+    val cells = emb.select(col("vec_id").as("id"), lit(0L).as("centroid_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val codes = Similarity.pqEncode(cells, "id", "v", cb, dims = 8,
+      cellCol = Some("centroid_id"))
+    val cents = Seq((0L, Seq.fill(8)(0.0))).toDF("centroid_id", "vec")
+    val qv = emb.where(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val adc = Similarity.pqSearchAdc(codes, cb, cents, qv,
+        k = 11, nprobe = 1, excludeId = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = Similarity.topK(emb, "vec_id", "embedding", qv,
+        k = 11, excludeId = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(adc.keySet == exact.keySet)
+    adc.foreach { case (id, c) =>
+      assert(math.abs(c - exact(id)) <= 2e-5, // LUT entries are 6-dp rounded
+        s"vec $id: adc $c vs exact ${exact(id)}")
+    }
+  }
+
+  test("pqSearchAdc on the stored index: deterministic probed recall vs the exact probed search") {
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    val qv = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val adc = Similarity.pqSearchAdc(
+        graft.queries.Materialized.pqCodes(spark, TestSpark.sf),
+        graft.queries.Materialized.pqCodebooks(spark, TestSpark.sf),
+        idx.centroids, qv, k = 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.ivfSearch(idx.assignment, idx.centroids, qv,
+        k = 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    // everything is deterministic (data, init, tie-breaks), so the overlap
+    // is a fixed number — pin a conservative floor for the 8×16 config on
+    // the synthetic (structureless, PQ-hostile) corpus
+    assert((adc & exact).size >= 2, s"adc=$adc exact=$exact")
+  }
+
   test("minhashSignatureTable + dedupIncrementalNear survive null-text rows (kept, no NPE)") {
     val corpus = Seq((1L, "one two three four five"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")

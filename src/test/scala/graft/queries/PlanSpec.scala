@@ -100,6 +100,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("sim_ivf_search_pq: partition-pruned, reads ONLY the PQ codes, LUT join is broadcast") {
+    val p = plan("sim_ivf_search_pq")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the code-table scan\n" + p)
+    // ADC ranks from the stored codes alone: neither the double vectors
+    // nor the int8 codes may appear in any read schema
+    assert(p.contains("codes"), p)
+    assert("ReadSchema: [^\\n]*v:array".r.findFirstIn(p).isEmpty,
+      "ADC search must not read the full-precision vectors\n" + p)
+    assert("ReadSchema: [^\\n]*qcode".r.findFirstIn(p).isEmpty,
+      "ADC search must not read the int8 codes\n" + p)
+    // the only join is the m·ksub-row LUT broadcast — never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the
