@@ -174,4 +174,31 @@ object StreamingEmbDedup {
       s"$streamId-$microBatchId")
     v
   }
+
+  /**
+   * `foreachBatch` bridge from the stream to the stored IVF INDEX: the
+   * micro-batch's kept vectors are assigned against the STORED centroids
+   * — no retrain, no corpus re-read — and published as an appended
+   * cell-partitioned index generation
+   * ([[graft.queries.Materialized.appendIvfIndex]]), so probed-cell
+   * searches over the head view (`ivfIndexCurrent`) retrieve streaming
+   * keeps too: a vector deduped on the stream becomes searchable the
+   * moment its micro-batch commits. Exactly-once per (streamId,
+   * micro-batch id) via the index store's absorb ledger — a checkpoint
+   * replay of the micro-batch re-resolves to the same batch id and is a
+   * no-op. Composable with [[absorbKeepers]] in the same `foreachBatch`
+   * (distinct ledgers: signature store vs index store). Returns the
+   * per-doc verdicts for the caller's own sink.
+   */
+  def absorbKeepersIvf(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                       bandVerdicts: DataFrame, streamId: String,
+                       microBatchId: Long): DataFrame = {
+    val v = StreamingNearDedup.verdicts(bandVerdicts)
+    val keptVecs = bandVerdicts.where(col("carry") && col("vec").isNotNull)
+      .select(col("docId"), col("vec"))
+      .join(v.where(col("keep")).select("docId"), Seq("docId"), "left_semi")
+    graft.queries.Materialized.appendIvfIndex(spark, sfDir, keptVecs,
+      "docId", "vec", s"ivf-$streamId-$microBatchId")
+    v
+  }
 }

@@ -145,4 +145,65 @@ class StreamingEmbDedupSpec extends AnyFunSuite {
       graft.queries.Materialized.clearSessionCache()
     }
   }
+
+  test("streaming keepers append to the stored IVF index; probed searches then retrieve them") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("sed-ivf-corpus")
+    Seq((1L, v2.map(_.toFloat).toSeq), (2L, v3.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite")
+      .parquet(corpusDir.resolve("embeddings.parquet").toString)
+    val store = Files.createTempDirectory("sed-ivf-store")
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", store.toString)
+    graft.queries.Materialized.clearSessionCache()
+    try {
+      val dir = Files.createTempDirectory("sed-ivf-src").toFile
+      val ckpt = Files.createTempDirectory("sed-ivf-ckpt").toFile
+      Seq((100L, v1)).toDF("vecId", "vec").coalesce(1).write.mode("append")
+        .parquet(dir.getAbsolutePath)
+      val op = StreamingEmbDedup()
+      val q1 = op.judged(
+          spark.readStream.schema("vecId LONG, vec ARRAY<DOUBLE>")
+            .parquet(dir.getAbsolutePath).as[StreamingEmbDedup.VecDoc])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingEmbDedup.EmbBandVerdict], id: Long) =>
+          StreamingEmbDedup.absorbKeepersIvf(spark, corpusDir.toString, df.toDF(),
+            "ingest-i", id)
+          ()
+        }
+        .start()
+      q1.processAllAvailable()
+      q1.stop()
+
+      // the streamed keeper now lives in an appended index generation: the
+      // head view has corpus + keeper, and a probed search for the keeper's
+      // own vector retrieves it at cosine 1 — a result only the appended
+      // generation can produce
+      val idx = graft.queries.Materialized.ivfIndexCurrent(spark, corpusDir.toString)
+      assert(idx.assignment.count() == 3,
+        s"corpus 2 + 1 streamed keeper, got ${idx.assignment.count()}")
+      val hit = graft.llm.Similarity.ivfSearch(idx.assignment, idx.centroids,
+          v1.toSeq, k = 1, nprobe = 8)
+        .collect()
+      assert(hit.length == 1 && hit(0).getLong(0) == 100L &&
+        hit(0).getDouble(2) == 1.0,
+        s"probed search must retrieve the streamed keeper exactly: ${hit.toSeq}")
+      // exactly-once: replaying the micro-batch id is a no-op
+      graft.queries.Materialized.appendIvfIndex(spark, corpusDir.toString,
+        Seq((100L, v1.toSeq)).toDF("vecId", "vec"), "vecId", "vec",
+        "ivf-ingest-i-0")
+      assert(graft.queries.Materialized
+        .ivfIndexCurrent(spark, corpusDir.toString).assignment.count() == 3,
+        "micro-batch replay must not duplicate index rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      graft.queries.Materialized.clearSessionCache()
+    }
+  }
 }
