@@ -431,4 +431,103 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as(idCol), col("rank"), col("score"))
   }
+
+  // ------------------------------------------------------------------
+  // BPE tokenizer training — the classic reduction: train on the WORD-
+  // FREQUENCY table (one corpus scan, one hash shuffle keyed on the
+  // word; every later pass touches only distinct words × freq, the
+  // standard corpus-size-independent BPE practice). A word's
+  // tokenization is represented as a space-joined token string with
+  // sentinel boundaries (" c1 c2 ... "), so applying a merge IS a
+  // literal string replace of " L R " with " LR " — left-to-right,
+  // non-overlapping, byte-identical semantics in Spark and DuckDB,
+  // which makes the whole greedy training loop SQL-replayable. The
+  // merge list is the only mutable state and it lives on the driver
+  // (one 1-row collect per round — plans stay flat, no lineage growth,
+  // no persisted state). Simplification vs production BPE: plain
+  // whitespace pre-tokenization and no end-of-word marker; characters
+  // are regex '.' codepoints (BMP — identical in both engines).
+  // ------------------------------------------------------------------
+
+  /** `(w, s, freq)`: distinct words with counts, `s` the space-joined
+    * character tokenization with sentinel boundaries. */
+  private def bpeWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")).as("s"),
+        col("freq"))
+
+  /** Frequency of every adjacent token pair (`"L R"`), weighted by word
+    * frequency — partial+final hash agg, map-side combined. */
+  private def bpePairCounts(wf: DataFrame): DataFrame =
+    wf.withColumn("toks", split(trim(col("s")), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+
+  /** Run the greedy loop: per round, the globally most frequent pair
+    * (ties to the lexicographically smallest — deterministic and
+    * engine-portable under binary collation) merges everywhere at once.
+    * Returns the merge records and the final word table. Stops early if
+    * the corpus runs out of pairs (merge list shorter than requested —
+    * the SQL replay is only defined while pairs remain). */
+  private def bpeLoop(docs: DataFrame, textCol: String,
+                      merges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var wf = bpeWordTable(docs, textCol)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val best = bpePairCounts(wf)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val sp = pair.indexOf(' ')
+        val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
+        out += ((rank.toLong, l, r, l + r, cnt))
+        wf = wf.withColumn("s",
+          replace(col("s"), lit(s" $pair "), lit(s" ${l + r} ")))
+        rank += 1
+      }
+    }
+    (out.toSeq, wf)
+  }
+
+  /** The learned merge table `(rank, lhs, rhs, merged, cnt)` — `cnt` the
+    * pair's weighted frequency at selection time. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(docs, textCol, merges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Apply the learned tokenizer back to the corpus: per document, word
+    * count, base (character) token count, and BPE token count after
+    * `merges` rounds — the compression the tokenizer buys. One explode +
+    * one join on the word (the word table is the small side at training
+    * scale; at 100 TB vocabularies it is a plain hash join on the word
+    * key) + one partial+final agg. Documents with no words produce no
+    * row (both engines). */
+  def bpeDocTokens(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Int): DataFrame = {
+    val (_, wf) = bpeLoop(docs, textCol, merges)
+    val wordTok = wf.select(col("w"),
+      size(split(trim(col("s")), " ")).as("n_tok"),
+      length(col("w")).as("n_chars"))
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .join(wordTok, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_base_tokens"),
+        sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
+  }
 }

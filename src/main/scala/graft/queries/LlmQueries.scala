@@ -25,7 +25,7 @@ object LlmQueries {
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
-    simPqTrain, simPqEncode, simIvfSearchPq)
+    simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -557,6 +557,40 @@ object LlmQueries {
       |    SELECT vec_id, subspace, code_id,
       |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn
       |    FROM pd3) WHERE rn = 1)""".stripMargin
+
+  /** One greedy BPE round of the SQL replay: weighted adjacent-pair
+    * counts over `w${n-1}`'s token strings, the argmax pair (ties to the
+    * lexicographically smallest under binary collation — the Spark
+    * side's orderBy), and the merged word table — a literal `replace` of
+    * `" L R "` with `" LR "`, left-to-right non-overlapping in both
+    * engines. Every CTE is MATERIALIZED: each round references the
+    * previous word table twice (pair counts + merge apply), so inlined
+    * CTEs re-evaluate the whole chain per reference — exponential in the
+    * round count (measured: minutes vs 0.5 s at 8 rounds, sf0.01). */
+  private def bpeIterSql(n: Int) =
+    s"""p$n AS MATERIALIZED (SELECT pair, sum(freq) AS cnt FROM (
+       |    SELECT unnest([t.toks[i] || ' ' || t.toks[i + 1]
+       |                   for i in range(1, len(t.toks))]) AS pair, t.freq
+       |    FROM (SELECT string_split(trim(s), ' ') AS toks, freq FROM w${n - 1}) t)
+       |  GROUP BY 1),
+       |b$n AS MATERIALIZED (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
+       |w$n AS MATERIALIZED (SELECT w, replace(s, ' ' || (SELECT pair FROM b$n) || ' ',
+       |          ' ' || (SELECT replace(pair, ' ', '') FROM b$n) || ' ') AS s, freq
+       |        FROM w${n - 1})""".stripMargin
+
+  /** The BPE(8 merges) training closure over `documents` — word-frequency
+    * table, character-level token strings with sentinel boundaries, then
+    * eight [[bpeIterSql]] rounds, ending in `w8` (the fully merged word
+    * table) and `b1..b8` (the chosen merges) — shared by both BPE oracles
+    * so the training parameters cannot silently diverge. */
+  private def bpeTrainedSql =
+    s"""wc AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+       |  GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w,
+       |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, freq
+       |  FROM wc),
+       |${(1 to 8).map(bpeIterSql).mkString(",\n")}""".stripMargin
 
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1137,6 +1171,45 @@ object LlmQueries {
            |SELECT b2.vec_id, b.cid AS dup_of, b.cs AS cosine, b.cid IS NULL AS keep
            |FROM b2 LEFT JOIN best b ON b2.vec_id = b.bid AND b.rn = 1
            |ORDER BY b2.vec_id""".stripMargin))
+
+  /** BPE tokenizer training over the corpus (8 merges): the classic
+    * word-frequency reduction — one corpus scan builds the distinct-word
+    * table, then each greedy round is one flat job over it (weighted
+    * pair counts → argmax → literal merge replace); the merge list lives
+    * on the driver. The oracle replays the full greedy loop
+    * ([[bpeTrainedSql]]) — byte-identical because a merge is a literal
+    * string replace with the same left-to-right non-overlapping
+    * semantics in both engines. */
+  val textBpeTrain: QueryDef = QueryDef("text_bpe_train",
+    (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), "text", merges = 8)
+      .orderBy("rank"),
+    Some(s"""WITH $bpeTrainedSql,
+            |m AS (${(1 to 8).map(n =>
+                s"SELECT $n::BIGINT AS rank, pair, cnt FROM b$n")
+                .mkString("\n|      UNION ALL ")})
+            |SELECT rank, string_split(pair, ' ')[1] AS lhs,
+            |  string_split(pair, ' ')[2] AS rhs,
+            |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
+            |FROM m ORDER BY rank""".stripMargin))
+
+  /** The learned tokenizer applied back to the corpus: per document,
+    * word / base-character / post-merge BPE token counts — the
+    * compression the 8 merges buy. One explode + one hash join on the
+    * word + one partial+final agg. */
+  val textBpeTokens: QueryDef = QueryDef("text_bpe_tokens",
+    (s, d) => TextAnalysis.bpeDocTokens(Tables.documents(s, d), "doc_id",
+        "text", merges = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH $bpeTrainedSql,
+            |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
+            |         length(w) AS n_chars FROM w8)
+            |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+            |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
+            |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
+            |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+            |      FROM documents) d
+            |JOIN wt ON d.w = wt.w
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Deterministic training-order shuffle into 8 hash shards: shard by
     * content hash, position by in-shard hash rank — a corpus permutation

@@ -327,6 +327,56 @@ class LlmSpec extends AnyFunSuite {
       "Lloyd lineage truncation must not retain persisted RDDs (localCheckpoint would)")
   }
 
+  test("bpeTrain: each merge is the argmax pair given its prefix; greedy left-to-right application") {
+    val corpus = Seq(
+      (1L, "aaa aaa aaa"),     // 'a a' dominates; in-word overlap: aaa -> [aa, a]
+      (2L, "abab abab"),       // then 'a b' / 'ab ab' interplay
+      (3L, "banana bandana")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(corpus, "text", merges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // 'a a' is the most frequent pair: words aaa(×3): pairs (a,a)×2 each;
+    // abab(×2): (a,b)(b,a)(a,b); banana/bandana add more. Weighted count of
+    // (a,a) = 6 from aaa. Recompute expected greedily in plain Scala:
+    def pairsOf(toks: Seq[String]): Seq[(String, String)] =
+      toks.zip(toks.drop(1))
+    def applyMerge(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val words = Seq("aaa" -> 3L, "abab" -> 2L, "banana" -> 1L, "bandana" -> 1L)
+    var state: Seq[(Seq[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+    m.foreach { case (_, l, r, merged, cnt) =>
+      val counts = state.flatMap { case (toks, f) =>
+        pairsOf(toks).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }
+      assert((l, r) == best._1, s"merge ($l,$r) must be the argmax, want ${best._1}")
+      assert(cnt == best._2)
+      assert(merged == l + r)
+      state = state.map { case (toks, f) => (applyMerge(toks, l, r), f) }
+    }
+  }
+
+  test("bpeDocTokens: 0 merges = character count; 8 merges compress; base count merge-independent") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.sf).limit(100)
+    val t0 = TextAnalysis.bpeDocTokens(docs, "doc_id", "text", merges = 0)
+      .agg(sum("n_bpe_tokens"), sum("n_base_tokens")).head()
+    assert(t0.getLong(0) == t0.getLong(1), "0 merges: BPE tokens = characters")
+    val t8 = TextAnalysis.bpeDocTokens(docs, "doc_id", "text", merges = 8)
+      .agg(sum("n_bpe_tokens"), sum("n_base_tokens")).head()
+    assert(t8.getLong(0) < t8.getLong(1), "8 merges must compress")
+    assert(t8.getLong(1) == t0.getLong(1), "base token count is merge-independent")
+  }
+
   test("pqEncode: every stored code is the true per-subspace argmin (driver replay)") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
