@@ -25,7 +25,8 @@ object LlmQueries {
     pipelineIntegrity, dedupIncrementalNear2, dedupIncrementalEmb2,
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
-    simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens)
+    simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
+    simIvfCells)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -366,6 +367,36 @@ object LlmQueries {
             |FROM n JOIN cells cl ON n.vec_id = cl.vec_id, q
             |WHERE cl.centroid_id IN (SELECT centroid_id FROM probe)
             |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
+
+  /** Cell-occupancy histogram of the stored IVF index — the operational
+    * skew check every IVF maintainer needs: a cell that dominates the
+    * corpus makes its probes scan-heavy (the signal to split it or
+    * retrain), an empty-ish cell wastes a probe. One partial+final agg
+    * over the stored assignment (reads only the partition column and the
+    * 6-dp dist); `pct` is exact from the same scan. */
+  val simIvfCells: QueryDef = QueryDef("sim_ivf_cells",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d).assignment
+      val total = idx.count().toDouble
+      // stored dists are exact 6-dp decimals (rounded at build): the
+      // DECIMAL sum is exact and order-independent, so the mean is
+      // engine-portable without trusting double summation order
+      idx.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("dist").cast("decimal(20,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_dist"))
+        .select(col("centroid_id"), col("n_vectors"),
+          round(col("n_vectors") / total * 100, 4).as("pct"),
+          col("avg_dist"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql
+            |SELECT centroid_id, count(*)::BIGINT AS n_vectors,
+            |  round(count(*) * 100.0 / (SELECT count(*) FROM a3), 4) AS pct,
+            |  round((sum(CAST(round(rd, 6) AS DECIMAL(20,6)))::DOUBLE) / count(*), 6)
+            |    AS avg_dist
+            |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Product-quantization codebook training (live cost, the PQ sibling of
     * `sim_ivf_train`): 8 subspaces × 16 codes × 8 dims, 2 distributed
