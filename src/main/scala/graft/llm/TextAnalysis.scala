@@ -479,26 +479,42 @@ object TextAnalysis {
     * the SQL replay is only defined while pairs remain). */
   private def bpeLoop(docs: DataFrame, textCol: String,
                       merges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var wf = bpeWordTable(docs, textCol)
-    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
-    var rank = 1
-    var exhausted = false
-    while (rank <= merges && !exhausted) {
-      val best = bpePairCounts(wf)
-        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val sp = pair.indexOf(' ')
-        val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
-        out += ((rank.toLong, l, r, l + r, cnt))
-        wf = wf.withColumn("s",
-          replace(col("s"), lit(s" $pair "), lit(s" ${l + r} ")))
-        rank += 1
+    // the base word table is scanned once per round (pair counts) plus by
+    // the caller — persist it for the duration of the call so the corpus
+    // scan + word shuffle run ONCE, not once per round; every round's
+    // merge apply is a narrow projection on top. Unpersisted before
+    // returning (the final word table is re-derived lazily from the
+    // cold base by the returned plan — callers keep a flat, cache-free
+    // lineage, and the purity pin holds).
+    val wf0 = bpeWordTable(docs, textCol)
+    val cached = wf0.persist()
+    try {
+      var wf = cached
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      var rank = 1
+      var exhausted = false
+      while (rank <= merges && !exhausted) {
+        val best = bpePairCounts(wf)
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val sp = pair.indexOf(' ')
+          val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
+          out += ((rank.toLong, l, r, l + r, cnt))
+          wf = wf.withColumn("s",
+            replace(col("s"), lit(s" $pair "), lit(s" ${l + r} ")))
+          rank += 1
+        }
       }
-    }
-    (out.toSeq, wf)
+      // rebuild the returned plan over the UNCACHED base so consumers are
+      // independent of this call's cache lifetime
+      val finalWf = out.foldLeft(wf0) { case (df, (_, l, r, merged, _)) =>
+        df.withColumn("s", replace(col("s"), lit(s" $l $r "), lit(s" $merged ")))
+      }
+      (out.toSeq, finalWf)
+    } finally cached.unpersist()
   }
 
   /** The learned merge table `(rank, lhs, rhs, merged, cnt)` — `cnt` the
