@@ -25,7 +25,7 @@ class StoreReuseE2eSpec extends AnyFunSuite {
   }
 
   /** Run [[StoreReuseMain]] in a fresh JVM; returns its last stdout
-    * line (`builds=<n> minhash=<rows> ivf=<rows>`). */
+    * line (`builds=<n> minhash=<rows> ivf=<rows> pq=<rows>`). */
   private def runProcess(storeRoot: String, sfDir: String): String = {
     val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
     val cmd = (Seq(javaBin, "-Xmx4g") ++ addOpens ++ Seq(
@@ -41,18 +41,19 @@ class StoreReuseE2eSpec extends AnyFunSuite {
       .find(_.startsWith("builds=")).getOrElse(fail(s"no builds= line in:\n$out"))
   }
 
-  test("a fresh reader PROCESS serves minhash pairs and the ivf index from storage with zero builds") {
+  test("a fresh reader PROCESS serves minhash pairs, the ivf index, and the pq codes from storage with zero builds") {
     val root = Files.createTempDirectory("graft-store-e2e").toString
-    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+)""".r
-    val (wBuilds, wMinhash, wIvf) = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i) => (b.toInt, m.toLong, i.toLong)
+    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+)""".r
+    val (wBuilds, wMinhash, wIvf, wPq) = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i, p) => (b.toInt, m.toLong, i.toLong, p.toLong)
     }
     assert(wBuilds > 0, "writer must build on an empty store")
 
-    val (rBuilds, rMinhash, rIvf) = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i) => (b.toInt, m.toLong, i.toLong)
+    val (rBuilds, rMinhash, rIvf, rPq) = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i, p) => (b.toInt, m.toLong, i.toLong, p.toLong)
     }
     assert(rBuilds == 0, "a restarted process must reuse the published store, not rebuild")
-    assert((rMinhash, rIvf) == ((wMinhash, wIvf)), "reader must see the writer's tables")
+    assert((rMinhash, rIvf, rPq) == ((wMinhash, wIvf, wPq)),
+      "reader must see the writer's tables")
   }
 }

@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
  * production job sees after its driver restarts.
  *
  * Usage: `StoreReuseMain <storeRoot> <sfDir>` — consumes the minhash pair
- * table and the IVF index against `storeRoot`, then prints
- * `builds=<n> minhash=<rows> ivf=<rows>` on the LAST stdout line. The
+ * table, the IVF index, and the PQ code table against `storeRoot`, then
+ * prints `builds=<n> minhash=<rows> ivf=<rows> pq=<rows>` on the LAST
+ * stdout line. The
  * first run builds (`builds>0`); a rerun in a new process must print
  * `builds=0` (everything served from storage).
  */
@@ -28,8 +29,9 @@ object StoreReuseMain {
     val minhash = Materialized.minhashPairs(spark, sfDir).count()
     val idx = Materialized.ivfIndex(spark, sfDir)
     val ivf = idx.assignment.count()
+    val pq = Materialized.pqCodes(spark, sfDir).count()
     val builds = Materialized.buildsStarted.get()
     spark.stop()
-    println(s"builds=$builds minhash=$minhash ivf=$ivf")
+    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq")
   }
 }
