@@ -986,6 +986,79 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /**
+   * Fully distributed batch kNN join over the PQ-coded index — the
+   * IVF-PQ retrieval shape at table-vs-table scale: both the stored code
+   * table and the query set stay DataFrames end-to-end (no driver
+   * collect, no query-side bound). Probe assignment is the
+   * [[knnJoinDistributed]] pattern (queries × broadcast centroid
+   * sidecar, WindowGroupLimit caps nprobe cells per query); the
+   * per-query ADC lookup tables are a tiny queries × codebook cross join
+   * (Q·m·ksub rows, 6-dp-rounded dots and code norms — interpreted HOF
+   * is fine at that size); candidates come from ONE equi-join of the
+   * code table against the probed (query, cell) pairs, shipping only
+   * `(neighbor_id, codes)` plus the 8-byte query norm — the full-
+   * precision vectors never move. Scoring is a broadcast LUT join and an
+   * exact DECIMAL partial agg (order-independent, oracle-replayable);
+   * the top-k is WindowGroupLimit-bounded. Candidates whose codes
+   * reconstruct to zero norm are dropped (cosine undefined — the
+   * [[pqSearchAdc]] convention). Queries with null/zero/non-finite
+   * vectors fail loudly, same contract as [[knnJoinDistributed]].
+   */
+  def knnJoinPq(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                queries: DataFrame, qIdCol: String, vecCol: String,
+                k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn0 = sqrt(dot(col("qv"), col("qv")))
+    val q = queries
+      .select(col(qIdCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", when(
+        qn0.isNull || isnan(qn0) || qn0 <= 0.0 || qn0 === Double.PositiveInfinity,
+        raise_error(concat(lit("kNN query "), col("query_id").cast("string"),
+          lit(" has a null/zero/non-finite vector — cosine undefined"))))
+        .otherwise(qn0))
+    val cents = broadcast(centroids
+      .select(col("centroid_id").cast("long").as("cell"), col("vec")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    val probe = q.crossJoin(cents)
+      .withColumn("cdist",
+        graft.functions.VectorExpressions.graft_l2sq(col("qv"), col("vec")))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select(col("query_id"), col("qn"), col("cell"))
+    val lut = q.crossJoin(broadcast(codebooks.select(
+        col("subspace").cast("long").as("subspace"), col("code_id"), col("cv"))))
+      .select(col("query_id"), col("subspace"), col("code_id"),
+        expr("round(aggregate(sequence(1, size(cv)), 0D, (acc, i) -> " +
+          "acc + element_at(qv, CAST(subspace * size(cv) + i AS INT)) * " +
+          "element_at(cv, i)), 6)").as("dot6"),
+        expr("round(aggregate(cv, 0D, (acc, x) -> acc + x * x), 6)").as("nn6"))
+    val cand0 = codes
+      .select(col("id").cast("long").as("neighbor_id"),
+        col("centroid_id").cast("long").as("cell"), col("codes"))
+      .join(probe, Seq("cell"))
+    val cand = if (excludeSelf) cand0.where(col("neighbor_id") =!= col("query_id"))
+               else cand0
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("qn"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code_id")))
+      .withColumn("subspace", col("subspace").cast("long"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("qn")).as("qn"),
+        sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
+        sum(col("nn6").cast("decimal(20,6)")).as("snn"))
+      .where(col("snn") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sdot").cast("double") /
+          (sqrt(col("snn").cast("double")) * col("qn")), 6).as("adc_cosine"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_cosine"))
+  }
+
   /** IVF coarse assignment: nearest centroid per vector (broadcast
     * centroids, argmin by L2). `centroids`: (centroid_id, vec: array<double>). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

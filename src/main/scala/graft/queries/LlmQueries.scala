@@ -26,7 +26,7 @@ object LlmQueries {
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
-    simIvfCells)
+    simIvfCells, simKnnJoinPq)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -367,6 +367,58 @@ object LlmQueries {
             |FROM n JOIN cells cl ON n.vec_id = cl.vec_id, q
             |WHERE cl.centroid_id IN (SELECT centroid_id FROM probe)
             |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin))
+
+  /** Fully distributed IVF-PQ batch kNN join — table-vs-table retrieval
+    * where the candidates ship ONLY their stored codes: probe assignment
+    * and top-k are WindowGroupLimit-bounded (no driver collect, no query
+    * bound), per-query ADC lookup tables come from a tiny queries ×
+    * codebook cross join, and scoring is a broadcast LUT join + exact
+    * DECIMAL partial agg — the full-precision vectors never move. The
+    * oracle replays IVF train → assign → PQ train → encode → probe →
+    * per-query LUT → decimal-sum ranking. */
+  val simKnnJoinPq: QueryDef = QueryDef("sim_knn_join_pq",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinPq(Materialized.pqCodes(s, d),
+          Materialized.pqCodebooks(s, d), idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 40),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |qs AS (SELECT vec_id AS query_id, v AS qv,
+            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 40),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |lutq AS (SELECT q.query_id, p.subspace, p.code_id,
+            |        round(list_sum([q.qv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS dot6,
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
+            |        FROM pb2 p, qs q),
+            |cd AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.subspace, a.code_id
+            |       FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
+            |       JOIN probe p ON a3.centroid_id = p.centroid_id
+            |       WHERE a.vec_id <> p.query_id),
+            |sc AS (SELECT cd.query_id, cd.neighbor_id,
+            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot,
+            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn
+            |       FROM cd JOIN lutq l ON cd.query_id = l.query_id
+            |         AND cd.subspace = l.subspace AND cd.code_id = l.code_id
+            |       GROUP BY 1, 2),
+            |r AS (SELECT sc.query_id, sc.neighbor_id,
+            |        round((sdot::DOUBLE) / (sqrt(snn::DOUBLE) * qs.qn), 6) AS adc_cosine
+            |      FROM sc JOIN qs ON sc.query_id = qs.query_id WHERE snn > 0),
+            |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY adc_cosine DESC, neighbor_id) AS rank FROM r)
+            |SELECT query_id, neighbor_id, rank, adc_cosine FROM rk
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Cell-occupancy histogram of the stored IVF index — the operational
     * skew check every IVF maintainer needs: a cell that dominates the

@@ -327,6 +327,30 @@ class LlmSpec extends AnyFunSuite {
       "Lloyd lineage truncation must not retain persisted RDDs (localCheckpoint would)")
   }
 
+  test("knnJoinPq agrees with the per-query pqSearchAdc at every probed query") {
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    val codes = graft.queries.Materialized.pqCodes(spark, TestSpark.sf)
+    val books = graft.queries.Materialized.pqCodebooks(spark, TestSpark.sf)
+    val queries = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") < 8)
+    val joined = Similarity.knnJoinPq(codes, books, idx.centroids, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._4)).toSet).toMap
+    (0L until 8L).foreach { qid =>
+      val qv = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+        .where(col("vec_id") === qid)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      val single = Similarity.pqSearchAdc(codes, books, idx.centroids, qv,
+          k = 5, nprobe = 2, excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(joined(qid) == single,
+        s"query $qid: join ${joined(qid)} vs per-query $single")
+    }
+  }
+
   test("bpeTrain: each merge is the argmax pair given its prefix; greedy left-to-right application") {
     val corpus = Seq(
       (1L, "aaa aaa aaa"),     // 'a a' dominates; in-word overlap: aaa -> [aa, a]

@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite {
       "index scan must column-prune the quantized codes\n" + p)
   }
 
+  test("sim_knn_join_pq: candidates ship only codes — vectors never move, ranking is WindowGroupLimit") {
+    val p = plan("sim_knn_join_pq")
+    // probe (≤ nprobe cells/query) and final rank (≤ k rows/query)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "probe and rank must both be WindowGroupLimit-bounded\n" + p)
+    // the code-table scan reads (id, codes) — never the full-precision
+    // vectors or the int8 codes of the base index
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+      .filter(_.contains("codes"))
+    assert(reads.nonEmpty, "the code table must be scanned\n" + p)
+    assert(reads.forall(r => !r.contains("v:array") && !r.contains("qcode")),
+      "candidate scan must read codes only\n" + p)
+    // LUT scoring joins are broadcast — the only shuffle is the decimal
+    // partial agg and the per-query rank
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_span_dedup: winner election is partial-aggregated on the 60-bit hash — gram text never shuffles") {
     val p = plan("text_span_dedup")
     // the corpus-wide exchange must hash-partition on the gram HASH, and
