@@ -23,7 +23,7 @@ object ScaleCurveMain {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only")
+    val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -60,9 +60,74 @@ object ScaleCurveMain {
     }
     if (args.contains("knn-ivf-only")) knnIvf55k(spark)
     else if (args.contains("knn-dist-only")) knnDist55k(spark)
+    else if (args.contains("knn-pq-only")) knnPq55k(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
-    else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark) }
+    else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
+           knnPq55k(spark) }
     spark.stop()
+  }
+
+  /**
+   * IVF-PQ batch retrieval ([[graft.llm.Similarity.knnJoinPq]]) vs the
+   * full-precision distributed join over the same 60.5k stored index:
+   * the PQ side scans only the cell-partitioned CODE table (8 code ids
+   * per vector — the on-disk ratio is printed), ships no vectors, and
+   * pays the ADC approximation; the measurement reports wall time at
+   * growing Q plus the planted-copy recall through codes alone (an exact
+   * copy shares its source's codes, so its ADC score ties the maximum —
+   * the honest question is whether OTHER code cells beat it).
+   */
+  private def knnPq55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base0 = spark.range(55000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding")
+    val planted = base0.unionByName(
+      base0.where(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-pq")
+    val cents = graft.llm.Similarity.ivfTrainCentroids(
+      base0, "vec_id", "embedding", k = 64, iters = 2)
+    graft.llm.Similarity.ivfIndexRows(planted, "vec_id", "embedding", cents)
+      .write.partitionBy("centroid_id").parquet(root.resolve("idx").toString)
+    val index = spark.read.parquet(root.resolve("idx").toString)
+    val books = graft.llm.Similarity.pqTrainCodebooks(
+      base0, "vec_id", "embedding", m = 8, ksub = 16, iters = 2, dims = 64)
+    graft.llm.Similarity.pqEncode(index, "id", "v", books, dims = 64,
+        cellCol = Some("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(root.resolve("codes").toString)
+    val codes = spark.read.parquet(root.resolve("codes").toString)
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val (bi, bc) = (dirBytes(root.resolve("idx")), dirBytes(root.resolve("codes")))
+    println(f"knn-pq n=${index.count()} bytes idx=$bi codes=$bc ratio=${bi.toDouble / bc}%.1fx")
+    Seq(256, 4096).foreach { q =>
+      val queries = index.where(col("id") < q)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val (np, tp) = timed(graft.llm.Similarity.knnJoinPq(
+        codes, books, cents, queries, "vec_id", "embedding", k = 10, nprobe = 4).count())
+      val (nd, td) = timed(graft.llm.Similarity.knnJoinDistributed(
+        index, cents, queries, "vec_id", "embedding", k = 10, nprobe = 4).count())
+      println(f"knn-pq Q=$q k=10 nprobe=4 pq=${tp}%.1fs ($np rows) full=${td}%.1fs ($nd rows)")
+    }
+    // planted-copy retrieval through codes alone: does the source win rank 1?
+    val plantedQ = index.where(col("id") >= 2000000L && col("id") < 2002560L)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    val nQ = plantedQ.count()
+    val (hits, tr) = timed(graft.llm.Similarity.knnJoinPq(
+        codes, books, cents, plantedQ, "vec_id", "embedding", k = 1, nprobe = 4)
+      .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 2000000L)
+      .count())
+    println(f"knn-pq planted recall@1 = $hits/$nQ (${tr}%.1fs)")
   }
 
   /**
