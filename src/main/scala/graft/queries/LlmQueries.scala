@@ -26,7 +26,7 @@ object LlmQueries {
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
-    simIvfCells, simKnnJoinPq)
+    simIvfCells, simKnnJoinPq, simPqRecon)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -419,6 +419,71 @@ object LlmQueries {
             |         ORDER BY adc_cosine DESC, neighbor_id) AS rank FROM r)
             |SELECT query_id, neighbor_id, rank, adc_cosine FROM rk
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Per-cell PQ reconstruction quality — the dial an IVF-PQ operator
+    * watches to decide when codes need retraining: for every vector, the
+    * cosine between it and its code reconstruction (the same 6-dp LUT
+    * terms the ADC search uses, reduced with exact DECIMAL sums), rolled
+    * up per cell as mean and worst case. A cell whose reconstruction
+    * cosine sags is where ADC ranking quality dies first. Reads the
+    * stored codes + the index's v/norm; the per-(vector, subspace) join
+    * against the 128-row codebook is a broadcast. */
+  val simPqRecon: QueryDef = QueryDef("sim_pq_recon",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d).assignment
+        .select(col("id"), col("centroid_id"), col("v"), col("norm"))
+      val codes = Materialized.pqCodes(s, d)
+        .select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code_id")))
+        .withColumn("subspace", col("subspace").cast("long"))
+      val books = Materialized.pqCodebooks(s, d)
+        .select(col("subspace").cast("long").as("subspace"), col("code_id"), col("cv"))
+      val terms = codes.join(broadcast(books), Seq("subspace", "code_id"))
+        .join(idx, Seq("id"))
+        .select(col("id"), col("centroid_id"), col("norm"),
+          expr("round(aggregate(sequence(1, size(cv)), 0D, (acc, i) -> " +
+            "acc + element_at(v, CAST(subspace * size(cv) + i AS INT)) * " +
+            "element_at(cv, i)), 6)").as("dot6"),
+          expr("round(aggregate(cv, 0D, (acc, x) -> acc + x * x), 6)").as("nn6"))
+      terms.groupBy("id", "centroid_id", "norm")
+        .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
+          sum(col("nn6").cast("decimal(20,6)")).as("snn"))
+        .where(col("snn") > 0)
+        .select(col("centroid_id"),
+          round(col("sdot").cast("double") /
+            (sqrt(col("snn").cast("double")) * col("norm")), 6).as("rc"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("rc").cast("decimal(20,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_recon_cosine"),
+          min("rc").as("min_recon_cosine"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |nv AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+            |tm AS (SELECT a.vec_id,
+            |        round(list_sum([n.v[a.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS dot6,
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
+            |       FROM pa3 a
+            |       JOIN pb2 p ON a.subspace = p.subspace AND a.code_id = p.code_id
+            |       JOIN nv n ON a.vec_id = n.vec_id),
+            |sc AS (SELECT tm.vec_id,
+            |        sum(CAST(tm.dot6 AS DECIMAL(20,6))) AS sdot,
+            |        sum(CAST(tm.nn6 AS DECIMAL(20,6))) AS snn
+            |       FROM tm GROUP BY 1),
+            |rc AS (SELECT a3.centroid_id,
+            |        round((sc.sdot::DOUBLE) / (sqrt(sc.snn::DOUBLE) * nv.nrm), 6) AS rc
+            |       FROM sc JOIN nv ON sc.vec_id = nv.vec_id
+            |       JOIN a3 ON sc.vec_id = a3.vec_id
+            |       WHERE sc.snn > 0)
+            |SELECT centroid_id, count(*)::BIGINT AS n_vectors,
+            |  round((sum(CAST(rc AS DECIMAL(20,6)))::DOUBLE) / count(*), 6)
+            |    AS avg_recon_cosine,
+            |  min(rc) AS min_recon_cosine
+            |FROM rc GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Cell-occupancy histogram of the stored IVF index — the operational
     * skew check every IVF maintainer needs: a cell that dominates the
