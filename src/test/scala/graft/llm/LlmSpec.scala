@@ -390,6 +390,14 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain releases its word-table cache before returning (purity pin)") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.sf).limit(50)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TextAnalysis.bpeTrain(docs, "text", merges = 3).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the per-call word-table cache must not outlive the call")
+  }
+
   test("bpeDocTokens: 0 merges = character count; 8 merges compress; base count merge-independent") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.sf).limit(100)
     val t0 = TextAnalysis.bpeDocTokens(docs, "doc_id", "text", merges = 0)
