@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.BpeExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -438,15 +439,28 @@ object TextAnalysis {
   // word; every later pass touches only distinct words × freq, the
   // standard corpus-size-independent BPE practice). A word's
   // tokenization is represented as a space-joined token string with
-  // sentinel boundaries (" c1 c2 ... "), so applying a merge IS a
-  // literal string replace of " L R " with " LR " — left-to-right,
-  // non-overlapping, byte-identical semantics in Spark and DuckDB,
-  // which makes the whole greedy training loop SQL-replayable. The
-  // merge list is the only mutable state and it lives on the driver
-  // (one 1-row collect per round — plans stay flat, no lineage growth,
-  // no persisted state). Simplification vs production BPE: plain
-  // whitespace pre-tokenization and no end-of-word marker; characters
-  // are regex '.' codepoints (BMP — identical in both engines).
+  // sentinel boundaries (" c1 c2 ... "); applying a merge is the
+  // CLASSIC token-level scan ([[graft.functions.BpeExpressions]]) —
+  // left-to-right over the token array, continuing after each merged
+  // pair — NOT a string replace of " L R " (which consumes the shared
+  // sentinel space: `abab` would under-merge to [ab, a, b]). The DuckDB
+  // oracle replays the same scan as a list_reduce fold over the split
+  // tokens, so the loop stays SQL-replayable. The merge list is the
+  // only mutable state and it lives on the driver (one bounded collect
+  // per ROUND — plans stay flat, no lineage growth, no persisted
+  // state). Rounds are BATCHED for vocabulary scale: each scan selects
+  // the top-B pairs that are mutually token-disjoint (no shared L, R,
+  // or merged token — a greedy-compatible independent set whose counts
+  // are invariant under applying the others), so a 32k-merge vocabulary
+  // needs ~1k scans, not 32k. Divergence rule vs one-at-a-time greedy:
+  // batched selection equals the sequential greedy chain unless a pair
+  // CREATED by an earlier merge in the batch (one involving its merged
+  // token) would have outranked a later selection at that point — on
+  // such corpora the batched ranks are still deterministic, just not
+  // the greedy chain (LlmSpec pins both sides of this rule).
+  // Simplification vs production BPE: plain whitespace pre-tokenization
+  // and no end-of-word marker; characters are regex '.' codepoints
+  // (BMP — identical in both engines).
   // ------------------------------------------------------------------
 
   /** `(w, s, freq)`: distinct words with counts, `s` the space-joined
@@ -471,14 +485,56 @@ object TextAnalysis {
         .as("pair"))
       .groupBy("pair").agg(sum("freq").as("cnt"))
 
-  /** Run the greedy loop: per round, the globally most frequent pair
-    * (ties to the lexicographically smallest — deterministic and
-    * engine-portable under binary collation) merges everywhere at once.
-    * Returns the merge records and the final word table. Stops early if
-    * the corpus runs out of pairs (merge list shorter than requested —
-    * the SQL replay is only defined while pairs remain). */
-  private def bpeLoop(docs: DataFrame, textCol: String,
-                      merges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+  /** Candidate pool per round: the top `candidateFactor × batch` pairs by
+    * `(cnt DESC, pair ASC)` are collected and greedily filtered for
+    * disjointness. Part of the algorithm definition (the oracle uses the
+    * same pool size), not a tuning knob. */
+  private val CandidateFactor = 4
+
+  /** Greedy independent-set selection over the collected candidate pool:
+    * walk pairs in `(cnt DESC, pair ASC)` order, keep a pair when none of
+    * `{L, R, LR}` was touched by an earlier keep this round, stop at
+    * `batch`. Disjointness over the MERGED token too: a merge neither
+    * consumes an adjacency another keep counts on (that would share L or
+    * R) nor creates one another keep would see (that would involve its
+    * merged token), so each kept pair's scan-time count is its true count
+    * at application time and in-batch application order is immaterial. */
+  private def selectDisjoint(top: Seq[(String, Long)],
+                             batch: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val it = top.iterator
+    while (it.hasNext && out.size < batch) {
+      val (pair, cnt) = it.next()
+      val sp = pair.indexOf(' ')
+      val l = pair.substring(0, sp); val r = pair.substring(sp + 1)
+      if (!used(l) && !used(r) && !used(l + r)) {
+        used += l; used += r; used += (l + r)
+        out += ((l, r, cnt))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Run the batched greedy loop: per round, ONE pair-count job over the
+    * cached word table, a bounded collect of the candidate pool, greedy
+    * disjoint selection of up to `batch` merges (ties to the
+    * lexicographically smallest pair — deterministic and engine-portable
+    * under binary collation), and one compiled [[BpeExpressions.BpeApply]]
+    * projection applying the whole batch. `batch = 1` IS the classic
+    * one-at-a-time greedy chain. Returns the merge records and the final
+    * word table. Stops early if the corpus runs out of pairs (merge list
+    * shorter than requested — the SQL replay is only defined while pairs
+    * remain). `rounds = ceil(merges / batch)`; the per-round cap is
+    * `batch` (callers keep `batch | merges`, so the global budget never
+    * truncates a round — the property the SQL replay's fixed per-round
+    * cap relies on). */
+  private def bpeLoop(docs: DataFrame, textCol: String, merges: Int,
+                      batch: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    require(merges % batch == 0,
+      s"batch ($batch) must divide merges ($merges): the oracle replay uses " +
+        "a fixed per-round cap, so a truncated final round would diverge")
     // the base word table is scanned once per round (pair counts) plus by
     // the caller — persist it for the duration of the call so the corpus
     // scan + word shuffle run ONCE, not once per round; every round's
@@ -491,38 +547,49 @@ object TextAnalysis {
     try {
       var wf = cached
       val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
-      var rank = 1
+      val rounds = merges / batch
+      var round = 1
       var exhausted = false
-      while (rank <= merges && !exhausted) {
-        val best = bpePairCounts(wf)
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-        if (best.isEmpty) exhausted = true
+      val roundBatches = scala.collection.mutable.ArrayBuffer[Seq[(String, String)]]()
+      while (round <= rounds && !exhausted) {
+        val top = bpePairCounts(wf)
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(CandidateFactor * batch).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (top.isEmpty) exhausted = true
         else {
-          val pair = best(0).getString(0)
-          val cnt = best(0).getLong(1)
-          val sp = pair.indexOf(' ')
-          val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
-          out += ((rank.toLong, l, r, l + r, cnt))
-          wf = wf.withColumn("s",
-            replace(col("s"), lit(s" $pair "), lit(s" ${l + r} ")))
-          rank += 1
+          // non-empty pool always yields >= 1 keep (round-local used set
+          // starts empty), so the loop makes progress every round
+          val selected = selectDisjoint(top, batch)
+          selected.foreach { case (l, r, cnt) =>
+            out += (((out.size + 1).toLong, l, r, l + r, cnt))
+          }
+          val ms = selected.map { case (l, r, _) => (l, r) }
+          roundBatches += ms
+          wf = wf.withColumn("s", BpeExpressions.bpeApply(col("s"), ms))
+          round += 1
         }
       }
       // rebuild the returned plan over the UNCACHED base so consumers are
       // independent of this call's cache lifetime
-      val finalWf = out.foldLeft(wf0) { case (df, (_, l, r, merged, _)) =>
-        df.withColumn("s", replace(col("s"), lit(s" $l $r "), lit(s" $merged ")))
+      val finalWf = roundBatches.foldLeft(wf0) { (df, ms) =>
+        df.withColumn("s", BpeExpressions.bpeApply(col("s"), ms))
       }
       (out.toSeq, finalWf)
     } finally cached.unpersist()
   }
 
   /** The learned merge table `(rank, lhs, rhs, merged, cnt)` — `cnt` the
-    * pair's weighted frequency at selection time. */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    * pair's weighted frequency at the start of its selection round (for
+    * `batch = 1` that is exactly the classic greedy count; for larger
+    * batches the disjointness rule keeps it the true application-time
+    * count too). */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+               batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLoop(docs, textCol, merges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
+    bpeLoop(docs, textCol, merges, batch)._1
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
   /** Apply the learned tokenizer back to the corpus: per document, word
@@ -533,8 +600,8 @@ object TextAnalysis {
     * key) + one partial+final agg. Documents with no words produce no
     * row (both engines). */
   def bpeDocTokens(docs: DataFrame, idCol: String, textCol: String,
-                   merges: Int): DataFrame = {
-    val (_, wf) = bpeLoop(docs, textCol, merges)
+                   merges: Int, batch: Int = 1): DataFrame = {
+    val (_, wf) = bpeLoop(docs, textCol, merges, batch)
     val wordTok = wf.select(col("w"),
       size(split(trim(col("s")), " ")).as("n_tok"),
       length(col("w")).as("n_chars"))

@@ -706,12 +706,30 @@ object LlmQueries {
       |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn
       |    FROM pd3) WHERE rn = 1)""".stripMargin
 
-  /** One greedy BPE round of the SQL replay: weighted adjacent-pair
-    * counts over `w${n-1}`'s token strings, the argmax pair (ties to the
-    * lexicographically smallest under binary collation — the Spark
-    * side's orderBy), and the merged word table — a literal `replace` of
-    * `" L R "` with `" LR "`, left-to-right non-overlapping in both
-    * engines. Every CTE is MATERIALIZED: each round references the
+  /** Batched-BPE training parameters of the oracled queries: 8 rounds ×
+    * 32 merges = a 256-merge budget (the synthetic corpus' 31-word
+    * vocabulary exhausts its pair supply well before the budget — both
+    * engines run out identically, so the learned list is simply shorter).
+    * Pool = the `CandidateFactor × batch` candidate bound both engines
+    * share. */
+  private val BpeRounds = 8
+  private val BpeBatch = 32
+  private val BpePool = 4 * BpeBatch
+
+  /** One batched greedy BPE round of the SQL replay, mirroring
+    * [[graft.llm.TextAnalysis.bpeTrain]] exactly: weighted adjacent-pair
+    * counts over `w${n-1}`'s token strings; the top-`pool` candidate list
+    * in `(cnt DESC, pair ASC)` order (binary collation — the Spark side's
+    * orderBy); a `list_reduce` fold selecting up to `batch` mutually
+    * token-disjoint pairs (no shared L, R, or merged token — single-token
+    * containment tests against a space-delimited used-token string are
+    * exact because tokens cannot contain spaces; `chr(1)`/`chr(2)`
+    * separate the used-token region from the kept-pair list and cannot
+    * appear in corpus tokens, which are `[A-Za-z0-9]` words); and the
+    * merged word table — a nested fold applying each kept pair TOKEN-
+    * LEVEL, left-to-right, continuing after each merged pair (classic
+    * BPE; a chain-merge of the freshly merged tail is impossible since
+    * `LR != L`). Every CTE is MATERIALIZED: each round references the
     * previous word table twice (pair counts + merge apply), so inlined
     * CTEs re-evaluate the whole chain per reference — exponential in the
     * round count (measured: minutes vs 0.5 s at 8 rounds, sf0.01). */
@@ -721,16 +739,35 @@ object LlmQueries {
        |                   for i in range(1, len(t.toks))]) AS pair, t.freq
        |    FROM (SELECT string_split(trim(s), ' ') AS toks, freq FROM w${n - 1}) t)
        |  GROUP BY 1),
-       |b$n AS MATERIALIZED (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
-       |w$n AS MATERIALIZED (SELECT w, replace(s, ' ' || (SELECT pair FROM b$n) || ' ',
-       |          ' ' || (SELECT replace(pair, ' ', '') FROM b$n) || ' ') AS s, freq
-       |        FROM w${n - 1})""".stripMargin
+       |sel$n AS MATERIALIZED (SELECT list_reduce(
+       |    list_prepend(' ' || chr(1), (SELECT coalesce(list(pair ORDER BY cnt DESC, pair), [])
+       |      FROM (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT $BpePool) tp)),
+       |    (acc, p) -> CASE WHEN len(string_split(split_part(acc, chr(1), 1), ' ')) - 2 < ${3 * BpeBatch}
+       |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || string_split(p, ' ')[1] || ' ')
+       |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || string_split(p, ' ')[2] || ' ')
+       |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || replace(p, ' ', '') || ' ')
+       |      THEN split_part(acc, chr(1), 1) || string_split(p, ' ')[1] || ' ' || string_split(p, ' ')[2] ||
+       |        ' ' || replace(p, ' ', '') || ' ' || chr(1) || split_part(acc, chr(1), 2) || p || chr(2)
+       |      ELSE acc END) AS st),
+       |b$n AS MATERIALIZED (SELECT u.i AS rsel, u.pair, p.cnt FROM
+       |    (SELECT unnest(ps) AS pair, unnest(generate_series(1, len(ps))) AS i FROM
+       |      (SELECT string_split(split_part(st, chr(1), 2), chr(2)) AS ps FROM sel$n) sp) u
+       |    JOIN p$n p USING (pair)),
+       |w$n AS MATERIALIZED (SELECT w, list_reduce(
+       |    list_prepend(s, (SELECT coalesce(list(pair ORDER BY rsel), []) FROM b$n)),
+       |    (s2, m) -> list_reduce(list_prepend('', string_split(trim(s2), ' ')),
+       |      (acc, x) -> CASE WHEN x = string_split(m, ' ')[2]
+       |            AND ends_with(acc, ' ' || string_split(m, ' ')[1])
+       |          THEN acc[1:len(acc) - len(string_split(m, ' ')[1])] || replace(m, ' ', '')
+       |          ELSE acc || ' ' || x END) || ' ') AS s, freq
+       |  FROM w${n - 1})""".stripMargin
 
-  /** The BPE(8 merges) training closure over `documents` — word-frequency
+  /** The batched-BPE training closure over `documents` — word-frequency
     * table, character-level token strings with sentinel boundaries, then
-    * eight [[bpeIterSql]] rounds, ending in `w8` (the fully merged word
-    * table) and `b1..b8` (the chosen merges) — shared by both BPE oracles
-    * so the training parameters cannot silently diverge. */
+    * [[BpeRounds]] [[bpeIterSql]] rounds, ending in `w$BpeRounds` (the
+    * fully merged word table) and `b1..b$BpeRounds` (the kept merges with
+    * in-round selection ranks) — shared by both BPE oracles so the
+    * training parameters cannot silently diverge. */
   private def bpeTrainedSql =
     s"""wc AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
@@ -738,7 +775,7 @@ object LlmQueries {
        |w0 AS MATERIALIZED (SELECT w,
        |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, freq
        |  FROM wc),
-       |${(1 to 8).map(bpeIterSql).mkString(",\n")}""".stripMargin
+       |${(1 to BpeRounds).map(bpeIterSql).mkString(",\n")}""".stripMargin
 
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1320,37 +1357,43 @@ object LlmQueries {
            |FROM b2 LEFT JOIN best b ON b2.vec_id = b.bid AND b.rn = 1
            |ORDER BY b2.vec_id""".stripMargin))
 
-  /** BPE tokenizer training over the corpus (8 merges): the classic
-    * word-frequency reduction — one corpus scan builds the distinct-word
-    * table, then each greedy round is one flat job over it (weighted
-    * pair counts → argmax → literal merge replace); the merge list lives
-    * on the driver. The oracle replays the full greedy loop
-    * ([[bpeTrainedSql]]) — byte-identical because a merge is a literal
-    * string replace with the same left-to-right non-overlapping
-    * semantics in both engines. */
+  /** Batched BPE tokenizer training over the corpus (256-merge budget as
+    * 8 rounds × 32): the classic word-frequency reduction — one corpus
+    * scan builds the distinct-word table, then each ROUND is one flat
+    * job over it (weighted pair counts → top-128 candidate pool → greedy
+    * disjoint selection of ≤32 merges → one compiled token-level apply);
+    * the merge list lives on the driver. Rounds scale with vocabulary /
+    * batch, not vocabulary — the round-7 "32k merges = 32k jobs" gap.
+    * The oracle replays the full batched loop ([[bpeTrainedSql]]) with
+    * token-level merge application — the round-7 string-replace
+    * under-merge (`abab` → `[ab, a, b]`) is gone from both engines. On
+    * this corpus the 31-word vocabulary exhausts its pairs before the
+    * budget; both engines stop identically. */
   val textBpeTrain: QueryDef = QueryDef("text_bpe_train",
-    (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), "text", merges = 8)
+    (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), "text",
+        merges = 256, batch = 32)
       .orderBy("rank"),
     Some(s"""WITH $bpeTrainedSql,
-            |m AS (${(1 to 8).map(n =>
-                s"SELECT $n::BIGINT AS rank, pair, cnt FROM b$n")
+            |m AS (${(1 to BpeRounds).map(n =>
+                s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
                 .mkString("\n|      UNION ALL ")})
-            |SELECT rank, string_split(pair, ' ')[1] AS lhs,
+            |SELECT row_number() OVER (ORDER BY round, rsel) AS rank,
+            |  string_split(pair, ' ')[1] AS lhs,
             |  string_split(pair, ' ')[2] AS rhs,
             |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
             |FROM m ORDER BY rank""".stripMargin))
 
   /** The learned tokenizer applied back to the corpus: per document,
     * word / base-character / post-merge BPE token counts — the
-    * compression the 8 merges buy. One explode + one hash join on the
-    * word + one partial+final agg. */
+    * compression the learned merges buy. One explode + one hash join on
+    * the word + one partial+final agg. */
   val textBpeTokens: QueryDef = QueryDef("text_bpe_tokens",
     (s, d) => TextAnalysis.bpeDocTokens(Tables.documents(s, d), "doc_id",
-        "text", merges = 8)
+        "text", merges = 256, batch = 32)
       .orderBy("doc_id"),
     Some(s"""WITH $bpeTrainedSql,
             |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
-            |         length(w) AS n_chars FROM w8)
+            |         length(w) AS n_chars FROM w$BpeRounds)
             |SELECT d.doc_id, count(*)::BIGINT AS n_words,
             |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
             |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens

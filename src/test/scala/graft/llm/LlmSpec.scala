@@ -409,6 +409,89 @@ class LlmSpec extends AnyFunSuite {
     assert(t8.getLong(1) == t0.getLong(1), "base token count is merge-independent")
   }
 
+  test("BpeApply kernel: token-level left-to-right merge (round-7 string-replace under-merge fix)") {
+    import graft.functions.BpeExpressions.applyMerges
+    // the string-replace form consumed the shared sentinel space between
+    // consecutive occurrences: 'abab' under-merged to [ab, a, b] and
+    // 'aaaa' to [aa, a, a]; token-level must give [ab, ab] / [aa, aa]
+    assert(applyMerges(" a b a b ", Array("a"), Array("b")) == " ab ab ")
+    assert(applyMerges(" a a a a ", Array("a"), Array("a")) == " aa aa ")
+    // odd run: leftmost-first, continue AFTER the merged pair
+    assert(applyMerges(" a a a ", Array("a"), Array("a")) == " aa a ")
+    // sequential rank order across merges: (a,b) then (ab,ab)
+    assert(applyMerges(" a b a b a ", Array("a", "ab"), Array("b", "ab")) ==
+      " abab a ")
+    // no-ops: empty merge list, token absent, single token
+    assert(applyMerges(" x y ", Array.empty[String], Array.empty[String]) == " x y ")
+    assert(applyMerges(" x ", Array("a"), Array("b")) == " x ")
+    // and through the expression (exercises codegen)
+    val df = Seq(" a b a b ", " a a a a ").toDF("s")
+      .select(graft.functions.BpeExpressions.bpeApply(col("s"),
+        Seq(("a", "b"))).as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(" ab ab ", " a a a a "))
+  }
+
+  test("bpeTrain: overlap-heavy corpus learns token-level counts (abab/aaaa regression)") {
+    // 'abab'×3 has token pairs (a,b)×2, (b,a)×1 per word; 'aaaa'×2 has
+    // (a,a)×3 per word. Hand-derived greedy chain under CLASSIC BPE:
+    //   1. tie (a,a)=6 vs (a,b)=6 -> lexicographic -> (a,a), 'aaaa' -> [aa,aa]
+    //      (the buggy string replace would have produced [aa,a,a])
+    //   2. (a,b)=6, 'abab' -> [ab,ab] (bug: [ab,a,b])
+    //   3. (ab,ab)=3 — only exists because step 2 merged token-level
+    //   4. (aa,aa)=2
+    val corpus = Seq((1L, "abab abab abab"), (2L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(corpus, "text", merges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(m == Seq(("a", "a", 6L), ("a", "b", 6L), ("ab", "ab", 3L), ("aa", "aa", 2L)))
+  }
+
+  test("bpeTrain batched: equals the greedy chain on an order-safe corpus; diverges per the documented rule") {
+    // order-safe: the four words use disjoint alphabets, so the top-4
+    // pairs are mutually token-disjoint and no in-batch merge can create
+    // a pair that outranks a later selection
+    val safe = Seq((1L, "aa aa aa aa aa aa aa aa aa aa bb bb bb bb bb bb bb bb bb"),
+      (2L, "cc cc cc cc cc cc cc cc dd dd dd dd dd dd dd")).toDF("doc_id", "text")
+    val greedy = TextAnalysis.bpeTrain(safe, "text", merges = 4, batch = 1)
+      .orderBy("rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val batched = TextAnalysis.bpeTrain(safe, "text", merges = 4, batch = 4)
+      .orderBy("rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(greedy == batched, s"order-safe corpus must batch losslessly: $greedy vs $batched")
+    // divergence rule: greedy's 2nd merge (aa,aa) is CREATED by its 1st
+    // merge and outranks (b,c); the batch cannot see it at scan time, so
+    // it keeps (b,c) second — deterministic, documented, and pinned here
+    val unsafe = Seq((1L, Seq.fill(10)("aaaa").mkString(" ")),
+      (2L, Seq.fill(4)("bc").mkString(" "))).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeTrain(unsafe, "text", merges = 2, batch = 1)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val b2 = TextAnalysis.bpeTrain(unsafe, "text", merges = 2, batch = 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(g2 == Seq(("a", "a"), ("aa", "aa")))
+    assert(b2 == Seq(("a", "a"), ("b", "c")))
+  }
+
+  test("bpeTrain batched 256-budget run: contiguous ranks, well-formed merges, deep compression") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.sf)
+    val m = TextAnalysis.bpeTrain(docs, "text", merges = 256, batch = 32)
+      .orderBy("rank").collect()
+    // ranks contiguous from 1; merged = lhs + rhs throughout; the tiny
+    // 31-word vocabulary runs out of disjoint candidates long before the
+    // 256 budget (early stop, documented)
+    assert(m.length > 32 && m.length < 256)
+    assert(m.map(_.getLong(0)).toSeq == (1L to m.length.toLong))
+    assert(m.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    // a batched vocabulary this deep must compress far past the 8-merge
+    // chain: most words collapse to a handful of tokens
+    val agg = TextAnalysis.bpeDocTokens(docs, "doc_id", "text",
+        merges = 256, batch = 32)
+      .agg(sum("n_words"), sum("n_bpe_tokens"), sum("n_base_tokens")).head()
+    assert(agg.getLong(1) < agg.getLong(2) / 2,
+      s"expected >2x compression: ${agg.getLong(1)} BPE vs ${agg.getLong(2)} base tokens")
+    assert(agg.getLong(1) >= agg.getLong(0), "BPE tokens cannot undercut word count")
+  }
+
   test("pqEncode: every stored code is the true per-subspace argmin (driver replay)") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
