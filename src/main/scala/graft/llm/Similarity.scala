@@ -465,6 +465,30 @@ object Similarity {
   }
 
   /**
+   * IVF residuals: `rv = v − centroid(cell)` for every assigned vector —
+   * the input classic IVF-PQ (the FAISS architecture) trains and encodes
+   * on. Quantizing the residual instead of the raw vector concentrates
+   * the variance the codes must capture (the coarse centroid already
+   * explains the cell's mean), which is where most recall at fixed code
+   * bytes comes from. One broadcast join against the tiny centroid
+   * sidecar + a per-row `zip_with` — no shuffle; plain IEEE subtraction,
+   * identical in the SQL oracle.
+   *
+   * `assignment` needs `(idCol, centroid_id, vecCol)`; `centroids` is the
+   * `(centroid_id, vec)` sidecar.
+   */
+  def ivfResiduals(assignment: DataFrame, centroids: DataFrame,
+                   idCol: String = "id", vecCol: String = "v"): DataFrame =
+    assignment
+      .select(col(idCol).cast("long").as("id"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        asDouble(col(vecCol)).as("v"))
+      .join(broadcast(centroids.select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec").as("_cvec"))), Seq("centroid_id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("v"), col("_cvec"), (x, c) => x - c).as("rv"))
+
+  /**
    * Train per-subspace PQ codebooks by distributed k-means: deterministic
    * init (subspace slices of the first `ksub` corpus vectors, code_id =
    * the donor's id), then `iters` Lloyd rounds. Each round is ONE
@@ -567,6 +591,13 @@ object Similarity {
     val books = collectBooks(codebooks)
     require(books.nonEmpty, "pqEncode: empty codebook table")
     val m = books.length
+    // loud rejects, not silently truncated subspaces: a dims not divisible
+    // by m would encode against offsets that ignore trailing components,
+    // and a codebook trained at a different subDim would slice garbage
+    require(dims % m == 0, s"pqEncode: dims=$dims not divisible by m=$m")
+    require(books(0)._2(0)._2.length == dims / m,
+      s"pqEncode: codebook subvector length ${books(0)._2(0)._2.length} != " +
+        s"dims/m = ${dims / m} — codebook trained at a different geometry")
     val subDim = dims / m
     val bc = spark.sparkContext.broadcast(books)
     cellCol match {
@@ -598,10 +629,20 @@ object Similarity {
    * hash-agg of exact DECIMAL sums → TakeOrderedAndProject. A candidate
    * whose codes reconstruct to zero norm yields a null cosine and ranks
    * last (the [[ivfSearchQ8]] degenerate-vector convention).
+   *
+   * `residual = true` scores codes that quantize `v − centroid(cell)`
+   * ([[ivfResiduals]], the classic IVF-PQ layout): the reconstruction is
+   * `centroid + decoded residual`, so the LUT gains the per-(cell,
+   * subspace, code) centroid·code cross terms (nprobe·m·ksub rows, still
+   * a trivial broadcast) and the per-cell `query·centroid` / `‖centroid‖²`
+   * constants. A candidate whose code id is missing from the codebook is
+   * inner-join-dropped here; the fused kernel ([[knnJoinPq]]) fails
+   * loudly instead — prefer it when store corruption must stop the job.
    */
   def pqSearchAdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                   queryVec: Seq[Double], k: Int, nprobe: Int,
-                  excludeId: Option[Long] = None): DataFrame = {
+                  excludeId: Option[Long] = None,
+                  residual: Boolean = false): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val q = queryVec.toArray
@@ -617,31 +658,82 @@ object Similarity {
         (cid, s)
       }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1).toSeq
     val qn = math.sqrt(dotKernel(q, q))
-    val lut = books.flatMap { case (s, cs) =>
-      cs.map { case (cid, cv) =>
-        var dt = 0.0; var nn = 0.0; var i = 0
-        while (i < cv.length) {
-          dt += q(s * subDim + i) * cv(i); nn += cv(i) * cv(i); i += 1
-        }
-        (s.toLong, cid, roundHalfUp(dt, 6), roundHalfUp(nn, 6))
-      }
-    }.toIndexedSeq.toDF("subspace", "code_id", "dot6", "nn6")
     val base = codes.where(col("centroid_id").isin(probed: _*))
     val e1 = excludeId.map(x => base.where(col("id") =!= x)).getOrElse(base)
-    e1.select(col("id"), col("centroid_id").cast("long").as("cell"),
+    val exploded = e1.select(col("id"), col("centroid_id").cast("long").as("cell"),
         posexplode(col("codes")).as(Seq("subspace", "code_id")))
       .withColumn("subspace", col("subspace").cast("long"))
-      .join(broadcast(lut), Seq("subspace", "code_id"))
-      .groupBy("id", "cell")
-      .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
-        sum(col("nn6").cast("decimal(20,6)")).as("snn"))
-      .select(col("id"), col("cell"),
-        when(col("snn") === 0, lit(null).cast("double"))
-          .otherwise(round(col("sdot").cast("double") /
-            (sqrt(col("snn").cast("double")) * qn), 6))
-          .as("adc_cosine"))
-      .orderBy(col("adc_cosine").desc, col("id"))
-      .limit(k)
+    if (!residual) {
+      val lut = books.flatMap { case (s, cs) =>
+        cs.map { case (cid, cv) =>
+          var dt = 0.0; var nn = 0.0; var i = 0
+          while (i < cv.length) {
+            dt += q(s * subDim + i) * cv(i); nn += cv(i) * cv(i); i += 1
+          }
+          (s.toLong, cid, roundHalfUp(dt, 6), roundHalfUp(nn, 6))
+        }
+      }.toIndexedSeq.toDF("subspace", "code_id", "dot6", "nn6")
+      exploded
+        .join(broadcast(lut), Seq("subspace", "code_id"))
+        .groupBy("id", "cell")
+        .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
+          sum(col("nn6").cast("decimal(20,6)")).as("snn"))
+        .select(col("id"), col("cell"),
+          when(col("snn") === 0, lit(null).cast("double"))
+            .otherwise(round(col("sdot").cast("double") /
+              (sqrt(col("snn").cast("double")) * qn), 6))
+            .as("adc_cosine"))
+        .orderBy(col("adc_cosine").desc, col("id"))
+        .limit(k)
+    } else {
+      // residual codes reconstruct v̂ = c(cell) + r̂, so the approximate
+      // cosine needs the cell terms too:
+      //   dot(q, v̂)  = dot(q, c)  + Σ_s dot(q_s, cv_s)
+      //   ‖v̂‖²      = ‖c‖² + 2·Σ_s dot(c_s, cv_s) + Σ_s ‖cv_s‖²
+      // Every term is 6-dp-rounded at the LUT and reduced with exact
+      // DECIMAL sums — order-independent and oracle-replayable. The
+      // cross-term LUT is keyed by (cell, subspace, code): nprobe·m·ksub
+      // rows, still a trivial broadcast.
+      val centMap = cents.toMap
+      val lut = probed.flatMap { cell =>
+        val c = centMap(cell)
+        books.toIndexedSeq.flatMap { case (s, cs) =>
+          cs.map { case (cid, cv) =>
+            var dt = 0.0; var nn = 0.0; var cd = 0.0; var i = 0
+            while (i < cv.length) {
+              dt += q(s * subDim + i) * cv(i)
+              nn += cv(i) * cv(i)
+              cd += c(s * subDim + i) * cv(i)
+              i += 1
+            }
+            (cell, s.toLong, cid,
+              roundHalfUp(dt, 6), roundHalfUp(nn, 6), roundHalfUp(cd, 6))
+          }
+        }
+      }.toDF("cell", "subspace", "code_id", "dot6", "nn6", "cdot6")
+      val cellConst = probed.map { cell =>
+        val c = centMap(cell)
+        (cell, roundHalfUp(dotKernel(q, c), 6), roundHalfUp(dotKernel(c, c), 6))
+      }.toDF("cell", "qc6", "cn6")
+      exploded
+        .join(broadcast(lut), Seq("cell", "subspace", "code_id"))
+        .groupBy("id", "cell")
+        .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot0"),
+          sum(col("cdot6").cast("decimal(20,6)")).as("scd"),
+          sum(col("nn6").cast("decimal(20,6)")).as("snn0"))
+        .join(broadcast(cellConst), Seq("cell"))
+        .select(col("id"), col("cell"),
+          (col("qc6").cast("decimal(20,6)") + col("sdot0")).as("sdot"),
+          (col("cn6").cast("decimal(20,6)") + lit(2) * col("scd") + col("snn0"))
+            .as("snn"))
+        .select(col("id"), col("cell"),
+          when(col("snn") <= 0, lit(null).cast("double"))
+            .otherwise(round(col("sdot").cast("double") /
+              (sqrt(col("snn").cast("double")) * qn), 6))
+            .as("adc_cosine"))
+        .orderBy(col("adc_cosine").desc, col("id"))
+        .limit(k)
+    }
   }
 
   /**
@@ -759,6 +851,14 @@ object Similarity {
   /** Worst element at the heap top: lower cosine, then LARGER id (the tie
     * rule prefers smaller ids, so the larger id is evicted first) — shared
     * by [[knnJoin]] and [[knnJoinIvf]] so their rankings cannot diverge. */
+  /** Per-partition cap on [[knnJoinPq]]'s lazily built query LUT cache
+    * (LRU): the probed query table is a broadcast, so one partition can
+    * meet the whole query set; ~2·m·ksub longs per entry keeps the cap at
+    * a few MB. Eviction only costs a rebuild if the query re-appears in
+    * the same partition (candidates arrive join-clustered, so in practice
+    * a query's candidates are adjacent). */
+  val LutCacheCap = 1024
+
   private val worstFirst: Ordering[(Double, Long)] = (a, b) => {
     val c = java.lang.Double.compare(b._1, a._1)
     if (c != 0) c else java.lang.Long.compare(a._2, b._2)
@@ -989,25 +1089,31 @@ object Similarity {
   /**
    * Fully distributed batch kNN join over the PQ-coded index — the
    * IVF-PQ retrieval shape at table-vs-table scale: both the stored code
-   * table and the query set stay DataFrames end-to-end (no driver
-   * collect, no query-side bound). Probe assignment is the
-   * [[knnJoinDistributed]] pattern (queries × broadcast centroid
-   * sidecar, WindowGroupLimit caps nprobe cells per query); the
-   * per-query ADC lookup tables are a tiny queries × codebook cross join
-   * (Q·m·ksub rows, 6-dp-rounded dots and code norms — interpreted HOF
-   * is fine at that size); candidates come from ONE equi-join of the
-   * code table against the probed (query, cell) pairs, shipping only
-   * `(neighbor_id, codes)` plus the 8-byte query norm — the full-
-   * precision vectors never move. Scoring is a broadcast LUT join and an
-   * exact DECIMAL partial agg (order-independent, oracle-replayable);
-   * the top-k is WindowGroupLimit-bounded. Candidates whose codes
-   * reconstruct to zero norm are dropped (cosine undefined — the
+   * table and the query set stay DataFrames end-to-end with no driver
+   * collect. The query-side bound is broadcast memory: the probed
+   * (query, cell) table is broadcast to the code-table scan, so Q scales
+   * to what an executor can hold (tens of MB of query vectors), not to
+   * [[knnJoin]]'s hard 4,096 — per-executor LUT memory stays flat
+   * regardless via the kernel's LRU cache ([[LutCacheCap]]). Probe
+   * assignment is the [[knnJoinDistributed]] pattern (queries ×
+   * broadcast centroid sidecar, WindowGroupLimit caps nprobe cells per
+   * query); candidates come from ONE equi-join of the code table
+   * against the probed (query, cell) pairs, shipping only
+   * `(neighbor_id, cell, codes)` plus the 8-byte query norm — the full-
+   * precision vectors never move. Scoring is the fused per-partition
+   * LUT kernel (order-independent scaled-long sums, oracle-replayable);
+   * the top-k is WindowGroupLimit-bounded. `residual = true` scores
+   * codes that quantize `v − centroid(cell)` ([[ivfResiduals]]), adding
+   * the per-cell centroid terms to the reconstruction. Candidates whose
+   * codes reconstruct to zero norm are dropped (cosine undefined — the
    * [[pqSearchAdc]] convention). Queries with null/zero/non-finite
-   * vectors fail loudly, same contract as [[knnJoinDistributed]].
+   * vectors fail loudly, same contract as [[knnJoinDistributed]]; a
+   * code id missing from the codebook fails loudly too (stale store).
    */
   def knnJoinPq(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                 queries: DataFrame, qIdCol: String, vecCol: String,
-                k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+                k: Int, nprobe: Int, excludeSelf: Boolean = true,
+                residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = codes.sparkSession
     import spark.implicits._
@@ -1019,8 +1125,11 @@ object Similarity {
         raise_error(concat(lit("kNN query "), col("query_id").cast("string"),
           lit(" has a null/zero/non-finite vector — cosine undefined"))))
         .otherwise(qn0))
-    val cents = broadcast(centroids
-      .select(col("centroid_id").cast("long").as("cell"), col("vec")))
+    val centRows = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = broadcast(centRows.map { case (cid, v) => (cid, v.toSeq) }
+      .toSeq.toDF("cell", "vec"))
     val probeW = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
     val probe = q.crossJoin(cents)
       .withColumn("cdist",
@@ -1029,6 +1138,7 @@ object Similarity {
       .where(col("prn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val booksBc = spark.sparkContext.broadcast(collectBooks(codebooks))
+    val centsBc = spark.sparkContext.broadcast(centRows)
     val cand0 = codes
       .select(col("id").cast("long").as("neighbor_id"),
         col("centroid_id").cast("long").as("cell"), col("codes"))
@@ -1043,30 +1153,96 @@ object Similarity {
     // (subspace, code), the 6-dp-rounded query·code dot and code norm as
     // SCALED LONGS (value·10⁶ — exact, order-independent sums, bit-equal
     // to the SQL oracle's DECIMAL(20,6) reduction and to [[pqSearchAdc]]'s
-    // relational form). Per pair: m array lookups + 2 long adds.
+    // relational form), plus (residual mode) the per-cell query·centroid
+    // constants. The cache is LRU-BOUNDED at `LutCacheCap` queries
+    // (~2·m·ksub longs each): the probe side is a broadcast, so one
+    // partition can meet the full query set — an unbounded cache would
+    // scale executor memory with Q. Per pair: m array lookups + 2 long
+    // adds (+3 in residual mode).
+    //
+    // Residual mode adds the query-INDEPENDENT cell tables (‖c‖² and the
+    // per-(cell, subspace, code) centroid·code cross terms), built once
+    // per cell seen by the partition — never per query.
+    //
+    // A stored code id absent from the codebook (stale code table vs
+    // retrained codebooks) fails LOUDLY with the offending (subspace,
+    // code_id) — not the bare unboxing NPE this kernel used to throw, and
+    // deliberately not [[pqSearchAdc]]'s silent inner-join drop: a
+    // corrupted store should stop the job, not thin the result.
+    val res = residual
     val scored = cand
-      .select(col("query_id"), col("qv"), col("qn"), col("neighbor_id"), col("codes"))
-      .as[(Long, Array[Double], Double, Long, Array[Long])]
+      .select(col("query_id"), col("qv"), col("qn"), col("neighbor_id"),
+        col("cell"), col("codes"))
+      .as[(Long, Array[Double], Double, Long, Long, Array[Long])]
       .mapPartitions { it =>
         val books = booksBc.value
         val m = books.length
         val subDim = books(0)._2(0)._2.length
+        val centMap = new java.util.HashMap[Long, Array[Double]]()
+        centsBc.value.foreach { case (cid, v) => centMap.put(cid, v) }
         // per-subspace code-id → dense index (code ids are donor ids and
-        // survive cell emptying, so they need not be contiguous)
-        val codeIdx: Array[java.util.HashMap[Long, Int]] = books.map { case (_, cs) =>
-          val h = new java.util.HashMap[Long, Int](cs.length * 2)
-          cs.zipWithIndex.foreach { case ((cid, _), i) => h.put(cid, i) }
-          h
-        }
+        // survive cell emptying, so they need not be contiguous); boxed
+        // Integer so an unknown code is a checkable null, not an NPE
+        val codeIdx: Array[java.util.HashMap[java.lang.Long, java.lang.Integer]] =
+          books.map { case (_, cs) =>
+            val h = new java.util.HashMap[java.lang.Long, java.lang.Integer](cs.length * 2)
+            cs.zipWithIndex.foreach { case ((cid, _), i) =>
+              h.put(Long.box(cid), Int.box(i))
+            }
+            h
+          }
         def scaled6(x: Double): Long =
           java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
             .movePointRight(6).longValueExact()
-        val luts = new java.util.HashMap[Long, (Array[Long], Array[Long])]()
-        it.flatMap { case (qid, qv, qn, nid, cds) =>
+        def denseIdx(s: Int, codeId: Long): Int = {
+          val ci = codeIdx(s).get(codeId)
+          if (ci == null) throw new IllegalStateException(
+            s"PQ code table references code_id=$codeId in subspace $s, which the " +
+              "codebook does not contain — stale code table vs retrained codebooks?")
+          ci.intValue()
+        }
+        val nCodes = books.map(_._2.length).sum
+        // query LUTs: (dot6, nn6 [, per-cell query·centroid dot6]) —
+        // LRU-bounded; eviction only costs a rebuild on re-sight
+        val luts = new java.util.LinkedHashMap[Long, (Array[Long], Array[Long],
+            java.util.HashMap[Long, Long])](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[Long, (Array[Long], Array[Long],
+                java.util.HashMap[Long, Long])]): Boolean = size() > LutCacheCap
+        }
+        // residual cell tables (query-independent, tiny: cells × m×ksub)
+        val cellLuts = new java.util.HashMap[Long, (Array[Long], Long)]()
+        def cellLut(cell: Long): (Array[Long], Long) = {
+          var cl = cellLuts.get(cell)
+          if (cl == null) {
+            val c = centMap.get(cell)
+            if (c == null) throw new IllegalStateException(
+              s"PQ code table references cell $cell absent from the centroid sidecar")
+            val cdL = new Array[Long](nCodes)
+            var off = 0; var s = 0
+            while (s < m) {
+              val (sub, cs) = books(s)
+              var j = 0
+              while (j < cs.length) {
+                val cv = cs(j)._2
+                var cd = 0.0; var i = 0
+                while (i < subDim) { cd += c(sub * subDim + i) * cv(i); i += 1 }
+                cdL(off + j) = scaled6(cd)
+                j += 1
+              }
+              off += cs.length
+              s += 1
+            }
+            cl = (cdL, scaled6(dotKernel(c, c)))
+            cellLuts.put(cell, cl)
+          }
+          cl
+        }
+        it.flatMap { case (qid, qv, qn, nid, cell, cds) =>
           var lut = luts.get(qid)
           if (lut == null) {
-            val dotL = new Array[Long](books.map(_._2.length).sum)
-            val nnL = new Array[Long](dotL.length)
+            val dotL = new Array[Long](nCodes)
+            val nnL = new Array[Long](nCodes)
             var off = 0
             var s = 0
             while (s < m) {
@@ -1084,15 +1260,29 @@ object Similarity {
               off += cs.length
               s += 1
             }
-            lut = (dotL, nnL)
+            val qcByCell = new java.util.HashMap[Long, Long]()
+            if (res) {
+              val cit = centMap.entrySet().iterator()
+              while (cit.hasNext) {
+                val e = cit.next()
+                qcByCell.put(e.getKey, scaled6(dotKernel(qv, e.getValue)))
+              }
+            }
+            lut = (dotL, nnL, qcByCell)
             luts.put(qid, lut)
           }
-          var sd = 0L; var sn = 0L; var s = 0; var off = 0
+          val cl = if (res) cellLut(cell) else null
+          var sd = 0L; var sn = 0L; var scd = 0L; var s = 0; var off = 0
           while (s < m) {
-            val ci = codeIdx(s).get(cds(s))
+            val ci = denseIdx(s, cds(s))
             sd += lut._1(off + ci); sn += lut._2(off + ci)
+            if (res) scd += cl._1(off + ci)
             off += books(s)._2.length
             s += 1
+          }
+          if (res) {
+            sd += lut._3.get(cell)
+            sn += cl._2 + 2L * scd
           }
           if (sn <= 0L) Iterator.empty // zero-norm reconstruction: cosine undefined
           else Iterator.single((qid, nid,

@@ -382,11 +382,12 @@ object LlmQueries {
       Similarity.knnJoinPq(Materialized.pqCodes(s, d),
           Materialized.pqCodebooks(s, d), idx.centroids,
           Tables.embeddings(s, d).where(col("vec_id") < 40),
-          "vec_id", "embedding", k = 5, nprobe = 2)
+          "vec_id", "embedding", k = 5, nprobe = 2, residual = true)
         .orderBy("query_id", "rank")
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
             |$pqTrainedSql,
             |$pqEncodeSql,
             |qs AS (SELECT vec_id AS query_id, v AS qv,
@@ -402,19 +403,37 @@ object LlmQueries {
             |                        for i in range(1, 9)]), 6) AS dot6,
             |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
             |        FROM pb2 p, qs q),
-            |cd AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.subspace, a.code_id
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |        round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS cdot6
+            |        FROM pb2 p, c2 c),
+            |qcc AS (SELECT q.query_id, c.centroid_id AS cell,
+            |        round(list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]), 6) AS qc6
+            |       FROM qs q, c2 c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |cd AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+            |              a3.centroid_id AS cell, a.subspace, a.code_id
             |       FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
             |       JOIN probe p ON a3.centroid_id = p.centroid_id
             |       WHERE a.vec_id <> p.query_id),
-            |sc AS (SELECT cd.query_id, cd.neighbor_id,
-            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot,
-            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn
+            |sc AS (SELECT cd.query_id, cd.neighbor_id, cd.cell,
+            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot0,
+            |        sum(CAST(lc.cdot6 AS DECIMAL(20,6))) AS scd,
+            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn0
             |       FROM cd JOIN lutq l ON cd.query_id = l.query_id
             |         AND cd.subspace = l.subspace AND cd.code_id = l.code_id
-            |       GROUP BY 1, 2),
-            |r AS (SELECT sc.query_id, sc.neighbor_id,
+            |       JOIN lutc lc ON cd.cell = lc.cell
+            |         AND cd.subspace = lc.subspace AND cd.code_id = lc.code_id
+            |       GROUP BY 1, 2, 3),
+            |fin AS (SELECT sc.query_id, sc.neighbor_id,
+            |        CAST(qcc.qc6 AS DECIMAL(20,6)) + sc.sdot0 AS sdot,
+            |        CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * sc.scd + sc.snn0 AS snn
+            |       FROM sc JOIN qcc ON sc.query_id = qcc.query_id AND sc.cell = qcc.cell
+            |       JOIN cc ON sc.cell = cc.cell),
+            |r AS (SELECT fin.query_id, fin.neighbor_id,
             |        round((sdot::DOUBLE) / (sqrt(snn::DOUBLE) * qs.qn), 6) AS adc_cosine
-            |      FROM sc JOIN qs ON sc.query_id = qs.query_id WHERE snn > 0),
+            |      FROM fin JOIN qs ON fin.query_id = qs.query_id WHERE snn > 0),
             |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
             |         ORDER BY adc_cosine DESC, neighbor_id) AS rank FROM r)
             |SELECT query_id, neighbor_id, rank, adc_cosine FROM rk
@@ -430,23 +449,55 @@ object LlmQueries {
     * against the 128-row codebook is a broadcast. */
   val simPqRecon: QueryDef = QueryDef("sim_pq_recon",
     (s, d) => {
-      val idx = Materialized.ivfIndex(s, d).assignment
+      val ivf = Materialized.ivfIndex(s, d)
+      val idx = ivf.assignment
         .select(col("id"), col("centroid_id"), col("v"), col("norm"))
       val codes = Materialized.pqCodes(s, d)
         .select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code_id")))
         .withColumn("subspace", col("subspace").cast("long"))
       val books = Materialized.pqCodebooks(s, d)
         .select(col("subspace").cast("long").as("subspace"), col("code_id"), col("cv"))
+      // residual reconstruction v̂ = c(cell) + r̂, so the cosine needs the
+      // centroid terms: per-(cell, subspace, code) c_s·cv cross products
+      // (cells × m × ksub rows — broadcastable) and the per-cell/per-id
+      // constants ‖c‖² and v·c
+      val ccb = ivf.centroids
+        .select(col("centroid_id").cast("long").as("centroid_id"), col("vec"))
+        .crossJoin(broadcast(books))
+        .select(col("centroid_id"), col("subspace"), col("code_id"),
+          expr("round(aggregate(sequence(1, size(cv)), 0D, (acc, i) -> " +
+            "acc + element_at(vec, CAST(subspace * size(cv) + i AS INT)) * " +
+            "element_at(cv, i)), 6)").as("cdot6"))
+      val cellConst = ivf.centroids
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          expr("round(aggregate(vec, 0D, (acc, x) -> acc + x * x), 6)").as("cn6"))
+      val vConst = idx
+        .join(broadcast(ivf.centroids
+          .select(col("centroid_id").cast("long").as("centroid_id"),
+            col("vec").as("_cvec"))), Seq("centroid_id"))
+        .select(col("id"),
+          round(graft.functions.VectorExpressions.graft_dot(col("v"), col("_cvec")), 6)
+            .as("vc6"))
       val terms = codes.join(broadcast(books), Seq("subspace", "code_id"))
         .join(idx, Seq("id"))
+        .join(broadcast(ccb), Seq("centroid_id", "subspace", "code_id"))
         .select(col("id"), col("centroid_id"), col("norm"),
           expr("round(aggregate(sequence(1, size(cv)), 0D, (acc, i) -> " +
             "acc + element_at(v, CAST(subspace * size(cv) + i AS INT)) * " +
             "element_at(cv, i)), 6)").as("dot6"),
-          expr("round(aggregate(cv, 0D, (acc, x) -> acc + x * x), 6)").as("nn6"))
+          expr("round(aggregate(cv, 0D, (acc, x) -> acc + x * x), 6)").as("nn6"),
+          col("cdot6"))
       terms.groupBy("id", "centroid_id", "norm")
-        .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot"),
-          sum(col("nn6").cast("decimal(20,6)")).as("snn"))
+        .agg(sum(col("dot6").cast("decimal(20,6)")).as("sdot0"),
+          sum(col("cdot6").cast("decimal(20,6)")).as("scd"),
+          sum(col("nn6").cast("decimal(20,6)")).as("snn0"))
+        .join(vConst, Seq("id"))
+        .join(broadcast(cellConst), Seq("centroid_id"))
+        .select(col("centroid_id"),
+          (col("vc6").cast("decimal(20,6)") + col("sdot0")).as("sdot"),
+          (col("cn6").cast("decimal(20,6)") + lit(2) * col("scd") + col("snn0"))
+            .as("snn"),
+          col("norm"))
         .where(col("snn") > 0)
         .select(col("centroid_id"),
           round(col("sdot").cast("double") /
@@ -460,25 +511,45 @@ object LlmQueries {
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
             |$pqTrainedSql,
             |$pqEncodeSql,
             |nv AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
-            |tm AS (SELECT a.vec_id,
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |        round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS cdot6
+            |        FROM pb2 p, c2 c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |vc AS (SELECT a3.vec_id,
+            |        round(list_sum([e.v[i] * c.cv[i] for i in range(1, 65)]), 6) AS vc6
+            |       FROM a3 JOIN e ON a3.vec_id = e.vec_id
+            |       JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |tm AS (SELECT a.vec_id, a3.centroid_id,
             |        round(list_sum([n.v[a.subspace*8 + i] * p.cv[i]
             |                        for i in range(1, 9)]), 6) AS dot6,
-            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6,
+            |        lc.cdot6
             |       FROM pa3 a
             |       JOIN pb2 p ON a.subspace = p.subspace AND a.code_id = p.code_id
-            |       JOIN nv n ON a.vec_id = n.vec_id),
-            |sc AS (SELECT tm.vec_id,
-            |        sum(CAST(tm.dot6 AS DECIMAL(20,6))) AS sdot,
-            |        sum(CAST(tm.nn6 AS DECIMAL(20,6))) AS snn
-            |       FROM tm GROUP BY 1),
-            |rc AS (SELECT a3.centroid_id,
-            |        round((sc.sdot::DOUBLE) / (sqrt(sc.snn::DOUBLE) * nv.nrm), 6) AS rc
-            |       FROM sc JOIN nv ON sc.vec_id = nv.vec_id
-            |       JOIN a3 ON sc.vec_id = a3.vec_id
-            |       WHERE sc.snn > 0)
+            |       JOIN nv n ON a.vec_id = n.vec_id
+            |       JOIN a3 ON a.vec_id = a3.vec_id
+            |       JOIN lutc lc ON a3.centroid_id = lc.cell
+            |         AND a.subspace = lc.subspace AND a.code_id = lc.code_id),
+            |sc AS (SELECT tm.vec_id, tm.centroid_id,
+            |        sum(CAST(tm.dot6 AS DECIMAL(20,6))) AS sdot0,
+            |        sum(CAST(tm.cdot6 AS DECIMAL(20,6))) AS scd,
+            |        sum(CAST(tm.nn6 AS DECIMAL(20,6))) AS snn0
+            |       FROM tm GROUP BY 1, 2),
+            |fin AS (SELECT sc.vec_id, sc.centroid_id,
+            |        CAST(vc.vc6 AS DECIMAL(20,6)) + sc.sdot0 AS sdot,
+            |        CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * sc.scd + sc.snn0 AS snn
+            |       FROM sc JOIN vc ON sc.vec_id = vc.vec_id
+            |       JOIN cc ON sc.centroid_id = cc.cell),
+            |rc AS (SELECT fin.centroid_id,
+            |        round((fin.sdot::DOUBLE) / (sqrt(fin.snn::DOUBLE) * nv.nrm), 6) AS rc
+            |       FROM fin JOIN nv ON fin.vec_id = nv.vec_id
+            |       WHERE fin.snn > 0)
             |SELECT centroid_id, count(*)::BIGINT AS n_vectors,
             |  round((sum(CAST(rc AS DECIMAL(20,6)))::DOUBLE) / count(*), 6)
             |    AS avg_recon_cosine,
@@ -515,25 +586,37 @@ object LlmQueries {
             |    AS avg_dist
             |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Product-quantization codebook training (live cost, the PQ sibling of
-    * `sim_ivf_train`): 8 subspaces × 16 codes × 8 dims, 2 distributed
-    * Lloyd rounds — one corpus job per round against the broadcast
-    * codebook, exact DECIMAL means. The oracle replays the per-subspace
-    * k-means bit-for-bit ([[pqTrainedSql]]). */
+  /** RESIDUAL product-quantization codebook training (live cost, the PQ
+    * sibling of `sim_ivf_train`): codes are trained on `v − centroid(cell)`
+    * of the stored IVF assignment — the classic IVF-PQ architecture, where
+    * the coarse centroid explains the cell mean and the 8-bit codes spend
+    * their capacity on the residual variance that actually separates
+    * neighbors. 8 subspaces × 16 codes × 8 dims, 2 distributed Lloyd
+    * rounds — one corpus job per round against the broadcast codebook,
+    * exact DECIMAL means. The oracle replays IVF train → assign →
+    * residuals → per-subspace k-means bit-for-bit ([[pqTrainedSql]]). */
   val simPqTrain: QueryDef = QueryDef("sim_pq_train",
-    (s, d) => Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
-        m = 8, ksub = 16, iters = 2, dims = 64)
-      .orderBy("subspace", "code_id", "dim"),
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.pqTrain(
+          Similarity.ivfResiduals(idx.assignment, idx.centroids),
+          "id", "rv", m = 8, ksub = 16, iters = 2, dims = 64)
+        .orderBy("subspace", "code_id", "dim")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
             |$pqTrainedSql
             |SELECT subspace, code_id, dim::BIGINT AS dim, round(m, 6) AS m FROM pm2
             |ORDER BY subspace, code_id, dim""".stripMargin))
 
-  /** The stored PQ code table ([[Materialized.pqCodes]]) read back in
-    * relational form: every vector's 8 code ids, one row per (vector,
-    * subspace) — this query is a scan of the published codes (trained
-    * once, encoded in one shuffle-free corpus scan, co-located with the
-    * IVF cells), not a recomputation. Oracle replays train-then-encode. */
+  /** The stored RESIDUAL PQ code table ([[Materialized.pqCodes]]) read
+    * back in relational form: every vector's 8 code ids, one row per
+    * (vector, subspace) — this query is a scan of the published codes
+    * (trained once on the assignment residuals, encoded in one
+    * shuffle-free corpus scan, co-located with the IVF cells), not a
+    * recomputation. Oracle replays IVF train → residuals → PQ train →
+    * encode. */
   val simPqEncode: QueryDef = QueryDef("sim_pq_encode",
     (s, d) => Materialized.pqCodes(s, d)
       .select(col("id").as("vec_id"),
@@ -541,7 +624,9 @@ object LlmQueries {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("code_id"))
       .orderBy("vec_id", "subspace"),
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
             |$pqTrainedSql,
             |$pqEncodeSql
             |SELECT vec_id, subspace, code_id FROM pa3
@@ -566,11 +651,12 @@ object LlmQueries {
         .head().getSeq[Double](0)
       Similarity.pqSearchAdc(Materialized.pqCodes(s, d),
           Materialized.pqCodebooks(s, d), idx.centroids, qv,
-          k = 10, nprobe = 2, excludeId = Some(0L))
+          k = 10, nprobe = 2, excludeId = Some(0L), residual = true)
         .withColumnRenamed("id", "vec_id")
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
             |$pqTrainedSql,
             |$pqEncodeSql,
             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -578,26 +664,38 @@ object LlmQueries {
             |  ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
             |                     for i in range(1, 65)]), centroid_id
             |  LIMIT 2),
-            |lut AS (SELECT p.subspace, p.code_id,
+            |lut AS (SELECT pr.centroid_id AS cell, p.subspace, p.code_id,
             |        round(list_sum([q.qv[p.subspace*8 + i] * p.cv[i]
             |                        for i in range(1, 9)]), 6) AS dot6,
-            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6
-            |        FROM pb2 p, q),
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6,
+            |        round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS cdot6
+            |        FROM pb2 p, q, probe pr
+            |        JOIN c2 c ON pr.centroid_id = c.centroid_id),
+            |cc AS (SELECT pr.centroid_id AS cell,
+            |        round(list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]), 6) AS qc6,
+            |        round(list_sum([x * x for x in c.cv]), 6) AS cn6
+            |       FROM probe pr JOIN c2 c ON pr.centroid_id = c.centroid_id, q),
             |sc AS (SELECT a.vec_id, a3.centroid_id AS cell,
-            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot,
-            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn
+            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot0,
+            |        sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS scd,
+            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn0
             |       FROM pa3 a
-            |       JOIN lut l ON a.subspace = l.subspace AND a.code_id = l.code_id
             |       JOIN a3 ON a.vec_id = a3.vec_id
-            |       WHERE a3.centroid_id IN (SELECT centroid_id FROM probe)
-            |         AND a.vec_id <> 0
-            |       GROUP BY 1, 2)
+            |       JOIN lut l ON a3.centroid_id = l.cell
+            |         AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |       WHERE a.vec_id <> 0
+            |       GROUP BY 1, 2),
+            |fin AS (SELECT sc.vec_id, sc.cell,
+            |        CAST(cc.qc6 AS DECIMAL(20,6)) + sc.sdot0 AS sdot,
+            |        CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * sc.scd + sc.snn0 AS snn
+            |       FROM sc JOIN cc ON sc.cell = cc.cell)
             |SELECT vec_id, cell,
-            |  CASE WHEN snn = 0 THEN NULL
+            |  CASE WHEN snn <= 0 THEN NULL
             |       ELSE round((sdot::DOUBLE) / (sqrt(snn::DOUBLE) *
             |         (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) END
             |    AS adc_cosine
-            |FROM sc ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin))
+            |FROM fin ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin))
 
   /** Distributed k-means training of the IVF coarse index (2 Lloyd rounds
     * from the deterministic first-8 init) — kept LIVE as the training-cost
@@ -658,36 +756,48 @@ object LlmQueries {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
       |    FROM d3) WHERE rn = 1)""".stripMargin
 
-  /** One per-subspace Lloyd round of the PQ training replay (assumes CTE
-    * `e(vec_id, v)` and the previous codebook `prev(subspace, code_id,
-    * cv)`): assign every (vector, subspace) to its nearest code —
-    * row_number over (rd, code_id) = the kernel's strict-< scan — then
-    * recompute means with the same exact DECIMAL(30,15) sums as the Spark
-    * side. Subspace s covers v[s·8+1 .. s·8+8] (1-based). */
+  /** IVF residuals of the trained assignment — `er(vec_id, centroid_id,
+    * rv)` with `rv = v − centroid(cell)` (plain IEEE subtraction, the
+    * [[graft.llm.Similarity.ivfResiduals]] replica): the input the whole
+    * PQ ladder trains and encodes on (classic IVF-PQ). Assumes `e`, `a3`
+    * and `c2` (the IVF closure). */
+  private def ivfResidualSql =
+    """er AS MATERIALIZED (SELECT e.vec_id, a3.centroid_id,
+      |    [e.v[i] - c.cv[i] for i in range(1, 65)] AS rv
+      |  FROM e JOIN a3 ON e.vec_id = a3.vec_id
+      |  JOIN c2 c ON a3.centroid_id = c.centroid_id)""".stripMargin
+
+  /** One per-subspace Lloyd round of the PQ training replay (assumes the
+    * residual CTE `er(vec_id, rv)` and the previous codebook
+    * `prev(subspace, code_id, cv)`): assign every (residual, subspace) to
+    * its nearest code — row_number over (rd, code_id) = the kernel's
+    * strict-< scan — then recompute means with the same exact
+    * DECIMAL(30,15) sums as the Spark side. Subspace s covers
+    * rv[s·8+1 .. s·8+8] (1-based). */
   private def pqIterSql(n: Int, prev: String) =
-    s"""pd$n AS (SELECT e.vec_id, p.subspace, p.code_id,
-       |    list_sum([(e.v[p.subspace*8 + i] - p.cv[i]) * (e.v[p.subspace*8 + i] - p.cv[i])
+    s"""pd$n AS (SELECT er.vec_id, p.subspace, p.code_id,
+       |    list_sum([(er.rv[p.subspace*8 + i] - p.cv[i]) * (er.rv[p.subspace*8 + i] - p.cv[i])
        |              for i in range(1, 9)]) AS rd
-       |  FROM e, $prev p),
+       |  FROM er, $prev p),
        |pa$n AS (SELECT vec_id, subspace, code_id FROM (
        |    SELECT vec_id, subspace, code_id,
        |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn
        |    FROM pd$n) WHERE rn = 1),
        |pm$n AS (SELECT a.subspace, a.code_id, t.i - 1 AS dim,
-       |    (sum(CAST(e.v[a.subspace*8 + t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
-       |  FROM pa$n a JOIN e ON a.vec_id = e.vec_id, range(1, 9) t(i)
+       |    (sum(CAST(er.rv[a.subspace*8 + t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+       |  FROM pa$n a JOIN er ON a.vec_id = er.vec_id, range(1, 9) t(i)
        |  GROUP BY 1, 2, 3)""".stripMargin
 
-  /** The PQ(m=8, ksub=16, iters=2) training closure (assumes CTE `e`),
-    * ending in `pb2(subspace, code_id, cv)` — the UNROUNDED trained
+  /** The residual-PQ(m=8, ksub=16, iters=2) training closure (assumes CTE
+    * `er`), ending in `pb2(subspace, code_id, cv)` — the UNROUNDED trained
     * codebooks (and `pm2`, their long form) — shared by all PQ oracles so
     * the training parameters cannot silently diverge between them. Init:
-    * subspace slices of the first 16 vectors, code_id = the donor id
+    * subspace slices of the first 16 RESIDUALS, code_id = the donor id
     * (the [[graft.llm.Similarity.pqTrainCodebooks]] init replayed). */
   private def pqTrainedSql =
-    s"""pb0 AS (SELECT s.s::BIGINT AS subspace, e.vec_id AS code_id,
-       |        list_slice(e.v, s.s*8 + 1, s.s*8 + 8) AS cv
-       |        FROM e, range(0, 8) s(s) WHERE e.vec_id < 16),
+    s"""pb0 AS (SELECT s.s::BIGINT AS subspace, er.vec_id AS code_id,
+       |        list_slice(er.rv, s.s*8 + 1, s.s*8 + 8) AS cv
+       |        FROM er, range(0, 8) s(s) WHERE er.vec_id < 16),
        |${pqIterSql(1, "pb0")},
        |pb1 AS (SELECT subspace, code_id, list(m ORDER BY dim) AS cv FROM pm1 GROUP BY 1, 2),
        |${pqIterSql(2, "pb1")},
@@ -697,10 +807,10 @@ object LlmQueries {
     * `pa3(vec_id, subspace, code_id)` — the oracle replica of the stored
     * code table ([[Materialized.pqCodes]]). */
   private def pqEncodeSql =
-    """pd3 AS (SELECT e.vec_id, p.subspace, p.code_id,
-      |    list_sum([(e.v[p.subspace*8 + i] - p.cv[i]) * (e.v[p.subspace*8 + i] - p.cv[i])
+    """pd3 AS (SELECT er.vec_id, p.subspace, p.code_id,
+      |    list_sum([(er.rv[p.subspace*8 + i] - p.cv[i]) * (er.rv[p.subspace*8 + i] - p.cv[i])
       |              for i in range(1, 9)]) AS rd
-      |  FROM e, pb2 p),
+      |  FROM er, pb2 p),
       |pa3 AS (SELECT vec_id, subspace, code_id FROM (
       |    SELECT vec_id, subspace, code_id,
       |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY rd, code_id) AS rn

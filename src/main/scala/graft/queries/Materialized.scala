@@ -863,30 +863,40 @@ object Materialized {
     IvfIndex(normalizeIvf(view), cents)
   }
 
-  /** Trained PQ codebooks over `embeddings` (8 subspaces × 16 codes × 8
-    * dims, 2 Lloyd rounds) — wide unrounded form `(subspace, code_id,
-    * cv)`, the table every PQ assignment is computed against. Tiny by
-    * construction; stored so search sessions never re-train. */
+  /** Trained PQ codebooks (8 subspaces × 16 codes × 8 dims, 2 Lloyd
+    * rounds) over the IVF RESIDUALS `v − centroid(cell)` of the stored
+    * assignment — the classic IVF-PQ architecture: the coarse centroid
+    * explains the cell mean, so the codes spend their 8 bits on the
+    * variance that actually distinguishes neighbors (measurably better
+    * recall and reconstruction at identical bytes than raw-vector codes;
+    * pinned in LlmSpec). Wide unrounded form `(subspace, code_id, cv)`,
+    * the table every PQ assignment is computed against. Tiny by
+    * construction; stored so search sessions never re-train. The config
+    * key carries `res` — a store written by the raw-vector trainer can
+    * never be served to a residual reader. */
   def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "pq_codebooks", "m8_k16_i2", sfDir, "embeddings") {
+    parquetBacked(spark, "pq_codebooks", "m8_k16_i2_res", sfDir, "embeddings") {
+      val idx = ivfIndex(spark, sfDir)
       graft.llm.Similarity.pqTrainCodebooks(
-        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        m = 8, ksub = 16, iters = 2, dims = 64)
+        graft.llm.Similarity.ivfResiduals(idx.assignment, idx.centroids),
+        "id", "rv", m = 8, ksub = 16, iters = 2, dims = 64)
     }
 
-  /** The stored PQ-coded index: every vector's m code ids co-located with
-    * its IVF cell — `partitionBy(centroid_id)`, the IVF-PQ layout: an ADC
-    * search partition-prunes to the probed cells and reads ONLY
-    * `(id, codes)`, m small ints per candidate instead of the 8-byte-per-
-    * component doubles (~64× less vector data than `v`, ~8× less than the
-    * int8 `qcode`s). Built from the stored IVF assignment in one
-    * shuffle-free encode scan. */
+  /** The stored PQ-coded index: every vector's m RESIDUAL code ids
+    * co-located with its IVF cell — `partitionBy(centroid_id)`, the
+    * IVF-PQ layout: an ADC search partition-prunes to the probed cells
+    * and reads ONLY `(id, codes)`, m small ints per candidate instead of
+    * the 8-byte-per-component doubles (~64× less vector data than `v`,
+    * ~8× less than the int8 `qcode`s). Built from the stored IVF
+    * assignment's residuals in one shuffle-free encode scan. */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val cb = pqCodebooks(spark, sfDir)
-    val view = parquetBacked(spark, "pq_codes", "m8_k16_i2", sfDir,
+    val view = parquetBacked(spark, "pq_codes", "m8_k16_i2_res", sfDir,
         "embeddings", partitionCols = Seq("centroid_id")) {
-      graft.llm.Similarity.pqEncode(ivfIndex(spark, sfDir).assignment,
-        "id", "v", cb, dims = 64, cellCol = Some("centroid_id"))
+      val idx = ivfIndex(spark, sfDir)
+      graft.llm.Similarity.pqEncode(
+        graft.llm.Similarity.ivfResiduals(idx.assignment, idx.centroids),
+        "id", "rv", cb, dims = 64, cellCol = Some("centroid_id"))
     }
     // partition column round-trips through directory names — restore type
     view.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),

@@ -334,7 +334,7 @@ class LlmSpec extends AnyFunSuite {
     val queries = graft.queries.Tables.embeddings(spark, TestSpark.sf)
       .where(col("vec_id") < 8)
     val joined = Similarity.knnJoinPq(codes, books, idx.centroids, queries,
-        "vec_id", "embedding", k = 5, nprobe = 2)
+        "vec_id", "embedding", k = 5, nprobe = 2, residual = true)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._4)).toSet).toMap
@@ -344,7 +344,7 @@ class LlmSpec extends AnyFunSuite {
         .select(transform(col("embedding"), x => x.cast("double")))
         .head().getSeq[Double](0)
       val single = Similarity.pqSearchAdc(codes, books, idx.centroids, qv,
-          k = 5, nprobe = 2, excludeId = Some(qid))
+          k = 5, nprobe = 2, excludeId = Some(qid), residual = true)
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
       assert(joined(qid) == single,
         s"query $qid: join ${joined(qid)} vs per-query $single")
@@ -492,6 +492,85 @@ class LlmSpec extends AnyFunSuite {
     assert(agg.getLong(1) >= agg.getLong(0), "BPE tokens cannot undercut word count")
   }
 
+  test("residual PQ beats raw-vector PQ at identical bytes: reconstruction cosine and probed recall") {
+    import graft.queries.{Materialized, Tables}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Materialized.ivfIndex(spark, TestSpark.sf)
+    // raw ladder (the round-7 architecture): train + encode on the vectors
+    val rawCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dims = 64)
+    // residual ladder = the stored artifacts (trained on v − centroid)
+    val resCb = Materialized.pqCodebooks(spark, TestSpark.sf)
+    val resCodesDf = Materialized.pqCodes(spark, TestSpark.sf)
+    // driver replay over the whole corpus (500 × 64 — trivial)
+    def collectBooks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Array[Double]] =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getSeq[Double](2).toArray)).toMap
+    val rawBooks = collectBooks(rawCb)
+    val resBooks = collectBooks(resCb)
+    val cents = idx.centroids.select(col("centroid_id").cast("long"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val vecs = idx.assignment.select(col("id"), col("centroid_id"), col("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+      .toMap
+    val resCodes = resCodesDf.select(col("id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    val rawCodes = Similarity.pqEncode(idx.assignment, "id", "v", rawCb,
+        dims = 64, cellCol = Some("centroid_id"))
+      .select(col("id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def recon(codes: Array[Long], books: Map[(Long, Long), Array[Double]],
+              base: Array[Double]): Array[Double] = {
+      val out = base.clone()
+      codes.zipWithIndex.foreach { case (cid, s) =>
+        val cv = books((s.toLong, cid))
+        var i = 0
+        while (i < cv.length) { out(s * cv.length + i) += cv(i); i += 1 }
+      }
+      out
+    }
+    val zero = new Array[Double](64)
+    val (sumRaw, sumRes) = vecs.foldLeft((0.0, 0.0)) { case ((ar, ae), (id, (cell, v))) =>
+      (ar + cos(v, recon(rawCodes(id), rawBooks, zero)),
+        ae + cos(v, recon(resCodes(id), resBooks, cents(cell))))
+    }
+    val (meanRaw, meanRes) = (sumRaw / vecs.size, sumRes / vecs.size)
+    assert(meanRes > meanRaw,
+      f"residual codes must reconstruct better: $meanRes%.4f vs raw $meanRaw%.4f")
+    // probed recall@10 vs the EXACT probed ranking, queries 0..15, nprobe=2:
+    // score both ladders' ADC approximations against the same candidate set
+    val nprobe = 2; val k = 10
+    def probedCells(q: Array[Double]): Set[Long] =
+      cents.toSeq.map { case (cid, c) =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { val dx = c(i) - q(i); s += dx * dx; i += 1 }
+        (cid, s)
+      }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSet
+    def recallSum(books: Map[(Long, Long), Array[Double]],
+                  codes: Map[Long, Array[Long]], useCentroid: Boolean): Double =
+      (0L until 16L).map { qid =>
+        val q = vecs(qid)._2
+        val cells = probedCells(q)
+        val cand = vecs.filter { case (id, (cell, _)) => id != qid && cells(cell) }
+        val exact = cand.toSeq.map { case (id, (_, v)) => (cos(q, v), id) }
+          .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+        val adc = cand.toSeq.map { case (id, (cell, _)) =>
+          val base = if (useCentroid) cents(cell) else zero
+          (cos(q, recon(codes(id), books, base)), id)
+        }.sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+        (exact intersect adc).size.toDouble / k
+      }.sum
+    val rRaw = recallSum(rawBooks, rawCodes, useCentroid = false)
+    val rRes = recallSum(resBooks, resCodes, useCentroid = true)
+    assert(rRes >= rRaw,
+      f"residual recall@$k must not lose to raw: ${rRes / 16}%.3f vs ${rRaw / 16}%.3f")
+  }
+
   test("pqEncode: every stored code is the true per-subspace argmin (driver replay)") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
@@ -578,14 +657,16 @@ class LlmSpec extends AnyFunSuite {
     val adc = Similarity.pqSearchAdc(
         graft.queries.Materialized.pqCodes(spark, TestSpark.sf),
         graft.queries.Materialized.pqCodebooks(spark, TestSpark.sf),
-        idx.centroids, qv, k = 10, nprobe = 2, excludeId = Some(0L))
+        idx.centroids, qv, k = 10, nprobe = 2, excludeId = Some(0L),
+        residual = true)
       .collect().map(_.getLong(0)).toSet
     val exact = Similarity.ivfSearch(idx.assignment, idx.centroids, qv,
         k = 10, nprobe = 2, excludeId = Some(0L))
       .collect().map(_.getLong(0)).toSet
     // everything is deterministic (data, init, tie-breaks), so the overlap
     // is a fixed number — pin a conservative floor for the 8×16 config on
-    // the synthetic (structureless, PQ-hostile) corpus
+    // the synthetic (structureless, PQ-hostile) corpus (the residual
+    // codes clear the raw ladder's old floor of 2)
     assert((adc & exact).size >= 2, s"adc=$adc exact=$exact")
   }
 
