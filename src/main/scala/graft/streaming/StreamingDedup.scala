@@ -22,10 +22,15 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 object StreamingDedup {
 
   final case class Doc(docId: Long, contentHash: String)
-  final case class Seen(keeperId: Long)
+  /** TTL-horizon variant of [[Doc]]: `ts` is the event time the watermark
+    * and the dedup horizon are measured against. */
+  final case class TimedDoc(docId: Long, contentHash: String,
+                            ts: java.sql.Timestamp)
+  final case class Seen(keeperId: Long, lastSeenMs: Long = 0L)
   final case class Judged(docId: Long, keeperId: Long, keep: Boolean)
 
   implicit val docEnc: Encoder[Doc] = Encoders.product[Doc]
+  implicit val timedDocEnc: Encoder[TimedDoc] = Encoders.product[TimedDoc]
   implicit val seenEnc: Encoder[Seen] = Encoders.product[Seen]
   implicit val judgedEnc: Encoder[Judged] = Encoders.product[Judged]
   implicit val stringEnc: Encoder[String] = Encoders.STRING
@@ -46,8 +51,54 @@ object StreamingDedup {
     }
   }
 
+  /** TTL judgment: the stored keeper wins while the hash has been seen
+    * within `horizonMs` of the watermark (every arrival of the hash —
+    * keeper replay or duplicate — refreshes the horizon: a hot hash never
+    * expires). Two eviction paths, both required:
+    *  - DATA path: a marker whose `lastSeenMs + horizon` the watermark has
+    *    passed is treated as absent even though the key got data this
+    *    batch — Spark never flags `hasTimedOut` for a key WITH data, so
+    *    without this check a dup arriving just past the horizon would
+    *    still match.
+    *  - TIMEOUT path: keys idle past the horizon are evicted when the
+    *    watermark passes their timeout timestamp, bounding state size.
+    * Each arrival re-arms the timeout at `maxTs + horizon` (clamped above
+    * the current watermark — Spark rejects timestamps at or below it). */
+  def judgeTtl(horizonMs: Long)(hash: String, rows: Iterator[TimedDoc],
+               state: GroupState[Seen]): Iterator[Judged] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val batch = rows.toSeq.sortBy(_.docId)
+    if (batch.isEmpty) return Iterator.empty
+    val wm = state.getCurrentWatermarkMs()
+    val maxTs = batch.iterator.map(_.ts.getTime).max
+    val live = state.getOption.filter(s => s.lastSeenMs + horizonMs > wm)
+    val keeper = live.map(_.keeperId).getOrElse(batch.head.docId)
+    val lastSeen = math.max(live.map(_.lastSeenMs).getOrElse(0L), maxTs)
+    state.update(Seen(keeper, lastSeen))
+    state.setTimeoutTimestamp(math.max(lastSeen + horizonMs, wm + 1))
+    batch.iterator.map(d => Judged(d.docId, keeper, d.docId == keeper))
+  }
+
   /** Wire the stateful dedup over a stream of pre-hashed docs. */
   def judged(docs: Dataset[Doc]): Dataset[Judged] =
     docs.groupByKey(_.contentHash)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(judge _)
+
+  /** Horizon-bounded dedup: verdicts match [[judged]] for any duplicate
+    * arriving within `horizon` (event time) of the hash's last sighting —
+    * with `watermarkDelay` slack for late data — and the state store
+    * plateaus at the number of hashes active within one horizon instead of
+    * growing with the life of the stream. A duplicate arriving AFTER the
+    * horizon re-elects a keeper on the stream; the batch stores absorb
+    * keeps via the `foreachBatch` bridges, so the next batch judgment
+    * still catches it — the stream trades unbounded memory for a bounded
+    * re-judgment window, the same contract as the batch stores' retention.
+    */
+  def judgedTtl(docs: Dataset[TimedDoc], horizon: java.time.Duration,
+                watermarkDelay: String): Dataset[Judged] =
+    docs.withWatermark("ts", watermarkDelay)
+      .as[TimedDoc]
+      .groupByKey(_.contentHash)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(judgeTtl(horizon.toMillis) _)
 }

@@ -25,8 +25,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    roots downstream, exactly like the batch pair tables.
  *  - State carries `bands` copies of each kept vector (dims doubles per
  *    entry per band) — the LSH state trade. RocksDB-backed stores absorb
- *    it; bound the horizon with state TTL when the feed is unbounded, or
- *    drop `bands` (recall falls predictably, state shrinks linearly).
+ *    it; unbounded feeds use [[judgedTtl]] (event-time eviction bounds
+ *    state to one dedup horizon), or drop `bands` (recall falls
+ *    predictably, state shrinks linearly).
  *  - The banding planes are the SAME deterministic hyperplane family as
  *    the batch signers ([[Similarity.lshBandSignatureKernel]] — md5-mixed,
  *    no RNG state), so every restart and every generation of the stream
@@ -51,27 +52,29 @@ final case class StreamingEmbDedup(bands: Int = 16, planesPerBand: Int = 8,
     * marks band 0 so downstream `foreachBatch` consumers re-emit each
     * doc's vector exactly once. Per-row kernel work only; no shuffle
     * until the stateful groupByKey. */
-  def bandRows(docs: Dataset[VecDoc]): Dataset[EmbBandRow] = {
-    val b = bands
-    val d = dims
-    val sign = signer
-    docs.flatMap { doc =>
-      val v = doc.vec
-      val bad = v == null || v.length != d || {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        !(s > 0.0) || s.isInfinite
+  def bandRows(docs: Dataset[VecDoc]): Dataset[EmbBandRow] =
+    docs.flatMap(d => explode(d.vecId, d.vec, null))(embBandRowEnc)
+
+  /** Shared band-row kernel: one row per band (sentinel band for
+    * degenerate vectors), `ts` riding on every row so the TTL path can
+    * watermark the EXPLODED rows — a typed flatMap strips event-time
+    * column metadata, so the watermark must be declared downstream of it. */
+  private def explode(vecId: Long, v: Array[Double],
+                      ts: java.sql.Timestamp): Iterator[EmbBandRow] = {
+    val bad = v == null || v.length != dims || {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      !(s > 0.0) || s.isInfinite
+    }
+    if (bad)
+      Iterator.single(EmbBandRow(vecId, s"empty:$vecId",
+        Array.emptyDoubleArray, carry = true, ts))
+    else {
+      val sig = signer(v)
+      (0 until bands).iterator.map { bi =>
+        EmbBandRow(vecId, s"$bi:${sig(bi)}", v, carry = bi == 0, ts)
       }
-      if (bad)
-        Iterator.single(EmbBandRow(doc.vecId, s"empty:${doc.vecId}",
-          Array.emptyDoubleArray, carry = true))
-      else {
-        val sig = sign(v)
-        (0 until b).iterator.map { bi =>
-          EmbBandRow(doc.vecId, s"$bi:${sig(bi)}", v, carry = bi == 0)
-        }
-      }
-    }(embBandRowEnc)
+    }
   }
 
   /** Per-bucket judgment: candidates are the stored entries plus earlier
@@ -79,37 +82,76 @@ final case class StreamingEmbDedup(bands: Int = 16, planesPerBand: Int = 8,
     * wins (ties to the smaller id), otherwise the arrival registers.
     * Pure function of (state, batch) — replays are deterministic. */
   def judgeBand(key: String, rows: Iterator[EmbBandRow],
-                state: GroupState[EmbBucket]): Iterator[EmbBandVerdict] = {
+                state: GroupState[EmbBucket]): Iterator[EmbBandVerdict] =
+    judgeBandImpl(0L)(key, rows, state)
+
+  /** Core per-bucket judgment, TTL-aware when `horizonMs > 0` — the same
+    * two-path eviction contract as
+    * [[StreamingNearDedup.judgeBandImpl]]: expired entries are dropped on
+    * the DATA path (Spark never flags `hasTimedOut` for a key with data),
+    * idle buckets are evicted wholesale on the TIMEOUT path, and any
+    * arrival re-warms its entry (sliding per-entry horizon). */
+  private def judgeBandImpl(horizonMs: Long)(key: String,
+      rows: Iterator[EmbBandRow],
+      state: GroupState[EmbBucket]): Iterator[EmbBandVerdict] = {
+    if (horizonMs > 0 && state.hasTimedOut) {
+      state.remove(); return Iterator.empty
+    }
     val batch = rows.toSeq.sortBy(_.vecId)
     if (batch.isEmpty) return Iterator.empty
+    val wm = if (horizonMs > 0) state.getCurrentWatermarkMs() else 0L
     var entries = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
-    val before = entries.size
+    var changed = false
+    if (horizonMs > 0) {
+      val live = entries.filter(_.lastSeenMs + horizonMs > wm)
+      if (live.size != entries.size) { entries = live; changed = true }
+    }
     val out = batch.map { r =>
       if (r.vec.isEmpty) EmbBandVerdict(r.vecId, None, None, r.carry, None)
       else {
+        val ts = if (r.ts == null) 0L else r.ts.getTime
         val rn = norm(r.vec)
+        var bestAt = -1
         var bestId = Long.MaxValue
         var bestCos = -2.0
+        var i = 0
         entries.foreach { e =>
           if (e.id != r.vecId) { // keeper replay never matches itself
             val cos = dot(r.vec, e.vec) / (rn * e.norm)
             if (cos > bestCos || (cos == bestCos && e.id < bestId)) {
-              bestCos = cos; bestId = e.id
+              bestCos = cos; bestId = e.id; bestAt = i
             }
           }
+          i += 1
         }
-        if (bestCos >= threshold)
+        if (bestCos >= threshold) {
+          if (entries(bestAt).lastSeenMs < ts) { // matched keeper stays hot
+            entries = entries.updated(bestAt,
+              entries(bestAt).copy(lastSeenMs = ts))
+            changed = true
+          }
           EmbBandVerdict(r.vecId, Some(bestId), Some(bestCos), r.carry,
             if (r.carry) Some(r.vec) else None)
-        else {
-          if (!entries.exists(_.id == r.vecId)) // replay: no duplicate entry
-            entries = entries :+ EmbEntry(r.vecId, r.vec, rn)
+        } else {
+          val at = entries.indexWhere(_.id == r.vecId)
+          if (at < 0) {
+            entries = entries :+ EmbEntry(r.vecId, r.vec, rn, ts)
+            changed = true
+          } else if (entries(at).lastSeenMs < ts) { // replay re-warms
+            entries = entries.updated(at, entries(at).copy(lastSeenMs = ts))
+            changed = true
+          }
           EmbBandVerdict(r.vecId, None, None, r.carry,
             if (r.carry) Some(r.vec) else None)
         }
       }
     }
-    if (entries.size != before) state.update(EmbBucket(entries))
+    if (changed) {
+      if (entries.isEmpty) state.remove() else state.update(EmbBucket(entries))
+    }
+    if (horizonMs > 0 && entries.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(entries.iterator.map(_.lastSeenMs).max + horizonMs, wm + 1))
     out.iterator
   }
 
@@ -121,14 +163,37 @@ final case class StreamingEmbDedup(bands: Int = 16, planesPerBand: Int = 8,
     bandRows(docs).groupByKey(_.bandKey)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         judgeBand _)(embBucketEnc, embBandVerdictEnc)
+
+  /** Horizon-bounded embedding near-dup: verdicts match [[judged]] for
+    * any arrival within `horizon` (event time) of the matched keeper's
+    * last sighting — with `watermarkDelay` slack for late data — and
+    * bucket state plateaus at the entries active within one horizon. An
+    * arrival after the horizon re-registers on the stream; the batch
+    * stores and the IVF index absorb keeps via [[absorbKeepers]] /
+    * [[absorbKeepersIvf]], so the next batch judgment still catches the
+    * evicted-then-reseen duplicate. */
+  def judgedTtl(docs: Dataset[TimedVecDoc], horizon: java.time.Duration,
+                watermarkDelay: String): Dataset[EmbBandVerdict] =
+    docs.flatMap(d => explode(d.vecId, d.vec, d.ts))(embBandRowEnc)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bandKey)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        judgeBandImpl(horizon.toMillis) _)(embBucketEnc, embBandVerdictEnc)
 }
 
 object StreamingEmbDedup {
 
   final case class VecDoc(vecId: Long, vec: Array[Double])
+  /** TTL-horizon variant of [[VecDoc]]: `ts` is the event time the
+    * watermark and the dedup horizon are measured against. */
+  final case class TimedVecDoc(vecId: Long, vec: Array[Double],
+                               ts: java.sql.Timestamp)
   final case class EmbBandRow(vecId: Long, bandKey: String,
-                              vec: Array[Double], carry: Boolean)
-  final case class EmbEntry(id: Long, vec: Array[Double], norm: Double)
+                              vec: Array[Double], carry: Boolean,
+                              ts: java.sql.Timestamp = null)
+  final case class EmbEntry(id: Long, vec: Array[Double], norm: Double,
+                            lastSeenMs: Long = 0L)
   final case class EmbBucket(entries: Seq[EmbEntry])
   /** Column contract shared with [[StreamingNearDedup.verdicts]]:
     * `docId`, `candId`, `est` (here: exact cosine). */
@@ -137,6 +202,8 @@ object StreamingEmbDedup {
                                   vec: Option[Array[Double]])
 
   implicit val vecDocEnc: Encoder[VecDoc] = Encoders.product[VecDoc]
+  implicit val timedVecDocEnc: Encoder[TimedVecDoc] =
+    Encoders.product[TimedVecDoc]
   implicit val embBandRowEnc: Encoder[EmbBandRow] = Encoders.product[EmbBandRow]
   implicit val embBucketEnc: Encoder[EmbBucket] = Encoders.product[EmbBucket]
   implicit val embBandVerdictEnc: Encoder[EmbBandVerdict] =

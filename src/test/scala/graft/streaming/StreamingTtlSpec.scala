@@ -1,0 +1,201 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.{Duration, Instant}
+
+/**
+ * TTL horizon for the three streaming dedup ops: verdicts inside the
+ * horizon are unchanged vs the NoTimeout variants, entries idle past the
+ * horizon are evicted (so the stream re-elects a keeper — the batch
+ * stores catch the re-seen dup via the absorb bridges), state size
+ * plateaus instead of growing with the life of the stream, and the TTL
+ * state (entries + timeout timestamps) survives a checkpoint restart.
+ *
+ * Event time is fully synthetic (one parquet write = one micro-batch, a
+ * `ts` column drives the watermark), so eviction points are
+ * deterministic: an entry last seen at `t` is retained until the
+ * watermark (max event time − delay) passes `t + horizon`, and a key
+ * receiving data in the same batch its timeout would fire is expired on
+ * the data path (Spark never flags `hasTimedOut` for a key with data).
+ */
+class StreamingTtlSpec extends AnyFunSuite {
+  @transient lazy val spark = TestSpark.spark
+
+  private val t0 = Instant.parse("2026-01-01T00:00:00Z")
+  private def at(secs: Long): Timestamp = Timestamp.from(t0.plusSeconds(secs))
+
+  test("exact dedup TTL: dup within horizon matches, idle marker evicts, fresh keeper re-elected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sttl-exact").toFile
+    val ckpt = Files.createTempDirectory("sttl-exact-ckpt").toFile
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+
+    def writeBatch(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("docId", "contentHash", "ts").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    val q = StreamingDedup.judgedTtl(
+        spark.readStream.schema("docId LONG, contentHash STRING, ts TIMESTAMP")
+          .parquet(dir.getAbsolutePath).as[StreamingDedup.TimedDoc],
+        horizon = Duration.ofSeconds(60), watermarkDelay = "10 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingDedup.Judged], _: Long) =>
+        df.collect().foreach(j => sunk.add((j.docId, j.keeperId, j.keep)))
+      }
+      .start()
+
+    writeBatch(Seq((1L, "hA", at(0))))
+    q.processAllAvailable()
+    // within the 60 s horizon of hA's last sighting: stored keeper wins
+    writeBatch(Seq((2L, "hA", at(30))))
+    q.processAllAvailable()
+    // watermark advancer: unrelated key pushes the watermark to 590 s,
+    // far past hA's 30 + 60 s horizon
+    writeBatch(Seq((50L, "hZ", at(600))))
+    q.processAllAvailable()
+    // hA re-arrives AFTER the horizon — the marker must be gone even
+    // though this key has data in the batch (data-path expiry, not
+    // hasTimedOut); doc 3 is a fresh keeper, and a same-batch dup loses
+    // to it; hZ is still within ITS horizon and keeps its keeper
+    writeBatch(Seq((3L, "hA", at(610)), (4L, "hA", at(611)),
+      (51L, "hZ", at(612))))
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val out = sunk.iterator().asScala.toSet
+    assert(out.contains((2L, 1L, false)), s"within-horizon dup must match: $out")
+    assert(out.contains((3L, 3L, true)), s"post-horizon arrival must re-elect: $out")
+    assert(out.contains((4L, 3L, false)), s"same-batch dup loses to fresh keeper: $out")
+    assert(out.contains((51L, 50L, false)), s"hot key keeps its keeper: $out")
+  }
+
+  test("near-dup TTL: verdicts stable within horizon across restart, state plateaus, idle buckets evict") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sttl-near").toFile
+    val ckpt = Files.createTempDirectory("sttl-near-ckpt").toFile
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Boolean)]()
+    val stateRows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def writeBatch(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("docId", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    val op = StreamingNearDedup(bands = 8, rowsPerBand = 4)
+    def startQuery() = op.judgedTtl(
+        spark.readStream.schema("docId LONG, text STRING, ts TIMESTAMP")
+          .parquet(dir.getAbsolutePath).as[StreamingNearDedup.TimedTextDoc],
+        horizon = Duration.ofSeconds(180), watermarkDelay = "30 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingNearDedup.BandVerdict], _: Long) =>
+        StreamingNearDedup.verdicts(df.toDF()).collect().foreach { r =>
+          sunk.add((r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getBoolean(3)))
+        }
+      }
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def filler(i: Int) =
+      s"filler document number $i with its own unmistakable content token f$i end marker m$i"
+
+    writeBatch(Seq((1L, base, at(0))) ++ (1 to 5).map(i => (100L + i, filler(i), at(1))))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // dup within horizon (entry last seen 0 s, horizon 180 s)
+    writeBatch(Seq((2L, base, at(60))) ++ (6 to 10).map(i => (100L + i, filler(i), at(61))))
+    q1.processAllAvailable()
+    q1.stop() // kill — TTL entries and timeout timestamps live in the checkpoint
+
+    val q2 = startQuery()
+    // watermark advancer: wm → 270 s; base's entry (re-warmed to 60 s by
+    // doc 2's match) expires at 60 + 180 = 240 < 270
+    writeBatch((11 to 15).map(i => (100L + i, filler(i), at(300))))
+    q2.processAllAvailable()
+    // post-horizon re-arrival: bucket must be expired on the data path;
+    // doc 3 re-registers, doc 4 (same batch, larger id) loses to it
+    writeBatch(Seq((3L, base, at(330)), (4L, base, at(331))))
+    q2.processAllAvailable()
+    var removed = 0L
+    for (p <- q2.recentProgress; s <- p.stateOperators) {
+      stateRows.add(s.numRowsTotal); removed += s.numRowsRemoved
+    }
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val out = sunk.iterator().asScala.toSet
+    assert(out.contains((2L, Some(1L), false)),
+      s"within-horizon near-dup must match across restart: $out")
+    assert(out.contains((3L, None, true)),
+      s"post-horizon arrival must re-register: $out")
+    assert(out.contains((4L, Some(3L), false)),
+      s"same-batch near-dup loses to the fresh registrant: $out")
+    // plateau: ~125 distinct buckets registered over the feed, but after
+    // the horizon passes only the last-two-batches' entries (~48 keys)
+    // survive. The store reports a fixed number of rows per key (2 in the
+    // event-time-timeout format: value + timeout index), so assert the
+    // SHAPE — evictions fired and the final size fell to at most half the
+    // peak — rather than an absolute row-per-key count.
+    val sizes = stateRows.iterator().asScala.toSeq
+    val (peak, finalRows) = (sizes.max, sizes.lastOption.getOrElse(-1L))
+    assert(removed > 0, "timeout path must evict idle buckets")
+    assert(finalRows > 0 && finalRows <= peak / 2,
+      s"state must plateau near one horizon of entries, got $sizes (removed=$removed)")
+  }
+
+  test("embedding TTL: cosine dup within horizon matches, idle bucket evicts, fresh keeper re-elected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sttl-emb").toFile
+    val ckpt = Files.createTempDirectory("sttl-emb-ckpt").toFile
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Boolean)]()
+
+    def writeBatch(rows: Seq[(Long, Array[Double], Timestamp)]): Unit =
+      rows.toDF("vecId", "vec", "ts").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    val v = Array.tabulate(16)(i => math.sin(i + 1.0))
+    val w = Array.tabulate(16)(i => math.cos(3.0 * i + 2.0)) // cos(v,w) ≪ 0.9
+
+    val op = StreamingEmbDedup(bands = 4, planesPerBand = 8, dims = 16)
+    val q = op.judgedTtl(
+        spark.readStream.schema("vecId LONG, vec ARRAY<DOUBLE>, ts TIMESTAMP")
+          .parquet(dir.getAbsolutePath).as[StreamingEmbDedup.TimedVecDoc],
+        horizon = Duration.ofSeconds(60), watermarkDelay = "10 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingEmbDedup.EmbBandVerdict], _: Long) =>
+        StreamingNearDedup.verdicts(df.toDF()).collect().foreach { r =>
+          sunk.add((r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getBoolean(3)))
+        }
+      }
+      .start()
+
+    writeBatch(Seq((1L, v, at(0))))
+    q.processAllAvailable()
+    writeBatch(Seq((2L, v, at(30)))) // exact copy within horizon → dup of 1
+    q.processAllAvailable()
+    writeBatch(Seq((50L, w, at(600)))) // watermark advancer, novel vector
+    q.processAllAvailable()
+    writeBatch(Seq((3L, v, at(610)))) // past horizon → entry evicted → keep
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val out = sunk.iterator().asScala.toSet
+    assert(out.contains((2L, Some(1L), false)), s"within-horizon dup must match: $out")
+    assert(out.contains((3L, None, true)), s"post-horizon arrival must re-register: $out")
+    assert(out.contains((50L, None, true)), s"novel vector keeps: $out")
+  }
+}
