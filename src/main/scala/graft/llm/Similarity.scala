@@ -384,12 +384,19 @@ object Similarity {
     * the table the stored index is built against (assignment must use the
     * exact trained values, not the 6-dp presentation rounding). */
   def ivfTrainCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int, iters: Int): DataFrame = {
+                        k: Int, iters: Int,
+                        init: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    var cents = emb.where(col(idCol) < k)
-      .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec"))
+    // default init = the first k corpus vectors (ids < k). Callers whose
+    // row ids are arbitrary — the cell-local 2-means of
+    // [[graft.queries.Materialized.splitIvfCells]] — pass an explicit
+    // `(centroid_id, vec)` seed instead.
+    var cents = init.map(_.select(col("centroid_id").cast("long").as("centroid_id"),
+        asDouble(col("vec")).as("vec")))
+      .getOrElse(emb.where(col(idCol) < k)
+        .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec")))
     (0 until iters).foreach { _ =>
       val assigned = ivfAssign(e, "id", "v", cents).select(col("id"), col("centroid_id"))
       val means = e.join(assigned, "id")

@@ -672,15 +672,18 @@ object Materialized {
     }
 
   /** [[compactStore]] for the IVF index (keeps the cell-partitioned
-    * layout, so searches over the compacted index prune identically). */
+    * layout, so searches over the compacted index prune identically).
+    * Retired split-parent cells are copied into the compacted entry as
+    * dead weight — the live-cell filter keeps hiding them; a periodic
+    * retrain is the rewrite that actually drops them. */
   def compactIvfIndex(spark: SparkSession, sfDir: String,
                       k: Int = 8, iters: Int = 2): IvfIndex = {
-    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val cents = ivfCentroidsCurrent(spark, sfDir, k, iters)
     val view = compactStore(spark, "ivf_index", s"k${k}_i$iters", sfDir,
         "embeddings", partitionCols = Seq("centroid_id")) {
-      ivfBaseRows(spark, sfDir, cents)
+      ivfBaseRows(spark, sfDir, ivfCentroids(spark, sfDir, k, iters))
     }
-    IvfIndex(normalizeIvf(view), cents)
+    IvfIndex(filterLiveCells(normalizeIvf(view), cents), cents)
   }
 
   /** Absorb kept batch docs' MinHash signatures (schema of
@@ -811,9 +814,34 @@ object Materialized {
     assignment.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
       col("dist"), col("norm"), col("v"), col("scale"), col("qcode"))
 
+  /** Restrict an index/code view to the cells the given centroid table
+    * lists. Cells retired by [[splitIvfCells]] keep their rows in old
+    * generations (never rewritten), but no live centroid references them:
+    * this static `IN` filter — the centroid table is a ≤k-row driver
+    * pull, like every probe — hides them uniformly from ALL consumers,
+    * and composes with the searches' own probed-cell filters into plain
+    * partition pruning (no join in the plan). */
+  private def filterLiveCells(view: DataFrame, cents: DataFrame): DataFrame = {
+    val live = cents.select(col("centroid_id").cast("long")).collect()
+      .map(_.getLong(0)).toSeq
+    view.where(col("centroid_id").isin(live: _*))
+  }
+
   private def ivfCentroids(spark: SparkSession, sfDir: String,
                            k: Int, iters: Int): DataFrame =
     parquetBacked(spark, "ivf_centroids", s"k${k}_i$iters", sfDir, "embeddings") {
+      graft.llm.Similarity.ivfTrainCentroids(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k, iters)
+    }
+
+  /** The CURRENT centroid sidecar: the trained base until
+    * [[splitIvfCells]] installs a revision (parent cell replaced by its
+    * 2-means children) behind the `ivf_centroids` head. [[ivfIndex]] and
+    * the PQ base artifacts deliberately keep reading the pinned trained
+    * table ([[ivfCentroids]]). */
+  def ivfCentroidsCurrent(spark: SparkSession, sfDir: String,
+                          k: Int = 8, iters: Int = 2): DataFrame =
+    headAware(spark, "ivf_centroids", s"k${k}_i$iters", sfDir, "embeddings") {
       graft.llm.Similarity.ivfTrainCentroids(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", k, iters)
     }
@@ -842,25 +870,39 @@ object Materialized {
   def appendIvfIndex(spark: SparkSession, sfDir: String, newVectors: DataFrame,
                      idCol: String, vecCol: String, batchId: String,
                      k: Int = 8, iters: Int = 2): IvfIndex = {
-    val cents = ivfCentroids(spark, sfDir, k, iters)
-    val batchRows = graft.llm.Similarity.ivfIndexRows(newVectors, idCol, vecCol, cents)
-    val view = absorbInto(spark, "ivf_index", s"k${k}_i$iters", sfDir, "embeddings",
-        batchRows, batchId, partitionCols = Seq("centroid_id")) {
-      ivfBaseRows(spark, sfDir, cents)
+    // ensure the trained base exists OUTSIDE the centroid lock (the train
+    // is the expensive step; its publish is idempotent)
+    ivfCentroids(spark, sfDir, k, iters)
+    // serialize on the CENTROID head: a split committing between this
+    // batch's assignment (against pre-split centroids) and its delta
+    // publish would retire the very cells the batch just landed in,
+    // hiding its rows from the current view. Lock order centroid → index
+    // (absorbInto takes the index head lock inside) matches
+    // [[splitIvfCells]], so the two writers cannot deadlock.
+    withHeadLock(headFile(spark, "ivf_centroids", s"k${k}_i$iters", sfDir,
+        "embeddings")) {
+      val cents = ivfCentroidsCurrent(spark, sfDir, k, iters)
+      val batchRows = graft.llm.Similarity.ivfIndexRows(newVectors, idCol, vecCol, cents)
+      val view = absorbInto(spark, "ivf_index", s"k${k}_i$iters", sfDir, "embeddings",
+          batchRows, batchId, partitionCols = Seq("centroid_id")) {
+        ivfBaseRows(spark, sfDir, ivfCentroids(spark, sfDir, k, iters))
+      }
+      IvfIndex(filterLiveCells(normalizeIvf(view), cents), cents)
     }
-    IvfIndex(normalizeIvf(view), cents)
   }
 
-  /** The head view of the stored IVF index — base ∪ appended batches
-    * (equal to [[ivfIndex]] until the first [[appendIvfIndex]]). */
+  /** The head view of the stored IVF index — base ∪ appended batches ∪
+    * split reassignments, restricted to the CURRENT centroid set (equal
+    * to [[ivfIndex]] until the first [[appendIvfIndex]] or
+    * [[splitIvfCells]]). */
   def ivfIndexCurrent(spark: SparkSession, sfDir: String,
                       k: Int = 8, iters: Int = 2): IvfIndex = {
-    val cents = ivfCentroids(spark, sfDir, k, iters)
+    val cents = ivfCentroidsCurrent(spark, sfDir, k, iters)
     val view = headAware(spark, "ivf_index", s"k${k}_i$iters", sfDir, "embeddings",
         partitionCols = Seq("centroid_id")) {
-      ivfBaseRows(spark, sfDir, cents)
+      ivfBaseRows(spark, sfDir, ivfCentroids(spark, sfDir, k, iters))
     }
-    IvfIndex(normalizeIvf(view), cents)
+    IvfIndex(filterLiveCells(normalizeIvf(view), cents), cents)
   }
 
   /** Trained PQ codebooks (8 subspaces × 16 codes × 8 dims, 2 Lloyd
@@ -901,6 +943,201 @@ object Materialized {
     // partition column round-trips through directory names — restore type
     view.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
       col("codes"))
+  }
+
+  /** The head view of the stored PQ code table — base ∪ split
+    * reassignments, restricted to the current centroid set. Equal to
+    * [[pqCodes]] until [[splitIvfCells]] remaps a cell; pair it with
+    * [[ivfCentroidsCurrent]] (and the unchanged [[pqCodebooks]] — split
+    * children re-encode against the SAME codebooks) for ADC searches over
+    * the maintained index. */
+  def pqCodesCurrent(spark: SparkSession, sfDir: String,
+                     k: Int = 8, iters: Int = 2): DataFrame = {
+    val cb = pqCodebooks(spark, sfDir)
+    val view = headAware(spark, "pq_codes", "m8_k16_i2_res", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      val idx = ivfIndex(spark, sfDir)
+      graft.llm.Similarity.pqEncode(
+        graft.llm.Similarity.ivfResiduals(idx.assignment, idx.centroids),
+        "id", "rv", cb, dims = 64, cellCol = Some("centroid_id"))
+    }
+    filterLiveCells(
+      view.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("codes")),
+      ivfCentroidsCurrent(spark, sfDir, k, iters))
+  }
+
+  /** Write a store entry under an explicit name (tmp + atomic publish,
+    * no-op when already committed) — the split path's writer; the keyed
+    * builders go through [[parquetBacked]]. */
+  private def writeEntry(spark: SparkSession, name: String, df: DataFrame,
+                         partitionCols: Seq[String] = Nil): Unit = {
+    val dir = storeRoot(spark).resolve(s"v$FormatVersion").resolve(name)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      Files.createDirectories(dir.getParent)
+      sweepStaleTmp(dir)
+      val tmp = dir.getParent.resolve(
+        s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      publish(tmp, dir)
+    }
+  }
+
+  /** Outcome of a [[splitIvfCells]] run: the cells split (in order), the
+    * max cell share before/after, and the maintained index view. */
+  final case class IvfSplitReport(splitCells: Seq[Long], maxShareBefore: Double,
+                                  maxShareAfter: Double, index: IvfIndex)
+
+  /**
+   * IVF cell maintenance: split over-occupied cells by LOCAL 2-means — the
+   * remedy for the skew [[appendIvfIndex]] accumulates when a drifting
+   * feed piles into cells trained on the original corpus (`sim_ivf_cells`
+   * is the dial this acts on). Repeatedly, while the hottest cell holds
+   * more than `maxShare` of the index: read ONLY that cell's rows from the
+   * stored assignment (a partition-pruned scan — the corpus is never
+   * re-read and no other cell is touched), train 2 child centroids on them
+   * (deterministic min-id seeds), reassign the cell's rows to the
+   * children, and publish.
+   *
+   * Publication reuses the generation machinery and is crash-atomic at the
+   * CENTROID head swap: the reassigned child rows (and, when a PQ code
+   * table exists, their re-encoded residual codes — against the UNCHANGED
+   * codebooks, the classic IVF-PQ split) are appended as index/code
+   * generations first — invisible, because no live centroid references the
+   * child cells yet — then one atomic centroid-head replace retires the
+   * parent and exposes the children. The parent's rows stay in their old
+   * generations as dead weight hidden by the live-cell filter
+   * ([[filterLiveCells]]); child ids are allocated past the current max,
+   * so a retired cell id is never reused and hidden rows can never
+   * resurface. A crash between the phases leaves only unreferenced
+   * entries, and a re-run recomputes the same deterministic names and
+   * resumes idempotently.
+   *
+   * Serializes with [[appendIvfIndex]] on the centroid head lock (same
+   * centroid → index lock order). [[ivfIndex]], [[pqCodes]] and the PQ
+   * codebooks stay pinned to the trained base; [[ivfIndexCurrent]] /
+   * [[pqCodesCurrent]] / [[ivfCentroidsCurrent]] follow the maintenance.
+   * A cell 2-means cannot separate (all-identical vectors, or fewer than
+   * 2 rows) is skipped — `maxShareAfter` then reports the floor honestly.
+   */
+  def splitIvfCells(spark: SparkSession, sfDir: String,
+                    k: Int = 8, iters: Int = 2,
+                    maxShare: Double = 0.30, maxRounds: Int = 8): IvfSplitReport = {
+    import spark.implicits._
+    val cfg = s"k${k}_i$iters"
+    val pqCfg = "m8_k16_i2_res"
+    ivfIndex(spark, sfDir, k, iters) // ensure trained base entries exist
+    val baseFp = corpusFingerprint(sfDir, "embeddings")
+    val pfp = pathFingerprint(sfDir, "embeddings")
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    val chf = headFile(spark, "ivf_centroids", cfg, sfDir, "embeddings")
+    val ihf = headFile(spark, "ivf_index", cfg, sfDir, "embeddings")
+    val phf = headFile(spark, "pq_codes", pqCfg, sfDir, "embeddings")
+    val pqBaseName = entryName("pq_codes", sfDir, "embeddings", pqCfg)
+
+    withHeadLock(chf) {
+      var splits = Vector.empty[Long]
+      var stuck = Set.empty[Long]
+      var shareBefore = -1.0
+      var shareAfter = -1.0
+
+      def occupancy(): Array[(Long, Long)] = {
+        val idx = ivfIndexCurrent(spark, sfDir, k, iters)
+        idx.assignment.groupBy("centroid_id").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+
+      var rounds = 0
+      var done = false
+      while (!done && rounds < maxRounds) {
+        val occ = occupancy()
+        val total = occ.map(_._2).sum.toDouble
+        val overallMax = if (total == 0) 0.0 else occ.map(_._2).max / total
+        if (shareBefore < 0) shareBefore = overallMax
+        shareAfter = overallMax
+        occ.sortBy { case (cid, c) => (-c, cid) }
+          .find { case (cid, c) => !stuck(cid) && c >= 2 && c / total > maxShare } match {
+          case None => done = true
+          case Some((hotCell, _)) =>
+            val cents = ivfCentroidsCurrent(spark, sfDir, k, iters)
+              .select(col("centroid_id").cast("long").as("centroid_id"), col("vec"))
+            val centRows = cents.as[(Long, Seq[Double])].collect().sortBy(_._1)
+            val view = ivfIndexCurrent(spark, sfDir, k, iters).assignment
+            val cellRows = view.where(col("centroid_id") === hotCell)
+            // deterministic 2-means seeds: the cell's two smallest ids
+            val seedIds = cellRows.select("id").orderBy("id").limit(2)
+              .collect().map(_.getLong(0))
+            val children: Seq[(Long, Seq[Double])] =
+              if (seedIds.length < 2) Nil
+              else {
+                val init = cellRows.where(col("id").isin(seedIds: _*))
+                  .select(col("id").as("centroid_id"), col("v").as("vec"))
+                val sub = graft.llm.Similarity.ivfTrainCentroids(
+                    cellRows, "id", "v", 2, iters, init = Some(init))
+                  .select(col("centroid_id").cast("long"), col("vec"))
+                  .as[(Long, Seq[Double])].collect().sortBy(_._1)
+                val nextId = centRows.map(_._1).max + 1
+                sub.zipWithIndex.map { case ((_, v), i) => (nextId + i, v) }.toSeq
+              }
+            if (children.size < 2) stuck += hotCell
+            else {
+              val tag = s"$baseFp:split:${(splits :+ hotCell).mkString(",")}"
+              val childCents = children.toDF("centroid_id", "vec")
+              val childRows = graft.llm.Similarity.ivfIndexRows(
+                cellRows, "id", "v", childCents)
+              // phase 1a: child index rows — invisible until the head swap
+              // (no live centroid references the child cells yet)
+              val idxDelta = s"ivf_index_p${pfp}_${md5Hex(s"$tag:idx").take(16)}_$cfg"
+              writeEntry(spark, idxDelta, childRows, Seq("centroid_id"))
+              withHeadLock(ihf) {
+                val h0 = liveHeadAt(spark, "ivf_index", cfg, sfDir, "embeddings", baseFp)
+                  .map(_._1).getOrElse(StoreHead(baseFp, Nil,
+                    Seq(entryName("ivf_index", sfDir, "embeddings", cfg))))
+                if (!h0.entries.contains(idxDelta))
+                  replaceFile(ihf, renderHead(h0.copy(entries = h0.entries :+ idxDelta)))
+              }
+              // phase 1b: remap the affected PQ codes, when a code table
+              // exists — residuals vs the CHILD centroids, same codebooks
+              val pqExists = Files.exists(vdir.resolve(pqBaseName).resolve("_SUCCESS"))
+              if (pqExists) {
+                val childCodes = graft.llm.Similarity.pqEncode(
+                  graft.llm.Similarity.ivfResiduals(childRows, childCents),
+                  "id", "rv", pqCodebooks(spark, sfDir), dims = 64,
+                  cellCol = Some("centroid_id"))
+                val pqDelta = s"pq_codes_p${pfp}_${md5Hex(s"$tag:pq").take(16)}_$pqCfg"
+                writeEntry(spark, pqDelta, childCodes, Seq("centroid_id"))
+                withHeadLock(phf) {
+                  val h0 = liveHeadAt(spark, "pq_codes", pqCfg, sfDir, "embeddings", baseFp)
+                    .map(_._1).getOrElse(StoreHead(baseFp, Nil, Seq(pqBaseName)))
+                  if (!h0.entries.contains(pqDelta))
+                    replaceFile(phf, renderHead(h0.copy(entries = h0.entries :+ pqDelta)))
+                }
+              }
+              // phase 2 — COMMIT: one atomic centroid-head swap retires the
+              // parent and exposes the children everywhere at once
+              val revised = (centRows.filterNot(_._1 == hotCell) ++ children)
+                .sortBy(_._1).toSeq
+              val revName = s"ivf_centroids_p${pfp}_${md5Hex(s"$tag:cents").take(16)}_$cfg"
+              writeEntry(spark, revName, revised.toDF("centroid_id", "vec"))
+              val ledger0 = readHead(chf).filter(_.baseFp == baseFp)
+                .map(_.absorbed).getOrElse(Nil)
+              replaceFile(chf, renderHead(
+                StoreHead(baseFp, ledger0 :+ s"split-$hotCell", Seq(revName))))
+              splits :+= hotCell
+            }
+        }
+        rounds += 1
+      }
+      if (splits.nonEmpty || shareAfter < 0) {
+        val occ = occupancy()
+        val total = occ.map(_._2).sum.toDouble
+        shareAfter = if (total == 0) 0.0 else occ.map(_._2).max / total
+      }
+      IvfSplitReport(splits, shareBefore, shareAfter,
+        ivfIndexCurrent(spark, sfDir, k, iters))
+    }
   }
 
   /** One store entry's operational status: `role` is `head-base` /

@@ -500,6 +500,115 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf cell split: skewed append re-balanced by local 2-means; searches, PQ remap and later appends stay correct") {
+    withTempStore { root =>
+      import spark.implicits._
+      import graft.llm.Similarity
+      val corpusDir = Files.createTempDirectory("graft-split-corpus")
+      val dims = 64
+      def unit(c: Int): Array[Double] =
+        Array.tabulate(dims)(i => if (i == c * 8) 1.0 else 0.0)
+      // hash-style jitter (frac of a scaled sine): plain sin(i·k + d) is
+      // near-periodic — 17·710 ≈ 2π·1921 made indices 710 apart collide at
+      // cosine ≈ 1 — while the frac step decorrelates every (c, i, d)
+      def member(c: Int, i: Int, shift: Double = 0.0): Seq[Double] =
+        Array.tabulate(dims) { d =>
+          val s = math.sin((c + 1) * 12.9898 + (i + 1) * 78.233 +
+            (d + 1) * 37.719) * 43758.5453
+          unit(c)(d) + (if (d == 1) shift else 0.0) +
+            0.1 * ((s - math.floor(s)) - 0.5)
+        }.toSeq
+      // balanced corpus: 8 clusters × 40 vectors; ids 0..7 are the exact
+      // cluster centers — the trainer's deterministic id<k seeds
+      val corpus =
+        (0 until 8).map(c => (c.toLong, unit(c).toSeq)) ++
+          (for (c <- 0 until 8; i <- 0 until 39)
+            yield ((8 + c * 39 + i).toLong, member(c, i)))
+      corpus.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(corpusDir.resolve("embeddings.parquet").toString)
+      val sfDir = corpusDir.toString
+
+      Materialized.ivfIndex(spark, sfDir)
+      Materialized.pqCodes(spark, sfDir) // PQ ladder exists → split must remap
+
+      // skewed feed: 300 vectors, bimodal around cluster 0 (±0.3 on dim 1)
+      val batch = (0 until 300)
+        .map(i => ((10000 + i).toLong,
+          member(0, 1000 + i, shift = if (i % 2 == 0) 0.3 else -0.3)))
+        .toDF("vec_id", "embedding")
+      Materialized.appendIvfIndex(spark, sfDir, batch, "vec_id", "embedding", "skew1")
+
+      def cellBytes(cid: Long): Long = {
+        val v = root.resolve(s"v${Materialized.FormatVersion}")
+        Files.list(v).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("ivf_index_"))
+          .map(_.resolve(s"centroid_id=$cid"))
+          .filter(Files.isDirectory(_))
+          .flatMap(d => Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_)))
+          .map(Files.size).sum
+      }
+      val hotBefore = Materialized.ivfIndexCurrent(spark, sfDir).assignment
+        .groupBy("centroid_id").count().orderBy(col("count").desc)
+        .head().getLong(0)
+      val hotBytes = cellBytes(hotBefore)
+
+      val report = Materialized.splitIvfCells(spark, sfDir, maxShare = 0.30)
+      assert(report.splitCells.headOption.contains(hotBefore), report.toString)
+      assert(report.maxShareBefore > 0.30 && report.maxShareAfter <= 0.30, report.toString)
+
+      // integrity: every id exactly once — no losses, no resurfaced parent rows
+      val cur = Materialized.ivfIndexCurrent(spark, sfDir)
+      assert(cur.assignment.count() == 620 &&
+        cur.assignment.select("id").distinct().count() == 620)
+      assert(cur.centroids.count() >= 9) // each split: −1 parent, +2 children
+      assert(!cur.centroids.select("centroid_id").as[Long].collect().contains(hotBefore))
+
+      // a probe of the cell holding the query now reads fewer bytes than
+      // the pre-split hot cell did
+      val qv = member(0, 1000, shift = 0.3) // exact copy of batch id 10000
+      val hit1 = Similarity.ivfSearch(cur.assignment, cur.centroids, qv,
+        k = 1, nprobe = 1).head()
+      assert(hit1.getLong(0) == 10000L && hit1.getDouble(2) == 1.0, hit1.toString)
+      val childCell = hit1.getLong(1)
+      assert(childCell != hotBefore && cellBytes(childCell) < (hotBytes * 3) / 4,
+        s"probed bytes must drop: child=${cellBytes(childCell)} vs hot=$hotBytes")
+
+      // full-probe search over the split index == brute force over the data
+      val ivfTop = Similarity.ivfSearch(cur.assignment, cur.centroids, qv,
+        k = 5, nprobe = 9).collect().map(_.getLong(0)).toSeq
+      val bruteTop = Similarity.topK(cur.assignment, "id", "v", qv, 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(ivfTop == bruteTop, s"$ivfTop vs $bruteTop")
+
+      // PQ remap: the stored code view equals a fresh re-encode of the
+      // CURRENT assignment's residuals against the unchanged codebooks
+      val books = Materialized.pqCodebooks(spark, sfDir)
+      val fresh = Similarity.pqEncode(
+          Similarity.ivfResiduals(cur.assignment, cur.centroids),
+          "id", "rv", books, dims = 64, cellCol = Some("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      val stored = Materialized.pqCodesCurrent(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(stored == fresh, "remapped PQ codes must equal a fresh residual encode")
+
+      // maintenance composes: a post-split append assigns against the
+      // REVISED centroids — it lands in a live cell (never the retired
+      // parent) and a minimal probe finds it
+      val batch2 = Seq((20000L, member(0, 2000, shift = 0.3)))
+        .toDF("vec_id", "embedding")
+      val after = Materialized.appendIvfIndex(spark, sfDir, batch2,
+        "vec_id", "embedding", "post-split")
+      val cell2 = after.assignment.where(col("id") === 20000L)
+        .head().getLong(1)
+      val live = after.centroids.select("centroid_id").as[Long].collect().toSet
+      assert(cell2 != hotBefore && live.contains(cell2),
+        s"post-split append must land in a live child cell ($cell2, live=$live)")
+      val hit2 = Similarity.ivfSearch(after.assignment, after.centroids,
+        member(0, 2000, shift = 0.3), k = 1, nprobe = 1).head()
+      assert(hit2.getLong(0) == 20000L && hit2.getDouble(2) == 1.0, hit2.toString)
+    }
+  }
+
   test("storeStatus reports head roles: base, delta, headless, and unreferenced after regeneration") {
     withTempStore { _ =>
       import spark.implicits._
