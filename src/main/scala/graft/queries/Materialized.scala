@@ -967,6 +967,82 @@ object Materialized {
       ivfCentroidsCurrent(spark, sfDir, k, iters))
   }
 
+  /** Is a committed artifact (base entry or live head) available for this
+    * (kind, config) WITHOUT triggering a build? The dispatch probe of
+    * [[knnJoinAuto]]. */
+  private def artifactAvailable(spark: SparkSession, kind: String, config: String,
+                                sfDir: String, table: String): Boolean =
+    Files.exists(storeRoot(spark).resolve(s"v$FormatVersion")
+      .resolve(entryName(kind, sfDir, table, config)).resolve("_SUCCESS")) ||
+      liveHead(spark, kind, config, sfDir, table).isDefined
+
+  /** [[knnJoinAuto]]'s outcome: which join ran (pinned by spec per
+    * regime) and its result. */
+  final case class KnnJoinChoice(strategy: String, result: DataFrame)
+
+  /**
+   * Regime dispatch over the kNN join ladder — encodes the measured
+   * operating rule (BASELINE.md) so a caller cannot land on the wrong
+   * variant by accident:
+   *
+   *  - no stored index and Q ≤ `heapBound` → [[graft.llm.Similarity.knnJoin]]
+   *    (broadcast-heap; exact, one corpus scan, no index build);
+   *  - a stored index → IVF-probed ([[graft.llm.Similarity.knnJoinIvf]]):
+   *    per-query cost O(probed cells), scan = probed-cell union;
+   *  - Q past the probe-broadcast bound (`ivfBound`) → fully distributed
+   *    ([[graft.llm.Similarity.knnJoinDistributed]], no driver bound);
+   *  - PQ codes ([[graft.llm.Similarity.knnJoinPq]]) ONLY when the stored
+   *    code table exists, Q is past `pqMinQ` (below it the LUT/serde
+   *    amortization loses to the codegen'd full-dot join — measured 2.4×
+   *    slower at Q=256) and `allowApprox` permits code-ranked results;
+   *  - no stored index and Q past `heapBound` → the index is built once
+   *    (the amortized scale path), then probed.
+   *
+   * Probed variants follow index maintenance ([[ivfIndexCurrent]] /
+   * [[pqCodesCurrent]]). The query frame carries `(qIdCol, vecCol)`;
+   * the corpus side is the `embeddings` table / its stored artifacts.
+   */
+  def knnJoinAuto(spark: SparkSession, sfDir: String, queries: DataFrame,
+                  qIdCol: String, vecCol: String, k: Int, nprobe: Int,
+                  excludeSelf: Boolean = true, allowApprox: Boolean = true,
+                  heapBound: Int = 4096, ivfBound: Int = 65536,
+                  pqMinQ: Int = 4096,
+                  kIvf: Int = 8, iters: Int = 2): KnnJoinChoice = {
+    import graft.llm.Similarity
+    val cfg = s"k${kIvf}_i$iters"
+    val qCount = queries.count()
+    val hasIvf = artifactAvailable(spark, "ivf_index", cfg, sfDir, "embeddings")
+    val hasPq = artifactAvailable(spark, "pq_codes", "m8_k16_i2_res", sfDir, "embeddings")
+    if (!hasIvf && qCount <= heapBound) {
+      require(qIdCol != "embedding", "knnJoinAuto: query id column shadows the corpus vector column")
+      val q = queries.select(col(qIdCol), col(vecCol).as("embedding"))
+      KnnJoinChoice("broadcast-heap",
+        Similarity.knnJoin(Tables.embeddings(spark, sfDir), q,
+          "vec_id", "embedding", qIdCol, k, excludeSelf,
+          maxQueries = heapBound))
+    } else {
+      // stored index present — or Q is past the heap bound and the build
+      // is the amortized cost of entering the indexed regime
+      val idx = ivfIndexCurrent(spark, sfDir, kIvf, iters)
+      val built = if (hasIvf) "" else " (index built)"
+      if (qCount > ivfBound)
+        KnnJoinChoice("distributed" + built,
+          Similarity.knnJoinDistributed(idx.assignment, idx.centroids,
+            queries, qIdCol, vecCol, k, nprobe, excludeSelf))
+      else if (allowApprox && hasPq && qCount > pqMinQ)
+        KnnJoinChoice("pq-adc" + built,
+          Similarity.knnJoinPq(pqCodesCurrent(spark, sfDir, kIvf, iters),
+            pqCodebooks(spark, sfDir), idx.centroids,
+            queries, qIdCol, vecCol, k, nprobe, excludeSelf,
+            residual = true))
+      else
+        KnnJoinChoice("ivf-probed" + built,
+          Similarity.knnJoinIvf(idx.assignment, idx.centroids,
+            queries, qIdCol, vecCol, k, nprobe, excludeSelf,
+            maxQueries = ivfBound))
+    }
+  }
+
   /** Write a store entry under an explicit name (tmp + atomic publish,
     * no-op when already committed) — the split path's writer; the keyed
     * builders go through [[parquetBacked]]. */

@@ -609,6 +609,59 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinAuto: regime dispatch pinned, each choice bit-equal to the underlying join") {
+    withTempStore { _ =>
+      import graft.llm.Similarity
+      val sf = TestSpark.sf
+      val queries = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      def auto(allowApprox: Boolean = true, heapBound: Int = 4096,
+               ivfBound: Int = 65536, pqMinQ: Int = 4096) =
+        Materialized.knnJoinAuto(spark, sf, queries, "qid", "qv", k = 5,
+          nprobe = 2, allowApprox = allowApprox, heapBound = heapBound,
+          ivfBound = ivfBound, pqMinQ = pqMinQ)
+
+      // no stored index, Q under the heap bound → exact broadcast heap
+      val c1 = auto()
+      assert(c1.strategy == "broadcast-heap", c1.strategy)
+      val q1 = queries.select(col("qid"), col("qv").as("embedding"))
+      assert(rows(c1.result) == rows(Similarity.knnJoin(
+        Tables.embeddings(spark, sf), q1, "vec_id", "embedding", "qid", 5)))
+
+      // no stored index, Q past the heap bound → the index is built once
+      val c2 = auto(heapBound = 2)
+      assert(c2.strategy == "ivf-probed (index built)", c2.strategy)
+      val idx = Materialized.ivfIndexCurrent(spark, sf)
+      val ivfRows = rows(Similarity.knnJoinIvf(idx.assignment, idx.centroids,
+        queries, "qid", "qv", 5, 2))
+      assert(rows(c2.result) == ivfRows)
+
+      // stored index wins over the heap even at small Q
+      val c3 = auto()
+      assert(c3.strategy == "ivf-probed", c3.strategy)
+      assert(rows(c3.result) == ivfRows)
+
+      // PQ only when the code table exists AND Q is past pqMinQ AND
+      // approximate ranking is allowed
+      Materialized.pqCodes(spark, sf)
+      val c4 = auto(pqMinQ = 2)
+      assert(c4.strategy == "pq-adc", c4.strategy)
+      assert(rows(c4.result) == rows(Similarity.knnJoinPq(
+        Materialized.pqCodesCurrent(spark, sf), Materialized.pqCodebooks(spark, sf),
+        idx.centroids, queries, "qid", "qv", 5, 2, residual = true)))
+      assert(auto(pqMinQ = 2, allowApprox = false).strategy == "ivf-probed")
+      assert(auto().strategy == "ivf-probed") // Q=3 ≤ default pqMinQ
+
+      // Q past the probe-broadcast bound → fully distributed
+      val c5 = auto(ivfBound = 2)
+      assert(c5.strategy == "distributed", c5.strategy)
+      assert(rows(c5.result) == rows(Similarity.knnJoinDistributed(
+        idx.assignment, idx.centroids, queries, "qid", "qv", 5, 2)))
+    }
+  }
+
   test("storeStatus reports head roles: base, delta, headless, and unreferenced after regeneration") {
     withTempStore { _ =>
       import spark.implicits._
