@@ -26,7 +26,7 @@ object LlmQueries {
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
-    simIvfCells, simKnnJoinPq, simPqRecon)
+    simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -585,6 +585,88 @@ object LlmQueries {
             |  round((sum(CAST(round(rd, 6) AS DECIMAL(20,6)))::DOUBLE) / count(*), 6)
             |    AS avg_dist
             |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** IVF cell maintenance ([[Materialized.splitIvfCells]]) oracled
+    * end-to-end: force one maintenance round (`maxShare = 0`), which
+    * splits the HOTTEST trained cell by local 2-means — deterministic
+    * min-id seeds, 2 Lloyd rounds over only that cell's stored rows —
+    * retires the parent behind the atomic centroid-head swap, and reports
+    * the post-split occupancy histogram. Runs against an ISOLATED store
+    * root: maintenance must not move the shared artifacts every other sim
+    * oracle replays (they pin the unsplit trained base). The oracle
+    * replays train → assign → hottest-cell election (count desc, id asc)
+    * → seeded 2-means → child relabel past the max centroid id →
+    * reassign → histogram. The temp-store conf swap is restored before
+    * returning; the result frame keeps reading the already-written temp
+    * entries. */
+  val simIvfSplit: QueryDef = QueryDef("sim_ivf_split",
+    (s, d) => {
+      val prev = s.conf.getOption("spark.graft.materialized.dir")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-split-q").toString
+      s.conf.set("spark.graft.materialized.dir", tmp)
+      Materialized.clearSessionCache()
+      try {
+        val rep = Materialized.splitIvfCells(s, d, maxShare = 0.0, maxRounds = 1)
+        rep.index.assignment.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("centroid_id")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.materialized.dir", v)
+          case None => s.conf.unset("spark.graft.materialized.dir")
+        }
+        Materialized.clearSessionCache()
+      }
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |hot AS (SELECT centroid_id FROM a3 GROUP BY 1
+            |        ORDER BY count(*) DESC, centroid_id LIMIT 1),
+            |cr AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN a3 USING (vec_id)
+            |      WHERE a3.centroid_id IN (SELECT centroid_id FROM hot)),
+            |s0 AS (SELECT vec_id AS sid, v AS sv FROM cr ORDER BY vec_id LIMIT 2),
+            |sd1 AS (SELECT cr.vec_id, s.sid,
+            |    list_sum([(cr.v[i] - s.sv[i]) * (cr.v[i] - s.sv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM cr, s0 s),
+            |sa1 AS (SELECT vec_id, sid FROM (
+            |    SELECT vec_id, sid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, sid) AS rn
+            |    FROM sd1) WHERE rn = 1),
+            |sm1 AS (SELECT a.sid, t.i - 1 AS dim,
+            |    (sum(CAST(cr.v[t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+            |  FROM sa1 a JOIN cr ON a.vec_id = cr.vec_id, range(1, 65) t(i)
+            |  GROUP BY 1, 2),
+            |s1 AS (SELECT sid, list(m ORDER BY dim) AS sv FROM sm1 GROUP BY 1),
+            |sd2 AS (SELECT cr.vec_id, s.sid,
+            |    list_sum([(cr.v[i] - s.sv[i]) * (cr.v[i] - s.sv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM cr, s1 s),
+            |sa2 AS (SELECT vec_id, sid FROM (
+            |    SELECT vec_id, sid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, sid) AS rn
+            |    FROM sd2) WHERE rn = 1),
+            |sm2 AS (SELECT a.sid, t.i - 1 AS dim,
+            |    (sum(CAST(cr.v[t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+            |  FROM sa2 a JOIN cr ON a.vec_id = cr.vec_id, range(1, 65) t(i)
+            |  GROUP BY 1, 2),
+            |s2 AS (SELECT sid, list(m ORDER BY dim) AS sv FROM sm2 GROUP BY 1),
+            |ch AS (SELECT (SELECT max(centroid_id) FROM c2)
+            |         + row_number() OVER (ORDER BY sid) AS centroid_id,
+            |       sv AS cv FROM s2),
+            |rd3 AS (SELECT cr.vec_id, ch.centroid_id,
+            |    list_sum([(cr.v[i] - ch.cv[i]) * (cr.v[i] - ch.cv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM cr, ch),
+            |ra AS (SELECT vec_id, centroid_id FROM (
+            |    SELECT vec_id, centroid_id,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
+            |    FROM rd3) WHERE rn = 1),
+            |fin AS (SELECT vec_id, centroid_id FROM a3
+            |        WHERE centroid_id NOT IN (SELECT centroid_id FROM hot)
+            |        UNION ALL SELECT vec_id, centroid_id FROM ra)
+            |SELECT centroid_id, count(*)::BIGINT AS n_vectors
+            |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** RESIDUAL product-quantization codebook training (live cost, the PQ
     * sibling of `sim_ivf_train`): codes are trained on `v − centroid(cell)`
@@ -1614,6 +1696,33 @@ object LlmQueries {
     * the probed partitions, Q bounded by broadcast memory instead of
     * [[Similarity.knnJoin]]'s hard 4,096. The oracle replays train →
     * assign → per-query probe → rank exactly. */
+  /** The probed-join replay shared by `sim_knn_join_ivf` and
+    * `sim_knn_join_auto` (the dispatcher adds routing, never different
+    * math — one oracle keeps the two from silently diverging). */
+  private def knnJoinIvfOracleSql =
+    s"""WITH $ivfTrainedSql,
+       |$ivfAssignFromTrainedSql,
+       |qs AS (SELECT vec_id AS query_id, v AS qv,
+       |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
+       |pd AS (SELECT q.query_id, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+       |                              for i in range(1, 65)]), c.centroid_id) AS prn
+       |       FROM c2 c, qs q),
+       |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+       |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+       |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+       |          (n.nrm * q.qn), 6) AS cosine
+       |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+       |        JOIN probe p ON a3.centroid_id = p.centroid_id
+       |        JOIN qs q ON p.query_id = q.query_id
+       |      WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, rank, cosine FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val simKnnJoinIvf: QueryDef = QueryDef("sim_knn_join_ivf",
     (s, d) => {
       val idx = Materialized.ivfIndex(s, d)
@@ -1622,28 +1731,24 @@ object LlmQueries {
           "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH $ivfTrainedSql,
-            |$ivfAssignFromTrainedSql,
-            |qs AS (SELECT vec_id AS query_id, v AS qv,
-            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
-            |pd AS (SELECT q.query_id, c.centroid_id,
-            |         row_number() OVER (PARTITION BY q.query_id
-            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
-            |                              for i in range(1, 65)]), c.centroid_id) AS prn
-            |       FROM c2 c, qs q),
-            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
-            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
-            |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
-            |          (n.nrm * q.qn), 6) AS cosine
-            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
-            |        JOIN probe p ON a3.centroid_id = p.centroid_id
-            |        JOIN qs q ON p.query_id = q.query_id
-            |      WHERE n.vec_id <> q.query_id),
-            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
-            |SELECT query_id, neighbor_id, rank, cosine FROM r
-            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+    Some(knnJoinIvfOracleSql))
+
+  /** The kNN regime dispatcher ([[Materialized.knnJoinAuto]]) oracled
+    * end-to-end: the stored index is ensured first, so dispatch must take
+    * the "stored index wins" branch — asserted in-query, a silent
+    * mis-route fails the correctness gate — and route to the IVF-probed
+    * join, whose replay is the shared oracle above. */
+  val simKnnJoinAuto: QueryDef = QueryDef("sim_knn_join_auto",
+    (s, d) => {
+      Materialized.ivfIndex(s, d) // deterministic regime: index present
+      val choice = Materialized.knnJoinAuto(s, d,
+        Tables.embeddings(s, d).where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      require(choice.strategy == "ivf-probed",
+        s"dispatch must choose the stored index: ${choice.strategy}")
+      choice.result.orderBy("query_id", "rank")
+    },
+    Some(knnJoinIvfOracleSql))
 
   /** Fully DISTRIBUTED IVF-probed kNN join
     * ([[Similarity.knnJoinDistributed]]): the query side stays a DataFrame
