@@ -26,7 +26,8 @@ object LlmQueries {
     simKnnJoinIvf, simIvfSearch2, simIvfSearchQ8, textPackEmit,
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
-    simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit)
+    simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
+    simIvfRetrain)
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -667,6 +668,84 @@ object LlmQueries {
             |        UNION ALL SELECT vec_id, centroid_id FROM ra)
             |SELECT centroid_id, count(*)::BIGINT AS n_vectors
             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Periodic IVF retrain ([[Materialized.retrainIvfIndex]]) oracled
+    * end-to-end: in an isolated store, a 5-vector batch (negated copies
+    * of 0-4 at ids +8000) is absorbed via [[Materialized.appendIvfIndex]],
+    * then the index is RETRAINED on the current view (corpus ∪ batch) —
+    * k-min-id seeds relocated past the max centroid id, 2 Lloyd rounds,
+    * every generation folded into one fresh entry behind the atomic
+    * centroid-head swap — and the retrained occupancy histogram is
+    * reported. The oracle replays base train (for the id relocation
+    * offset) → batch union → seeded retrain over the union → final
+    * assignment → histogram. */
+  val simIvfRetrain: QueryDef = QueryDef("sim_ivf_retrain",
+    (s, d) => {
+      val prev = s.conf.getOption("spark.graft.materialized.dir")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-retrain-q").toString
+      s.conf.set("spark.graft.materialized.dir", tmp)
+      Materialized.clearSessionCache()
+      try {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 8000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding", "rt_b1")
+        val re = Materialized.retrainIvfIndex(s, d)
+        re.assignment.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("centroid_id")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.materialized.dir", v)
+          case None => s.conf.unset("spark.graft.materialized.dir")
+        }
+        Materialized.clearSessionCache()
+      }
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
+            |       FROM e WHERE vec_id < 5),
+            |allv AS MATERIALIZED (SELECT vec_id, v FROM e
+            |       UNION ALL SELECT vec_id, v FROM nb),
+            |r0 AS (SELECT vec_id + (SELECT max(centroid_id) FROM c2) + 1 AS rid,
+            |       v AS rv FROM allv ORDER BY vec_id LIMIT 8),
+            |rd1 AS (SELECT a.vec_id, r.rid,
+            |    list_sum([(a.v[i] - r.rv[i]) * (a.v[i] - r.rv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM allv a, r0 r),
+            |ra1 AS (SELECT vec_id, rid FROM (
+            |    SELECT vec_id, rid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, rid) AS rn
+            |    FROM rd1) WHERE rn = 1),
+            |rm1 AS (SELECT x.rid, t.i - 1 AS dim,
+            |    (sum(CAST(a.v[t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+            |  FROM ra1 x JOIN allv a ON x.vec_id = a.vec_id, range(1, 65) t(i)
+            |  GROUP BY 1, 2),
+            |r1 AS (SELECT rid, list(m ORDER BY dim) AS rv FROM rm1 GROUP BY 1),
+            |rd2 AS (SELECT a.vec_id, r.rid,
+            |    list_sum([(a.v[i] - r.rv[i]) * (a.v[i] - r.rv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM allv a, r1 r),
+            |ra2 AS (SELECT vec_id, rid FROM (
+            |    SELECT vec_id, rid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, rid) AS rn
+            |    FROM rd2) WHERE rn = 1),
+            |rm2 AS (SELECT x.rid, t.i - 1 AS dim,
+            |    (sum(CAST(a.v[t.i] AS DECIMAL(30,15)))::DOUBLE) / count(*) AS m
+            |  FROM ra2 x JOIN allv a ON x.vec_id = a.vec_id, range(1, 65) t(i)
+            |  GROUP BY 1, 2),
+            |r2 AS (SELECT rid, list(m ORDER BY dim) AS rv FROM rm2 GROUP BY 1),
+            |fd AS (SELECT a.vec_id, r.rid,
+            |    list_sum([(a.v[i] - r.rv[i]) * (a.v[i] - r.rv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM allv a, r2 r),
+            |fa AS (SELECT vec_id, rid FROM (
+            |    SELECT vec_id, rid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, rid) AS rn
+            |    FROM fd) WHERE rn = 1)
+            |SELECT rid AS centroid_id, count(*)::BIGINT AS n_vectors
+            |FROM fa GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** RESIDUAL product-quantization codebook training (live cost, the PQ
     * sibling of `sim_ivf_train`): codes are trained on `v − centroid(cell)`

@@ -1043,6 +1043,118 @@ object Materialized {
     }
   }
 
+  /**
+   * Periodic IVF retrain — the third maintenance operator beside
+   * [[appendIvfIndex]] (ingest) and [[splitIvfCells]] (incremental
+   * re-balance): rebuild centroids AND assignment from the CURRENT live
+   * view (corpus ∪ absorbed batches ∪ split children), folding every
+   * appended generation, split delta and retired-cell dead row into ONE
+   * fresh generation trained on today's actual distribution. The standard
+   * remedy for centroid drift once appends have outgrown the original
+   * training set.
+   *
+   * Crash-atomic by the same single-commit-point construction as the
+   * split: the retrained cells take FRESH centroid ids (past the current
+   * max, so they overlap nothing), the new index entry — and, when a PQ
+   * code table exists, the re-encoded codes against the UNCHANGED
+   * codebooks — is APPENDED to its head first (invisible: no live
+   * centroid references the fresh cells), then one atomic centroid-head
+   * swap retires every old cell and exposes the retrained generation
+   * everywhere at once. Only after the commit are the heads collapsed to
+   * the single new entry (a crash before that leaves extra hidden
+   * entries for the sweeps). The absorbed-batch ledger is preserved
+   * through both steps — a replayed batch id is still a no-op after the
+   * retrain, and the id anti-join keeps protecting against duplicates.
+   *
+   * Training seeds are the k smallest LIVE ids (the base trainer's
+   * deterministic `id < k` seeding generalized to a view whose id space
+   * includes absorbed batches). Note retrain CONSOLIDATES and re-centers;
+   * it does not promise balance — k-means on a skewed feed can keep a
+   * heavy cell. Balance is [[splitIvfCells]]'s job, and the two compose:
+   * retrain, then split the cells that remain hot.
+   */
+  def retrainIvfIndex(spark: SparkSession, sfDir: String,
+                      k: Int = 8, iters: Int = 2): IvfIndex = {
+    import spark.implicits._
+    val cfg = s"k${k}_i$iters"
+    val pqCfg = "m8_k16_i2_res"
+    ivfIndex(spark, sfDir, k, iters) // ensure base entries exist
+    val baseFp = corpusFingerprint(sfDir, "embeddings")
+    val pfp = pathFingerprint(sfDir, "embeddings")
+    val vdir = storeRoot(spark).resolve(s"v$FormatVersion")
+    val chf = headFile(spark, "ivf_centroids", cfg, sfDir, "embeddings")
+    val ihf = headFile(spark, "ivf_index", cfg, sfDir, "embeddings")
+    val phf = headFile(spark, "pq_codes", pqCfg, sfDir, "embeddings")
+    val pqBaseName = entryName("pq_codes", sfDir, "embeddings", pqCfg)
+    withHeadLock(chf) {
+      val curCents = ivfCentroidsCurrent(spark, sfDir, k, iters)
+        .select(col("centroid_id").cast("long").as("centroid_id"), col("vec"))
+      val maxId = curCents.agg(max("centroid_id")).head().getLong(0)
+      val cur = ivfIndexCurrent(spark, sfDir, k, iters).assignment
+      val ledger = readHead(ihf).filter(_.baseFp == baseFp)
+        .map(_.absorbed).getOrElse(Nil)
+      val tag = s"$baseFp:retrain:${md5Hex(ledger.mkString(",")).take(8)}:" +
+        readHead(chf).map(_.absorbed.size).getOrElse(0)
+      // k smallest live ids seed the train, labels relocated past maxId so
+      // the retrained cells overlap no existing (live or retired) cell id
+      val seedIds = cur.select("id").orderBy("id").limit(k)
+        .as[Long].collect()
+      val init = cur.where(col("id").isin(seedIds: _*))
+        .select((col("id") + maxId + 1).as("centroid_id"), col("v").as("vec"))
+      val trained = graft.llm.Similarity.ivfTrainCentroids(
+          cur, "id", "v", k, iters, init = Some(init))
+        .select(col("centroid_id").cast("long"), col("vec"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      val newCents = trained.toDF("centroid_id", "vec")
+      val rows = graft.llm.Similarity.ivfIndexRows(cur, "id", "v", newCents)
+      // phase 1: entries + appended heads — invisible behind the old centroids
+      val idxEntry = s"ivf_index_p${pfp}_${md5Hex(s"$tag:idx").take(16)}_$cfg"
+      writeEntry(spark, idxEntry, rows, Seq("centroid_id"))
+      withHeadLock(ihf) {
+        val h0 = liveHeadAt(spark, "ivf_index", cfg, sfDir, "embeddings", baseFp)
+          .map(_._1).getOrElse(StoreHead(baseFp, Nil,
+            Seq(entryName("ivf_index", sfDir, "embeddings", cfg))))
+        if (!h0.entries.contains(idxEntry))
+          replaceFile(ihf, renderHead(h0.copy(entries = h0.entries :+ idxEntry)))
+      }
+      val pqExists = Files.exists(vdir.resolve(pqBaseName).resolve("_SUCCESS"))
+      val pqEntry = s"pq_codes_p${pfp}_${md5Hex(s"$tag:pq").take(16)}_$pqCfg"
+      if (pqExists) {
+        val codes = graft.llm.Similarity.pqEncode(
+          graft.llm.Similarity.ivfResiduals(rows, newCents),
+          "id", "rv", pqCodebooks(spark, sfDir), dims = 64,
+          cellCol = Some("centroid_id"))
+        writeEntry(spark, pqEntry, codes, Seq("centroid_id"))
+        withHeadLock(phf) {
+          val h0 = liveHeadAt(spark, "pq_codes", pqCfg, sfDir, "embeddings", baseFp)
+            .map(_._1).getOrElse(StoreHead(baseFp, Nil, Seq(pqBaseName)))
+          if (!h0.entries.contains(pqEntry))
+            replaceFile(phf, renderHead(h0.copy(entries = h0.entries :+ pqEntry)))
+        }
+      }
+      // phase 2 — COMMIT: the centroid swap retires every old cell at once
+      val centEntry = s"ivf_centroids_p${pfp}_${md5Hex(s"$tag:cents").take(16)}_$cfg"
+      writeEntry(spark, centEntry, newCents)
+      val ledger0 = readHead(chf).filter(_.baseFp == baseFp)
+        .map(_.absorbed).getOrElse(Nil)
+      replaceFile(chf, renderHead(
+        StoreHead(baseFp, ledger0 :+ s"retrain-${ledger0.size}", Seq(centEntry))))
+      // phase 3 — collapse the data heads to the single fresh generation
+      // (read-amplification cleanup; every old entry is already invisible)
+      withHeadLock(ihf) {
+        replaceFile(ihf, renderHead(StoreHead(baseFp, ledger, Seq(idxEntry))))
+      }
+      if (pqExists) withHeadLock(phf) {
+        val pl = readHead(phf).filter(_.baseFp == baseFp)
+          .map(_.absorbed).getOrElse(Nil)
+        replaceFile(phf, renderHead(StoreHead(baseFp, pl, Seq(pqEntry))))
+      }
+      sweepUnreferenced(spark, "ivf_index", cfg, sfDir, "embeddings",
+        StoreHead(baseFp, ledger, Seq(idxEntry)))
+      ivfIndexCurrent(spark, sfDir, k, iters)
+    }
+  }
+
   /** Write a store entry under an explicit name (tmp + atomic publish,
     * no-op when already committed) — the split path's writer; the keyed
     * builders go through [[parquetBacked]]. */

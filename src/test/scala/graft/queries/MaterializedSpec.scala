@@ -606,6 +606,40 @@ class MaterializedSpec extends AnyFunSuite {
       val hit2 = Similarity.ivfSearch(after.assignment, after.centroids,
         member(0, 2000, shift = 0.3), k = 1, nprobe = 1).head()
       assert(hit2.getLong(0) == 20000L && hit2.getDouble(2) == 1.0, hit2.toString)
+
+      // LIFECYCLE TAIL — periodic retrain folds base ∪ appends ∪ split
+      // children into ONE fresh generation on fresh cell ids
+      val maxBefore = after.centroids.select("centroid_id").as[Long]
+        .collect().max
+      val a0 = Materialized.absorbsPublished.get()
+      val re = Materialized.retrainIvfIndex(spark, sfDir)
+      val reCells = re.centroids.select("centroid_id").as[Long].collect()
+      assert(reCells.length == 8 && reCells.forall(_ > maxBefore),
+        s"retrained cells must be k fresh ids: ${reCells.toSeq}")
+      assert(re.assignment.count() == 621 &&
+        re.assignment.select("id").distinct().count() == 621)
+      // exactly-once survives the retrain: the absorbed batch id replays
+      // as a no-op and its rows (now inside the retrained entry) stay single
+      Materialized.appendIvfIndex(spark, sfDir, batch, "vec_id", "embedding", "skew1")
+      assert(Materialized.absorbsPublished.get() == a0, "replayed batch id must no-op")
+      assert(Materialized.ivfIndexCurrent(spark, sfDir).assignment.count() == 621)
+      // search over the retrained generation still equals brute force
+      val reTop = Similarity.ivfSearch(re.assignment, re.centroids, qv,
+        k = 5, nprobe = 8).collect().map(_.getLong(0)).toSeq
+      assert(reTop == Similarity.topK(re.assignment, "id", "v", qv, 5)
+        .collect().map(_.getLong(0)).toSeq)
+      // PQ codes were rebuilt against the retrained cells (same codebooks)
+      val reCodes = Materialized.pqCodesCurrent(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      val reFresh = Similarity.pqEncode(
+          Similarity.ivfResiduals(re.assignment, re.centroids),
+          "id", "rv", books, dims = 64, cellCol = Some("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(reCodes == reFresh, "retrained PQ codes must equal a fresh residual encode")
+      // a fresh consumer resolves the retrained heads from storage
+      Materialized.clearSessionCache()
+      assert(Materialized.ivfIndexCurrent(spark, sfDir).centroids
+        .select("centroid_id").as[Long].collect().toSet == reCells.toSet)
     }
   }
 
