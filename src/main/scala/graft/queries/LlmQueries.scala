@@ -602,21 +602,12 @@ object LlmQueries {
     * entries. */
   val simIvfSplit: QueryDef = QueryDef("sim_ivf_split",
     (s, d) => {
-      val prev = s.conf.getOption("spark.graft.materialized.dir")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-split-q").toString
-      s.conf.set("spark.graft.materialized.dir", tmp)
-      Materialized.clearSessionCache()
-      try {
+      Materialized.ivfIndex(s, d) // shared base, built once for the registry
+      Materialized.withStoreSandbox(s, Seq("ivf_centroids_", "ivf_index_")) {
         val rep = Materialized.splitIvfCells(s, d, maxShare = 0.0, maxRounds = 1)
         rep.index.assignment.groupBy("centroid_id")
           .agg(count(lit(1)).as("n_vectors"))
           .orderBy("centroid_id")
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set("spark.graft.materialized.dir", v)
-          case None => s.conf.unset("spark.graft.materialized.dir")
-        }
-        Materialized.clearSessionCache()
       }
     },
     Some(s"""WITH $ivfTrainedSql,
@@ -681,11 +672,8 @@ object LlmQueries {
     * assignment → histogram. */
   val simIvfRetrain: QueryDef = QueryDef("sim_ivf_retrain",
     (s, d) => {
-      val prev = s.conf.getOption("spark.graft.materialized.dir")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-retrain-q").toString
-      s.conf.set("spark.graft.materialized.dir", tmp)
-      Materialized.clearSessionCache()
-      try {
+      Materialized.ivfIndex(s, d) // shared base, built once for the registry
+      Materialized.withStoreSandbox(s, Seq("ivf_centroids_", "ivf_index_")) {
         val emb = Tables.embeddings(s, d)
         val batch = emb.where(col("vec_id") < 5)
           .select((col("vec_id") + 8000).as("vec_id"),
@@ -695,12 +683,6 @@ object LlmQueries {
         re.assignment.groupBy("centroid_id")
           .agg(count(lit(1)).as("n_vectors"))
           .orderBy("centroid_id")
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set("spark.graft.materialized.dir", v)
-          case None => s.conf.unset("spark.graft.materialized.dir")
-        }
-        Materialized.clearSessionCache()
       }
     },
     Some(s"""WITH $ivfTrainedSql,

@@ -1155,6 +1155,52 @@ object Materialized {
     }
   }
 
+  /** Run `body` against an ISOLATED copy of the committed store entries
+    * whose names start with one of `kindPrefixes` — the sandbox the
+    * maintenance demo queries (`sim_ivf_split` / `sim_ivf_retrain`) run
+    * in, so their head swaps can never move the shared artifacts every
+    * other oracle replays. The caller ensures the shared entries exist
+    * first (built once, amortized across the whole query registry); the
+    * copy is cheap by construction — store entries are the compact
+    * artifacts (centroid sidecars, cell-partitioned assignments), not the
+    * corpus. Heads are NOT copied: the sandbox starts headless and the
+    * newest-entry rule serves the copied base. Conf and session caches
+    * are restored afterwards; frames created inside keep reading the
+    * already-written sandbox files. */
+  def withStoreSandbox[A](spark: SparkSession,
+                          kindPrefixes: Seq[String])(body: => A): A = {
+    import scala.jdk.CollectionConverters._
+    val src = storeRoot(spark).resolve(s"v$FormatVersion")
+    val tmpRoot = Files.createTempDirectory("graft-sandbox")
+    val dst = tmpRoot.resolve(s"v$FormatVersion")
+    Files.createDirectories(dst)
+    if (Files.isDirectory(src)) {
+      val s = Files.list(src)
+      try s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (kindPrefixes.exists(n.startsWith) && !n.endsWith(".json") &&
+            !n.contains(".tmp-") && Files.exists(p.resolve("_SUCCESS"))) {
+          val w = Files.walk(p)
+          try w.iterator().asScala.foreach { f =>
+            val t = dst.resolve(n).resolve(p.relativize(f).toString)
+            if (Files.isDirectory(f)) Files.createDirectories(t)
+            else { Files.createDirectories(t.getParent); Files.copy(f, t) }
+          } finally w.close()
+        }
+      } finally s.close()
+    }
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", tmpRoot.toString)
+    clearSessionCache()
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      clearSessionCache()
+    }
+  }
+
   /** Write a store entry under an explicit name (tmp + atomic publish,
     * no-op when already committed) — the split path's writer; the keyed
     * builders go through [[parquetBacked]]. */
@@ -1239,12 +1285,14 @@ object Materialized {
 
       var rounds = 0
       var done = false
+      var occFresh = false // does shareAfter reflect the state AFTER the last split?
       while (!done && rounds < maxRounds) {
         val occ = occupancy()
         val total = occ.map(_._2).sum.toDouble
         val overallMax = if (total == 0) 0.0 else occ.map(_._2).max / total
         if (shareBefore < 0) shareBefore = overallMax
         shareAfter = overallMax
+        occFresh = true
         occ.sortBy { case (cid, c) => (-c, cid) }
           .find { case (cid, c) => !stuck(cid) && c >= 2 && c / total > maxShare } match {
           case None => done = true
@@ -1314,11 +1362,12 @@ object Materialized {
               replaceFile(chf, renderHead(
                 StoreHead(baseFp, ledger0 :+ s"split-$hotCell", Seq(revName))))
               splits :+= hotCell
+              occFresh = false
             }
         }
         rounds += 1
       }
-      if (splits.nonEmpty || shareAfter < 0) {
+      if (!occFresh || shareAfter < 0) {
         val occ = occupancy()
         val total = occ.map(_._2).sum.toDouble
         shareAfter = if (total == 0) 0.0 else occ.map(_._2).max / total
