@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -150,6 +151,79 @@ class StreamingTtlSpec extends AnyFunSuite {
     assert(removed > 0, "timeout path must evict idle buckets")
     assert(finalRows > 0 && finalRows <= peak / 2,
       s"state must plateau near one horizon of entries, got $sizes (removed=$removed)")
+  }
+
+  test("TTL composes with the store bridge: an evicted keeper still wins the next BATCH judgment") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t1drop = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpusDir = Files.createTempDirectory("sttl-bridge-corpus")
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta corpus doc"),
+        (2L, "completely different corpus content with other words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir.resolve("documents.parquet").toString)
+    val store = Files.createTempDirectory("sttl-bridge-store")
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", store.toString)
+    graft.queries.Materialized.clearSessionCache()
+    try {
+      val dir = Files.createTempDirectory("sttl-bridge-src").toFile
+      val ckpt = Files.createTempDirectory("sttl-bridge-ckpt").toFile
+      val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+      def writeBatch(rows: Seq[(Long, String, Timestamp)]): Unit =
+        rows.toDF("docId", "text", "ts").coalesce(1)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+      val op = StreamingNearDedup(bands = 8, rowsPerBand = 4)
+      val q = op.judgedTtl(
+          spark.readStream.schema("docId LONG, text STRING, ts TIMESTAMP")
+            .parquet(dir.getAbsolutePath).as[StreamingNearDedup.TimedTextDoc],
+          horizon = Duration.ofSeconds(120), watermarkDelay = "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingNearDedup.BandVerdict], id: Long) =>
+          StreamingNearDedup.absorbKeepers(spark, corpusDir.toString, df.toDF(),
+            "ttl-bridge", id).collect()
+            .foreach(r => sunk.add((r.getLong(0), r.getBoolean(3))))
+        }
+        .start()
+
+      writeBatch(Seq((100L, t1, at(0))))
+      q.processAllAvailable()
+      // watermark far past 0 + 120 s: doc 100's buckets become evictable
+      writeBatch(Seq((300L, "unrelated watermark advancer text with plenty of words", at(600))))
+      q.processAllAvailable()
+      // the dup re-arrives AFTER the horizon: the STREAM re-registers it
+      // (state was evicted) — this is the designed trade
+      writeBatch(Seq((200L, t1, at(610))))
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val out = sunk.iterator().asScala.toSet
+      assert(out.contains((100L, true)) && out.contains((200L, true)),
+        s"post-horizon re-arrival must re-register on the stream: $out")
+
+      // ...but the keeper was absorbed into the BATCH store before
+      // eviction, so the next batch judgment still catches near-copies:
+      // memory horizon bounds the STATE, not the corpus
+      val sigs = graft.queries.Materialized.minhashSignatures(spark, corpusDir.toString)
+      val day2Docs = graft.queries.Tables.documents(spark, corpusDir.toString)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((100L, t1), (200L, t1)).toDF("doc_id", "text"))
+      val judged = graft.llm.Dedup.dedupIncrementalNear(
+          Seq((500L, t1drop)).toDF("doc_id", "text"), sigs, day2Docs,
+          "doc_id", "text")
+        .collect()
+      assert(judged.length == 1 && judged(0).getLong(1) == 100L &&
+        !judged(0).getBoolean(3),
+        s"batch judgment must catch the evicted-then-reseen family via the store: ${judged.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      graft.queries.Materialized.clearSessionCache()
+    }
   }
 
   test("embedding TTL: cosine dup within horizon matches, idle bucket evicts, fresh keeper re-elected") {
