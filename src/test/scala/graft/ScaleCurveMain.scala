@@ -23,7 +23,8 @@ object ScaleCurveMain {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only")
+    val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
+      "split-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -61,10 +62,103 @@ object ScaleCurveMain {
     if (args.contains("knn-ivf-only")) knnIvf55k(spark)
     else if (args.contains("knn-dist-only")) knnDist55k(spark)
     else if (args.contains("knn-pq-only")) knnPq55k(spark)
+    else if (args.contains("split-only")) splitSkew55k(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
            knnPq55k(spark) }
     spark.stop()
+  }
+
+  /**
+   * The split operator's scale story: a 55k-vector index where one cell
+   * holds half the corpus (the shape a drifting append feed produces).
+   * Measures the hot-query retrieval cost (256 hot-cluster queries,
+   * nprobe=1, [[graft.llm.Similarity.knnJoinIvf]]) and the probed-cell
+   * bytes BEFORE the split, the maintenance wall time
+   * ([[Materialized.splitIvfCells]] to ≤30% max share), and the same
+   * retrieval + bytes AFTER — per-query probe work and probed-partition
+   * I/O should both drop roughly with the max-cell share, while the
+   * result sets stay verdict-identical for queries whose true neighbors
+   * share the probed cell.
+   */
+  private def splitSkew55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 55000L
+    val hot = n / 2
+    // ids 0..7 are exact cluster centers (the trainer's id<k seeds); the
+    // hot cluster 0 is bimodal (±0.3 on dim 1) so a local 2-means separates
+    val base = spark.range(n).map { id =>
+      val c = if (id < 8) id.toInt else if (id < hot) 0 else (1 + id % 7).toInt
+      val v = Array.tabulate(64) { d =>
+        val u = if (d == c * 8) 1.0 else 0.0
+        val m = if (c == 0 && id >= 8 && d == 1)
+          (if (id % 2 == 0) 0.3 else -0.3) else 0.0
+        val j = if (id < 8) 0.0
+          else 0.1 * (((mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble) - 0.5)
+        u + m + j
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val sfDir = java.nio.file.Files.createTempDirectory("graft-split-curve-sf")
+    base.write.parquet(sfDir.resolve("embeddings.parquet").toString)
+    val d = sfDir.toString
+    val (_, tBuild) = timed(Materialized.ivfIndex(spark, d))
+    val idx = Materialized.ivfIndexCurrent(spark, d)
+    def maxShare(a: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val occ = a.groupBy("centroid_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val total = occ.map(_._2).sum.toDouble
+      val (cid, c) = occ.maxBy(x => (x._2, -x._1))
+      (cid, c / total)
+    }
+    val (hotCell, shareB) = maxShare(idx.assignment)
+    val storeRoot = java.nio.file.Paths.get(
+      spark.conf.get("spark.graft.materialized.dir"))
+    def cellBytes(cid: Long): Long = {
+      // the store root holds exactly one versioned dir (v<FormatVersion>)
+      val v = {
+        val l = java.nio.file.Files.list(storeRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(_.getFileName.toString.startsWith("v")).next()
+        } finally l.close()
+      }
+      val s = java.nio.file.Files.list(v)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("ivf_index_"))
+          .map(_.resolve(s"centroid_id=$cid"))
+          .filter(java.nio.file.Files.isDirectory(_))
+          .flatMap { p =>
+            val w = java.nio.file.Files.walk(p)
+            try w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size(_)).toList
+            finally w.close()
+          }.sum
+      } finally s.close()
+    }
+    val bytesB = cellBytes(hotCell)
+    val queries = base.where(col("vec_id") >= 1000 && col("vec_id") < 1256)
+    val (nB, tBefore) = timed(graft.llm.Similarity.knnJoinIvf(
+      idx.assignment, idx.centroids, queries, "vec_id", "embedding",
+      k = 10, nprobe = 1).count())
+    val (rep, tSplit) = timed(Materialized.splitIvfCells(spark, d, maxShare = 0.30))
+    val cur = rep.index
+    val (childCell, shareA) = maxShare(cur.assignment)
+    val bytesA = cellBytes(childCell)
+    val (nA, tAfter) = timed(graft.llm.Similarity.knnJoinIvf(
+      cur.assignment, cur.centroids, queries, "vec_id", "embedding",
+      k = 10, nprobe = 1).count())
+    println(f"split-skew n=$n build=${tBuild}%.1fs | before: share=${shareB}%.3f " +
+      f"cell=$hotCell bytes=$bytesB probe256(np1)=${tBefore}%.2fs rows=$nB | " +
+      f"split ${rep.splitCells.size} cells in ${tSplit}%.1fs | after: " +
+      f"share=${shareA}%.3f maxCell=$childCell bytes=$bytesA " +
+      f"probe256(np1)=${tAfter}%.2fs rows=$nA")
   }
 
   /**
