@@ -643,6 +643,45 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("split generations survive an age-0 gc; compaction folds them into one live entry") {
+    withTempStore { _ =>
+      import spark.implicits._
+      val corpusDir = Files.createTempDirectory("graft-splitgc-corpus")
+      // 3 tight clusters of 8 (ids 0..7 seed the k=8 trainer; 5 cells
+      // empty out deterministically) — tiny on purpose: this test is
+      // about head/gc mechanics, not geometry
+      val corpus = (0 until 24).map { i =>
+        val c = i % 3
+        (i.toLong, Seq.tabulate(64)(d =>
+          (if (d == c * 8) 1.0 else 0.0) + 0.01 * math.sin(i * 7.3 + d)))
+      }
+      corpus.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(corpusDir.resolve("embeddings.parquet").toString)
+      val sfDir = corpusDir.toString
+      val rep = Materialized.splitIvfCells(spark, sfDir,
+        maxShare = 0.0, maxRounds = 1)
+      assert(rep.splitCells.size == 1, rep.toString)
+      val n = Materialized.ivfIndexCurrent(spark, sfDir).assignment.count()
+
+      // age-0 gc: everything is age-eligible, but the split delta and the
+      // centroid revision are head-referenced — the live view must survive
+      Materialized.gc(spark, olderThanMs = 0L)
+      Materialized.clearSessionCache()
+      assert(Materialized.ivfIndexCurrent(spark, sfDir).assignment.count() == n,
+        "gc must not reclaim head-referenced split generations")
+
+      // compaction folds base ∪ split delta into ONE entry; the live-cell
+      // filter keeps hiding the copied retired-parent rows
+      val compacted = Materialized.compactIvfIndex(spark, sfDir)
+      assert(compacted.assignment.count() == n &&
+        compacted.assignment.select("id").distinct().count() == n)
+      val roles = Materialized.storeStatus(spark).filter(_.kind == "ivf_index")
+      assert(roles.count(_.role == "head-base") == 1 &&
+        !roles.exists(_.role == "head-delta"),
+        s"compaction must leave one live entry: $roles")
+    }
+  }
+
   test("knnJoinAuto: regime dispatch pinned, each choice bit-equal to the underlying join") {
     withTempStore { _ =>
       import graft.llm.Similarity
