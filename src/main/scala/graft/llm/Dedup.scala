@@ -83,6 +83,90 @@ object Dedup {
       .withColumn("keep", col("status") === "kept")
   }
 
+  /**
+   * Build a Bloom membership sketch over the corpus's content hashes —
+   * the compact corpus-side artifact of [[dedupIncrementalBloom]]. One
+   * aggregation (partial blooms OR-merge, so map-side combine
+   * parallelizes arbitrarily) over the hash column only; the result is
+   * `optimalNumOfBits(expectedItems, fpp)` bits (~1.2 GB for 10⁹ docs at
+   * 1% — driver/broadcast-safe at any corpus size). Bloom sketches are
+   * OR-mergeable, so per-batch delta sketches can be absorbed into a
+   * stored base exactly like the signature stores' generations.
+   */
+  def corpusBloom(corpus: DataFrame, textCol: String,
+                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
+    val hashed = corpus.select(xxhash64(h(col(textCol))).as("hv"))
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(col("hv")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    hashed.agg(GraftColumnBridge.column(agg).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+  }
+
+  /** Might-contain probe against a serialized [[corpusBloom]] sketch —
+    * Catalyst's native `BloomFilterMightContain` over `xxhash64(hash)`,
+    * a codegen'd per-row predicate (no UDF). */
+  def bloomMightContain(bloom: Array[Byte], hashCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom),
+      GraftColumnBridge.expression(xxhash64(hashCol))))
+  }
+
+  /**
+   * Bloom-pre-filtered incremental exact dedup — same contract and
+   * bit-identical OUTPUT as [[dedupIncremental]] (the Bloom filter has no
+   * false negatives, and every positive is exact-confirmed against the
+   * corpus, so false positives cannot reach the output), restructured for
+   * the regime where the corpus membership probe must not rescan the
+   * corpus per batch:
+   *
+   *  1. the corpus's content hashes fold into ONE compact Bloom sketch
+   *     ([[corpusBloom]]) — built once, OR-mergeable with future batch
+   *     deltas, broadcast-size by construction;
+   *  2. the batch probes the sketch per row (codegen predicate, no join,
+   *     no corpus I/O) — at a day-2 duplication rate of d and sketch fpp
+   *     p, only `(d + p)·|batch|` candidate rows survive;
+   *  3. ONLY that candidate set exact-confirms against the corpus hash
+   *     scan (broadcast semi-join — removes the fpp share), so the
+   *     corpus-side confirm I/O is its 16-byte/doc hash column, touched
+   *     by a broadcast join pruned to near-certain hits.
+   *
+   * At 100 TB the sketch replaces [[dedupIncremental]]'s per-batch
+   * corpus-hash scan as the primary membership gate; the exact-confirm
+   * scan remains for correctness but its broadcast side shrinks from
+   * `|batch|` distinct hashes to the near-dup candidate set. Within-batch
+   * classification is unchanged.
+   */
+  def dedupIncrementalBloom(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedCorpusItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
+    val bloom = corpusBloom(corpus, textCol, expectedCorpusItems, fpp)
+    val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
+    val candidates = nh.where(bloomMightContain(bloom, col("h")))
+      .select("h").distinct()
+    val hits = corpus.select(h(col(textCol)).as("h"))
+      .join(broadcast(candidates), Seq("h"), "left_semi")
+      .distinct()
+    val firstInBatch = nh.groupBy("h").agg(min("id").as("first_id"))
+    nh.join(broadcast(hits.withColumn("in_corpus", lit(true))), Seq("h"), "left")
+      .join(firstInBatch, Seq("h"))
+      .select(col("id").as(idCol),
+        when(col("in_corpus"), "dup_of_corpus")
+          .when(col("id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("kept").as("status"))
+      .withColumn("keep", col("status") === "kept")
+  }
+
   /** MinHash signature table `(id, n_sh, sig)` — the artifact a corpus
     * stores once so future batches can be judged against it (see
     * [[graft.queries.Materialized.minhashSignatures]]). Signatures are
@@ -764,6 +848,59 @@ object Dedup {
       emb.select(col(idCol).cast("long").as("id"),
         Similarity.asDouble(col(vecCol)).as("v")),
       dims, planesPerBand, bands, maxBucket)
+
+  /**
+   * Semantic dedup (the SemDeDup construction — Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space
+   * ([[Similarity.ivfTrainCentroids]], same deterministic init/tie-breaks
+   * as the IVF ladder), then search for near-duplicate pairs ONLY within
+   * clusters. Clustering replaces the all-pairs cosine scan with
+   * per-cluster scans — `k` clusters cut pair work by ~k when occupancy
+   * is balanced, and the pair join shuffles on `centroid_id`, so each
+   * cluster's quadratic work is co-partitioned and spillable (skewed
+   * clusters split by AQE; a production run sizes k so cells stay
+   * bounded, the same dial [[graft.queries.Materialized.splitIvfCells]]
+   * maintains). The price is SemDeDup's documented approximation:
+   * a cross-cluster near-dup pair is invisible by construction.
+   *
+   * Keep rule: a vector is kept iff no SMALLER-id member of its cluster
+   * matches it at `cosine ≥ threshold` (6-dp rounded, as everywhere).
+   * That "earlier doc wins" rule is [[dedupIncremental]]'s batch
+   * semantics, needs no transitive closure (chain dups each blame an
+   * earlier member), and reports each loser's best match — max cosine,
+   * ties to the smaller id — as `(dup_of, cosine)`.
+   *
+   * Output: `(id, cluster_id, dup_of, cosine, keep)` — one row per input
+   * vector; `dup_of`/`cosine` null for keepers.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = Similarity.ivfTrainCentroids(emb, idCol, vecCol, k, iters)
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    val assigned = Similarity.ivfAssign(e, "id", "v", cents)
+      .select(col("id"), col("centroid_id"))
+    val members = e.join(assigned, "id")
+      .select(col("id"), col("centroid_id"), col("v"))
+    val a = members.select(col("centroid_id"), col("id"), col("v"))
+    val b = members.select(col("centroid_id"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    // within-cluster earlier-member pairs, exact cosine (fused one-pass
+    // kernel, same as embeddingNearDupLsh's verification)
+    val matches = a.join(b, Seq("centroid_id")).where(col("id_b") < col("id"))
+      .select(col("id"), col("id_b"),
+        round(graft.functions.VectorExpressions.graft_cosine(col("v"), col("v_b")), 6)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+    val best = matches.groupBy("id")
+      .agg(min_by(struct(col("id_b"), col("cos")),
+        struct(negate(col("cos")), col("id_b"))).as("m"))
+      .select(col("id"), col("m.id_b").as("dup_of"), col("m.cos").as("cosine"))
+    members.select(col("id"), col("centroid_id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("centroid_id").as("cluster_id"),
+        col("dup_of"), col("cosine"), col("dup_of").isNull.as("keep"))
+  }
 
   /** Above this many total hyperplanes the banded signature is computed by
     * the typed JIT kernel ([[Similarity.lshSigRowsTyped]], plane matrix

@@ -927,6 +927,50 @@ object Similarity {
   }
 
   /**
+   * kNN majority-vote classifier over a labeled corpus — the standard
+   * embedding-space label-propagation shape for bootstrapping quality /
+   * domain classifiers from a small labeled seed set: each query takes
+   * its `k` nearest labeled neighbors ([[knnJoin]] — one corpus scan,
+   * broadcast query side) and the label with the most votes wins.
+   * Tie-breaks are integer-only (no float comparisons to drift across
+   * engines): more votes → nearest best-ranked neighbor → smaller label.
+   *
+   * Output `(query_id, pred_label, votes, best_rank)`. The label join
+   * broadcasts the Q×k neighbor set into the labeled corpus's
+   * (id, label) scan, so the corpus is never shuffled; the vote
+   * aggregation and the per-query winner window both run on Q×k rows.
+   * At 100 TB swap [[knnJoin]] for [[knnJoinIvf]]/[[knnJoinDistributed]]
+   * via the same neighbor contract ([[knnClassifyFrom]]).
+   */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, qIdCol: String,
+                  k: Int): DataFrame =
+    knnClassifyFrom(knnJoin(labeled, queries, idCol, vecCol, qIdCol, k),
+      labeled, idCol, labelCol)
+
+  /** Vote + winner election over any `(query_id, neighbor_id, rank, …)`
+    * neighbor table — the classifier's second half, reusable over every
+    * kNN-join variant's output. */
+  def knnClassifyFrom(neighbors: DataFrame, labeled: DataFrame,
+                      idCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = labeled.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("label"))
+    val votes = lbl
+      .join(broadcast(neighbors.select(col("query_id"), col("neighbor_id"),
+        col("rank"))), Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"),
+        min(col("rank")).cast("long").as("best_rank"))
+    votes
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("best_rank"), col("label"))))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("votes"), col("best_rank"))
+  }
+
+  /**
    * IVF-probed batch kNN join over a STORED index
    * (`graft.queries.Materialized.ivfIndex`): each query probes its
    * `nprobe` nearest cells (driver-side against the tiny centroid

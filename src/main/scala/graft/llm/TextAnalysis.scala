@@ -73,6 +73,73 @@ object TextAnalysis {
           (lit(1.0) - punct.cast("double") / cc) * 0.2, 4).as("quality"))
   }
 
+  /** The Gopher rule-filter stopword list (Rae et al. 2021, Appendix A1.1):
+    * a document must contain at least [[GopherMinStopHits]] of these. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /**
+   * Gopher-style heuristic quality filter (Rae et al. 2021,
+   * arXiv:2112.11446 Appendix A1.1 — the published rule set most
+   * production pretraining pipelines start from). Emits the measured
+   * features, one boolean per rule, and the conjunction `keep`:
+   *
+   *  - `f_words`:    50 ≤ word count ≤ 100,000
+   *  - `f_word_len`: mean word length in [3, 10] characters
+   *  - `f_symbol`:   (hash + ellipsis) to word ratio ≤ 0.1
+   *  - `f_bullet`:   ≤ 90% of lines start with a bullet (`-` `*` `•`)
+   *  - `f_ellipsis`: ≤ 30% of lines end with `...`
+   *  - `f_alpha`:    ≥ 80% of words contain an alphabetic character
+   *  - `f_stop`:     ≥ 2 hits from [[gopherStopwords]] (occurrence count,
+   *                  not distinct — the common open implementation choice)
+   *
+   * Every feature is integer arithmetic over split words/lines followed by
+   * one exact int/int division, so the unrounded flag comparisons are
+   * bit-identical across engines (the SQL oracle replays them unrounded
+   * too; only the *presentation* ratios are rounded). Pure per-row
+   * expressions — zero shuffle, scan-speed at 100 TB.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = split(t, " ")
+    val lines = split(t, "\n")
+    val wc = size(ws)
+    val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val meanWordLen = sumWordLen.cast("double") / wc
+    val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val symbolRatio = symbols.cast("double") / wc
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•"))))
+    val ellipsisLines = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = alphaWords.cast("double") / wc
+    val stopHits = hitCount(ws, gopherStopwords)
+    val fWords = wc >= 50 && wc <= 100000
+    val fWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val fSymbol = symbolRatio <= 0.1
+    val fBullet = bulletLines.cast("double") / nLines <= 0.9
+    val fEllipsis = ellipsisLines.cast("double") / nLines <= 0.3
+    val fAlpha = alphaRatio >= 0.8
+    val fStop = stopHits >= GopherMinStopHits
+    df.select(
+      col(idCol),
+      wc.cast("long").as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletLines.cast("double") / nLines, 4).as("bullet_ratio"),
+      round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_ratio"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      fWords.as("f_words"), fWordLen.as("f_word_len"), fSymbol.as("f_symbol"),
+      fBullet.as("f_bullet"), fEllipsis.as("f_ellipsis"), fAlpha.as("f_alpha"),
+      fStop.as("f_stop"),
+      (fWords && fWordLen && fSymbol && fBullet && fEllipsis && fAlpha && fStop)
+        .as("keep"))
+  }
+
   /** Document fingerprints: md5 of whitespace/case-normalized text plus a
     * 60-bit integer form (rolling-hash stand-in; engine-portable). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

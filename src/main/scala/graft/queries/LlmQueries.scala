@@ -27,7 +27,108 @@ object LlmQueries {
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
-    simIvfRetrain)
+    simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic)
+
+  /** SemDeDup-style semantic dedup ([[Dedup.semanticDedup]]) on the
+    * planted near/exact-dup corpus at t=0.9: cluster (k=8, 2 Lloyd
+    * rounds — the IVF training closure), then prune earlier-member
+    * matches within clusters only. The oracle replays the full ladder:
+    * seeded k-means → assignment → within-cluster pair scan → best-match
+    * election. */
+  val dedupSemantic: QueryDef = QueryDef("dedup_semantic",
+    (s, d) => Dedup.semanticDedup(plantedEmbeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.9)
+      .orderBy("vec_id"),
+    Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |planted AS (
+            |  SELECT vec_id, v FROM base
+            |  UNION ALL
+            |  SELECT vec_id + 1000000, list_concat([-v[1], -v[2], -v[3]], v[4:])
+            |  FROM base WHERE vec_id % 10 = 0
+            |  UNION ALL
+            |  SELECT vec_id + 2000000, v FROM base WHERE vec_id % 10 = 5),
+            |e AS (SELECT vec_id, v FROM planted),
+            |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+            |${ivfIterSql(1, "c0")},
+            |c1 AS (SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+            |${ivfIterSql(2, "c1")},
+            |c2 AS (SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT e.vec_id, a3.centroid_id, e.v,
+            |      sqrt(list_sum([x * x for x in e.v])) AS nrm
+            |      FROM e JOIN a3 ON e.vec_id = a3.vec_id),
+            |p AS (SELECT a.vec_id AS id, b.vec_id AS id_b,
+            |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos
+            |  FROM n a JOIN n b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+            |f AS (SELECT * FROM p WHERE cos >= 0.9),
+            |best AS (SELECT id, id_b, cos,
+            |  row_number() OVER (PARTITION BY id ORDER BY cos DESC, id_b) AS rn FROM f)
+            |SELECT n.vec_id, n.centroid_id AS cluster_id, b.id_b AS dup_of,
+            |  b.cos AS cosine, (b.id_b IS NULL) AS keep
+            |FROM n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.vec_id = b.id
+            |ORDER BY n.vec_id""".stripMargin))
+
+  /** kNN majority-vote classification ([[Similarity.knnClassify]]): the
+    * first 20 vectors are "unlabeled" queries, the rest the labeled seed
+    * corpus; k=5 neighbors vote, integer-only tie-breaks. Oracle replays
+    * brute-force kNN (`sim_knn_join`'s shape, corpus restricted to
+    * vec_id ≥ 20) plus the vote/winner windows. */
+  val simKnnLabel: QueryDef = QueryDef("sim_knn_label",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(emb.where(col("vec_id") >= 20),
+          emb.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+          "vec_id", k = 5)
+        .orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+           |n AS (SELECT vec_id, v, label, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+           |c AS (SELECT vec_id, v, nrm, label FROM n WHERE vec_id >= 20),
+           |s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+           |  round(list_sum([c.v[i] * q.qv[i] for i in range(1, 65)]) / (c.nrm * q.qn), 6) AS cosine
+           |  FROM c, q),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cosine DESC, neighbor_id) AS rank FROM s),
+           |k AS (SELECT query_id, label::BIGINT AS label, count(*) AS votes,
+           |      min(rank) AS best_rank FROM r WHERE rank <= 5 GROUP BY 1, 2),
+           |w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY votes DESC, best_rank, label) AS rn FROM k)
+           |SELECT query_id, label AS pred_label, votes, best_rank::BIGINT AS best_rank
+           |FROM w WHERE rn = 1 ORDER BY query_id""".stripMargin))
+
+  /** Gopher-rule heuristic filter ([[TextAnalysis.gopherFilter]]): the
+    * published pretraining quality gate, per-rule flags + conjunction —
+    * per-row expressions, fully oracled (flag comparisons run on exact
+    * int/int divisions in both engines; only presentation ratios round). */
+  val textGopherFilter: QueryDef = QueryDef("text_gopher_filter",
+    (s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+           |                  string_split(text, chr(10)) AS ls, text FROM documents),
+           |f AS (SELECT doc_id,
+           |  len(ws) AS wc,
+           |  list_sum([length(x) for x in ws]) * 1.0 / len(ws) AS mwl,
+           |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ws) AS symr,
+           |  len([x for x in ls if starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')]) * 1.0 / len(ls) AS bulr,
+           |  len([x for x in ls if ends_with(rtrim(x), '...')]) * 1.0 / len(ls) AS ellr,
+           |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / len(ws) AS alr,
+           |  len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
+           |  FROM w)
+           |SELECT doc_id, wc::BIGINT AS n_words, round(mwl, 4) AS mean_word_len,
+           |  round(symr, 4) AS symbol_ratio, round(bulr, 4) AS bullet_ratio,
+           |  round(ellr, 4) AS ellipsis_ratio, round(alr, 4) AS alpha_ratio,
+           |  stops AS stop_hits,
+           |  (wc BETWEEN 50 AND 100000) AS f_words,
+           |  (mwl BETWEEN 3.0 AND 10.0) AS f_word_len,
+           |  (symr <= 0.1) AS f_symbol,
+           |  (bulr <= 0.9) AS f_bullet,
+           |  (ellr <= 0.3) AS f_ellipsis,
+           |  (alr >= 0.8) AS f_alpha,
+           |  (stops >= 2) AS f_stop,
+           |  ((wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) AND symr <= 0.1
+           |   AND bulr <= 0.9 AND ellr <= 0.3 AND alr >= 0.8 AND stops >= 2) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin))
 
   /** Resize planning for image/video media: fit-to-256 box, aspect
     * preserved, no upscale — per-row integer arithmetic, fully oracled. */
@@ -1690,6 +1791,42 @@ object LlmQueries {
         .unionByName(docs.where(col("doc_id") === cut + 50)
           .select(lit(maxd + 1101).as("doc_id"), col("text")))
       Dedup.dedupIncremental(batch, corpus, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |corpus AS (SELECT text FROM documents, mx WHERE doc_id < m - 99),
+           |nb AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 99
+           |       UNION ALL SELECT doc_id + m + 1001, text FROM documents, mx WHERE doc_id < 5
+           |       UNION ALL SELECT m + 1101, text FROM documents, mx WHERE doc_id = m - 49),
+           |ct AS (SELECT DISTINCT text, TRUE AS hit FROM corpus),
+           |j AS (SELECT nb.doc_id, coalesce(ct.hit, FALSE) AS in_corpus,
+           |        min(nb.doc_id) OVER (PARTITION BY nb.text) AS first_id
+           |      FROM nb LEFT JOIN ct ON nb.text IS NOT DISTINCT FROM ct.text)
+           |SELECT doc_id,
+           |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+           |       WHEN doc_id <> first_id THEN 'dup_in_batch'
+           |       ELSE 'kept' END AS status,
+           |  (NOT in_corpus AND doc_id = first_id) AS keep
+           |FROM j ORDER BY doc_id""".stripMargin))
+
+  /** Bloom-pre-filtered incremental exact dedup
+    * ([[Dedup.dedupIncrementalBloom]]): same demo slices and oracle as
+    * `dedup_incremental` — the Bloom sketch is a pure pre-filter (no false
+    * negatives; positives exact-confirmed), so the output is bit-identical
+    * and shares the exact-SQL oracle. LlmSpec pins the equality and the
+    * candidate prune the sketch buys. */
+  val dedupBloom: QueryDef = QueryDef("dedup_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val corpus = docs.where(col("doc_id") < cut)
+      val batch = docs.where(col("doc_id") >= cut).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + maxd + 1001).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") === cut + 50)
+          .select(lit(maxd + 1101).as("doc_id"), col("text")))
+      Dedup.dedupIncrementalBloom(batch, corpus, "doc_id", "text",
+        expectedCorpusItems = 100000L, fpp = 0.01).orderBy("doc_id")
     },
     Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
            |corpus AS (SELECT text FROM documents, mx WHERE doc_id < m - 99),

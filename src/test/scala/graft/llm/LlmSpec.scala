@@ -890,6 +890,106 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) == fp(2).getLong(2))
   }
 
+  test("semanticDedup: earlier cluster member wins; exact copy caught at cos 1; keepers null") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.05, 0.0, 0.0)), // near-dup of 0, same cluster
+      (3L, Seq(1.0, 0.0, 0.0, 0.0)),  // exact copy of 0
+      (4L, Seq(0.0, 1.0, 0.05, 0.0))) // near-dup of 1, other cluster
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", k = 2, iters = 2,
+        threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(4) && out(1L).getBoolean(4)) // cluster seeds kept
+    assert(out(2L).getLong(2) == 0L && !out(2L).getBoolean(4))
+    assert(out(3L).getLong(2) == 0L && out(3L).getDouble(3) == 1.0)
+    assert(out(4L).getLong(2) == 1L && !out(4L).getBoolean(4))
+    // the two clusters never cross: every dup_of shares its owner's cluster
+    val byId = out.view.mapValues(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    byId.values.filter(_._2 >= 0).foreach { case (cl, dof) =>
+      assert(byId(dof)._1 == cl)
+    }
+  }
+
+  test("knnClassify: majority vote wins; vote ties break to the best-ranked label") {
+    val labeled = Seq(
+      (100L, Seq(1.0, 0.0, 0.0), 1),
+      (101L, Seq(0.9, 0.1, 0.0), 1),
+      (102L, Seq(0.0, 1.0, 0.0), 2),
+      (103L, Seq(0.1, 0.9, 0.0), 2),
+      (104L, Seq(0.0, 0.0, 1.0), 3)).toDF("vec_id", "embedding", "label")
+    // q1 sits in label-1 territory: k=3 → two label-1 votes
+    val q1 = Seq((1L, Seq(1.0, 0.05, 0.0))).toDF("vec_id", "embedding")
+    val r1 = Similarity.knnClassify(labeled, q1, "vec_id", "embedding", "label",
+      "vec_id", k = 3).collect()
+    assert(r1.length == 1 && r1.head.getLong(1) == 1L && r1.head.getLong(2) == 2L)
+    // q2 leans to label 2: k=2 → one vote each, rank-1 neighbor is 102 → label 2
+    val two = labeled.where(col("vec_id").isin(100L, 102L))
+    val q2 = Seq((2L, Seq(0.6, 0.8, 0.0))).toDF("vec_id", "embedding")
+    val r2 = Similarity.knnClassify(two, q2, "vec_id", "embedding", "label",
+      "vec_id", k = 2).collect()
+    assert(r2.head.getLong(1) == 2L && r2.head.getLong(2) == 1L &&
+      r2.head.getLong(3) == 1L)
+    // classifier second half composes over any neighbor table (contract reuse)
+    val nb = Similarity.knnJoin(labeled, q1, "vec_id", "embedding", "vec_id", k = 3)
+    val r3 = Similarity.knnClassifyFrom(nb, labeled, "vec_id", "label").collect()
+    assert(r3.toSeq.map(_.toSeq) == r1.toSeq.map(_.toSeq))
+  }
+
+  test("dedupIncrementalBloom equals dedupIncremental; sketch prunes; saturated sketch stays exact") {
+    val t = graft.queries.Tables.documents(spark, graft.TestSpark.sf)
+    val corpus = t.where(col("doc_id") < 300)
+    val batch = t.where(col("doc_id") >= 300 && col("doc_id") < 350)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")) // fresh content
+      .unionByName(t.where(col("doc_id") < 5)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))) // corpus dups
+      .unionByName(Seq((30000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    val base = rows(Dedup.dedupIncremental(batch, corpus, "doc_id", "text"))
+    val bloomed = rows(Dedup.dedupIncrementalBloom(batch, corpus, "doc_id", "text",
+      expectedCorpusItems = 100000L, fpp = 0.01))
+    assert(bloomed == base)
+    // the sketch admits only the true corpus dups plus the fpp share:
+    // 5 planted dups out of 56 batch rows, 1% fpp → candidates ≪ batch
+    val bloom = Dedup.corpusBloom(corpus, "text", 100000L, 0.01)
+    val h = coalesce(Dedup.contentHash(col("text")), lit("<null-text>"))
+    val cand = batch.where(Dedup.bloomMightContain(bloom, h)).count()
+    assert(cand >= 5 && cand <= 10, s"candidates=$cand")
+    // a deliberately undersized, saturated sketch passes (nearly) every row
+    // through to the exact-confirm join — slower, never wrong
+    val sat = rows(Dedup.dedupIncrementalBloom(batch, corpus, "doc_id", "text",
+      expectedCorpusItems = 1L, fpp = 0.5))
+    assert(sat == base)
+  }
+
+  test("gopherFilter: each rule trips on its violation; keep is the conjunction") {
+    val goodWords = Seq("the", "pipeline", "and", "that", "data", "have", "with", "rows")
+    val docs = Seq(
+      (1L, Seq.fill(8)(goodWords).flatten.mkString(" ")),          // 64 clean words → keep
+      (2L, goodWords.mkString(" ")),                               // 8 words → f_words fails
+      (3L, Seq.fill(60)("12").mkString(" ")),                      // len-2 digits → word_len+alpha fail
+      (4L, Seq.fill(8)(goodWords.map(_ + "#")).flatten.mkString(" ")), // 64 symbols/64 words → f_symbol fails
+      (5L, (Seq.fill(19)("- bullet item") :+ "the end and that have with of to").mkString("\n")),
+      (6L, (Seq.fill(4)("trailing off...") ++ Seq.fill(6)("the and that have with of to be solid")).mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, f: String) = out(id).getBoolean(out(id).fieldIndex(f))
+    assert(flag(1L, "keep"))
+    assert(!flag(2L, "f_words") && flag(2L, "f_word_len") && !flag(2L, "keep"))
+    assert(!flag(3L, "f_word_len") && !flag(3L, "f_alpha"))
+    assert(!flag(4L, "f_symbol") && flag(4L, "f_alpha"))
+    assert(!flag(5L, "f_bullet")) // 19/20 lines bulleted > 0.9
+    assert(!flag(6L, "f_ellipsis")) // 4/10 lines end with ... > 0.3
+    // measured features behind the flags
+    assert(out(1L).getLong(out(1L).fieldIndex("n_words")) == 64)
+    assert(out(4L).getDouble(out(4L).fieldIndex("symbol_ratio")) == 1.0)
+    assert(out(6L).getDouble(out(6L).fieldIndex("ellipsis_ratio")) == 0.4)
+  }
+
   test("multimodal: media schema, stub decode features, frame sampling") {
     val docs2 = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs2, "doc_id", "text")
