@@ -31,6 +31,12 @@ object Dedup {
   def contentHash(text: Column, normalized: Boolean = false): Column =
     if (normalized) md5(lower(regexp_replace(trim(text), "\\s+", " "))) else md5(text)
 
+  /** [[contentHash]] with the null-text sentinel the incremental family
+    * uses: null texts take a value no hex md5 collides with, so they
+    * group/join with each other instead of dropping out of equi-joins. */
+  def contentHashSafe(text: Column): Column =
+    coalesce(contentHash(text), lit("<null-text>"))
+
   /**
    * Exact dedup: annotate each row with its content hash, the group's
    * canonical (min) id and the group size. Survivors = `is_canonical`.
@@ -94,14 +100,21 @@ object Dedup {
    * stored base exactly like the signature stores' generations.
    */
   def corpusBloom(corpus: DataFrame, textCol: String,
-                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    bloomFromHashes(corpus.select(contentHashSafe(col(textCol)).as("h")),
+      expectedItems, fpp)
+
+  /** [[corpusBloom]] over an already-hashed `(…, h)` table — the form the
+    * stored content-hash artifact feeds ([[graft.queries.Materialized]]):
+    * the sketch build then scans 16-byte hashes, never corpus text. */
+  def bloomFromHashes(hashes: DataFrame, expectedItems: Long,
+                      fpp: Double = 0.01): Array[Byte] = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
-    val hashed = corpus.select(xxhash64(h(col(textCol))).as("hv"))
+    val hashed = hashes.select(xxhash64(col("h")).as("hv"))
     val agg = new BloomFilterAggregate(
       GraftColumnBridge.expression(col("hv")),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -148,13 +161,28 @@ object Dedup {
   def dedupIncrementalBloom(newDocs: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String,
                             expectedCorpusItems: Long,
-                            fpp: Double = 0.01): DataFrame = {
-    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
-    val bloom = corpusBloom(corpus, textCol, expectedCorpusItems, fpp)
+                            fpp: Double = 0.01): DataFrame =
+    dedupIncrementalBloomFromHashes(newDocs,
+      corpus.select(contentHashSafe(col(textCol)).as("h")),
+      idCol, textCol, expectedCorpusItems, fpp)
+
+  /** [[dedupIncrementalBloom]] against a stored corpus HASH table
+    * (`(…, h)`, e.g. [[graft.queries.Materialized.contentHashes]]'s
+    * absorb-able view): both the sketch build and the exact-confirm join
+    * read the 16-byte hash column — day-2 judgments never rescan corpus
+    * TEXT at all, and absorbed keep generations ride into both stages
+    * through the same view. */
+  def dedupIncrementalBloomFromHashes(newDocs: DataFrame, corpusHashes: DataFrame,
+                                      idCol: String, textCol: String,
+                                      expectedCorpusItems: Long,
+                                      fpp: Double = 0.01): DataFrame = {
+    def h(c: Column) = contentHashSafe(c)
+    val hv = corpusHashes.select(col("h"))
+    val bloom = bloomFromHashes(hv, expectedCorpusItems, fpp)
     val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
     val candidates = nh.where(bloomMightContain(bloom, col("h")))
       .select("h").distinct()
-    val hits = corpus.select(h(col(textCol)).as("h"))
+    val hits = hv
       .join(broadcast(candidates), Seq("h"), "left_semi")
       .distinct()
     val firstInBatch = nh.groupBy("h").agg(min("id").as("first_id"))

@@ -27,7 +27,82 @@ object LlmQueries {
     simKnnJoinDist, textSpanDedup, textBm25, textLmScore,
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
-    simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic)
+    simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
+    dedupBloom2)
+
+  /** Day-2 Bloom-gated incremental exact dedup — the stored-artifact form
+    * of `dedup_bloom` completing the continuous-ingestion contract: batch
+    * B1 (50 docs plus five novel 'qx'-interleaved rewrites of docs 0-4) is
+    * judged against the stored content-hash view
+    * ([[Materialized.contentHashes]] — corpus text hashed once, ever), its
+    * keeps' hashes are ABSORBED as a delta generation
+    * ([[Materialized.absorbContentHashes]]), and batch B2 (the last 50
+    * docs, 'qx'-copies of three absorbed B1 keeps, a copy of corpus doc
+    * 10, and a 'zz'-rewrite pair for within-batch dedup) is judged against
+    * corpus ∪ kept(B1) — sketch build AND exact confirm both read the
+    * 16-byte hash view, never corpus text. Slices anchored at
+    * max(doc_id). */
+  val dedupBloom2: QueryDef = QueryDef("dedup_bloom2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val novel = regexp_replace(col("text"), " ", " qx ")
+      val novel2 = regexp_replace(col("text"), " ", " zz ")
+      val b1 = docs.where(col("doc_id") >= cut && col("doc_id") < cut + 50)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + maxd + 1001).as("doc_id"), novel.as("text")))
+      val corpusHashes = Materialized.contentHashes(s, d).where(col("id") < cut)
+      // B1 verdict evaluated ONCE, keep ids pinned driver-side (bounded by
+      // the batch broadcast contract — see dedup_incremental_near2)
+      import s.implicits._
+      val keptIdSeq = Dedup.dedupIncrementalBloomFromHashes(b1, corpusHashes,
+          "doc_id", "text", expectedCorpusItems = 100000L, fpp = 0.01)
+        .where(col("keep")).select(col("doc_id")).as[Long].collect().toSeq
+      val keptIds = keptIdSeq.toDF("doc_id")
+      val keptDocs = b1.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+      Materialized.absorbContentHashes(s, d,
+        keptDocs.select(col("doc_id").as("id"),
+          Dedup.contentHashSafe(col("text")).as("h")), "bloom2_b1")
+      val b2 = docs.where(col("doc_id") >= cut + 50).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 3)
+          .select((col("doc_id") + maxd + 2001).as("doc_id"), novel.as("text")))
+        .unionByName(docs.where(col("doc_id") === 10)
+          .select(lit(maxd + 3001).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") === 3)
+          .select(lit(maxd + 4001).as("doc_id"), novel2.as("text")))
+        .unionByName(docs.where(col("doc_id") === 3)
+          .select(lit(maxd + 4002).as("doc_id"), novel2.as("text")))
+      val day2Hashes = Materialized.contentHashes(s, d).where(col("id") < cut ||
+        col("id").isInCollection(keptIdSeq))
+      Dedup.dedupIncrementalBloomFromHashes(b2, day2Hashes, "doc_id", "text",
+        expectedCorpusItems = 100000L, fpp = 0.01).orderBy("doc_id")
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |corpus AS (SELECT doc_id, text FROM documents, mx WHERE doc_id < m - 99),
+           |b1 AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 99 AND doc_id < m - 49
+           |       UNION ALL SELECT doc_id + m + 1001, replace(text, ' ', ' qx ') FROM documents, mx WHERE doc_id < 5),
+           |ct1 AS (SELECT DISTINCT text FROM corpus),
+           |j1 AS (SELECT b1.doc_id, b1.text, (b1.text IN (SELECT text FROM ct1)) AS in_c,
+           |       min(b1.doc_id) OVER (PARTITION BY b1.text) AS first_id FROM b1),
+           |kept1 AS (SELECT doc_id, text FROM j1 WHERE NOT in_c AND doc_id = first_id),
+           |day2 AS (SELECT text FROM corpus UNION ALL SELECT text FROM kept1),
+           |b2 AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 49
+           |       UNION ALL SELECT doc_id + m + 2001, replace(text, ' ', ' qx ') FROM documents, mx WHERE doc_id < 3
+           |       UNION ALL SELECT m + 3001, text FROM documents, mx WHERE doc_id = 10
+           |       UNION ALL SELECT m + 4001, replace(text, ' ', ' zz ') FROM documents, mx WHERE doc_id = 3
+           |       UNION ALL SELECT m + 4002, replace(text, ' ', ' zz ') FROM documents, mx WHERE doc_id = 3),
+           |ct2 AS (SELECT DISTINCT text, TRUE AS hit FROM day2),
+           |j2 AS (SELECT b2.doc_id, coalesce(ct2.hit, FALSE) AS in_corpus,
+           |        min(b2.doc_id) OVER (PARTITION BY b2.text) AS first_id
+           |      FROM b2 LEFT JOIN ct2 ON b2.text IS NOT DISTINCT FROM ct2.text)
+           |SELECT doc_id,
+           |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+           |       WHEN doc_id <> first_id THEN 'dup_in_batch'
+           |       ELSE 'kept' END AS status,
+           |  (NOT in_corpus AND doc_id = first_id) AS keep
+           |FROM j2 ORDER BY doc_id""".stripMargin))
 
   /** SemDeDup-style semantic dedup ([[Dedup.semanticDedup]]) on the
     * planted near/exact-dup corpus at t=0.9: cluster (k=8, 2 Lloyd

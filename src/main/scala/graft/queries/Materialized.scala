@@ -710,6 +710,41 @@ object Materialized {
         bands = 128, planesPerBand = 16, dims = 64)
     }
 
+  /** Stored content-hash table `(id, h)` over `documents` — the corpus
+    * artifact Bloom-gated incremental exact dedup
+    * ([[graft.llm.Dedup.dedupIncrementalBloomFromHashes]]) judges new
+    * batches against: the corpus text is hashed ONCE; every future batch
+    * builds its membership sketch from this 16-byte/doc view and
+    * exact-confirms candidates against the SAME view, so day-2 judgments
+    * never touch corpus text. Absorb-able: after [[absorbContentHashes]]
+    * the view is corpus ∪ absorbed keeps. */
+  def contentHashes(spark: SparkSession, sfDir: String): DataFrame =
+    headAware(spark, "content_hashes", "md5", sfDir, "documents") {
+      Tables.documents(spark, sfDir).select(
+        col("doc_id").cast("long").as("id"),
+        Dedup.contentHashSafe(col("text")).as("h"))
+    }
+
+  /** Absorb kept batch docs' content hashes (`(id, h)`) into
+    * [[contentHashes]]'s store — the next batch's sketch and confirm view
+    * see corpus ∪ kept(this batch), exactly once per batch id. */
+  def absorbContentHashes(spark: SparkSession, sfDir: String,
+                          keptHashes: DataFrame, batchId: String): DataFrame =
+    absorbInto(spark, "content_hashes", "md5", sfDir, "documents",
+        keptHashes, batchId) {
+      Tables.documents(spark, sfDir).select(
+        col("doc_id").cast("long").as("id"),
+        Dedup.contentHashSafe(col("text")).as("h"))
+    }
+
+  /** [[compactStore]] for the content-hash store. */
+  def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "content_hashes", "md5", sfDir, "documents") {
+      Tables.documents(spark, sfDir).select(
+        col("doc_id").cast("long").as("id"),
+        Dedup.contentHashSafe(col("text")).as("h"))
+    }
+
   /** Verified MinHash(128)+LSH(32×4) near-dup pair table at J ≥ 0.8 over
     * `documents` — written once, read by `dedup_minhash`, `dedup_clusters`
     * and `pipeline_training_set`. */

@@ -293,6 +293,39 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("content-hash store: absorb exactly-once; day-2 bloom judgment resolves corpus ∪ kept(B1)") {
+    withTempStore { _ =>
+      import spark.implicits._
+      val b0 = Materialized.buildsStarted.get()
+      val nBase = Materialized.contentHashes(spark, TestSpark.sf).count()
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+      def hashesOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("id"), Dedup.contentHashSafe(col("text")).as("h"))
+      // day 1: a novel doc is kept and its hash absorbed
+      val b1 = Seq((9001L, "entirely novel content alpha beta gamma"))
+        .toDF("doc_id", "text")
+      val day1 = Dedup.dedupIncrementalBloomFromHashes(b1,
+        Materialized.contentHashes(spark, TestSpark.sf), "doc_id", "text",
+        expectedCorpusItems = 100000L)
+      assert(day1.where(col("keep")).count() == 1)
+      Materialized.absorbContentHashes(spark, TestSpark.sf, hashesOf(b1), "d1")
+      // view grew by one; corpus hashed exactly once; replay is a no-op
+      Materialized.clearSessionCache()
+      assert(Materialized.contentHashes(spark, TestSpark.sf).count() == nBase + 1)
+      assert(Materialized.buildsStarted.get() == b0 + 1)
+      Materialized.absorbContentHashes(spark, TestSpark.sf, hashesOf(b1), "d1")
+      assert(Materialized.contentHashes(spark, TestSpark.sf).count() == nBase + 1)
+      // day 2: an exact copy of the absorbed B1 keep classifies as already
+      // ingested THROUGH the head view — sketch and confirm, no corpus text
+      val b2 = Seq((9002L, "entirely novel content alpha beta gamma"))
+        .toDF("doc_id", "text")
+      val day2 = Dedup.dedupIncrementalBloomFromHashes(b2,
+        Materialized.contentHashes(spark, TestSpark.sf), "doc_id", "text",
+        expectedCorpusItems = 100000L).collect()
+      assert(day2.length == 1 && day2(0).getString(1) == "dup_of_corpus")
+    }
+  }
+
   test("absorb day-2 semantics: a B2 near-dup of a B1 keep classifies as dup_of the B1 doc") {
     withTempStore { _ =>
       import spark.implicits._
