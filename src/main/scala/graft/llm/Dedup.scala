@@ -910,6 +910,17 @@ object Dedup {
       .select(col("id"), col("centroid_id"))
     val members = e.join(assigned, "id")
       .select(col("id"), col("centroid_id"), col("v"))
+    semanticDedupFromCells(members, threshold)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[semanticDedup]]'s within-cell half over an EXISTING cell
+    * assignment `(id, centroid_id, v)` — the stored-index production
+    * shape: the expensive clustering lives in the IVF store
+    * ([[graft.queries.Materialized.ivfIndex]], trained once, appended/
+    * split/retrained by the maintenance triad) and each dedup run only
+    * pays the per-cell pair scans. Output keyed `id`. */
+  def semanticDedupFromCells(members: DataFrame, threshold: Double): DataFrame = {
     val a = members.select(col("centroid_id"), col("id"), col("v"))
     val b = members.select(col("centroid_id"), col("id").as("id_b"),
       col("v").as("v_b"))
@@ -926,7 +937,7 @@ object Dedup {
       .select(col("id"), col("m.id_b").as("dup_of"), col("m.cos").as("cosine"))
     members.select(col("id"), col("centroid_id"))
       .join(best, Seq("id"), "left")
-      .select(col("id").as(idCol), col("centroid_id").as("cluster_id"),
+      .select(col("id"), col("centroid_id").as("cluster_id"),
         col("dup_of"), col("cosine"), col("dup_of").isNull.as("keep"))
   }
 

@@ -28,7 +28,105 @@ object LlmQueries {
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
-    dedupBloom2)
+    dedupBloom2, dedupSemantic2, simKnnLabelIvf)
+
+  /** kNN majority-vote classification THROUGH the stored IVF index
+    * ([[Similarity.knnClassifyFrom]] over [[Similarity.knnJoinIvf]]) —
+    * the classifier at retrieval scale: neighbors come from the probed
+    * cells of the labeled corpus slice (vec_id ≥ 20) only, so per-query
+    * cost is O(probed cells) and the label join/vote windows run on Q×k
+    * rows. Approximate in the standard IVF sense; same vote/tie-break
+    * contract as `sim_knn_label`. */
+  val simKnnLabelIvf: QueryDef = QueryDef("sim_knn_label_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Materialized.ivfIndex(s, d)
+      val nb = Similarity.knnJoinIvf(idx.assignment.where(col("id") >= 20),
+        idx.centroids, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      Similarity.knnClassifyFrom(nb, emb.where(col("vec_id") >= 20),
+          "vec_id", "label")
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qs AS (SELECT vec_id AS query_id, v AS qv,
+            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE vec_id >= 20),
+            |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+            |        JOIN probe p ON a3.centroid_id = p.centroid_id
+            |        JOIN qs q ON p.query_id = q.query_id),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc),
+            |el AS (SELECT vec_id, label FROM embeddings),
+            |k AS (SELECT r.query_id, el.label::BIGINT AS label, count(*) AS votes,
+            |      min(rank) AS best_rank FROM r JOIN el ON r.neighbor_id = el.vec_id
+            |      WHERE rank <= 5 GROUP BY 1, 2),
+            |w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |  ORDER BY votes DESC, best_rank, label) AS rn FROM k)
+            |SELECT query_id, label AS pred_label, votes, best_rank::BIGINT AS best_rank
+            |FROM w WHERE rn = 1 ORDER BY query_id""".stripMargin))
+
+  /** Semantic dedup over the STORED IVF index
+    * ([[Dedup.semanticDedupFromCells]]) — the production shape: the
+    * clustering lives in the store (trained once, maintained by
+    * append/split/retrain), each run pays only the per-cell pair scans.
+    * Runs on the shared index view (base ∪ the `ivf2_b1` append —
+    * idempotently ensured here, so the view state is order-independent
+    * across the registry) at the corpus-scale threshold 0.45; the oracle
+    * replays train → assign → append → within-cell prune. */
+  val dedupSemantic2: QueryDef = QueryDef("dedup_semantic2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 8000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
+        "ivf2_b1")
+      Dedup.semanticDedupFromCells(
+          idx.assignment.select(col("id"), col("centroid_id"), col("v")),
+          threshold = 0.45)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
+            |       FROM e WHERE vec_id < 5),
+            |d4 AS (SELECT nb.vec_id, c.centroid_id,
+            |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM nb, c2 c),
+            |a4 AS (SELECT vec_id, centroid_id FROM (
+            |    SELECT vec_id, centroid_id,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
+            |    FROM d4) WHERE rn = 1),
+            |allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM nb),
+            |cells AS (SELECT vec_id, centroid_id FROM a3
+            |          UNION ALL SELECT vec_id, centroid_id FROM a4),
+            |n AS (SELECT c.vec_id, c.centroid_id, a.v,
+            |      sqrt(list_sum([x * x for x in a.v])) AS nrm
+            |      FROM cells c JOIN allv a ON c.vec_id = a.vec_id),
+            |p AS (SELECT a.vec_id AS id, b.vec_id AS id_b,
+            |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos
+            |  FROM n a JOIN n b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+            |f AS (SELECT * FROM p WHERE cos >= 0.45),
+            |best AS (SELECT id, id_b, cos,
+            |  row_number() OVER (PARTITION BY id ORDER BY cos DESC, id_b) AS rn FROM f)
+            |SELECT n.vec_id, n.centroid_id AS cluster_id, b.id_b AS dup_of,
+            |  b.cos AS cosine, (b.id_b IS NULL) AS keep
+            |FROM n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.vec_id = b.id
+            |ORDER BY n.vec_id""".stripMargin))
 
   /** Day-2 Bloom-gated incremental exact dedup — the stored-artifact form
     * of `dedup_bloom` completing the continuous-ingestion contract: batch
