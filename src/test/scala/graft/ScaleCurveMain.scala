@@ -24,7 +24,7 @@ object ScaleCurveMain {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
-      "split-only")
+      "split-only", "bloom-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -63,10 +63,59 @@ object ScaleCurveMain {
     else if (args.contains("knn-dist-only")) knnDist55k(spark)
     else if (args.contains("knn-pq-only")) knnPq55k(spark)
     else if (args.contains("split-only")) splitSkew55k(spark)
+    else if (args.contains("bloom-only")) bloom500k(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
-           knnPq55k(spark) }
+           knnPq55k(spark); bloom500k(spark) }
     spark.stop()
+  }
+
+  /**
+   * The Bloom-gated incremental dedup scale story: a 500k-doc synthetic
+   * corpus (deterministic texts, no RNG) and a 10k-doc batch carrying 1%
+   * corpus dups. Measures the day-1 artifact costs (hash-table scan,
+   * sketch fold and its byte size) and the day-2 judgment cost through
+   * the hash view vs [[graft.llm.Dedup.dedupIncremental]]'s text-side
+   * join path, asserting verdict-identical outputs. The headline number
+   * is the candidate count: the sketch admits ~dups + fpp·|batch| rows
+   * into the exact-confirm join instead of the whole batch.
+   */
+  private def bloom500k(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Dedup
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 500000L
+    def corpusText(id: org.apache.spark.sql.Column) =
+      concat(lit("corpus document body text number "), id, lit(" tail"))
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      corpusText(col("id")).as("text"))
+    val batch = spark.range(9900).select((col("id") + 1000000L).as("doc_id"),
+        concat(lit("batch novel content item "), col("id"), lit(" end")).as("text"))
+      .unionByName(spark.range(100).select((col("id") + 2000000L).as("doc_id"),
+        corpusText(col("id")).as("text")))
+    def verdicts(r: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      r.groupBy("status").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val (joinRes, tJoin) = timed(
+      verdicts(Dedup.dedupIncremental(batch, corpus, "doc_id", "text")))
+    // the stored-artifact emulation: the hash view exists before day 2
+    val hashes = corpus.select(col("doc_id").as("id"),
+      Dedup.contentHashSafe(col("text")).as("h")).persist()
+    val (nh, tHash) = timed(hashes.count())
+    val (bloom, tBloom) = timed(Dedup.bloomFromHashes(hashes, n, 0.01))
+    val (cand, tCand) = timed(batch.where(Dedup.bloomMightContain(bloom,
+      Dedup.contentHashSafe(col("text")))).count())
+    val (bloomRes, tB) = timed(verdicts(
+      Dedup.dedupIncrementalBloomFromHashes(batch, hashes, "doc_id", "text", n)))
+    require(bloomRes == joinRes, s"verdicts diverge: $bloomRes vs $joinRes")
+    println(f"bloom500k corpus=$nh batch=10000 | text-join path ${tJoin}%.2fs | " +
+      f"hash-view scan ${tHash}%.2fs, sketch fold ${tBloom}%.2fs " +
+      f"(${bloom.length}%d bytes) | candidates=$cand probe ${tCand}%.2fs | " +
+      f"hash-view judgment ${tB}%.2fs | verdicts=$joinRes")
+    hashes.unpersist()
+    ()
   }
 
   /**
