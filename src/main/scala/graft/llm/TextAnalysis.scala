@@ -669,9 +669,43 @@ object TextAnalysis {
   def bpeDocTokens(docs: DataFrame, idCol: String, textCol: String,
                    merges: Int, batch: Int = 1): DataFrame = {
     val (_, wf) = bpeLoop(docs, textCol, merges, batch)
-    val wordTok = wf.select(col("w"),
-      size(split(trim(col("s")), " ")).as("n_tok"),
-      length(col("w")).as("n_chars"))
+    docTokensFromWordTable(docs, idCol, textCol,
+      wf.select(col("w"),
+        size(split(trim(col("s")), " ")).as("n_tok"),
+        length(col("w")).as("n_chars")))
+  }
+
+  /**
+   * Tokenize against a TRAINED merge list (the rank-ordered `(lhs, rhs)`
+   * rows [[bpeTrain]] emits — the artifact a store keeps so tokenization
+   * never re-pays training): the distinct-word table is rebuilt from the
+   * input, each word's initial character segmentation replays every merge
+   * in rank order through the compiled [[graft.functions.BpeExpressions]]
+   * scan. Applying the stored list in order reproduces the training-time
+   * word table exactly — batch rounds select token-disjoint pairs, so
+   * sequential replay equals the round's simultaneous application
+   * (spec-pinned equal to [[bpeDocTokens]]). Output identical schema.
+   */
+  def bpeDocTokensFromMerges(docs: DataFrame, idCol: String, textCol: String,
+                             merges: Seq[(String, String)]): DataFrame = {
+    val wordTok = docs
+      .select(explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .distinct()
+      .select(col("w"),
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")).as("s0"))
+      .select(col("w"),
+        BpeExpressions.bpeApply(col("s0"), merges).as("s"))
+      .select(col("w"),
+        size(split(trim(col("s")), " ")).as("n_tok"),
+        length(col("w")).as("n_chars"))
+    docTokensFromWordTable(docs, idCol, textCol, wordTok)
+  }
+
+  /** Shared per-doc aggregation over a `(w, n_tok, n_chars)` word table. */
+  private def docTokensFromWordTable(docs: DataFrame, idCol: String,
+                                     textCol: String, wordTok: DataFrame): DataFrame =
     docs.select(col(idCol),
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
       .join(wordTok, "w")
@@ -679,5 +713,4 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_chars")).cast("long").as("n_base_tokens"),
         sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
-  }
 }

@@ -28,7 +28,89 @@ object LlmQueries {
     simPqTrain, simPqEncode, simIvfSearchPq, textBpeTrain, textBpeTokens,
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
-    dedupBloom2, dedupSemantic2, simKnnLabelIvf)
+    dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
+    textBpeTokens2)
+
+  /** Second composed curation pipeline, chaining the round-8 rings over
+    * the doc↔embedding 1:1 corpus: Gopher rule gate (per-row flags) ∧
+    * exact-dedup canonical (hash-group min) ∧ semantic keep through the
+    * STORED IVF index ([[Dedup.semanticDedupFromCells]] at 0.45) —
+    * `selected` is the training-set membership verdict with each stage's
+    * vote visible. All three stages join on the single id key (one
+    * co-partitioned shuffle family); the oracle replays the full ladder
+    * including the Lloyd closure. */
+  val pipelineCuration2: QueryDef = QueryDef("pipeline_curation2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 8000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
+        "ivf2_b1")
+      val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("keep").as("keep_quality"))
+      val ex = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical").as("keep_exact"))
+      val sem = Dedup.semanticDedupFromCells(
+          idx.assignment.select(col("id"), col("centroid_id"), col("v")),
+          threshold = 0.45)
+        .select(col("id").as("doc_id"), col("keep").as("keep_semantic"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(g, "doc_id").join(ex, "doc_id").join(sem, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_words"), col("keep_quality"),
+          col("keep_exact"), col("keep_semantic"),
+          (col("keep_quality") && col("keep_exact") && col("keep_semantic"))
+            .as("selected"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
+            |       FROM e WHERE vec_id < 5),
+            |d4 AS (SELECT nb.vec_id, c.centroid_id,
+            |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
+            |              for i in range(1, 65)]) AS rd
+            |  FROM nb, c2 c),
+            |a4 AS (SELECT vec_id, centroid_id FROM (
+            |    SELECT vec_id, centroid_id,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY rd, centroid_id) AS rn
+            |    FROM d4) WHERE rn = 1),
+            |allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM nb),
+            |cells AS (SELECT vec_id, centroid_id FROM a3
+            |          UNION ALL SELECT vec_id, centroid_id FROM a4),
+            |nn AS (SELECT c.vec_id, c.centroid_id, a.v,
+            |      sqrt(list_sum([x * x for x in a.v])) AS nrm
+            |      FROM cells c JOIN allv a ON c.vec_id = a.vec_id),
+            |pp AS (SELECT a.vec_id AS id, b.vec_id AS id_b,
+            |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos
+            |  FROM nn a JOIN nn b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+            |sem AS (SELECT nn.vec_id, NOT EXISTS (SELECT 1 FROM pp
+            |        WHERE pp.id = nn.vec_id AND pp.cos >= 0.45) AS keep_semantic FROM nn),
+            |w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            |             string_split(text, chr(10)) AS ls, text FROM documents),
+            |gf AS (SELECT doc_id,
+            |  len(ws) AS wc,
+            |  list_sum([length(x) for x in ws]) * 1.0 / len(ws) AS mwl,
+            |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / len(ws) AS symr,
+            |  len([x for x in ls if starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')]) * 1.0 / len(ls) AS bulr,
+            |  len([x for x in ls if ends_with(rtrim(x), '...')]) * 1.0 / len(ls) AS ellr,
+            |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / len(ws) AS alr,
+            |  len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
+            |  FROM w),
+            |g AS (SELECT doc_id, wc::BIGINT AS n_words,
+            |  ((wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) AND symr <= 0.1
+            |   AND bulr <= 0.9 AND ellr <= 0.3 AND alr >= 0.8 AND stops >= 2) AS keep_quality
+            |  FROM gf),
+            |ex AS (SELECT doc_id,
+            |  (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact FROM documents)
+            |SELECT d.doc_id, d.lang, g.n_words, g.keep_quality, ex.keep_exact,
+            |  s.keep_semantic,
+            |  (g.keep_quality AND ex.keep_exact AND s.keep_semantic) AS selected
+            |FROM documents d JOIN g ON d.doc_id = g.doc_id
+            |  JOIN ex ON d.doc_id = ex.doc_id
+            |  JOIN sem s ON d.doc_id = s.vec_id
+            |ORDER BY d.doc_id""".stripMargin))
 
   /** kNN majority-vote classification THROUGH the stored IVF index
     * ([[Similarity.knnClassifyFrom]] over [[Similarity.knnJoinIvf]]) —
@@ -1914,20 +1996,43 @@ object LlmQueries {
     * word / base-character / post-merge BPE token counts — the
     * compression the learned merges buy. One explode + one hash join on
     * the word + one partial+final agg. */
+  /** The per-doc token-count replay shared by `text_bpe_tokens` (live
+    * training) and `text_bpe_tokens2` (stored merge list) — sequential
+    * replay of the stored rank-ordered merges equals the training word
+    * table (token-disjoint batches), so one oracle serves both. */
+  private def bpeTokensOracleSql =
+    s"""WITH $bpeTrainedSql,
+       |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
+       |         length(w) AS n_chars FROM w$BpeRounds)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
+       |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+       |      FROM documents) d
+       |JOIN wt ON d.w = wt.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val textBpeTokens: QueryDef = QueryDef("text_bpe_tokens",
     (s, d) => TextAnalysis.bpeDocTokens(Tables.documents(s, d), "doc_id",
         "text", merges = 256, batch = 32)
       .orderBy("doc_id"),
-    Some(s"""WITH $bpeTrainedSql,
-            |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
-            |         length(w) AS n_chars FROM w$BpeRounds)
-            |SELECT d.doc_id, count(*)::BIGINT AS n_words,
-            |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
-            |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
-            |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
-            |      FROM documents) d
-            |JOIN wt ON d.w = wt.w
-            |GROUP BY 1 ORDER BY 1""".stripMargin))
+    Some(bpeTokensOracleSql))
+
+  /** Tokenization from the STORED tokenizer artifact
+    * ([[Materialized.bpeMerges]] → [[TextAnalysis.bpeDocTokensFromMerges]]):
+    * training paid once per (corpus, config); each run collects the
+    * 256-row merge list (driver-safe by construction) and replays it over
+    * the distinct-word table through the compiled merge scan. */
+  val textBpeTokens2: QueryDef = QueryDef("text_bpe_tokens2",
+    (s, d) => {
+      val merges = Materialized.bpeMerges(s, d).orderBy("rank")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeDocTokensFromMerges(Tables.documents(s, d), "doc_id",
+          "text", merges)
+        .orderBy("doc_id")
+    },
+    Some(bpeTokensOracleSql))
 
   /** Deterministic training-order shuffle into 8 hash shards: shard by
     * content hash, position by in-shard hash rank — a corpus permutation

@@ -737,6 +737,18 @@ object Materialized {
         Dedup.contentHashSafe(col("text")).as("h"))
     }
 
+  /** Stored BPE tokenizer artifact: the rank-ordered merge table
+    * ([[graft.llm.TextAnalysis.bpeTrain]], 256 merges in 32-pair
+    * token-disjoint batches) over `documents` — trained once per
+    * (corpus, config); every tokenization run replays the stored list
+    * ([[graft.llm.TextAnalysis.bpeDocTokensFromMerges]]) instead of
+    * re-paying the training scans. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "bpe_merges", "m256_b32", sfDir, "documents") {
+      graft.llm.TextAnalysis.bpeTrain(Tables.documents(spark, sfDir), "text",
+        merges = 256, batch = 32)
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {

@@ -890,6 +890,21 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) == fp(2).getLong(2))
   }
 
+  test("bpeDocTokensFromMerges: stored merge-list replay equals live training") {
+    val docs = graft.queries.Tables.documents(spark, graft.TestSpark.sf).limit(120)
+    val mergeList = TextAnalysis.bpeTrain(docs, "text", merges = 64, batch = 8)
+      .orderBy("rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(mergeList.nonEmpty)
+    val live = TextAnalysis.bpeDocTokens(docs, "doc_id", "text",
+        merges = 64, batch = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stored = TextAnalysis.bpeDocTokensFromMerges(docs, "doc_id", "text",
+        mergeList)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stored == live)
+  }
+
   test("semanticDedup: earlier cluster member wins; exact copy caught at cos 1; keepers null") {
     val emb = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),
