@@ -84,6 +84,43 @@ object StreamingDedup {
     docs.groupByKey(_.contentHash)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(judge _)
 
+  /** [[Judged]] with the group's content hash carried through — the form
+    * the `foreachBatch` store bridge ([[absorbKeepers]]) consumes. */
+  final case class JudgedHash(docId: Long, contentHash: String,
+                              keeperId: Long, keep: Boolean)
+  implicit val judgedHashEnc: Encoder[JudgedHash] = Encoders.product[JudgedHash]
+
+  /** [[judged]] emitting the content hash alongside each verdict. */
+  def judgedHash(docs: Dataset[Doc]): Dataset[JudgedHash] =
+    docs.groupByKey(_.contentHash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[Doc], state: GroupState[Seen]) =>
+          judge(hash, rows, state)
+            .map(j => JudgedHash(j.docId, hash, j.keeperId, j.keep)))
+
+  /**
+   * `foreachBatch` bridge for the EXACT family — the [[graft.queries
+   * .Materialized.contentHashes]] counterpart of
+   * [[StreamingNearDedup.absorbKeepers]]: absorb the micro-batch's kept
+   * content hashes into the stored hash table, exactly-once per
+   * (streamId, micro-batch id) — a checkpoint replay re-offers the same
+   * ledgered batch id and absorbs nothing. After the bridge, batch
+   * Bloom-gated judgments ([[graft.llm.Dedup
+   * .dedupIncrementalBloomFromHashes]] over the store view) classify a
+   * copy of a streaming keep as already ingested. Returns the verdicts
+   * for the caller's own sink.
+   */
+  def absorbKeepers(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    judgedBatch: org.apache.spark.sql.DataFrame,
+                    streamId: String, microBatchId: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = judgedBatch.where(col("keep"))
+      .select(col("docId").as("id"), col("contentHash").as("h"))
+    graft.queries.Materialized.absorbContentHashes(spark, sfDir, kept,
+      s"$streamId-$microBatchId")
+    judgedBatch
+  }
+
   /** Horizon-bounded dedup: verdicts match [[judged]] for any duplicate
     * arriving within `horizon` (event time) of the hash's last sighting —
     * with `watermarkDelay` slack for late data — and the state store

@@ -52,6 +52,64 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"keeper state was not recovered across restart: $out")
   }
 
+  test("streaming keeps absorb into the content-hash store; batch Bloom judgment sees them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpusDir = Files.createTempDirectory("sdedup-absorb-corpus")
+    Seq((1L, "alpha corpus doc one"), (2L, "beta corpus doc two"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir.resolve("documents.parquet").toString)
+    val store = Files.createTempDirectory("sdedup-absorb-store")
+    val prev = spark.conf.getOption("spark.graft.materialized.dir")
+    spark.conf.set("spark.graft.materialized.dir", store.toString)
+    graft.queries.Materialized.clearSessionCache()
+    try {
+      val novelText = "the streaming novel document gamma"
+      // the stream carries the BATCH family's content hash (md5 of text),
+      // so the absorbed entry is directly judgeable by the batch side
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(novelText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = Files.createTempDirectory("sdedup-absorb-src").toFile
+      val ckpt = Files.createTempDirectory("sdedup-absorb-ckpt").toFile
+      Files.write(new File(dir, "b1.csv").toPath, s"100,$h".getBytes("UTF-8"))
+      val q = StreamingDedup.judgedHash(
+          spark.readStream.schema("docId LONG, contentHash STRING")
+            .csv(dir.getAbsolutePath).as[StreamingDedup.Doc])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingDedup.JudgedHash], id: Long) =>
+          StreamingDedup.absorbKeepers(spark, corpusDir.toString, df.toDF(),
+            "ingest-x", id)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val hashes = graft.queries.Materialized.contentHashes(spark, corpusDir.toString)
+      assert(hashes.count() == 3, s"corpus 2 + 1 streamed keep, got ${hashes.count()}")
+      // a batch copy of the STREAMED keep is already ingested via the store
+      val out = graft.llm.Dedup.dedupIncrementalBloomFromHashes(
+          Seq((500L, novelText)).toDF("doc_id", "text"), hashes,
+          "doc_id", "text", expectedCorpusItems = 1000L)
+        .collect()
+      assert(out.length == 1 && out(0).getString(1) == "dup_of_corpus",
+        s"batch copy must lose to the streamed keep via the store: ${out.toSeq}")
+      // the corpus doc is still judged through the same view
+      val out2 = graft.llm.Dedup.dedupIncrementalBloomFromHashes(
+          Seq((501L, "alpha corpus doc one"), (502L, "wholly new content")).toDF("doc_id", "text"),
+          hashes, "doc_id", "text", expectedCorpusItems = 1000L)
+        .orderBy(col("doc_id")).collect()
+      assert(out2(0).getString(1) == "dup_of_corpus" && out2(1).getString(1) == "kept")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
+        case None => spark.conf.unset("spark.graft.materialized.dir")
+      }
+      graft.queries.Materialized.clearSessionCache()
+    }
+  }
+
   test("first-seen keeper persists across micro-batches; keeper replay stays keep=true") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sdedup").toFile
