@@ -180,8 +180,12 @@ object Dedup {
     val hv = corpusHashes.select(col("h"))
     val bloom = bloomFromHashes(hv, expectedCorpusItems, fpp)
     val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
-    val candidates = nh.where(bloomMightContain(bloom, col("h")))
-      .select("h").distinct()
+    // an EMPTY corpus folds to a null sketch (no rows reached the
+    // aggregate) — nothing can be a corpus dup, so the candidate set is
+    // empty by definition rather than by null-predicate luck
+    val candidates =
+      if (bloom == null) nh.select("h").distinct().where(lit(false))
+      else nh.where(bloomMightContain(bloom, col("h"))).select("h").distinct()
     val hits = hv
       .join(broadcast(candidates), Seq("h"), "left_semi")
       .distinct()

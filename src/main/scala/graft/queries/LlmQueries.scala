@@ -29,7 +29,75 @@ object LlmQueries {
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
-    textBpeTokens2)
+    textBpeTokens2, simIvfRecall)
+
+  /** Recall@k of the probed IVF search vs the brute-force ground truth as
+    * a FIRST-CLASS oracled query — the maintainer's honest quality dial
+    * (the repo measures probe recall in LlmSpec; this makes it a
+    * replayable artifact): the first 20 vectors retrieve top-5 twice,
+    * brute ([[Similarity.knnJoin]]) and probed at nprobe=2 over the
+    * stored index ([[Similarity.knnJoinIvf]]); per-query `hits` counts
+    * the probed set's overlap with ground truth. Both sides share the
+    * (cosine desc, id) tie-break, so the sets are deterministic in both
+    * engines. */
+  val simIvfRecall: QueryDef = QueryDef("sim_ivf_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val idx = Materialized.ivfIndex(s, d)
+      val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5)
+      val probed = Similarity.knnJoinIvf(idx.assignment, idx.centroids,
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      val hits = brute.select(col("query_id"), col("neighbor_id"))
+        .join(probed.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(5L).as("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qs AS (SELECT vec_id AS query_id, v AS qv,
+            |         sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id < 20),
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+            |sb AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n, qs q WHERE n.vec_id <> q.query_id),
+            |rb AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sb)
+            |      WHERE rank <= 5),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |sp AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+            |        JOIN probe p ON a3.centroid_id = p.centroid_id
+            |        JOIN qs q ON p.query_id = q.query_id
+            |      WHERE n.vec_id <> q.query_id),
+            |rp AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sp)
+            |      WHERE rank <= 5),
+            |j AS (SELECT b.query_id, count(*) AS hits
+            |      FROM rb b JOIN rp p ON b.query_id = p.query_id
+            |        AND b.neighbor_id = p.neighbor_id GROUP BY 1)
+            |SELECT qs.query_id, 5::BIGINT AS k,
+            |  coalesce(j.hits, 0)::BIGINT AS hits,
+            |  round(coalesce(j.hits, 0) / 5.0, 6) AS recall
+            |FROM qs LEFT JOIN j ON qs.query_id = j.query_id
+            |ORDER BY qs.query_id""".stripMargin))
 
   /** Second composed curation pipeline, chaining the round-8 rings over
     * the doc↔embedding 1:1 corpus: Gopher rule gate (per-row flags) ∧

@@ -978,6 +978,11 @@ class LlmSpec extends AnyFunSuite {
     val sat = rows(Dedup.dedupIncrementalBloom(batch, corpus, "doc_id", "text",
       expectedCorpusItems = 1L, fpp = 0.5))
     assert(sat == base)
+    // empty corpus: the aggregate folds to a null sketch — everything novel
+    val none = rows(Dedup.dedupIncrementalBloom(batch, corpus.limit(0),
+      "doc_id", "text", expectedCorpusItems = 100L))
+    assert(none.forall(r => r._2 != "dup_of_corpus"))
+    assert(none.count(_._3) == batch.select("text").distinct().count())
   }
 
   test("gopherFilter: each rule trips on its violation; keep is the conjunction") {
