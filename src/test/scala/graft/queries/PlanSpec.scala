@@ -224,6 +224,46 @@ class PlanSpec extends AnyFunSuite {
       "the corpus side must stream against a broadcast hash set\n" + p)
   }
 
+  test("text_gopher_filter: per-row rule evaluation, no hash shuffle") {
+    val p = plan("text_gopher_filter")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the rule gate must stay per-row\n" + p)
+  }
+
+  test("dedup_bloom: sketch probe is a codegen predicate; confirm join is a broadcast semi-join") {
+    val p = plan("dedup_bloom")
+    assert(p.contains("might_contain"),
+      "batch rows must probe the Bloom sketch per row\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "exact confirm must broadcast the candidate set into the hash view\n" + p)
+  }
+
+  test("semantic dedup: within-cell pair scan is an equi-join on the cell key, never a corpus nested loop") {
+    // dedup_semantic trains live, so its plan legitimately carries the
+    // corpus × k-row-centroid-sidecar cross join (ivfAssign's broadcast
+    // argmin); the PAIR join itself must still be the centroid_id
+    // equi-join. dedup_semantic2 reads the stored assignment — no
+    // assignment cross join at all.
+    // the one assign cross join appears ≤3× — Catalyst clones the subtree
+    // into each of the pair join's sides and the output spine; the clones
+    // are vs the same k-row broadcast sidecar, never corpus × corpus (the
+    // stored-cell variant below is the shape that avoids them entirely)
+    val p1 = plan("dedup_semantic")
+    assert(!p1.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p1).size <= 3,
+      "only the centroid-sidecar cross join may nest\n" + p1)
+    val p2 = plan("dedup_semantic2")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "the stored-cell path must co-partition pairs on centroid_id\n" + p2)
+  }
+
+  test("sim_knn_label: the Q×k neighbor set broadcasts into the labeled corpus scan") {
+    val p = plan("sim_knn_label")
+    assert(p.contains("BroadcastHashJoin"),
+      "the label join must broadcast the neighbor set\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_mix_sample: per-row replication, no hash shuffle") {
     val p = plan("text_mix_sample")
     assert(!p.contains("Exchange hashpartitioning"),
