@@ -424,12 +424,29 @@ object TextAnalysis {
    * per-doc reduction is order-independent across engines (the same
    * integer-scaled argument as [[bm25]]).
    */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScoreFromModel(docs, idCol, textCol, lmModel(docs, textCol))
+
+  /** The unigram model table `(word, cnt)` [[lmScore]] trains — the
+    * artifact a store keeps ([[graft.queries.Materialized.lmUnigrams]])
+    * so scoring runs never re-aggregate the corpus. */
+  def lmModel(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+
+  /** [[lmScore]] against a TRAINED unigram model: per-doc negative
+    * log-likelihood under the model's ML estimates. Words absent from the
+    * model drop out of the sum (an inner join — smoothing is the
+    * caller's policy); on the training corpus itself this is exact
+    * equality with [[lmScore]]. The model broadcasts (vocabulary-sized);
+    * scoring is one tf aggregation + broadcast join per run. */
+  def lmScoreFromModel(docs: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), size(col("ws")).cast("double").as("dl"),
         explode(col("ws")).as("word"))
-    val vocab = toks.groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+    val vocab = model.select(col("word"), col("cnt").cast("double").as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val tf = toks.groupBy("id", "dl", "word")
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -440,6 +457,28 @@ object TextAnalysis {
       .agg(round(-sum(col("tf") * col("lp")), 6).as("nll_sum"))
       .select(col("id").as(idCol), col("dl").cast("long").as("n_words"),
         col("nll_sum"))
+  }
+
+  /**
+   * Token-budget-bounded mixture: within each source, documents are
+   * admitted in deterministic content-hash priority order until the
+   * source's cumulative token count exceeds `budget` — the "fill each
+   * domain's token quota reproducibly" step of assembling a training mix.
+   * One window per source partition (hash order, ties to the id — no
+   * global sort, no RNG state); at 100 TB each source's running sum is an
+   * independent partition of the single shuffle.
+   */
+  def budgetMix(docs: DataFrame, idCol: String, textCol: String,
+                sourceCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(col(textCol)).as("pri"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("id").as(idCol), col("source"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= budget).as("keep"))
   }
 
   /**

@@ -29,7 +29,7 @@ object LlmQueries {
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
-    textBpeTokens2, simIvfRecall)
+    textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix)
 
   /** Recall@k of the probed IVF search vs the brute-force ground truth as
     * a FIRST-CLASS oracled query — the maintainer's honest quality dial
@@ -2455,18 +2455,53 @@ object LlmQueries {
     * partial-aggregable shuffle and joins back broadcast; per-word ln p
     * is rounded to 6 dp before the tf-weighted sum so the reduction is
     * order-independent. */
+  /** The per-doc NLL replay shared by `text_lm_score` (live model) and
+    * `text_lm_score2` (stored model): the stored vocabulary IS the live
+    * aggregation's result, so one oracle serves both. */
+  private def lmScoreOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS word FROM t),
+      |vocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM vocab),
+      |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+      |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
+      |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t)
+      |SELECT doc_id, dl::BIGINT AS n_words, round(-sum(tf * lp), 6) AS nll_sum
+      |FROM c GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin
+
   val textLmScore: QueryDef = QueryDef("text_lm_score",
     (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS word FROM t),
-           |vocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
-           |tot AS (SELECT sum(cnt) AS total FROM vocab),
-           |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
-           |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
-           |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t)
-           |SELECT doc_id, dl::BIGINT AS n_words, round(-sum(tf * lp), 6) AS nll_sum
-           |FROM c GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin))
+    Some(lmScoreOracleSql))
+
+  /** Scoring against the STORED unigram model
+    * ([[Materialized.lmUnigrams]] → [[TextAnalysis.lmScoreFromModel]]):
+    * the corpus aggregation is paid once per corpus; each run broadcasts
+    * the stored vocabulary. */
+  val textLmScore2: QueryDef = QueryDef("text_lm_score2",
+    (s, d) => TextAnalysis.lmScoreFromModel(Tables.documents(s, d), "doc_id",
+        "text", Materialized.lmUnigrams(s, d))
+      .orderBy("doc_id"),
+    Some(lmScoreOracleSql))
+
+  /** Token-budget-bounded mixture ([[TextAnalysis.budgetMix]]): each
+    * source admits docs in content-hash priority order until its
+    * cumulative token count passes 600 — the reproducible "fill each
+    * domain's quota" step of a training mix; one window per source
+    * partition, no RNG state. */
+  val textBudgetMix: QueryDef = QueryDef("text_budget_mix",
+    (s, d) => TextAnalysis.budgetMix(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 600L)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source,
+           |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+           |  md5(text) AS pri FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+           |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t)
+           |SELECT doc_id, source, n_tokens, cum_tokens,
+           |  (cum_tokens <= 600) AS keep
+           |FROM c ORDER BY doc_id""".stripMargin))
 
   /** BM25 keyword retrieval ([[TextAnalysis.bm25]]): top-10 documents per
     * query for three multi-term queries. The token stream is pruned by a

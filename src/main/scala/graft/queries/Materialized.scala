@@ -749,6 +749,15 @@ object Materialized {
         merges = 256, batch = 32)
     }
 
+  /** Stored unigram model `(word, cnt)` over `documents`
+    * ([[graft.llm.TextAnalysis.lmModel]]) — trained once per corpus;
+    * scoring runs ([[graft.llm.TextAnalysis.lmScoreFromModel]]) broadcast
+    * the stored vocabulary instead of re-aggregating the corpus. */
+  def lmUnigrams(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "lm_model", "unigram_ws", sfDir, "documents") {
+      graft.llm.TextAnalysis.lmModel(Tables.documents(spark, sfDir), "text")
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {

@@ -890,6 +890,45 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) == fp(2).getLong(2))
   }
 
+  test("budgetMix: per-source quota fills in content-hash order, boundary doc excluded") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f g", "s1"), (3L, "h i", "s1"),
+      (4L, "j k l m n", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.budgetMix(docs, "doc_id", "text", "source", budget = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // reference fold: same md5-hex priority, same cumulative rule
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val s1 = Seq((1L, "a b c", 3L), (2L, "d e f g", 4L), (3L, "h i", 2L))
+      .sortBy { case (id, t, _) => (md5hex(t), id) }
+    var cum = 0L
+    s1.foreach { case (id, _, n) =>
+      cum += n
+      assert(out(id) == ((n, cum, cum <= 5L)), s"doc $id: ${out(id)} vs ($n, $cum)")
+    }
+    assert(out(4L) == ((5L, 5L, true))) // s2's quota is independent of s1's
+    assert(s1.map(t => out(t._1)._3).count(identity) >= 1,
+      "at least the first-priority doc must fit")
+  }
+
+  test("lmScoreFromModel: equals lmScore on the training corpus; OOV words drop out") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog bird")).toDF("doc_id", "text")
+    val model = TextAnalysis.lmModel(docs, "text")
+    val live = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stored = TextAnalysis.lmScoreFromModel(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stored == live)
+    // a doc with one in-model word and one unseen word: n_words counts
+    // both, the NLL sums only the modeled word
+    val probe = Seq((9L, "cat zebra")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScoreFromModel(probe, "doc_id", "text", model)
+      .head()
+    assert(r.getLong(1) == 2L)
+    val expected = math.round(-math.log(2.0 / 5.0) * 1e6) / 1e6 // cat: cnt 2 of 5
+    assert(math.abs(r.getDouble(2) - expected) < 1e-9, s"${r.getDouble(2)} vs $expected")
+  }
+
   test("bpeDocTokensFromMerges: stored merge-list replay equals live training") {
     val docs = graft.queries.Tables.documents(spark, graft.TestSpark.sf).limit(120)
     val mergeList = TextAnalysis.bpeTrain(docs, "text", merges = 64, batch = 8)
