@@ -24,7 +24,7 @@ object ScaleCurveMain {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
-      "split-only", "bloom-only")
+      "split-only", "bloom-only", "semantic-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -64,10 +64,67 @@ object ScaleCurveMain {
     else if (args.contains("knn-pq-only")) knnPq55k(spark)
     else if (args.contains("split-only")) splitSkew55k(spark)
     else if (args.contains("bloom-only")) bloom500k(spark)
+    else if (args.contains("semantic-only")) semantic55k(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
            knnPq55k(spark); bloom500k(spark) }
     spark.stop()
+  }
+
+  /**
+   * The SemDeDup scale story: 55,550 vectors in 64 natural clusters
+   * (deterministic anchors + per-vector perturbation, no RNG) with 550
+   * planted near-copies. Clustering bounds the pair scan to the
+   * within-cell mass — ~k× below all-pairs when occupancy is balanced —
+   * and the measurement isolates the SemDeDup-specific phase (assignment
+   * + within-cell scan + election) from Lloyd training, which the IVF
+   * family already measures. Planted copies share their donor's anchor,
+   * so within-cell recall on them is structural.
+   */
+  private def semantic55k(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Dedup, Similarity}
+    import spark.implicits._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 55000; val dims = 64; val k = 64
+    val anchors = Array.tabulate(k, dims)((a, d) => comp(1000000L + a.toLong * dims + d))
+    val anchB = spark.sparkContext.broadcast(anchors)
+    val base = spark.range(n).as[Long].map { i =>
+      val a = (i % k).toInt
+      (i, Array.tabulate(dims)(d => anchB.value(a)(d) + 0.5 * comp(i * dims + d)))
+    }.toDF("vec_id", "embedding")
+    val planted = spark.range(n / 100).as[Long].map { j =>
+      val i = j * 100
+      val a = (i % k).toInt
+      (n + j, Array.tabulate(dims)(d => anchB.value(a)(d) + 0.5 * comp(i * dims + d) +
+        0.005 * comp(900000000L + i * dims + d)))
+    }.toDF("vec_id", "embedding")
+    val emb = base.unionByName(planted)
+    val cents = anchors.zipWithIndex
+      .map { case (v, a) => (a.toLong, v.toSeq) }.toSeq.toDF("centroid_id", "vec")
+    val e = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val (assigned, tAssign) = timed {
+      val a = Similarity.ivfAssign(e, "id", "v", cents)
+        .select("id", "centroid_id").persist()
+      a.count(); a
+    }
+    val occ = assigned.groupBy("centroid_id").count().collect().map(_.getLong(1))
+    val cellMass = occ.map(c => c * (c - 1) / 2).sum
+    val total = (n + n / 100).toLong
+    val allMass = total * (total - 1) / 2
+    val members = e.join(assigned, "id").select(col("id"), col("centroid_id"), col("v"))
+    val (dups, tSem) = timed(
+      Dedup.semanticDedupFromCells(members, threshold = 0.95)
+        .where(!col("keep")).count())
+    println(f"semantic55k n=$total k=$k | cell pair mass=$cellMass vs " +
+      f"all-pairs=$allMass (${allMass.toDouble / cellMass}%.0fx prune) | " +
+      f"assign ${tAssign}%.2fs | within-cell scan+elect ${tSem}%.2fs | " +
+      f"dups=$dups (planted=${n / 100})")
+    assigned.unpersist()
+    ()
   }
 
   /**
@@ -435,6 +492,11 @@ object ScaleCurveMain {
   }
 
   /** splitmix64 finalizer (same formula as Similarity's plane derivation). */
+  /** Deterministic uniform component in [-0.5, 0.5) — serializable at the
+    * object level so typed-map closures don't drag the method scope in. */
+  private def comp(seed: Long): Double =
+    (mix64(seed) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+
   private def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -264,6 +264,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_budget_mix: one exchange on the source key, no global sort") {
+    val p = plan("text_budget_mix")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      "the quota window must partition by source\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one hash exchange (the per-source window)\n" + p)
+  }
+
+  test("text_lm_score2: the stored vocabulary broadcasts into the scoring join") {
+    val p = plan("text_lm_score2")
+    assert(p.contains("BroadcastHashJoin"),
+      "the stored model must broadcast\n" + p)
+  }
+
   test("text_mix_sample: per-row replication, no hash shuffle") {
     val p = plan("text_mix_sample")
     assert(!p.contains("Exchange hashpartitioning"),
