@@ -25,7 +25,8 @@ class StoreReuseE2eSpec extends AnyFunSuite {
   }
 
   /** Run [[StoreReuseMain]] in a fresh JVM; returns its last stdout
-    * line (`builds=<n> minhash=<rows> ivf=<rows> pq=<rows>`). */
+    * line (`builds=<n> minhash=<rows> ivf=<rows> pq=<rows> hashes=<rows>
+    * bpe=<rows> lm=<rows>`). */
   private def runProcess(storeRoot: String, sfDir: String): String = {
     val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
     val cmd = (Seq(javaBin, "-Xmx4g") ++ addOpens ++ Seq(
@@ -41,19 +42,21 @@ class StoreReuseE2eSpec extends AnyFunSuite {
       .find(_.startsWith("builds=")).getOrElse(fail(s"no builds= line in:\n$out"))
   }
 
-  test("a fresh reader PROCESS serves minhash pairs, the ivf index, and the pq codes from storage with zero builds") {
+  test("a fresh reader PROCESS serves every store artifact from storage with zero builds") {
     val root = Files.createTempDirectory("graft-store-e2e").toString
-    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+)""".r
-    val (wBuilds, wMinhash, wIvf, wPq) = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p) => (b.toInt, m.toLong, i.toLong, p.toLong)
+    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+) hashes=(\d+) bpe=(\d+) lm=(\d+)""".r
+    val w = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i, p, h, t, l) =>
+        (b.toInt, m.toLong, i.toLong, p.toLong, h.toLong, t.toLong, l.toLong)
     }
-    assert(wBuilds > 0, "writer must build on an empty store")
+    assert(w._1 > 0, "writer must build on an empty store")
 
-    val (rBuilds, rMinhash, rIvf, rPq) = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p) => (b.toInt, m.toLong, i.toLong, p.toLong)
+    val r = runProcess(root, graft.TestSpark.sf) match {
+      case Line(b, m, i, p, h, t, l) =>
+        (b.toInt, m.toLong, i.toLong, p.toLong, h.toLong, t.toLong, l.toLong)
     }
-    assert(rBuilds == 0, "a restarted process must reuse the published store, not rebuild")
-    assert((rMinhash, rIvf, rPq) == ((wMinhash, wIvf, wPq)),
+    assert(r._1 == 0, "a restarted process must reuse the published store, not rebuild")
+    assert(r.productIterator.toSeq.drop(1) == w.productIterator.toSeq.drop(1),
       "reader must see the writer's tables")
   }
 }
