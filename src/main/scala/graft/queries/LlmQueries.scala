@@ -29,7 +29,68 @@ object LlmQueries {
     simIvfCells, simKnnJoinPq, simPqRecon, simKnnJoinAuto, simIvfSplit,
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
-    textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix)
+    textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
+    mmDedup, mmNearDup)
+
+  /** Exact media dedup: byte-identical payloads group on md5(payload)
+    * ([[Dedup.exact]] — the hash column is the binary payload, audit
+    * trail included). Five payload copies are planted at synthetic ids so
+    * the demo has real groups; at 100 TB only the 16-byte hashes shuffle,
+    * never payload bytes. */
+  val mmDedup: QueryDef = QueryDef("mm_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val media = Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text")
+      Dedup.exact(media, "media_id", "payload").orderBy("media_id")
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+           |           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5),
+           |h AS (SELECT media_id, md5(text) AS content_hash FROM m),
+           |g AS (SELECT content_hash, min(media_id) AS canonical_id,
+           |      count(*) AS group_size FROM h GROUP BY 1)
+           |SELECT h.media_id, h.content_hash, g.canonical_id, g.group_size,
+           |  (h.media_id = g.canonical_id) AS is_canonical
+           |FROM h JOIN g USING (content_hash) ORDER BY media_id""".stripMargin))
+
+  /** Media NEAR-dup over decode-stage feature vectors
+    * ([[Multimodal.decodeFeatures]] → [[Dedup.embeddingNearDup]] at
+    * t=0.9999): the embedding-space dedup shape a production pipeline
+    * runs over CLIP/audio embeddings — the deterministic stub features
+    * keep the whole ladder oracled end-to-end (the oracle re-derives the
+    * 8 folded components per doc and replays the exact pair scan). The
+    * banded-LSH variant is the corpus-scale path, same as for text
+    * embeddings. */
+  val mmNearDup: QueryDef = QueryDef("mm_near_dup",
+    (s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      // features rounded to 6 dp BEFORE the pair scan — the same
+      // presentation rounding mm_decode oracles, so both engines compare
+      // cosines of identical vectors (unrounded fold order would drift)
+      val feats = Multimodal.decodeFeatures(media)
+        .select(col("media_id"),
+          transform(col("feature"), x => round(x, 6)).as("feature"))
+      Dedup.embeddingNearDup(feats, "media_id", "feature", threshold = 0.9999)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val feats = (0 until Multimodal.DecodeStub.featDim).map(k =>
+        s"coalesce(round(list_sum([ascii(substr(text, i, 1)) / 255.0 " +
+          s"for i in range(1, length(text) + 1) if (i - 1) % 8 = $k]), 6), 0.0)")
+        .mkString("[", ", ", "]")
+      s"""WITH f AS (SELECT doc_id AS media_id, $feats AS v FROM documents),
+         |n AS (SELECT media_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM f)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 9)]) / (a.nrm * b.nrm), 6)
+         |    AS cosine
+         |FROM n a JOIN n b ON a.media_id < b.media_id
+         |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 9)]) / (a.nrm * b.nrm), 6)
+         |      >= 0.9999
+         |ORDER BY 1, 2""".stripMargin
+    })
 
   /** Recall@k of the probed IVF search vs the brute-force ground truth as
     * a FIRST-CLASS oracled query — the maintainer's honest quality dial

@@ -326,6 +326,32 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("content-hash absorb chain compacts to one live entry, ledger preserved, view intact after gc") {
+    withTempStore { _ =>
+      import spark.implicits._
+      def hashesOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+        .select(col("doc_id").as("id"), Dedup.contentHashSafe(col("text")).as("h"))
+      val nBase = Materialized.contentHashes(spark, TestSpark.sf).count()
+      Materialized.absorbContentHashes(spark, TestSpark.sf,
+        hashesOf(Seq((9001L, "novel compact one"))), "c1")
+      Materialized.absorbContentHashes(spark, TestSpark.sf,
+        hashesOf(Seq((9002L, "novel compact two"))), "c2")
+      val compacted = Materialized.compactContentHashes(spark, TestSpark.sf)
+      assert(compacted.count() == nBase + 2)
+      // ledger survives the compaction: replayed batch ids stay exactly-once
+      Materialized.clearSessionCache()
+      Materialized.absorbContentHashes(spark, TestSpark.sf,
+        hashesOf(Seq((9001L, "novel compact one"))), "c1")
+      assert(Materialized.contentHashes(spark, TestSpark.sf).count() == nBase + 2)
+      // superseded base+deltas age out; the compacted view keeps serving
+      Materialized.gc(spark, olderThanMs = 0)
+      Materialized.clearSessionCache()
+      val after = Materialized.contentHashes(spark, TestSpark.sf)
+      assert(after.count() == nBase + 2)
+      assert(after.where(col("id").isin(9001L, 9002L)).count() == 2)
+    }
+  }
+
   test("absorb day-2 semantics: a B2 near-dup of a B1 keep classifies as dup_of the B1 doc") {
     withTempStore { _ =>
       import spark.implicits._
