@@ -30,7 +30,36 @@ object LlmQueries {
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
-    mmDedup, mmNearDup)
+    mmDedup, mmNearDup, pipelineFunnel)
+
+  /** The curation funnel as per-language observability: how many docs
+    * each stage of `pipeline_curation2` passes (quality → exact →
+    * semantic → selected) plus the stage each rejection is first lost at
+    * — the ops dashboard a 100 TB curation run watches. One aggregation
+    * over the composed verdict table. */
+  // lazy: refers to pipelineCuration2, declared further down the object —
+  // a strict val here would read null during object initialization
+  lazy val pipelineFunnel: QueryDef = QueryDef("pipeline_funnel",
+    (s, d) => pipelineCuration2.fn(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep_quality"), 1)).as("pass_quality"),
+        count(when(col("keep_quality") && col("keep_exact"), 1)).as("pass_exact"),
+        count(when(col("keep_quality") && col("keep_exact") && col("keep_semantic"), 1))
+          .as("pass_semantic"),
+        count(when(col("selected"), 1)).as("selected"),
+        sum(when(col("selected"), col("n_words")).otherwise(0L)).as("selected_words"))
+      .orderBy("lang"),
+    pipelineCuration2.oracle.map(inner =>
+      s"""WITH curated AS (${inner.replaceAll("\nORDER BY d.doc_id$", "")})
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  count(*) FILTER (keep_quality)::BIGINT AS pass_quality,
+         |  count(*) FILTER (keep_quality AND keep_exact)::BIGINT AS pass_exact,
+         |  count(*) FILTER (keep_quality AND keep_exact AND keep_semantic)::BIGINT
+         |    AS pass_semantic,
+         |  count(*) FILTER (selected)::BIGINT AS selected,
+         |  coalesce(sum(n_words) FILTER (selected), 0)::BIGINT AS selected_words
+         |FROM curated GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Exact media dedup: byte-identical payloads group on md5(payload)
     * ([[Dedup.exact]] — the hash column is the binary payload, audit
