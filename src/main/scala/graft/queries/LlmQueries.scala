@@ -85,26 +85,19 @@ object LlmQueries {
            |  (h.media_id = g.canonical_id) AS is_canonical
            |FROM h JOIN g USING (content_hash) ORDER BY media_id""".stripMargin))
 
-  /** Media NEAR-dup over decode-stage feature vectors
-    * ([[Multimodal.decodeFeatures]] → [[Dedup.embeddingNearDup]] at
-    * t=0.9999): the embedding-space dedup shape a production pipeline
-    * runs over CLIP/audio embeddings — the deterministic stub features
-    * keep the whole ladder oracled end-to-end (the oracle re-derives the
-    * 8 folded components per doc and replays the exact pair scan). The
-    * banded-LSH variant is the corpus-scale path, same as for text
-    * embeddings. */
+  /** Media NEAR-dup over decode-stage feature vectors: the
+    * embedding-space dedup shape a production pipeline runs over
+    * CLIP/audio embeddings — the deterministic stub features keep the
+    * whole ladder oracled end-to-end (the oracle re-derives the 8 folded
+    * components per doc, 6-dp rounded exactly as the Spark side feeds
+    * them, and replays the exact pair scan). Reads the
+    * storage-materialized pair table ([[Materialized.mmPairs]] — the
+    * quadratic scan runs once per corpus, like [[Materialized
+    * .embeddingPairs]]); at corpus scale the banded-LSH family replaces
+    * the exact scan, same as for text embeddings. */
   val mmNearDup: QueryDef = QueryDef("mm_near_dup",
-    (s, d) => {
-      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
-      // features rounded to 6 dp BEFORE the pair scan — the same
-      // presentation rounding mm_decode oracles, so both engines compare
-      // cosines of identical vectors (unrounded fold order would drift)
-      val feats = Multimodal.decodeFeatures(media)
-        .select(col("media_id"),
-          transform(col("feature"), x => round(x, 6)).as("feature"))
-      Dedup.embeddingNearDup(feats, "media_id", "feature", threshold = 0.9999)
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => Materialized.mmPairs(s, d)
+      .orderBy("id_a", "id_b"),
     Some {
       val feats = (0 until Multimodal.DecodeStub.featDim).map(k =>
         s"coalesce(round(list_sum([ascii(substr(text, i, 1)) / 255.0 " +

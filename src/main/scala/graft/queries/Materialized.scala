@@ -749,6 +749,21 @@ object Materialized {
         merges = 256, batch = 32)
     }
 
+  /** Media feature near-dup pair table at the consumed threshold
+    * (cosine ≥ 0.9999 over the 6-dp-rounded decode-stub features) —
+    * `mm_near_dup` reads it; built once per corpus like the text
+    * embedding pair table ([[embeddingPairs]]). */
+  def mmPairs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "mm_pairs", "stub8_t9999", sfDir, "documents") {
+      val media = graft.llm.Multimodal.asMedia(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      val feats = graft.llm.Multimodal.decodeFeatures(media)
+        .select(col("media_id"),
+          transform(col("feature"), x => round(x, 6)).as("feature"))
+      graft.llm.Dedup.embeddingNearDup(feats, "media_id", "feature",
+        threshold = 0.9999)
+    }
+
   /** Stored unigram model `(word, cnt)` over `documents`
     * ([[graft.llm.TextAnalysis.lmModel]]) — trained once per corpus;
     * scoring runs ([[graft.llm.TextAnalysis.lmScoreFromModel]]) broadcast
