@@ -74,7 +74,7 @@ object Dedup {
    */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    def h(c: Column) = coalesce(contentHash(c), lit("<null-text>"))
+    def h(c: Column) = contentHashSafe(c)
     val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
     val hits = corpus.select(h(col(textCol)).as("h"))
       .join(broadcast(nh.select("h").distinct()), Seq("h"), "left_semi")
@@ -106,20 +106,48 @@ object Dedup {
 
   /** [[corpusBloom]] over an already-hashed `(…, h)` table — the form the
     * stored content-hash artifact feeds ([[graft.queries.Materialized]]):
-    * the sketch build then scans 16-byte hashes, never corpus text. */
+    * the sketch build then scans 16-byte hashes, never corpus text.
+    *
+    * Built by per-partition sketch folds + a depth-2 tree merge over the
+    * sketch library directly — deliberately NOT Catalyst's
+    * `BloomFilterAggregate` (and not `stat.bloomFilter`, which routes
+    * through it in Spark 4): that aggregate silently clamps every sketch
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (8 MB) /
+    * `maxNumItems` (4M — caps meant for the optimizer's runtime join
+    * filters, verified against this build's jars), so beyond ~4M corpus
+    * docs the effective fpp collapses toward 1 and the candidate prune
+    * silently disappears. The direct build honors the requested
+    * (expectedItems, fpp) geometry at any corpus size; each partition
+    * fills its own local sketch (no broadcast of a sketch-sized zero
+    * value) and partials OR-merge pairwise. The one RDD use is this
+    * per-partition imperative fold — the same construction Spark 3.x's
+    * `stat.bloomFilter` used. Inserted values are `xxhash64(h)` longs —
+    * exactly what the `BloomFilterMightContain` probe
+    * ([[bloomMightContain]]) hashes with — and the serialized stream
+    * format is shared, so probe and sketch stay compatible. */
   def bloomFromHashes(hashes: DataFrame, expectedItems: Long,
                       fpp: Double = 0.01): Array[Byte] = {
-    import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    val hashed = hashes.select(xxhash64(col("h")).as("hv"))
-    val agg = new BloomFilterAggregate(
-      GraftColumnBridge.expression(col("hv")),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    hashed.agg(GraftColumnBridge.column(agg).as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val hv = hashes.select(xxhash64(col("h")).as("hv")).as[Long].rdd
+    val bf =
+      if (hv.isEmpty()) {
+        // empty corpus: a zero-insertion sketch (rejects every probe)
+        org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      } else {
+        val parts = hv.mapPartitions { it =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val f = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+            it.foreach(f.putLong)
+            Iterator(f)
+          }
+        }
+        parts.treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Might-contain probe against a serialized [[corpusBloom]] sketch —
@@ -180,12 +208,11 @@ object Dedup {
     val hv = corpusHashes.select(col("h"))
     val bloom = bloomFromHashes(hv, expectedCorpusItems, fpp)
     val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
-    // an EMPTY corpus folds to a null sketch (no rows reached the
-    // aggregate) — nothing can be a corpus dup, so the candidate set is
-    // empty by definition rather than by null-predicate luck
-    val candidates =
-      if (bloom == null) nh.select("h").distinct().where(lit(false))
-      else nh.where(bloomMightContain(bloom, col("h"))).select("h").distinct()
+    // an EMPTY corpus yields a zero-insertion sketch ([[bloomFromHashes]])
+    // that rejects every probe — nothing can be a corpus dup, so the
+    // candidate set is empty by construction (spec-pinned)
+    val candidates = nh.where(bloomMightContain(bloom, col("h")))
+      .select("h").distinct()
     val hits = hv
       .join(broadcast(candidates), Seq("h"), "left_semi")
       .distinct()
@@ -929,12 +956,16 @@ object Dedup {
     val b = members.select(col("centroid_id"), col("id").as("id_b"),
       col("v").as("v_b"))
     // within-cluster earlier-member pairs, exact cosine (fused one-pass
-    // kernel, same as embeddingNearDupLsh's verification)
+    // kernel, same as embeddingNearDupLsh's verification). The NaN guard
+    // is load-bearing: a zero-norm vector (failed/padded encode) yields
+    // cos = NaN, and Spark ORDERS NaN above every number — without the
+    // guard `NaN >= threshold` holds and the zero vector is judged a dup
+    // of every earlier cell member. Undefined cosine ⇒ no match ⇒ kept.
     val matches = a.join(b, Seq("centroid_id")).where(col("id_b") < col("id"))
       .select(col("id"), col("id_b"),
         round(graft.functions.VectorExpressions.graft_cosine(col("v"), col("v_b")), 6)
           .as("cos"))
-      .where(col("cos") >= threshold)
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
     val best = matches.groupBy("id")
       .agg(min_by(struct(col("id_b"), col("cos")),
         struct(negate(col("cos")), col("id_b"))).as("m"))

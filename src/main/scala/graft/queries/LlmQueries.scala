@@ -63,21 +63,25 @@ object LlmQueries {
 
   /** Exact media dedup: byte-identical payloads group on md5(payload)
     * ([[Dedup.exact]] — the hash column is the binary payload, audit
-    * trail included). Five payload copies are planted at synthetic ids so
-    * the demo has real groups; at 100 TB only the 16-byte hashes shuffle,
+    * trail included). Five payload copies are planted at synthetic ids
+    * anchored past max(doc_id) — the incremental family's convention, so
+    * planted ids can never collide with real docs at any sf — and give
+    * the demo real groups; at 100 TB only the 16-byte hashes shuffle,
     * never payload bytes. */
   val mmDedup: QueryDef = QueryDef("mm_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
       val planted = docs.where(col("doc_id") < 5)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .select((col("doc_id") + maxd + 1001).as("doc_id"), col("text"))
       val media = Multimodal.asMedia(
         docs.select(col("doc_id"), col("text")).unionByName(planted),
         "doc_id", "text")
       Dedup.exact(media, "media_id", "payload").orderBy("media_id")
     },
-    Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents
-           |           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5),
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |m AS (SELECT doc_id AS media_id, text FROM documents
+           |      UNION ALL SELECT doc_id + m + 1001, text FROM documents, mx WHERE doc_id < 5),
            |h AS (SELECT media_id, md5(text) AS content_hash FROM m),
            |g AS (SELECT content_hash, min(media_id) AS canonical_id,
            |      count(*) AS group_size FROM h GROUP BY 1)
@@ -182,14 +186,20 @@ object LlmQueries {
             |FROM qs LEFT JOIN j ON qs.query_id = j.query_id
             |ORDER BY qs.query_id""".stripMargin))
 
-  /** Second composed curation pipeline, chaining the round-8 rings over
-    * the doc↔embedding 1:1 corpus: Gopher rule gate (per-row flags) ∧
-    * exact-dedup canonical (hash-group min) ∧ semantic keep through the
-    * STORED IVF index ([[Dedup.semanticDedupFromCells]] at 0.45) —
-    * `selected` is the training-set membership verdict with each stage's
-    * vote visible. All three stages join on the single id key (one
-    * co-partitioned shuffle family); the oracle replays the full ladder
-    * including the Lloyd closure. */
+  /** Second composed curation pipeline, chaining the round-8 rings:
+    * Gopher rule gate (per-row flags) ∧ exact-dedup canonical
+    * (hash-group min) ∧ semantic keep through the STORED IVF index
+    * ([[Dedup.semanticDedupFromCells]] at 0.45) — `selected` is the
+    * training-set membership verdict with each stage's vote visible.
+    * Embedding coverage is PARTIAL at some scales (sf0.1 has 5,000 docs
+    * but 2,000 embeddings), so the semantic stage joins LEFT: a doc
+    * without an embedding row passes the semantic gate trivially
+    * (no duplication evidence) and carries `has_embedding = false` so
+    * downstream can see which verdicts had vector support — an inner
+    * join here would silently emit no verdict at all for most of the
+    * corpus. All stages join on the single id key (one co-partitioned
+    * shuffle family); the oracle replays the full ladder including the
+    * Lloyd closure. */
   val pipelineCuration2: QueryDef = QueryDef("pipeline_curation2",
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -206,13 +216,16 @@ object LlmQueries {
       val sem = Dedup.semanticDedupFromCells(
           idx.assignment.select(col("id"), col("centroid_id"), col("v")),
           threshold = 0.45)
-        .select(col("id").as("doc_id"), col("keep").as("keep_semantic"))
+        .select(col("id").as("doc_id"), col("keep").as("sem_keep"))
       docs.select(col("doc_id"), col("lang"))
-        .join(g, "doc_id").join(ex, "doc_id").join(sem, "doc_id")
+        .join(g, "doc_id").join(ex, "doc_id")
+        .join(sem, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"), col("n_words"), col("keep_quality"),
-          col("keep_exact"), col("keep_semantic"),
-          (col("keep_quality") && col("keep_exact") && col("keep_semantic"))
-            .as("selected"))
+          col("keep_exact"),
+          col("sem_keep").isNotNull.as("has_embedding"),
+          coalesce(col("sem_keep"), lit(true)).as("keep_semantic"),
+          (col("keep_quality") && col("keep_exact") &&
+            coalesce(col("sem_keep"), lit(true))).as("selected"))
         .orderBy("doc_id")
     },
     Some(s"""WITH $ivfTrainedSql,
@@ -256,11 +269,13 @@ object LlmQueries {
             |ex AS (SELECT doc_id,
             |  (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact FROM documents)
             |SELECT d.doc_id, d.lang, g.n_words, g.keep_quality, ex.keep_exact,
-            |  s.keep_semantic,
-            |  (g.keep_quality AND ex.keep_exact AND s.keep_semantic) AS selected
+            |  (s.vec_id IS NOT NULL) AS has_embedding,
+            |  coalesce(s.keep_semantic, TRUE) AS keep_semantic,
+            |  (g.keep_quality AND ex.keep_exact AND coalesce(s.keep_semantic, TRUE))
+            |    AS selected
             |FROM documents d JOIN g ON d.doc_id = g.doc_id
             |  JOIN ex ON d.doc_id = ex.doc_id
-            |  JOIN sem s ON d.doc_id = s.vec_id
+            |  LEFT JOIN sem s ON d.doc_id = s.vec_id
             |ORDER BY d.doc_id""".stripMargin))
 
   /** kNN majority-vote classification THROUGH the stored IVF index

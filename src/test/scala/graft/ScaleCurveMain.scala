@@ -491,12 +491,12 @@ object ScaleCurveMain {
     base.unpersist()
   }
 
-  /** splitmix64 finalizer (same formula as Similarity's plane derivation). */
   /** Deterministic uniform component in [-0.5, 0.5) — serializable at the
     * object level so typed-map closures don't drag the method scope in. */
   private def comp(seed: Long): Double =
     (mix64(seed) >>> 11).toDouble / (1L << 53).toDouble - 0.5
 
+  /** splitmix64 finalizer (same formula as Similarity's plane derivation). */
   private def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -55,7 +55,11 @@ class DedupPropertySpec extends AnyFunSuite {
     n <- Gen.choose(2, 16)
     rows <- Gen.listOfN(n, for {
       cell <- Gen.choose(0L, 2L)
-      v <- Gen.listOfN(4, Gen.choose(-1.0, 1.0)).suchThat(_.exists(_ != 0.0))
+      // zero vectors included on purpose: their cosine is undefined (NaN)
+      // and the operator must treat that as "no match", never as a dup
+      v <- Gen.frequency(
+        5 -> Gen.listOfN(4, Gen.choose(-1.0, 1.0)),
+        1 -> Gen.const(List(0.0, 0.0, 0.0, 0.0)))
     } yield (cell, v))
   } yield rows.zipWithIndex.map { case ((cell, v), i) => (i.toLong, cell, v) }
 
@@ -65,16 +69,17 @@ class DedupPropertySpec extends AnyFunSuite {
         .select(col("id"), col("centroid_id"),
           Similarity.asDouble(col("v")).as("v"))
       val t = 0.5
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def cos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
         val dot = a.zip(b).map { case (x, y) => x * y }.sum
         val na = math.sqrt(a.map(x => x * x).sum)
         val nb = math.sqrt(b.map(x => x * x).sum)
-        Similarity.roundHalfUp(dot / (na * nb), 6)
+        if (na == 0.0 || nb == 0.0) None // undefined cosine ⇒ no match
+        else Some(Similarity.roundHalfUp(dot / (na * nb), 6))
       }
       val expected = members.map { case (id, cell, v) =>
         val matches = members
           .filter { case (id2, cell2, _) => cell2 == cell && id2 < id }
-          .map { case (id2, _, v2) => (id2, cos(v2, v)) }
+          .flatMap { case (id2, _, v2) => cos(v2, v).map(id2 -> _) }
           .filter(_._2 >= t)
         val best = matches.sortBy { case (id2, c) => (-c, id2) }.headOption
         (id, cell, best.map(_._1), best.map(_._2), best.isEmpty)

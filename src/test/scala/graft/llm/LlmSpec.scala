@@ -1009,7 +1009,7 @@ class LlmSpec extends AnyFunSuite {
     // the sketch admits only the true corpus dups plus the fpp share:
     // 5 planted dups out of 56 batch rows, 1% fpp → candidates ≪ batch
     val bloom = Dedup.corpusBloom(corpus, "text", 100000L, 0.01)
-    val h = coalesce(Dedup.contentHash(col("text")), lit("<null-text>"))
+    val h = Dedup.contentHashSafe(col("text"))
     val cand = batch.where(Dedup.bloomMightContain(bloom, h)).count()
     assert(cand >= 5 && cand <= 10, s"candidates=$cand")
     // a deliberately undersized, saturated sketch passes (nearly) every row
