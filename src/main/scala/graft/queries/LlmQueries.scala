@@ -30,7 +30,48 @@ object LlmQueries {
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
-    mmDedup, mmNearDup, pipelineFunnel)
+    mmDedup, mmNearDup, pipelineFunnel, textBpeVocab)
+
+  /** The tokenizer's VOCABULARY table — the artifact a trainer/consumer
+    * loads alongside the merge list: base symbols (every distinct
+    * non-space character in the corpus, ranked lexicographically) followed
+    * by one token per stored merge in merge-rank order
+    * ([[Materialized.bpeMerges]]). Two different merges can produce the
+    * same surface form (`a+bc` and `ab+c`); rows are emitted as-is with
+    * their own ranks — consumers keep the first. Alphabet-sized data;
+    * the single window sorts ~dozens of rows. */
+  // lazy: interpolates bpeTrainedSql/BpeRounds, declared further down —
+  // a strict val here would capture BpeRounds = 0 during object init
+  lazy val textBpeVocab: QueryDef = QueryDef("text_bpe_vocab",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"), lit("\\S"), lit(0)))
+          .as("token"))
+        .distinct()
+        .withColumn("rank", row_number().over(Window.orderBy("token")).cast("long"))
+        .withColumn("kind", lit("base"))
+      val nb = base.count()
+      val merged = Materialized.bpeMerges(s, d)
+        .select(col("merged").as("token"), (col("rank") + nb).as("rank"),
+          lit("merged").as("kind"))
+      base.unionByName(merged).orderBy("rank", "token")
+    },
+    Some(s"""WITH $bpeTrainedSql,
+            |mm AS (${(1 to BpeRounds).map(n =>
+                 s"SELECT $n AS round, rsel, pair FROM b$n")
+                 .mkString("\n|      UNION ALL ")}),
+            |b AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\\S')) AS token
+            |      FROM documents),
+            |br AS (SELECT token, row_number() OVER (ORDER BY token) AS rank,
+            |       'base' AS kind FROM b),
+            |nb AS (SELECT count(*) AS n FROM b),
+            |mr AS (SELECT replace(pair, ' ', '') AS token,
+            |       nb.n + row_number() OVER (ORDER BY round, rsel) AS rank,
+            |       'merged' AS kind FROM mm, nb)
+            |SELECT token, rank::BIGINT AS rank, kind
+            |FROM (SELECT * FROM br UNION ALL SELECT * FROM mr)
+            |ORDER BY rank, token""".stripMargin))
 
   /** The curation funnel as per-language observability: how many docs
     * each stage of `pipeline_curation2` passes (quality → exact →

@@ -967,6 +967,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomFromHashes honors the requested sketch geometry past Catalyst's 8 MB clamp") {
+    // Catalyst's BloomFilterAggregate (and stat.bloomFilter over it)
+    // silently caps sketches at maxNumBits = 67,108,864; the direct
+    // build must NOT — a 20M-item request needs ~191.7M bits, and
+    // falling back to the clamped path would collapse the candidate
+    // prune at exactly the corpus sizes the operator targets
+    val hashes = spark.range(1000)
+      .select(md5(col("id").cast("string")).as("h"))
+    val bytes = Dedup.bloomFromHashes(hashes, expectedItems = 20000000L, fpp = 0.01)
+    val needed = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(20000000L, 0.01)
+    assert(bytes.length.toLong * 8 >= needed,
+      s"sketch is ${bytes.length * 8L} bits — the Catalyst clamp resurfaced")
+    // and the serialized form still answers probes through the Catalyst
+    // predicate (shared stream format)
+    val cand = hashes.where(Dedup.bloomMightContain(bytes,
+      col("h"))).count()
+    assert(cand == 1000L, s"every inserted hash must probe true, got $cand")
+  }
+
   test("knnClassify: majority vote wins; vote ties break to the best-ranked label") {
     val labeled = Seq(
       (100L, Seq(1.0, 0.0, 0.0), 1),
