@@ -30,7 +30,48 @@ object LlmQueries {
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
-    mmDedup, mmNearDup, pipelineFunnel, textBpeVocab)
+    mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval)
+
+  /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
+    * pattern): the 20 held-out queries DO carry true labels — compare
+    * the majority-vote prediction against them, per true label. On the
+    * structureless corpus accuracy sits near the 10-class floor (the
+    * embedding space carries no label signal) — the dial exists to make
+    * that measurable and replayable, not to flatter. */
+  val simKnnLabelEval: QueryDef = QueryDef("sim_knn_label_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pred = Similarity.knnClassify(emb.where(col("vec_id") >= 20),
+        emb.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+        "vec_id", k = 5)
+      val truth = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"))
+      truth.join(pred.select(col("query_id"), col("pred_label")), Seq("query_id"))
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("pred_label") === col("true_label"), 1)).as("correct"))
+        .orderBy("true_label")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+           |n AS (SELECT vec_id, v, label, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, label AS true_label
+           |      FROM n WHERE vec_id < 20),
+           |c AS (SELECT vec_id, v, nrm, label FROM n WHERE vec_id >= 20),
+           |s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+           |  round(list_sum([c.v[i] * q.qv[i] for i in range(1, 65)]) / (c.nrm * q.qn), 6) AS cosine
+           |  FROM c, q),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cosine DESC, neighbor_id) AS rank FROM s),
+           |k AS (SELECT query_id, label::BIGINT AS label, count(*) AS votes,
+           |      min(rank) AS best_rank FROM r WHERE rank <= 5 GROUP BY 1, 2),
+           |w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY votes DESC, best_rank, label) AS rn FROM k),
+           |p AS (SELECT query_id, label AS pred_label FROM w WHERE rn = 1)
+           |SELECT q.true_label::BIGINT AS true_label, count(*)::BIGINT AS n,
+           |  count(*) FILTER (p.pred_label = q.true_label)::BIGINT AS correct
+           |FROM q JOIN p ON q.query_id = p.query_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The tokenizer's VOCABULARY table — the artifact a trainer/consumer
     * loads alongside the merge list: base symbols (every distinct
