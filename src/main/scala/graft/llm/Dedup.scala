@@ -135,7 +135,14 @@ object Dedup {
         // empty corpus: a zero-insertion sketch (rejects every probe)
         org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
       } else {
-        val parts = hv.mapPartitions { it =>
+        // every non-empty partition allocates a full sketch, so the fold
+        // is capped at BloomBuildPartitions partials: at production
+        // geometry (10⁹ items ≈ 1.2 GB/sketch) an uncapped thousand-
+        // partition scan would allocate a sketch per concurrent task and
+        // ship one per partition into the merge — the cap bounds both to
+        // a constant with no correctness change
+        val capped = hv.coalesce(math.min(hv.getNumPartitions, BloomBuildPartitions))
+        val parts = capped.mapPartitions { it =>
           if (it.isEmpty) Iterator.empty
           else {
             val f = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
@@ -149,6 +156,11 @@ object Dedup {
     bf.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Concurrent sketch partials in [[bloomFromHashes]] — each costs one
+    * full sketch allocation (sketch-bytes × this many live at the fold's
+    * peak, plus the same volume through the merge). */
+  val BloomBuildPartitions = 32
 
   /** Might-contain probe against a serialized [[corpusBloom]] sketch —
     * Catalyst's native `BloomFilterMightContain` over `xxhash64(hash)`,
@@ -844,7 +856,10 @@ object Dedup {
                        threshold: Double = 0.5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = Similarity.vecRows(emb, idCol, vecCol).persist()
+    // zero-norm/empty vectors have undefined cosine: they can never be a
+    // near-dup of anything, and left in they would crash the typed kernel
+    // (BigDecimal.valueOf(NaN) throws in the rounding step)
+    val e = Similarity.vecRows(emb, idCol, vecCol).filter(_.norm > 0.0).persist()
     // typed pair kernel: JIT'd loop, same sequential IEEE order as the
     // expression path (interpreted HOFs cost ~10× on millions of pairs)
     val pairs = e.as("a").joinWith(e.as("b"), col("a.id") < col("b.id"))
@@ -892,7 +907,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
           .as("cosine"))
-      .where(col("cosine") >= threshold)
+      // NaN guard (zero-norm member): Spark orders NaN ABOVE every number,
+      // so an unguarded `NaN >= threshold` would pass — undefined cosine
+      // must mean "not a pair", same rule as semanticDedupFromCells
+      .where(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
 
   /** The banded candidate pair set of [[embeddingNearDupLsh]] BEFORE exact

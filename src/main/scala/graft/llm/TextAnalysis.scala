@@ -436,10 +436,14 @@ object TextAnalysis {
 
   /** [[lmScore]] against a TRAINED unigram model: per-doc negative
     * log-likelihood under the model's ML estimates. Words absent from the
-    * model drop out of the sum (an inner join — smoothing is the
-    * caller's policy); on the training corpus itself this is exact
-    * equality with [[lmScore]]. The model broadcasts (vocabulary-sized);
-    * scoring is one tf aggregation + broadcast join per run. */
+    * model drop out of the sum (smoothing is the caller's policy) but
+    * never out of the OUTPUT: every input doc gets a row — a doc whose
+    * words are ALL out-of-model scores `nll_sum = 0` rather than
+    * silently vanishing from the per-doc table (a downstream perplexity
+    * gate must see it to judge it). On the training corpus itself this
+    * is exact equality with [[lmScore]]. The model broadcasts
+    * (vocabulary-sized); scoring is one tf aggregation + broadcast join
+    * per run. */
   def lmScoreFromModel(docs: DataFrame, idCol: String, textCol: String,
                        model: DataFrame): DataFrame = {
     val toks = docs
@@ -450,13 +454,15 @@ object TextAnalysis {
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val tf = toks.groupBy("id", "dl", "word")
       .agg(count(lit(1)).cast("double").as("tf"))
-    tf.join(broadcast(vocab), Seq("word"))
+    val nll = tf.join(broadcast(vocab), Seq("word"))
       .crossJoin(broadcast(total))
       .withColumn("lp", round(log(col("cnt") / col("total")), 6))
       .groupBy("id", "dl")
       .agg(round(-sum(col("tf") * col("lp")), 6).as("nll_sum"))
+    toks.select(col("id"), col("dl")).distinct()
+      .join(nll, Seq("id", "dl"), "left")
       .select(col("id").as(idCol), col("dl").cast("long").as("n_words"),
-        col("nll_sum"))
+        coalesce(col("nll_sum"), lit(0.0)).as("nll_sum"))
   }
 
   /**
@@ -473,9 +479,15 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy(col("pri"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null text: zero tokens and the incremental family's sentinel as the
+    // priority — without it the NULL hash would sort nulls-FIRST in Spark
+    // but nulls-LAST in the SQL replay, and NULL n_tokens would poison
+    // every later cum_tokens in the source (and make `keep` NULL)
+    val t = col(textCol)
     docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        md5(col(textCol)).as("pri"))
+        when(t.isNull, 0L).otherwise(size(split(t, " ")).cast("long"))
+          .as("n_tokens"),
+        coalesce(md5(t), lit("<null-text>")).as("pri"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .select(col("id").as(idCol), col("source"), col("n_tokens"),
         col("cum_tokens"), (col("cum_tokens") <= budget).as("keep"))

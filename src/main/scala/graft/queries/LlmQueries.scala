@@ -282,15 +282,26 @@ object LlmQueries {
     * corpus. All stages join on the single id key (one co-partitioned
     * shuffle family); the oracle replays the full ladder including the
     * Lloyd closure. */
+  /** The shared `ivf2_b1` append batch: negated copies of vectors 0-4 at
+    * ids anchored past max(vec_id) — collision-free at any sf (the
+    * incremental family's convention; fixed offsets would collide with
+    * real ids once the table outgrows them). Every query that ensures the
+    * appended store state derives its batch from THIS definition, so the
+    * exactly-once ledger always sees identical content per batch id. */
+  private def ivf2Batch(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val maxe = emb.agg(max("vec_id")).head.getLong(0)
+    emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + maxe + 1001).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+  }
+
   val pipelineCuration2: QueryDef = QueryDef("pipeline_curation2",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val batch = emb.where(col("vec_id") < 5)
-        .select((col("vec_id") + 8000).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
-        "ivf2_b1")
+      val idx = Materialized.appendIvfIndex(s, d, ivf2Batch(s, d),
+        "vec_id", "embedding", "ivf2_b1")
       val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_words"), col("keep").as("keep_quality"))
       val ex = Dedup.exact(docs, "doc_id", "text")
@@ -312,8 +323,9 @@ object LlmQueries {
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
-            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
-            |       FROM e WHERE vec_id < 5),
+            |mxe AS (SELECT max(vec_id) AS me FROM embeddings),
+            |nb AS (SELECT vec_id + me + 1001 AS vec_id, [-x for x in v] AS v
+            |       FROM e, mxe WHERE vec_id < 5),
             |d4 AS (SELECT nb.vec_id, c.centroid_id,
             |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
             |              for i in range(1, 65)]) AS rd
@@ -417,12 +429,8 @@ object LlmQueries {
     * replays train → assign → append → within-cell prune. */
   val dedupSemantic2: QueryDef = QueryDef("dedup_semantic2",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val batch = emb.where(col("vec_id") < 5)
-        .select((col("vec_id") + 8000).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
-        "ivf2_b1")
+      val idx = Materialized.appendIvfIndex(s, d, ivf2Batch(s, d),
+        "vec_id", "embedding", "ivf2_b1")
       Dedup.semanticDedupFromCells(
           idx.assignment.select(col("id"), col("centroid_id"), col("v")),
           threshold = 0.45)
@@ -431,8 +439,9 @@ object LlmQueries {
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
-            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
-            |       FROM e WHERE vec_id < 5),
+            |mxe AS (SELECT max(vec_id) AS me FROM embeddings),
+            |nb AS (SELECT vec_id + me + 1001 AS vec_id, [-x for x in v] AS v
+            |       FROM e, mxe WHERE vec_id < 5),
             |d4 AS (SELECT nb.vec_id, c.centroid_id,
             |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
             |              for i in range(1, 65)]) AS rd
@@ -923,7 +932,7 @@ object LlmQueries {
             |ORDER BY cosine DESC, dq.vec_id LIMIT 10""".stripMargin))
 
   /** Probed search over the INCREMENTALLY MAINTAINED IVF index: a batch of
-    * five novel vectors (negated copies of 0-4, ids +8000) is assigned
+    * five novel vectors (negated copies of 0-4, max-anchored ids) is assigned
     * against the STORED centroids — no retrain, no corpus re-read — and
     * published as an appended cell-partitioned generation
     * ([[Materialized.appendIvfIndex]]); the search (query = negated
@@ -933,11 +942,8 @@ object LlmQueries {
   val simIvfSearch2: QueryDef = QueryDef("sim_ivf_search2",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val batch = emb.where(col("vec_id") < 5)
-        .select((col("vec_id") + 8000).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-      val idx = Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding",
-        "ivf2_b1")
+      val idx = Materialized.appendIvfIndex(s, d, ivf2Batch(s, d),
+        "vec_id", "embedding", "ivf2_b1")
       val qv = emb.where(col("vec_id") === 1)
         .select(transform(col("embedding"), x => -x.cast("double")).as("v"))
         .head().getSeq[Double](0)
@@ -946,8 +952,9 @@ object LlmQueries {
     },
     Some(s"""WITH $ivfTrainedSql,
             |$ivfAssignFromTrainedSql,
-            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
-            |       FROM e WHERE vec_id < 5),
+            |mxe AS (SELECT max(vec_id) AS me FROM embeddings),
+            |nb AS (SELECT vec_id + me + 1001 AS vec_id, [-x for x in v] AS v
+            |       FROM e, mxe WHERE vec_id < 5),
             |d4 AS (SELECT nb.vec_id, c.centroid_id,
             |    list_sum([(nb.v[i] - c.cv[i]) * (nb.v[i] - c.cv[i])
             |              for i in range(1, 65)]) AS rd
@@ -1266,7 +1273,7 @@ object LlmQueries {
 
   /** Periodic IVF retrain ([[Materialized.retrainIvfIndex]]) oracled
     * end-to-end: in an isolated store, a 5-vector batch (negated copies
-    * of 0-4 at ids +8000) is absorbed via [[Materialized.appendIvfIndex]],
+    * of 0-4 at max-anchored ids) is absorbed via [[Materialized.appendIvfIndex]],
     * then the index is RETRAINED on the current view (corpus ∪ batch) —
     * k-min-id seeds relocated past the max centroid id, 2 Lloyd rounds,
     * every generation folded into one fresh entry behind the atomic
@@ -1278,11 +1285,8 @@ object LlmQueries {
     (s, d) => {
       Materialized.ivfIndex(s, d) // shared base, built once for the registry
       Materialized.withStoreSandbox(s, Seq("ivf_centroids_", "ivf_index_")) {
-        val emb = Tables.embeddings(s, d)
-        val batch = emb.where(col("vec_id") < 5)
-          .select((col("vec_id") + 8000).as("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding"))
-        Materialized.appendIvfIndex(s, d, batch, "vec_id", "embedding", "rt_b1")
+        Materialized.appendIvfIndex(s, d, ivf2Batch(s, d),
+          "vec_id", "embedding", "rt_b1")
         val re = Materialized.retrainIvfIndex(s, d)
         re.assignment.groupBy("centroid_id")
           .agg(count(lit(1)).as("n_vectors"))
@@ -1290,8 +1294,9 @@ object LlmQueries {
       }
     },
     Some(s"""WITH $ivfTrainedSql,
-            |nb AS (SELECT vec_id + 8000 AS vec_id, [-x for x in v] AS v
-            |       FROM e WHERE vec_id < 5),
+            |mxe AS (SELECT max(vec_id) AS me FROM embeddings),
+            |nb AS (SELECT vec_id + me + 1001 AS vec_id, [-x for x in v] AS v
+            |       FROM e, mxe WHERE vec_id < 5),
             |allv AS MATERIALIZED (SELECT vec_id, v FROM e
             |       UNION ALL SELECT vec_id, v FROM nb),
             |r0 AS (SELECT vec_id + (SELECT max(centroid_id) FROM c2) + 1 AS rid,
@@ -2645,9 +2650,13 @@ object LlmQueries {
       |tot AS (SELECT sum(cnt) AS total FROM vocab),
       |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
       |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
-      |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t)
-      |SELECT doc_id, dl::BIGINT AS n_words, round(-sum(tf * lp), 6) AS nll_sum
-      |FROM c GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin
+      |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t),
+      |nll AS (SELECT doc_id, dl, round(-sum(tf * lp), 6) AS nll_sum
+      |        FROM c GROUP BY 1, 2),
+      |d0 AS (SELECT DISTINCT doc_id, dl FROM tok)
+      |SELECT d0.doc_id, d0.dl::BIGINT AS n_words,
+      |  coalesce(nll.nll_sum, 0.0) AS nll_sum
+      |FROM d0 LEFT JOIN nll USING (doc_id, dl) ORDER BY doc_id""".stripMargin
 
   val textLmScore: QueryDef = QueryDef("text_lm_score",
     (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
@@ -2674,8 +2683,9 @@ object LlmQueries {
         "source", budget = 600L)
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id, source,
-           |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-           |  md5(text) AS pri FROM documents),
+           |  CASE WHEN text IS NULL THEN 0
+           |       ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens,
+           |  coalesce(md5(text), '<null-text>') AS pri FROM documents),
            |c AS (SELECT doc_id, source, n_tokens,
            |  sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
            |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t)

@@ -50,7 +50,10 @@ object Materialized {
     * sf0.01 and sf0.1 sharing the default store root); v3: IVF index rows
     * carry the int8 quantization (`scale`, `qcode`) for column-pruned
     * quantized searches). */
-  private[queries] val FormatVersion = 3
+  // v4: the shared append batches (`ivf2_b1`/`rt_b1`) moved from fixed
+  // +8000 ids to max(vec_id)-anchored ids — a warm v3 store would serve
+  // the old generation's rows against oracles that expect the new ids
+  private[queries] val FormatVersion = 4
 
   /** Build count, exposed so MaterializedSpec can prove storage reuse
     * (a second consumer must NOT increment it). */
@@ -757,7 +760,12 @@ object Materialized {
     parquetBacked(spark, "mm_pairs", "stub8_t9999", sfDir, "documents") {
       val media = graft.llm.Multimodal.asMedia(
         Tables.documents(spark, sfDir), "doc_id", "text")
+      // decode failures (ok=false: null payloads) and empty feature
+      // vectors are excluded — they have no feature-space position;
+      // all-zero features are additionally dropped by embeddingNearDup's
+      // zero-norm guard (undefined cosine ⇒ never a pair)
       val feats = graft.llm.Multimodal.decodeFeatures(media)
+        .where(col("ok") && size(col("feature")) > 0)
         .select(col("media_id"),
           transform(col("feature"), x => round(x, 6)).as("feature"))
       graft.llm.Dedup.embeddingNearDup(feats, "media_id", "feature",

@@ -100,7 +100,9 @@ class DedupPropertySpec extends AnyFunSuite {
       src <- Gen.oneOf("s1", "s2", "s3")
       nw <- Gen.choose(1, 6)
       ws <- Gen.listOfN(nw, Gen.oneOf("x", "yy", "zzz"))
-    } yield (src, ws.mkString(" ")))
+      t <- Gen.frequency(8 -> Gen.const(ws.mkString(" ")),
+        1 -> Gen.const(null: String))
+    } yield (src, t))
     budget <- Gen.choose(1L, 12L)
   } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }, budget)
 
@@ -112,10 +114,11 @@ class DedupPropertySpec extends AnyFunSuite {
       def run(b: Long) = TextAnalysis.budgetMix(df, "doc_id", "text", "source", b)
         .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
       val got = run(budget)
+      def pri(t: String) = if (t == null) "<null-text>" else md5hex(t)
       rows.groupBy(_._3).foreach { case (_, srcRows) =>
         var cum = 0L
-        srcRows.sortBy { case (id, t, _) => (md5hex(t), id) }.foreach { case (id, t, _) =>
-          val n = t.split(" ").length.toLong
+        srcRows.sortBy { case (id, t, _) => (pri(t), id) }.foreach { case (id, t, _) =>
+          val n = if (t == null) 0L else t.split(" ").length.toLong
           cum += n
           assert(got(id) == ((n, cum, cum <= budget)), s"doc $id of $rows")
         }

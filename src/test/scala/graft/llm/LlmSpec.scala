@@ -927,6 +927,12 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L)
     val expected = math.round(-math.log(2.0 / 5.0) * 1e6) / 1e6 // cat: cnt 2 of 5
     assert(math.abs(r.getDouble(2) - expected) < 1e-9, s"${r.getDouble(2)} vs $expected")
+    // an ALL-OOV doc still gets a row (nll 0) — it must not vanish from
+    // the per-doc table a perplexity gate consumes
+    val oov = TextAnalysis.lmScoreFromModel(
+        Seq((10L, "qq rr")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(oov.length == 1 && oov(0).getLong(1) == 2L && oov(0).getDouble(2) == 0.0)
   }
 
   test("bpeDocTokensFromMerges: stored merge-list replay equals live training") {
@@ -1037,7 +1043,7 @@ class LlmSpec extends AnyFunSuite {
     val sat = rows(Dedup.dedupIncrementalBloom(batch, corpus, "doc_id", "text",
       expectedCorpusItems = 1L, fpp = 0.5))
     assert(sat == base)
-    // empty corpus: the aggregate folds to a null sketch — everything novel
+    // empty corpus: a zero-insertion sketch rejects every probe — all novel
     val none = rows(Dedup.dedupIncrementalBloom(batch, corpus.limit(0),
       "doc_id", "text", expectedCorpusItems = 100L))
     assert(none.forall(r => r._2 != "dup_of_corpus"))
