@@ -91,9 +91,11 @@ object Dedup {
 
   /**
    * Build a Bloom membership sketch over the corpus's content hashes —
-   * the compact corpus-side artifact of [[dedupIncrementalBloom]]. One
-   * aggregation (partial blooms OR-merge, so map-side combine
-   * parallelizes arbitrarily) over the hash column only; the result is
+   * the compact corpus-side artifact of [[dedupIncrementalBloom]]. The
+   * hash scan + xxhash64 map runs at full source parallelism; only the
+   * resulting 8-byte longs shuffle down to [[BloomBuildPartitions]]
+   * sketch partials (partial blooms OR-merge), so scan throughput is
+   * never capped by the partial count. The result is
    * `optimalNumOfBits(expectedItems, fpp)` bits (~1.2 GB for 10⁹ docs at
    * 1% — driver/broadcast-safe at any corpus size). Bloom sketches are
    * OR-mergeable, so per-batch delta sketches can be absorbed into a
@@ -140,8 +142,15 @@ object Dedup {
         // geometry (10⁹ items ≈ 1.2 GB/sketch) an uncapped thousand-
         // partition scan would allocate a sketch per concurrent task and
         // ship one per partition into the merge — the cap bounds both to
-        // a constant with no correctness change
-        val capped = hv.coalesce(math.min(hv.getNumPartitions, BloomBuildPartitions))
+        // a constant with no correctness change. Repartition (a shuffle
+        // of 8-byte longs), NOT coalesce: coalesce would fuse the cap
+        // into the scan stage and throttle the whole corpus-hash read to
+        // BloomBuildPartitions tasks, while the shuffle keeps the scan at
+        // source parallelism and only the compact hashed longs funnel
+        // into the 32 sketch-fold tasks
+        val capped =
+          if (hv.getNumPartitions <= BloomBuildPartitions) hv
+          else hv.repartition(BloomBuildPartitions)
         val parts = capped.mapPartitions { it =>
           if (it.isEmpty) Iterator.empty
           else {

@@ -743,6 +743,103 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------------------
+  // OPQ-lite: a deterministic orthogonal pre-rotation for residual PQ —
+  // the SVD-free randomized-rotation trick (sign-flip diagonal D followed
+  // by a fast Walsh–Hadamard transform H, scaled 1/√d): R = H·D/√d is
+  // exactly orthonormal (RᵀR = D·H·H·D/d = D·(dI)·D/d = I), spreads every
+  // input coordinate's energy uniformly across all output coordinates in
+  // O(d log d) integer-index arithmetic, and needs no linear-algebra
+  // library or training loop. Rotating residuals before PQ encoding
+  // decorrelates the subspace split (the failure mode of plain PQ when
+  // variance concentrates in a few dimensions — the problem OPQ's trained
+  // rotation solves with an SVD loop); the reconstruction path applies
+  // Rᵀ = D·H/√d. The rotation is fully determined by (dims, seed), the
+  // seed rides in the store artifact's config key, and the butterfly is
+  // replayed STAGE-FOR-STAGE by the SQL oracle (identical FP operation
+  // order, so results are bit-equal — a literal matrix multiply would
+  // sum in a different order and drift by ulps).
+  // ------------------------------------------------------------------
+
+  /** The ±1 sign diagonal, derived from `(dims, seed)` by splittable
+    * integer arithmetic (no RNG state — deterministic, engine-portable:
+    * the oracle interpolates these as literals). */
+  def opqSigns(dims: Int, seed: Long): Array[Double] = {
+    require(dims > 0 && (dims & (dims - 1)) == 0,
+      s"opqSigns: dims must be a power of two for the Hadamard butterfly, got $dims")
+    Array.tabulate(dims) { i =>
+      val h = (i.toLong * 2654435761L + seed * 40503L + 12345L) >> 16
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+  }
+
+  /** Forward rotation `R·v = FWHT(D·v)/√d` — the encode-side transform.
+    * The butterfly stages run in ascending stride order; the SQL oracle
+    * replays the identical stage sequence, so outputs are bit-equal. */
+  def opqRotateKernel(v: Array[Double], signs: Array[Double]): Array[Double] = {
+    val n = signs.length
+    require(v.length == n, s"opqRotateKernel: vector dims ${v.length} != signs $n")
+    var cur = new Array[Double](n)
+    var i = 0
+    while (i < n) { cur(i) = v(i) * signs(i); i += 1 }
+    var s = 1
+    while (s < n) {
+      val next = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if ((i & s) == 0) next(i) = cur(i) + cur(i + s)
+        else next(i) = cur(i - s) - cur(i)
+        i += 1
+      }
+      cur = next
+      s <<= 1
+    }
+    val scale = math.sqrt(n.toDouble)
+    i = 0
+    while (i < n) { cur(i) = cur(i) / scale; i += 1 }
+    cur
+  }
+
+  /** Inverse rotation `Rᵀ·v = D·FWHT(v)/√d` — the reconstruction-side
+    * transform (H is symmetric, D its own inverse). */
+  def opqRotateInverseKernel(v: Array[Double], signs: Array[Double]): Array[Double] = {
+    val n = signs.length
+    require(v.length == n, s"opqRotateInverseKernel: vector dims ${v.length} != signs $n")
+    var cur = v.clone()
+    var s = 1
+    while (s < n) {
+      val next = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if ((i & s) == 0) next(i) = cur(i) + cur(i + s)
+        else next(i) = cur(i - s) - cur(i)
+        i += 1
+      }
+      cur = next
+      s <<= 1
+    }
+    val scale = math.sqrt(n.toDouble)
+    var i = 0
+    while (i < n) { cur(i) = cur(i) * signs(i) / scale; i += 1 }
+    cur
+  }
+
+  /** Rotate an `(id, centroid_id, rv)` residual table ([[ivfResiduals]]'
+    * output) — one shuffle-free typed-kernel scan, O(d log d) per row;
+    * feed the result to [[pqTrainCodebooks]] / [[pqEncode]] unchanged
+    * (they are source-agnostic). */
+  def opqRotateResiduals(res: DataFrame, signs: Array[Double]): DataFrame = {
+    val spark = res.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(signs)
+    res.select(col("id").cast("long").as("id"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        asDouble(col("rv")).as("rv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (id, cell, rv) => (id, cell, opqRotateKernel(rv, bc.value)) }
+      .toDF("id", "centroid_id", "rv")
+  }
+
   /**
    * Symmetric int8 quantization of an embedding column (4× storage shrink
    * for ANN indexes): per-vector scale = max|x|, q_i = round(x_i/scale·127).
@@ -950,12 +1047,26 @@ object Similarity {
 
   /** Vote + winner election over any `(query_id, neighbor_id, rank, …)`
     * neighbor table — the classifier's second half, reusable over every
-    * kNN-join variant's output. */
+    * kNN-join variant's output.
+    *
+    * The label column must cast cleanly to long on every labeled row:
+    * a null or uncastable label (e.g. a free-text string) fails LOUD via
+    * `raise_error` at scan time rather than silently becoming NULL —
+    * NULL labels would collapse all votes into one group and elect
+    * `pred_label = NULL` (NULL sorts first in the ascending label
+    * tie-break), the classic silent-cast corruption. Same fail-loud
+    * contract as [[knnJoin]]'s bad-query-vector check. */
   def knnClassifyFrom(neighbors: DataFrame, labeled: DataFrame,
                       idCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val castLbl = col(labelCol).cast("long")
     val lbl = labeled.select(col(idCol).cast("long").as("neighbor_id"),
-      col(labelCol).cast("long").as("label"))
+      when(castLbl.isNull,
+        raise_error(concat(
+          lit(s"knnClassifyFrom: label column '$labelCol' has a null or " +
+            "non-numeric value (got '"),
+          coalesce(col(labelCol).cast("string"), lit("NULL")), lit("'))"))))
+        .otherwise(castLbl).as("label"))
     val votes = lbl
       .join(broadcast(neighbors.select(col("query_id"), col("neighbor_id"),
         col("rank"))), Seq("neighbor_id"))

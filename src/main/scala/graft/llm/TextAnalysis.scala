@@ -99,23 +99,31 @@ object TextAnalysis {
    * bit-identical across engines (the SQL oracle replays them unrounded
    * too; only the *presentation* ratios are rounded). Pure per-row
    * expressions — zero shuffle, scan-speed at 100 TB.
+   *
+   * Words are `\s+`-tokenized (empty tokens dropped) — the paper's
+   * whitespace tokenization, so newline/tab-separated words count
+   * individually rather than fusing into one "word". A whitespace-only
+   * document has `n_words = 0`; its ratios divide by `max(wc, 1)` (both
+   * engines) so the row is deterministic rather than null/NaN — such a
+   * doc fails `f_words` regardless.
    */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val ws = split(t, " ")
+    val ws = filter(split(t, "\\s+"), w => length(w) > lit(0))
     val lines = split(t, "\n")
     val wc = size(ws)
+    val wcDen = greatest(wc, lit(1))
     val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-    val meanWordLen = sumWordLen.cast("double") / wc
+    val meanWordLen = sumWordLen.cast("double") / wcDen
     val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
-    val symbolRatio = symbols.cast("double") / wc
+    val symbolRatio = symbols.cast("double") / wcDen
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l =>
       startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
         startswith(ltrim(l), lit("•"))))
     val ellipsisLines = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
     val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
-    val alphaRatio = alphaWords.cast("double") / wc
+    val alphaRatio = alphaWords.cast("double") / wcDen
     val stopHits = hitCount(ws, gopherStopwords)
     val fWords = wc >= 50 && wc <= 100000
     val fWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
@@ -708,6 +716,182 @@ object TextAnalysis {
     import spark.implicits._
     bpeLoop(docs, textCol, merges, batch)._1
       .toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Word-table size guard for [[bpeTrainDelta]]'s driver-side training —
+    * distinct words, the standard in-memory operating table of production
+    * BPE trainers. */
+  val BpeDeltaMaxWords = 20000000
+
+  /**
+   * Delta-maintained BPE training — the production trainer's shape
+   * (HuggingFace tokenizers / the original Sennrich et al. 2016
+   * implementation): pair counts are UPDATED incrementally between merge
+   * rounds instead of re-counted from the corpus word table per scan.
+   * Only words containing a just-applied merge can change any pair count,
+   * so per round the work is O(affected words × their tokens), not
+   * O(all distinct words × tokens) — the property that makes a
+   * 32k-vocabulary training run tractable (the batched re-count loop in
+   * [[bpeTrain]] costs ~1k full pair-count scans at batch 32; this costs
+   * ONE distributed scan total).
+   *
+   * Selection semantics are IDENTICAL to [[bpeTrain]] — same candidate
+   * pool (`CandidateFactor × batch` by `(cnt DESC, pair ASC)` under
+   * binary/UTF-8 collation), same greedy token-disjoint batch filter,
+   * same per-round cap, same early stop on pair exhaustion, and the
+   * per-word merge application delegates to the same compiled kernel
+   * ([[graft.functions.BpeExpressions.applyMerges]]) — so the learned
+   * merge list is equal row-for-row (property-pinned in LlmSpec across
+   * generated corpora and batch sizes), and the [[bpeTrain]] SQL oracle
+   * replays this trainer unchanged.
+   *
+   * Distribution contract: the corpus is scanned ONCE (word-frequency
+   * build — one hash shuffle keyed on the word); training then runs on
+   * the collected distinct-word table, the vocab-scale artifact every
+   * real BPE trainer holds in memory (Sennrich's `learn_bpe`, HF
+   * `tokenizers`). At 100 TB the distinct-\S+-word table after the
+   * count shuffle is tens of millions of rows (bounded-loud at
+   * [[BpeDeltaMaxWords]] ≈ 2 GB of driver strings — raise deliberately,
+   * or pre-filter rare words upstream, the standard `min_frequency`
+   * practice, before handing the corpus here).
+   */
+  def bpeTrainDelta(docs: DataFrame, textCol: String, merges: Int,
+                    batch: Int = 1,
+                    maxWords: Int = BpeDeltaMaxWords): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    require(merges % batch == 0,
+      s"batch ($batch) must divide merges ($merges): the oracle replay uses " +
+        "a fixed per-round cap, so a truncated final round would diverge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val collected = bpeWordTable(docs, textCol)
+      .select(col("s"), col("freq")).limit(maxWords + 1).collect()
+    if (collected.length > maxWords)
+      throw new IllegalStateException(
+        s"bpeTrainDelta: distinct-word table exceeds maxWords=$maxWords — " +
+          "pre-filter rare words (min-frequency) or raise the bound")
+    val words: Array[Array[String]] =
+      collected.map(_.getString(0).trim.split(" ").filter(_.nonEmpty))
+    val freqs: Array[Long] = collected.map(_.getLong(1))
+    val out = trainDeltaInMemory(words, freqs, merges, batch)
+    out.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** UTF-8 binary string order — Spark's `UTF8String` comparator and
+    * DuckDB's binary collation, so driver-side candidate ranking matches
+    * the distributed `orderBy(cnt DESC, pair)` byte for byte. Allocation-
+    * free: UTF-16 code-unit comparison equals code-point (= UTF-8 byte)
+    * order except that BMP chars in [0xE000, 0xFFFF] sort BELOW
+    * surrogate-encoded supplementary code points — shifting surrogate
+    * units up by 0x2000 at the first difference restores code-point
+    * order (the standard UTF-16→UTF-8 comparator fixup). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        val ka = if (ca >= 0xD800 && ca < 0xE000) ca + 0x2000 else ca.toInt
+        val kb = if (cb >= 0xD800 && cb < 0xE000) cb + 0x2000 else cb.toInt
+        return ka - kb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The in-memory delta-maintained trainer core: mutable pair counts +
+    * a pair→words inverted index; per round, rank/select as [[bpeLoop]]
+    * does, apply the batch to ONLY the affected words (shared compiled
+    * kernel), and fold each changed word's pair-multiset diff into the
+    * counts. Exposed package-private for the LlmSpec equivalence
+    * property. */
+  private[llm] def trainDeltaInMemory(
+      words: Array[Array[String]], freqs: Array[Long], merges: Int,
+      batch: Int): Seq[(Long, String, String, String, Long)] = {
+    val pairCnt = scala.collection.mutable.HashMap[String, Long]()
+    val pairWords = scala.collection.mutable.HashMap[String, scala.collection.mutable.BitSet]()
+    def pairsOf(toks: Array[String]): scala.collection.mutable.HashMap[String, Int] = {
+      val m = scala.collection.mutable.HashMap[String, Int]()
+      var j = 0
+      while (j < toks.length - 1) {
+        val p = toks(j) + " " + toks(j + 1)
+        m.update(p, m.getOrElse(p, 0) + 1)
+        j += 1
+      }
+      m
+    }
+    var i = 0
+    while (i < words.length) {
+      pairsOf(words(i)).foreach { case (p, mult) =>
+        pairCnt.update(p, pairCnt.getOrElse(p, 0L) + mult.toLong * freqs(i))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet()) += i
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    val rounds = merges / batch
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        // the same candidate pool the distributed loop collects — top
+        // CandidateFactor×batch by (cnt DESC, pair ASC/UTF-8), selected
+        // with a bounded min-heap (O(P log pool), not a full O(P log P)
+        // sort: the per-round ranking is the delta trainer's only
+        // all-pairs pass, so it must stay cheap at production pair
+        // counts)
+        val poolSize = CandidateFactor * batch
+        val worstFirst = new java.util.Comparator[(String, Long)] {
+          def compare(x: (String, Long), y: (String, Long)): Int =
+            if (x._2 != y._2) java.lang.Long.compare(x._2, y._2)
+            else utf8Cmp(y._1, x._1)
+        }
+        val heap = new java.util.PriorityQueue[(String, Long)](poolSize + 1, worstFirst)
+        pairCnt.foreach { kv =>
+          if (heap.size < poolSize) heap.add(kv)
+          else if (worstFirst.compare(kv, heap.peek()) > 0) {
+            heap.poll(); heap.add(kv)
+          }
+        }
+        val pool = heap.toArray(new Array[(String, Long)](heap.size)).toSeq
+          .sortWith { case ((p1, c1), (p2, c2)) =>
+            if (c1 != c2) c1 > c2 else utf8Cmp(p1, p2) < 0 }
+        val selected = selectDisjoint(pool, batch)
+        val lhsArr = selected.map(_._1).toArray
+        val rhsArr = selected.map(_._2).toArray
+        val affected = scala.collection.mutable.BitSet()
+        selected.foreach { case (l, r, _) =>
+          pairWords.get(l + " " + r).foreach(affected |= _) }
+        affected.foreach { wi =>
+          val oldToks = words(wi); val f = freqs(wi)
+          val newToks = graft.functions.BpeExpressions
+            .applyMerges(" " + oldToks.mkString(" ") + " ", lhsArr, rhsArr)
+            .trim.split(" ")
+          val oldP = pairsOf(oldToks); val newP = pairsOf(newToks)
+          (oldP.keySet ++ newP.keySet).foreach { p =>
+            val d = newP.getOrElse(p, 0) - oldP.getOrElse(p, 0)
+            if (d != 0) {
+              val c = pairCnt.getOrElse(p, 0L) + d.toLong * f
+              if (c <= 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+            }
+            if (newP.contains(p) && !oldP.contains(p))
+              pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet()) += wi
+            else if (oldP.contains(p) && !newP.contains(p))
+              pairWords.get(p).foreach { s =>
+                s -= wi; if (s.isEmpty) pairWords.remove(p)
+              }
+          }
+          words(wi) = newToks
+        }
+        selected.foreach { case (l, r, cnt) =>
+          out += (((out.size + 1).toLong, l, r, l + r, cnt))
+        }
+        round += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Apply the learned tokenizer back to the corpus: per document, word

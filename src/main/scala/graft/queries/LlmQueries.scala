@@ -30,7 +30,8 @@ object LlmQueries {
     simIvfRetrain, textGopherFilter, dedupBloom, simKnnLabel, dedupSemantic,
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
-    mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval)
+    mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
+    textBpeTrain2)
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare
@@ -85,14 +86,25 @@ object LlmQueries {
   // a strict val here would capture BpeRounds = 0 during object init
   lazy val textBpeVocab: QueryDef = QueryDef("text_bpe_vocab",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, d)
+      import s.implicits._
+      // the distinct character alphabet is collected-size by construction
+      // (~dozens of symbols), so it is ranked DRIVER-side — a single
+      // unpartitioned row_number window here would be harmless but emits
+      // the `WindowExec: No Partition Defined` warning, training readers
+      // to ignore the one warning that matters on unbounded windows
+      // UTF-8 byte order, not String.compareTo (UTF-16 code units): both
+      // Spark's UTF8String comparator and DuckDB's binary collation rank
+      // supplementary characters by code point, which UTF-16 order breaks
+      val alphabet = Tables.documents(s, d)
         .select(explode(regexp_extract_all(col("text"), lit("\\S"), lit(0)))
           .as("token"))
-        .distinct()
-        .withColumn("rank", row_number().over(Window.orderBy("token")).cast("long"))
-        .withColumn("kind", lit("base"))
-      val nb = base.count()
+        .distinct().as[String].collect()
+        .sortBy(_.getBytes("UTF-8").map(_ & 0xff).toSeq)(
+          scala.math.Ordering.Implicits.seqOrdering[Seq, Int])
+      val base = alphabet.zipWithIndex.toSeq
+        .map { case (t, i) => (t, (i + 1).toLong, "base") }
+        .toDF("token", "rank", "kind")
+      val nb = alphabet.length.toLong
       val merged = Materialized.bpeMerges(s, d)
         .select(col("merged").as("token"), (col("rank") + nb).as("rank"),
           lit("merged").as("kind"))
@@ -190,7 +202,8 @@ object LlmQueries {
           s"for i in range(1, length(text) + 1) if (i - 1) % 8 = $k]), 6), 0.0)")
         .mkString("[", ", ", "]")
       s"""WITH f AS (SELECT doc_id AS media_id, $feats AS v FROM documents),
-         |n AS (SELECT media_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM f)
+         |n0 AS (SELECT media_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM f),
+         |n AS (SELECT * FROM n0 WHERE nrm > 0)
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
          |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 9)]) / (a.nrm * b.nrm), 6)
          |    AS cosine
@@ -345,15 +358,16 @@ object LlmQueries {
             |  FROM nn a JOIN nn b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
             |sem AS (SELECT nn.vec_id, NOT EXISTS (SELECT 1 FROM pp
             |        WHERE pp.id = nn.vec_id AND pp.cos >= 0.45) AS keep_semantic FROM nn),
-            |w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            |w AS (SELECT doc_id,
+            |             [x for x in string_split_regex(text, '\\s+') if x <> ''] AS ws,
             |             string_split(text, chr(10)) AS ls, text FROM documents),
             |gf AS (SELECT doc_id,
             |  len(ws) AS wc,
-            |  list_sum([length(x) for x in ws]) * 1.0 / len(ws) AS mwl,
-            |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / len(ws) AS symr,
+            |  coalesce(list_sum([length(x) for x in ws]), 0) * 1.0 / greatest(len(ws), 1) AS mwl,
+            |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / greatest(len(ws), 1) AS symr,
             |  len([x for x in ls if starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')]) * 1.0 / len(ls) AS bulr,
             |  len([x for x in ls if ends_with(rtrim(x), '...')]) * 1.0 / len(ls) AS ellr,
-            |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / len(ws) AS alr,
+            |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / greatest(len(ws), 1) AS alr,
             |  len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
             |  FROM w),
             |g AS (SELECT doc_id, wc::BIGINT AS n_words,
@@ -616,15 +630,16 @@ object LlmQueries {
   val textGopherFilter: QueryDef = QueryDef("text_gopher_filter",
     (s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+    Some("""WITH w AS (SELECT doc_id,
+           |                  [x for x in string_split_regex(text, '\s+') if x <> ''] AS ws,
            |                  string_split(text, chr(10)) AS ls, text FROM documents),
            |f AS (SELECT doc_id,
            |  len(ws) AS wc,
-           |  list_sum([length(x) for x in ws]) * 1.0 / len(ws) AS mwl,
-           |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ws) AS symr,
+           |  coalesce(list_sum([length(x) for x in ws]), 0) * 1.0 / greatest(len(ws), 1) AS mwl,
+           |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / greatest(len(ws), 1) AS symr,
            |  len([x for x in ls if starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')]) * 1.0 / len(ls) AS bulr,
            |  len([x for x in ls if ends_with(rtrim(x), '...')]) * 1.0 / len(ls) AS ellr,
-           |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / len(ws) AS alr,
+           |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / greatest(len(ws), 1) AS alr,
            |  len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
            |  FROM w)
            |SELECT doc_id, wc::BIGINT AS n_words, round(mwl, 4) AS mean_word_len,
@@ -1578,6 +1593,15 @@ object LlmQueries {
   private val BpeBatch = 32
   private val BpePool = 4 * BpeBatch
 
+  /** `text_bpe_train2`'s budget: 16 rounds × 256 = a 4,096-merge
+    * (32k-vocab-shaped) budget, runnable because the delta-maintained
+    * trainer pays one corpus scan total. The synthetic corpus exhausts
+    * its pair supply far earlier (31-word vocabulary); both engines stop
+    * at the same point, and the full-budget capability is spec-pinned on
+    * a rich generated vocabulary in LlmSpec. */
+  private val Bpe2Rounds = 16
+  private val Bpe2Batch = 256
+
   /** One batched greedy BPE round of the SQL replay, mirroring
     * [[graft.llm.TextAnalysis.bpeTrain]] exactly: weighted adjacent-pair
     * counts over `w${n-1}`'s token strings; the top-`pool` candidate list
@@ -1595,7 +1619,7 @@ object LlmQueries {
     * previous word table twice (pair counts + merge apply), so inlined
     * CTEs re-evaluate the whole chain per reference — exponential in the
     * round count (measured: minutes vs 0.5 s at 8 rounds, sf0.01). */
-  private def bpeIterSql(n: Int) =
+  private def bpeIterSql(n: Int, batch: Int = BpeBatch) =
     s"""p$n AS MATERIALIZED (SELECT pair, sum(freq) AS cnt FROM (
        |    SELECT unnest([t.toks[i] || ' ' || t.toks[i + 1]
        |                   for i in range(1, len(t.toks))]) AS pair, t.freq
@@ -1603,8 +1627,8 @@ object LlmQueries {
        |  GROUP BY 1),
        |sel$n AS MATERIALIZED (SELECT list_reduce(
        |    list_prepend(' ' || chr(1), (SELECT coalesce(list(pair ORDER BY cnt DESC, pair), [])
-       |      FROM (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT $BpePool) tp)),
-       |    (acc, p) -> CASE WHEN len(string_split(split_part(acc, chr(1), 1), ' ')) - 2 < ${3 * BpeBatch}
+       |      FROM (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT ${4 * batch}) tp)),
+       |    (acc, p) -> CASE WHEN len(string_split(split_part(acc, chr(1), 1), ' ')) - 2 < ${3 * batch}
        |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || string_split(p, ' ')[1] || ' ')
        |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || string_split(p, ' ')[2] || ' ')
        |        AND NOT contains(split_part(acc, chr(1), 1), ' ' || replace(p, ' ', '') || ' ')
@@ -1630,14 +1654,16 @@ object LlmQueries {
     * fully merged word table) and `b1..b$BpeRounds` (the kept merges with
     * in-round selection ranks) — shared by both BPE oracles so the
     * training parameters cannot silently diverge. */
-  private def bpeTrainedSql =
+  private def bpeTrainedSql: String = bpeTrainedSqlFor(BpeRounds, BpeBatch)
+
+  private def bpeTrainedSqlFor(rounds: Int, batch: Int) =
     s"""wc AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
        |  GROUP BY 1),
        |w0 AS MATERIALIZED (SELECT w,
        |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, freq
        |  FROM wc),
-       |${(1 to BpeRounds).map(bpeIterSql).mkString(",\n")}""".stripMargin
+       |${(1 to rounds).map(n => bpeIterSql(n, batch)).mkString(",\n")}""".stripMargin
 
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2237,6 +2263,30 @@ object LlmQueries {
       .orderBy("rank"),
     Some(s"""WITH $bpeTrainedSql,
             |m AS (${(1 to BpeRounds).map(n =>
+                s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
+                .mkString("\n|      UNION ALL ")})
+            |SELECT row_number() OVER (ORDER BY round, rsel) AS rank,
+            |  string_split(pair, ' ')[1] AS lhs,
+            |  string_split(pair, ' ')[2] AS rhs,
+            |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
+            |FROM m ORDER BY rank""".stripMargin))
+
+  /** Delta-maintained BPE training ([[TextAnalysis.bpeTrainDelta]]) at a
+    * 32k-vocab-shaped budget (16 rounds × 256 = 4,096 merges): pair
+    * counts update incrementally between rounds — only words containing
+    * a just-applied merge are touched — so the whole run pays ONE
+    * distributed corpus scan, vs one full pair-count scan per round in
+    * `text_bpe_train`. Selection semantics are identical (property-pinned
+    * equal to the re-count loop in LlmSpec), so the oracle is the same
+    * batched replay at this query's (rounds, batch); on this corpus the
+    * 31-word vocabulary exhausts its pairs early and both engines stop
+    * at the same short list. */
+  val textBpeTrain2: QueryDef = QueryDef("text_bpe_train2",
+    (s, d) => TextAnalysis.bpeTrainDelta(Tables.documents(s, d), "text",
+        merges = Bpe2Rounds * Bpe2Batch, batch = Bpe2Batch)
+      .orderBy("rank"),
+    Some(s"""WITH ${bpeTrainedSqlFor(Bpe2Rounds, Bpe2Batch)},
+            |m AS (${(1 to Bpe2Rounds).map(n =>
                 s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
                 .mkString("\n|      UNION ALL ")})
             |SELECT row_number() OVER (ORDER BY round, rsel) AS rank,
