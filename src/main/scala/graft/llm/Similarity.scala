@@ -649,7 +649,10 @@ object Similarity {
   def pqSearchAdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                   queryVec: Seq[Double], k: Int, nprobe: Int,
                   excludeId: Option[Long] = None,
-                  residual: Boolean = false): DataFrame = {
+                  residual: Boolean = false,
+                  rotation: Option[Array[Double]] = None): DataFrame = {
+    require(rotation.isEmpty || residual,
+      "pqSearchAdc: the OPQ-lite rotation applies to residual codes only")
     val spark = codes.sparkSession
     import spark.implicits._
     val q = queryVec.toArray
@@ -701,14 +704,21 @@ object Similarity {
       // DECIMAL sums — order-independent and oracle-replayable. The
       // cross-term LUT is keyed by (cell, subspace, code): nprobe·m·ksub
       // rows, still a trivial broadcast.
+      // OPQ-lite: codes quantize R·rv, so the per-subspace dot terms pair
+      // the codes with the ROTATED query / centroid (dot(q, Rᵀr̂) =
+      // dot(R·q, r̂)); the cell constants qc6/cn6 and the query norm are
+      // rotation-free (R is orthonormal, the reconstruction's cell term
+      // lives in the original space)
       val centMap = cents.toMap
+      val rq = rotation.map(sg => opqRotateKernel(q, sg)).getOrElse(q)
       val lut = probed.flatMap { cell =>
-        val c = centMap(cell)
+        val c0 = centMap(cell)
+        val c = rotation.map(sg => opqRotateKernel(c0, sg)).getOrElse(c0)
         books.toIndexedSeq.flatMap { case (s, cs) =>
           cs.map { case (cid, cv) =>
             var dt = 0.0; var nn = 0.0; var cd = 0.0; var i = 0
             while (i < cv.length) {
-              dt += q(s * subDim + i) * cv(i)
+              dt += rq(s * subDim + i) * cv(i)
               nn += cv(i) * cv(i)
               cd += c(s * subDim + i) * cv(i)
               i += 1

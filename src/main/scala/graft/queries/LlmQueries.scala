@@ -31,7 +31,7 @@ object LlmQueries {
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
-    textBpeTrain2)
+    textBpeTrain2, simPqOpq)
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare
@@ -1464,6 +1464,79 @@ object LlmQueries {
             |    AS adc_cosine
             |FROM fin ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin))
 
+  /** ADC search over the OPQ-LITE store ([[Materialized.opqCodes]]):
+    * codes quantize the ROTATED residuals `R·(v − centroid)` with
+    * `R = H·D/√64` (deterministic sign-flip + fast Walsh–Hadamard — the
+    * SVD-free OPQ), so the per-subspace LUT terms pair the codes with the
+    * rotated query/centroid (`dot(q, Rᵀr̂) = dot(R·q, r̂)`) while the cell
+    * constants stay in the original space. The oracle replays the
+    * rotation as the same 6-stage butterfly (bit-equal FP order), then
+    * the standard PQ train/encode/LUT replay over the rotated residuals.
+    * Identical bytes to `sim_ivf_search_pq`; the recall/reconstruction
+    * gain on anisotropic corpora is pinned in LlmSpec. */
+  val simPqOpq: QueryDef = QueryDef("sim_pq_opq",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .head().getSeq[Double](0)
+      Similarity.pqSearchAdc(Materialized.opqCodes(s, d),
+          Materialized.opqCodebooks(s, d), idx.centroids, qv,
+          k = 10, nprobe = 2, excludeId = Some(0L), residual = true,
+          rotation = Some(Similarity.opqSigns(64, Materialized.OpqSeed)))
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$opqSgCte,
+            |${ivfResidualRawSql("er0")},
+            |${opqChainSql("er0", "er", "vec_id, centroid_id")},
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            |q0 AS (SELECT qv AS rv FROM q),
+            |${opqChainSql("q0", "qrot", "")},
+            |qr AS (SELECT rv AS qv FROM qrot),
+            |c20 AS (SELECT centroid_id, cv AS rv FROM c2),
+            |${opqChainSql("c20", "crot", "centroid_id")},
+            |cr AS (SELECT centroid_id, rv AS cv FROM crot),
+            |probe AS (SELECT centroid_id FROM c2 c, q
+            |  ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                     for i in range(1, 65)]), centroid_id
+            |  LIMIT 2),
+            |lut AS (SELECT pr.centroid_id AS cell, p.subspace, p.code_id,
+            |        round(list_sum([qr.qv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS dot6,
+            |        round(list_sum([x * x for x in p.cv]), 6) AS nn6,
+            |        round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                        for i in range(1, 9)]), 6) AS cdot6
+            |        FROM pb2 p, qr, probe pr
+            |        JOIN cr c ON pr.centroid_id = c.centroid_id),
+            |cc AS (SELECT pr.centroid_id AS cell,
+            |        round(list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]), 6) AS qc6,
+            |        round(list_sum([x * x for x in c.cv]), 6) AS cn6
+            |       FROM probe pr JOIN c2 c ON pr.centroid_id = c.centroid_id, q),
+            |sc AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |        sum(CAST(l.dot6 AS DECIMAL(20,6))) AS sdot0,
+            |        sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS scd,
+            |        sum(CAST(l.nn6 AS DECIMAL(20,6))) AS snn0
+            |       FROM pa3 a
+            |       JOIN a3 ON a.vec_id = a3.vec_id
+            |       JOIN lut l ON a3.centroid_id = l.cell
+            |         AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |       WHERE a.vec_id <> 0
+            |       GROUP BY 1, 2),
+            |fin AS (SELECT sc.vec_id, sc.cell,
+            |        CAST(cc.qc6 AS DECIMAL(20,6)) + sc.sdot0 AS sdot,
+            |        CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * sc.scd + sc.snn0 AS snn
+            |       FROM sc JOIN cc ON sc.cell = cc.cell)
+            |SELECT vec_id, cell,
+            |  CASE WHEN snn <= 0 THEN NULL
+            |       ELSE round((sdot::DOUBLE) / (sqrt(snn::DOUBLE) *
+            |         (SELECT sqrt(list_sum([x * x for x in qv])) FROM q)), 6) END
+            |    AS adc_cosine
+            |FROM fin ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin))
+
   /** Distributed k-means training of the IVF coarse index (2 Lloyd rounds
     * from the deterministic first-8 init) — kept LIVE as the training-cost
     * datapoint (the stored index's build consumes the same computation).
@@ -1528,11 +1601,41 @@ object LlmQueries {
     * [[graft.llm.Similarity.ivfResiduals]] replica): the input the whole
     * PQ ladder trains and encodes on (classic IVF-PQ). Assumes `e`, `a3`
     * and `c2` (the IVF closure). */
-  private def ivfResidualSql =
-    """er AS MATERIALIZED (SELECT e.vec_id, a3.centroid_id,
-      |    [e.v[i] - c.cv[i] for i in range(1, 65)] AS rv
-      |  FROM e JOIN a3 ON e.vec_id = a3.vec_id
-      |  JOIN c2 c ON a3.centroid_id = c.centroid_id)""".stripMargin
+  private def ivfResidualSql = ivfResidualRawSql("er")
+
+  private def ivfResidualRawSql(name: String) =
+    s"""$name AS MATERIALIZED (SELECT e.vec_id, a3.centroid_id,
+       |    [e.v[i] - c.cv[i] for i in range(1, 65)] AS rv
+       |  FROM e JOIN a3 ON e.vec_id = a3.vec_id
+       |  JOIN c2 c ON a3.centroid_id = c.centroid_id)""".stripMargin
+
+  /** The OPQ-lite sign diagonal as a SQL literal (derived from the SAME
+    * `(dims, seed)` the store artifacts carry — [[Materialized.OpqSeed]]),
+    * shared by every rotation chain in an oracle. */
+  private def opqSgCte: String = {
+    val signs = graft.llm.Similarity.opqSigns(64, Materialized.OpqSeed)
+    s"sg AS (SELECT [${signs.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}]::DOUBLE[] AS g)"
+  }
+
+  /** The 6-stage fast Walsh–Hadamard butterfly `R·rv = FWHT(D·rv)/√64`,
+    * replayed STAGE-FOR-STAGE in the exact FP operation order of
+    * [[graft.llm.Similarity.opqRotateKernel]] (a literal 64×64 matrix
+    * multiply would sum in a different order and drift by ulps — the
+    * butterfly replay is bit-equal). `src` must expose `rv`; emits CTEs
+    * `${out}x0`, `${out}h0..h5` and the final `$out`. */
+  private def opqChainSql(src: String, out: String, keys: String): String = {
+    val ksel = if (keys.isEmpty) "" else keys + ", "
+    val head = s"${out}x0 AS (SELECT $ksel[rv[i] * sg.g[i] for i in range(1, 65)] AS rv FROM $src, sg)"
+    val stages = (0 until 6).map { kk =>
+      val st = 1 << kk
+      val prev = if (kk == 0) s"${out}x0" else s"${out}h${kk - 1}"
+      s"${out}h$kk AS (SELECT $ksel[CASE WHEN ((i-1) & $st) = 0 " +
+        s"THEN rv[i] + rv[i + $st] ELSE rv[i - $st] - rv[i] END " +
+        s"for i in range(1, 65)] AS rv FROM $prev)"
+    }
+    val fin = s"$out AS MATERIALIZED (SELECT $ksel[x / sqrt(64.0) for x in rv] AS rv FROM ${out}h5)"
+    (head +: stages :+ fin).mkString(",\n")
+  }
 
   /** One per-subspace Lloyd round of the PQ training replay (assumes the
     * residual CTE `er(vec_id, rv)` and the previous codebook

@@ -1024,6 +1024,49 @@ object Materialized {
       col("codes"))
   }
 
+  /** OPQ-lite rotation seed: fully determines the sign-flip diagonal of
+    * the `R = H·D/√d` pre-rotation ([[graft.llm.Similarity.opqSigns]]).
+    * Rides in the artifact config key, so codebooks/codes written under
+    * one rotation can never be served to a reader expecting another —
+    * the "seed stored beside the codebooks" contract. */
+  val OpqSeed = 17L
+
+  private def opqSigns64: Array[Double] = graft.llm.Similarity.opqSigns(64, OpqSeed)
+
+  /** Trained PQ codebooks over the ROTATED residuals `R·(v − centroid)`
+    * (OPQ-lite: deterministic sign-flip + fast Walsh–Hadamard rotation
+    * before residual encoding). Identical geometry and byte budget to
+    * [[pqCodebooks]] — the rotation decorrelates the subspace split, the
+    * recall/reconstruction gain at equal bytes is pinned in LlmSpec. */
+  def opqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "pq_codebooks", s"m8_k16_i2_opq$OpqSeed", sfDir, "embeddings") {
+      val idx = ivfIndex(spark, sfDir)
+      graft.llm.Similarity.pqTrainCodebooks(
+        graft.llm.Similarity.opqRotateResiduals(
+          graft.llm.Similarity.ivfResiduals(idx.assignment, idx.centroids),
+          opqSigns64),
+        "id", "rv", m = 8, ksub = 16, iters = 2, dims = 64)
+    }
+
+  /** The stored OPQ-rotated PQ code table — [[pqCodes]]' layout
+    * (cell-partitioned, `(id, codes)`), codes quantizing the ROTATED
+    * residuals against [[opqCodebooks]]. Same bytes per vector; searches
+    * pass the rotation to [[graft.llm.Similarity.pqSearchAdc]]. */
+  def opqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = opqCodebooks(spark, sfDir)
+    val view = parquetBacked(spark, "pq_codes", s"m8_k16_i2_opq$OpqSeed", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      val idx = ivfIndex(spark, sfDir)
+      graft.llm.Similarity.pqEncode(
+        graft.llm.Similarity.opqRotateResiduals(
+          graft.llm.Similarity.ivfResiduals(idx.assignment, idx.centroids),
+          opqSigns64),
+        "id", "rv", cb, dims = 64, cellCol = Some("centroid_id"))
+    }
+    view.select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+      col("codes"))
+  }
+
   /** The head view of the stored PQ code table — base ∪ split
     * reassignments, restricted to the current centroid set. Equal to
     * [[pqCodes]] until [[splitIvfCells]] remaps a cell; pair it with

@@ -116,6 +116,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sim_pq_opq: the rotated-code search keeps the sim_ivf_search_pq plan shape") {
+    // the OPQ rotation is entirely driver-side (rotated query/centroid
+    // terms baked into the broadcast LUT) — the distributed plan must be
+    // indistinguishable from the unrotated ADC search: partition-pruned
+    // code scan, no full-precision vectors, broadcast-only join
+    val p = plan("sim_pq_opq")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the code-table scan\n" + p)
+    assert(p.contains("codes"), p)
+    assert("ReadSchema: [^\\n]*v:array".r.findFirstIn(p).isEmpty,
+      "ADC search must not read the full-precision vectors\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the

@@ -25,8 +25,8 @@ class StoreReuseE2eSpec extends AnyFunSuite {
   }
 
   /** Run [[StoreReuseMain]] in a fresh JVM; returns its last stdout
-    * line (`builds=<n> minhash=<rows> ivf=<rows> pq=<rows> hashes=<rows>
-    * bpe=<rows> lm=<rows>`). */
+    * line (`builds=<n> minhash=<rows> ivf=<rows> pq=<rows> opq=<rows>
+    * hashes=<rows> bpe=<rows> lm=<rows>`). */
   private def runProcess(storeRoot: String, sfDir: String): String = {
     val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
     val cmd = (Seq(javaBin, "-Xmx4g") ++ addOpens ++ Seq(
@@ -44,16 +44,16 @@ class StoreReuseE2eSpec extends AnyFunSuite {
 
   test("a fresh reader PROCESS serves every store artifact from storage with zero builds") {
     val root = Files.createTempDirectory("graft-store-e2e").toString
-    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+) hashes=(\d+) bpe=(\d+) lm=(\d+)""".r
+    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+) opq=(\d+) hashes=(\d+) bpe=(\d+) lm=(\d+)""".r
     val w = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p, h, t, l) =>
-        (b.toInt, m.toLong, i.toLong, p.toLong, h.toLong, t.toLong, l.toLong)
+      case Line(b, m, i, p, o, h, t, l) =>
+        (b.toInt, m.toLong, i.toLong, p.toLong, o.toLong, h.toLong, t.toLong, l.toLong)
     }
     assert(w._1 > 0, "writer must build on an empty store")
 
     val r = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p, h, t, l) =>
-        (b.toInt, m.toLong, i.toLong, p.toLong, h.toLong, t.toLong, l.toLong)
+      case Line(b, m, i, p, o, h, t, l) =>
+        (b.toInt, m.toLong, i.toLong, p.toLong, o.toLong, h.toLong, t.toLong, l.toLong)
     }
     assert(r._1 == 0, "a restarted process must reuse the published store, not rebuild")
     assert(r.productIterator.toSeq.drop(1) == w.productIterator.toSeq.drop(1),
