@@ -948,4 +948,112 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_chars")).cast("long").as("n_base_tokens"),
         sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
+
+  // ------------------------------------------------------------------
+  // Trained quality classifier — the CCNet/fastText-style learned gate
+  // real curation stacks put after the rule filters: hashed word
+  // features (md5 → 2^18 buckets, binary presence) into logistic
+  // regression trained by deterministic batch gradient descent. The
+  // whole loop is engine-replayable (the Lloyd pattern from
+  // Similarity.ivfTrainCentroids): per iteration the margin z is an
+  // exact DECIMAL sum of 6-dp weights, the sigmoid output is 6-dp
+  // rounded BEFORE the residual enters any reduction, gradients reduce
+  // as exact decimals (order-independent, so partial aggregation
+  // parallelizes arbitrarily), and the weight update re-rounds to 6 dp —
+  // both engines walk the identical weight trajectory.
+  //
+  // 100 TB shape: each iteration is ONE distributed job over the
+  // (id, bucket) feature table (one hash shuffle, map-side combined);
+  // iterations are FIXED (no data-dependent convergence test — a
+  // deterministic, resumable training run). The weight vector is
+  // vocab-bounded (≤ distinct words, ≤ 2^18 live buckets) — the same
+  // broadcast-a-model shape as [[lmScoreFromModel]]; the between-rounds
+  // driver round-trip is the bounded control-plane pull that keeps the
+  // plan flat (the ivfTrainCentroids lineage argument).
+  // ------------------------------------------------------------------
+
+  /** Hash-bucket count of the quality classifier (2^18 — the fastText
+    // default bucket order of magnitude). */
+  val QualityClfBuckets: Int = 1 << 18
+
+  /** Distinct hashed-word features per doc: `(id, bucket)` with
+    * `bucket = md5Long60(word) % buckets` (engine-portable, see
+    * [[TextHashing]]); binary presence, the fastText-style bag. */
+  def qualityClfFeatures(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int = QualityClfBuckets): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .select(col("id"),
+        pmod(TextHashing.md5Long60(col("word")), lit(buckets.toLong)).as("bucket"))
+      .distinct()
+
+  /**
+   * Train the logistic-regression quality model on a labeled table
+   * (`labelCol` ∈ {0, 1} — bootstrap labels typically come from a rule
+   * gate like [[gopherFilter]] plus planted negatives). Returns the
+   * model table `(bucket, w)` with the intercept at `bucket = -1`
+   * (hash buckets are non-negative, so the sentinel cannot collide).
+   * Deterministic: fixed `iters` full-batch GD rounds from w = 0 — no
+   * RNG, no early stop; the SQL oracle replays every round bit-for-bit.
+   */
+  def qualityClfTrain(labeled: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int = QualityClfBuckets,
+                      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val ys = labeled.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("double").as("y"))
+    val feats = qualityClfFeatures(labeled, idCol, textCol, buckets).persist()
+    try {
+      val n = ys.count()
+      require(n > 0, "qualityClfTrain: empty training set")
+      var bias = 0.0
+      var weights = Map.empty[Long, Double]
+      (1 to iters).foreach { _ =>
+        val wDf = weights.toSeq.toDF("bucket", "w")
+        val zs = feats.join(broadcast(wDf), Seq("bucket"))
+          .groupBy("id").agg(sum(col("w").cast("decimal(20,6)")).as("zs"))
+        val resid = ys.join(zs, Seq("id"), "left")
+          .select(col("id"), col("y"),
+            round(lit(bias) + coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"))
+          .select(col("id"),
+            (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).cast("decimal(20,6)") -
+              col("y").cast("decimal(20,6)")).as("r"))
+        val grads = feats.join(resid, Seq("id"))
+          .groupBy("bucket").agg(sum(col("r")).as("g"))
+          .collect().map(x => (x.getLong(0), x.getDecimal(1).doubleValue()))
+        val gBias = resid.agg(sum(col("r"))).head().getDecimal(0).doubleValue()
+        val m = scala.collection.mutable.HashMap[Long, Double]() ++ weights
+        grads.foreach { case (b, g) =>
+          m.update(b, Similarity.roundHalfUp(m.getOrElse(b, 0.0) - lr * g / n, 6))
+        }
+        weights = m.toMap
+        bias = Similarity.roundHalfUp(bias - lr * gBias / n, 6)
+      }
+      (weights.toSeq :+ (-1L, bias)).toDF("bucket", "w")
+    } finally feats.unpersist()
+  }
+
+  /** Score documents against a trained model: per doc the 6-dp margin
+    * `z = b + Σ_{bucket ∈ doc} w`, the sigmoid `score`, and the
+    * `keep = score ≥ threshold` verdict. One feature scan + one
+    * broadcast model join + one exact-decimal aggregation — scan-speed
+    * scoring, the trained twin of the [[gopherFilter]] rule gate. */
+  def qualityClfScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame, buckets: Int = QualityClfBuckets,
+                      threshold: Double = 0.5): DataFrame = {
+    val bias = model.where(col("bucket") === -1L).select(col("w"))
+      .collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
+    val wDf = model.where(col("bucket") >= 0)
+    val feats = qualityClfFeatures(docs, idCol, textCol, buckets)
+    val zs = feats.join(broadcast(wDf), Seq("bucket"))
+      .groupBy("id").agg(sum(col("w").cast("decimal(20,6)")).as("zs"))
+    docs.select(col(idCol).cast("long").as("id")).distinct()
+      .join(zs, Seq("id"), "left")
+      .select(col("id"),
+        round(lit(bias) + coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"))
+      .select(col("id").as(idCol), col("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
 }

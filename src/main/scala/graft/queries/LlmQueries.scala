@@ -31,7 +31,8 @@ object LlmQueries {
     dedupBloom2, dedupSemantic2, simKnnLabelIvf, pipelineCuration2,
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
-    textBpeTrain2, simPqOpq)
+    textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
+    pipelineCuration3)
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare
@@ -1767,6 +1768,207 @@ object LlmQueries {
        |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, freq
        |  FROM wc),
        |${(1 to rounds).map(n => bpeIterSql(n, batch)).mkString(",\n")}""".stripMargin
+
+  // ---- trained quality classifier (hashed-n-gram logistic regression) ----
+
+  /** Fixed GD schedule of the oracled classifier queries. */
+  private val ClfIters = 3
+  private val ClfLr = 0.5
+
+  /** Planted negatives: deterministic symbol-junk documents appended to
+    * the gopher-labeled corpus (the "∪ planted negatives" half of the
+    * bootstrap label set). Interpolated literally into the SQL replay, so
+    * both engines train on byte-identical rows. */
+  private def clfJunkTexts: Seq[String] = (0 until 20).map { i =>
+    (0 until 40).map(j => s"qq${(i * 7 + j * 13) % 97}zz##").mkString(" ")
+  }
+
+  /** The Spark-side bootstrap label table `(id, text, y)`: every corpus
+    * doc labeled by its [[TextAnalysis.gopherFilter]] keep verdict, plus
+    * [[clfJunkTexts]] as planted negatives at collision-free ids. */
+  private def clfLabeled(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val maxd = docs.agg(max("doc_id")).head.getLong(0)
+    val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select(col("doc_id").as("id"),
+        when(col("keep"), 1.0).otherwise(0.0).as("y"))
+    val junk = clfJunkTexts.zipWithIndex
+      .map { case (t, i) => (maxd + 1001 + i, t, 0.0) }
+      .toDF("id", "text", "y")
+    docs.select(col("doc_id").as("id"), col("text")).join(g, "id")
+      .select(col("id"), col("text"), col("y"))
+      .unionByName(junk)
+  }
+
+  /** Gopher keep verdict as reusable CTEs ending in `gk(doc_id, keep)` —
+    * the label bootstrap of the classifier oracles (the same expressions
+    * as `text_gopher_filter`'s oracle). */
+  private def gopherKeepSql =
+    """gw AS (SELECT doc_id,
+      |            [x for x in string_split_regex(text, '\s+') if x <> ''] AS ws,
+      |            string_split(text, chr(10)) AS ls, text FROM documents),
+      |gf AS (SELECT doc_id,
+      |  len(ws) AS wc,
+      |  coalesce(list_sum([length(x) for x in ws]), 0) * 1.0 / greatest(len(ws), 1) AS mwl,
+      |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / greatest(len(ws), 1) AS symr,
+      |  len([x for x in ls if starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')]) * 1.0 / len(ls) AS bulr,
+      |  len([x for x in ls if ends_with(rtrim(x), '...')]) * 1.0 / len(ls) AS ellr,
+      |  len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) * 1.0 / greatest(len(ws), 1) AS alr,
+      |  len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
+      |  FROM gw),
+      |gk AS (SELECT doc_id,
+      |  ((wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) AND symr <= 0.1
+      |   AND bulr <= 0.9 AND ellr <= 0.3 AND alr >= 0.8 AND stops >= 2) AS keep
+      |  FROM gf)""".stripMargin
+
+  /** One full-batch GD round of the classifier replay — EXACTLY the
+    * [[TextAnalysis.qualityClfTrain]] iteration: exact-DECIMAL margin
+    * sums over the previous round's 6-dp weights, sigmoid rounded to
+    * 6 dp before the residual enters the gradient reduction, update
+    * re-rounded to 6 dp. Assumes `f(id, bucket)`, `ids(id, y)`,
+    * `nn(n)`, `w${n-1}`, `b${n-1}`. */
+  private def clfIterSql(n: Int) =
+    s"""zs$n AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+       |  FROM f JOIN w${n - 1} w USING (bucket) GROUP BY 1),
+       |r$n AS (SELECT ids.id,
+       |  (round(1.0 / (1.0 + exp(-round((SELECT b FROM b${n - 1}) +
+       |      coalesce(zs.zs::DOUBLE, 0.0), 6))), 6)::DECIMAL(20,6)
+       |    - ids.y::DECIMAL(20,6)) AS r
+       |  FROM ids LEFT JOIN zs$n zs USING (id)),
+       |g$n AS (SELECT f.bucket, sum(r.r) AS g FROM f JOIN r$n r USING (id) GROUP BY 1),
+       |w$n AS MATERIALIZED (SELECT coalesce(g.bucket, w.bucket) AS bucket,
+       |  round(coalesce(w.w, 0.0) - $ClfLr * coalesce(g.g, 0)::DOUBLE / (SELECT n FROM nn), 6) AS w
+       |  FROM g$n g FULL OUTER JOIN w${n - 1} w ON g.bucket = w.bucket),
+       |b$n AS (SELECT round((SELECT b FROM b${n - 1}) -
+       |  $ClfLr * (SELECT sum(r) FROM r$n)::DOUBLE / (SELECT n FROM nn), 6) AS b)""".stripMargin
+
+  /** The trained-classifier closure: bootstrap labels (gopher ∪ planted
+    * junk), hashed features, and [[ClfIters]] GD rounds ending in
+    * `w$ClfIters` / `b$ClfIters` — shared by all classifier oracles so
+    * the training schedule cannot silently diverge. */
+  private def clfTrainedSql = {
+    val junkValues = clfJunkTexts.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    s"""mx AS (SELECT max(doc_id) AS m FROM documents),
+       |$gopherKeepSql,
+       |junk AS (SELECT mx.m + 1001 + v.i AS id, v.t AS text, 0.0 AS y
+       |  FROM mx, (VALUES $junkValues) v(i, t)),
+       |lab AS (SELECT d.doc_id AS id, d.text,
+       |    (CASE WHEN gk.keep THEN 1.0 ELSE 0.0 END) AS y
+       |  FROM documents d JOIN gk USING (doc_id)
+       |  UNION ALL SELECT id, text, y FROM junk),
+       |f AS MATERIALIZED (SELECT DISTINCT id,
+       |    ('0x' || substr(md5(word), 1, 15))::BIGINT % ${TextAnalysis.QualityClfBuckets} AS bucket
+       |  FROM (SELECT id, unnest(string_split(text, ' ')) AS word FROM lab)),
+       |ids AS (SELECT id, y FROM lab),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS w WHERE 1 = 0),
+       |b0 AS (SELECT 0.0 AS b),
+       |${(1 to ClfIters).map(clfIterSql).mkString(",\n")}""".stripMargin
+  }
+
+  /** Per-doc scores of the TRAINED quality classifier
+    * ([[TextAnalysis.qualityClfTrain]] → [[TextAnalysis.qualityClfScore]]):
+    * the CCNet/fastText-style learned gate, bootstrap-labeled from the
+    * gopher rule filter plus planted junk negatives. The oracle replays
+    * the full deterministic GD loop — hashed features, exact-DECIMAL
+    * margins, 6-dp sigmoid/update rounding — so the weight trajectory is
+    * engine-identical. */
+  val textQualityClf: QueryDef = QueryDef("text_quality_clf",
+    (s, d) => {
+      val model = TextAnalysis.qualityClfTrain(clfLabeled(s, d), "id", "text",
+        "y", iters = ClfIters, lr = ClfLr)
+      TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clfTrainedSql,
+            |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |sc AS (SELECT d.doc_id,
+            |    round((SELECT b FROM b$ClfIters) + coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
+            |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
+            |so AS (SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM sc)
+            |SELECT doc_id, z, score, (score >= 0.5) AS keep
+            |FROM so ORDER BY doc_id""".stripMargin))
+
+  /** The classifier's honest accuracy dial (the `sim_knn_label_eval`
+    * mold): per bootstrap label, how many verdicts the trained model
+    * reproduces — including the planted negatives. On THIS synthetic
+    * corpus every real doc draws from the same 31-word vocabulary, so
+    * binary word-presence features are constant across real docs and the
+    * optimal logistic fit is the majority class (the gopher labels here
+    * are length-driven, invisible to a bag-of-words) — the dial makes
+    * that measurable rather than flattering it; LlmSpec pins full
+    * separation on a corpus whose classes actually differ in vocabulary,
+    * which is the signal this classifier family exists to learn. */
+  val textQualityClfEval: QueryDef = QueryDef("text_quality_clf_eval",
+    (s, d) => {
+      val lab = clfLabeled(s, d)
+      val model = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
+        iters = ClfIters, lr = ClfLr)
+      val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model)
+      lab.select(col("id"), col("y").cast("long").as("label"))
+        .join(scored.select(col("id"), col("keep")), Seq("id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("keep") === (col("label") === 1L), 1)).as("correct"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $clfTrainedSql,
+            |zse AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |pe AS (SELECT ids.id, ids.y,
+            |    (round(1.0 / (1.0 + exp(-round((SELECT b FROM b$ClfIters) +
+            |        coalesce(zs.zs::DOUBLE, 0.0), 6))), 6) >= 0.5) AS keep
+            |  FROM ids LEFT JOIN zse zs USING (id))
+            |SELECT y::BIGINT AS label, count(*)::BIGINT AS n,
+            |  count(*) FILTER (keep = (y = 1.0))::BIGINT AS correct
+            |FROM pe GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** The curation pipeline with the TRAINED gate composed in: per doc,
+    * the gopher rule verdict, the exact-dedup verdict, and the learned
+    * classifier verdict — `selected` is their conjunction. The
+    * rule-vs-learned disagreement columns are the observability a
+    * production stack watches when promoting a trained gate. */
+  val pipelineCuration3: QueryDef = QueryDef("pipeline_curation3",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.qualityClfTrain(clfLabeled(s, d), "id", "text",
+        "y", iters = ClfIters, lr = ClfLr)
+      val clf = TextAnalysis.qualityClfScore(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("score").as("clf_score"),
+          col("keep").as("keep_clf"))
+      val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("keep_quality"))
+      val ex = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical").as("keep_exact"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(g, "doc_id").join(ex, "doc_id").join(clf, "doc_id")
+        .select(col("doc_id"), col("lang"), col("keep_quality"),
+          col("keep_exact"), col("clf_score"), col("keep_clf"),
+          (col("keep_quality") =!= col("keep_clf")).as("gate_disagrees"),
+          (col("keep_quality") && col("keep_exact") && col("keep_clf"))
+            .as("selected"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clfTrainedSql,
+            |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |sc AS (SELECT d.doc_id,
+            |    round((SELECT b FROM b$ClfIters) + coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
+            |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
+            |so AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score FROM sc),
+            |ex AS (SELECT doc_id,
+            |  (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact FROM documents)
+            |SELECT d.doc_id, d.lang, gk.keep AS keep_quality, ex.keep_exact,
+            |  so.clf_score, (so.clf_score >= 0.5) AS keep_clf,
+            |  (gk.keep <> (so.clf_score >= 0.5)) AS gate_disagrees,
+            |  (gk.keep AND ex.keep_exact AND so.clf_score >= 0.5) AS selected
+            |FROM documents d JOIN gk ON d.doc_id = gk.doc_id
+            |  JOIN ex ON d.doc_id = ex.doc_id
+            |  JOIN so ON d.doc_id = so.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
 
   private def docShingles3 =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

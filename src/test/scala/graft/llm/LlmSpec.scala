@@ -775,6 +775,51 @@ class LlmSpec extends AnyFunSuite {
       f"rotated recall@$k must not lose: ${rRot / nq}%.3f vs ${rPlain / nq}%.3f")
   }
 
+  test("quality classifier separates vocabulary-distinct classes and reproduces the logistic gradient") {
+    // a corpus the hashed bag-of-words CAN separate: the two classes use
+    // disjoint vocabularies (the real signal a CCNet/fastText-style gate
+    // learns — junk token distributions vs clean ones)
+    val lab = (0 until 120).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, (0 until 20).map(j => s"clean${(i + j) % 15}").mkString(" "), 1.0)
+      else
+        (i.toLong, (0 until 20).map(j => s"junk${(i * 3 + j) % 15}##").mkString(" "), 0.0)
+    }.toDF("id", "text", "y")
+    val model = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
+      iters = 6, lr = 1.0)
+    val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model)
+      .select(col("id"), col("score"), col("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    (0 until 120).foreach { i =>
+      val want = i % 2 == 0
+      assert(scored(i.toLong)._2 == want,
+        s"doc $i (y=${if (want) 1 else 0}) misclassified: score=${scored(i.toLong)._1}")
+    }
+    // the model table is sane: intercept sentinel present, every weight a
+    // 6-dp decimal (the engine-parity invariant the oracle relies on)
+    val rows = model.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.count(_._1 == -1L) == 1, "exactly one intercept row")
+    rows.foreach { case (_, w) =>
+      assert(graft.llm.Similarity.roundHalfUp(w, 6) == w, s"non-6dp weight $w")
+    }
+    // first-iteration gradient replay: from w=0 every p is exactly 0.5,
+    // so after one round each bucket's weight must be
+    // round(-lr * sum(0.5 - y over docs containing it) / n, 6)
+    val one = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
+        iters = 1, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val feats = TextAnalysis.qualityClfFeatures(lab, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val yById = (0 until 120).map(i => i.toLong -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val expected = feats.groupBy(_._2).map { case (b, rows2) =>
+      val g = rows2.map { case (id, _) => BigDecimal("0.5") - BigDecimal(yById(id)) }.sum
+      b -> graft.llm.Similarity.roundHalfUp(-1.0 * g.toDouble / 120, 6)
+    }
+    expected.foreach { case (b, w) =>
+      assert(one(b) == w, s"bucket $b: got ${one(b)}, want $w")
+    }
+  }
+
   test("pqEncode: every stored code is the true per-subspace argmin (driver replay)") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
