@@ -519,6 +519,75 @@ object Dedup {
   }
 
   /**
+   * MAXIMAL repeated spans — the Lee et al. (2022) semantics
+   * [[repeatedSpans]] approximates: each emitted row is a VERIFIED
+   * contiguous repeat of arbitrary length ≥ `minTokens`, aligned against
+   * a concrete partner occurrence, not an n-gram tiling. Seed-and-extend
+   * without suffix arrays (the k-mer seed-chaining construction):
+   *
+   *  1. seeds = n-gram occurrences sharing a hash with the gram's
+   *     CANONICAL (globally first `(id, pos)`) occurrence — each
+   *     occurrence pairs with exactly ONE anchor, so the pair volume is
+   *     linear in occurrences (never the all-pairs k² of a join on the
+   *     gram key);
+   *  2. extension = diagonal chaining: matched grams of one (doc,
+   *     anchor) pair whose `pos − anchor_pos` offsets agree and whose
+   *     positions are consecutive are windows of ONE contiguous repeat,
+   *     so a run of `r` seeds on a diagonal IS the maximal repeat of
+   *     exactly `r + n − 1` tokens — maximality verified by alignment,
+   *     no text re-read, and the shuffle still carries only
+   *     `(hash, id, pos)`.
+   *
+   * A 200-token planted repeat yields ONE span of exactly 200 tokens
+   * (LlmSpec-pinned), where [[repeatedSpans]] reports the flagged-window
+   * tiling. Approximation vs a true suffix-array pass: chaining is
+   * anchored at each gram's canonical occurrence, so a repeat whose
+   * interior gram also appears in an even-earlier document splits at
+   * that gram (conservative under-merge — every emitted span is still a
+   * true repeat; nothing false is ever flagged). Output:
+   * `(idCol, anchor_id, span_start, span_end, n_tokens, anchor_start,
+   * n_grams)`; the earliest copy is the kept canonical and is never
+   * flagged against itself.
+   */
+  def repeatedSpansMaximal(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else TextHashing.wordNgramsKernel(t, n).iterator.zipWithIndex.map {
+          case (g, i) => (id, (i + 1).toLong, TextHashing.md5Long60Kernel(g))
+        }
+      }.toDF("id", "pos", "gh")
+    val canon = grams.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("c"))
+      .select(col("gh"), col("c.id").as("cid"), col("c.pos").as("cpos"))
+    val seeds = grams.join(canon, "gh")
+      .where(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"), col("pos"), col("cid"),
+        (col("pos") - col("cpos")).as("diag"))
+    val byRun = Window.partitionBy("id", "cid", "diag").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(byRun)
+    seeds
+      .withColumn("brk", when(prev.isNull || col("pos") > prev + 1, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(byRun))
+      .groupBy(col("id"), col("cid"), col("diag"), col("run_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1)
+      .where(col("n_tokens") >= minTokens)
+      .select(col("id").as(idCol), col("cid").as("anchor_id"),
+        col("span_start"), col("span_end"), col("n_tokens"),
+        (col("span_start") - col("diag")).as("anchor_start"),
+        col("n_grams"))
+  }
+
+  /**
    * k-minhash signature from a *pre-staged* reduced-hash array column —
    * pure per-row expression. `hashes` MUST be an attribute reference (a
    * materialized column), not an inline expression: higher-order functions

@@ -32,7 +32,7 @@ object LlmQueries {
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
-    pipelineCuration3)
+    pipelineCuration3, textSpanDedup2)
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare
@@ -2988,6 +2988,45 @@ object LlmQueries {
            |  max(pos) + 9 - min(pos) + 1 AS n_tokens, count(*)::BIGINT AS n_grams
            |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin),
     )
+
+  /** MAXIMAL repeated spans ([[Dedup.repeatedSpansMaximal]] — the Lee et
+    * al. seed-and-extend semantics): every row is a verified contiguous
+    * repeat ≥ 30 tokens aligned against its canonical anchor occurrence
+    * (diagonal chaining of 10-gram seeds), not a flagged-window tiling.
+    * The oracle replays the same canonical election, diagonal grouping,
+    * and gaps-and-islands run detection over exact gram text. */
+  val textSpanDedup2: QueryDef = QueryDef("text_span_dedup2",
+    (s, d) => Dedup.repeatedSpansMaximal(Tables.documents(s, d), "doc_id",
+        "text", n = 10, minTokens = 30)
+      .orderBy("doc_id", "span_start", "anchor_id", "anchor_start"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+9], ' ') for i in range(1, len(ws) - 8)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr,
+           |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
+           |cn AS (SELECT gr, doc_id AS cid, pos AS cpos FROM (
+           |         SELECT gr, doc_id, pos,
+           |           row_number() OVER (PARTITION BY gr ORDER BY doc_id, pos) AS rn
+           |         FROM ex) WHERE rn = 1),
+           |sd AS (SELECT e.doc_id, e.pos, c.cid, e.pos - c.cpos AS diag
+           |       FROM ex e JOIN cn c USING (gr)
+           |       WHERE NOT (e.doc_id = c.cid AND e.pos = c.cpos)),
+           |i AS (SELECT doc_id, cid, diag, pos,
+           |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) IS NULL
+           |               OR pos > lag(pos) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) + 1
+           |             THEN 1 ELSE 0 END AS brk FROM sd),
+           |sp AS (SELECT doc_id, cid, diag, pos,
+           |         sum(brk) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) AS run_id
+           |       FROM i),
+           |agg AS (SELECT doc_id, cid AS anchor_id, diag, min(pos) AS span_start,
+           |          max(pos) + 9 AS span_end, count(*)::BIGINT AS n_grams
+           |        FROM sp GROUP BY doc_id, cid, diag, run_id)
+           |SELECT doc_id, anchor_id, span_start, span_end,
+           |  (span_end - span_start + 1)::BIGINT AS n_tokens,
+           |  (span_start - diag)::BIGINT AS anchor_start, n_grams
+           |FROM agg WHERE span_end - span_start + 1 >= 30
+           |ORDER BY doc_id, span_start, anchor_id, anchor_start""".stripMargin))
 
   /** Unigram-LM quality scoring ([[TextAnalysis.lmScore]]): the
     * perplexity-proxy filter — per-doc mean negative log-likelihood in

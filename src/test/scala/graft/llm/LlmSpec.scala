@@ -1022,6 +1022,53 @@ class LlmSpec extends AnyFunSuite {
     assert(spans == Set((1L, 4L), (17L, 20L)), spans.toString)
   }
 
+  test("repeatedSpansMaximal: a planted 200-token repeat is ONE maximal span with exact alignment, not a tiling") {
+    // unique filler vocabulary per doc (no accidental repeats); one
+    // 200-token block planted into doc 1 (canonical) at offset 51 and
+    // doc 3 at offset 31
+    val block = (0 until 200).map(i => s"rep$i").mkString(" ")
+    def filler(d: Int, n0: Int, n1: Int) = (n0 until n1).map(i => s"u${d}w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"${filler(1, 0, 50)} $block ${filler(1, 50, 80)}"),
+      (2L, filler(2, 0, 120)),
+      (3L, s"${filler(3, 0, 30)} $block ${filler(3, 30, 60)}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansMaximal(d, "doc_id", "text", n = 10, minTokens = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // exactly ONE span: doc 3's copy, 200 tokens, starting at word 31,
+    // aligned to doc 1's copy at word 51; doc 1 (canonical) emits nothing
+    assert(out.length == 1, out.mkString("; "))
+    val (id, anchor, start, end, nTok, aStart, nGrams) = out.head
+    assert(id == 3L && anchor == 1L, out.head.toString)
+    assert(start == 31L && end == 230L && nTok == 200L, out.head.toString)
+    assert(aStart == 51L, out.head.toString)
+    assert(nGrams == 191L, s"200-token repeat = 191 10-gram windows, got $nGrams")
+    // the fixed-n tiling construction reports the same REGION but cannot
+    // verify the alignment or the partner — the maximal variant adds both
+    val tiled = Dedup.repeatedSpans(d, "doc_id", "text", 10)
+      .where(col("doc_id") === 3).collect()
+    assert(tiled.length == 1 && tiled.head.getLong(2) == 31L)
+    // two DIFFERENT adjacent repeats (anchored in different docs) split
+    // into two aligned spans instead of fusing into one mosaic region
+    val blockA = (0 until 60).map(i => s"pa$i").mkString(" ")
+    val blockB = (0 until 60).map(i => s"pb$i").mkString(" ")
+    val d2 = Seq(
+      (1L, s"${filler(4, 0, 20)} $blockA ${filler(4, 20, 40)}"),
+      (2L, s"${filler(5, 0, 20)} $blockB ${filler(5, 20, 40)}"),
+      (3L, s"$blockA $blockB")
+    ).toDF("doc_id", "text")
+    val spans2 = Dedup.repeatedSpansMaximal(d2, "doc_id", "text", n = 10, minTokens = 50)
+      .where(col("doc_id") === 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans2 == Set((1L, 1L, 60L), (2L, 61L, 120L)), spans2.toString)
+    // the tiling construction fuses them into one 120-token mosaic
+    val mosaic = Dedup.repeatedSpans(d2, "doc_id", "text", 10)
+      .where(col("doc_id") === 3).collect()
+    assert(mosaic.length == 1 && mosaic.head.getLong(4) == 120L)
+  }
+
   test("bm25: scores match the closed-form formula; unmatched docs absent; top-k bounded") {
     val d = Seq(
       (1L, "x x x a"), (2L, "a b"), (3L, "b b c"), (4L, "c")
