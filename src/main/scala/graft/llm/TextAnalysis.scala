@@ -408,6 +408,76 @@ object TextAnalysis {
   }
 
   /**
+   * Doc-boundary bin packing — first-fit-decreasing (FFD), the
+   * whole-document alternative to [[packEmit]]'s concat-split layout:
+   * documents are bin-packed INTO `budget`-token bins without splitting,
+   * so training sequences keep document boundaries (no attention across
+   * unrelated concatenated docs); only documents LONGER than the budget
+   * split — their full `budget`-token chunks occupy dedicated bins and
+   * the tail re-enters the pack as a regular item.
+   *
+   * Deterministic FFD per `partitionCol` shard: items (whole docs ∪
+   * oversized tails) sort by `(size DESC, id)` and each takes the FIRST
+   * bin with enough remaining capacity, else opens a new bin — the
+   * classic 11/9·OPT+1 guarantee. Sequential by nature, so the plan is
+   * one hash exchange on the shard + a per-partition external sort + a
+   * linear stateful pass (`mapPartitions`) — shards pack in parallel, no
+   * global sort, no single-partition stage (same scale contract as
+   * [[packSequences]]; the per-shard bin-remainder array is
+   * bins-per-shard-sized — swap the linear first-fit scan for a
+   * segment tree when bins-per-shard reaches millions). Dedicated
+   * oversized-chunk bins number AFTER the shard's FFD bins, ordered by
+   * `(id, chunk)`. Output: `(partitionCol, bin_id, idCol, token_start,
+   * token_end, whole_doc)`; token-less docs emit nothing.
+   */
+  def packBinsFfd(df: DataFrame, idCol: String, textCol: String,
+                  budget: Int, partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budget.toLong
+    val t = df.select(col(partitionCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"),
+        tokenCountWs(col(textCol)).cast("long").as("n"))
+      .where(col("n") > 0)
+    val items = t.where(col("n") <= b)
+      .select(col("shard"), col("id"), col("n").as("sz"), lit(0L).as("ts"))
+      .unionByName(t.where(col("n") > b && col("n") % b > 0)
+        .select(col("shard"), col("id"), (col("n") % b).as("sz"),
+          (col("n") - col("n") % b).as("ts")))
+    val ffd = items.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("sz").desc, col("id"))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { it =>
+        // shards are contiguous after the sort; state resets per shard
+        var cur: String = null
+        var rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (shard, id, sz, ts) =>
+          if (shard != cur) { cur = shard; rems = scala.collection.mutable.ArrayBuffer.empty[Long] }
+          val idx = rems.indexWhere(_ >= sz)
+          val bin =
+            if (idx >= 0) { rems(idx) -= sz; (idx + 1).toLong }
+            else { rems += (b - sz); rems.length.toLong }
+          (shard, bin, id, ts, ts + sz)
+        }
+      }
+      .toDF("shard", "bin_id", "id", "token_start", "token_end")
+    val k = ffd.groupBy("shard").agg(max("bin_id").as("k"))
+    val dedicated = t.where(col("n") > b)
+      .withColumn("c", explode(sequence(lit(0L), (col("n") / b).cast("long") - 1)))
+      .join(k, Seq("shard"), "left")
+      .withColumn("bin_id", coalesce(col("k"), lit(0L)) +
+        row_number().over(Window.partitionBy("shard").orderBy("id", "c")))
+      .select(col("shard"), col("bin_id"), col("id"),
+        (col("c") * b).as("token_start"), ((col("c") + 1) * b).as("token_end"))
+    ffd.unionByName(dedicated)
+      .join(t, Seq("shard", "id"))
+      .select(col("shard").as(partitionCol), col("bin_id"), col("id").as(idCol),
+        col("token_start"), col("token_end"),
+        (col("token_start") === 0L && col("token_end") === col("n")).as("whole_doc"))
+  }
+
+  /**
    * Unigram language-model scoring — the perplexity-PROXY quality filter
    * (the KenLM-filter shape from CCNet/RedPajama pipelines, with the
    * n-gram model reduced to its unigram term so the statistic is exactly

@@ -32,7 +32,7 @@ object LlmQueries {
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
-    pipelineCuration3, textSpanDedup2)
+    pipelineCuration3, textSpanDedup2, textPackBins)
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare
@@ -786,6 +786,71 @@ object LlmQueries {
            |  greatest(0, chunk_id * 512 - start_offset)::BIGINT AS token_start,
            |  least(n_tokens, (chunk_id + 1) * 512 - start_offset)::BIGINT AS token_end
            |FROM x ORDER BY source, chunk_id, doc_id""".stripMargin))
+
+  /** The DuckDB replay of the per-shard FFD fold: state string
+    * `"<bin remainders>|<doc:bin:ts:sz;...>"`, one `list_reduce` step per
+    * item in `(size DESC, id)` order — the same sequential pass
+    * [[TextAnalysis.packBinsFfd]]'s mapPartitions kernel runs. */
+  private def ffdFoldSql(budget: Int): String = {
+    val R = "[y::BIGINT for y in string_split(split_part(acc, '|', 1), ' ') if y <> '']"
+    val S = "string_split(x, ':')[2]::BIGINT"
+    val F = s"[j for j in range(1, len($R) + 1) if ($R)[j] >= $S]"
+    // ONE line: this text is interpolated into an outer stripMargin
+    // string, where a continuation line starting with "||" would lose
+    // its first pipe to the margin strip
+    (s"CASE WHEN len($F) > 0 THEN " +
+      s"array_to_string([CASE WHEN i = ($F)[1] THEN ($R)[i] - $S ELSE ($R)[i] END " +
+      s"for i in range(1, len($R) + 1)], ' ') " +
+      s"|| '|' || split_part(acc, '|', 2) || string_split(x, ':')[1] || ':' || " +
+      s"($F)[1] || ':' || string_split(x, ':')[3] || ':' || $S || ';' " +
+      s"ELSE array_to_string(list_append($R, $budget - $S), ' ') " +
+      s"|| '|' || split_part(acc, '|', 2) || string_split(x, ':')[1] || ':' || " +
+      s"(len($R) + 1) || ':' || string_split(x, ':')[3] || ':' || $S || ';' END")
+  }
+
+  /** Doc-boundary FFD packing ([[TextAnalysis.packBinsFfd]]): whole
+    * documents first-fit-decreasing-packed into 512-token bins per source
+    * shard — training sequences keep document boundaries, only over-budget
+    * docs split (dedicated full-chunk bins + the tail re-enters the pack).
+    * The oracle replays the identical sequential FFD pass as a
+    * `list_reduce` fold per shard. The whole-doc-fraction vs utilization
+    * trade against `text_pack_emit`'s concat-split is measured in
+    * LlmSpec. */
+  val textPackBins: QueryDef = QueryDef("text_pack_bins",
+    (s, d) => TextAnalysis.packBinsFfd(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, partitionCol = "source")
+      .orderBy("source", "bin_id", "doc_id", "token_start"),
+    Some(s"""WITH t AS (SELECT source, doc_id,
+            |  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n FROM documents),
+            |wt AS (SELECT source, doc_id, n AS sz, 0::BIGINT AS ts FROM t
+            |       WHERE n > 0 AND n <= 512),
+            |tl AS (SELECT source, doc_id, (n % 512) AS sz, (n - n % 512)::BIGINT AS ts
+            |       FROM t WHERE n > 512 AND n % 512 > 0),
+            |items AS (SELECT * FROM wt UNION ALL SELECT * FROM tl),
+            |lst AS (SELECT source, list(doc_id || ':' || sz || ':' || ts ORDER BY sz DESC, doc_id) AS its
+            |        FROM items GROUP BY 1),
+            |st AS (SELECT source, list_reduce(list_prepend('|', its), (acc, x) ->
+            |${ffdFoldSql(512)}) AS s FROM lst),
+            |asn AS (SELECT source, unnest(string_split(rtrim(split_part(s, '|', 2), ';'), ';')) AS a
+            |        FROM st WHERE split_part(s, '|', 2) <> ''),
+            |ffd AS (SELECT source, string_split(a, ':')[2]::BIGINT AS bin_id,
+            |          string_split(a, ':')[1]::BIGINT AS doc_id,
+            |          string_split(a, ':')[3]::BIGINT AS token_start,
+            |          string_split(a, ':')[3]::BIGINT + string_split(a, ':')[4]::BIGINT AS token_end
+            |        FROM asn),
+            |kk AS (SELECT source, max(bin_id) AS k FROM ffd GROUP BY 1),
+            |ch AS (SELECT source, doc_id, unnest(range(0, (n // 512)::BIGINT)) AS c
+            |       FROM t WHERE n > 512),
+            |ded AS (SELECT ch.source AS source,
+            |          coalesce(kk.k, 0) + row_number() OVER (PARTITION BY ch.source ORDER BY ch.doc_id, ch.c) AS bin_id,
+            |          ch.doc_id AS doc_id, (c * 512)::BIGINT AS token_start,
+            |          ((c + 1) * 512)::BIGINT AS token_end
+            |        FROM ch LEFT JOIN kk ON ch.source = kk.source),
+            |uni AS (SELECT * FROM ffd UNION ALL SELECT * FROM ded)
+            |SELECT u.source, u.bin_id, u.doc_id, u.token_start, u.token_end,
+            |  (u.token_start = 0 AND u.token_end = t.n) AS whole_doc
+            |FROM uni u JOIN t ON u.source = t.source AND u.doc_id = t.doc_id
+            |ORDER BY u.source, u.bin_id, u.doc_id, u.token_start""".stripMargin))
 
   /** Video frame sampling: every 2nd frame index per video-kind row — a
     * generator expression (explode of a bounded sequence), no shuffle. */

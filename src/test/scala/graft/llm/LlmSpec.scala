@@ -1069,6 +1069,57 @@ class LlmSpec extends AnyFunSuite {
     assert(mosaic.length == 1 && mosaic.head.getLong(4) == 120L)
   }
 
+  test("packBinsFfd: whole docs keep boundaries at near-emit utilization; oversized docs split into dedicated chunks + a packed tail") {
+    import graft.queries.Tables
+    val docs = Tables.documents(spark, graft.TestSpark.sf)
+    val budget = 512
+    val bins = TextAnalysis.packBinsFfd(docs, "doc_id", "text", budget, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val emit = TextAnalysis.packEmit(docs, "doc_id", "text", budget, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // FFD never overfills a bin
+    bins.groupBy(b => (b._1, b._2)).foreach { case (bin, spans) =>
+      val tokens = spans.map(s => s._5 - s._4).sum
+      assert(tokens <= budget, s"bin $bin overflows: $tokens")
+    }
+    // every doc appears with its full token mass, exactly once per token
+    val perDocFfd = bins.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum)
+    val perDocEmit = emit.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum)
+    assert(perDocFfd.toMap == perDocEmit.toMap, "token mass must be conserved")
+    // the headline trade: FFD keeps EVERY under-budget doc whole, where
+    // concat-split fragments every chunk-straddling doc; utilization stays
+    // within 15% of concat-split's (which is perfect by construction)
+    val fracFfd = bins.count(_._6).toDouble / bins.groupBy(_._3).size
+    val wholeEmit = emit.groupBy(_._3).count { case (_, spans) => spans.length == 1 }
+    val fracEmit = wholeEmit.toDouble / emit.groupBy(_._3).size
+    info(f"whole-doc fraction: FFD $fracFfd%.3f vs concat-split $fracEmit%.3f")
+    assert(fracFfd == 1.0, s"no fixture doc exceeds the budget, all must stay whole: $fracFfd")
+    assert(fracEmit < 1.0, "concat-split must fragment chunk-straddlers on this corpus")
+    val ffdBins = bins.map(b => (b._1, b._2)).distinct.length
+    val emitChunks = emit.map(e => (e._1, e._2)).distinct.length
+    info(s"bins: FFD $ffdBins vs concat-split chunks $emitChunks")
+    assert(ffdBins <= math.ceil(emitChunks * 1.15).toInt + 5,
+      s"FFD utilization must stay near concat-split's: $ffdBins vs $emitChunks")
+    // oversized doc: full 512-token chunks in dedicated bins, tail packed
+    val words = (0 until 1100).map(i => s"w$i").mkString(" ")
+    val d2 = Seq((1L, "s", words), (2L, "s", (0 until 100).map(i => s"v$i").mkString(" ")),
+      (3L, "s", (0 until 300).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out2 = TextAnalysis.packBinsFfd(d2, "doc_id", "text", budget, "source")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val doc1 = out2.filter(_._2 == 1L).sortBy(_._3)
+    assert(doc1.map(s => (s._3, s._4)).toSeq == Seq((0L, 512L), (512L, 1024L), (1024L, 1100L)),
+      doc1.mkString("; "))
+    assert(doc1.forall(!_._5), "split doc spans are never whole_doc")
+    // the 76-token tail shares a bin with the 300- and 100-token docs
+    // (FFD order: 300, 100, 76 -> all fit one 512 bin)
+    val tailBin = doc1.find(_._3 == 1024L).get._1
+    val binMates = out2.filter(_._1 == tailBin).map(_._2).toSet
+    assert(binMates == Set(1L, 2L, 3L), s"tail must pack with whole docs: $binMates")
+  }
+
   test("bm25: scores match the closed-form formula; unmatched docs absent; top-k bounded") {
     val d = Seq(
       (1L, "x x x a"), (2L, "a b"), (3L, "b b c"), (4L, "c")

@@ -351,6 +351,15 @@ class PlanSpec extends AnyFunSuite {
       "packed-span emission must stay per-shard\n" + p)
   }
 
+  test("text_pack_bins: per-shard hash exchange + linear FFD pass, no single-partition stage") {
+    val p = plan("text_pack_bins")
+    // packing is sequential PER SHARD: the plan must shard by hash and
+    // never serialize the whole corpus through one partition
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "FFD packing must stay per-shard — a single-partition pass would serialize at scale\n" + p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
