@@ -544,7 +544,10 @@ object Dedup {
    * anchored at each gram's canonical occurrence, so a repeat whose
    * interior gram also appears in an even-earlier document splits at
    * that gram (conservative under-merge — every emitted span is still a
-   * true repeat; nothing false is ever flagged). Output:
+   * true repeat; nothing false is flagged modulo md5-60 gram-hash
+   * collisions, the same prob ≤ G²·2⁻⁶¹ budget [[repeatedSpans]]
+   * documents — a colliding gram could seed or extend a span one window
+   * past its true alignment). Output:
    * `(idCol, anchor_id, span_start, span_end, n_tokens, anchor_start,
    * n_grams)`; the earliest copy is the kept canonical and is never
    * flagged against itself.

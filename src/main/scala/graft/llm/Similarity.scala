@@ -1285,7 +1285,10 @@ object Similarity {
   def knnJoinPq(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
                 queries: DataFrame, qIdCol: String, vecCol: String,
                 k: Int, nprobe: Int, excludeSelf: Boolean = true,
-                residual: Boolean = false): DataFrame = {
+                residual: Boolean = false,
+                rotation: Option[Array[Double]] = None): DataFrame = {
+    require(rotation.isEmpty || residual,
+      "knnJoinPq: the OPQ-lite rotation applies to residual codes only")
     import org.apache.spark.sql.expressions.Window
     val spark = codes.sparkSession
     import spark.implicits._
@@ -1311,6 +1314,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val booksBc = spark.sparkContext.broadcast(collectBooks(codebooks))
     val centsBc = spark.sparkContext.broadcast(centRows)
+    // OPQ-lite: codes quantize R·rv, so the per-subspace LUT dots pair
+    // codes with the ROTATED query/centroid; the query norm, ‖c‖² and
+    // query·centroid constants stay in the original space (R orthonormal)
+    val rotBc = spark.sparkContext.broadcast(rotation)
     val cand0 = codes
       .select(col("id").cast("long").as("neighbor_id"),
         col("centroid_id").cast("long").as("cell"), col("codes"))
@@ -1390,6 +1397,7 @@ object Similarity {
             val c = centMap.get(cell)
             if (c == null) throw new IllegalStateException(
               s"PQ code table references cell $cell absent from the centroid sidecar")
+            val cR = rotBc.value.map(sg => opqRotateKernel(c, sg)).getOrElse(c)
             val cdL = new Array[Long](nCodes)
             var off = 0; var s = 0
             while (s < m) {
@@ -1398,7 +1406,7 @@ object Similarity {
               while (j < cs.length) {
                 val cv = cs(j)._2
                 var cd = 0.0; var i = 0
-                while (i < subDim) { cd += c(sub * subDim + i) * cv(i); i += 1 }
+                while (i < subDim) { cd += cR(sub * subDim + i) * cv(i); i += 1 }
                 cdL(off + j) = scaled6(cd)
                 j += 1
               }
@@ -1413,6 +1421,7 @@ object Similarity {
         it.flatMap { case (qid, qv, qn, nid, cell, cds) =>
           var lut = luts.get(qid)
           if (lut == null) {
+            val qR = rotBc.value.map(sg => opqRotateKernel(qv, sg)).getOrElse(qv)
             val dotL = new Array[Long](nCodes)
             val nnL = new Array[Long](nCodes)
             var off = 0
@@ -1424,7 +1433,7 @@ object Similarity {
                 val cv = cs(j)._2
                 var dt = 0.0; var nn = 0.0; var i = 0
                 while (i < subDim) {
-                  dt += qv(sub * subDim + i) * cv(i); nn += cv(i) * cv(i); i += 1
+                  dt += qR(sub * subDim + i) * cv(i); nn += cv(i) * cv(i); i += 1
                 }
                 dotL(off + j) = scaled6(dt); nnL(off + j) = scaled6(nn)
                 j += 1

@@ -462,7 +462,11 @@ object TextAnalysis {
         }
       }
       .toDF("shard", "bin_id", "id", "token_start", "token_end")
-    val k = ffd.groupBy("shard").agg(max("bin_id").as("k"))
+    // dedicated bins number AFTER the shard's item COUNT — an upper bound
+    // on the FFD bin count that needs only a cheap aggregation, not a
+    // second run of the sequential FFD pass (bin ids are labels; gaps
+    // between the last FFD bin and the first dedicated bin are harmless)
+    val k = items.groupBy("shard").agg(count(lit(1)).as("k"))
     val dedicated = t.where(col("n") > b)
       .withColumn("c", explode(sequence(lit(0L), (col("n") / b).cast("long") - 1)))
       .join(k, Seq("shard"), "left")
@@ -790,8 +794,11 @@ object TextAnalysis {
 
   /** Word-table size guard for [[bpeTrainDelta]]'s driver-side training —
     * distinct words, the standard in-memory operating table of production
-    * BPE trainers. */
-  val BpeDeltaMaxWords = 20000000
+    * BPE trainers. At this bound the driver holds roughly a few GB (per
+    * word: the token array plus its share of the pair-count map and the
+    * O(occurrences) inverted index) — raise deliberately WITH driver
+    * memory, or pre-filter rare words (`min_frequency`) upstream. */
+  val BpeDeltaMaxWords = 5000000
 
   /**
    * Delta-maintained BPE training — the production trainer's shape
@@ -820,10 +827,10 @@ object TextAnalysis {
    * the collected distinct-word table, the vocab-scale artifact every
    * real BPE trainer holds in memory (Sennrich's `learn_bpe`, HF
    * `tokenizers`). At 100 TB the distinct-\S+-word table after the
-   * count shuffle is tens of millions of rows (bounded-loud at
-   * [[BpeDeltaMaxWords]] ≈ 2 GB of driver strings — raise deliberately,
-   * or pre-filter rare words upstream, the standard `min_frequency`
-   * practice, before handing the corpus here).
+   * count shuffle is tens of millions of rows — bounded-loud at
+   * [[BpeDeltaMaxWords]] (see its sizing note); pre-filter rare words
+   * upstream (the standard `min_frequency` practice) before handing the
+   * corpus here, or raise the bound with the driver's memory.
    */
   def bpeTrainDelta(docs: DataFrame, textCol: String, merges: Int,
                     batch: Int = 1,
@@ -852,18 +859,22 @@ object TextAnalysis {
     * the distributed `orderBy(cnt DESC, pair)` byte for byte. Allocation-
     * free: UTF-16 code-unit comparison equals code-point (= UTF-8 byte)
     * order except that BMP chars in [0xE000, 0xFFFF] sort BELOW
-    * surrogate-encoded supplementary code points — shifting surrogate
-    * units up by 0x2000 at the first difference restores code-point
-    * order (the standard UTF-16→UTF-8 comparator fixup). */
-  private def utf8Cmp(a: String, b: String): Int = {
+    * surrogate-encoded supplementary code points. The standard ICU fixup
+    * applies at the first differing unit: shift [0xE000, 0xFFFF] down by
+    * 0x800 and surrogates up by 0x2000, which maps surrogates ABOVE every
+    * BMP key while preserving order within each group — a plain
+    * `+0x2000` on surrogates alone is NOT enough (0xD800+0x2000 = 0xF800
+    * still sorts below 0xF801..0xFFFF BMP chars; a property test pins
+    * this comparator against real UTF-8 byte comparison). */
+  private[llm] def utf8Cmp(a: String, b: String): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
       val ca = a.charAt(i); val cb = b.charAt(i)
       if (ca != cb) {
-        val ka = if (ca >= 0xD800 && ca < 0xE000) ca + 0x2000 else ca.toInt
-        val kb = if (cb >= 0xD800 && cb < 0xE000) cb + 0x2000 else cb.toInt
-        return ka - kb
+        def key(c: Char): Int =
+          if (c >= 0xE000) c - 0x800 else if (c >= 0xD800) c + 0x2000 else c.toInt
+        return key(ca) - key(cb)
       }
       i += 1
     }
@@ -880,7 +891,12 @@ object TextAnalysis {
       words: Array[Array[String]], freqs: Array[Long], merges: Int,
       batch: Int): Seq[(Long, String, String, String, Long)] = {
     val pairCnt = scala.collection.mutable.HashMap[String, Long]()
-    val pairWords = scala.collection.mutable.HashMap[String, scala.collection.mutable.BitSet]()
+    // inverted index pair → word ids. HashSet[Int], NOT BitSet: a BitSet
+    // costs O(max word index / 8) bytes PER PAIR (a rare pair seen only
+    // in a high-index word would pay for the whole index range), so total
+    // memory would scale pairs × words; hash sets cost O(occurrences),
+    // bounded by the total token count of the distinct-word table
+    val pairWords = scala.collection.mutable.HashMap[String, scala.collection.mutable.HashSet[Int]]()
     def pairsOf(toks: Array[String]): scala.collection.mutable.HashMap[String, Int] = {
       val m = scala.collection.mutable.HashMap[String, Int]()
       var j = 0
@@ -895,7 +911,7 @@ object TextAnalysis {
     while (i < words.length) {
       pairsOf(words(i)).foreach { case (p, mult) =>
         pairCnt.update(p, pairCnt.getOrElse(p, 0L) + mult.toLong * freqs(i))
-        pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet()) += i
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet[Int]()) += i
       }
       i += 1
     }
@@ -931,9 +947,11 @@ object TextAnalysis {
         val selected = selectDisjoint(pool, batch)
         val lhsArr = selected.map(_._1).toArray
         val rhsArr = selected.map(_._2).toArray
+        // transient per-round union: ONE BitSet (O(max index / 8) once,
+        // not per pair) whose sorted iteration keeps updates deterministic
         val affected = scala.collection.mutable.BitSet()
         selected.foreach { case (l, r, _) =>
-          pairWords.get(l + " " + r).foreach(affected |= _) }
+          pairWords.get(l + " " + r).foreach(affected ++= _) }
         affected.foreach { wi =>
           val oldToks = words(wi); val f = freqs(wi)
           val newToks = graft.functions.BpeExpressions
@@ -947,7 +965,7 @@ object TextAnalysis {
               if (c <= 0L) pairCnt.remove(p) else pairCnt.update(p, c)
             }
             if (newP.contains(p) && !oldP.contains(p))
-              pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet()) += wi
+              pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet[Int]()) += wi
             else if (oldP.contains(p) && !newP.contains(p))
               pairWords.get(p).foreach { s =>
                 s -= wi; if (s.isEmpty) pairWords.remove(p)
@@ -1048,14 +1066,24 @@ object TextAnalysis {
 
   /** Distinct hashed-word features per doc: `(id, bucket)` with
     * `bucket = md5Long60(word) % buckets` (engine-portable, see
-    * [[TextHashing]]); binary presence, the fastText-style bag. */
+    * [[TextHashing]]); binary presence, the fastText-style bag. Words are
+    * `\s+`-tokenized (empty tokens dropped) — the same tokenization the
+    * [[gopherFilter]] bootstrap labels use, so features and labels see
+    * one word set. Every doc additionally carries the always-on INTERCEPT
+    * feature at `bucket = -1` (word buckets are non-negative), so the
+    * bias trains/scores as a regular weight — one aggregation covers the
+    * whole gradient, bias included. */
   def qualityClfFeatures(docs: DataFrame, idCol: String, textCol: String,
-                         buckets: Int = QualityClfBuckets): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"),
-        explode(split(col(textCol), " ")).as("word"))
+                         buckets: Int = QualityClfBuckets): DataFrame = {
+    val words = docs.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
       .select(col("id"),
         pmod(TextHashing.md5Long60(col("word")), lit(buckets.toLong)).as("bucket"))
+    docs.select(col(idCol).cast("long").as("id"), lit(-1L).as("bucket"))
+      .unionByName(words)
       .distinct()
+  }
 
   /**
    * Train the logistic-regression quality model on a labeled table
@@ -1077,51 +1105,50 @@ object TextAnalysis {
     try {
       val n = ys.count()
       require(n > 0, "qualityClfTrain: empty training set")
-      var bias = 0.0
+      // the intercept lives at bucket -1 (an always-on feature from
+      // qualityClfFeatures), so ONE gradient aggregation per round covers
+      // every weight including the bias — one distributed job per
+      // iteration, not a second bias-only reduction
       var weights = Map.empty[Long, Double]
       (1 to iters).foreach { _ =>
         val wDf = weights.toSeq.toDF("bucket", "w")
         val zs = feats.join(broadcast(wDf), Seq("bucket"))
           .groupBy("id").agg(sum(col("w").cast("decimal(20,6)")).as("zs"))
         val resid = ys.join(zs, Seq("id"), "left")
-          .select(col("id"), col("y"),
-            round(lit(bias) + coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"))
+          .select(col("id"),
+            round(coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"), col("y"))
           .select(col("id"),
             (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).cast("decimal(20,6)") -
               col("y").cast("decimal(20,6)")).as("r"))
         val grads = feats.join(resid, Seq("id"))
           .groupBy("bucket").agg(sum(col("r")).as("g"))
           .collect().map(x => (x.getLong(0), x.getDecimal(1).doubleValue()))
-        val gBias = resid.agg(sum(col("r"))).head().getDecimal(0).doubleValue()
         val m = scala.collection.mutable.HashMap[Long, Double]() ++ weights
         grads.foreach { case (b, g) =>
           m.update(b, Similarity.roundHalfUp(m.getOrElse(b, 0.0) - lr * g / n, 6))
         }
         weights = m.toMap
-        bias = Similarity.roundHalfUp(bias - lr * gBias / n, 6)
       }
-      (weights.toSeq :+ (-1L, bias)).toDF("bucket", "w")
+      weights.toSeq.toDF("bucket", "w")
     } finally feats.unpersist()
   }
 
   /** Score documents against a trained model: per doc the 6-dp margin
-    * `z = b + Σ_{bucket ∈ doc} w`, the sigmoid `score`, and the
-    * `keep = score ≥ threshold` verdict. One feature scan + one
-    * broadcast model join + one exact-decimal aggregation — scan-speed
-    * scoring, the trained twin of the [[gopherFilter]] rule gate. */
+    * `z = Σ_{bucket ∈ doc ∪ {-1}} w` (the intercept rides the sentinel
+    * feature), the sigmoid `score`, and the `keep = score ≥ threshold`
+    * verdict. One feature scan + one broadcast model join + one
+    * exact-decimal aggregation — scan-speed scoring, the trained twin of
+    * the [[gopherFilter]] rule gate. */
   def qualityClfScore(docs: DataFrame, idCol: String, textCol: String,
                       model: DataFrame, buckets: Int = QualityClfBuckets,
                       threshold: Double = 0.5): DataFrame = {
-    val bias = model.where(col("bucket") === -1L).select(col("w"))
-      .collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
-    val wDf = model.where(col("bucket") >= 0)
     val feats = qualityClfFeatures(docs, idCol, textCol, buckets)
-    val zs = feats.join(broadcast(wDf), Seq("bucket"))
+    val zs = feats.join(broadcast(model.select(col("bucket"), col("w"))), Seq("bucket"))
       .groupBy("id").agg(sum(col("w").cast("decimal(20,6)")).as("zs"))
     docs.select(col(idCol).cast("long").as("id")).distinct()
       .join(zs, Seq("id"), "left")
       .select(col("id"),
-        round(lit(bias) + coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"))
+        round(coalesce(col("zs").cast("double"), lit(0.0)), 6).as("z"))
       .select(col("id").as(idCol), col("z"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
       .withColumn("keep", col("score") >= threshold)

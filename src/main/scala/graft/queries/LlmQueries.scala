@@ -838,7 +838,7 @@ object LlmQueries {
             |          string_split(a, ':')[3]::BIGINT AS token_start,
             |          string_split(a, ':')[3]::BIGINT + string_split(a, ':')[4]::BIGINT AS token_end
             |        FROM asn),
-            |kk AS (SELECT source, max(bin_id) AS k FROM ffd GROUP BY 1),
+            |kk AS (SELECT source, count(*) AS k FROM items GROUP BY 1),
             |ch AS (SELECT source, doc_id, unnest(range(0, (n // 512)::BIGINT)) AS c
             |       FROM t WHERE n > 512),
             |ded AS (SELECT ch.source AS source,
@@ -1897,16 +1897,13 @@ object LlmQueries {
     s"""zs$n AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
        |  FROM f JOIN w${n - 1} w USING (bucket) GROUP BY 1),
        |r$n AS (SELECT ids.id,
-       |  (round(1.0 / (1.0 + exp(-round((SELECT b FROM b${n - 1}) +
-       |      coalesce(zs.zs::DOUBLE, 0.0), 6))), 6)::DECIMAL(20,6)
+       |  (round(1.0 / (1.0 + exp(-round(coalesce(zs.zs::DOUBLE, 0.0), 6))), 6)::DECIMAL(20,6)
        |    - ids.y::DECIMAL(20,6)) AS r
        |  FROM ids LEFT JOIN zs$n zs USING (id)),
        |g$n AS (SELECT f.bucket, sum(r.r) AS g FROM f JOIN r$n r USING (id) GROUP BY 1),
        |w$n AS MATERIALIZED (SELECT coalesce(g.bucket, w.bucket) AS bucket,
        |  round(coalesce(w.w, 0.0) - $ClfLr * coalesce(g.g, 0)::DOUBLE / (SELECT n FROM nn), 6) AS w
-       |  FROM g$n g FULL OUTER JOIN w${n - 1} w ON g.bucket = w.bucket),
-       |b$n AS (SELECT round((SELECT b FROM b${n - 1}) -
-       |  $ClfLr * (SELECT sum(r) FROM r$n)::DOUBLE / (SELECT n FROM nn), 6) AS b)""".stripMargin
+       |  FROM g$n g FULL OUTER JOIN w${n - 1} w ON g.bucket = w.bucket)""".stripMargin
 
   /** The trained-classifier closure: bootstrap labels (gopher ∪ planted
     * junk), hashed features, and [[ClfIters]] GD rounds ending in
@@ -1923,13 +1920,15 @@ object LlmQueries {
        |    (CASE WHEN gk.keep THEN 1.0 ELSE 0.0 END) AS y
        |  FROM documents d JOIN gk USING (doc_id)
        |  UNION ALL SELECT id, text, y FROM junk),
-       |f AS MATERIALIZED (SELECT DISTINCT id,
-       |    ('0x' || substr(md5(word), 1, 15))::BIGINT % ${TextAnalysis.QualityClfBuckets} AS bucket
-       |  FROM (SELECT id, unnest(string_split(text, ' ')) AS word FROM lab)),
+       |f AS MATERIALIZED (SELECT DISTINCT id, bucket FROM (
+       |    SELECT id,
+       |      ('0x' || substr(md5(word), 1, 15))::BIGINT % ${TextAnalysis.QualityClfBuckets} AS bucket
+       |    FROM (SELECT id, unnest([w for w in string_split_regex(text, '\\s+') if w <> '']) AS word
+       |          FROM lab)
+       |    UNION ALL SELECT id, -1 AS bucket FROM lab)),
        |ids AS (SELECT id, y FROM lab),
        |nn AS (SELECT count(*) AS n FROM ids),
        |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS w WHERE 1 = 0),
-       |b0 AS (SELECT 0.0 AS b),
        |${(1 to ClfIters).map(clfIterSql).mkString(",\n")}""".stripMargin
   }
 
@@ -1951,7 +1950,7 @@ object LlmQueries {
             |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
             |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
             |sc AS (SELECT d.doc_id,
-            |    round((SELECT b FROM b$ClfIters) + coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
+            |    round(coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
             |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
             |so AS (SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM sc)
             |SELECT doc_id, z, score, (score >= 0.5) AS keep
@@ -1984,8 +1983,7 @@ object LlmQueries {
             |zse AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
             |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
             |pe AS (SELECT ids.id, ids.y,
-            |    (round(1.0 / (1.0 + exp(-round((SELECT b FROM b$ClfIters) +
-            |        coalesce(zs.zs::DOUBLE, 0.0), 6))), 6) >= 0.5) AS keep
+            |    (round(1.0 / (1.0 + exp(-round(coalesce(zs.zs::DOUBLE, 0.0), 6))), 6) >= 0.5) AS keep
             |  FROM ids LEFT JOIN zse zs USING (id))
             |SELECT y::BIGINT AS label, count(*)::BIGINT AS n,
             |  count(*) FILTER (keep = (y = 1.0))::BIGINT AS correct
@@ -2021,7 +2019,7 @@ object LlmQueries {
             |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
             |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
             |sc AS (SELECT d.doc_id,
-            |    round((SELECT b FROM b$ClfIters) + coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
+            |    round(coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
             |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
             |so AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score FROM sc),
             |ex AS (SELECT doc_id,

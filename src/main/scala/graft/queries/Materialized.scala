@@ -748,7 +748,11 @@ object Materialized {
     * re-paying the training scans. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     parquetBacked(spark, "bpe_merges", "m256_b32", sfDir, "documents") {
-      graft.llm.TextAnalysis.bpeTrain(Tables.documents(spark, sfDir), "text",
+      // the delta-maintained trainer: identical merge list row-for-row
+      // (LlmSpec equivalence property), one corpus scan instead of one
+      // pair-count scan per round — same artifact, cheaper build, so the
+      // config key stays m256_b32
+      graft.llm.TextAnalysis.bpeTrainDelta(Tables.documents(spark, sfDir), "text",
         merges = 256, batch = 32)
     }
 

@@ -24,7 +24,8 @@ object ScaleCurveMain {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
-      "split-only", "bloom-only", "semantic-only")
+      "split-only", "bloom-only", "semantic-only", "million-vec-only",
+      "tenmillion-doc-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -65,6 +66,8 @@ object ScaleCurveMain {
     else if (args.contains("split-only")) splitSkew55k(spark)
     else if (args.contains("bloom-only")) bloom500k(spark)
     else if (args.contains("semantic-only")) semantic55k(spark)
+    else if (args.contains("million-vec-only")) millionVec(spark)
+    else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
            knnPq55k(spark); bloom500k(spark) }
@@ -489,6 +492,162 @@ object ScaleCurveMain {
     println(f"knn n=55000 Q=32 k=10 join=$nJoin (${tJoin}%.1fs) " +
       f"loop=$nLoop (${tLoop}%.1fs, ${tLoop / tJoin}%.1fx slower)")
     base.unpersist()
+  }
+
+  /**
+   * The ≥1M-vector validation pass: do the 55k–500k crossover numbers
+   * hold an order of magnitude up? One deterministic 1.01M-vector corpus
+   * (1M uniform + 10k planted exact copies), measuring
+   *  - deep banding (r16×b128): candidate mass, prune factor, verified
+   *    t=0.9 pairs, planted recall;
+   *  - IVF-PQ (k=128 cells, m8×k16 residual codes): index+code build,
+   *    1,024-query batch ADC retrieval wall time, planted recall@1
+   *    through codes alone;
+   *  - hot-cell split at 1M (50% skew): probed-bytes and wall time
+   *    before/after, the splitSkew55k story at 18× the rows.
+   */
+  private def millionVec(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 1000000L
+    val base = spark.range(n).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding")
+    val planted = base.unionByName(
+      base.where(col("vec_id") % 100 === 5)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    val root = java.nio.file.Files.createTempDirectory("graft-million-vec")
+    planted.write.parquet(root.resolve("flat").toString)
+    val corpus = spark.read.parquet(root.resolve("flat").toString)
+    val total = corpus.count()
+    val nPlanted = n / 100
+    // --- deep banding at 1M (the production r16×b128 config) ---
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024L << 20).toString)
+    try {
+      val (cand, tCand) = timed(Dedup.embeddingLshCandidates(
+        corpus, "vec_id", "embedding", dims = 64,
+        planesPerBand = 16, bands = 128).count())
+      val allPairs = total.toDouble * (total - 1) / 2.0
+      val (ver, tVer) = timed(Dedup.embeddingNearDupLsh(
+        corpus, "vec_id", "embedding", dims = 64, threshold = 0.9,
+        planesPerBand = 16, bands = 128).count())
+      println(f"million-vec deep(r16b128) n=$total cand=$cand (${tCand}%.1fs, " +
+        f"prune=${allPairs / cand}%.0fx) verified=$ver (${tVer}%.1fs) " +
+        f"planted=$nPlanted recall=${ver.toDouble / nPlanted}%.3f")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // --- IVF-PQ at 1M: build, batch ADC retrieval, planted recall@1 ---
+    val (cents, tTrain) = timed {
+      val c = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 128, iters = 2)
+      c.count(); c
+    }
+    val (_, tIdx) = timed(
+      graft.llm.Similarity.ivfIndexRows(corpus, "vec_id", "embedding", cents)
+        .write.partitionBy("centroid_id").parquet(root.resolve("idx").toString))
+    val index = spark.read.parquet(root.resolve("idx").toString)
+    val (books, tPq) = timed {
+      val b = graft.llm.Similarity.pqTrainCodebooks(
+        graft.llm.Similarity.ivfResiduals(
+          index.select(col("id"), col("centroid_id"), col("v")), cents),
+        "id", "rv", m = 8, ksub = 16, iters = 2, dims = 64)
+      b.count(); b
+    }
+    val (_, tEnc) = timed(
+      graft.llm.Similarity.pqEncode(
+        graft.llm.Similarity.ivfResiduals(
+          index.select(col("id"), col("centroid_id"), col("v")), cents),
+        "id", "rv", books, dims = 64, cellCol = Some("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(root.resolve("codes").toString))
+    val codes = spark.read.parquet(root.resolve("codes").toString)
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    println(f"million-vec ivf-pq build: train=${tTrain}%.1fs index=${tIdx}%.1fs " +
+      f"pq-train=${tPq}%.1fs encode=${tEnc}%.1fs bytes idx=${dirBytes(root.resolve("idx"))} " +
+      f"codes=${dirBytes(root.resolve("codes"))}")
+    val plantedQ = index.where(col("id") >= 10000000L && col("id") < 10102400L)
+      .where(col("id") % 100 === 5)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    val nQ = plantedQ.count()
+    val (hits, tAdc) = timed(graft.llm.Similarity.knnJoinPq(
+        codes, books, cents, plantedQ, "vec_id", "embedding", k = 1, nprobe = 8,
+        residual = true)
+      .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000000L)
+      .count())
+    println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
+      f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+  }
+
+  /**
+   * The ≥10M-doc validation pass:
+   *  - Bloom geometry PAST the 4M-item clamp boundary: the direct sketch
+   *    build at expectedItems=10M must come out at the requested
+   *    optimal-bits size (~11.4 MB — over Catalyst's silent 8 MB
+   *    BloomFilterAggregate clamp, which is the point), and a 100k batch
+   *    carrying 1% corpus dups must see a candidate admission near
+   *    dups + fpp·novel, verdict-identical to the text-join path;
+   *  - maximal span dedup at 10M docs: 10k planted 40-token repeats must
+   *    come back as exactly one aligned span each, with the gram shuffle
+   *    carrying only (hash, id, pos).
+   */
+  private def tenMillionDocs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    def corpusText(id: org.apache.spark.sql.Column) =
+      concat(lit("corpus document body text number "), id, lit(" tail"))
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      corpusText(col("id")).as("text"))
+    val batch = spark.range(99000).select((col("id") + 100000000L).as("doc_id"),
+        concat(lit("batch novel content item "), col("id"), lit(" end")).as("text"))
+      .unionByName(spark.range(1000).select((col("id") + 200000000L).as("doc_id"),
+        corpusText(col("id")).as("text")))
+    val hashes = corpus.select(col("doc_id").as("id"),
+      Dedup.contentHashSafe(col("text")).as("h")).persist()
+    val (nh, tHash) = timed(hashes.count())
+    val (bloom, tBloom) = timed(Dedup.bloomFromHashes(hashes, n, 0.01))
+    val (cand, tCand) = timed(batch.where(Dedup.bloomMightContain(bloom,
+      Dedup.contentHashSafe(col("text")))).count())
+    val (verd, tB) = timed(
+      Dedup.dedupIncrementalBloomFromHashes(batch, hashes, "doc_id", "text", n)
+        .groupBy("status").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap)
+    println(f"tenmillion-doc bloom corpus=$nh batch=100000 | hash scan ${tHash}%.1fs | " +
+      f"sketch fold ${tBloom}%.1fs bytes=${bloom.length} " +
+      f"(past the 8,388,608-byte Catalyst clamp: ${bloom.length > 8388608}) | " +
+      f"candidates=$cand (expect ~1000 dups + ~990 fpp) probe ${tCand}%.1fs | " +
+      f"judgment ${tB}%.1fs verdicts=$verd")
+    hashes.unpersist()
+    // --- maximal span dedup at 10M docs ---
+    val blockWords = (0 until 40).map(i => s"rep$i").mkString(" ")
+    val spanDocs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 1000 === 7,
+        concat(lit(blockWords + " unique"), col("id"), lit("a uniq"), col("id"),
+          lit("b uniq"), col("id"), lit("c")))
+        .otherwise(concat(
+          lit("u"), col("id"), lit("a u"), col("id"), lit("b u"), col("id"),
+          lit("c u"), col("id"), lit("d u"), col("id"), lit("e u"), col("id"),
+          lit("f u"), col("id"), lit("g u"), col("id"), lit("h u"), col("id"),
+          lit("i u"), col("id"), lit("j u"), col("id"), lit("k u"), col("id"),
+          lit("l")))
+        .as("text"))
+    val (spans, tSpan) = timed {
+      val s = Dedup.repeatedSpansMaximal(spanDocs, "doc_id", "text",
+        n = 10, minTokens = 30)
+      (s.count(), s.where(col("n_tokens") === 40).count())
+    }
+    println(f"tenmillion-doc spans: docs=$n planted=${n / 1000} copies | " +
+      f"maximal spans=${spans._1} exact-40-token=${spans._2} ${tSpan}%.1fs")
   }
 
   /** Deterministic uniform component in [-0.5, 0.5) — serializable at the

@@ -351,6 +351,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinPq with the OPQ rotation agrees with the per-query rotated pqSearchAdc") {
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    val codes = graft.queries.Materialized.opqCodes(spark, TestSpark.sf)
+    val books = graft.queries.Materialized.opqCodebooks(spark, TestSpark.sf)
+    val rot = Some(Similarity.opqSigns(64, graft.queries.Materialized.OpqSeed))
+    val queries = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") < 8)
+    val joined = Similarity.knnJoinPq(codes, books, idx.centroids, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2, residual = true, rotation = rot)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._4)).toSet).toMap
+    (0L until 8L).foreach { qid =>
+      val qv = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+        .where(col("vec_id") === qid)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      val single = Similarity.pqSearchAdc(codes, books, idx.centroids, qv,
+          k = 5, nprobe = 2, excludeId = Some(qid), residual = true, rotation = rot)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(joined(qid) == single,
+        s"query $qid: join ${joined(qid)} vs per-query $single")
+    }
+  }
+
   test("bpeTrain: each merge is the argmax pair given its prefix; greedy left-to-right application") {
     val corpus = Seq(
       (1L, "aaa aaa aaa"),     // 'a a' dominates; in-word overlap: aaa -> [aa, a]
@@ -490,6 +515,32 @@ class LlmSpec extends AnyFunSuite {
     assert(agg.getLong(1) < agg.getLong(2) / 2,
       s"expected >2x compression: ${agg.getLong(1)} BPE vs ${agg.getLong(2)} base tokens")
     assert(agg.getLong(1) >= agg.getLong(0), "BPE tokens cannot undercut word count")
+  }
+
+  test("utf8Cmp equals true UTF-8 byte order across BMP, private-use, and supplementary characters") {
+    // the delta trainer's tie-break comparator vs real byte comparison —
+    // the case a plain +0x2000 surrogate shift gets WRONG is a
+    // supplementary char (high surrogate 0xD800+) against a BMP char in
+    // [0xF800, 0xFFFF] (e.g. U+FB01 'ﬁ'), where code-point order must
+    // rank the supplementary char higher
+    val samples = Seq("a", "Z", "é", "ࠀ", "퟿", "", "",
+      "ﬁ", "￿", new String(Character.toChars(0x10000)),
+      new String(Character.toChars(0x1F600)), "一", "a￿",
+      "a" + new String(Character.toChars(0x1F600)), "ab", "a")
+    def byteCmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    for (a <- samples; b <- samples)
+      assert(Integer.signum(TextAnalysis.utf8Cmp(a, b)) ==
+        Integer.signum(byteCmp(a, b)), s"order of '$a' vs '$b' diverges")
   }
 
   test("bpeTrainDelta equals the re-count loop row-for-row: corpora × batch sizes (delta-vs-recount property)") {
