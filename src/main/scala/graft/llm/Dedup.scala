@@ -1008,6 +1008,72 @@ object Dedup {
       dims, planesPerBand, bands, maxBucket)
 
   /**
+   * LEAN candidate generation for deep banding at large n — the
+   * shuffle-bytes twin of [[embeddingLshCandidates]]. The ride-along-
+   * signature dedup in [[lshCandidatePairs]] avoids a post-join distinct
+   * by carrying the full band signature (bands × 4 bytes) on every
+   * exploded band row, so its exchange payload is ∝ n·bands·sigBytes —
+   * measured at n=10⁶, r16×b128: ~130 GB of exchange on both self-join
+   * sides, which filled this machine's disk with spill (the round-9
+   * million-vec validation run, BASELINE.md). That trade only pays at
+   * LOW thresholds, where most pairs collide in many bands. At
+   * production near-dup depths (r ≥ 16) the per-band random floor
+   * `C(n,2)·2⁻ʳ` keeps the candidate multiset barely above the true pair
+   * set, so a 16-byte `(id_a, id_b)` distinct is cheap and the band rows
+   * shuffle BARE — `(band, bucket, id)` ≈ 24 bytes, ~40× less exchange.
+   * Output SET equals the ride-along path at identical geometry
+   * (property-pinned in LlmSpec); the same mega-bucket chunk salting
+   * bounds any single join task.
+   *
+   * Geometry rule the 1M run taught: total random-floor join mass is
+   * `b·C(n,2)·2⁻ʳ` — it grows with n², so `r` must track `log₂(n)`:
+   * r=16 floors at ~10⁹ rows for n=10⁶/b=128 while r=20 floors at
+   * ~6×10⁷; size `r ≥ log₂(b·n²/2·budget⁻¹)` and spend the saved mass
+   * on more bands if recall needs it.
+   */
+  def embeddingLshCandidatesLean(emb: DataFrame, idCol: String, vecCol: String,
+                                 dims: Int, planesPerBand: Int, bands: Int,
+                                 maxBucket: Int = 100000): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    val sigs = Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims)
+    val bandRows = sigs
+      .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    val sizes = bandRows.groupBy("band", "bucket")
+      .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("nchunks"))
+    val withChunk = bandRows.join(sizes, Seq("band", "bucket"))
+      .withColumn("chunk", pmod(col("id"), col("nchunks")).cast("int"))
+    val xs = withChunk.withColumn("peer",
+      explode(sequence(lit(0), col("nchunks") - 1)))
+    xs.as("x").join(withChunk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** [[embeddingNearDupLsh]] over the lean candidate path — deep-banding
+    * near-dup at n where the ride-along signatures don't fit the shuffle
+    * (see [[embeddingLshCandidatesLean]]). Identical verification and
+    * output contract. */
+  def embeddingNearDupLshLean(emb: DataFrame, idCol: String, vecCol: String,
+                              dims: Int, threshold: Double,
+                              planesPerBand: Int, bands: Int,
+                              maxBucket: Int = 100000): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+    val candidates = embeddingLshCandidatesLean(emb, idCol, vecCol, dims,
+      planesPerBand, bands, maxBucket)
+    val ea = e.select(col("id").as("id_a"), col("v").as("va"))
+    val eb = e.select(col("id").as("id_b"), col("v").as("vb"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.graft_cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .where(!isnan(col("cosine")) && col("cosine") >= threshold)
+  }
+
+  /**
    * Semantic dedup (the SemDeDup construction — Abbas et al. 2023,
    * arXiv:2303.09540): k-means-cluster the embedding space
    * ([[Similarity.ivfTrainCentroids]], same deterministic init/tie-breaks

@@ -908,6 +908,99 @@ object Similarity {
   }
 
   /**
+   * Binary sign quantization: bit `d` of the signature is set when
+   * component `d` is non-negative — the 1-bit-per-dimension code (64×
+   * below raw float64 at dims=64) that anchors the cheap end of the
+   * bytes/precision ladder (binary → int8 → PQ → raw). Sign bits are the
+   * axis-plane special case of the random-hyperplane family
+   * ([[lshBucket]]), so `popcount(xor)` between two signatures estimates
+   * the angle. Pure per-row expression (one integer fold — whole-stage
+   * codegen, no shuffle). IEEE notes: `-0.0 >= 0` is true in Spark and
+   * DuckDB alike, so signed zeros bucket together; bits past `dims` stay 0.
+   */
+  def binarySig(vecDouble: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 64, s"binarySig packs one 64-bit word; dims=$dims")
+    aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
+      (acc, d) => acc.bitwiseOR(
+        when(element_at(vecDouble, (d + 1).cast("int")) >= 0.0,
+          call_function("shiftleft", lit(1L), d.cast("int"))).otherwise(lit(0L))))
+  }
+
+  /**
+   * Batch kNN join through a Hamming prefilter over [[binarySig]]
+   * signatures with exact-cosine rerank — the 1-bit ANN regime:
+   *
+   *  - stage 1 scans the corpus once, computing each row's 8-byte
+   *    signature and its Hamming distance (`bit_count(sig ^ qsig)` — two
+   *    codegen'd integer ops) to every broadcast query signature, and
+   *    keeps each query's `k·oversample` Hamming-nearest candidates via a
+   *    rank window. The `row_number <= limit` filter is pushed into
+   *    WindowGroupLimit (PlanSpec-pinned), so each partition forwards at
+   *    most Q·k·oversample rows into the exchange — the shuffle carries
+   *    candidates, never the n·Q score matrix;
+   *  - stage 2 broadcast-joins the candidate ids back into the corpus
+   *    scan (the corpus is never shuffled) and ranks the survivors by the
+   *    house exact cosine (sequential IEEE dot, HALF_UP 6 dp, ties by
+   *    smaller id — [[topK]]'s rule).
+   *
+   * At 100 TB the signature is a stored 8-byte column beside the PQ codes
+   * (stage 1 reads 8 bytes/row instead of 512) and stage 2 touches only
+   * Q·k·oversample vectors. The trade is recall: Hamming over `dims` sign
+   * bits is a coarse angle estimate, so `oversample` is the recall dial
+   * (spec-measured against [[knnJoin]] ground truth in LlmSpec).
+   * Zero-norm/null corpus vectors carry no angle (their sign word is all
+   * ones) and are excluded from candidacy, exactly as [[knnJoin]] skips
+   * them; queries are validated loud the same way.
+   */
+  def knnJoinHamming(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, qIdCol: String, k: Int, dims: Int,
+                     oversample: Int = 4, excludeSelf: Boolean = true,
+                     maxQueries: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) =>
+        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
+        val qn = math.sqrt(dotKernel(v, v))
+        require(qn > 0.0 && !qn.isInfinite,
+          s"kNN query $qid has zero/non-finite norm — cosine undefined")
+        (qid, v.toSeq, qn)
+      }
+    require(qRows.length <= maxQueries,
+      s"query side has ${qRows.length} vectors; broadcast Hamming kNN is bounded at $maxQueries")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+      .withColumn("qsig", binarySig(col("qv"), dims))
+    val base = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0.0)
+    val scored0 = base.select(col("neighbor_id"), binarySig(col("v"), dims).as("sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qsig"))))
+    val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
+                  else scored0)
+      .withColumn("hamming",
+        call_function("bit_count", col("sig").bitwiseXOR(col("qsig"))).cast("long"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    val rer = base.join(broadcast(cand), "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"), col("cosine"))
+  }
+
+  /**
    * Brute-force top-k over int8-QUANTIZED vectors — the ranking an ANN
    * index that stores [[quantizeInt8]] codes (4× memory shrink) actually
    * produces: each vector is quantized, dequantized (`round(x/s·127)·s/127`)

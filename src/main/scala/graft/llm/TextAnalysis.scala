@@ -633,6 +633,144 @@ object TextAnalysis {
       .select(col("query_id"), col("id").as(idCol), col("rank"), col("score"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked retrieval
+   * lists: `score(d) = Σ_lists 1/(c + rank_list(d))`, a document missing
+   * from a list contributes nothing there. The standard calibration-free
+   * way to hybridize keyword (BM25) and embedding (kNN) retrieval — only
+   * RANKS cross the boundary, so the two scorers' incomparable score
+   * scales never mix. Inputs are `(query_id, doc_id, rank)` top-k tables;
+   * the fusion is one full-outer join + one window over ≤ 2·Q·k rows —
+   * its cost is independent of corpus size because both inputs are
+   * already cut to top-k. Each reciprocal term is a fixed rational of
+   * small integers and the sum has ≤ 2 addends in a fixed
+   * (a-then-b) order, so the 6-dp score is engine-exact. Ties break to
+   * the smaller doc id, the house rank rule.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= 0, s"RRF constant must be >= 0, got $c")
+    val fa = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))
+    val fb = b.select(col("query_id"), col(idCol), col("rank").as("rank_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fa.join(fb, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("rrf_score"),
+        col("rank_a"), col("rank_b"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+   * language, rank documents by per-token LM negative log-likelihood
+   * (log-perplexity — monotone in perplexity, exp-free so cross-engine
+   * parity is exact) and cut the ranking into `n` equal-mass buckets:
+   * 1 = head (best), `n` = tail; CCNet keeps head+middle for training.
+   * Input is a scored table shaped like [[lmScoreFromModel]]'s output
+   * joined with a language column — corpus text is NOT re-read; at
+   * 100 TB the input is the stored LM-score table and the one shuffle
+   * carries `(id, lang, one double)` per doc into per-language window
+   * partitions. Docs with zero tokens have no perplexity and are
+   * dropped, as CCNet drops empty docs after tokenization. `ntile`
+   * splits ties by the (ppl, id) order, identical in Spark and DuckDB
+   * (first `rows mod n` buckets take the extra row).
+   */
+  def pplBuckets(scored: DataFrame, idCol: String, langCol: String,
+                 n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"need at least 2 buckets, got $n")
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("ppl_tok"), col(idCol))
+    scored.where(col("n_words") > 0)
+      .withColumn("ppl_tok", round(col("nll_sum") / col("n_words"), 6))
+      .withColumn("bucket", ntile(n).over(w).cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === n, "tail").otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_words"), col("ppl_tok"),
+        col("bucket"), col("bucket_label"))
+  }
+
+  /** Feature-hash bucket count for [[dsirWeights]] — small enough that
+    * the per-bucket ratio table is always a broadcast, large enough that
+    * hash collisions stay rare on real vocabularies (the DSIR paper uses
+    * hashed n-grams for exactly this boundedness). */
+  val DsirBuckets = 1024
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): estimate unigram bucket
+   * distributions of a TARGET slice (`isTarget`, e.g. a trusted
+   * high-quality domain) and the RAW corpus over [[DsirBuckets]] hashed
+   * word features, then score every document by its summed per-token
+   * log-likelihood ratio `Σ_w log(p_target(h(w)) / p_raw(h(w)))` —
+   * documents that look like the target get large weights. Laplace
+   * (+1 over buckets) smoothing keeps both distributions strictly
+   * positive. Plan: one token scan feeds one bucket-bounded hash
+   * aggregation per distribution (map-side combined; the ratio table is
+   * ≤ [[DsirBuckets]] rows, broadcast), then per-(doc, bucket) counts
+   * join the broadcast ratios and reduce per doc — the corpus shuffles
+   * hashed-bucket COUNTS, never text. Each distinct bucket's log-ratio
+   * is rounded to 6 dp BEFORE the count-weighted sum and the sum runs in
+   * exact DECIMAL, so the reduction is order-independent across engines
+   * (the [[bm25]] integer-scaling argument). Null-text docs carry no
+   * tokens and drop out, matching the SQL replay.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val b = DsirBuckets
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), isTarget.as("is_target"),
+        explode(split(col(textCol), " ")).as("word"))
+      .select(col("id"), col("is_target"),
+        pmod(TextHashing.md5Long60(col("word")), lit(b.toLong)).as("bucket"))
+    val dist = toks.groupBy("bucket").agg(
+      count(lit(1)).cast("double").as("cnt_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("cnt_t"))
+    val tots = dist.agg(sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_t")).as("tot_t"))
+    val ratios = dist.crossJoin(broadcast(tots))
+      .withColumn("log_ratio",
+        round(log(((col("cnt_t") + 1.0) / (col("tot_t") + b.toDouble)) /
+                  ((col("cnt_raw") + 1.0) / (col("tot_raw") + b.toDouble))), 6)
+          .cast("decimal(20,6)"))
+      .select(col("bucket"), col("log_ratio"))
+    toks.groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c") * col("log_ratio")).as("wsum"))
+      .select(col("id").as(idCol),
+        col("wsum").cast("double").as("dsir_weight"))
+  }
+
+  /**
+   * DSIR resampling — Gumbel-top-k over the importance weights: each doc
+   * draws a deterministic content-hash Gumbel `g = -ln(-ln(u))`,
+   * `u = (md5_60(text) mod 10^6 + 0.5)/10^6`, and the `n` largest
+   * `weight + g` win — without-replacement sampling proportional to
+   * `exp(weight)` (the Gumbel-max trick), reproducible row-for-row with
+   * no RNG state, the house [[mixtureSample]] determinism pattern. The
+   * cut is one `TakeOrderedAndProject` over (key desc, id) — a k-bounded
+   * combine, no global sort and no single-partition window.
+   */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, n: Int): DataFrame = {
+    val u = (pmod(TextHashing.md5Long60(col(textCol)), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val gum = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), round(-log(-log(u)), 6).as("gumbel"))
+    dsirWeights(docs, idCol, textCol, isTarget)
+      .join(gum, Seq(idCol))
+      .withColumn("sample_key", round(col("dsir_weight") + col("gumbel"), 6))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col("dsir_weight"), col("gumbel"), col("sample_key"))
+  }
+
   // ------------------------------------------------------------------
   // BPE tokenizer training — the classic reduction: train on the WORD-
   // FREQUENCY table (one corpus scan, one hash shuffle keyed on the

@@ -32,7 +32,184 @@ object LlmQueries {
     textBpeTokens2, simIvfRecall, textLmScore2, textBudgetMix,
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
-    pipelineCuration3, textSpanDedup2, textPackBins)
+    pipelineCuration3, textSpanDedup2, textPackBins,
+    simKnnHamming, textHybridRrf, textPplBuckets, textDsir)
+
+  /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
+    * an 8-byte signature per vector (64× below raw float64) prefilters
+    * candidates by `bit_count(xor)` Hamming distance — two codegen'd integer
+    * ops per pair — and only the `k·oversample` survivors pay an exact
+    * cosine. Six queries, k=5, 4× oversample; the oracle replays the same
+    * two-stage construction (Hamming cut, then rerank), so the output is
+    * deterministic even where the 1-bit estimate misranks the exact order. */
+  val simKnnHamming: QueryDef = QueryDef("sim_knn_hamming",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHamming(emb, emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+           |      WHERE vec_id % 97 = 3),
+           |ham AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.v, c.nrm, q.qv, q.qn,
+           |          len([i for i in range(1, 65)
+           |               if (c.v[i] >= 0) <> (q.qv[i] >= 0)])::BIGINT AS hamming
+           |        FROM nz c, q WHERE c.vec_id <> q.query_id),
+           |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+           |rer AS (SELECT query_id, neighbor_id, hamming,
+           |          round(list_sum([v[i] * qv[i] for i in range(1, 65)]) / (nrm * qn), 6)
+           |            AS cosine
+           |        FROM cand WHERE hrank <= 20),
+           |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+           |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Hybrid retrieval ([[TextAnalysis.rrfFuse]]): BM25 keyword top-10 and
+    * embedding-kNN top-10 for the same three document-anchored queries
+    * (query text = the doc's first five words, query vector = the doc's
+    * embedding), fused by reciprocal-rank — only ranks cross the scorer
+    * boundary, so the incomparable score scales never mix. */
+  val textHybridRrf: QueryDef = QueryDef("text_hybrid_rrf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qids = Seq(10L, 20L, 30L)
+      val qs = docs.where(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val bm = TextAnalysis.bm25(docs, "doc_id", "text", qs, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val kn = Similarity.knnJoin(emb, emb.where(col("vec_id").isin(qids: _*)),
+          "vec_id", "embedding", "vec_id", k = 10, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(bm, kn, "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT doc_id AS query_id,
+           |    array_to_string(string_split(text, ' ')[1:5], ' ') AS qtext
+           |  FROM documents WHERE doc_id IN (10, 20, 30)),
+           |qex AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM t),
+           |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+           |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           |       WHERE term IN (SELECT DISTINCT term FROM qex) GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+           |c AS (SELECT q.query_id, tf.doc_id,
+           |        round(ln((s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) * tf.tf * 2.2 /
+           |          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS c
+           |      FROM tf JOIN qex q USING (term) JOIN dfq USING (term)
+           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+           |sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score FROM c GROUP BY 1, 2),
+           |bmr AS (SELECT query_id, doc_id, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nn AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |       FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn FROM nn
+           |       WHERE vec_id IN (10, 20, 30)),
+           |kc AS (SELECT q.query_id, c.vec_id AS doc_id,
+           |         round(list_sum([c.v[i] * q.qvec[i] for i in range(1, 65)]) / (c.nrm * q.qn), 6)
+           |           AS cosine
+           |       FROM nn c, qv q WHERE c.nrm > 0),
+           |knr AS (SELECT query_id, doc_id, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, doc_id) AS rank FROM kc) WHERE rank <= 10),
+           |f AS (SELECT coalesce(b.query_id, n2.query_id) AS query_id,
+           |        coalesce(b.doc_id, n2.doc_id) AS doc_id,
+           |        b.rank AS rank_a, n2.rank AS rank_b
+           |      FROM bmr b FULL OUTER JOIN knr n2
+           |        ON b.query_id = n2.query_id AND b.doc_id = n2.doc_id),
+           |s2 AS (SELECT query_id, doc_id,
+           |         round(coalesce(1.0 / (60.0 + rank_a), 0) +
+           |               coalesce(1.0 / (60.0 + rank_b), 0), 6) AS rrf_score,
+           |         rank_a, rank_b FROM f),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf_score DESC, doc_id) AS rank FROM s2)
+           |SELECT query_id, doc_id, rank, rrf_score, rank_a, rank_b FROM r
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  /** CCNet perplexity terciles ([[TextAnalysis.pplBuckets]]) over the
+    * STORED unigram LM's per-token NLL, per language: head/middle/tail
+    * equal-mass buckets — the published head+middle keep rule's input.
+    * Corpus text feeds the score table once ([[Materialized.lmUnigrams]]
+    * is the trained artifact); the bucketing itself shuffles one double
+    * per doc. */
+  val textPplBuckets: QueryDef = QueryDef("text_ppl_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.lmScoreFromModel(docs, "doc_id", "text",
+          Materialized.lmUnigrams(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.pplBuckets(scored, "doc_id", "lang").orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS word FROM t),
+           |vocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(cnt) AS total FROM vocab),
+           |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+           |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
+           |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t),
+           |nll AS (SELECT doc_id, dl, round(-sum(tf * lp), 6) AS nll_sum
+           |        FROM c GROUP BY 1, 2),
+           |d0 AS (SELECT DISTINCT doc_id, dl FROM tok),
+           |sc AS (SELECT d0.doc_id, d0.dl::BIGINT AS n_words,
+           |         coalesce(nll.nll_sum, 0.0) AS nll_sum
+           |       FROM d0 LEFT JOIN nll USING (doc_id, dl)),
+           |p AS (SELECT sc.doc_id, dd.lang, sc.n_words,
+           |        round(sc.nll_sum / sc.n_words, 6) AS ppl_tok
+           |      FROM sc JOIN documents dd USING (doc_id) WHERE sc.n_words > 0),
+           |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+           |        ORDER BY ppl_tok, doc_id)::BIGINT AS bucket FROM p)
+           |SELECT doc_id, lang, n_words, ppl_tok, bucket,
+           |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+           |       ELSE 'middle' END AS bucket_label
+           |FROM b ORDER BY doc_id""".stripMargin))
+
+  /** DSIR importance resampling ([[TextAnalysis.dsirResample]]): hashed
+    * unigram log-likelihood ratios against the English slice as the
+    * target distribution, Gumbel-top-100 cut — the published
+    * importance-resampling selector, deterministic end-to-end (content-
+    * hash Gumbels, exact-DECIMAL weight sums). */
+  val textDsir: QueryDef = QueryDef("text_dsir",
+    (s, d) => TextAnalysis.dsirResample(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", n = 100)
+      .orderBy(col("sample_key").desc, col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+           |    unnest(string_split(text, ' ')) AS word
+           |  FROM documents WHERE text IS NOT NULL),
+           |tb AS (SELECT doc_id, is_t,
+           |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 1024 AS bucket FROM t),
+           |dist AS (SELECT bucket, count(*)::DOUBLE AS cnt_raw,
+           |           sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS cnt_t
+           |         FROM tb GROUP BY 1),
+           |tots AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_t) AS tot_t FROM dist),
+           |r AS (SELECT bucket,
+           |        round(ln(((cnt_t + 1.0) / (tot_t + 1024.0)) /
+           |                 ((cnt_raw + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
+           |          AS log_ratio
+           |      FROM dist CROSS JOIN tots),
+           |dbk AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
+           |ws AS (SELECT doc_id, sum(c * log_ratio) AS wsum
+           |       FROM dbk JOIN r USING (bucket) GROUP BY 1),
+           |g AS (SELECT doc_id, round(-ln(-ln(
+           |          ((('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000) + 0.5)
+           |            / 1000000.0)), 6) AS gumbel
+           |      FROM documents WHERE text IS NOT NULL),
+           |k AS (SELECT ws.doc_id, ws.wsum::DOUBLE AS dsir_weight, g.gumbel,
+           |        round(ws.wsum::DOUBLE + g.gumbel, 6) AS sample_key
+           |      FROM ws JOIN g USING (doc_id))
+           |SELECT doc_id, dsir_weight, gumbel, sample_key FROM k
+           |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin))
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare

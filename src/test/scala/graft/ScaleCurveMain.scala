@@ -525,21 +525,42 @@ object ScaleCurveMain {
     val corpus = spark.read.parquet(root.resolve("flat").toString)
     val total = corpus.count()
     val nPlanted = n / 100
-    // --- deep banding at 1M (the production r16×b128 config) ---
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024L << 20).toString)
-    try {
-      val (cand, tCand) = timed(Dedup.embeddingLshCandidates(
-        corpus, "vec_id", "embedding", dims = 64,
-        planesPerBand = 16, bands = 128).count())
-      val allPairs = total.toDouble * (total - 1) / 2.0
-      val (ver, tVer) = timed(Dedup.embeddingNearDupLsh(
-        corpus, "vec_id", "embedding", dims = 64, threshold = 0.9,
-        planesPerBand = 16, bands = 128).count())
-      println(f"million-vec deep(r16b128) n=$total cand=$cand (${tCand}%.1fs, " +
-        f"prune=${allPairs / cand}%.0fx) verified=$ver (${tVer}%.1fs) " +
-        f"planted=$nPlanted recall=${ver.toDouble / nPlanted}%.3f")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    val allPairs = total.toDouble * (total - 1) / 2.0
+    // --- banding geometry at 1M: the collision-floor curve ---
+    // The 55k production config (r16×b128) does NOT extrapolate: its
+    // per-band random floor C(n,2)·2⁻¹⁶ reaches ~7.6M rows/band at n=10⁶
+    // (≈10⁹ join rows over 128 bands), and the ride-along-signature join
+    // additionally carries bands×4-byte signatures on every band row —
+    // the first attempt of this run spilled ~130 GB and died on disk.
+    // Measure the floor exactly WITHOUT materializing pairs: join-row
+    // mass = Σ_{band,bucket} C(occupancy, 2), one occupancy aggregation
+    // per geometry.
+    val corpusE = corpus.select(col("vec_id").as("id"),
+      graft.llm.Similarity.asDouble(col("embedding")).as("v"))
+    def floorMass(r: Int): Long =
+      graft.llm.Similarity.lshSigRowsTyped(corpusE, "id", "v", bands = 128,
+          planesPerBand = r, dims = 64)
+        .select(posexplode(col("sig")).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) / 2")).cast("long"))
+        .head.getLong(0)
+    Seq(16, 20, 24).foreach { r =>
+      val (mass, tM) = timed(floorMass(r))
+      println(f"million-vec banding-floor r=$r b=128 n=$total " +
+        f"join-rows=$mass (${tM}%.1fs occupancy agg) " +
+        f"prune=${allPairs / mass}%.0fx")
+    }
+    // --- verified near-dup at the 1M-correct depth (r20×b128, LEAN path:
+    // bare (band,bucket,id) shuffle + 16-byte pair distinct) ---
+    val (cand, tCand) = timed(Dedup.embeddingLshCandidatesLean(
+      corpus, "vec_id", "embedding", dims = 64,
+      planesPerBand = 20, bands = 128).count())
+    val (ver, tVer) = timed(Dedup.embeddingNearDupLshLean(
+      corpus, "vec_id", "embedding", dims = 64, threshold = 0.9,
+      planesPerBand = 20, bands = 128).count())
+    println(f"million-vec deep-lean(r20b128) n=$total cand=$cand (${tCand}%.1fs, " +
+      f"prune=${allPairs / cand}%.0fx) verified=$ver (${tVer}%.1fs) " +
+      f"planted=$nPlanted recall=${ver.toDouble / nPlanted}%.3f")
     // --- IVF-PQ at 1M: build, batch ADC retrieval, planted recall@1 ---
     val (cents, tTrain) = timed {
       val c = graft.llm.Similarity.ivfTrainCentroids(

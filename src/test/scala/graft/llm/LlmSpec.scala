@@ -1825,4 +1825,139 @@ class LlmSpec extends AnyFunSuite {
     val s1 = out.filter(_._1 <= 3)
     assert(s1.sliding(2).forall { case Array(a, b) => a._3 + a._2 == b._3 })
   }
+
+  test("lean deep-banding path: candidate set and verified pairs equal the ride-along path") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ca = pairSet(Dedup.embeddingLshCandidates(emb, "vec_id", "embedding",
+      dims = 64, planesPerBand = 8, bands = 32))
+    val cb = pairSet(Dedup.embeddingLshCandidatesLean(emb, "vec_id", "embedding",
+      dims = 64, planesPerBand = 8, bands = 32))
+    assert(ca == cb, s"lean-only=${(cb -- ca).take(3)} ride-only=${(ca -- cb).take(3)}")
+    val va = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", dims = 64,
+      threshold = 0.9, planesPerBand = 8, bands = 32).select("id_a", "id_b", "cosine")
+    val vb = Dedup.embeddingNearDupLshLean(emb, "vec_id", "embedding", dims = 64,
+      threshold = 0.9, planesPerBand = 8, bands = 32).select("id_a", "id_b", "cosine")
+    assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
+  }
+
+  test("binarySig: bit d set iff component d >= 0; -0.0 counts as non-negative; bits past dims stay 0") {
+    val d = Seq((1L, Seq(1.0, -2.0, 0.0, -0.0))).toDF("id", "v")
+    // components +, -, +0, -0 → bits 0, 2, 3 → 0b1101
+    assert(d.select(Similarity.binarySig(col("v"), 4)).head.getLong(0) == 13L)
+    // dims=2 masks the trailing components
+    assert(d.select(Similarity.binarySig(col("v"), 2)).head.getLong(0) == 1L)
+    // bit 63 must not overflow the fold (all-non-negative 64-dim → all bits set)
+    val d64 = Seq((1L, Seq.fill(64)(1.0))).toDF("id", "v")
+    assert(d64.select(Similarity.binarySig(col("v"), 64)).head.getLong(0) == -1L)
+  }
+
+  test("knnJoinHamming: corpus-covering oversample equals exact knnJoin bit-for-bit") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val qs = emb.where(col("vec_id") % 97 === 3)
+    val n = emb.count().toInt
+    val exact = Similarity.knnJoin(emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    // a Hamming cut wide enough to admit the whole corpus degrades to the
+    // exact ranking: same cosines (same IEEE dot order, same HALF_UP 6 dp),
+    // same (cosine desc, id) tie rule
+    val full = Similarity.knnJoinHamming(emb, qs, "vec_id", "embedding", "vec_id",
+        k = 5, dims = 64, oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+  }
+
+  test("knnJoinHamming: planted exact copies retrieve their donors at rank 1 (hamming 0, cosine 1)") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val qs = emb.where(col("vec_id") >= 2000000L) // exact planted copies
+    val out = Similarity.knnJoinHamming(emb, qs, "vec_id", "embedding", "vec_id",
+        k = 1, dims = 64, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // the donor shares every sign bit → hamming 0 → admitted; rerank puts it
+    // first on exact cosine 1 (ties to the smaller id = the donor itself)
+    out.foreach { case (qid, nid, ham, cos) =>
+      assert(nid == qid - 2000000L, s"query $qid retrieved $nid")
+      assert(ham == 0L && cos == 1.0)
+    }
+  }
+
+  test("knnJoinHamming: production oversample keeps useful recall on the structureless corpus") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val qs = emb.where(col("vec_id") % 97 === 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.knnJoin(emb, qs, "vec_id", "embedding", "vec_id", k = 5))
+    val got = pairs(Similarity.knnJoinHamming(emb, qs, "vec_id", "embedding",
+      "vec_id", k = 5, dims = 64, oversample = 4))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"hamming oversample=4 recall@5 = $recall%.3f (uniform corpus — the 1-bit worst case)")
+    // uniform vectors are the worst case for a 64-bit sign sketch; the dial
+    // exists to buy recall with oversample — pin only that it's not broken
+    assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
+
+  test("rrfFuse: fusion of overlapping and one-sided ranks, house tie rule") {
+    val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(a, b, "doc_id", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 101: 1/62 + 1/61 = 0.032522…; 100: 1/61 = 0.016393; 102: 1/62 = 0.016129
+    assert(out.toSeq == Seq((101L, 1L, 0.032522), (100L, 2L, 0.016393),
+      (102L, 3L, 0.016129)))
+  }
+
+  test("pplBuckets: per-language equal-mass terciles in NLL-per-token order; zero-word docs drop") {
+    val scored = Seq(
+      (1L, "en", 10L, 5.0), (2L, "en", 10L, 10.0), (3L, "en", 10L, 20.0),
+      (4L, "en", 10L, 30.0), (5L, "en", 10L, 40.0), (6L, "en", 10L, 60.0),
+      (7L, "de", 10L, 10.0), (8L, "de", 10L, 30.0), (9L, "de", 10L, 20.0),
+      (10L, "en", 0L, 0.0)
+    ).toDF("doc_id", "lang", "n_words", "nll_sum")
+    val out = TextAnalysis.pplBuckets(scored, "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(!out.contains(10L), "a zero-token doc has no perplexity")
+    assert(out(1L) == "head" && out(2L) == "head")
+    assert(out(3L) == "middle" && out(4L) == "middle")
+    assert(out(5L) == "tail" && out(6L) == "tail")
+    assert(out(7L) == "head" && out(9L) == "middle" && out(8L) == "tail")
+  }
+
+  test("dsirWeights: target-vocabulary docs outweigh off-target docs regardless of their own label") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "alpha beta beta gamma", "en"),
+      (3L, "delta epsilon zeta eta", "de"),
+      (4L, "delta zeta eta epsilon", "de"),
+      (5L, "alpha beta gamma gamma", "de"), // looks like the target
+      (6L, "delta epsilon eta zeta", "en")  // looks off-target
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(d, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the weight reads the text's resemblance to the target DISTRIBUTION,
+    // not the doc's own label: the de doc written in target vocabulary
+    // outranks the de docs written off-target, and the en doc written
+    // off-target sinks to their level
+    assert(w(5L) > w(3L) && w(5L) > w(4L))
+    assert(w(1L) > w(6L) && w(2L) > w(6L))
+    // full separation: every target-vocab doc above every off-target doc.
+    // (Absolute SIGN is not an invariant — Laplace +1-per-bucket smoothing
+    // over 1024 buckets dwarfs a 24-token corpus and the target slice is a
+    // subset of raw, so even pure-target ratios sit below 1 here; only the
+    // ORDERING is the DSIR contract.)
+    assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L, 6L).map(w).max)
+  }
+
+  test("dsirResample: deterministic Gumbel-top-k — two runs agree row-for-row") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.sf)
+    def run() = TextAnalysis.dsirResample(docs, "doc_id", "text",
+        col("lang") === "en", n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.length == 50)
+  }
 }

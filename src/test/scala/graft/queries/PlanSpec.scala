@@ -360,6 +360,31 @@ class PlanSpec extends AnyFunSuite {
       "FFD packing must stay per-shard — a single-partition pass would serialize at scale\n" + p)
   }
 
+  test("sim_knn_hamming: Hamming cut pruned by WindowGroupLimit; rerank joins broadcast, corpus never shuffles") {
+    val p = plan("sim_knn_hamming")
+    // stage 1's rank filter must reach WindowGroupLimit so each partition
+    // forwards ≤ Q·k·oversample candidates — without it the exchange
+    // carries the n×Q Hamming score matrix
+    assert(p.contains("WindowGroupLimit"), p)
+    // both corpus touches join against broadcast sides (bounded query
+    // signatures; Q·k·oversample candidates) — a sort-merge join here
+    // would shuffle the 100 TB side
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for a broadcast-bounded query set\n" + p)
+  }
+
+  test("text_dsir: ratio table broadcasts; the cut is a TakeOrdered combine, not a global sort") {
+    val p = plan("text_dsir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_ppl_buckets: the tercile window partitions by language") {
+    val p = plan("text_ppl_buckets")
+    assert("hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      "ntile must run per language partition\n" + p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
