@@ -1039,13 +1039,21 @@ object Dedup {
     val sigs = Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims)
     val bandRows = sigs
       .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    // Both joins below are pair generation over TINY equi-groups (bucket
+    // occupancy ~1 at the geometry rule's r): sorting the 100M+-row band
+    // tables for SMJ is pure overhead — the first 1M run spent its disk on
+    // exactly those sort spills. shuffle_hash probes the same co-partitioned
+    // exchanges without any sort; the build side is one hash partition of
+    // band rows, which fits executor memory under the same
+    // partitions-sized-to-memory contract every hash aggregate in the
+    // engine already assumes.
     val sizes = bandRows.groupBy("band", "bucket")
       .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("nchunks"))
-    val withChunk = bandRows.join(sizes, Seq("band", "bucket"))
+    val withChunk = bandRows.join(sizes.hint("shuffle_hash"), Seq("band", "bucket"))
       .withColumn("chunk", pmod(col("id"), col("nchunks")).cast("int"))
     val xs = withChunk.withColumn("peer",
       explode(sequence(lit(0), col("nchunks") - 1)))
-    xs.as("x").join(withChunk.as("y"),
+    xs.as("x").join(withChunk.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.peer") === col("y.chunk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

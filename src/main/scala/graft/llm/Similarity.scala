@@ -1352,6 +1352,44 @@ object Similarity {
   }
 
   /**
+   * Corpus-wide kNN GRAPH over the stored IVF index — [[knnJoinDistributed]]
+   * with the index as its own query side: every stored vector gets its
+   * approximate k nearest neighbors from the `nprobe` cells nearest to it
+   * (its own cell first), the blocked construction behind NN-descent-style
+   * graph dedup, graph-based diversity selection, and SemDeDup-adjacent
+   * clustering. No broadcast of the query side (it IS the corpus);
+   * candidate mass is Σ_cells n_cell·(probed-cell occupancy) — the same
+   * cell-share dial `splitIvfCells` enforces bounds the per-cell quadratic,
+   * and both legs of the candidate join co-partition on `centroid_id`.
+   *
+   * Output adds `mutual`: true iff the reverse edge also made its
+   * endpoint's top-k — the symmetric-edge signal mutual-kNN dedup and
+   * diversity filters consume. The flag is derived in ONE pass over the
+   * edge table: both directions of a pair canonicalize to the same
+   * `(lo, hi)` group key, so a single n·k-row hash aggregation (16-byte
+   * keys, vectors long since dropped) marks groups of size 2 — no
+   * reverse-side self-join, which would re-evaluate the whole kNN join a
+   * second time. Zero-norm stored vectors are skipped on the CANDIDATE
+   * side (cosine undefined, [[knnJoinIvf]]'s rule) but would fail the
+   * query side loudly — a graph over a corpus with degenerate vectors is
+   * a data bug upstream, not a row to drop silently.
+   */
+  def knnGraph(index: DataFrame, centroids: DataFrame, k: Int,
+               nprobe: Int = 1): DataFrame = {
+    val edges = knnJoinDistributed(index, centroids,
+      index.select(col("id"), col("v")), "id", "v", k, nprobe,
+      excludeSelf = true)
+    edges
+      .select(least(col("query_id"), col("neighbor_id")).as("lo"),
+        greatest(col("query_id"), col("neighbor_id")).as("hi"),
+        struct(col("query_id"), col("neighbor_id"), col("rank"), col("cosine")).as("s"))
+      .groupBy("lo", "hi").agg(collect_list(col("s")).as("ss"))
+      .select(explode(col("ss")).as("s"), (size(col("ss")) === 2).as("mutual"))
+      .select(col("s.query_id"), col("s.neighbor_id"), col("s.rank"),
+        col("s.cosine"), col("mutual"))
+  }
+
+  /**
    * Fully distributed batch kNN join over the PQ-coded index — the
    * IVF-PQ retrieval shape at table-vs-table scale: both the stored code
    * table and the query set stay DataFrames end-to-end with no driver

@@ -33,7 +33,8 @@ object LlmQueries {
     mmDedup, mmNearDup, pipelineFunnel, textBpeVocab, simKnnLabelEval,
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
     pipelineCuration3, textSpanDedup2, textPackBins,
-    simKnnHamming, textHybridRrf, textPplBuckets, textDsir)
+    simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
+    dedupEmbeddingLean, simKnnGraph)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2407,6 +2408,36 @@ object LlmQueries {
            |      >= 0.9
            |ORDER BY 1, 2""".stripMargin))
 
+  /** The deep-banding geometry over the LEAN candidate path
+    * ([[Dedup.embeddingNearDupLshLean]]): bare `(band, bucket, id)` band
+    * rows plus a 16-byte pair distinct instead of ride-along signatures —
+    * the shuffle-bytes regime the 1M-vector validation run forced (the
+    * ride-along exchange spilled ~130 GB at n=10⁶). Same geometry, same
+    * exact all-pairs oracle as `dedup_embedding_deep`: the two paths are
+    * output-set-equal by construction (property-pinned in LlmSpec) and
+    * both reach recall 1 on the planted corpus. */
+  val dedupEmbeddingLean: QueryDef = QueryDef("dedup_embedding_lean",
+    (s, d) => Dedup.embeddingNearDupLshLean(plantedEmbeddings(s, d),
+        "vec_id", "embedding", dims = 64, threshold = 0.9,
+        planesPerBand = 16, bands = 128)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |planted AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_concat([-v[1], -v[2], -v[3]], v[4:])
+           |  FROM base WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000, v FROM base WHERE vec_id % 10 = 5),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM planted)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |    AS cosine
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
+           |      >= 0.9
+           |ORDER BY 1, 2""".stripMargin))
+
   /** The t90 corpus: embeddings plus deterministic planted near/exact
     * duplicates (sign flips and copies are representation-exact in float
     * AND double, so Spark and DuckDB derive bit-identical vectors). */
@@ -3116,6 +3147,43 @@ object LlmQueries {
             |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
             |SELECT query_id, neighbor_id, rank, cosine FROM r
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Corpus-wide kNN GRAPH ([[Similarity.knnGraph]]): every stored vector's
+    * approximate top-3 neighbors from its own IVF cell (nprobe=1 — the
+    * blocked NN-descent-style construction), plus the `mutual` flag
+    * (reverse edge also ranked) that mutual-kNN dedup and diversity
+    * selection consume. The query side IS the index — no broadcast, no Q
+    * bound; candidate mass is the per-cell quadratic the cell-share dial
+    * bounds. At nprobe=1 the probe re-rank reduces to the stored
+    * assignment (same (dist, cell) tie rule), which is exactly how the
+    * oracle replays it: train → assign → within-cell rank → reverse-edge
+    * left join. */
+  val simKnnGraph: QueryDef = QueryDef("sim_knn_graph",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnGraph(idx.assignment, idx.centroids, k = 3, nprobe = 1)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT e.vec_id, e.v, sqrt(list_sum([x * x for x in e.v])) AS nrm,
+            |        a3.centroid_id
+            |      FROM e JOIN a3 ON e.vec_id = a3.vec_id),
+            |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |        round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) /
+            |          (a.nrm * b.nrm), 6) AS cosine
+            |      FROM n a JOIN n b ON a.centroid_id = b.centroid_id
+            |        AND a.vec_id <> b.vec_id
+            |      WHERE b.nrm > 0),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc),
+            |g AS (SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
+            |      FROM r WHERE rank <= 3)
+            |SELECT g.query_id, g.neighbor_id, g.rank, g.cosine,
+            |  (g2.query_id IS NOT NULL) AS mutual
+            |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
+            |  AND g.neighbor_id = g2.query_id
+            |ORDER BY g.query_id, g.rank""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes

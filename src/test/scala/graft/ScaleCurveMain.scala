@@ -513,6 +513,11 @@ object ScaleCurveMain {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val n = 1000000L
+    // 128 shuffle partitions for this section: the lean path's shuffle_hash
+    // builds hold one partition of band rows each — at 129M band rows,
+    // 32 partitions would put ~4M rows in every build map
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     val base = spark.range(n).map { id =>
       (id, Array.tabulate(64)(d =>
         (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
@@ -605,6 +610,7 @@ object ScaleCurveMain {
       .count())
     println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
       f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /**

@@ -1951,6 +1951,31 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L, 6L).map(w).max)
   }
 
+  test("knnGraph: edges equal the distributed self-join; mutual flags are exactly the reverse-edge set; planted copies pair at rank 1") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+    val g = Similarity.knnGraph(index, cents, k = 3, nprobe = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // 1. edge set + ranks/cosines equal knnJoinDistributed with the corpus as queries
+    val direct = Similarity.knnJoinDistributed(index, cents,
+        index.select(col("id"), col("v")), "id", "v", k = 3, nprobe = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(g.keySet == direct.keySet)
+    g.foreach { case (e, (rk, cos, _)) => assert(direct(e) == ((rk, cos))) }
+    // 2. mutual is exactly reverse-edge membership
+    g.foreach { case ((a, b), (_, _, m)) => assert(m == g.contains((b, a)), s"($a,$b)") }
+    // 3. an exact planted copy shares its donor's cell — each is the
+    // other's rank-1 neighbor at cosine 1, and that edge is mutual
+    val copies = g.keys.collect { case (q, n) if q >= 2000000L && n == q - 2000000L => (q, n) }
+    assert(copies.nonEmpty)
+    copies.foreach { case (q, n) =>
+      val (rk, cos, m) = g((q, n))
+      assert(rk == 1L && cos == 1.0 && m, s"copy edge ($q,$n): rank=$rk cos=$cos mutual=$m")
+    }
+  }
+
   test("dsirResample: deterministic Gumbel-top-k — two runs agree row-for-row") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.sf)
     def run() = TextAnalysis.dsirResample(docs, "doc_id", "text",

@@ -385,6 +385,20 @@ class PlanSpec extends AnyFunSuite {
       "ntile must run per language partition\n" + p)
   }
 
+  test("sim_knn_graph: candidates via the cell equi-join; rank windows WindowGroupLimit-bounded") {
+    val p = plan("sim_knn_graph")
+    // the corpus-sized query side must reach candidates through the
+    // centroid_id equi-join (cell co-partitioning), never a cartesian; the
+    // only nested-loop joins are corpus × the k-row broadcast centroid
+    // sidecar (the probe, plus Catalyst's DPP-subquery replica of it)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "query×corpus scoring must be the centroid_id equi-join\n" + p)
+    // probe top-nprobe and final top-k both push into WindowGroupLimit so
+    // partitions forward bounded candidate sets into their exchanges
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
