@@ -357,6 +357,44 @@ object TextAnalysis {
       .toDF(idCol, "rep_word", "rep_2gram", "rep_3gram")
   }
 
+  /** Character-level Shannon entropy — the gibberish/binary detector of
+    * classic quality stacks (low entropy = repeated-char runs, high ≈
+    * log2(alphabet) = encoded/binary payloads), used beside the word-level
+    * Gopher rules. `H = log2(n) − (Σ_c round₆(cnt_c·log2(cnt_c)))/n` over
+    * code points: each distinct character's term is rounded to 6 dp and
+    * summed as a scaled long (the [[bm25]] integer-scaling argument), so
+    * the reduction is order-independent and DuckDB replays it bit-for-bit
+    * as a DECIMAL sum. One typed JIT kernel per row (single code-point
+    * scan, open-address count map) — zero shuffle, scales linearly. Null
+    * and empty texts score entropy 0 over 0 characters. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        if (t == null || t.isEmpty) (id, 0L, 0L, 0.0)
+        else {
+          val cps = t.codePoints().toArray
+          val counts = new java.util.HashMap[Int, Long]()
+          var i = 0
+          while (i < cps.length) { counts.merge(cps(i), 1L, _ + _); i += 1 }
+          var scaled = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            scaled += math.round(Similarity.roundHalfUp(
+              c * (math.log(c.toDouble) / math.log(2.0)), 6) * 1e6)
+          }
+          val n = cps.length.toLong
+          val h = Similarity.roundHalfUp(
+            math.log(n.toDouble) / math.log(2.0) - (scaled / 1e6) / n, 6)
+          (id, n, counts.size.toLong, h)
+        }
+      }
+      .toDF(idCol, "n_cp", "n_distinct_cp", "char_entropy")
+  }
+
   /**
    * Sequence packing for training (concat-then-split): documents are laid
    * out in deterministic `idCol` order within each `partitionCol` stream and

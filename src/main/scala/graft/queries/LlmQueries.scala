@@ -34,7 +34,7 @@ object LlmQueries {
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
-    dedupEmbeddingLean, simKnnGraph)
+    dedupEmbeddingLean, simKnnGraph, textEntropy)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2407,6 +2407,28 @@ object LlmQueries {
            |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
            |      >= 0.9
            |ORDER BY 1, 2""".stripMargin))
+
+  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
+    * code-point Shannon entropy per doc — the gibberish/binary detector
+    * beside the word-level Gopher rules. Per-distinct-char terms round to
+    * 6 dp and sum as scaled longs/DECIMAL, so both engines reduce
+    * order-independently; zero shuffle, pure per-row kernel. */
+  val textEntropy: QueryDef = QueryDef("text_entropy",
+    (s, d) => TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t0 AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+           |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+           |cc AS (SELECT doc_id, substr(text, i, 1) AS c, count(*)::BIGINT AS cnt
+           |       FROM t0 GROUP BY 1, 2),
+           |s AS (SELECT doc_id,
+           |        sum(round(cnt * log2(cnt), 6)::DECIMAL(20,6)) AS sc,
+           |        sum(cnt)::BIGINT AS n, count(*)::BIGINT AS nd
+           |      FROM cc GROUP BY 1)
+           |SELECT d.doc_id, coalesce(s.n, 0) AS n_cp,
+           |  coalesce(s.nd, 0) AS n_distinct_cp,
+           |  coalesce(round(log2(s.n) - (s.sc::DOUBLE) / s.n, 6), 0.0) AS char_entropy
+           |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
 
   /** The deep-banding geometry over the LEAN candidate path
     * ([[Dedup.embeddingNearDupLshLean]]): bare `(band, bucket, id)` band

@@ -1951,6 +1951,23 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L, 6L).map(w).max)
   }
 
+  test("charEntropy: uniform alphabet hits log2(k); runs score 0; null/empty score 0 over 0 chars") {
+    val d = Seq(
+      (1L, "abab"),          // uniform 2-char → exactly 1 bit
+      (2L, "aaaa"),          // single char → 0
+      (3L, "abcdabcdabcdabcd"), // uniform 4-char → exactly 2 bits
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "aab")            // H = log2(3) - (2·log2 2 + 0)/3 = 0.918296
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0)))
+    assert(out(3L) == ((16L, 4L, 2.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)) && out(5L) == ((0L, 0L, 0.0)))
+    assert(out(6L) == ((3L, 2L, 0.918296)))
+  }
+
   test("knnGraph: edges equal the distributed self-join; mutual flags are exactly the reverse-edge set; planted copies pair at rank 1") {
     val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
     val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
