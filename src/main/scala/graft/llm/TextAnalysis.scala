@@ -224,6 +224,59 @@ object TextAnalysis {
         explode(sequence(lit(0L), col("n_epochs") - 1)).as("epoch"))
   }
 
+  /**
+   * Temperature-weighted source mixing (the mT5/XLM-R α-sampling rule):
+   * sources are sampled with probability `p_s = n_s^α / Σ_t n_t^α` —
+   * α=1 keeps natural proportions, α→0 flattens toward uniform, lifting
+   * low-resource sources. A doc budget `n` is apportioned to sources by
+   * LARGEST-REMAINDER over the 6-dp-scaled integer quotas (floor every
+   * source's `n·p_s`, then hand the leftover seats to the largest
+   * fractional parts, ties to the lexicographically smaller source) —
+   * integer arithmetic end-to-end after one round, so both engines
+   * allocate identical quotas. Each source then admits its quota in
+   * deterministic content-hash priority order (the [[budgetMix]] rule).
+   * A quota can exceed a small source's population (that is α-sampling's
+   * point); the op emits what exists and reports `quota` beside `pos` so
+   * callers see the deficit and can route to [[mixtureSample]] for
+   * epoch-level upsampling. Plan: one tiny per-source count agg (S rows,
+   * broadcast back), one window per source partition — no global sort.
+   */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, alpha: Double, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(n > 0, s"budget must be positive, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-source counts are a bounded control-plane pull (S = the distinct
+    // source alphabet); apportionment runs driver-side in exact integer
+    // arithmetic — ranking S rows through a cluster window would plan an
+    // unpartitioned WindowExec and train readers to ignore that warning
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val z = counts.map { case (_, ns) => math.pow(ns.toDouble, alpha) }.sum
+    // 6-dp-scaled integer quotas: fr6 = round(n·p_s·10⁶), then floor /
+    // remainder / leftover seats are all integer-exact (HALF_UP matches
+    // the SQL replay's round(x, 0))
+    val fr6 = counts.map { case (s, ns) =>
+      (s, ns, math.round(math.pow(ns.toDouble, alpha) / z * n * 1e6)) }
+    val extra = n.toLong - fr6.map(_._3 / 1000000L).sum
+    val seats = fr6.map { case (s, _, f) => (s, f % 1000000L) }
+      .sortBy { case (s, frac) => (-frac, s) }
+      .take(math.max(0L, extra).toInt).map(_._1).toSet
+    val quotas = fr6.map { case (s, ns, f) =>
+      (s, ns, f / 1000000L + (if (seats.contains(s)) 1L else 0L)) }
+      .toSeq.toDF("source", "n_s", "quota")
+    val admitW = Window.partitionBy("source").orderBy(col("pri"), col("id"))
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        coalesce(md5(col(textCol)), lit("<null-text>")).as("pri"))
+      .withColumn("pos", row_number().over(admitW).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("pos") <= col("quota"))
+      .select(col("id").as(idCol), col("source"), col("pos"), col("quota"))
+  }
+
   /** Corpus n-gram frequencies (all occurrences, not per-doc deduped):
     * per-row gram expansion → one hash-agg shuffle with map-side combine.
     * Feeds stop-shingle lists for the PPJoin prefix filter and

@@ -34,7 +34,7 @@ object LlmQueries {
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
-    dedupEmbeddingLean, simKnnGraph, textEntropy)
+    dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2407,6 +2407,35 @@ object LlmQueries {
            |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 6)
            |      >= 0.9
            |ORDER BY 1, 2""".stripMargin))
+
+  /** Temperature-weighted source mixing ([[TextAnalysis.temperatureMix]]):
+    * α=0.5 source shares `n_s^α/Σn_t^α`, a 200-doc budget apportioned by
+    * integer largest-remainder, each source admitting its quota in
+    * content-hash priority order — the mT5/XLM-R low-resource-lift rule,
+    * deterministic end-to-end. */
+  val textTempMix: QueryDef = QueryDef("text_temp_mix",
+    (s, d) => TextAnalysis.temperatureMix(Tables.documents(s, d), "doc_id",
+        "text", "source", alpha = 0.5, n = 200)
+      .orderBy("source", "pos"),
+    Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+           |z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM c),
+           |f AS (SELECT source, n_s,
+           |        round(pow(n_s, 0.5) / z.z * 200 * 1e6, 0)::BIGINT AS fr6
+           |      FROM c CROSS JOIN z),
+           |b AS (SELECT source, n_s, fr6 // 1000000 AS base,
+           |        fr6 % 1000000 AS frac6 FROM f),
+           |ex AS (SELECT 200 - sum(base) AS extra FROM b),
+           |sr AS (SELECT source,
+           |         row_number() OVER (ORDER BY frac6 DESC, source) AS rk FROM b),
+           |q AS (SELECT b.source,
+           |        base + CASE WHEN sr.rk <= ex.extra THEN 1 ELSE 0 END AS quota
+           |      FROM b JOIN sr USING (source) CROSS JOIN ex),
+           |p AS (SELECT doc_id, source,
+           |        coalesce(md5(text), '<null-text>') AS pri FROM documents),
+           |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |        ORDER BY pri, doc_id)::BIGINT AS pos FROM p)
+           |SELECT r.doc_id, r.source, r.pos, q.quota FROM r JOIN q USING (source)
+           |WHERE r.pos <= q.quota ORDER BY r.source, r.pos""".stripMargin))
 
   /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
     * code-point Shannon entropy per doc — the gibberish/binary detector

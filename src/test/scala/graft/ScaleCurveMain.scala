@@ -25,6 +25,7 @@ object ScaleCurveMain {
     }
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
+      "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "tenmillion-doc-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
@@ -67,6 +68,9 @@ object ScaleCurveMain {
     else if (args.contains("bloom-only")) bloom500k(spark)
     else if (args.contains("semantic-only")) semantic55k(spark)
     else if (args.contains("million-vec-only")) millionVec(spark)
+    else if (args.contains("million-floor-only")) millionFloor(spark)
+    else if (args.contains("million-lean-only")) millionLean(spark)
+    else if (args.contains("million-ivfpq-only")) millionIvfPq(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -507,17 +511,22 @@ object ScaleCurveMain {
    *    before/after, the splitSkew55k story at 18× the rows.
    */
   private def millionVec(spark: SparkSession): Unit = {
+    millionFloor(spark); millionLean(spark); millionIvfPq(spark)
+  }
+
+  /** The shared 1.01M corpus (1M uniform + 10k planted exact copies),
+    * written fresh per PHASE: each phase runs in its own JVM (its own
+    * `million-*-only` mode) so its shuffle files die with its app — one
+    * long app accumulating all three phases' exchanges is what filled the
+    * disk on this machine's 48 GB headroom. Also sets 128 shuffle
+    * partitions (the lean path's shuffle_hash builds hold one partition of
+    * band rows each; at 129M band rows, 32 partitions would put ~4M rows
+    * in every build map). */
+  private def millionCorpus(spark: SparkSession): (java.nio.file.Path, org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-    }
-    val n = 1000000L
-    // 128 shuffle partitions for this section: the lean path's shuffle_hash
-    // builds hold one partition of band rows each — at 129M band rows,
-    // 32 partitions would put ~4M rows in every build map
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "128")
+    val n = 1000000L
     val base = spark.range(n).map { id =>
       (id, Array.tabulate(64)(d =>
         (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
@@ -527,19 +536,27 @@ object ScaleCurveMain {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     val root = java.nio.file.Files.createTempDirectory("graft-million-vec")
     planted.write.parquet(root.resolve("flat").toString)
-    val corpus = spark.read.parquet(root.resolve("flat").toString)
+    (root, spark.read.parquet(root.resolve("flat").toString))
+  }
+
+  /**
+   * Banding geometry at 1M: the collision-floor curve. The 55k production
+   * config (r16×b128) does NOT extrapolate: its per-band random floor
+   * C(n,2)·2⁻¹⁶ reaches ~7.6M rows/band at n=10⁶ (≈2×10⁹ join rows over
+   * 128 bands), and the ride-along-signature join additionally carries
+   * bands×4-byte signatures on every band row — the first attempt of this
+   * run spilled ~130 GB and died on disk. Measure the floor exactly
+   * WITHOUT materializing pairs: join-row mass = Σ_{band,bucket}
+   * C(occupancy, 2), one occupancy aggregation per geometry.
+   */
+  private def millionFloor(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, corpus) = millionCorpus(spark)
     val total = corpus.count()
-    val nPlanted = n / 100
     val allPairs = total.toDouble * (total - 1) / 2.0
-    // --- banding geometry at 1M: the collision-floor curve ---
-    // The 55k production config (r16×b128) does NOT extrapolate: its
-    // per-band random floor C(n,2)·2⁻¹⁶ reaches ~7.6M rows/band at n=10⁶
-    // (≈10⁹ join rows over 128 bands), and the ride-along-signature join
-    // additionally carries bands×4-byte signatures on every band row —
-    // the first attempt of this run spilled ~130 GB and died on disk.
-    // Measure the floor exactly WITHOUT materializing pairs: join-row
-    // mass = Σ_{band,bucket} C(occupancy, 2), one occupancy aggregation
-    // per geometry.
     val corpusE = corpus.select(col("vec_id").as("id"),
       graft.llm.Similarity.asDouble(col("embedding")).as("v"))
     def floorMass(r: Int): Long =
@@ -555,18 +572,55 @@ object ScaleCurveMain {
         f"join-rows=$mass (${tM}%.1fs occupancy agg) " +
         f"prune=${allPairs / mass}%.0fx")
     }
-    // --- verified near-dup at the 1M-correct depth (r20×b128, LEAN path:
-    // bare (band,bucket,id) shuffle + 16-byte pair distinct) ---
-    val (cand, tCand) = timed(Dedup.embeddingLshCandidatesLean(
-      corpus, "vec_id", "embedding", dims = 64,
-      planesPerBand = 20, bands = 128).count())
-    val (ver, tVer) = timed(Dedup.embeddingNearDupLshLean(
-      corpus, "vec_id", "embedding", dims = 64, threshold = 0.9,
-      planesPerBand = 20, bands = 128).count())
-    println(f"million-vec deep-lean(r20b128) n=$total cand=$cand (${tCand}%.1fs, " +
-      f"prune=${allPairs / cand}%.0fx) verified=$ver (${tVer}%.1fs) " +
+  }
+
+  /**
+   * Verified near-dup at the 1M-correct depth: the geometry rule
+   * `r ≥ log₂(b·C(n,2)/budget)` gives r≈24 for a ~20M-candidate budget at
+   * n=10⁶/b=128 (r=20's 186M-pair floor would push ~80 GB of
+   * vector-carrying exchange through the verify joins). LEAN path: bare
+   * (band,bucket,id) shuffle, 16-byte pair distinct MATERIALIZED to
+   * parquet once — the candidate count and the verify join both read the
+   * file instead of re-running the banding chain.
+   */
+  private def millionLean(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (root, corpus) = millionCorpus(spark)
+    val total = corpus.count()
+    val nPlanted = 1000000L / 100
+    val allPairs = total.toDouble * (total - 1) / 2.0
+    val (_, tCand) = timed(Dedup.embeddingLshCandidatesLean(
+        corpus, "vec_id", "embedding", dims = 64,
+        planesPerBand = 24, bands = 128)
+      .write.parquet(root.resolve("cand").toString))
+    val candT = spark.read.parquet(root.resolve("cand").toString)
+    val cand = candT.count()
+    val e = corpus.select(col("vec_id").cast("long").as("id"),
+      graft.llm.Similarity.asDouble(col("embedding")).as("v"))
+    val (ver, tVer) = timed(candT
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(round(graft.functions.VectorExpressions.graft_cosine(
+        col("va"), col("vb")), 6).as("cosine"))
+      .where(!isnan(col("cosine")) && col("cosine") >= 0.9)
+      .count())
+    println(f"million-vec deep-lean(r24b128) n=$total cand=$cand " +
+      f"(${tCand}%.1fs materialize, prune=${allPairs / cand}%.0fx) " +
+      f"verified=$ver (${tVer}%.1fs) " +
       f"planted=$nPlanted recall=${ver.toDouble / nPlanted}%.3f")
-    // --- IVF-PQ at 1M: build, batch ADC retrieval, planted recall@1 ---
+  }
+
+  /** IVF-PQ at 1M: build, batch ADC retrieval, planted recall@1. */
+  private def millionIvfPq(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (root, corpus) = millionCorpus(spark)
+    val base = corpus.where(col("vec_id") < 10000000L)
     val (cents, tTrain) = timed {
       val c = graft.llm.Similarity.ivfTrainCentroids(
         base, "vec_id", "embedding", k = 128, iters = 2)
@@ -610,7 +664,6 @@ object ScaleCurveMain {
       .count())
     println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
       f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /**

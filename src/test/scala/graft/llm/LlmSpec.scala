@@ -1951,6 +1951,30 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L, 6L).map(w).max)
   }
 
+  test("temperatureMix: quotas sum to the budget; alpha<1 lifts the small source above its natural share; determinism") {
+    val docs = (1 to 90).map(i => (i.toLong, s"doc body $i", "big")) ++
+      (91 to 100).map(i => (i.toLong, s"doc body $i", "small"))
+    val d = docs.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperatureMix(d, "doc_id", "text", "source",
+      alpha = 0.5, n = 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val quotas = out.map(r => r._2 -> r._4).toMap
+    assert(quotas("big") + quotas("small") == 50)
+    // natural share would give small 5/50; sqrt weighting gives
+    // sqrt(10)/(sqrt(90)+sqrt(10)) = 0.25 → 12 or 13 seats
+    assert(quotas("small") >= 12, s"small got ${quotas("small")}")
+    // every admitted pos is within quota and contiguous from 1
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong && ps.last <= quotas(s))
+    }
+    // two runs agree row-for-row
+    val again = TextAnalysis.temperatureMix(d, "doc_id", "text", "source",
+      alpha = 0.5, n = 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(x => (x._2, x._3)).toSeq == again.sortBy(x => (x._2, x._3)).toSeq)
+  }
+
   test("charEntropy: uniform alphabet hits log2(k); runs score 0; null/empty score 0 over 0 chars") {
     val d = Seq(
       (1L, "abab"),          // uniform 2-char → exactly 1 bit

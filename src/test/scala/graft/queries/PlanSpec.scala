@@ -385,6 +385,14 @@ class PlanSpec extends AnyFunSuite {
       "ntile must run per language partition\n" + p)
   }
 
+  test("dedup_embedding_lean: pair-generation joins are sort-free shuffled-hash, not SMJ") {
+    val p = plan("dedup_embedding_lean")
+    assert(p.contains("ShuffledHashJoin"),
+      "the lean band joins must hash-probe, not sort 100M+-row sides\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ in the lean path re-creates the sort spill the path exists to remove\n" + p)
+  }
+
   test("sim_knn_graph: candidates via the cell equi-join; rank windows WindowGroupLimit-bounded") {
     val p = plan("sim_knn_graph")
     // the corpus-sized query side must reach candidates through the
