@@ -34,7 +34,8 @@ object LlmQueries {
     textBpeTrain2, simPqOpq, textQualityClf, textQualityClfEval,
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
-    dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix)
+    dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
+    simGraphClusters)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3235,6 +3236,53 @@ object LlmQueries {
             |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
             |  AND g.neighbor_id = g2.query_id
             |ORDER BY g.query_id, g.rank""".stripMargin))
+
+  /** Mutual-kNN graph clustering: connected components over the
+    * [[Similarity.knnGraph]] edges that are MUTUAL with non-negative
+    * cosine — the graph-dedup endpoint (mutual edges are the standard
+    * symmetrization that keeps hub vectors from chaining unrelated docs
+    * through one-way neighbors). Components via [[Dedup.duplicateClusters]]
+    * (driver union-find under the 1M-edge gate, distributed label
+    * propagation past it); the oracle replays graph → mutual filter →
+    * recursive reachability closure with min-id labels. */
+  val simGraphClusters: QueryDef = QueryDef("sim_graph_clusters",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      val g = Similarity.knnGraph(idx.assignment, idx.centroids, k = 3, nprobe = 1)
+      val pairs = g.where(col("mutual") && col("cosine") >= 0.0 &&
+          col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      Dedup.duplicateClusters(pairs,
+          Tables.embeddings(s, d).select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT e.vec_id, e.v, sqrt(list_sum([x * x for x in e.v])) AS nrm,
+            |        a3.centroid_id
+            |      FROM e JOIN a3 ON e.vec_id = a3.vec_id),
+            |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |        round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) /
+            |          (a.nrm * b.nrm), 6) AS cosine
+            |      FROM n a JOIN n b ON a.centroid_id = b.centroid_id
+            |        AND a.vec_id <> b.vec_id
+            |      WHERE b.nrm > 0),
+            |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc),
+            |g AS (SELECT query_id, neighbor_id, cosine FROM rk WHERE rank <= 3),
+            |gm AS (SELECT g.query_id AS id_a, g.neighbor_id AS id_b
+            |       FROM g JOIN g g2 ON g.query_id = g2.neighbor_id
+            |         AND g.neighbor_id = g2.query_id
+            |       WHERE g.query_id < g.neighbor_id AND g.cosine >= 0.0),
+            |edges AS (SELECT id_a AS a, id_b AS b FROM gm
+            |          UNION ALL SELECT id_b, id_a FROM gm),
+            |r(id, lab) AS (
+            |  SELECT vec_id, vec_id FROM embeddings
+            |  UNION
+            |  SELECT e2.b, r.lab FROM r JOIN edges e2 ON e2.a = r.id)
+            |SELECT id AS vec_id, min(lab) AS cluster_id FROM r GROUP BY id
+            |ORDER BY vec_id""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes
