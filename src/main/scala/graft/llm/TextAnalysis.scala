@@ -252,9 +252,13 @@ object TextAnalysis {
     // source alphabet); apportionment runs driver-side in exact integer
     // arithmetic — ranking S rows through a cluster window would plan an
     // unpartitioned WindowExec and train readers to ignore that warning
-    val counts = docs.groupBy(col(sourceCol).as("source"))
+    val counts0 = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_s"))
-      .as[(String, Long)].collect().sortBy(_._1)
+      .as[(String, Long)].collect()
+    require(counts0.forall(_._1 != null),
+      s"temperatureMix: null $sourceCol — sources must be non-null keys " +
+        "(a silent null group would take quota from every real source)")
+    val counts = counts0.sortBy(_._1)
     val z = counts.map { case (_, ns) => math.pow(ns.toDouble, alpha) }.sum
     // 6-dp-scaled integer quotas: fr6 = round(n·p_s·10⁶), then floor /
     // remainder / leftover seats are all integer-exact (HALF_UP matches

@@ -407,6 +407,21 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("text_temp_mix: quotas broadcast into the admission window; one source-partitioned window, no cartesian") {
+    val p = plan("text_temp_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row quota table must broadcast, not shuffle the corpus\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      "admission must rank within source partitions\n" + p)
+  }
+
+  test("sim_graph_clusters: component labels broadcast back; no cartesian") {
+    val p = plan("sim_graph_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
