@@ -35,7 +35,7 @@ object LlmQueries {
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
-    simGraphClusters)
+    simGraphClusters, textQualityClf2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2016,8 +2016,8 @@ object LlmQueries {
   // ---- trained quality classifier (hashed-n-gram logistic regression) ----
 
   /** Fixed GD schedule of the oracled classifier queries. */
-  private val ClfIters = 3
-  private val ClfLr = 0.5
+  private[queries] val ClfIters = 3
+  private[queries] val ClfLr = 0.5
 
   /** Planted negatives: deterministic symbol-junk documents appended to
     * the gopher-labeled corpus (the "∪ planted negatives" half of the
@@ -2030,7 +2030,7 @@ object LlmQueries {
   /** The Spark-side bootstrap label table `(id, text, y)`: every corpus
     * doc labeled by its [[TextAnalysis.gopherFilter]] keep verdict, plus
     * [[clfJunkTexts]] as planted negatives at collision-free ids. */
-  private def clfLabeled(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def clfLabeled(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val maxd = docs.agg(max("doc_id")).head.getLong(0)
@@ -2125,6 +2125,25 @@ object LlmQueries {
       TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id", "text", model)
         .orderBy("doc_id")
     },
+    Some(s"""WITH $clfTrainedSql,
+            |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |sc AS (SELECT d.doc_id,
+            |    round(coalesce(zs.zs::DOUBLE, 0.0), 6) AS z
+            |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
+            |so AS (SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM sc)
+            |SELECT doc_id, z, score, (score >= 0.5) AS keep
+            |FROM so ORDER BY doc_id""".stripMargin))
+
+  /** Production twin of `text_quality_clf`: scores against the STORED
+    * weight table ([[Materialized.clfWeights]] — trained once per corpus,
+    * the `text_lm_score2`/`dedup_semantic2` pattern), so each run pays a
+    * broadcast model join at scan speed instead of the GD loop. Same
+    * oracle: the SQL replays the training the store performed once. */
+  val textQualityClf2: QueryDef = QueryDef("text_quality_clf2",
+    (s, d) => TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id",
+        "text", Materialized.clfWeights(s, d))
+      .orderBy("doc_id"),
     Some(s"""WITH $clfTrainedSql,
             |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
             |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),

@@ -785,6 +785,22 @@ object Materialized {
       graft.llm.TextAnalysis.lmModel(Tables.documents(spark, sfDir), "text")
     }
 
+  /** Stored trained quality-classifier weights `(bucket, w)` (intercept at
+    * bucket = −1) — [[graft.llm.TextAnalysis.qualityClfTrain]] on the
+    * gopher-∪-planted-junk bootstrap labels, TRAINED ONCE per corpus under
+    * the exact schedule the classifier oracles replay
+    * ([[LlmQueries.ClfIters]] rounds, lr [[LlmQueries.ClfLr]]); scoring
+    * runs broadcast the stored weight table instead of re-running GD —
+    * the `lm_model`/`bpe_model` production pattern for the learned gate. */
+  def clfWeights(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "clf_model",
+        s"logreg_b${graft.llm.TextAnalysis.QualityClfBuckets}_i${LlmQueries.ClfIters}",
+        sfDir, "documents") {
+      graft.llm.TextAnalysis.qualityClfTrain(
+        LlmQueries.clfLabeled(spark, sfDir), "id", "text", "y",
+        iters = LlmQueries.ClfIters, lr = LlmQueries.ClfLr)
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {
