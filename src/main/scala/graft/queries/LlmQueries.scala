@@ -2195,9 +2195,11 @@ object LlmQueries {
   val pipelineCuration3: QueryDef = QueryDef("pipeline_curation3",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val model = TextAnalysis.qualityClfTrain(clfLabeled(s, d), "id", "text",
-        "y", iters = ClfIters, lr = ClfLr)
-      val clf = TextAnalysis.qualityClfScore(docs, "doc_id", "text", model)
+      // the STORED weights ([[Materialized.clfWeights]] — trained once under
+      // the oracle's exact schedule): the pipeline composes production
+      // stages; the live GD measurement lives in `text_quality_clf`
+      val clf = TextAnalysis.qualityClfScore(docs, "doc_id", "text",
+          Materialized.clfWeights(s, d))
         .select(col("doc_id"), col("score").as("clf_score"),
           col("keep").as("keep_clf"))
       val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")

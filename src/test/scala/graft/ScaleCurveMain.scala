@@ -26,7 +26,7 @@ object ScaleCurveMain {
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
-      "tenmillion-doc-only")
+      "tenmillion-doc-only", "regimes-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -68,6 +68,7 @@ object ScaleCurveMain {
     else if (args.contains("bloom-only")) bloom500k(spark)
     else if (args.contains("semantic-only")) semantic55k(spark)
     else if (args.contains("million-vec-only")) millionVec(spark)
+    else if (args.contains("regimes-only")) knnRegimes55k(spark)
     else if (args.contains("million-floor-only")) millionFloor(spark)
     else if (args.contains("million-lean-only")) millionLean(spark)
     else if (args.contains("million-ivfpq-only")) millionIvfPq(spark)
@@ -496,6 +497,51 @@ object ScaleCurveMain {
     println(f"knn n=55000 Q=32 k=10 join=$nJoin (${tJoin}%.1fs) " +
       f"loop=$nLoop (${tLoop}%.1fs, ${tLoop / tJoin}%.1fx slower)")
     base.unpersist()
+  }
+
+  /**
+   * The round-9 ANN regimes at the 55k corpus: the 1-bit Hamming
+   * prefilter (bytes story: 8 B signature vs 512 B vector per scanned
+   * row; recall vs the exact join is the honest cost) and the corpus-wide
+   * kNN graph (the per-cell quadratic bounded by the cell dial; mutual
+   * fraction is the symmetrization yield).
+   */
+  private def knnRegimes55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = spark.range(55000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding").persist()
+    base.count()
+    val queries = base.where(col("vec_id") < 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (truth, tExact) = timed(pairs(graft.llm.Similarity.knnJoin(
+      base, queries, "vec_id", "embedding", "vec_id", k = 10)))
+    Seq(4, 16).foreach { os =>
+      val (got, tHam) = timed(pairs(graft.llm.Similarity.knnJoinHamming(
+        base, queries, "vec_id", "embedding", "vec_id", k = 10, dims = 64,
+        oversample = os)))
+      println(f"knn-regimes hamming n=55000 Q=32 k=10 os=$os ${tHam}%.1fs " +
+        f"(exact ${tExact}%.1fs) recall=${(got & truth).size.toDouble / truth.size}%.3f")
+    }
+    val (cents, tTrain) = timed {
+      val c = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 64, iters = 2)
+      c.count(); c
+    }
+    val index = graft.llm.Similarity.ivfIndexRows(base, "vec_id", "embedding", cents)
+    val g = graft.llm.Similarity.knnGraph(index, cents, k = 10).persist()
+    val (edges, tGraph) = timed(g.count())
+    val mutual = g.where(col("mutual")).count()
+    println(f"knn-regimes graph n=55000 cells=64 k=10 edges=$edges " +
+      f"(${tGraph}%.1fs, train ${tTrain}%.1fs) mutual=${mutual * 100.0 / edges}%.1f%%")
+    g.unpersist(); base.unpersist()
   }
 
   /**
