@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions.{CosineSim, DotProduct}
+import graft.functions.VectorExpressions.{CosineSim, DotProduct, L2Sq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2Sq(exprs.head, exprs(1))))
   }
 }

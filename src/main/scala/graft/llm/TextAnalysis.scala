@@ -817,25 +817,52 @@ object TextAnalysis {
    * tokens and drop out, matching the SQL replay.
    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column): DataFrame = {
+                  isTarget: Column): DataFrame =
+    dsirWeightsFromRatios(docs, idCol, textCol,
+      dsirRatios(docs, idCol, textCol, isTarget))
+
+  /** The DSIR per-bucket log-likelihood-ratio table `(bucket, log_ratio)`
+    * — the trained ARTIFACT of the construction (≤ [[DsirBuckets]] rows):
+    * estimate it once from a corpus snapshot, store it, and score any
+    * batch against the stored table ([[dsirWeightsFromRatios]]) without
+    * re-aggregating the corpus — the `lm_model`/`clf_model` production
+    * pattern. Laplace (+1 over buckets) smoothing keeps both
+    * distributions strictly positive; each ratio rounds to 6 dp and is
+    * carried as DECIMAL so downstream sums are order-independent. */
+  def dsirRatios(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column): DataFrame = {
     val b = DsirBuckets
     val toks = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), isTarget.as("is_target"),
+      .select(isTarget.as("is_target"),
         explode(split(col(textCol), " ")).as("word"))
-      .select(col("id"), col("is_target"),
+      .select(col("is_target"),
         pmod(TextHashing.md5Long60(col("word")), lit(b.toLong)).as("bucket"))
     val dist = toks.groupBy("bucket").agg(
       count(lit(1)).cast("double").as("cnt_raw"),
       sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("cnt_t"))
     val tots = dist.agg(sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_t")).as("tot_t"))
-    val ratios = dist.crossJoin(broadcast(tots))
+    dist.crossJoin(broadcast(tots))
       .withColumn("log_ratio",
         round(log(((col("cnt_t") + 1.0) / (col("tot_t") + b.toDouble)) /
                   ((col("cnt_raw") + 1.0) / (col("tot_raw") + b.toDouble))), 6)
           .cast("decimal(20,6)"))
       .select(col("bucket"), col("log_ratio"))
-    toks.groupBy("id", "bucket").agg(count(lit(1)).as("c"))
-      .join(broadcast(ratios), Seq("bucket"))
+  }
+
+  /** Score documents against a (possibly stored) DSIR ratio table: one
+    * token scan → per-(doc, bucket) counts → broadcast ratio join →
+    * exact-DECIMAL per-doc reduction. The corpus shuffles hashed-bucket
+    * COUNTS, never text. */
+  def dsirWeightsFromRatios(docs: DataFrame, idCol: String, textCol: String,
+                            ratios: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .select(col("id"),
+        pmod(TextHashing.md5Long60(col("word")), lit(b.toLong)).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios.select(col("bucket"), col("log_ratio"))), Seq("bucket"))
       .groupBy("id")
       .agg(sum(col("c") * col("log_ratio")).as("wsum"))
       .select(col("id").as(idCol),

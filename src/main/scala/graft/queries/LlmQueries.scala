@@ -35,7 +35,7 @@ object LlmQueries {
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
-    simGraphClusters, textQualityClf2)
+    simGraphClusters, textQualityClf2, textDsir2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -212,6 +212,37 @@ object LlmQueries {
            |      FROM ws JOIN g USING (doc_id))
            |SELECT doc_id, dsir_weight, gumbel, sample_key FROM k
            |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin))
+
+  /** Production twin of `text_dsir`'s weighting stage: per-doc DSIR
+    * weights scored against the STORED ratio table
+    * ([[Materialized.dsirRatios]] — the ≤1,024-row trained artifact,
+    * estimated once per corpus snapshot), so each batch pays one token
+    * scan + a broadcast join instead of re-aggregating the corpus
+    * distributions. Oracle replays the estimation the store performed
+    * once, then scores every doc. */
+  val textDsir2: QueryDef = QueryDef("text_dsir2",
+    (s, d) => TextAnalysis.dsirWeightsFromRatios(Tables.documents(s, d),
+        "doc_id", "text", Materialized.dsirRatios(s, d))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+           |    unnest(string_split(text, ' ')) AS word
+           |  FROM documents WHERE text IS NOT NULL),
+           |tb AS (SELECT doc_id, is_t,
+           |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 1024 AS bucket FROM t),
+           |dist AS (SELECT bucket, count(*)::DOUBLE AS cnt_raw,
+           |           sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS cnt_t
+           |         FROM tb GROUP BY 1),
+           |tots AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_t) AS tot_t FROM dist),
+           |r AS (SELECT bucket,
+           |        round(ln(((cnt_t + 1.0) / (tot_t + 1024.0)) /
+           |                 ((cnt_raw + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
+           |          AS log_ratio
+           |      FROM dist CROSS JOIN tots),
+           |dbk AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
+           |ws AS (SELECT doc_id, sum(c * log_ratio) AS wsum
+           |       FROM dbk JOIN r USING (bucket) GROUP BY 1)
+           |SELECT doc_id, wsum::DOUBLE AS dsir_weight FROM ws
+           |ORDER BY doc_id""".stripMargin))
 
   /** Honest accuracy dial for the kNN classifier (the `sim_ivf_recall`
     * pattern): the 20 held-out queries DO carry true labels — compare

@@ -801,6 +801,18 @@ object Materialized {
         iters = LlmQueries.ClfIters, lr = LlmQueries.ClfLr)
     }
 
+  /** Stored DSIR log-likelihood-ratio table `(bucket, log_ratio)` against
+    * the English slice as the target distribution
+    * ([[graft.llm.TextAnalysis.dsirRatios]]) — estimated once per corpus
+    * snapshot (≤ 1,024 rows); scoring runs broadcast the stored table
+    * instead of re-aggregating the corpus distributions. */
+  def dsirRatios(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "dsir_ratios",
+        s"en_b${graft.llm.TextAnalysis.DsirBuckets}", sfDir, "documents") {
+      graft.llm.TextAnalysis.dsirRatios(Tables.documents(spark, sfDir),
+        "doc_id", "text", col("lang") === "en")
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {
