@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
  * content-hash table, the BPE merge list, the unigram LM, and the trained
  * classifier weights against `storeRoot`, then prints
  * `builds=<n> minhash=<rows> ivf=<rows> pq=<rows> opq=<rows>
- * hashes=<rows> bpe=<rows> lm=<rows> clf=<rows>` on the LAST stdout line. The
+ * hashes=<rows> bpe=<rows> lm=<rows> clf=<rows> dsir=<rows>` on the LAST stdout line. The
  * first run builds (`builds>0`); a rerun in a new process must print
  * `builds=0` (everything served from storage).
  */
@@ -37,8 +37,9 @@ object StoreReuseMain {
     val bpe = Materialized.bpeMerges(spark, sfDir).count()
     val lm = Materialized.lmUnigrams(spark, sfDir).count()
     val clf = Materialized.clfWeights(spark, sfDir).count()
+    val dsir = Materialized.dsirRatios(spark, sfDir).count()
     val builds = Materialized.buildsStarted.get()
     spark.stop()
-    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf")
+    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir")
   }
 }
