@@ -1390,6 +1390,119 @@ object Similarity {
   }
 
   /**
+   * Code-to-code SYMMETRIC-distance kNN graph over the residual-PQ code
+   * table — FAISS's SDC regime applied to graph construction: BOTH sides
+   * of every comparison are m-byte codes, so building the graph reads the
+   * code table alone (at the measured 1M geometry, 12.8 MB of codes vs
+   * 630 MB of raw vectors — the 49× scan cut now applies to the
+   * quadratic, not just to retrieval). Candidates are cell-local (the
+   * [[knnGraph]] construction at nprobe=1); scoring decomposes the
+   * reconstruction cosine over same-cell residual codes
+   *
+   *   v̂ = c + r̂,   v̂_a·v̂_b = ‖c‖² + c·r̂_a + c·r̂_b + r̂_a·r̂_b
+   *
+   * into four families of PRECOMPUTED 6-dp terms — ‖c‖² per cell, c·cv
+   * per (cell, subspace, code), cv_a·cv_b per (subspace, code, code), and
+   * ‖cv‖² per (subspace, code) — k·(1+m·ksub) + m·ksub² scaled longs,
+   * broadcast. Per pair the kernel does m integer lookups and exact long
+   * sums, so the score is order-independent and the DuckDB oracle replays
+   * it bit-for-bit as DECIMAL sums (the ADC/recon convention). Each cell's
+   * member list is materialized in its group task (bounded by the
+   * cell-share dial); per-query top-k is selected in-kernel — the group
+   * holds the COMPLETE candidate set, so no window pass is needed. Rows
+   * whose codes reconstruct to zero norm are skipped on both sides
+   * (cosine undefined, the [[pqSearchAdc]] convention); a code id missing
+   * from the codebook fails loudly (stale store). `mutual` is the
+   * [[knnGraph]] canonical-pair aggregation.
+   */
+  def knnGraphSdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                  k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    def s6(x: Double): Long = math.round(roundHalfUp(x, 6) * 1e6)
+    val cvs: Map[(Int, Long), Array[Double]] = codebooks
+      .select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    require(cvs.nonEmpty, "knnGraphSdc: empty codebook table")
+    val m = cvs.keys.map(_._1).max + 1
+    val sub = cvs.head._2.length
+    val nn6: Map[(Int, Long), Long] = cvs.map { case (key, cv) =>
+      key -> s6(dotKernel(cv, cv)) }
+    val sdot6: Map[(Int, Long, Long), Long] = (for {
+      ((sa, ca), cva) <- cvs.toSeq
+      ((sb, cb), cvb) <- cvs.toSeq if sa == sb
+    } yield (sa, ca, cb) -> s6(dotKernel(cva, cvb))).toMap
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val cn6: Map[Long, Long] = cents.map { case (cid, c) => cid -> s6(dotKernel(c, c)) }
+    val cdot6: Map[(Long, Int, Long), Long] = (for {
+      (cid, c) <- cents.toSeq
+      ((s, code), cv) <- cvs.toSeq
+    } yield {
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { acc += c(s * sub + i) * cv(i); i += 1 }
+      (cid, s, code) -> s6(acc)
+    }).toMap
+    val bc = spark.sparkContext.broadcast((m, nn6, sdot6, cn6, cdot6))
+    val edges = codes
+      .select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cell, it) =>
+        val (mm, nnT, sdT, cnT, cdT) = bc.value
+        val cn = cnT.getOrElse(cell,
+          throw new IllegalStateException(s"knnGraphSdc: unknown cell $cell"))
+        def term[K](t: Map[K, Long], key: K): Long = t.getOrElse(key,
+          throw new IllegalStateException(
+            s"knnGraphSdc: code term $key missing from the codebook — stale store"))
+        // per member: (id, codes, sa = Σ c·cv, na = ‖v̂‖² scaled)
+        val members = it.map { case (id, _, cs) =>
+          require(cs.length == mm,
+            s"knnGraphSdc: row $id carries ${cs.length} codes, codebook has $mm subspaces")
+          val codesArr = cs.toArray
+          var sa = 0L; var snn = 0L; var s = 0
+          while (s < mm) {
+            sa += term(cdT, (cell, s, codesArr(s)))
+            snn += term(nnT, (s, codesArr(s)))
+            s += 1
+          }
+          (id, codesArr, sa, cn + 2 * sa + snn)
+        }.filter(_._4 > 0L).toArray.sortBy(_._1)
+        members.iterator.flatMap { case (qid, qc, qsa, qna) =>
+          // exact in-group top-k: the group IS the complete candidate set
+          val top = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
+          members.foreach { case (nid, ncodes, nsa, nna) =>
+            if (nid != qid) {
+              var sab = 0L; var s = 0
+              while (s < mm) { sab += term(sdT, (s, qc(s), ncodes(s))); s += 1 }
+              val dot = (cn + qsa + nsa + sab) / 1e6
+              val cos = roundHalfUp(
+                dot / (math.sqrt(qna / 1e6) * math.sqrt(nna / 1e6)), 6)
+              top.enqueue((cos, nid))
+              if (top.size > k) top.dequeue()
+            }
+          }
+          val best: Seq[(Double, Long)] = top.dequeueAll.reverse
+          best.iterator.zipWithIndex.map { case ((cos, nid), i) =>
+            (qid, nid, (i + 1).toLong, cos)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "sdc_cosine")
+    edges
+      .select(least(col("query_id"), col("neighbor_id")).as("lo"),
+        greatest(col("query_id"), col("neighbor_id")).as("hi"),
+        struct(col("query_id"), col("neighbor_id"), col("rank"), col("sdc_cosine")).as("s"))
+      .groupBy("lo", "hi").agg(collect_list(col("s")).as("ss"))
+      .select(explode(col("ss")).as("s"), (size(col("ss")) === 2).as("mutual"))
+      .select(col("s.query_id"), col("s.neighbor_id"), col("s.rank"),
+        col("s.sdc_cosine"), col("mutual"))
+  }
+
+  /**
    * Fully distributed batch kNN join over the PQ-coded index — the
    * IVF-PQ retrieval shape at table-vs-table scale: both the stored code
    * table and the query set stay DataFrames end-to-end with no driver

@@ -35,7 +35,7 @@ object LlmQueries {
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
-    simGraphClusters, textQualityClf2, textDsir2)
+    simGraphClusters, textQualityClf2, textDsir2, simGraphSdc)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3335,6 +3335,78 @@ object LlmQueries {
             |  SELECT e2.b, r.lab FROM r JOIN edges e2 ON e2.a = r.id)
             |SELECT id AS vec_id, min(lab) AS cluster_id FROM r GROUP BY id
             |ORDER BY vec_id""".stripMargin))
+
+  /** Code-to-code SDC kNN graph ([[Similarity.knnGraphSdc]]): the graph
+    * construction at PURE CODE BYTES — both sides of every comparison are
+    * the stored m-byte residual-PQ codes (12.8 MB vs 630 MB raw at the
+    * measured 1M geometry), scored through precomputed 6-dp term tables
+    * (‖c‖², c·cv, cv·cv per code pair) with exact integer sums. The
+    * oracle replays train → assign → residual → PQ-train → encode, then
+    * the same four-term decomposition as DECIMAL sums. */
+  val simGraphSdc: QueryDef = QueryDef("sim_graph_sdc",
+    (s, d) => {
+      val ivf = Materialized.ivfIndex(s, d)
+      Similarity.knnGraphSdc(Materialized.pqCodes(s, d),
+          Materialized.pqCodebooks(s, d), ivf.centroids, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |nnt AS (SELECT subspace, code_id,
+            |          round(list_sum([x * x for x in cv]), 6) AS nn6 FROM pb2),
+            |sdt AS (SELECT p1.subspace, p1.code_id AS ca, p2.code_id AS cb,
+            |          round(list_sum([p1.cv[i] * p2.cv[i] for i in range(1, 9)]), 6)
+            |            AS sdot6
+            |        FROM pb2 p1 JOIN pb2 p2 ON p1.subspace = p2.subspace),
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |          round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                          for i in range(1, 9)]), 6) AS cdot6
+            |         FROM pb2 p, c2 c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |mem AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |          sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS sa,
+            |          sum(CAST(n.nn6 AS DECIMAL(20,6))) AS snn
+            |        FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
+            |        JOIN lutc l ON a3.centroid_id = l.cell
+            |          AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |        JOIN nnt n ON a.subspace = n.subspace AND a.code_id = n.code_id
+            |        GROUP BY 1, 2),
+            |keep AS (SELECT mem.vec_id, mem.cell, mem.sa,
+            |          CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn AS na
+            |         FROM mem JOIN cc ON mem.cell = cc.cell
+            |         WHERE CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn > 0),
+            |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
+            |         a.sa AS qsa, a.na AS qna, b.sa AS nsa, b.na AS nna
+            |       FROM keep a JOIN keep b ON a.cell = b.cell
+            |         AND a.vec_id <> b.vec_id),
+            |sab AS (SELECT sc.query_id, sc.neighbor_id,
+            |          sum(CAST(s.sdot6 AS DECIMAL(20,6))) AS sab
+            |        FROM sc JOIN pa3 qa ON sc.query_id = qa.vec_id
+            |          JOIN pa3 qb ON sc.neighbor_id = qb.vec_id
+            |            AND qb.subspace = qa.subspace
+            |          JOIN sdt s ON s.subspace = qa.subspace
+            |            AND s.ca = qa.code_id AND s.cb = qb.code_id
+            |        GROUP BY 1, 2),
+            |fin AS (SELECT sc.query_id, sc.neighbor_id,
+            |          round(((CAST(cc.cn6 AS DECIMAL(20,6)) + sc.qsa + sc.nsa
+            |                  + sab.sab)::DOUBLE)
+            |            / (sqrt(sc.qna::DOUBLE) * sqrt(sc.nna::DOUBLE)), 6)
+            |            AS sdc_cosine
+            |        FROM sc JOIN sab USING (query_id, neighbor_id)
+            |          JOIN cc ON sc.cell = cc.cell),
+            |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY sdc_cosine DESC, neighbor_id) AS rank FROM fin),
+            |g AS (SELECT query_id, neighbor_id, rank::BIGINT AS rank, sdc_cosine
+            |      FROM rk WHERE rank <= 3)
+            |SELECT g.query_id, g.neighbor_id, g.rank, g.sdc_cosine,
+            |  (g2.query_id IS NOT NULL) AS mutual
+            |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
+            |  AND g.neighbor_id = g2.query_id
+            |ORDER BY g.query_id, g.rank""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes

@@ -2017,6 +2017,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraphSdc: planted exact copies pair with their donors at cosine 1, mutual; reverse-edge flags exact") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select(col("id"), col("centroid_id"), col("v"))
+    val res = Similarity.ivfResiduals(index, cents)
+    val books = Similarity.pqTrainCodebooks(res, "id", "rv", m = 8, ksub = 16,
+      iters = 2, dims = 64)
+    val codes = Similarity.pqEncode(res, "id", "rv", books, dims = 64,
+      cellCol = Some("centroid_id"))
+    val g = Similarity.knnGraphSdc(codes, books, cents, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // identical vectors get identical codes → the copy-donor reconstruction
+    // cosine is exactly 1 and the pair is symmetric
+    val copyEdges = g.keys.collect { case (q, n) if q >= 2000000L && n == q - 2000000L => (q, n) }
+    assert(copyEdges.nonEmpty)
+    copyEdges.foreach { case (q, n) =>
+      val (rk, cos, mu) = g((q, n))
+      assert(cos == 1.0 && mu, s"copy edge ($q,$n): rank=$rk cos=$cos mutual=$mu")
+    }
+    // mutual is exactly reverse-edge membership
+    g.foreach { case ((a, b), (_, _, mu)) => assert(mu == g.contains((b, a)), s"($a,$b)") }
+    // ranks within a query are 1..n with strictly non-increasing cosine
+    g.groupBy(_._1._1).foreach { case (_, edges) =>
+      val byRank = edges.values.toSeq.sortBy(_._1)
+      assert(byRank.map(_._1) == (1L to byRank.length))
+      byRank.sliding(2).foreach {
+        case Seq(x, y) => assert(x._2 >= y._2)
+        case _ =>
+      }
+    }
+  }
+
   test("dsirResample: deterministic Gumbel-top-k — two runs agree row-for-row") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.sf)
     def run() = TextAnalysis.dsirResample(docs, "doc_id", "text",
