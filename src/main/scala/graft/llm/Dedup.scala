@@ -1149,6 +1149,79 @@ object Dedup {
         col("dup_of"), col("cosine"), col("dup_of").isNull.as("keep"))
   }
 
+  /**
+   * SemDeDup at PURE CODE BYTES — [[semanticDedupFromCells]]'s within-cell
+   * scan scored entirely in residual-PQ code space
+   * ([[Similarity.knnGraphSdc]]'s SDC decomposition: four families of
+   * precomputed 6-dp terms, m integer lookups + exact long sums per
+   * pair), so the dedup quadratic reads the m-byte code table on BOTH
+   * sides — at the measured 1M geometry, 12.8 MB of codes instead of
+   * 630 MB of raw vectors. Same election contract as the float scan:
+   * per member, the best EARLIER same-cell match at `sdc_cosine ≥
+   * threshold` (ties to the smaller id — the ascending scan's first
+   * achiever), `keep` when none. Zero-norm reconstructions (na ≤ 0 after
+   * rounding) neither match nor are matched and are kept — the float
+   * path's NaN-guard semantics. The trade vs [[semanticDedupFromCells]]
+   * is quantization: SDC cosines are reconstruction cosines, so the
+   * threshold judges code-space similarity (exact copies share codes and
+   * still land at cosine 1).
+   */
+  def semanticDedupSdc(codes: DataFrame, codebooks: DataFrame,
+                       centroids: DataFrame, threshold: Double): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      Similarity.sdcTermTables(codebooks, centroids))
+    codes
+      .select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cell, it) =>
+        val (mm, nnT, sdT, cnT, cdT) = bc.value
+        val cn = cnT.getOrElse(cell,
+          throw new IllegalStateException(s"semanticDedupSdc: unknown cell $cell"))
+        def term[K](t: Map[K, Long], key: K): Long = t.getOrElse(key,
+          throw new IllegalStateException(
+            s"semanticDedupSdc: code term $key missing from the codebook — stale store"))
+        val members = it.map { case (id, _, cs) =>
+          require(cs.length == mm,
+            s"semanticDedupSdc: row $id carries ${cs.length} codes, codebook has $mm subspaces")
+          val codesArr = cs.toArray
+          var sa = 0L; var snn = 0L; var s = 0
+          while (s < mm) {
+            sa += term(cdT, (cell, s, codesArr(s)))
+            snn += term(nnT, (s, codesArr(s)))
+            s += 1
+          }
+          (id, codesArr, sa, cn + 2 * sa + snn)
+        }.toArray.sortBy(_._1)
+        members.iterator.zipWithIndex.map { case ((id, qc, qsa, qna), j) =>
+          var bestCos = Double.NegativeInfinity
+          var bestId = -1L
+          if (qna > 0L) {
+            var i = 0
+            while (i < j) {
+              val (idB, ncodes, nsa, nna) = members(i)
+              if (nna > 0L) {
+                var sab = 0L; var s = 0
+                while (s < mm) { sab += term(sdT, (s, qc(s), ncodes(s))); s += 1 }
+                val cos = Similarity.roundHalfUp(
+                  ((cn + qsa + nsa + sab) / 1e6) /
+                    (math.sqrt(qna / 1e6) * math.sqrt(nna / 1e6)), 6)
+                // ascending scan: a strictly-greater cosine wins, so ties
+                // keep the FIRST (smallest-id) achiever — the house rule
+                if (cos >= threshold && cos > bestCos) { bestCos = cos; bestId = idB }
+              }
+              i += 1
+            }
+          }
+          if (bestId >= 0L) (id, cell, Option(bestId), Option(bestCos), false)
+          else (id, cell, Option.empty[Long], Option.empty[Double], true)
+        }
+      }
+      .toDF("id", "cluster_id", "dup_of", "sdc_cosine", "keep")
+  }
+
   /** Above this many total hyperplanes the banded signature is computed by
     * the typed JIT kernel ([[Similarity.lshSigRowsTyped]], plane matrix
     * broadcast once) instead of the codegen expression — at production

@@ -1415,16 +1415,20 @@ object Similarity {
    * from the codebook fails loudly (stale store). `mutual` is the
    * [[knnGraph]] canonical-pair aggregation.
    */
-  def knnGraphSdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
-                  k: Int): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
+  /** The SDC term tables ([[knnGraphSdc]]'s decomposition), collected
+    * driver-side and scaled to 6-dp longs: `(m, ‖cv‖² per (sub, code),
+    * cv·cv per (sub, code, code), ‖c‖² per cell, c·cv per (cell, sub,
+    * code))`. k·(1+m·ksub) + m·ksub² entries — tiny by PQ's construction,
+    * broadcast by every SDC consumer. */
+  private[llm] def sdcTermTables(codebooks: DataFrame, centroids: DataFrame):
+      (Int, Map[(Int, Long), Long], Map[(Int, Long, Long), Long],
+       Map[Long, Long], Map[(Long, Int, Long), Long]) = {
     def s6(x: Double): Long = math.round(roundHalfUp(x, 6) * 1e6)
     val cvs: Map[(Int, Long), Array[Double]] = codebooks
       .select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
       .toMap
-    require(cvs.nonEmpty, "knnGraphSdc: empty codebook table")
+    require(cvs.nonEmpty, "sdcTermTables: empty codebook table")
     val m = cvs.keys.map(_._1).max + 1
     val sub = cvs.head._2.length
     val nn6: Map[(Int, Long), Long] = cvs.map { case (key, cv) =>
@@ -1445,7 +1449,14 @@ object Similarity {
       while (i < cv.length) { acc += c(s * sub + i) * cv(i); i += 1 }
       (cid, s, code) -> s6(acc)
     }).toMap
-    val bc = spark.sparkContext.broadcast((m, nn6, sdot6, cn6, cdot6))
+    (m, nn6, sdot6, cn6, cdot6)
+  }
+
+  def knnGraphSdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                  k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(sdcTermTables(codebooks, centroids))
     val edges = codes
       .select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
       .as[(Long, Long, Seq[Long])]

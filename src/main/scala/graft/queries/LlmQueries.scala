@@ -35,7 +35,8 @@ object LlmQueries {
     pipelineCuration3, textSpanDedup2, textPackBins,
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
-    simGraphClusters, textQualityClf2, textDsir2, simGraphSdc)
+    simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
+    dedupSemanticSdc)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3335,6 +3336,76 @@ object LlmQueries {
             |  SELECT e2.b, r.lab FROM r JOIN edges e2 ON e2.a = r.id)
             |SELECT id AS vec_id, min(lab) AS cluster_id FROM r GROUP BY id
             |ORDER BY vec_id""".stripMargin))
+
+  /** SemDeDup at code bytes ([[Dedup.semanticDedupSdc]]): the within-cell
+    * dedup scan scored entirely in residual-PQ code space over the STORED
+    * index artifacts — both sides of the quadratic read m-byte codes.
+    * Same election contract as `dedup_semantic2` (best earlier match,
+    * ties to the smaller id, keep when none); t=0.5 on reconstruction
+    * cosines. Oracle replays the full chain and the four-term DECIMAL
+    * decomposition. */
+  val dedupSemanticSdc: QueryDef = QueryDef("dedup_semantic_sdc",
+    (s, d) => {
+      val ivf = Materialized.ivfIndex(s, d)
+      Dedup.semanticDedupSdc(Materialized.pqCodes(s, d),
+          Materialized.pqCodebooks(s, d), ivf.centroids, threshold = 0.5)
+        .orderBy("id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$ivfResidualSql,
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |nnt AS (SELECT subspace, code_id,
+            |          round(list_sum([x * x for x in cv]), 6) AS nn6 FROM pb2),
+            |sdt AS (SELECT p1.subspace, p1.code_id AS ca, p2.code_id AS cb,
+            |          round(list_sum([p1.cv[i] * p2.cv[i] for i in range(1, 9)]), 6)
+            |            AS sdot6
+            |        FROM pb2 p1 JOIN pb2 p2 ON p1.subspace = p2.subspace),
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |          round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                          for i in range(1, 9)]), 6) AS cdot6
+            |         FROM pb2 p, c2 c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |mem AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |          sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS sa,
+            |          sum(CAST(n.nn6 AS DECIMAL(20,6))) AS snn
+            |        FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
+            |        JOIN lutc l ON a3.centroid_id = l.cell
+            |          AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |        JOIN nnt n ON a.subspace = n.subspace AND a.code_id = n.code_id
+            |        GROUP BY 1, 2),
+            |memn AS (SELECT mem.vec_id, mem.cell, mem.sa,
+            |          CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn AS na
+            |         FROM mem JOIN cc ON mem.cell = cc.cell),
+            |valid AS (SELECT * FROM memn WHERE na > 0),
+            |sc AS (SELECT a.vec_id AS id, b.vec_id AS id_b, a.cell,
+            |         a.sa AS qsa, a.na AS qna, b.sa AS nsa, b.na AS nna
+            |       FROM valid a JOIN valid b ON a.cell = b.cell
+            |         AND b.vec_id < a.vec_id),
+            |sab AS (SELECT sc.id, sc.id_b,
+            |          sum(CAST(s.sdot6 AS DECIMAL(20,6))) AS sab
+            |        FROM sc JOIN pa3 qa ON sc.id = qa.vec_id
+            |          JOIN pa3 qb ON sc.id_b = qb.vec_id
+            |            AND qb.subspace = qa.subspace
+            |          JOIN sdt s ON s.subspace = qa.subspace
+            |            AND s.ca = qa.code_id AND s.cb = qb.code_id
+            |        GROUP BY 1, 2),
+            |sco AS (SELECT sc.id, sc.id_b,
+            |          round(((CAST(cc.cn6 AS DECIMAL(20,6)) + sc.qsa + sc.nsa
+            |                  + sab.sab)::DOUBLE)
+            |            / (sqrt(sc.qna::DOUBLE) * sqrt(sc.nna::DOUBLE)), 6) AS cos
+            |        FROM sc JOIN sab ON sc.id = sab.id AND sc.id_b = sab.id_b
+            |          JOIN cc ON sc.cell = cc.cell),
+            |best AS (SELECT id, id_b AS dup_of, cos AS sdc_cosine FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY id
+            |      ORDER BY cos DESC, id_b) AS rn
+            |    FROM sco WHERE cos >= 0.5) WHERE rn = 1)
+            |SELECT m.vec_id AS id, m.cell AS cluster_id, best.dup_of,
+            |  best.sdc_cosine, (best.dup_of IS NULL) AS keep
+            |FROM memn m LEFT JOIN best ON m.vec_id = best.id
+            |ORDER BY id""".stripMargin))
 
   /** Code-to-code SDC kNN graph ([[Similarity.knnGraphSdc]]): the graph
     * construction at PURE CODE BYTES — both sides of every comparison are

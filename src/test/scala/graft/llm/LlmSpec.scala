@@ -2051,6 +2051,39 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupSdc: planted exact copies elect their donors at cosine 1; keeps partition the corpus") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select(col("id"), col("centroid_id"), col("v"))
+    val res = Similarity.ivfResiduals(index, cents)
+    val books = Similarity.pqTrainCodebooks(res, "id", "rv", m = 8, ksub = 16,
+      iters = 2, dims = 64)
+    val codes = Similarity.pqEncode(res, "id", "rv", books, dims = 64,
+      cellCol = Some("centroid_id"))
+    val out = Dedup.semanticDedupSdc(codes, books, cents, threshold = 0.9)
+      .collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+      }.toMap
+    assert(out.size == emb.count())
+    // every exact copy (vec_id = donor + 2000000) shares its donor's codes:
+    // it must be judged a dup at reconstruction cosine 1 — of its donor or
+    // of an even-earlier identical-code member
+    val copies = out.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { q =>
+      val (dupOf, cos, keep) = out(q)
+      assert(!keep && cos.contains(1.0) && dupOf.exists(_ < q),
+        s"copy $q: dup_of=$dupOf cos=$cos keep=$keep")
+    }
+    // keep ⟺ no dup_of; a dup's target is always an earlier id
+    out.foreach { case (id, (dupOf, _, keep)) =>
+      assert(keep == dupOf.isEmpty)
+      dupOf.foreach(d => assert(d < id))
+    }
+  }
+
   test("dsirResample: deterministic Gumbel-top-k — two runs agree row-for-row") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.sf)
     def run() = TextAnalysis.dsirResample(docs, "doc_id", "text",
