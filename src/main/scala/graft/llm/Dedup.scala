@@ -1177,23 +1177,17 @@ object Dedup {
       .as[(Long, Long, Seq[Long])]
       .groupByKey(_._2)
       .flatMapGroups { (cell, it) =>
-        val (mm, nnT, sdT, cnT, cdT) = bc.value
-        val cn = cnT.getOrElse(cell,
+        val t = bc.value
+        val cn = t.cn.getOrElse(cell,
           throw new IllegalStateException(s"semanticDedupSdc: unknown cell $cell"))
-        def term[K](t: Map[K, Long], key: K): Long = t.getOrElse(key,
-          throw new IllegalStateException(
-            s"semanticDedupSdc: code term $key missing from the codebook — stale store"))
+        val cd = t.cd(cell)
         val members = it.map { case (id, _, cs) =>
-          require(cs.length == mm,
-            s"semanticDedupSdc: row $id carries ${cs.length} codes, codebook has $mm subspaces")
-          val codesArr = cs.toArray
+          require(cs.length == t.m,
+            s"semanticDedupSdc: row $id carries ${cs.length} codes, codebook has ${t.m} subspaces")
+          val dc = t.dense(cs.toArray, "semanticDedupSdc")
           var sa = 0L; var snn = 0L; var s = 0
-          while (s < mm) {
-            sa += term(cdT, (cell, s, codesArr(s)))
-            snn += term(nnT, (s, codesArr(s)))
-            s += 1
-          }
-          (id, codesArr, sa, cn + 2 * sa + snn)
+          while (s < t.m) { sa += cd(s)(dc(s)); snn += t.nn(s)(dc(s)); s += 1 }
+          (id, dc, sa, cn + 2 * sa + snn)
         }.toArray.sortBy(_._1)
         members.iterator.zipWithIndex.map { case ((id, qc, qsa, qna), j) =>
           var bestCos = Double.NegativeInfinity
@@ -1204,13 +1198,18 @@ object Dedup {
               val (idB, ncodes, nsa, nna) = members(i)
               if (nna > 0L) {
                 var sab = 0L; var s = 0
-                while (s < mm) { sab += term(sdT, (s, qc(s), ncodes(s))); s += 1 }
-                val cos = Similarity.roundHalfUp(
-                  ((cn + qsa + nsa + sab) / 1e6) /
-                    (math.sqrt(qna / 1e6) * math.sqrt(nna / 1e6)), 6)
-                // ascending scan: a strictly-greater cosine wins, so ties
-                // keep the FIRST (smallest-id) achiever — the house rule
-                if (cos >= threshold && cos > bestCos) { bestCos = cos; bestId = idB }
+                while (s < t.m) { sab += t.sd(s)(qc(s) * t.ksub(s) + ncodes(s)); s += 1 }
+                val cos0 = ((cn + qsa + nsa + sab) / 1e6) /
+                  (math.sqrt(qna / 1e6) * math.sqrt(nna / 1e6))
+                // skip the per-pair BigDecimal rounding when even the
+                // round-up bound (≤ 5e-7) can reach neither the threshold
+                // nor the current best — the knnGraphSdc fast-reject
+                if (cos0 + 5e-7 >= threshold && cos0 + 5e-7 > bestCos) {
+                  val cos = Similarity.roundHalfUp(cos0, 6)
+                  // ascending scan: a strictly-greater cosine wins, so ties
+                  // keep the FIRST (smallest-id) achiever — the house rule
+                  if (cos >= threshold && cos > bestCos) { bestCos = cos; bestId = idB }
+                }
               }
               i += 1
             }

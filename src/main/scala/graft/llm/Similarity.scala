@@ -1415,41 +1415,69 @@ object Similarity {
    * from the codebook fails loudly (stale store). `mutual` is the
    * [[knnGraph]] canonical-pair aggregation.
    */
-  /** The SDC term tables ([[knnGraphSdc]]'s decomposition), collected
-    * driver-side and scaled to 6-dp longs: `(m, ‖cv‖² per (sub, code),
-    * cv·cv per (sub, code, code), ‖c‖² per cell, c·cv per (cell, sub,
-    * code))`. k·(1+m·ksub) + m·ksub² entries — tiny by PQ's construction,
-    * broadcast by every SDC consumer. */
-  private[llm] def sdcTermTables(codebooks: DataFrame, centroids: DataFrame):
-      (Int, Map[(Int, Long), Long], Map[(Int, Long, Long), Long],
-       Map[Long, Long], Map[(Long, Int, Long), Long]) = {
+  /** DENSE SDC term tables ([[knnGraphSdc]]'s decomposition), collected
+    * driver-side and scaled to 6-dp longs. Code ids may be non-dense
+    * (per-subspace k-means can drop empty codes), so each subspace carries
+    * a code→dense-slot map applied ONCE per member; the per-PAIR hot path
+    * is then pure flat-array arithmetic — the first 55k measurement of the
+    * boxed-tuple-map version spent 7× the float graph's wall on per-lookup
+    * tuple allocation. k·(1+m·ksub) + m·ksub² longs — tiny by PQ's
+    * construction, broadcast by every SDC consumer. */
+  private[llm] final case class SdcTables(
+      m: Int,
+      codeIdx: Array[Map[Long, Int]],      // per sub: code id → dense slot
+      nn: Array[Array[Long]],              // per sub, dense: ‖cv‖²·10⁶
+      sd: Array[Array[Long]],              // per sub, a·ksub+b: cv_a·cv_b·10⁶
+      ksub: Array[Int],
+      cn: Map[Long, Long],                 // per cell: ‖c‖²·10⁶
+      cd: Map[Long, Array[Array[Long]]]) { // per cell, sub, dense: c·cv·10⁶
+    /** Dense slots for a member's codes — m map lookups, once per row. */
+    def dense(codes: Array[Long], ctx: => String): Array[Int] =
+      Array.tabulate(m) { s =>
+        codeIdx(s).getOrElse(codes(s), throw new IllegalStateException(
+          s"$ctx: code ${codes(s)} of subspace $s missing from the codebook — stale store"))
+      }
+  }
+
+  private[llm] def sdcTermTables(codebooks: DataFrame, centroids: DataFrame): SdcTables = {
     def s6(x: Double): Long = math.round(roundHalfUp(x, 6) * 1e6)
-    val cvs: Map[(Int, Long), Array[Double]] = codebooks
+    val rows = codebooks
       .select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
-      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    require(cvs.nonEmpty, "sdcTermTables: empty codebook table")
-    val m = cvs.keys.map(_._1).max + 1
-    val sub = cvs.head._2.length
-    val nn6: Map[(Int, Long), Long] = cvs.map { case (key, cv) =>
-      key -> s6(dotKernel(cv, cv)) }
-    val sdot6: Map[(Int, Long, Long), Long] = (for {
-      ((sa, ca), cva) <- cvs.toSeq
-      ((sb, cb), cvb) <- cvs.toSeq if sa == sb
-    } yield (sa, ca, cb) -> s6(dotKernel(cva, cvb))).toMap
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "sdcTermTables: empty codebook table")
+    val m = rows.map(_._1).max + 1
+    val sub = rows.head._3.length
+    val bySub: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val codeIdx = bySub.map(_.iterator.map(_._1).zipWithIndex.toMap)
+    val ksub = bySub.map(_.length)
+    val nn = bySub.map(_.map { case (_, cv) => s6(dotKernel(cv, cv)) })
+    val sd = bySub.map { arr =>
+      val k = arr.length
+      val out = new Array[Long](k * k)
+      var a = 0
+      while (a < k) {
+        var b = 0
+        while (b < k) { out(a * k + b) = s6(dotKernel(arr(a)._2, arr(b)._2)); b += 1 }
+        a += 1
+      }
+      out
+    }
     val cents = centroids
       .select(col("centroid_id").cast("long"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
-    val cn6: Map[Long, Long] = cents.map { case (cid, c) => cid -> s6(dotKernel(c, c)) }
-    val cdot6: Map[(Long, Int, Long), Long] = (for {
-      (cid, c) <- cents.toSeq
-      ((s, code), cv) <- cvs.toSeq
-    } yield {
-      var acc = 0.0; var i = 0
-      while (i < cv.length) { acc += c(s * sub + i) * cv(i); i += 1 }
-      (cid, s, code) -> s6(acc)
-    }).toMap
-    (m, nn6, sdot6, cn6, cdot6)
+    val cn = cents.map { case (cid, c) => cid -> s6(dotKernel(c, c)) }
+    val cd = cents.map { case (cid, c) =>
+      cid -> Array.tabulate(m) { s =>
+        bySub(s).map { case (_, cv) =>
+          var acc = 0.0; var i = 0
+          while (i < cv.length) { acc += c(s * sub + i) * cv(i); i += 1 }
+          s6(acc)
+        }
+      }
+    }
+    SdcTables(m, codeIdx, nn, sd, ksub, cn, cd)
   }
 
   def knnGraphSdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
@@ -1462,44 +1490,61 @@ object Similarity {
       .as[(Long, Long, Seq[Long])]
       .groupByKey(_._2)
       .flatMapGroups { (cell, it) =>
-        val (mm, nnT, sdT, cnT, cdT) = bc.value
-        val cn = cnT.getOrElse(cell,
+        val t = bc.value
+        val cn = t.cn.getOrElse(cell,
           throw new IllegalStateException(s"knnGraphSdc: unknown cell $cell"))
-        def term[K](t: Map[K, Long], key: K): Long = t.getOrElse(key,
-          throw new IllegalStateException(
-            s"knnGraphSdc: code term $key missing from the codebook — stale store"))
-        // per member: (id, codes, sa = Σ c·cv, na = ‖v̂‖² scaled)
+        val cd = t.cd(cell)
+        // per member: (id, dense codes, sa = Σ c·cv, na = ‖v̂‖² scaled)
         val members = it.map { case (id, _, cs) =>
-          require(cs.length == mm,
-            s"knnGraphSdc: row $id carries ${cs.length} codes, codebook has $mm subspaces")
-          val codesArr = cs.toArray
+          require(cs.length == t.m,
+            s"knnGraphSdc: row $id carries ${cs.length} codes, codebook has ${t.m} subspaces")
+          val dc = t.dense(cs.toArray, "knnGraphSdc")
           var sa = 0L; var snn = 0L; var s = 0
-          while (s < mm) {
-            sa += term(cdT, (cell, s, codesArr(s)))
-            snn += term(nnT, (s, codesArr(s)))
-            s += 1
-          }
-          (id, codesArr, sa, cn + 2 * sa + snn)
+          while (s < t.m) { sa += cd(s)(dc(s)); snn += t.nn(s)(dc(s)); s += 1 }
+          (id, dc, sa, cn + 2 * sa + snn)
         }.filter(_._4 > 0L).toArray.sortBy(_._1)
         members.iterator.flatMap { case (qid, qc, qsa, qna) =>
-          // exact in-group top-k: the group IS the complete candidate set
-          val top = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
-          members.foreach { case (nid, ncodes, nsa, nna) =>
+          // exact in-group top-k: the group IS the complete candidate set.
+          // Primitive-array insertion (best-first by (cos desc, id asc)) —
+          // a boxed heap costs one tuple allocation per CANDIDATE, which
+          // dominated the first 55k measurement of this kernel
+          val csArr = new Array[Double](k)
+          val idArr = new Array[Long](k)
+          var size = 0
+          // hoist sqrt(qna) only — the full expression SHAPE (dot / (sq·sn))
+          // must stay identical to the oracle's, ulp for ulp
+          val sq = math.sqrt(qna / 1e6)
+          var mi = 0
+          while (mi < members.length) {
+            val (nid, ncodes, nsa, nna) = members(mi)
             if (nid != qid) {
               var sab = 0L; var s = 0
-              while (s < mm) { sab += term(sdT, (s, qc(s), ncodes(s))); s += 1 }
-              val dot = (cn + qsa + nsa + sab) / 1e6
-              val cos = roundHalfUp(
-                dot / (math.sqrt(qna / 1e6) * math.sqrt(nna / 1e6)), 6)
-              top.enqueue((cos, nid))
-              if (top.size > k) top.dequeue()
+              while (s < t.m) { sab += t.sd(s)(qc(s) * t.ksub(s) + ncodes(s)); s += 1 }
+              val cos0 = ((cn + qsa + nsa + sab) / 1e6) / (sq * math.sqrt(nna / 1e6))
+              // BigDecimal rounding (Spark round() parity) costs an
+              // allocation per call — skip it when even the round-UP bound
+              // (|round₆(x) − x| ≤ 5e-7) cannot reach the current worst
+              if (size == k && cos0 + 5e-7 < csArr(k - 1)) { /* cannot enter */ }
+              else {
+              val cos = roundHalfUp(cos0, 6)
+              val reject = size == k &&
+                (cos < csArr(k - 1) || (cos == csArr(k - 1) && nid > idArr(k - 1)))
+              if (!reject) {
+                var p = size
+                while (p > 0 && (cos > csArr(p - 1) ||
+                  (cos == csArr(p - 1) && nid < idArr(p - 1)))) p -= 1
+                if (p < k) {
+                  var q = math.min(size, k - 1)
+                  while (q > p) { csArr(q) = csArr(q - 1); idArr(q) = idArr(q - 1); q -= 1 }
+                  csArr(p) = cos; idArr(p) = nid
+                  if (size < k) size += 1
+                }
+              }
+              }
             }
+            mi += 1
           }
-          val best: Seq[(Double, Long)] = top.dequeueAll.reverse
-          best.iterator.zipWithIndex.map { case ((cos, nid), i) =>
-            (qid, nid, (i + 1).toLong, cos)
-          }
+          (0 until size).iterator.map(i => (qid, idArr(i), (i + 1).toLong, csArr(i)))
         }
       }
       .toDF("query_id", "neighbor_id", "rank", "sdc_cosine")

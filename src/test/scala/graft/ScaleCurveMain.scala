@@ -536,12 +536,35 @@ object ScaleCurveMain {
       c.count(); c
     }
     val index = graft.llm.Similarity.ivfIndexRows(base, "vec_id", "embedding", cents)
+      .persist()
     val g = graft.llm.Similarity.knnGraph(index, cents, k = 10).persist()
     val (edges, tGraph) = timed(g.count())
     val mutual = g.where(col("mutual")).count()
     println(f"knn-regimes graph n=55000 cells=64 k=10 edges=$edges " +
       f"(${tGraph}%.1fs, train ${tTrain}%.1fs) mutual=${mutual * 100.0 / edges}%.1f%%")
-    g.unpersist(); base.unpersist()
+    // SDC twin: the same cell-local graph scored purely in residual-PQ
+    // code space — measure build wall + top-1 agreement with the float
+    // graph (the quantization trade the regime buys its 64x byte cut with)
+    val idxSlim = index.select(col("id"), col("centroid_id"), col("v"))
+    val res = graft.llm.Similarity.ivfResiduals(idxSlim, cents)
+    val (books, tPq) = timed {
+      val b = graft.llm.Similarity.pqTrainCodebooks(res, "id", "rv",
+        m = 8, ksub = 16, iters = 2, dims = 64)
+      b.count(); b
+    }
+    val codes = graft.llm.Similarity.pqEncode(res, "id", "rv", books,
+      dims = 64, cellCol = Some("centroid_id"))
+    val gs = graft.llm.Similarity.knnGraphSdc(codes, books, cents, k = 10).persist()
+    val (sdcEdges, tSdc) = timed(gs.count())
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("rank") === 1).select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val f1 = top1(g); val s1 = top1(gs)
+    val agree = f1.count { case (q, n) => s1.get(q).contains(n) }
+    println(f"knn-regimes sdc-graph n=55000 cells=64 k=10 edges=$sdcEdges " +
+      f"(${tSdc}%.1fs, pq-train ${tPq}%.1fs) " +
+      f"top1-agree=${agree.toDouble / f1.size}%.3f vs float graph")
+    gs.unpersist(); g.unpersist(); index.unpersist(); base.unpersist()
   }
 
   /**
