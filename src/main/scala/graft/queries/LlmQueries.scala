@@ -36,7 +36,7 @@ object LlmQueries {
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
-    dedupSemanticSdc)
+    dedupSemanticSdc, pipelineCuration4)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2224,6 +2224,104 @@ object LlmQueries {
     * classifier verdict — `selected` is their conjunction. The
     * rule-vs-learned disagreement columns are the observability a
     * production stack watches when promoting a trained gate. */
+  /** The round-9 capstone composition: every quality surface the engine
+    * trains or derives, chained into ONE per-doc verdict — Gopher rules ∧
+    * exact-dedup canonical ∧ STORED-classifier keep ∧ CCNet head+middle
+    * (stored-LM perplexity terciles per language) ∧ character-entropy
+    * floor. All learned stages read store artifacts (clf_model, lm_model);
+    * the corpus text is scanned once per independent signal and every join
+    * key is the doc id. Docs with no tokens carry no perplexity bucket and
+    * fail the CCNet keep (reported as `ppl_bucket = 'none'`). */
+  val pipelineCuration4: QueryDef = QueryDef("pipeline_curation4",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("keep_quality"))
+      val ex = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical").as("keep_exact"))
+      val clf = TextAnalysis.qualityClfScore(docs, "doc_id", "text",
+          Materialized.clfWeights(s, d))
+        .select(col("doc_id"), col("keep").as("keep_clf"))
+      val scored = TextAnalysis.lmScoreFromModel(docs, "doc_id", "text",
+          Materialized.lmUnigrams(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val ppl = TextAnalysis.pplBuckets(scored, "doc_id", "lang")
+        .select(col("doc_id"), col("bucket_label"))
+      val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("char_entropy"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(g, "doc_id").join(ex, "doc_id").join(clf, "doc_id")
+        .join(ppl, Seq("doc_id"), "left")
+        .join(ent, "doc_id")
+        .select(col("doc_id"), col("lang"), col("keep_quality"),
+          col("keep_exact"), col("keep_clf"),
+          coalesce(col("bucket_label"), lit("none")).as("ppl_bucket"),
+          (coalesce(col("bucket_label"), lit("tail")) =!= "tail").as("keep_ppl"),
+          col("char_entropy"),
+          (col("char_entropy") >= 3.0).as("keep_entropy"))
+        .withColumn("selected", col("keep_quality") && col("keep_exact") &&
+          col("keep_clf") && col("keep_ppl") && col("keep_entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clfTrainedSql,
+            |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |so AS (SELECT d.doc_id,
+            |    round(1.0 / (1.0 + exp(-round(coalesce(zs.zs::DOUBLE, 0.0), 6))), 6)
+            |      AS clf_score
+            |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
+            |pt AS (SELECT doc_id, string_split(text, ' ') AS ws2 FROM documents),
+            |ptok AS (SELECT doc_id, len(ws2)::DOUBLE AS dl, unnest(ws2) AS word FROM pt),
+            |pvocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM ptok GROUP BY 1),
+            |ptot AS (SELECT sum(cnt) AS total FROM pvocab),
+            |ptf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM ptok GROUP BY 1, 2, 3),
+            |pc2 AS (SELECT ptf.doc_id, ptf.dl, ptf.tf,
+            |          round(ln(v.cnt / t.total), 6) AS lp
+            |        FROM ptf JOIN pvocab v USING (word) CROSS JOIN ptot t),
+            |pnll AS (SELECT doc_id, dl, round(-sum(tf * lp), 6) AS nll_sum
+            |         FROM pc2 GROUP BY 1, 2),
+            |pd0 AS (SELECT DISTINCT doc_id, dl FROM ptok),
+            |psc AS (SELECT pd0.doc_id, pd0.dl::BIGINT AS n_words,
+            |          coalesce(pnll.nll_sum, 0.0) AS nll_sum
+            |        FROM pd0 LEFT JOIN pnll USING (doc_id, dl)),
+            |pp AS (SELECT psc.doc_id, dd.lang,
+            |         round(psc.nll_sum / psc.n_words, 6) AS ppl_tok
+            |       FROM psc JOIN documents dd USING (doc_id) WHERE psc.n_words > 0),
+            |pb AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+            |         ORDER BY ppl_tok, doc_id) AS bucket FROM pp),
+            |pbl AS (SELECT doc_id, CASE WHEN bucket = 1 THEN 'head'
+            |          WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
+            |        FROM pb),
+            |e0 AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+            |       FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+            |ecc AS (SELECT doc_id, substr(text, i, 1) AS ch, count(*)::BIGINT AS cnt
+            |        FROM e0 GROUP BY 1, 2),
+            |es AS (SELECT doc_id,
+            |         sum(round(cnt * log2(cnt), 6)::DECIMAL(20,6)) AS scv,
+            |         sum(cnt)::BIGINT AS n
+            |       FROM ecc GROUP BY 1),
+            |ent AS (SELECT d.doc_id,
+            |          coalesce(round(log2(es.n) - (es.scv::DOUBLE) / es.n, 6), 0.0)
+            |            AS char_entropy
+            |        FROM documents d LEFT JOIN es ON d.doc_id = es.doc_id),
+            |ex2 AS (SELECT doc_id,
+            |  (doc_id = min(doc_id) OVER (PARTITION BY text)) AS keep_exact
+            |  FROM documents)
+            |SELECT d.doc_id, d.lang, gk.keep AS keep_quality, ex2.keep_exact,
+            |  (so.clf_score >= 0.5) AS keep_clf,
+            |  coalesce(pbl.bucket_label, 'none') AS ppl_bucket,
+            |  (coalesce(pbl.bucket_label, 'tail') <> 'tail') AS keep_ppl,
+            |  ent.char_entropy, (ent.char_entropy >= 3.0) AS keep_entropy,
+            |  (gk.keep AND ex2.keep_exact AND so.clf_score >= 0.5
+            |   AND coalesce(pbl.bucket_label, 'tail') <> 'tail'
+            |   AND ent.char_entropy >= 3.0) AS selected
+            |FROM documents d JOIN gk ON d.doc_id = gk.doc_id
+            |  JOIN ex2 ON d.doc_id = ex2.doc_id
+            |  JOIN so ON d.doc_id = so.doc_id
+            |  LEFT JOIN pbl ON d.doc_id = pbl.doc_id
+            |  JOIN ent ON d.doc_id = ent.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
+
   val pipelineCuration3: QueryDef = QueryDef("pipeline_curation3",
     (s, d) => {
       val docs = Tables.documents(s, d)
