@@ -1134,11 +1134,20 @@ object Dedup {
     // cos = NaN, and Spark ORDERS NaN above every number — without the
     // guard `NaN >= threshold` holds and the zero vector is judged a dup
     // of every earlier cell member. Undefined cosine ⇒ no match ⇒ kept.
+    // raw cosine first, threshold-with-round-up-bound filter, THEN the
+    // 6-dp rounding: Spark's round() allocates a BigDecimal per call, so
+    // paying it only for near/above-threshold survivors (not the whole
+    // within-cell quadratic) is the knnGraphSdc fast-reject in expression
+    // form. |round₆(x) − x| ≤ 5e-7, so the pre-filter keeps a superset of
+    // the rounded matches and the exact rounded filter after it preserves
+    // the output bit-for-bit.
     val matches = a.join(b, Seq("centroid_id")).where(col("id_b") < col("id"))
       .select(col("id"), col("id_b"),
-        round(graft.functions.VectorExpressions.graft_cosine(col("v"), col("v_b")), 6)
-          .as("cos"))
-      .where(!isnan(col("cos")) && col("cos") >= threshold)
+        graft.functions.VectorExpressions.graft_cosine(col("v"), col("v_b"))
+          .as("cos0"))
+      .where(!isnan(col("cos0")) && col("cos0") >= threshold - 5e-7)
+      .select(col("id"), col("id_b"), round(col("cos0"), 6).as("cos"))
+      .where(col("cos") >= threshold)
     val best = matches.groupBy("id")
       .agg(min_by(struct(col("id_b"), col("cos")),
         struct(negate(col("cos")), col("id_b"))).as("m"))
