@@ -1415,6 +1415,48 @@ object Similarity {
    * from the codebook fails loudly (stale store). `mutual` is the
    * [[knnGraph]] canonical-pair aggregation.
    */
+  /**
+   * Cell-balanced diversity sampling over the stored IVF index — the
+   * embedding-space counterpart of α-tempered source mixing: an `n`-row
+   * budget is apportioned to cells by `share_c = n_c^α / Σ n_d^α`
+   * (α=1 keeps natural cluster proportions, α→0 flattens toward uniform —
+   * the cluster-balanced subset selection that keeps rare modes
+   * represented), quotas fixed by integer largest-remainder over
+   * 6-dp-scaled shares (ties to the smaller cell id), and each cell admits
+   * its quota in PROTOTYPICALITY order — ascending build-time distance to
+   * the centroid (the stored 6-dp `dist`), ties to the smaller id. All
+   * arithmetic after one `pow` round is integer, so both engines allocate
+   * identical quotas; admission is one window per cell partition. A quota
+   * can exceed a small cell's population (α-flattening's point); the op
+   * emits what exists and reports `quota` so callers see the deficit.
+   */
+  def cellBalancedSample(index: DataFrame, alpha: Double, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(n > 0, s"budget must be positive, got $n")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val counts = index.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val z = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val fr6 = counts.map { case (cid, c) =>
+      (cid, c, math.round(math.pow(c.toDouble, alpha) / z * n * 1e6)) }
+    val extra = n.toLong - fr6.map(_._3 / 1000000L).sum
+    val seats = fr6.map { case (cid, _, f) => (cid, f % 1000000L) }
+      .sortBy { case (cid, frac) => (-frac, cid) }
+      .take(math.max(0L, extra).toInt).map(_._1).toSet
+    val quotas = fr6.map { case (cid, _, f) =>
+      (cid, f / 1000000L + (if (seats.contains(cid)) 1L else 0L)) }
+      .toSeq.toDF("centroid_id", "quota")
+    val w = Window.partitionBy("centroid_id").orderBy(col("dist"), col("id"))
+    index.select(col("id"), col("centroid_id"), col("dist"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("centroid_id"))
+      .where(col("pos") <= col("quota"))
+      .select(col("id"), col("centroid_id").as("cell"), col("pos"), col("quota"))
+  }
+
   /** DENSE SDC term tables ([[knnGraphSdc]]'s decomposition), collected
     * driver-side and scaled to 6-dp longs. Code ids may be non-dense
     * (per-subspace k-means can drop empty codes), so each subspace carries

@@ -36,7 +36,7 @@ object LlmQueries {
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
-    dedupSemanticSdc, pipelineCuration4)
+    dedupSemanticSdc, pipelineCuration4, simCellSample)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3387,6 +3387,40 @@ object LlmQueries {
             |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
             |  AND g.neighbor_id = g2.query_id
             |ORDER BY g.query_id, g.rank""".stripMargin))
+
+  /** Cell-balanced diversity sampling ([[Similarity.cellBalancedSample]]):
+    * a 200-row budget apportioned over the stored IVF cells at α=0.5
+    * (largest-remainder integer quotas), each cell admitting in
+    * prototypicality order (stored build-time distance, then id) — the
+    * cluster-balanced subset selector that keeps rare modes represented.
+    * Oracle replays train → assign, the quota arithmetic, and the
+    * per-cell window over `round(rd, 6)` (the stored `dist`'s rounding). */
+  val simCellSample: QueryDef = QueryDef("sim_cell_sample",
+    (s, d) => Similarity.cellBalancedSample(
+        Materialized.ivfIndex(s, d).assignment, alpha = 0.5, n = 200)
+      .orderBy("cell", "pos"),
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |cnts AS (SELECT centroid_id, count(*)::BIGINT AS n_c FROM a3 GROUP BY 1),
+            |z AS (SELECT sum(pow(n_c, 0.5)) AS z FROM cnts),
+            |f AS (SELECT centroid_id,
+            |        round(pow(n_c, 0.5) / z.z * 200 * 1e6, 0)::BIGINT AS fr6
+            |      FROM cnts CROSS JOIN z),
+            |b AS (SELECT centroid_id, fr6 // 1000000 AS base,
+            |        fr6 % 1000000 AS frac6 FROM f),
+            |exx AS (SELECT 200 - sum(base) AS extra FROM b),
+            |sr AS (SELECT centroid_id,
+            |         row_number() OVER (ORDER BY frac6 DESC, centroid_id) AS rk FROM b),
+            |q AS (SELECT b.centroid_id,
+            |        base + CASE WHEN sr.rk <= exx.extra THEN 1 ELSE 0 END AS quota
+            |      FROM b JOIN sr USING (centroid_id) CROSS JOIN exx),
+            |r AS (SELECT vec_id, centroid_id,
+            |        row_number() OVER (PARTITION BY centroid_id
+            |          ORDER BY round(rd, 6), vec_id)::BIGINT AS pos
+            |      FROM a3)
+            |SELECT r.vec_id AS id, r.centroid_id AS cell, r.pos, q.quota
+            |FROM r JOIN q USING (centroid_id)
+            |WHERE r.pos <= q.quota ORDER BY cell, pos""".stripMargin))
 
   /** Mutual-kNN graph clustering: connected components over the
     * [[Similarity.knnGraph]] edges that are MUTUAL with non-negative

@@ -2051,6 +2051,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("cellBalancedSample: quotas sum to the budget; alpha lifts the small cell; admission follows prototypicality") {
+    val rows = (1 to 90).map(i => (i.toLong, 1L, i.toDouble)) ++
+      (91 to 100).map(i => (i.toLong, 2L, (i - 90).toDouble))
+    val idx = rows.toDF("id", "centroid_id", "dist")
+    val out = Similarity.cellBalancedSample(idx, alpha = 0.5, n = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val quotas = out.map(r => r._2 -> r._4).toMap
+    assert(quotas(1L) + quotas(2L) == 50)
+    // natural share would give the small cell 5/50; sqrt weighting gives
+    // sqrt(10)/(sqrt(90)+sqrt(10)) = 0.25 of the budget
+    assert(quotas(2L) >= 12, s"small cell got ${quotas(2L)}")
+    // admission = ascending dist (dist == id offset here): the most
+    // prototypical members fill each quota, positions contiguous from 1
+    val c1 = out.filter(_._2 == 1L).sortBy(_._3)
+    assert(c1.map(_._1).toSeq == (1L to quotas(1L)).toSeq)
+    assert(c1.map(_._3).toSeq == (1L to quotas(1L)).toSeq)
+    // the small cell's quota exceeds its population (the documented
+    // deficit case): all 10 members emit, the quota reports the ask
+    val c2 = out.filter(_._2 == 2L).sortBy(_._3)
+    assert(c2.map(_._1).toSeq == (91L to 100L).toSeq)
+    assert(c2.length == 10 && quotas(2L) > 10)
+  }
+
   test("semanticDedupSdc: planted exact copies elect their donors at cosine 1; keeps partition the corpus") {
     val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
     val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
