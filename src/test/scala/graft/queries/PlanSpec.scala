@@ -422,6 +422,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim_cell_sample: quota table broadcasts; admission ranks within cell partitions") {
+    val p = plan("sim_cell_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("hashpartitioning\\(centroid_id".r.findFirstIn(p).isDefined,
+      "admission must rank within cell partitions\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline_curation4: five signals join on the doc id — no cartesian, models broadcast") {
+    val p = plan("pipeline_curation4")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins may appear only as broadcast crosses against
+    // 1-row sidecars (the LM total-count pattern) — never as a fallback
+    // join between corpus-sized sides
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size, p)
+    // the stored classifier weights and LM vocabulary enter as broadcast
+    // sides — the corpus never shuffles for a model lookup
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
     val p = plan("dedup_embedding")
     assert(p.contains("Scan parquet"), p)
