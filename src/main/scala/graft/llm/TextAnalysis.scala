@@ -1413,4 +1413,52 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
       .withColumn("keep", col("score") >= threshold)
   }
+
+  // ------------------------------------------------------------------
+  // GPT-2-style pre-tokenization — the first half of closing the
+  // "BPE is whitespace-word-tokenized" gap. Byte-level BPE trainers do
+  // not merge across PRE-TOKEN boundaries: the corpus is first split by
+  // the GPT-2 pre-tokenizer regex (contraction suffixes, space-prefixed
+  // letter/digit/punctuation runs, whitespace runs), and the trainer
+  // consumes the resulting PIECE-frequency table exactly where the
+  // classic reduction consumes the word-frequency table. The regex here
+  // is GPT-2's with ONE documented deviation: the original's trailing
+  // `\s+(?!\S)` lookahead alternative (detach the last space of an
+  // inter-token whitespace run so it prefixes the next word) is dropped,
+  // because the DuckDB oracle's RE2 engine has no lookahead — so a
+  // multi-space run stays one whitespace piece and the following word
+  // still claims its single leading space via ` ?\p{L}+`. On
+  // single-space-separated text (the synthetic corpus and most prose)
+  // the two regexes produce identical splits. Both engines evaluate
+  // alternation leftmost-first, and `\p{L}`/`\p{N}` are Unicode
+  // categories in both, so the split is engine-portable.
+  // ------------------------------------------------------------------
+
+  /** GPT-2 pre-tokenizer pattern (lookahead-free variant — see section
+    * comment). Portable between Java regex (Spark codegen'd
+    * `regexp_extract_all`) and RE2 (DuckDB oracle). */
+  val Gpt2PreTokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The corpus piece-frequency table `(piece, cnt)` — the drop-in
+    * replacement for the whitespace word table a byte-level BPE trainer
+    * consumes ([[bpeTrain]]'s loop carries over unchanged; only the
+    * alphabet changes, with the leading space mapped to `Ġ` the GPT-2
+    * way so pieces stay space-sentinel-safe). One corpus scan, one hash
+    * shuffle keyed on the piece (map-side combined); the distinct-piece
+    * table is vocab-scale, not corpus-scale — at 100 TB this is the
+    * same one-scan reduction the word table uses. */
+  def preTokenize(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Gpt2PreTokenRegex), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+
+  /** GPT-2's space marker: EVERY space in a piece is rewritten to `Ġ`
+    * (U+0120) — exactly what GPT-2's byte-to-unicode map does to byte
+    * 0x20 — so every piece becomes space-free and the space-sentinel
+    * token representation of [[bpeTrain]] stays unambiguous when
+    * training over pieces (including whitespace-run pieces). */
+  def gpt2SpaceMark(piece: Column): Column =
+    regexp_replace(piece, " ", "Ġ")
 }

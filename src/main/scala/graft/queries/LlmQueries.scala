@@ -36,7 +36,7 @@ object LlmQueries {
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
-    dedupSemanticSdc, pipelineCuration4, simCellSample)
+    dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3980,6 +3980,27 @@ object LlmQueries {
            |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe,
            |  length(text)::BIGINT AS n_chars
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** GPT-2-style pre-tokenization ([[TextAnalysis.preTokenize]]): the
+    * corpus piece-frequency table a byte-level BPE trainer consumes,
+    * with the `Ġ` space-mark applied the GPT-2 way. Top-200 by
+    * `(cnt DESC, piece)` — a total order (pieces are distinct after the
+    * groupBy), so the limit boundary is deterministic in both engines. */
+  val textPretokenize: QueryDef = QueryDef("text_pretokenize",
+    (s, d) => {
+      val pieces = TextAnalysis.preTokenize(Tables.documents(s, d), "text")
+      pieces.select(col("piece"),
+          TextAnalysis.gpt2SpaceMark(col("piece")).as("marked"), col("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(200)
+    },
+    Some("""WITH p AS (
+           |  SELECT unnest(regexp_extract_all(text,
+           |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS piece
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT piece, regexp_replace(piece, ' ', 'Ġ', 'g') AS marked,
+           |  count(*)::BIGINT AS cnt
+           |FROM p GROUP BY piece
+           |ORDER BY cnt DESC, piece LIMIT 200""".stripMargin))
 
   val textFingerprint: QueryDef = QueryDef("text_fingerprint",
     (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")

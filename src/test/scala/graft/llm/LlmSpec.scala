@@ -2116,4 +2116,24 @@ class LlmSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.length == 50)
   }
+
+  test("preTokenize: GPT-2 split semantics — contractions, space-prefixed runs, punctuation, Ġ mark") {
+    val d = Seq((1L, "I'll don't 123 ok!?  end"), (2L, "I'll ok"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.preTokenize(d, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // contraction suffixes split off; words claim one leading space;
+    // digit and punctuation runs are their own pieces; the double space
+    // before "end" is one whitespace piece (lookahead-free deviation),
+    // so "end" still gets NO leading space
+    assert(got == Map(
+      "I" -> 2L, "'ll" -> 2L, " don" -> 1L, "'t" -> 1L, " 123" -> 1L,
+      " ok" -> 2L, "!?" -> 1L, "  " -> 1L, "end" -> 1L))
+    val marked = d.select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.Gpt2PreTokenRegex), lit(0))).as("p"))
+      .select(TextAnalysis.gpt2SpaceMark(col("p")).as("m"))
+      .where(col("m").startsWith("Ġ")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(marked == Set("Ġdon", "Ġ123", "Ġok", "ĠĠ"))
+  }
 }
