@@ -1461,4 +1461,21 @@ object TextAnalysis {
     * training over pieces (including whitespace-run pieces). */
   def gpt2SpaceMark(piece: Column): Column =
     regexp_replace(piece, " ", "Ġ")
+
+  /** The corpus re-expressed as space-joined Ġ-marked pieces: each doc's
+    * text becomes its GPT-2 pre-token sequence with every in-piece space
+    * rewritten to `Ġ`, so pieces are space-free and single-space-joined.
+    * Feeding THIS corpus to [[bpeTrain]]/[[bpeTrainDelta]] makes the
+    * existing whitespace trainer a GPT-2-pre-tokenized trainer with zero
+    * changes to the loop: its `\S+` word table over the rewritten text
+    * IS the piece-frequency table ([[preTokenize]] ∘ [[gpt2SpaceMark]]),
+    * and merges can never cross a pre-token boundary (the GPT-2
+    * invariant) because pieces are whitespace-separated words to the
+    * trainer. One narrow projection — no extra scan or shuffle. */
+  def preTokenizedCorpus(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .withColumn(textCol, array_join(
+        transform(
+          regexp_extract_all(col(textCol), lit(Gpt2PreTokenRegex), lit(0)),
+          p => regexp_replace(p, " ", "Ġ")), " "))
 }

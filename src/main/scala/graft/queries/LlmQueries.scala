@@ -36,7 +36,8 @@ object LlmQueries {
     simKnnHamming, textHybridRrf, textPplBuckets, textDsir,
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
-    dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize)
+    dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
+    textBpeTrainPre)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2036,9 +2037,21 @@ object LlmQueries {
     * training parameters cannot silently diverge. */
   private def bpeTrainedSql: String = bpeTrainedSqlFor(BpeRounds, BpeBatch)
 
-  private def bpeTrainedSqlFor(rounds: Int, batch: Int) =
+  /** Whitespace word stream — the default trainer input. */
+  private val wsWordSql: String =
+    "SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents"
+
+  /** GPT-2 pre-token piece stream with the Ġ space-mark — the
+    * [[TextAnalysis.preTokenizedCorpus]] trainer input (`text_bpe_train_pre`). */
+  private val gpt2PieceWordSql: String =
+    "SELECT regexp_replace(unnest(regexp_extract_all(text, " +
+      "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')), " +
+      "' ', 'Ġ', 'g') AS w FROM documents WHERE text IS NOT NULL"
+
+  private def bpeTrainedSqlFor(rounds: Int, batch: Int,
+                               wordSql: String = wsWordSql) =
     s"""wc AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+       |    $wordSql)
        |  GROUP BY 1),
        |w0 AS MATERIALIZED (SELECT w,
        |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s, freq
@@ -3041,6 +3054,28 @@ object LlmQueries {
         merges = 256, batch = 32)
       .orderBy("rank"),
     Some(s"""WITH $bpeTrainedSql,
+            |m AS (${(1 to BpeRounds).map(n =>
+                s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
+                .mkString("\n|      UNION ALL ")})
+            |SELECT row_number() OVER (ORDER BY round, rsel) AS rank,
+            |  string_split(pair, ' ')[1] AS lhs,
+            |  string_split(pair, ' ')[2] AS rhs,
+            |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
+            |FROM m ORDER BY rank""".stripMargin))
+
+  /** GPT-2-pre-tokenized BPE training: the same batched loop run over
+    * [[TextAnalysis.preTokenizedCorpus]] — the corpus rewritten as
+    * space-joined Ġ-marked pieces — so merges respect pre-token
+    * boundaries (the GPT-2 invariant) and the alphabet gains `Ġ`. The
+    * oracle is the SAME [[bpeTrainedSqlFor]] replay with only the word
+    * stream swapped to the marked-piece stream; the loop CTEs are
+    * shared, so the two trainers cannot silently diverge. */
+  val textBpeTrainPre: QueryDef = QueryDef("text_bpe_train_pre",
+    (s, d) => TextAnalysis.bpeTrain(
+        TextAnalysis.preTokenizedCorpus(Tables.documents(s, d), "text"),
+        "text", merges = 256, batch = 32)
+      .orderBy("rank"),
+    Some(s"""WITH ${bpeTrainedSqlFor(BpeRounds, BpeBatch, gpt2PieceWordSql)},
             |m AS (${(1 to BpeRounds).map(n =>
                 s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
                 .mkString("\n|      UNION ALL ")})

@@ -2136,4 +2136,18 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(marked == Set("Ġdon", "Ġ123", "Ġok", "ĠĠ"))
   }
+
+  test("bpeTrain over preTokenizedCorpus: merges respect pre-token boundaries; raw trainer crosses them") {
+    val d = Seq((1L, "x-y x-y x-y to to to")).toDF("doc_id", "text")
+    val pre = TextAnalysis.bpeTrain(
+        TextAnalysis.preTokenizedCorpus(d, "text"), "text", merges = 8)
+      .collect().map(_.getString(3)).toSet
+    // pieces are x, -, y, Ġx, Ġto…: the only learnable merges live inside
+    // Ġto / Ġx — nothing ever fuses a letter to '-' across a boundary
+    assert(pre == Set("to", "Ġto", "Ġx"))
+    val raw = TextAnalysis.bpeTrain(d, "text", merges = 8)
+      .collect().map(_.getString(3)).toSet
+    // the whitespace trainer happily learns the cross-boundary '-y'/'x-y'
+    assert(raw == Set("-y", "to", "x-y"))
+  }
 }
