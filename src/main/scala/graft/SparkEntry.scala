@@ -15,8 +15,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SparkEntry {
 
-  val defs: Seq[QueryDef] =
-    ParityQueries.all ++ RelationalQueries.all ++ LlmQueries.all
+  /** Declared registry size — the ONE count the coverage board and
+    * ContractSpec quote. It lives beside the registry it describes and is
+    * enforced by the `require` below at object init, so adding a query
+    * without bumping it fails every entrypoint (Verify, Bench, any spec)
+    * immediately — a drift can no longer ship three commits before a test
+    * notices (the round-9 146-vs-148 failure mode). */
+  val DeclaredCoverage: Int = 148
+
+  val defs: Seq[QueryDef] = {
+    val all = ParityQueries.all ++ RelationalQueries.all ++ LlmQueries.all
+    require(all.size == DeclaredCoverage,
+      s"registry drift: ${all.size} queries defined but DeclaredCoverage " +
+        s"= $DeclaredCoverage — bump the constant beside this registry")
+    require(all.map(_.name).distinct.size == all.size,
+      "duplicate query names in the registry")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The composed training-data pipeline: quality scoring → lang-ID →

@@ -28,8 +28,14 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("registry size matches the declared coverage (146 queries, all oracled)") {
-    assert(SparkEntry.queries.size == 146, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 146, s"got ${SparkEntry.oracleSql.size}")
+  test("registry size matches the declared coverage; every query is oracled") {
+    // the count itself lives beside the registry (SparkEntry.DeclaredCoverage,
+    // enforced by a require at object init) so it cannot drift silently; this
+    // spec re-states it and additionally pins the all-oracled invariant
+    assert(SparkEntry.queries.size == SparkEntry.DeclaredCoverage,
+      s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
+      "every registered query must carry a DuckDB oracle — " +
+        s"${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet} have none")
   }
 }
