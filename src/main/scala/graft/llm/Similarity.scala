@@ -1443,9 +1443,15 @@ object Similarity {
     val fr6 = counts.map { case (cid, c) =>
       (cid, c, math.round(math.pow(c.toDouble, alpha) / z * n * 1e6)) }
     val extra = n.toLong - fr6.map(_._3 / 1000000L).sum
+    // deficit impossible below 2·10⁶ cells (each fr6 overshoots < 0.5
+    // micro-seats — the temperatureMix argument); fail loud, never
+    // silently over-emit the budget
+    require(extra >= 0L,
+      s"largest-remainder deficit (extra = $extra) — cell alphabet too " +
+        "large for exact 6-dp apportionment")
     val seats = fr6.map { case (cid, _, f) => (cid, f % 1000000L) }
       .sortBy { case (cid, frac) => (-frac, cid) }
-      .take(math.max(0L, extra).toInt).map(_._1).toSet
+      .take(extra.toInt).map(_._1).toSet
     val quotas = fr6.map { case (cid, _, f) =>
       (cid, f / 1000000L + (if (seats.contains(cid)) 1L else 0L)) }
       .toSeq.toDF("centroid_id", "quota")

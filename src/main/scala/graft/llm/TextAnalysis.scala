@@ -244,14 +244,28 @@ object TextAnalysis {
   def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
                      sourceCol: String, alpha: Double, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val quotas = alphaQuotas(docs, sourceCol, alpha, n)
+    val admitW = Window.partitionBy("source").orderBy(col("pri"), col("id"))
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        coalesce(md5(col(textCol)), lit("<null-text>")).as("pri"))
+      .withColumn("pos", row_number().over(admitW).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("pos") <= col("quota"))
+      .select(col("id").as(idCol), col("source"), col("pos"), col("quota"))
+  }
+
+  /** The α-sampling quota table `(source, n_s, quota)` shared by
+    * [[temperatureMix]] and [[temperatureMixRanged]]: per-source counts
+    * are a bounded control-plane pull (S = the distinct source alphabet);
+    * apportionment runs driver-side in exact integer arithmetic —
+    * ranking S rows through a cluster window would plan an unpartitioned
+    * WindowExec and train readers to ignore that warning. */
+  private def alphaQuotas(docs: DataFrame, sourceCol: String,
+                          alpha: Double, n: Int): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
     require(n > 0, s"budget must be positive, got $n")
     val spark = docs.sparkSession
     import spark.implicits._
-    // per-source counts are a bounded control-plane pull (S = the distinct
-    // source alphabet); apportionment runs driver-side in exact integer
-    // arithmetic — ranking S rows through a cluster window would plan an
-    // unpartitioned WindowExec and train readers to ignore that warning
     val counts0 = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_s"))
       .as[(String, Long)].collect()
@@ -266,19 +280,21 @@ object TextAnalysis {
     val fr6 = counts.map { case (s, ns) =>
       (s, ns, math.round(math.pow(ns.toDouble, alpha) / z * n * 1e6)) }
     val extra = n.toLong - fr6.map(_._3 / 1000000L).sum
+    // extra < 0 would need Σ floor(fr6/10⁶) > n, i.e. Σ fr6 > n·10⁶ by a
+    // full seat; each fr6 overshoots its true share by < 0.5, so the sum
+    // overshoots by < S/2·10⁻⁶ seats — impossible below S = 2·10⁶ sources,
+    // which is far past the driver-side alphabet bound this collect
+    // already assumes. Fail loud rather than silently over-emit the
+    // budget if that assumption is ever violated.
+    require(extra >= 0L,
+      s"largest-remainder deficit (extra = $extra) — source alphabet too " +
+        "large for exact 6-dp apportionment")
     val seats = fr6.map { case (s, _, f) => (s, f % 1000000L) }
       .sortBy { case (s, frac) => (-frac, s) }
-      .take(math.max(0L, extra).toInt).map(_._1).toSet
-    val quotas = fr6.map { case (s, ns, f) =>
+      .take(extra.toInt).map(_._1).toSet
+    fr6.map { case (s, ns, f) =>
       (s, ns, f / 1000000L + (if (seats.contains(s)) 1L else 0L)) }
       .toSeq.toDF("source", "n_s", "quota")
-    val admitW = Window.partitionBy("source").orderBy(col("pri"), col("id"))
-    docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
-        coalesce(md5(col(textCol)), lit("<null-text>")).as("pri"))
-      .withColumn("pos", row_number().over(admitW).cast("long"))
-      .join(broadcast(quotas), Seq("source"))
-      .where(col("pos") <= col("quota"))
-      .select(col("id").as(idCol), col("source"), col("pos"), col("quota"))
   }
 
   /** Corpus n-gram frequencies (all occurrences, not per-doc deduped):
@@ -648,8 +664,11 @@ object TextAnalysis {
    * source's cumulative token count exceeds `budget` — the "fill each
    * domain's token quota reproducibly" step of assembling a training mix.
    * One window per source partition (hash order, ties to the id — no
-   * global sort, no RNG state); at 100 TB each source's running sum is an
-   * independent partition of the single shuffle.
+   * global sort, no RNG state). SCALE CAVEAT: the source alphabet is
+   * small by construction, so each source's running sum is ONE window
+   * task — fine while a source fits a task, a single-task sort at 100 TB.
+   * [[budgetMixRanged]] is the row-identical distributed-prefix-sum twin
+   * for that regime; this form stays as the small-corpus oracle shape.
    */
   def budgetMix(docs: DataFrame, idCol: String, textCol: String,
                 sourceCol: String, budget: Long): DataFrame = {
@@ -668,6 +687,81 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .select(col("id").as(idCol), col("source"), col("n_tokens"),
         col("cum_tokens"), (col("cum_tokens") <= budget).as("keep"))
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed prefix-sum admission — the 100×-safe twins of the
+  // window-partitioned quota family. [[budgetMix]] / [[temperatureMix]]
+  // rank or running-sum through Window.partitionBy(source); the source
+  // alphabet is SMALL by construction, so at 100 TB ONE task receives
+  // and sorts every row of a giant source. The ranged variants split
+  // each source into priority-prefix RANGES — the first two characters
+  // of the md5 admission priority. A prefix of the sort key is
+  // order-compatible with it (for ≥2-char strings, prefix2(a) <
+  // prefix2(b) ⇒ a < b, and equal prefixes land in the same range), so:
+  //   1. per-(source, range) subtotals — one tiny aggregate, ≤ S×257
+  //      rows (256 hex pairs + the "<n" null-text sentinel);
+  //   2. exclusive prefix-sum of the subtotals per source — a window
+  //      over ≤ 257 rows per source, bounded by the RANGE alphabet, not
+  //      the corpus;
+  //   3. broadcast the offsets back and finish with a range-local
+  //      window: each task sorts corpus/(S·256) rows, and the dial
+  //      extends to more prefix chars (or recurses) if a range is still
+  //      too fat.
+  // The classic distributed prefix sum; outputs are row-identical to
+  // the window paths (property-pinned in LlmSpec), so each pair shares
+  // one oracle.
+  // ------------------------------------------------------------------
+
+  /** `base` must carry (id, source, pri, …); returns base + `p2` (the
+    * priority range) and `cum` (the running `measure` in (pri, id) order
+    * within source, computed range-locally + broadcast offsets). */
+  private def rangedCumSum(base: DataFrame, measure: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = base.withColumn("p2", substring(col("pri"), 1, 2))
+      .withColumn("m", measure)
+    val sub = ranged.groupBy("source", "p2").agg(sum(col("m")).as("sub"))
+    // ≤ 257 subtotal rows per source — the range alphabet, not the corpus
+    val offW = Window.partitionBy("source").orderBy("p2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sub
+      .withColumn("off", coalesce(sum(col("sub")).over(offW), lit(0L)))
+      .select("source", "p2", "off")
+    val inW = Window.partitionBy("source", "p2").orderBy(col("pri"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("source", "p2"))
+      .withColumn("cum", sum(col("m")).over(inW) + col("off"))
+  }
+
+  /** Row-identical twin of [[budgetMix]] whose running token sum is a
+    * distributed prefix sum over priority ranges — no per-source
+    * single-task sort; the plan shape that survives 100×. */
+  def budgetMixRanged(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, budget: Long): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      when(t.isNull, 0L).otherwise(size(split(t, " ")).cast("long"))
+        .as("n_tokens"),
+      coalesce(md5(t), lit("<null-text>")).as("pri"))
+    rangedCumSum(base, col("n_tokens"))
+      .select(col("id").as(idCol), col("source"), col("n_tokens"),
+        col("cum").as("cum_tokens"), (col("cum") <= budget).as("keep"))
+  }
+
+  /** Row-identical twin of [[temperatureMix]]: the same driver-exact
+    * α-quota apportionment, but the admission rank is the ranged prefix
+    * sum of row counts (`pos` = running count in (pri, id) order), so no
+    * source ranks through a single window task. */
+  def temperatureMixRanged(docs: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String, alpha: Double, n: Int): DataFrame = {
+    val quotas = alphaQuotas(docs, sourceCol, alpha, n)
+    val base = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      coalesce(md5(col(textCol)), lit("<null-text>")).as("pri"))
+    rangedCumSum(base, lit(1L))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("cum") <= col("quota"))
+      .select(col("id").as(idCol), col("source"), col("cum").as("pos"),
+        col("quota"))
   }
 
   /**
@@ -774,6 +868,11 @@ object TextAnalysis {
    * dropped, as CCNet drops empty docs after tokenization. `ntile`
    * splits ties by the (ppl, id) order, identical in Spark and DuckDB
    * (first `rows mod n` buckets take the extra row).
+   *
+   * SCALE CAVEAT: languages are a handful of giant keys, so the `ntile`
+   * window makes ONE task sort every doc of a language —
+   * [[pplBucketsThreshold]] is the broadcast-threshold twin for that
+   * regime; this form stays as the small-corpus oracle shape.
    */
   def pplBuckets(scored: DataFrame, idCol: String, langCol: String,
                  n: Int = 3): DataFrame = {
@@ -784,6 +883,66 @@ object TextAnalysis {
     scored.where(col("n_words") > 0)
       .withColumn("ppl_tok", round(col("nll_sum") / col("n_words"), 6))
       .withColumn("bucket", ntile(n).over(w).cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === n, "tail").otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_words"), col("ppl_tok"),
+        col("bucket"), col("bucket_label"))
+  }
+
+  /**
+   * Broadcast-threshold twin of [[pplBuckets]] — the shape that survives
+   * 100×: instead of sorting every doc of a language through one `ntile`
+   * window task, compute per-language tercile THRESHOLDS by exact
+   * order statistics on the 6-dp-rounded `ppl_tok` and assign buckets by
+   * comparison.
+   *
+   *   1. `(lang, ppl_tok) → cnt` — one map-side-combined aggregate; the
+   *      distinct-value table is bounded by the 6-dp rounding × the score
+   *      range, NOT the corpus (the [[bm25]] integer-scaling argument's
+   *      structural cousin);
+   *   2. cumulative counts per language over the VALUE table (a window
+   *      over the bounded value alphabet);
+   *   3. thresholds `t_b` = the value at `ntile` boundary rank
+   *      `c_b = b·(N div n) + min(b, N mod n)` — the ≤ L×(n−1) threshold
+   *      table broadcasts back;
+   *   4. `bucket = 1 + Σ_b (ppl_tok > t_b)` — a per-row comparison.
+   *
+   * Tie semantics: the cut is VALUE-pure — every doc sharing a boundary
+   * value takes the EARLIER bucket, where `ntile` would split the tie by
+   * doc id to keep masses exactly equal. The two paths agree on every doc
+   * whose value is not a straddling boundary tie (property-pinned in
+   * LlmSpec); at corpus scale a per-value tie crossing a tercile boundary
+   * moves the boundary by the tie width, the standard
+   * threshold-from-statistics behavior (CCNet itself cuts by thresholds
+   * estimated from a sample, not by global rank).
+   */
+  def pplBucketsThreshold(scored: DataFrame, idCol: String, langCol: String,
+                          n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"need at least 2 buckets, got $n")
+    val p = scored.where(col("n_words") > 0)
+      .withColumn("ppl_tok", round(col("nll_sum") / col("n_words"), 6))
+    val vc = p.groupBy(col(langCol), col("ppl_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nr = vc.groupBy(col(langCol)).agg(sum(col("cnt")).as("n_rows"))
+    val cumW = Window.partitionBy(col(langCol)).orderBy(col("ppl_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("cnt")).over(cumW))
+      .join(broadcast(nr), Seq(langCol))
+    // c_b ≤ N for b < n, and cum reaches N, so every t_b is defined
+    val thCols = (1 until n).map { b =>
+      min(when(col("cum") >=
+          lit(b.toLong) * expr(s"n_rows div $n") +
+          least(lit(b.toLong), pmod(col("n_rows"), lit(n.toLong))),
+        col("ppl_tok"))).as(s"t$b")
+    }
+    val th = cum.groupBy(col(langCol)).agg(thCols.head, thCols.tail: _*)
+    val bucket = (1 until n).map(b =>
+        when(col("ppl_tok") > col(s"t$b"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    p.join(broadcast(th), Seq(langCol))
+      .withColumn("bucket", bucket)
       .withColumn("bucket_label",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === n, "tail").otherwise("middle"))

@@ -37,7 +37,8 @@ object LlmQueries {
     dedupEmbeddingLean, simKnnGraph, textEntropy, textTempMix,
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
-    textBpeTrainPre)
+    textBpeTrainPre,
+    textBudgetMix2, textTempMix2, textPplBuckets2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -174,6 +175,61 @@ object LlmQueries {
            |      FROM sc JOIN documents dd USING (doc_id) WHERE sc.n_words > 0),
            |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
            |        ORDER BY ppl_tok, doc_id)::BIGINT AS bucket FROM p)
+           |SELECT doc_id, lang, n_words, ppl_tok, bucket,
+           |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+           |       ELSE 'middle' END AS bucket_label
+           |FROM b ORDER BY doc_id""".stripMargin))
+
+  /** The 100×-safe tercile twin ([[TextAnalysis.pplBucketsThreshold]]):
+    * per-language cut VALUES from exact order statistics over the
+    * (lang, 6-dp ppl) value-count table — bounded by the rounding, not
+    * the corpus — broadcast back and applied as comparisons, so no
+    * language ever sorts through one `ntile` task. Tie semantics are
+    * value-pure (boundary ties take the earlier bucket); the oracle
+    * replays the same threshold construction, and LlmSpec pins agreement
+    * with the window path off straddling boundary ties. */
+  val textPplBuckets2: QueryDef = QueryDef("text_ppl_buckets2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.lmScoreFromModel(docs, "doc_id", "text",
+          Materialized.lmUnigrams(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS word FROM t),
+           |vocab AS (SELECT word, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(cnt) AS total FROM vocab),
+           |tf AS (SELECT doc_id, dl, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+           |c AS (SELECT tf.doc_id, tf.dl, tf.tf, round(ln(v.cnt / t.total), 6) AS lp
+           |      FROM tf JOIN vocab v USING (word) CROSS JOIN tot t),
+           |nll AS (SELECT doc_id, dl, round(-sum(tf * lp), 6) AS nll_sum
+           |        FROM c GROUP BY 1, 2),
+           |d0 AS (SELECT DISTINCT doc_id, dl FROM tok),
+           |sc AS (SELECT d0.doc_id, d0.dl::BIGINT AS n_words,
+           |         coalesce(nll.nll_sum, 0.0) AS nll_sum
+           |       FROM d0 LEFT JOIN nll USING (doc_id, dl)),
+           |p AS (SELECT sc.doc_id, dd.lang, sc.n_words,
+           |        round(sc.nll_sum / sc.n_words, 6) AS ppl_tok
+           |      FROM sc JOIN documents dd USING (doc_id) WHERE sc.n_words > 0),
+           |vc AS (SELECT lang, ppl_tok, count(*)::BIGINT AS cnt FROM p GROUP BY 1, 2),
+           |nr AS (SELECT lang, sum(cnt)::BIGINT AS n_rows FROM vc GROUP BY 1),
+           |cc AS (SELECT vc.lang, vc.ppl_tok,
+           |         sum(vc.cnt) OVER (PARTITION BY vc.lang
+           |           ORDER BY vc.ppl_tok)::BIGINT AS cum,
+           |         nr.n_rows
+           |       FROM vc JOIN nr USING (lang)),
+           |th AS (SELECT lang,
+           |         min(CASE WHEN cum >= (n_rows // 3) + least(1, n_rows % 3)
+           |             THEN ppl_tok END) AS t1,
+           |         min(CASE WHEN cum >= 2 * (n_rows // 3) + least(2, n_rows % 3)
+           |             THEN ppl_tok END) AS t2
+           |       FROM cc GROUP BY 1),
+           |b AS (SELECT p.doc_id, p.lang, p.n_words, p.ppl_tok,
+           |        (1 + (p.ppl_tok > th.t1)::INT + (p.ppl_tok > th.t2)::INT)::BIGINT
+           |          AS bucket
+           |      FROM p JOIN th USING (lang))
            |SELECT doc_id, lang, n_words, ppl_tok, bucket,
            |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
            |       ELSE 'middle' END AS bucket_label
@@ -2258,7 +2314,9 @@ object LlmQueries {
       val scored = TextAnalysis.lmScoreFromModel(docs, "doc_id", "text",
           Materialized.lmUnigrams(s, d))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      val ppl = TextAnalysis.pplBuckets(scored, "doc_id", "lang")
+      // the broadcast-threshold tercile twin — the capstone composes the
+      // plan that survives 100×, not the per-language single-task ntile
+      val ppl = TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
         .select(col("doc_id"), col("bucket_label"))
       val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
         .select(col("doc_id"), col("char_entropy"))
@@ -2300,11 +2358,24 @@ object LlmQueries {
             |pp AS (SELECT psc.doc_id, dd.lang,
             |         round(psc.nll_sum / psc.n_words, 6) AS ppl_tok
             |       FROM psc JOIN documents dd USING (doc_id) WHERE psc.n_words > 0),
-            |pb AS (SELECT *, ntile(3) OVER (PARTITION BY lang
-            |         ORDER BY ppl_tok, doc_id) AS bucket FROM pp),
-            |pbl AS (SELECT doc_id, CASE WHEN bucket = 1 THEN 'head'
-            |          WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
-            |        FROM pb),
+            |pvc AS (SELECT lang, ppl_tok, count(*)::BIGINT AS cnt FROM pp GROUP BY 1, 2),
+            |pnr AS (SELECT lang, sum(cnt)::BIGINT AS n_rows FROM pvc GROUP BY 1),
+            |pcc AS (SELECT pvc.lang, pvc.ppl_tok,
+            |          sum(pvc.cnt) OVER (PARTITION BY pvc.lang
+            |            ORDER BY pvc.ppl_tok)::BIGINT AS cum,
+            |          pnr.n_rows
+            |        FROM pvc JOIN pnr USING (lang)),
+            |pth AS (SELECT lang,
+            |          min(CASE WHEN cum >= (n_rows // 3) + least(1, n_rows % 3)
+            |              THEN ppl_tok END) AS t1,
+            |          min(CASE WHEN cum >= 2 * (n_rows // 3) + least(2, n_rows % 3)
+            |              THEN ppl_tok END) AS t2
+            |        FROM pcc GROUP BY 1),
+            |pbl AS (SELECT pp.doc_id,
+            |          CASE WHEN pp.ppl_tok <= pth.t1 THEN 'head'
+            |               WHEN pp.ppl_tok <= pth.t2 THEN 'middle'
+            |               ELSE 'tail' END AS bucket_label
+            |        FROM pp JOIN pth USING (lang)),
             |e0 AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
             |       FROM documents WHERE text IS NOT NULL AND len(text) > 0),
             |ecc AS (SELECT doc_id, substr(text, i, 1) AS ch, count(*)::BIGINT AS cnt
@@ -2578,11 +2649,8 @@ object LlmQueries {
     * integer largest-remainder, each source admitting its quota in
     * content-hash priority order — the mT5/XLM-R low-resource-lift rule,
     * deterministic end-to-end. */
-  val textTempMix: QueryDef = QueryDef("text_temp_mix",
-    (s, d) => TextAnalysis.temperatureMix(Tables.documents(s, d), "doc_id",
-        "text", "source", alpha = 0.5, n = 200)
-      .orderBy("source", "pos"),
-    Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+  private val tempMixOracleSql: String =
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
            |z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM c),
            |f AS (SELECT source, n_s,
            |        round(pow(n_s, 0.5) / z.z * 200 * 1e6, 0)::BIGINT AS fr6
@@ -2597,10 +2665,26 @@ object LlmQueries {
            |      FROM b JOIN sr USING (source) CROSS JOIN ex),
            |p AS (SELECT doc_id, source,
            |        coalesce(md5(text), '<null-text>') AS pri FROM documents),
-           |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
-           |        ORDER BY pri, doc_id)::BIGINT AS pos FROM p)
-           |SELECT r.doc_id, r.source, r.pos, q.quota FROM r JOIN q USING (source)
-           |WHERE r.pos <= q.quota ORDER BY r.source, r.pos""".stripMargin))
+      |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |        ORDER BY pri, doc_id)::BIGINT AS pos FROM p)
+      |SELECT r.doc_id, r.source, r.pos, q.quota FROM r JOIN q USING (source)
+      |WHERE r.pos <= q.quota ORDER BY r.source, r.pos""".stripMargin
+
+  val textTempMix: QueryDef = QueryDef("text_temp_mix",
+    (s, d) => TextAnalysis.temperatureMix(Tables.documents(s, d), "doc_id",
+        "text", "source", alpha = 0.5, n = 200)
+      .orderBy("source", "pos"),
+    Some(tempMixOracleSql))
+
+  /** The 100×-safe twin ([[TextAnalysis.temperatureMixRanged]]): same
+    * driver-exact α-quota apportionment, but the admission rank is the
+    * ranged prefix COUNT — no source ever ranks through one window task.
+    * Row-identical to `text_temp_mix` (same oracle). */
+  val textTempMix2: QueryDef = QueryDef("text_temp_mix2",
+    (s, d) => TextAnalysis.temperatureMixRanged(Tables.documents(s, d),
+        "doc_id", "text", "source", alpha = 0.5, n = 200)
+      .orderBy("source", "pos"),
+    Some(tempMixOracleSql))
 
   /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
     * code-point Shannon entropy per doc — the gibberish/binary detector
@@ -3841,20 +3925,36 @@ object LlmQueries {
     * cumulative token count passes 600 — the reproducible "fill each
     * domain's quota" step of a training mix; one window per source
     * partition, no RNG state. */
+  /** One admission replay serves the window path and its ranged twin —
+    * the two are row-identical by construction (LlmSpec property). */
+  private val budgetMixOracleSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  CASE WHEN text IS NULL THEN 0
+      |       ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens,
+      |  coalesce(md5(text), '<null-text>') AS pri FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t)
+      |SELECT doc_id, source, n_tokens, cum_tokens,
+      |  (cum_tokens <= 600) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val textBudgetMix: QueryDef = QueryDef("text_budget_mix",
     (s, d) => TextAnalysis.budgetMix(Tables.documents(s, d), "doc_id", "text",
         "source", budget = 600L)
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, source,
-           |  CASE WHEN text IS NULL THEN 0
-           |       ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens,
-           |  coalesce(md5(text), '<null-text>') AS pri FROM documents),
-           |c AS (SELECT doc_id, source, n_tokens,
-           |  sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
-           |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t)
-           |SELECT doc_id, source, n_tokens, cum_tokens,
-           |  (cum_tokens <= 600) AS keep
-           |FROM c ORDER BY doc_id""".stripMargin))
+    Some(budgetMixOracleSql))
+
+  /** The 100×-safe twin ([[TextAnalysis.budgetMixRanged]]): the per-source
+    * running token sum as a distributed prefix sum over md5-priority
+    * ranges — per-range subtotals, a ≤257-row offset window per source,
+    * broadcast offsets, range-local windows. Row-identical to
+    * `text_budget_mix` (same oracle); the plan, not the answer, changes. */
+  val textBudgetMix2: QueryDef = QueryDef("text_budget_mix2",
+    (s, d) => TextAnalysis.budgetMixRanged(Tables.documents(s, d), "doc_id",
+        "text", "source", budget = 600L)
+      .orderBy("doc_id"),
+    Some(budgetMixOracleSql))
 
   /** BM25 keyword retrieval ([[TextAnalysis.bm25]]): top-10 documents per
     * query for three multi-term queries. The token stream is pruned by a

@@ -1975,6 +1975,63 @@ class LlmSpec extends AnyFunSuite {
     assert(out.sortBy(x => (x._2, x._3)).toSeq == again.sortBy(x => (x._2, x._3)).toSeq)
   }
 
+  test("budgetMixRanged / temperatureMixRanged: row-identical to the window paths on a multi-range corpus") {
+    // 400 docs span many 2-char md5-priority ranges; a null-text row
+    // exercises the "<n" sentinel range; two sources of different sizes
+    val rows = (1 to 400).map(i => (i.toLong,
+        s"body $i ${"pad " * (i % 7)}".trim,
+        if (i % 3 == 0) "a" else "b")) :+
+      ((401L, null.asInstanceOf[String], "a"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val w = TextAnalysis.budgetMix(d, "doc_id", "text", "source", 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val rg = TextAnalysis.budgetMixRanged(d, "doc_id", "text", "source", 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(rg == w, "ranged prefix sum must be row-identical to the window path")
+    val wt = TextAnalysis.temperatureMix(d, "doc_id", "text", "source",
+        alpha = 0.7, n = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val rt = TextAnalysis.temperatureMixRanged(d, "doc_id", "text", "source",
+        alpha = 0.7, n = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rt == wt, "ranged admission rank must be row-identical to the window path")
+  }
+
+  test("pplBucketsThreshold: agrees with ntile everywhere except straddling boundary ties, which take the earlier bucket") {
+    // en: 7 rows → ntile sizes 3/2/2; docs 3 and 4 tie at the bucket-1/2
+    // boundary value, so ntile splits them by id while the value-pure
+    // threshold keeps both in bucket 1. de is tie-free → exact agreement.
+    val scored = Seq(
+      (1L, "en", 10L, 100.0), (2L, "en", 10L, 200.0), (3L, "en", 10L, 300.0),
+      (4L, "en", 10L, 300.0), (5L, "en", 10L, 400.0), (6L, "en", 10L, 500.0),
+      (7L, "en", 10L, 600.0),
+      (11L, "de", 10L, 100.0), (12L, "de", 10L, 200.0), (13L, "de", 10L, 300.0)
+    ).toDF("doc_id", "lang", "n_words", "nll_sum")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(3), r.getLong(4)))).toMap
+    val w = collect(TextAnalysis.pplBuckets(scored, "doc_id", "lang"))
+    val t = collect(TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang"))
+    assert(w.keySet == t.keySet)
+    val disagree = w.keySet.filter(id => w(id)._3 != t(id)._3)
+    // every disagreement is a tie that straddles an ntile boundary: some
+    // OTHER doc shares its (lang, value) but got a different ntile bucket
+    disagree.foreach { id =>
+      val (lang, v, bw) = w(id)
+      assert(w.exists { case (o, (l2, v2, b2)) =>
+        o != id && l2 == lang && v2 == v && b2 != bw },
+        s"doc $id disagreed without a straddling tie")
+      assert(t(id)._3 < bw, s"doc $id: threshold must take the EARLIER bucket")
+    }
+    // concretely: only doc 4 moves, from ntile-middle to threshold-head
+    assert(disagree == Set(4L), s"got $disagree")
+    assert(w(4L)._3 == 2L && t(4L)._3 == 1L)
+    Seq(11L, 12L, 13L).foreach(id => assert(w(id) == t(id)))
+  }
+
   test("charEntropy: uniform alphabet hits log2(k); runs score 0; null/empty score 0 over 0 chars") {
     val d = Seq(
       (1L, "abab"),          // uniform 2-char → exactly 1 bit

@@ -416,6 +416,41 @@ class PlanSpec extends AnyFunSuite {
       "admission must rank within source partitions\n" + p)
   }
 
+  test("text_budget_mix2: ranged prefix sum — the corpus window partitions by (source, range), offsets broadcast") {
+    val p = plan("text_budget_mix2")
+    // the corpus-scale running-sum window must be range-local: partitioned
+    // by (source, p2), never by source alone (the only source-alone window
+    // left runs over the ≤257-row-per-source subtotal table)
+    assert("\\[source#\\d+, p2#\\d+\\], \\[pri#".r.findFirstIn(p).isDefined,
+      "the running-sum window must partition by (source, range)\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the (source, range) offset table must broadcast\n" + p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("text_temp_mix2: ranged admission rank — range-local window, quotas and offsets broadcast") {
+    val p = plan("text_temp_mix2")
+    assert("\\[source#\\d+, p2#\\d+\\], \\[pri#".r.findFirstIn(p).isDefined,
+      "the admission rank must be computed range-locally\n" + p)
+    // two broadcast sides: the range-offset table and the S-row quota table
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("text_ppl_buckets2: terciles via broadcast thresholds — no corpus-rank ntile") {
+    val p = plan("text_ppl_buckets2")
+    assert(!p.contains("ntile"),
+      "the threshold path must never rank the corpus\n" + p)
+    // the only lang-partitioned window may order by the VALUE alone (the
+    // bounded (lang, ppl_tok) count table); a (ppl_tok, doc_id) ordering
+    // would mean the corpus itself is being sorted per language
+    assert("\\[lang#\\d+\\], \\[ppl_tok#\\d+ ASC NULLS FIRST, doc_id#".r
+      .findFirstIn(p).isEmpty,
+      "a per-language corpus sort leaked into the threshold path\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the L×2 threshold table must broadcast\n" + p)
+  }
+
   test("sim_graph_clusters: component labels broadcast back; no cartesian") {
     val p = plan("sim_graph_clusters")
     assert(!p.contains("CartesianProduct"), p)
@@ -441,6 +476,9 @@ class PlanSpec extends AnyFunSuite {
     // the stored classifier weights and LM vocabulary enter as broadcast
     // sides — the corpus never shuffles for a model lookup
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the CCNet stage composes the broadcast-threshold terciles — a
+    // per-language corpus-rank ntile here fails the 100× audit
+    assert(!p.contains("ntile"), p)
   }
 
   test("dedup_embedding consumes the stored pair table: a parquet scan, not a rebuilt join") {
