@@ -1613,28 +1613,120 @@ object TextAnalysis {
         lit(Gpt2PreTokenRegex), lit(0))).as("piece"))
       .groupBy("piece").agg(count(lit(1)).as("cnt"))
 
-  /** GPT-2's space marker: EVERY space in a piece is rewritten to `Ġ`
-    * (U+0120) — exactly what GPT-2's byte-to-unicode map does to byte
-    * 0x20 — so every piece becomes space-free and the space-sentinel
-    * token representation of [[bpeTrain]] stays unambiguous when
-    * training over pieces (including whitespace-run pieces). */
+  /** GPT-2's whitespace markers: EVERY whitespace char of the Java `\s`
+    * class in a piece is rewritten to its [[Gpt2ByteChar]] image
+    * (0x20→`Ġ`, \t→`ĉ`, \n→`Ċ`, \x0B→`ċ`, \f→`Č`, \r→`č`) — exactly what
+    * GPT-2's byte-to-unicode map does to those bytes — so every piece
+    * becomes whitespace-free and the space-sentinel token representation
+    * of [[bpeTrain]] stays unambiguous when training over pieces
+    * (including whitespace-RUN pieces with tabs/newlines, which a
+    * space-only rewrite would leave as trainer-invisible words).
+    * ENGINE NOTE: the oracle twin marks the same six chars, but RE2's
+    * `\s` class excludes \x0B, so the pre-token SPLIT itself diverges on
+    * text containing a vertical tab — the corpus contract here (and in
+    * the oracle) is \x0B-free text; [[byteLevelCorpus]] is the complete
+    * any-byte fix. */
   def gpt2SpaceMark(piece: Column): Column =
-    regexp_replace(piece, " ", "Ġ")
+    translate(piece, " \t\n\u000B\f\r", "ĠĉĊċČč")
 
   /** The corpus re-expressed as space-joined Ġ-marked pieces: each doc's
-    * text becomes its GPT-2 pre-token sequence with every in-piece space
-    * rewritten to `Ġ`, so pieces are space-free and single-space-joined.
-    * Feeding THIS corpus to [[bpeTrain]]/[[bpeTrainDelta]] makes the
-    * existing whitespace trainer a GPT-2-pre-tokenized trainer with zero
-    * changes to the loop: its `\S+` word table over the rewritten text
-    * IS the piece-frequency table ([[preTokenize]] ∘ [[gpt2SpaceMark]]),
-    * and merges can never cross a pre-token boundary (the GPT-2
-    * invariant) because pieces are whitespace-separated words to the
-    * trainer. One narrow projection — no extra scan or shuffle. */
+    * text becomes its GPT-2 pre-token sequence with every in-piece
+    * whitespace char rewritten through [[gpt2SpaceMark]], so pieces are
+    * whitespace-free and single-space-joined. Feeding THIS corpus to
+    * [[bpeTrain]]/[[bpeTrainDelta]] makes the existing whitespace trainer
+    * a GPT-2-pre-tokenized trainer with zero changes to the loop: its
+    * `\S+` word table over the rewritten text IS the piece-frequency
+    * table ([[preTokenize]] ∘ [[gpt2SpaceMark]]), and merges can never
+    * cross a pre-token boundary (the GPT-2 invariant) because pieces are
+    * whitespace-separated words to the trainer. One narrow projection —
+    * no extra scan or shuffle. */
   def preTokenizedCorpus(docs: DataFrame, textCol: String): DataFrame =
     docs.where(col(textCol).isNotNull)
       .withColumn(textCol, array_join(
         transform(
           regexp_extract_all(col(textCol), lit(Gpt2PreTokenRegex), lit(0)),
-          p => regexp_replace(p, " ", "Ġ")), " "))
+          p => gpt2SpaceMark(p)), " "))
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE alphabet — GPT-2's bytes_to_unicode. A byte-level
+  // trainer tokenizes UTF-8 BYTES, not code points, so any text (any
+  // script, emoji, even invalid-as-text binary) reduces to a fixed
+  // 256-symbol base alphabet and the learned vocabulary can never hit
+  // an unknown symbol. The map sends each byte to one PRINTABLE char:
+  // bytes that are already printable Latin-1 (33–126, 161–172, 174–255)
+  // map to themselves; the 68 others (controls, space, DEL, 127–160,
+  // 173) map to 256+n in byte order — so 0x20→Ġ(U+0120), \n→Ċ, \t→ĉ.
+  // Composed with [[preTokenize]]'s piece split, this makes
+  // [[bpeTrain]]/[[bpeTrainDelta]] byte-level trainers with ZERO loop
+  // changes: pieces byte-map to whitespace-free words (every byte ≤0x20
+  // maps above U+0100), the sentinel " " never collides, and merges
+  // stay inside pre-token boundaries. Multi-byte chars contribute one
+  // base token PER BYTE (é → Ã©), the GPT-2 behavior. The map is a
+  // bijection byte↔char, so [[gpt2ByteDecode]] losslessly recovers the
+  // original text (property-pinned in LlmSpec).
+  // ------------------------------------------------------------------
+
+  /** `byte → char` table of GPT-2's `bytes_to_unicode` (derived from the
+    * published construction, not copied: keep printable Latin-1, shift
+    * the rest to 256+n in byte order). */
+  val Gpt2ByteChar: Array[Char] = Array.tabulate(256) { b =>
+    if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || b >= 174) b.toChar
+    else if (b <= 32) (256 + b).toChar        // controls + space: n = b
+    else if (b <= 160) (b + 162).toChar       // DEL..160: n = 33 + b − 127
+    else (256 + 67).toChar                    // 173 (soft hyphen): n = 67
+  }
+
+  private lazy val Gpt2CharByte: Map[Char, Int] =
+    Gpt2ByteChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Byte-map one piece: UTF-8 bytes → their [[Gpt2ByteChar]] images. */
+  def gpt2ByteMap(piece: String): String = {
+    val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(Gpt2ByteChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[gpt2ByteMap]]: marker chars → bytes → UTF-8 text.
+    * Fails loudly on a char outside the byte alphabet (a token that did
+    * not come from the byte map). */
+  def gpt2ByteDecode(s: String): String = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = Gpt2CharByte.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"gpt2ByteDecode: '${s.charAt(i)}' is not a byte-alphabet char")).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private lazy val Gpt2PreTokenCompiled =
+    java.util.regex.Pattern.compile(Gpt2PreTokenRegex)
+
+  /** The corpus re-expressed as space-joined BYTE-MAPPED pieces — the
+    * byte-level trainer input: pre-tokenize with [[Gpt2PreTokenRegex]],
+    * rewrite each piece's UTF-8 bytes through [[Gpt2ByteChar]], join with
+    * single spaces. One narrow typed projection per doc (the per-byte
+    * table lookup has no builtin-Column form — Spark's `chr` truncates at
+    * 256 — and the kernel is bit-pinned against the oracle's SQL replay
+    * by the `text_bpe_train_bytes` hash gate); no extra scan or shuffle,
+    * and the downstream word table stays vocab-scale. */
+  def byteLevelCorpus(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(textCol)).as[String]
+      .map { t =>
+        val m = Gpt2PreTokenCompiled.matcher(t)
+        val sb = new java.lang.StringBuilder(t.length * 2)
+        while (m.find()) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(gpt2ByteMap(m.group()))
+        }
+        sb.toString
+      }.toDF(textCol)
+  }
 }

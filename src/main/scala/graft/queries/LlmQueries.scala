@@ -38,7 +38,7 @@ object LlmQueries {
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
     textBpeTrainPre,
-    textBudgetMix2, textTempMix2, textPplBuckets2)
+    textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2097,12 +2097,15 @@ object LlmQueries {
   private val wsWordSql: String =
     "SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents"
 
-  /** GPT-2 pre-token piece stream with the Ġ space-mark — the
-    * [[TextAnalysis.preTokenizedCorpus]] trainer input (`text_bpe_train_pre`). */
+  /** GPT-2 pre-token piece stream with the whitespace markers (Ġ and the
+    * tab/newline family — [[TextAnalysis.gpt2SpaceMark]]'s six chars) —
+    * the [[TextAnalysis.preTokenizedCorpus]] trainer input
+    * (`text_bpe_train_pre`). */
   private val gpt2PieceWordSql: String =
-    "SELECT regexp_replace(unnest(regexp_extract_all(text, " +
+    "SELECT translate(unnest(regexp_extract_all(text, " +
       "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')), " +
-      "' ', 'Ġ', 'g') AS w FROM documents WHERE text IS NOT NULL"
+      "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13), 'ĠĉĊċČč') AS w " +
+      "FROM documents WHERE text IS NOT NULL"
 
   private def bpeTrainedSqlFor(rounds: Int, batch: Int,
                                wordSql: String = wsWordSql) =
@@ -3169,6 +3172,71 @@ object LlmQueries {
             |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
             |FROM m ORDER BY rank""".stripMargin))
 
+  /** Deterministic multi-byte texts planted beside the (ASCII) synthetic
+    * corpus so the byte-level trainer demonstrably merges at BYTE
+    * granularity: Latin-1 accents (2 UTF-8 bytes/char), CJK (3), emoji
+    * (4), plus a soft hyphen (the 173 shift case) and a tab/newline run.
+    * Interpolated literally into the SQL replay, so both engines train
+    * on byte-identical rows (the [[clfJunkTexts]] pattern). */
+  private def bpeMultibyteTexts: Seq[String] = Seq(
+    "café naïve résumé déjà café naïve résumé déjà",
+    "der große übermut — schöne grüße — der große übermut",
+    "中文 分词 测试 中文 分词 测试 中文 分词",
+    "emoji 😀😀 mix 😀😀 emoji café 😀😀 mix",
+    "soft­hyphen soft­hyphen tab\tand\nnewline run")
+
+  /** The byte-level piece stream: GPT-2 pre-tokens of documents ∪ the
+    * planted multi-byte rows, each piece's UTF-8 bytes rewritten through
+    * the bytes_to_unicode map — the exact construction
+    * [[TextAnalysis.byteLevelCorpus]] performs, replayed over DuckDB's
+    * `encode`/hex-pair/`chr` primitives. */
+  private def byteWordSql: String = {
+    val planted = bpeMultibyteTexts
+      .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    s"""SELECT array_to_string([chr(CASE
+       |    WHEN b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172
+       |         OR b BETWEEN 174 AND 255 THEN b
+       |    WHEN b <= 32 THEN 256 + b
+       |    WHEN b BETWEEN 127 AND 160 THEN b + 162
+       |    ELSE 323 END)
+       |  for b in [('0x' || h)::INT
+       |            for h in regexp_extract_all(hex(encode(piece)), '..')]],
+       |  '') AS w
+       |FROM (SELECT unnest(regexp_extract_all(text,
+       |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS piece
+       |  FROM (SELECT text FROM documents WHERE text IS NOT NULL
+       |        UNION ALL SELECT * FROM (VALUES $planted) v(text)))""".stripMargin
+  }
+
+  /** BYTE-level BPE training ([[TextAnalysis.byteLevelCorpus]] ∘
+    * [[TextAnalysis.bpeTrain]]): pre-tokenize, rewrite each piece's UTF-8
+    * bytes through GPT-2's bytes_to_unicode, train over the resulting
+    * piece table — the trainer loop is unchanged, only the alphabet is.
+    * The corpus plants accented/CJK/emoji rows so merges demonstrably
+    * form at byte granularity (é enters as the two base tokens Ã©); the
+    * oracle replays the byte map stage-for-stage through
+    * `encode`/hex/`chr`, so the merge list is hash-gated end to end.
+    * Round-trip (chars → bytes → text) is property-pinned in LlmSpec. */
+  val textBpeTrainBytes: QueryDef = QueryDef("text_bpe_train_bytes",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("text"))
+      val planted = bpeMultibyteTexts.toDF("text")
+      TextAnalysis.bpeTrain(
+          TextAnalysis.byteLevelCorpus(docs.unionByName(planted), "text"),
+          "text", merges = 256, batch = 32)
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${bpeTrainedSqlFor(BpeRounds, BpeBatch, byteWordSql)},
+            |m AS (${(1 to BpeRounds).map(n =>
+                s"SELECT $n AS round, rsel, pair, cnt FROM b$n")
+                .mkString("\n|      UNION ALL ")})
+            |SELECT row_number() OVER (ORDER BY round, rsel) AS rank,
+            |  string_split(pair, ' ')[1] AS lhs,
+            |  string_split(pair, ' ')[2] AS rhs,
+            |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
+            |FROM m ORDER BY rank""".stripMargin))
+
   /** Delta-maintained BPE training ([[TextAnalysis.bpeTrainDelta]]) at a
     * 32k-vocab-shaped budget (16 rounds × 256 = 4,096 merges): pair
     * counts update incrementally between rounds — only words containing
@@ -4132,7 +4200,9 @@ object LlmQueries {
            |  SELECT unnest(regexp_extract_all(text,
            |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS piece
            |  FROM documents WHERE text IS NOT NULL)
-           |SELECT piece, regexp_replace(piece, ' ', 'Ġ', 'g') AS marked,
+           |SELECT piece,
+           |  translate(piece, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+           |    'ĠĉĊċČč') AS marked,
            |  count(*)::BIGINT AS cnt
            |FROM p GROUP BY piece
            |ORDER BY cnt DESC, piece LIMIT 200""".stripMargin))

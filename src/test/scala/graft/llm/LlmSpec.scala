@@ -2032,6 +2032,49 @@ class LlmSpec extends AnyFunSuite {
     Seq(11L, 12L, 13L).foreach(id => assert(w(id) == t(id)))
   }
 
+  test("gpt2 byte map: a bijection on all 256 bytes; round-trip recovers multi-byte text; whitespace hits the marker chars") {
+    assert(TextAnalysis.Gpt2ByteChar.distinct.length == 256, "not injective")
+    assert(TextAnalysis.Gpt2ByteChar.forall(c => !c.isWhitespace && !c.isControl),
+      "every byte must map to a printable, non-whitespace char")
+    // the published anchor points of bytes_to_unicode
+    assert(TextAnalysis.gpt2ByteMap(" ") == "Ġ")
+    assert(TextAnalysis.gpt2ByteMap("\n") == "Ċ")
+    assert(TextAnalysis.gpt2ByteMap("\t") == "ĉ")
+    assert(TextAnalysis.gpt2ByteMap("!") == "!")
+    // printable Latin-1 BYTES map to themselves — but the STRING "ÿ" is
+    // two UTF-8 bytes (C3 BF), so it maps through the table per byte
+    assert(TextAnalysis.Gpt2ByteChar(255) == 'ÿ' && TextAnalysis.Gpt2ByteChar(161) == '¡')
+    assert(TextAnalysis.gpt2ByteMap("ÿ") == "Ã¿")
+    assert(TextAnalysis.gpt2ByteMap("­") == "Â" + (256 + 67).toChar,
+      "soft hyphen: UTF-8 C2 AD → Â (194) + the 173 shift char")
+    // byte granularity: one base char PER UTF-8 BYTE
+    assert(TextAnalysis.gpt2ByteMap("é") == "Ã©")
+    assert(TextAnalysis.gpt2ByteMap("中").length == 3)
+    assert(TextAnalysis.gpt2ByteMap("😀").length == 4)
+    // lossless round-trip over every script class and all 256 raw bytes
+    val samples = Seq("café über 中文 😀", " leading", "tab\tnl\ncr\r",
+      "ascii only!", new String((0 until 256).map(_.toChar).toArray))
+    samples.foreach { s =>
+      assert(TextAnalysis.gpt2ByteDecode(TextAnalysis.gpt2ByteMap(s)) == s)
+    }
+    intercept[IllegalArgumentException](TextAnalysis.gpt2ByteDecode("中"))
+  }
+
+  test("byteLevelCorpus: pieces byte-map to whitespace-free words; merges stay inside pre-token boundaries") {
+    val d = Seq((1L, "hello café\nworld"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.byteLevelCorpus(d, "text").as[String].collect()
+    // pre-tokens: "hello", " café", "\n", "world" — é byte-maps to Ã©,
+    // the space prefix to Ġ, the newline run to Ċ
+    assert(out.toSeq == Seq("hello ĠcafÃ© Ċ world"))
+    // every emitted word decodes back to its source piece, and no word
+    // carries whitespace — so the trainer (which sees whitespace-separated
+    // words) can never merge across a pre-token boundary
+    val pieces = out.head.split(" ").map(TextAnalysis.gpt2ByteDecode)
+    assert(pieces.toSeq == Seq("hello", " café", "\n", "world"))
+    assert(out.head.split(" ").forall(w => w.nonEmpty && !w.exists(_.isWhitespace)))
+  }
+
   test("charEntropy: uniform alphabet hits log2(k); runs score 0; null/empty score 0 over 0 chars") {
     val d = Seq(
       (1L, "abab"),          // uniform 2-char → exactly 1 bit
