@@ -789,8 +789,26 @@ object TextAnalysis {
    */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(docs, idCol, textCol, queries, k, k1, b, hintBroadcast = true)
+
+  /** [[bm25]] with the query-side joins left to Catalyst instead of
+    * broadcast-hinted — the table-vs-table retrieval shape: at small Q
+    * AQE still broadcasts the term tables, at table-scale Q the
+    * term-keyed joins become co-partitioned shuffle joins (one exchange
+    * on `term`, reused across the qex and df joins) and nothing is
+    * pinned to driver/executor broadcast memory. Scores are identical to
+    * [[bm25]] — only the join strategy floats. */
+  def bm25Distributed(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(docs, idCol, textCol, queries, k, k1, b, hintBroadcast = false)
+
+  private def bm25Impl(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, k: Int,
+                       k1: Double, b: Double, hintBroadcast: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val toks = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), size(col("ws")).cast("double").as("dl"),
@@ -803,12 +821,12 @@ object TextAnalysis {
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .distinct()
     val tf = toks
-      .join(broadcast(qex.select("term").distinct()), Seq("term"), "left_semi")
+      .join(hinted(qex.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val contrib = tf
-      .join(broadcast(qex), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
+      .join(hinted(qex), Seq("term"))
+      .join(hinted(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

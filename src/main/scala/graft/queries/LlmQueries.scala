@@ -38,7 +38,8 @@ object LlmQueries {
     simGraphClusters, textQualityClf2, textDsir2, simGraphSdc,
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
     textBpeTrainPre,
-    textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes)
+    textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
+    textHybridRrf2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -142,6 +143,87 @@ object LlmQueries {
            |        ORDER BY rrf_score DESC, doc_id) AS rank FROM s2)
            |SELECT query_id, doc_id, rank, rrf_score, rank_a, rank_b FROM r
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  /** Hybrid retrieval at TABLE-scale Q ([[TextAnalysis.bm25Distributed]] +
+    * [[Similarity.knnJoinDistributed]] + [[TextAnalysis.rrfFuse]]): the
+    * query set is a DataFrame end-to-end — every fifth document queries
+    * with its first five words (keyword leg) and its embedding against
+    * the stored IVF index (vector leg). No driver-side query collect, no
+    * Q-bounded broadcast hint anywhere in the fused path: the BM25 term
+    * joins float with Catalyst (shuffle-on-term at huge Q), the kNN leg
+    * probes through the broadcast CENTROID sidecar only (k rows), and
+    * both top-k cuts plus the fusion window are WindowGroupLimit-bounded.
+    * This closes `text_hybrid_rrf`'s 4,096-query broadcast bound — same
+    * RRF semantics, Q-unbounded plan. */
+  val textHybridRrf2: QueryDef = QueryDef("text_hybrid_rrf2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val bm = TextAnalysis.bm25Distributed(docs, "doc_id", "text", qs, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val idx = Materialized.ivfIndex(s, d)
+      val kn = Similarity.knnJoinDistributed(idx.assignment, idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", k = 10, nprobe = 2, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(bm, kn, "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qh AS (SELECT doc_id AS query_id,
+            |    array_to_string(string_split(text, ' ')[1:5], ' ') AS qtext
+            |  FROM documents WHERE doc_id % 5 = 0),
+            |qex2 AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM qh),
+            |th AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |dlh AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM th),
+            |statsh AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dlh),
+            |tokh AS (SELECT doc_id, unnest(ws) AS term FROM th),
+            |tfh AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokh
+            |        WHERE term IN (SELECT DISTINCT term FROM qex2) GROUP BY 1, 2),
+            |dfh AS (SELECT term, count(*)::DOUBLE AS df FROM tfh GROUP BY 1),
+            |cbh AS (SELECT q2.query_id, tfh.doc_id,
+            |          round(ln((s.n_docs - dfh.df + 0.5) / (dfh.df + 0.5) + 1) * tfh.tf * 2.2 /
+            |            (tfh.tf + 1.2 * (1 - 0.75 + 0.75 * dlh.dl / s.avgdl)), 6) AS c
+            |        FROM tfh JOIN qex2 q2 USING (term) JOIN dfh USING (term)
+            |          JOIN dlh ON tfh.doc_id = dlh.doc_id CROSS JOIN statsh s),
+            |sch AS (SELECT query_id, doc_id, round(sum(c), 6) AS score FROM cbh GROUP BY 1, 2),
+            |bmr AS (SELECT query_id, doc_id, rank FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY query_id
+            |      ORDER BY score DESC, doc_id) AS rank FROM sch) WHERE rank <= 10),
+            |qs2 AS (SELECT vec_id AS query_id, v AS qv,
+            |          sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id % 5 = 0),
+            |pd2 AS (SELECT q3.query_id, c.centroid_id,
+            |          row_number() OVER (PARTITION BY q3.query_id
+            |            ORDER BY list_sum([(c.cv[i] - q3.qv[i]) * (c.cv[i] - q3.qv[i])
+            |                               for i in range(1, 65)]), c.centroid_id) AS prn
+            |        FROM c2 c, qs2 q3),
+            |probe2 AS (SELECT query_id, centroid_id FROM pd2 WHERE prn <= 2),
+            |nn2 AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+            |ks2 AS (SELECT q4.query_id, nn2.vec_id AS doc_id,
+            |          round(list_sum([nn2.v[i] * q4.qv[i] for i in range(1, 65)]) /
+            |            (nn2.nrm * q4.qn), 6) AS cosine
+            |        FROM nn2 JOIN a3 ON nn2.vec_id = a3.vec_id
+            |          JOIN probe2 p ON a3.centroid_id = p.centroid_id
+            |          JOIN qs2 q4 ON p.query_id = q4.query_id),
+            |knr AS (SELECT query_id, doc_id, rank FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY query_id
+            |      ORDER BY cosine DESC, doc_id) AS rank FROM ks2) WHERE rank <= 10),
+            |fh AS (SELECT coalesce(b2.query_id, n2.query_id) AS query_id,
+            |         coalesce(b2.doc_id, n2.doc_id) AS doc_id,
+            |         b2.rank AS rank_a, n2.rank AS rank_b
+            |       FROM bmr b2 FULL OUTER JOIN knr n2
+            |         ON b2.query_id = n2.query_id AND b2.doc_id = n2.doc_id),
+            |s2h AS (SELECT query_id, doc_id,
+            |          round(coalesce(1.0 / (60.0 + rank_a), 0) +
+            |                coalesce(1.0 / (60.0 + rank_b), 0), 6) AS rrf_score,
+            |          rank_a, rank_b FROM fh),
+            |rh AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY rrf_score DESC, doc_id) AS rank FROM s2h)
+            |SELECT query_id, doc_id, rank, rrf_score, rank_a, rank_b FROM rh
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
   /** CCNet perplexity terciles ([[TextAnalysis.pplBuckets]]) over the
     * STORED unigram LM's per-token NLL, per language: head/middle/tail

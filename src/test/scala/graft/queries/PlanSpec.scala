@@ -451,6 +451,21 @@ class PlanSpec extends AnyFunSuite {
       "the L×2 threshold table must broadcast\n" + p)
   }
 
+  test("text_hybrid_rrf2: table-scale fusion — queries never collect to the driver, top-k cuts are WindowGroupLimit") {
+    val p = plan("text_hybrid_rrf2")
+    // a driver-side query collect would surface as a LocalTableScan of
+    // materialized query literals (the knnJoin-4096 shape); the fused
+    // path must read the query set as a real scan
+    assert(!p.contains("LocalTableScan"),
+      "the query set must stay a DataFrame end-to-end\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins only against the k-row broadcast centroid sidecar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size, p)
+    // both retrieval legs and the fusion cut bound their windows
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3, p)
+  }
+
   test("sim_graph_clusters: component labels broadcast back; no cartesian") {
     val p = plan("sim_graph_clusters")
     assert(!p.contains("CartesianProduct"), p)
