@@ -999,16 +999,23 @@ object TextAnalysis {
       dsirRatios(docs, idCol, textCol, isTarget))
 
   /** The DSIR per-bucket log-likelihood-ratio table `(bucket, log_ratio)`
-    * — the trained ARTIFACT of the construction (≤ [[DsirBuckets]] rows):
-    * estimate it once from a corpus snapshot, store it, and score any
-    * batch against the stored table ([[dsirWeightsFromRatios]]) without
-    * re-aggregating the corpus — the `lm_model`/`clf_model` production
-    * pattern. Laplace (+1 over buckets) smoothing keeps both
-    * distributions strictly positive; each ratio rounds to 6 dp and is
-    * carried as DECIMAL so downstream sums are order-independent. */
+    * — the trained ARTIFACT of the construction (exactly [[DsirBuckets]]
+    * rows): estimate it once from a corpus snapshot, store it, and score
+    * any batch against the stored table ([[dsirWeightsFromRatios]])
+    * without re-aggregating the corpus — the `lm_model`/`clf_model`
+    * production pattern. The table is TOTAL over the bucket domain: a
+    * bucket no snapshot token hashed to still gets its Laplace-smoothed
+    * floor ratio `log((1/(tot_t+B)) / (1/(tot_raw+B)))`, so a FUTURE
+    * batch with novel vocabulary scores those tokens at the floor
+    * instead of silently dropping them from the sum (the observed-only
+    * table made that reachable on any batch with unseen words). Laplace
+    * (+1 over buckets) smoothing keeps both distributions strictly
+    * positive; each ratio rounds to 6 dp and is carried as DECIMAL so
+    * downstream sums are order-independent. */
   def dsirRatios(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column): DataFrame = {
     val b = DsirBuckets
+    val spark = docs.sparkSession
     val toks = docs.where(col(textCol).isNotNull)
       .select(isTarget.as("is_target"),
         explode(split(col(textCol), " ")).as("word"))
@@ -1017,8 +1024,15 @@ object TextAnalysis {
     val dist = toks.groupBy("bucket").agg(
       count(lit(1)).cast("double").as("cnt_raw"),
       sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("cnt_t"))
-    val tots = dist.agg(sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_t")).as("tot_t"))
-    dist.crossJoin(broadcast(tots))
+    // full bucket spine: unobserved buckets carry zero counts and land on
+    // the smoothed floor ratio (adding zeros leaves the totals exact)
+    val full = spark.range(b).select(col("id").as("bucket"))
+      .join(dist, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_raw"), lit(0.0)).as("cnt_raw"),
+        coalesce(col("cnt_t"), lit(0.0)).as("cnt_t"))
+    val tots = full.agg(sum(col("cnt_raw")).as("tot_raw"), sum(col("cnt_t")).as("tot_t"))
+    full.crossJoin(broadcast(tots))
       .withColumn("log_ratio",
         round(log(((col("cnt_t") + 1.0) / (col("tot_t") + b.toDouble)) /
                   ((col("cnt_raw") + 1.0) / (col("tot_raw") + b.toDouble))), 6)
@@ -1029,7 +1043,10 @@ object TextAnalysis {
   /** Score documents against a (possibly stored) DSIR ratio table: one
     * token scan → per-(doc, bucket) counts → broadcast ratio join →
     * exact-DECIMAL per-doc reduction. The corpus shuffles hashed-bucket
-    * COUNTS, never text. */
+    * COUNTS, never text. The join is an inner join that cannot drop
+    * rows: [[dsirRatios]] tables are total over the bucket domain
+    * (every `pmod` image has a row, novel vocabulary scores at the
+    * smoothed floor). */
   def dsirWeightsFromRatios(docs: DataFrame, idCol: String, textCol: String,
                             ratios: DataFrame): DataFrame = {
     val b = DsirBuckets

@@ -335,11 +335,12 @@ object LlmQueries {
            |           sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS cnt_t
            |         FROM tb GROUP BY 1),
            |tots AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_t) AS tot_t FROM dist),
-           |r AS (SELECT bucket,
-           |        round(ln(((cnt_t + 1.0) / (tot_t + 1024.0)) /
-           |                 ((cnt_raw + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
+           |r AS (SELECT g.bucket,
+           |        round(ln(((coalesce(d.cnt_t, 0) + 1.0) / (tot_t + 1024.0)) /
+           |                 ((coalesce(d.cnt_raw, 0) + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
            |          AS log_ratio
-           |      FROM dist CROSS JOIN tots),
+           |      FROM (SELECT unnest(range(0, 1024)) AS bucket) g
+           |        LEFT JOIN dist d ON d.bucket = g.bucket CROSS JOIN tots),
            |dbk AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
            |ws AS (SELECT doc_id, sum(c * log_ratio) AS wsum
            |       FROM dbk JOIN r USING (bucket) GROUP BY 1),
@@ -373,11 +374,12 @@ object LlmQueries {
            |           sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS cnt_t
            |         FROM tb GROUP BY 1),
            |tots AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_t) AS tot_t FROM dist),
-           |r AS (SELECT bucket,
-           |        round(ln(((cnt_t + 1.0) / (tot_t + 1024.0)) /
-           |                 ((cnt_raw + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
+           |r AS (SELECT g.bucket,
+           |        round(ln(((coalesce(d.cnt_t, 0) + 1.0) / (tot_t + 1024.0)) /
+           |                 ((coalesce(d.cnt_raw, 0) + 1.0) / (tot_raw + 1024.0))), 6)::DECIMAL(20,6)
            |          AS log_ratio
-           |      FROM dist CROSS JOIN tots),
+           |      FROM (SELECT unnest(range(0, 1024)) AS bucket) g
+           |        LEFT JOIN dist d ON d.bucket = g.bucket CROSS JOIN tots),
            |dbk AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
            |ws AS (SELECT doc_id, sum(c * log_ratio) AS wsum
            |       FROM dbk JOIN r USING (bucket) GROUP BY 1)

@@ -807,8 +807,11 @@ object Materialized {
     * snapshot (≤ 1,024 rows); scoring runs broadcast the stored table
     * instead of re-aggregating the corpus distributions. */
   def dsirRatios(spark: SparkSession, sfDir: String): DataFrame =
+    // config key bumped (_full): the table became total over the bucket
+    // domain (floor ratios for unobserved buckets) — a cached observed-only
+    // table must not satisfy this contract
     parquetBacked(spark, "dsir_ratios",
-        s"en_b${graft.llm.TextAnalysis.DsirBuckets}", sfDir, "documents") {
+        s"en_b${graft.llm.TextAnalysis.DsirBuckets}_full", sfDir, "documents") {
       graft.llm.TextAnalysis.dsirRatios(Tables.documents(spark, sfDir),
         "doc_id", "text", col("lang") === "en")
     }

@@ -1951,6 +1951,32 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L, 6L).map(w).max)
   }
 
+  test("dsirRatios: total over the bucket domain — novel-vocabulary batches score at the smoothed floor, never drop") {
+    val corpus = Seq((1L, "alpha beta", "en"), (2L, "alpha gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val ratios = TextAnalysis.dsirRatios(corpus, "doc_id", "text",
+      col("lang") === "en")
+    // exactly one row per bucket — the stored artifact is TOTAL
+    assert(ratios.count() == TextAnalysis.DsirBuckets.toLong)
+    assert(ratios.select("bucket").distinct().count() == TextAnalysis.DsirBuckets.toLong)
+    // all unobserved buckets (>= 1021 of 1024 here) share the smoothed
+    // floor ratio ln((tot_raw+B)/(tot_t+B)) = ln(1028/1026)
+    val floorVal = BigDecimal(math.log(1028.0 / 1026.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val floorCount = ratios
+      .where(col("log_ratio") === lit(floorVal.toString).cast("decimal(20,6)"))
+      .count()
+    assert(floorCount >= (TextAnalysis.DsirBuckets - 3).toLong,
+      s"only $floorCount buckets carry the floor ratio")
+    // a batch written ENTIRELY in unseen vocabulary still gets a scored
+    // row (the observed-only table silently dropped such docs)
+    val batch = Seq((10L, "zzqx wvutk unseenword")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeightsFromRatios(batch, "doc_id", "text", ratios)
+      .collect()
+    assert(w.length == 1 && w.head.getLong(0) == 10L,
+      "novel-vocabulary doc must score, not vanish")
+  }
+
   test("temperatureMix: quotas sum to the budget; alpha<1 lifts the small source above its natural share; determinism") {
     val docs = (1 to 90).map(i => (i.toLong, s"doc body $i", "big")) ++
       (91 to 100).map(i => (i.toLong, s"doc body $i", "small"))
