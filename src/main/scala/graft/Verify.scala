@@ -47,5 +47,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Belt-and-braces for a once-observed hang under heavy concurrent
+    // load: a lingering non-daemon thread after stop() keeps the JVM
+    // alive although every dump and oracle_sql.json is already written
+    // and flushed. Name the culprits for diagnosis, then exit explicitly.
+    import scala.jdk.CollectionConverters._
+    val lingering = Thread.getAllStackTraces.keySet.asScala.filter(t =>
+      !t.isDaemon && t.getState != Thread.State.TERMINATED &&
+        t != Thread.currentThread && t.getName != "DestroyJavaVM")
+    if (lingering.nonEmpty)
+      System.err.println("[verify] non-daemon threads after spark.stop(): " +
+        lingering.map(t => s"${t.getName} (${t.getState})").mkString(", "))
+    sys.exit(0)
   }
 }
