@@ -543,8 +543,12 @@ object Dedup {
    * tiling. Approximation vs a true suffix-array pass: chaining is
    * anchored at each gram's canonical occurrence, so a repeat whose
    * interior gram also appears in an even-earlier document splits at
-   * that gram (conservative under-merge — every emitted span is still a
-   * true repeat; nothing false is flagged modulo md5-60 gram-hash
+   * that gram (conservative under-merge, MEASURED in LlmSpec's A ⊂ B ⊂ C
+   * fixture: the chained interior splits one 30-token repeat into three
+   * overlapping true spans — each aligned token-for-token — whose union
+   * covers the full repeat, so dedup loses no flagged region; every
+   * emitted span is still a true repeat; nothing false is flagged modulo
+   * md5-60 gram-hash
    * collisions, the same prob ≤ G²·2⁻⁶¹ budget [[repeatedSpans]]
    * documents — a colliding gram could seed or extend a span one window
    * past its true alignment). Output:

@@ -26,7 +26,7 @@ object ScaleCurveMain {
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
-      "tenmillion-doc-only", "regimes-only")
+      "million-sdc-only", "tenmillion-doc-only", "regimes-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -72,6 +72,7 @@ object ScaleCurveMain {
     else if (args.contains("million-floor-only")) millionFloor(spark)
     else if (args.contains("million-lean-only")) millionLean(spark)
     else if (args.contains("million-ivfpq-only")) millionIvfPq(spark)
+    else if (args.contains("million-sdc-only")) millionSdc(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -733,6 +734,76 @@ object ScaleCurveMain {
       .count())
     println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
       f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+  }
+
+  /**
+   * The SDC ring at MILLION scale — the 55k-only claim closer: build the
+   * 1.01M IVF-PQ artifacts (512 cells so the within-cell quadratic stays
+   * at the n²/cells mass the cell-share dial promises), then run the
+   * code-space kNN graph, mutual-edge component labeling (the >1M-edge
+   * distributed label-propagation path — the adaptive union-find gate is
+   * deliberately exceeded), and SemDeDup scored entirely in code space.
+   * Planted exact copies (10k, donor+10M ids) share their donor's codes,
+   * so the SemDeDup election must flag ~every planted row as a dup of an
+   * earlier member at reconstruction cosine 1.
+   */
+  private def millionSdc(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (root, corpus) = millionCorpus(spark)
+    val base = corpus.where(col("vec_id") < 10000000L)
+    val (cents, tTrain) = timed {
+      val c = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 512, iters = 2)
+      c.count(); c
+    }
+    val (_, tIdx) = timed(
+      graft.llm.Similarity.ivfIndexRows(corpus, "vec_id", "embedding", cents)
+        .write.partitionBy("centroid_id").parquet(root.resolve("idx").toString))
+    val index = spark.read.parquet(root.resolve("idx").toString)
+    val (books, tPq) = timed {
+      val b = graft.llm.Similarity.pqTrainCodebooks(
+        graft.llm.Similarity.ivfResiduals(
+          index.select(col("id"), col("centroid_id"), col("v")), cents),
+        "id", "rv", m = 8, ksub = 16, iters = 2, dims = 64)
+      b.count(); b
+    }
+    val (_, tEnc) = timed(
+      graft.llm.Similarity.pqEncode(
+        graft.llm.Similarity.ivfResiduals(
+          index.select(col("id"), col("centroid_id"), col("v")), cents),
+        "id", "rv", books, dims = 64, cellCol = Some("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(root.resolve("codes").toString))
+    val codes = spark.read.parquet(root.resolve("codes").toString)
+    val n = codes.count()
+    println(f"million-sdc build: n=$n cells=512 m=8 train=${tTrain}%.1fs " +
+      f"index=${tIdx}%.1fs pq-train=${tPq}%.1fs encode=${tEnc}%.1fs")
+    val ((g, edges, mutualEdges), tGraph) = timed {
+      val gr = graft.llm.Similarity.knnGraphSdc(codes, books, cents, k = 3).persist()
+      (gr, gr.count(), gr.where(col("mutual")).count())
+    }
+    println(f"million-sdc knn-graph: k=3 edges=$edges mutual=$mutualEdges ${tGraph}%.1fs")
+    val mutualPairs = g.where(col("mutual") && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val ((nonSingleton, labeled), tCl) = timed {
+      val cl = graft.llm.Dedup.duplicateClusters(
+        mutualPairs, codes.select(col("id"))).persist()
+      val ns = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .where(col("sz") > 1).count()
+      val tot = cl.count(); cl.unpersist(); (ns, tot)
+    }
+    g.unpersist()
+    println(f"million-sdc components: labeled=$labeled multi-member=$nonSingleton ${tCl}%.1fs")
+    val ((dups, plantedDup), tSdc) = timed {
+      val dd = graft.llm.Dedup.semanticDedupSdc(codes, books, cents,
+        threshold = 0.99).where(!col("keep")).persist()
+      val all = dd.count()
+      val pl = dd.where(col("id") >= 10000000L).count()
+      dd.unpersist(); (all, pl)
+    }
+    println(f"million-sdc semdedup: t=0.99 dups=$dups planted-dups=$plantedDup/10000 ${tSdc}%.1fs")
   }
 
   /**

@@ -1120,6 +1120,47 @@ class LlmSpec extends AnyFunSuite {
     assert(mosaic.length == 1 && mosaic.head.getLong(4) == 120L)
   }
 
+  test("repeatedSpansMaximal: chained earlier-copy interior (A ⊂ B ⊂ C) — the measured under-merge: split spans, full coverage, zero false spans") {
+    // A carries the earliest copy of the 10-token inner phrase P; B the
+    // earliest copy of the 30-token Q = prefix·P·suffix; C repeats Q in
+    // full. C's P-interior grams anchor to A (canonical), the rest of Q's
+    // grams to B — the documented canonical-anchor split. This measures
+    // it: C emits THREE overlapping spans where suffix arrays would emit
+    // one 30-token span vs B, but their union covers Q completely and
+    // every span is a true aligned repeat (verified token-for-token).
+    val inner = (0 until 10).map(i => s"p$i").mkString(" ")
+    val q = (0 until 10).map(i => s"q$i").mkString(" ") + s" $inner " +
+      (0 until 10).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a0 a1 a2 $inner a3 a4 a5"),  // A: P at tokens 4..13
+      (2L, s"b0 b1 $q b2 b3"),            // B: Q at tokens 3..32
+      (3L, s"c0 $q c1 c2")                // C: Q at tokens 2..31
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansMaximal(d, "doc_id", "text", n = 5, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    // B repeats only P (vs A); C splits into prefix+boundary vs B, the
+    // P interior vs A, boundary+suffix vs B
+    val bSpans = spans.filter(_._1 == 2L).toSet
+    val cSpans = spans.filter(_._1 == 3L).toSet
+    assert(bSpans == Set((2L, 1L, 13L, 22L, 4L)), bSpans.toString)
+    assert(cSpans == Set(
+      (3L, 2L, 2L, 15L, 3L),    // q-prefix + boundary windows, vs B
+      (3L, 1L, 12L, 21L, 4L),   // P interior, vs A
+      (3L, 2L, 18L, 31L, 19L)), // boundary + q-suffix, vs B
+      cSpans.toString)
+    // full coverage: the split spans jointly cover C's whole Q occurrence
+    val covered = cSpans.flatMap { case (_, _, s, e, _) => (s to e).toSet }
+    assert(covered == (2L to 31L).toSet, "the under-merge must not lose tokens")
+    // zero false spans: every emitted span aligns token-for-token
+    val toks = d.collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { case (id, aid, s, e, as) =>
+      val got = toks(id).slice(s.toInt - 1, e.toInt)
+      val want = toks(aid).slice(as.toInt - 1, as.toInt - 1 + (e - s + 1).toInt)
+      assert(got.sameElements(want), s"span ($id,$aid,$s,$e,$as) misaligned")
+    }
+  }
+
   test("packBinsFfd: whole docs keep boundaries at near-emit utilization; oversized docs split into dedicated chunks + a packed tail") {
     import graft.queries.Tables
     val docs = Tables.documents(spark, graft.TestSpark.sf)
