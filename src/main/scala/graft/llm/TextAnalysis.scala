@@ -1754,14 +1754,33 @@ object TextAnalysis {
     import spark.implicits._
     docs.where(col(textCol).isNotNull)
       .select(col(textCol)).as[String]
-      .map { t =>
-        val m = Gpt2PreTokenCompiled.matcher(t)
-        val sb = new java.lang.StringBuilder(t.length * 2)
-        while (m.find()) {
-          if (sb.length > 0) sb.append(' ')
-          sb.append(gpt2ByteMap(m.group()))
-        }
-        sb.toString
-      }.toDF(textCol)
+      .map(byteLevelText _).toDF(textCol)
+  }
+
+  /** One doc through the byte-level pipeline: pre-token pieces, each
+    * byte-mapped, single-space-joined. */
+  def byteLevelText(t: String): String = {
+    val m = Gpt2PreTokenCompiled.matcher(t)
+    val sb = new java.lang.StringBuilder(t.length * 2)
+    while (m.find()) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(gpt2ByteMap(m.group()))
+    }
+    sb.toString
+  }
+
+  /** [[byteLevelCorpus]] keeping the doc id — the ENCODE-side input: the
+    * per-doc byte-mapped piece stream that [[bpeDocTokensFromMerges]]
+    * tokenizes with a stored byte-level merge list (its `\S+` words ARE
+    * the pieces, and `n_base_tokens` counts BYTES, the GPT-2 base
+    * alphabet). Same one-scan narrow projection. */
+  def byteLevelCorpusKeyed(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, byteLevelText(t)) }
+      .toDF(idCol, textCol)
   }
 }

@@ -39,7 +39,7 @@ object LlmQueries {
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
     textBpeTrainPre,
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
-    textHybridRrf2)
+    textHybridRrf2, textBpeTokensBytes)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3269,6 +3269,24 @@ object LlmQueries {
     "emoji 😀😀 mix 😀😀 emoji café 😀😀 mix",
     "soft­hyphen soft­hyphen tab\tand\nnewline run")
 
+  /** GPT-2's bytes_to_unicode as a DuckDB expression over one piece
+    * column — the SQL replica of [[TextAnalysis.gpt2ByteMap]] (UTF-8
+    * bytes via `encode`/hex pairs, each mapped through the keep/shift
+    * CASE, rejoined with `chr`). */
+  private def byteMapSql(piece: String): String =
+    s"""array_to_string([chr(CASE
+       |    WHEN b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172
+       |         OR b BETWEEN 174 AND 255 THEN b
+       |    WHEN b <= 32 THEN 256 + b
+       |    WHEN b BETWEEN 127 AND 160 THEN b + 162
+       |    ELSE 323 END)
+       |  for b in [('0x' || h)::INT
+       |            for h in regexp_extract_all(hex(encode($piece)), '..')]],
+       |  '')""".stripMargin
+
+  private val gpt2RegexSqlLit: String =
+    "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+
   /** The byte-level piece stream: GPT-2 pre-tokens of documents ∪ the
     * planted multi-byte rows, each piece's UTF-8 bytes rewritten through
     * the bytes_to_unicode map — the exact construction
@@ -3277,17 +3295,9 @@ object LlmQueries {
   private def byteWordSql: String = {
     val planted = bpeMultibyteTexts
       .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
-    s"""SELECT array_to_string([chr(CASE
-       |    WHEN b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172
-       |         OR b BETWEEN 174 AND 255 THEN b
-       |    WHEN b <= 32 THEN 256 + b
-       |    WHEN b BETWEEN 127 AND 160 THEN b + 162
-       |    ELSE 323 END)
-       |  for b in [('0x' || h)::INT
-       |            for h in regexp_extract_all(hex(encode(piece)), '..')]],
-       |  '') AS w
+    s"""SELECT ${byteMapSql("piece")} AS w
        |FROM (SELECT unnest(regexp_extract_all(text,
-       |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS piece
+       |    $gpt2RegexSqlLit)) AS piece
        |  FROM (SELECT text FROM documents WHERE text IS NOT NULL
        |        UNION ALL SELECT * FROM (VALUES $planted) v(text)))""".stripMargin
   }
@@ -3320,6 +3330,51 @@ object LlmQueries {
             |  string_split(pair, ' ')[2] AS rhs,
             |  replace(pair, ' ', '') AS merged, cnt::BIGINT AS cnt
             |FROM m ORDER BY rank""".stripMargin))
+
+  /** The byte-level ENCODE twin: per-doc token counts under the stored
+    * byte-level tokenizer — train the merges over the byte-mapped piece
+    * table (the `text_bpe_train_bytes` construction), then replay the
+    * rank-ordered list over each doc's byte-mapped piece stream
+    * ([[TextAnalysis.byteLevelCorpusKeyed]] ∘
+    * [[TextAnalysis.bpeDocTokensFromMerges]] — pieces ARE the word
+    * table's words, so the compiled merge scan applies unchanged).
+    * `n_base_tokens` counts UTF-8 BYTES (é = 2, 中 = 3, 😀 = 4 base
+    * tokens — the GPT-2 alphabet), so the compression ratio is the real
+    * byte-level one; planted multi-byte docs ride along at fixed ids in
+    * both engines. */
+  val textBpeTokensBytes: QueryDef = QueryDef("text_bpe_tokens_bytes",
+    (s, d) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(bpeMultibyteTexts.zipWithIndex
+          .map { case (t, i) => (90000000L + i, t) }.toDF("doc_id", "text"))
+      val mapped = TextAnalysis.byteLevelCorpusKeyed(corpus, "doc_id", "text")
+      val merges = TextAnalysis.bpeTrain(mapped, "text",
+          merges = 256, batch = 32)
+        .orderBy("rank").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeDocTokensFromMerges(mapped, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    Some {
+      val plantedIds = bpeMultibyteTexts.zipWithIndex
+        .map { case (t, i) => s"(${90000000L + i}::BIGINT, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH ${bpeTrainedSqlFor(BpeRounds, BpeBatch, byteWordSql)},
+         |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
+         |         length(w) AS n_chars FROM w$BpeRounds),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT * FROM (VALUES $plantedIds) v(doc_id, text)),
+         |dp AS (SELECT doc_id, ${byteMapSql("piece")} AS w
+         |       FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+         |           $gpt2RegexSqlLit)) AS piece
+         |         FROM corpus WHERE text IS NOT NULL))
+         |SELECT dp.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
+         |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
+         |FROM dp JOIN wt ON dp.w = wt.w
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 
   /** Delta-maintained BPE training ([[TextAnalysis.bpeTrainDelta]]) at a
     * 32k-vocab-shaped budget (16 rounds × 256 = 4,096 merges): pair
