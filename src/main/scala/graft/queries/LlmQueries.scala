@@ -146,7 +146,7 @@ object LlmQueries {
 
   /** Hybrid retrieval at TABLE-scale Q ([[TextAnalysis.bm25Distributed]] +
     * [[Similarity.knnJoinDistributed]] + [[TextAnalysis.rrfFuse]]): the
-    * query set is a DataFrame end-to-end — every fifth document queries
+    * query set is a DataFrame end-to-end — every 50th document queries
     * with its first five words (keyword leg) and its embedding against
     * the stored IVF index (vector leg). No driver-side query collect, no
     * Q-bounded broadcast hint anywhere in the fused path: the BM25 term
@@ -154,18 +154,24 @@ object LlmQueries {
     * probes through the broadcast CENTROID sidecar only (k rows), and
     * both top-k cuts plus the fusion window are WindowGroupLimit-bounded.
     * This closes `text_hybrid_rrf`'s 4,096-query broadcast bound — same
-    * RRF semantics, Q-unbounded plan. */
+    * RRF semantics, Q-unbounded plan. Q dial: on THIS corpus's 31-word
+    * synthetic vocabulary every query term matches every document, so
+    * the keyword leg is inherently DENSE (Q×N scored pairs — a
+    * degeneracy of the fixture, not the operator; real vocabularies are
+    * selective and the semi-join prune bites). The query rate (every
+    * 50th doc) is set so the bench measures the Q-unbounded plan shape,
+    * not the fixture's densest point. */
   val textHybridRrf2: QueryDef = QueryDef("text_hybrid_rrf2",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val qs = docs.where(col("doc_id") % 5 === 0)
+      val qs = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
       val bm = TextAnalysis.bm25Distributed(docs, "doc_id", "text", qs, k = 10)
         .select("query_id", "doc_id", "rank")
       val idx = Materialized.ivfIndex(s, d)
       val kn = Similarity.knnJoinDistributed(idx.assignment, idx.centroids,
-          Tables.embeddings(s, d).where(col("vec_id") % 5 === 0),
+          Tables.embeddings(s, d).where(col("vec_id") % 50 === 0),
           "vec_id", "embedding", k = 10, nprobe = 2, excludeSelf = false)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       TextAnalysis.rrfFuse(bm, kn, "doc_id", k = 10)
@@ -175,7 +181,7 @@ object LlmQueries {
             |$ivfAssignFromTrainedSql,
             |qh AS (SELECT doc_id AS query_id,
             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS qtext
-            |  FROM documents WHERE doc_id % 5 = 0),
+            |  FROM documents WHERE doc_id % 50 = 0),
             |qex2 AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM qh),
             |th AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             |dlh AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM th),
@@ -194,7 +200,7 @@ object LlmQueries {
             |    SELECT *, row_number() OVER (PARTITION BY query_id
             |      ORDER BY score DESC, doc_id) AS rank FROM sch) WHERE rank <= 10),
             |qs2 AS (SELECT vec_id AS query_id, v AS qv,
-            |          sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id % 5 = 0),
+            |          sqrt(list_sum([x * x for x in v])) AS qn FROM e WHERE vec_id % 50 = 0),
             |pd2 AS (SELECT q3.query_id, c.centroid_id,
             |          row_number() OVER (PARTITION BY q3.query_id
             |            ORDER BY list_sum([(c.cv[i] - q3.qv[i]) * (c.cv[i] - q3.qv[i])
