@@ -39,7 +39,7 @@ object LlmQueries {
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
     textBpeTrainPre,
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
-    textHybridRrf2, textBpeTokensBytes)
+    textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3348,13 +3348,45 @@ object LlmQueries {
     * tokens — the GPT-2 alphabet), so the compression ratio is the real
     * byte-level one; planted multi-byte docs ride along at fixed ids in
     * both engines. */
+  /** The `text_bpe_train_bytes` / `text_bpe_tokens_bytes*` corpus:
+    * `documents` plus the planted multi-byte rows at fixed ids —
+    * shared by the live queries, the stored-artifact builder
+    * ([[Materialized.bpeByteMerges]]) and the SQL replays. */
+  private[queries] def byteCorpusKeyed(s: org.apache.spark.sql.SparkSession,
+                                       d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(bpeMultibyteTexts.zipWithIndex
+        .map { case (t, i) => (90000000L + i, t) }.toDF("doc_id", "text"))
+  }
+
+  /** One per-doc byte-token replay serves the live-training query and the
+    * stored-merges twin (sequential replay of the rank-ordered list equals
+    * the training word table — the [[bpeTokensOracleSql]] argument). */
+  private def bpeTokensBytesOracleSql: String = {
+    val plantedIds = bpeMultibyteTexts.zipWithIndex
+      .map { case (t, i) => s"(${90000000L + i}::BIGINT, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH ${bpeTrainedSqlFor(BpeRounds, BpeBatch, byteWordSql)},
+       |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
+       |         length(w) AS n_chars FROM w$BpeRounds),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT * FROM (VALUES $plantedIds) v(doc_id, text)),
+       |dp AS (SELECT doc_id, ${byteMapSql("piece")} AS w
+       |       FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+       |           $gpt2RegexSqlLit)) AS piece
+       |         FROM corpus WHERE text IS NOT NULL))
+       |SELECT dp.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
+       |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
+       |FROM dp JOIN wt ON dp.w = wt.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val textBpeTokensBytes: QueryDef = QueryDef("text_bpe_tokens_bytes",
     (s, d) => {
-      import s.implicits._
-      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .unionByName(bpeMultibyteTexts.zipWithIndex
-          .map { case (t, i) => (90000000L + i, t) }.toDF("doc_id", "text"))
-      val mapped = TextAnalysis.byteLevelCorpusKeyed(corpus, "doc_id", "text")
+      val mapped = TextAnalysis.byteLevelCorpusKeyed(
+        byteCorpusKeyed(s, d), "doc_id", "text")
       val merges = TextAnalysis.bpeTrain(mapped, "text",
           merges = 256, batch = 32)
         .orderBy("rank").select("lhs", "rhs").collect()
@@ -3362,25 +3394,25 @@ object LlmQueries {
       TextAnalysis.bpeDocTokensFromMerges(mapped, "doc_id", "text", merges)
         .orderBy("doc_id")
     },
-    Some {
-      val plantedIds = bpeMultibyteTexts.zipWithIndex
-        .map { case (t, i) => s"(${90000000L + i}::BIGINT, '${t.replace("'", "''")}')" }
-        .mkString(", ")
-      s"""WITH ${bpeTrainedSqlFor(BpeRounds, BpeBatch, byteWordSql)},
-         |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
-         |         length(w) AS n_chars FROM w$BpeRounds),
-         |corpus AS (SELECT doc_id, text FROM documents
-         |           UNION ALL SELECT * FROM (VALUES $plantedIds) v(doc_id, text)),
-         |dp AS (SELECT doc_id, ${byteMapSql("piece")} AS w
-         |       FROM (SELECT doc_id, unnest(regexp_extract_all(text,
-         |           $gpt2RegexSqlLit)) AS piece
-         |         FROM corpus WHERE text IS NOT NULL))
-         |SELECT dp.doc_id, count(*)::BIGINT AS n_words,
-         |  sum(wt.n_chars)::BIGINT AS n_base_tokens,
-         |  sum(wt.n_tok)::BIGINT AS n_bpe_tokens
-         |FROM dp JOIN wt ON dp.w = wt.w
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    Some(bpeTokensBytesOracleSql))
+
+  /** Tokenization from the STORED byte-level tokenizer artifact
+    * ([[Materialized.bpeByteMerges]] → the compiled merge scan over the
+    * byte-mapped piece stream): training paid once per (corpus, config);
+    * each encode run collects the 256-row merge list (driver-safe by
+    * construction) — the `text_bpe_tokens2` production pattern at the
+    * byte alphabet. */
+  val textBpeTokensBytes2: QueryDef = QueryDef("text_bpe_tokens_bytes2",
+    (s, d) => {
+      val merges = Materialized.bpeByteMerges(s, d).orderBy("rank")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeDocTokensFromMerges(
+          TextAnalysis.byteLevelCorpusKeyed(byteCorpusKeyed(s, d), "doc_id", "text"),
+          "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    Some(bpeTokensBytesOracleSql))
 
   /** Delta-maintained BPE training ([[TextAnalysis.bpeTrainDelta]]) at a
     * 32k-vocab-shaped budget (16 rounds × 256 = 4,096 merges): pair

@@ -756,6 +756,22 @@ object Materialized {
         merges = 256, batch = 32)
     }
 
+  /** Stored BYTE-level BPE tokenizer artifact: the rank-ordered merge
+    * table trained over the byte-mapped GPT-2 piece stream of
+    * `documents` ∪ the planted multi-byte rows (the
+    * `text_bpe_train_bytes` corpus, [[LlmQueries.byteCorpusKeyed]]) —
+    * trained once per (corpus, config); encode runs
+    * ([[graft.llm.TextAnalysis.bpeDocTokensFromMerges]] over the
+    * byte-mapped piece stream) replay the stored list instead of
+    * re-paying the training scans. */
+  def bpeByteMerges(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "bpe_bytes", "m256_b32", sfDir, "documents") {
+      graft.llm.TextAnalysis.bpeTrain(
+        graft.llm.TextAnalysis.byteLevelCorpus(
+          LlmQueries.byteCorpusKeyed(spark, sfDir), "text"),
+        "text", merges = 256, batch = 32)
+    }
+
   /** Media feature near-dup pair table at the consumed threshold
     * (cosine ≥ 0.9999 over the 6-dp-rounded decode-stub features) —
     * `mm_near_dup` reads it; built once per corpus like the text

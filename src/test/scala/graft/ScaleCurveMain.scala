@@ -26,7 +26,8 @@ object ScaleCurveMain {
     val modes = Set("crossover-only", "knn-ivf-only", "knn-dist-only", "knn-pq-only",
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
-      "million-sdc-only", "tenmillion-doc-only", "regimes-only")
+      "million-sdc-only", "tenmillion-doc-only", "regimes-only",
+      "admission-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -73,6 +74,7 @@ object ScaleCurveMain {
     else if (args.contains("million-lean-only")) millionLean(spark)
     else if (args.contains("million-ivfpq-only")) millionIvfPq(spark)
     else if (args.contains("million-sdc-only")) millionSdc(spark)
+    else if (args.contains("admission-only")) admission10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -734,6 +736,46 @@ object ScaleCurveMain {
       .count())
     println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
       f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+  }
+
+  /**
+   * The admission-family scale measurement — 10M docs in ONE source (the
+   * adversarial shape the round-10 ranged/threshold twins exist for: the
+   * window paths put that entire source through a single sort task, the
+   * twins distribute it). Outputs must be row-identical (the LlmSpec
+   * property re-checked here at 10M via count + keep-mass equality);
+   * the wall-clock ratio is the datapoint.
+   */
+  private def admission10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextAnalysis
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("doc body text number "), col("id"), lit(" tail")).as("text"),
+      lit("web").as("source"))
+    val budget = 30000000L // ~3/7 of the corpus token mass admitted
+    val (wKeep, tW) = timed(TextAnalysis.budgetMix(
+      docs, "doc_id", "text", "source", budget).where(col("keep")).count())
+    val (rKeep, tR) = timed(TextAnalysis.budgetMixRanged(
+      docs, "doc_id", "text", "source", budget).where(col("keep")).count())
+    require(wKeep == rKeep, s"paths disagree: window=$wKeep ranged=$rKeep")
+    println(f"admission budget-mix n=$n sources=1 keep=$wKeep | " +
+      f"window ${tW}%.1fs | ranged ${tR}%.1fs (${tW / tR}%.1fx)")
+    // ppl terciles: one giant language, 6-dp scores over a bounded value
+    // alphabet (the rounding argument made literal)
+    val scored = spark.range(n).select(col("id").as("doc_id"),
+      lit("en").as("lang"), lit(100L).as("n_words"),
+      (pmod(col("id") * 2654435761L, lit(100000L)).cast("double") / 100.0)
+        .as("nll_sum"))
+    val (wB, tWp) = timed(TextAnalysis.pplBuckets(scored, "doc_id", "lang")
+      .groupBy("bucket").agg(count(lit(1))).count())
+    val (tB, tTp) = timed(TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
+      .groupBy("bucket").agg(count(lit(1))).count())
+    println(f"admission ppl-terciles n=$n langs=1 buckets w=$wB t=$tB | " +
+      f"ntile-window ${tWp}%.1fs | threshold ${tTp}%.1fs (${tWp / tTp}%.1fx)")
   }
 
   /**
