@@ -595,6 +595,47 @@ object Dedup {
   }
 
   /**
+   * Trainer-facing CUT LIST over [[repeatedSpansMaximal]] output: per-doc
+   * interval UNION of the aligned spans. This is the second pass the
+   * canonical-anchor under-merge calls for — where a chained
+   * earlier-copy interior splits one repeat into several overlapping
+   * aligned spans (the measured A ⊂ B ⊂ C fixture: three spans whose
+   * union covers the repeat), the union fuses them back into the ONE
+   * region a trainer excises, recovering the suffix-array cut list
+   * exactly wherever the split spans overlap or touch. Overlapping and
+   * ADJACENT (`next start = end + 1`) intervals merge — back-to-back
+   * repeated regions are one contiguous cut. Output: `(idCol, cut_id,
+   * cut_start, cut_end, n_tokens, n_spans, n_anchors)`, 1-based
+   * inclusive; `n_anchors` counts the distinct partner docs the merged
+   * region aligns against.
+   *
+   * 100 TB shape: one window + one agg, both partitioned by doc id —
+   * bounded by a document's own span count, never a corpus-scale key.
+   * The running `max(span_end)` over preceding rows (not `lag`) is what
+   * makes containment correct: a short span strictly inside an earlier
+   * long one must not re-open an island.
+   */
+  def spanCuts(spans: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("span_start", "span_end")
+    val maxEndBefore = max(col("span_end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("brk",
+        when(maxEndBefore.isNull || col("span_start") > maxEndBefore + 1, 1L)
+          .otherwise(0L))
+      .withColumn("cut_id", sum(col("brk")).over(byDoc))
+      .groupBy(col(idCol), col("cut_id"))
+      .agg(min(col("span_start")).as("cut_start"),
+        max(col("span_end")).as("cut_end"),
+        count(lit(1)).as("n_spans"),
+        countDistinct(col("anchor_id")).as("n_anchors"))
+      .select(col(idCol), col("cut_id"), col("cut_start"), col("cut_end"),
+        (col("cut_end") - col("cut_start") + 1).as("n_tokens"),
+        col("n_spans"), col("n_anchors"))
+  }
+
+  /**
    * k-minhash signature from a *pre-staged* reduced-hash array column —
    * pure per-row expression. `hashes` MUST be an attribute reference (a
    * materialized column), not an inline expression: higher-order functions

@@ -403,6 +403,94 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(ip)).cast("long").as("n_ip"))
   }
 
+  /**
+   * C4-style line-level boilerplate filter (Raffel et al. 2020 §2.2, the
+   * "Colossal Clean Crawled Corpus" rules): keep a LINE iff it ends in
+   * terminal punctuation (`. ! ? "` or `'`), has ≥ `minWordsPerLine`
+   * whitespace words, and does not mention "javascript"; drop the whole
+   * PAGE iff it contains "lorem ipsum" or a curly brace (code), or fewer
+   * than `minKeptLines` lines survive (C4's ≥-3-sentences proxy).
+   * Output per doc: line counts, the page-poison flags, the composed
+   * `keep` verdict, and `text_clean` — the kept lines rejoined (null for
+   * a dropped page, matching C4 discarding it).
+   *
+   * Pure per-row array expressions (one `split` + `filter` + flags) —
+   * zero shuffle, scan-speed at 100 TB; patterns are RE2-portable so the
+   * SQL replay is exact.
+   */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWordsPerLine: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    def lineKept(l: Column): Column = {
+      val s = trim(l)
+      val wc = size(filter(split(s, " "), w => length(w) > lit(0)))
+      s.rlike("[.!?\"']$") && wc >= lit(minWordsPerLine) &&
+        !lower(s).contains("javascript")
+    }
+    val kept = filter(lines, lineKept _)
+    val nLines = size(lines)
+    val nKept = size(kept)
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    val keep = !hasLorem && !hasBrace && nKept >= lit(minKeptLines)
+    df.select(col(idCol),
+      nLines.cast("long").as("n_lines"),
+      nKept.cast("long").as("n_kept"),
+      round(nKept.cast("double") / greatest(nLines, lit(1)), 4).as("kept_ratio"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"), keep.as("keep"),
+      when(keep, concat_ws("\n", kept)).as("text_clean"))
+  }
+
+  /**
+   * URL canonicalization (the web-curation staple ahead of URL dedup and
+   * per-domain caps — C4/RefinedWeb lineage): lowercase; strip the
+   * `#fragment`, the scheme, and a leading `www.`; drop tracking query
+   * params (`utm_*`, `ref=…`) while keeping the rest; trim a trailing
+   * slash. Emits `(…, url_norm, host, domain)` where `domain` is the
+   * last two host labels (registered-domain proxy; a public-suffix list
+   * is a lookup-table extension, not a plan change). Pure per-row regex +
+   * array expressions — zero shuffle; RE2-portable so SQL replays match.
+   */
+  def urlNormalize(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(lower(col(urlCol)), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^https?://", "")
+    val bare = regexp_replace(noScheme, "^www\\.", "")
+    val path = regexp_replace(regexp_replace(bare, "\\?.*$", ""), "/$", "")
+    val query = regexp_extract(bare, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      length(p) > lit(0) && !p.startsWith("utm_") && !p.rlike("^ref="))
+    val norm = concat(path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    val host = regexp_extract(bare, "^([^/?]+)", 1)
+    df.withColumn("url_norm", norm)
+      .withColumn("host", host)
+      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+
+  /**
+   * Per-domain document cap (RefinedWeb-style domain balancing): admit at
+   * most `cap` docs per registered domain, in the registry's standard
+   * deterministic content-hash priority order (no RNG state, reproducible
+   * across resumed 100 TB runs). Unlike the source/language admission
+   * family, the window key here is the DOMAIN — a web corpus has millions
+   * of them and the cap bounds what anyone keeps per key, so the per-key
+   * window is the right shape at scale (the giant-key escape hatch, if a
+   * single domain ever dominated, is the same threshold-cut rewrite the
+   * budget/tercile twins use).
+   */
+  def domainCap(docs: DataFrame, idCol: String, textCol: String,
+                domainCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = coalesce(md5(col(textCol)), lit("<null-text>"))
+    val w = Window.partitionBy(domainCol).orderBy(col("pri"), col(idCol))
+    docs.withColumn("pri", pri)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col(idCol), col(domainCol), col("rk"),
+        (col("rk") <= cap).as("keep"))
+  }
+
   /** Within-document repetition signals (Gopher-style quality filters):
     * fraction of duplicated words / 2-grams / 3-grams, each
     * `1 - distinct/total`; docs shorter than the gram width score 0.

@@ -39,7 +39,9 @@ object LlmQueries {
     dedupSemanticSdc, pipelineCuration4, simCellSample, textPretokenize,
     textBpeTrainPre,
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
-    textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2)
+    textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2,
+    textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
+    textUrlDedup, textBpeFertility)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4126,6 +4128,56 @@ object LlmQueries {
            |FROM agg WHERE span_end - span_start + 1 >= 30
            |ORDER BY doc_id, span_start, anchor_id, anchor_start""".stripMargin))
 
+  /** Trainer-facing cut list ([[Dedup.spanCuts]] ∘
+    * [[Dedup.repeatedSpansMaximal]]): per-doc interval union of the
+    * aligned maximal spans — the second pass that fuses the canonical-
+    * anchor split (the A ⊂ B ⊂ C under-merge) back into the ONE region a
+    * trainer excises. Both stages window on doc id only; the oracle
+    * replays the full seed-chain THEN the same running-max island merge. */
+  val textSpanCuts: QueryDef = QueryDef("text_span_cuts",
+    (s, d) => Dedup.spanCuts(Dedup.repeatedSpansMaximal(Tables.documents(s, d),
+        "doc_id", "text", n = 10, minTokens = 30), "doc_id")
+      .orderBy("doc_id", "cut_start"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+9], ' ') for i in range(1, len(ws) - 8)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr,
+           |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
+           |cn AS (SELECT gr, doc_id AS cid, pos AS cpos FROM (
+           |         SELECT gr, doc_id, pos,
+           |           row_number() OVER (PARTITION BY gr ORDER BY doc_id, pos) AS rn
+           |         FROM ex) WHERE rn = 1),
+           |sd AS (SELECT e.doc_id, e.pos, c.cid, e.pos - c.cpos AS diag
+           |       FROM ex e JOIN cn c USING (gr)
+           |       WHERE NOT (e.doc_id = c.cid AND e.pos = c.cpos)),
+           |i AS (SELECT doc_id, cid, diag, pos,
+           |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) IS NULL
+           |               OR pos > lag(pos) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) + 1
+           |             THEN 1 ELSE 0 END AS brk FROM sd),
+           |sp AS (SELECT doc_id, cid, diag, pos,
+           |         sum(brk) OVER (PARTITION BY doc_id, cid, diag ORDER BY pos) AS run_id
+           |       FROM i),
+           |agg AS (SELECT doc_id, cid AS anchor_id, min(pos) AS span_start,
+           |          max(pos) + 9 AS span_end
+           |        FROM sp GROUP BY doc_id, cid, diag, run_id),
+           |ms AS (SELECT * FROM agg WHERE span_end - span_start + 1 >= 30),
+           |isl AS (SELECT doc_id, anchor_id, span_start, span_end,
+           |         CASE WHEN max(span_end) OVER w IS NULL
+           |                OR span_start > max(span_end) OVER w + 1
+           |              THEN 1 ELSE 0 END AS brk FROM ms
+           |         WINDOW w AS (PARTITION BY doc_id ORDER BY span_start, span_end
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |cu AS (SELECT doc_id, anchor_id, span_start, span_end,
+           |         sum(brk) OVER (PARTITION BY doc_id ORDER BY span_start, span_end)::BIGINT AS cut_id
+           |       FROM isl)
+           |SELECT doc_id, cut_id, min(span_start) AS cut_start,
+           |  max(span_end) AS cut_end,
+           |  (max(span_end) - min(span_start) + 1)::BIGINT AS n_tokens,
+           |  count(*)::BIGINT AS n_spans,
+           |  count(DISTINCT anchor_id)::BIGINT AS n_anchors
+           |FROM cu GROUP BY doc_id, cut_id ORDER BY doc_id, cut_start""".stripMargin))
+
   /** Unigram-LM quality scoring ([[TextAnalysis.lmScore]]): the
     * perplexity-proxy filter — per-doc mean negative log-likelihood in
     * nats under the corpus's own unigram model. Vocab trains in one
@@ -4435,4 +4487,233 @@ object LlmQueries {
          |$feats
          |FROM documents ORDER BY media_id""".stripMargin
     })
+
+  /** C4-style line filter ([[TextAnalysis.c4LineFilter]], Raffel et al.
+    * 2020): terminal-punctuation + ≥5-word + no-"javascript" line rules,
+    * lorem-ipsum / curly-brace / <3-kept-lines page rules. The corpus is
+    * single-line, so the fixture composes a deterministic page per doc —
+    * the doc text as a closed sentence plus boilerplate lines exercising
+    * every rule (id-parity adds the third kept line; id%7 / id%11 plant
+    * the page poisons). Pure per-row array expressions — zero shuffle. */
+  val textC4Filter: QueryDef = QueryDef("text_c4_filter",
+    (s, d) => {
+      val extra = when(col("doc_id") % 2 === 0,
+        lit("\neven documents carry one more complete sentence for balance."))
+        .otherwise(lit(""))
+      val lorem = when(col("doc_id") % 7 === 0,
+        lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit(""))
+      val brace = when(col("doc_id") % 11 === 0,
+        lit("\nfunction render() { return markup; }")).otherwise(lit(""))
+      val page = concat(coalesce(col("text"), lit("")), lit(" ends here."),
+        lit("\nplease enable javascript to continue viewing this page."),
+        lit("\nbuy now and save big today"),
+        lit("\ntiny line."),
+        lit("\nthis page has a perfectly ordinary closing sentence."),
+        extra, lorem, brace)
+      TextAnalysis.c4LineFilter(
+          Tables.documents(s, d).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+           |  coalesce(text, '') || ' ends here.' ||
+           |  chr(10) || 'please enable javascript to continue viewing this page.' ||
+           |  chr(10) || 'buy now and save big today' ||
+           |  chr(10) || 'tiny line.' ||
+           |  chr(10) || 'this page has a perfectly ordinary closing sentence.' ||
+           |  CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+           |    'even documents carry one more complete sentence for balance.' ELSE '' END ||
+           |  CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+           |    'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END ||
+           |  CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+           |    'function render() { return markup; }' ELSE '' END AS page
+           |  FROM documents),
+           |l AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM w),
+           |k AS (SELECT doc_id, page, len(ls)::BIGINT AS n_lines,
+           |  [x for x in ls if regexp_matches(trim(x), '[.!?"'']$')
+           |     and len([y for y in string_split(trim(x), ' ') if len(y) > 0]) >= 5
+           |     and not contains(lower(x), 'javascript')] AS kept,
+           |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+           |  contains(page, '{') AS has_brace
+           |  FROM l)
+           |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+           |  round(len(kept)::DOUBLE / greatest(n_lines, 1), 4) AS kept_ratio,
+           |  has_lorem, has_brace,
+           |  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
+           |  CASE WHEN NOT has_lorem AND NOT has_brace AND len(kept) >= 3
+           |       THEN array_to_string(kept, chr(10)) END AS text_clean
+           |FROM k ORDER BY doc_id""".stripMargin))
+
+  /** The shared deterministic URL fixture: scheme/www/trailing-slash/
+    * tracking-param/fragment variety keyed off doc_id, hosts spreading
+    * sources across 23 domain shards with an id%5 `cdn.` subdomain. */
+  private val urlBuildSql: String =
+    """SELECT doc_id, text,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+      |   CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |   CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END ||
+      |   source || (doc_id % 23)::VARCHAR || '.example' ||
+      |   '/' || lang || '/page-' || doc_id::VARCHAR ||
+      |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |   CASE WHEN doc_id % 3 = 0
+      |        THEN '?utm_source=feed&id=' || (doc_id % 5)::VARCHAR || '&utm_campaign=mix'
+      |        WHEN doc_id % 3 = 1
+      |        THEN '?id=' || (doc_id % 5)::VARCHAR || '&ref=rss'
+      |        ELSE '' END ||
+      |   CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |FROM documents""".stripMargin
+
+  private def urlFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val doc = Tables.documents(s, d)
+    doc.select(col("doc_id"), col("text"), concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("cdn.")).otherwise(lit("")),
+      col("source"), (col("doc_id") % 23).cast("string"), lit(".example"),
+      lit("/"), col("lang"), lit("/page-"), col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=mix")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 5).cast("string"), lit("&ref=rss")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
+      .as("url"))
+  }
+
+  /** URL canonicalization ([[TextAnalysis.urlNormalize]]): lowercase,
+    * fragment/scheme/www strip, tracking-param drop (utm_*, ref) with
+    * order-preserving keep of the rest, trailing-slash trim, host +
+    * registered-domain extraction. Zero shuffle; the oracle replays every
+    * regex stage (all RE2-portable). */
+  val textUrlNormalize: QueryDef = QueryDef("text_url_normalize",
+    (s, d) => TextAnalysis.urlNormalize(urlFixture(s, d), "url")
+      .select(col("doc_id"), col("url"), col("url_norm"), col("host"),
+        col("domain"))
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS ($urlBuildSql),
+           |s1 AS (SELECT doc_id, url,
+           |  regexp_replace(regexp_replace(regexp_replace(lower(url),
+           |    '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS bare FROM u),
+           |s2 AS (SELECT doc_id, url, bare,
+           |  regexp_replace(regexp_replace(bare, '\\?.*$$', ''), '/$$', '') AS path,
+           |  [p for p in string_split(regexp_extract(bare, '\\?(.*)$$', 1), '&')
+           |     if len(p) > 0 and not starts_with(p, 'utm_')
+           |        and not regexp_matches(p, '^ref=')] AS params,
+           |  regexp_extract(bare, '^([^/?]+)', 1) AS host FROM s1)
+           |SELECT doc_id, url,
+           |  path || CASE WHEN len(params) > 0
+           |               THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm,
+           |  host, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+           |FROM s2 ORDER BY doc_id""".stripMargin))
+
+  /** Per-domain cap ([[TextAnalysis.domainCap]] ∘ urlNormalize):
+    * RefinedWeb-style domain balancing — ≤25 docs per registered domain in
+    * content-hash priority order. The window key is the DOMAIN (a web
+    * corpus has millions; here sources × 23 shards), so per-key mass is
+    * capped by construction — the scale contrast to the source/language
+    * admission family and its threshold twins. */
+  val textDomainCap: QueryDef = QueryDef("text_domain_cap",
+    (s, d) => TextAnalysis.domainCap(
+        TextAnalysis.urlNormalize(urlFixture(s, d), "url"),
+        "doc_id", "text", "domain", cap = 25)
+      .orderBy("domain", "rk"),
+    Some(s"""WITH u AS ($urlBuildSql),
+           |s1 AS (SELECT doc_id, text,
+           |  regexp_replace(regexp_replace(regexp_replace(lower(url),
+           |    '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS bare FROM u),
+           |s2 AS (SELECT doc_id, text,
+           |  regexp_extract(regexp_extract(bare, '^([^/?]+)', 1),
+           |    '([^.]+\\.[^.]+)$$', 1) AS domain FROM s1),
+           |p AS (SELECT doc_id, domain,
+           |  coalesce(md5(text), '<null-text>') AS pri FROM s2),
+           |r AS (SELECT doc_id, domain,
+           |  row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id)::BIGINT AS rk
+           |  FROM p)
+           |SELECT doc_id, domain, rk, rk <= 25 AS keep
+           |FROM r ORDER BY domain, rk""".stripMargin))
+
+  /** URL dedup at the canonical key (the C4 crawl staple): docs whose
+    * urls differ ONLY by scheme case, `www.`, or fragment normalize to
+    * the same canonical url — the dup groups here are created by the
+    * normalization itself (page slot = doc_id % 40 per source×lang). The
+    * earliest doc_id per canonical url survives; the min election is a
+    * window over the many-valued url key. */
+  val textUrlDedup: QueryDef = QueryDef("text_url_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val doc = Tables.documents(s, d)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example/"), col("lang"), lit("/page-"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+      val norm = TextAnalysis.urlNormalize(
+        doc.select(col("doc_id"), url.as("url")), "url")
+      val canonical = min(col("doc_id")).over(Window.partitionBy("url_norm"))
+      norm.select(col("doc_id"), col("url_norm"),
+          canonical.as("canonical_id"),
+          (col("doc_id") =!= canonical).as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+           |   CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+           |   source || '.example/' || lang || '/page-' || (doc_id % 40)::VARCHAR ||
+           |   CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+           |  FROM documents),
+           |s1 AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(lower(url),
+           |    '#.*$', ''), '^https?://', ''), '^www\.', '') AS bare FROM u),
+           |n AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(bare, '\?.*$', ''), '/$', '') AS url_norm
+           |  FROM s1),
+           |c AS (SELECT doc_id, url_norm,
+           |  min(doc_id) OVER (PARTITION BY url_norm) AS canonical_id FROM n)
+           |SELECT doc_id, url_norm, canonical_id,
+           |  doc_id <> canonical_id AS is_dup
+           |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Tokenizer evaluation from the stored artifact ([[Materialized
+    * .bpeMerges]]): per-source fertility (BPE tokens per word) and
+    * compression (base chars per BPE token) — the per-domain health
+    * check a tokenizer change ships with. The merge replay runs over the
+    * distinct-WORD table (vocab-bounded), docs join it broadcast-style
+    * on the word, and the per-source rollup is one partial+final agg. */
+  val textBpeFertility: QueryDef = QueryDef("text_bpe_fertility",
+    (s, d) => {
+      val merges = Materialized.bpeMerges(s, d).orderBy("rank")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val perDoc = TextAnalysis.bpeDocTokensFromMerges(Tables.documents(s, d),
+        "doc_id", "text", merges)
+      perDoc.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_tokenized"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+          round(sum("n_bpe_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"),
+          round(sum("n_base_tokens").cast("double") / sum("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $bpeTrainedSql,
+           |wt AS (SELECT w, len(string_split(trim(s), ' ')) AS n_tok,
+           |         length(w) AS n_chars FROM w$BpeRounds),
+           |pd AS (SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           |         sum(wt.n_chars)::BIGINT AS n_base, sum(wt.n_tok)::BIGINT AS n_bpe
+           |       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+           |             FROM documents) d
+           |       JOIN wt ON d.w = wt.w GROUP BY 1)
+           |SELECT doc.source, count(*)::BIGINT AS n_docs_tokenized,
+           |  sum(pd.n_words)::BIGINT AS n_words,
+           |  sum(pd.n_bpe)::BIGINT AS n_bpe_tokens,
+           |  round(sum(pd.n_bpe)::DOUBLE / sum(pd.n_words), 6) AS fertility,
+           |  round(sum(pd.n_base)::DOUBLE / sum(pd.n_bpe), 6) AS chars_per_token
+           |FROM pd JOIN documents doc USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 }

@@ -776,6 +776,19 @@ object ScaleCurveMain {
       .groupBy("bucket").agg(count(lit(1))).count())
     println(f"admission ppl-terciles n=$n langs=1 buckets w=$wB t=$tB | " +
       f"ntile-window ${tWp}%.1fs | threshold ${tTp}%.1fs (${tWp / tTp}%.1fx)")
+    // domain cap — the admission op whose window key is MANY-valued by
+    // construction (the contrast case): 10M docs over 100k domains,
+    // ~100 docs/key, cap 50 → per-key mass is bounded and every window
+    // partition is tiny; the wall should sit near scan+shuffle cost
+    val domains = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("domain body "), col("id")).as("text"),
+      concat(lit("d"), pmod(col("id") * 2654435761L, lit(100000L)),
+        lit(".example")).as("domain"))
+    val (dKeep, tD) = timed(TextAnalysis.domainCap(
+      domains, "doc_id", "text", "domain", cap = 50)
+      .where(col("keep")).count())
+    println(f"admission domain-cap n=$n domains=100000 cap=50 keep=$dKeep | " +
+      f"${tD}%.1fs")
   }
 
   /**

@@ -1161,6 +1161,116 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("spanCuts: the A ⊂ B ⊂ C split fuses back into ONE trainer cut; containment cannot re-open an island; adjacency merges") {
+    // same fixture as the under-merge measurement above: C's three
+    // overlapping aligned spans must union to the one region a trainer
+    // excises — the suffix-array cut list, recovered at the cut level
+    val inner = (0 until 10).map(i => s"p$i").mkString(" ")
+    val q = (0 until 10).map(i => s"q$i").mkString(" ") + s" $inner " +
+      (0 until 10).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a0 a1 a2 $inner a3 a4 a5"),
+      (2L, s"b0 b1 $q b2 b3"),
+      (3L, s"c0 $q c1 c2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansMaximal(d, "doc_id", "text", n = 5, minTokens = 5)
+    val cuts = Dedup.spanCuts(spans, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(cuts == Set(
+      (2L, 1L, 13L, 22L, 10L, 1L, 1L),   // B: its single span vs A
+      (3L, 1L, 2L, 31L, 30L, 3L, 2L)),   // C: 3 spans, 2 anchors → ONE cut
+      cuts.toString)
+    // a short span strictly INSIDE an earlier long one must not re-open
+    // an island (running max(end), not lag(end)); a real gap must
+    val s2 = Seq((9L, 7L, 10L, 40L), (9L, 8L, 15L, 20L), (9L, 7L, 42L, 60L))
+      .toDF("doc_id", "anchor_id", "span_start", "span_end")
+    val c2 = Dedup.spanCuts(s2, "doc_id").orderBy("cut_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+        r.getLong(6)))
+    assert(c2.toSeq == Seq((1L, 10L, 40L, 2L, 2L), (2L, 42L, 60L, 1L, 1L)),
+      c2.mkString(";"))
+    // back-to-back intervals (next start = end + 1) are one contiguous cut
+    val s3 = Seq((1L, 2L, 1L, 5L), (1L, 3L, 6L, 9L))
+      .toDF("doc_id", "anchor_id", "span_start", "span_end")
+    assert(Dedup.spanCuts(s3, "doc_id").count() == 1)
+  }
+
+  test("c4LineFilter: line rules (terminal punct, ≥5 words, javascript) and page rules (lorem, brace, <3 kept)") {
+    val d = Seq(
+      (1L, "this first line carries plenty of words to keep.\nshort one.\n" +
+        "no terminal punctuation at all here\n" +
+        "please enable JavaScript now to proceed further.\n" +
+        "a second proper sentence closes the page cleanly.\n" +
+        "a third proper sentence closes the page cleanly!"),
+      (2L, "a good sentence with enough words right here.\n" +
+        "another good sentence with enough words follows.\n" +
+        "lorem ipsum dolor sit amet is planted here.\n" +
+        "the last proper sentence closes this page too."),
+      (3L, "function f() { return 1; } is code.\n" +
+        "yet another complete sentence with enough words here.\n" +
+        "one more complete sentence with enough words again.\n" +
+        "a third complete sentence with enough words too."),
+      (4L, "only two proper sentences live on this page.\n" +
+        "here is the second and final proper sentence."),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 lines, kept = 1/5/6 (short, no-punct, javascript dropped)
+    assert(out(1L).getLong(1) == 6 && out(1L).getLong(2) == 3, out(1L).toString)
+    assert(out(1L).getBoolean(6) &&
+      out(1L).getString(7).linesIterator.size == 3, out(1L).toString)
+    // doc 2: enough kept lines, but lorem ipsum poisons the page
+    assert(out(2L).getBoolean(4) && !out(2L).getBoolean(6) && out(2L).isNullAt(7))
+    // doc 3: curly brace poisons the page
+    assert(out(3L).getBoolean(5) && !out(3L).getBoolean(6))
+    // doc 4: two kept lines < 3 → page dropped
+    assert(out(4L).getLong(2) == 2 && !out(4L).getBoolean(6))
+    // null text is deterministic: one empty line, nothing kept, dropped
+    assert(out(5L).getLong(1) == 1 && out(5L).getLong(2) == 0 &&
+      !out(5L).getBoolean(6))
+  }
+
+  test("urlNormalize: scheme/www/fragment strip, tracking params dropped order-preserved, trailing slash, registered domain") {
+    val d = Seq(
+      (1L, "HTTPS://WWW.Sub.News.Example.COM/a/b/?utm_source=x&id=7&ref=rss&page=2#frag"),
+      (2L, "http://example.org/path"),
+      (3L, "https://cdn.media.example.net/img/"),
+      (4L, "example.io")  // schemeless bare host
+    ).toDF("id", "url")
+    val out = TextAnalysis.urlNormalize(d, "url").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(1L) == (("sub.news.example.com/a/b?id=7&page=2",
+      "sub.news.example.com", "example.com")), out(1L).toString)
+    assert(out(2L) == (("example.org/path", "example.org", "example.org")))
+    assert(out(3L) == (("cdn.media.example.net/img", "cdn.media.example.net",
+      "example.net")))
+    assert(out(4L) == (("example.io", "example.io", "example.io")))
+  }
+
+  test("domainCap: at most cap survivors per domain, rank dense from 1, deterministic across runs, ties broken by id") {
+    val d = Seq.tabulate(40)(i => (i.toLong, s"text ${i % 4}", s"d${i % 4}.example"))
+      .toDF("doc_id", "text", "domain")
+    def run() = TextAnalysis.domainCap(d, "doc_id", "text", "domain", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val out = run()
+    out.groupBy(_._2).foreach { case (dom, rows) =>
+      assert(rows.count(_._4) == 5, s"$dom kept ${rows.count(_._4)}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$dom ranks not dense")
+    }
+    // identical texts within a domain → md5 ties → id breaks them: the
+    // five smallest ids of each domain survive, and two runs agree
+    out.filter(_._4).groupBy(_._2).foreach { case (dom, kept) =>
+      val ids = out.filter(_._2 == dom).map(_._1).sorted.take(5).toSet
+      assert(kept.map(_._1).toSet == ids, s"$dom kept ${kept.map(_._1).toSet}")
+    }
+    assert(out.sortBy(x => (x._2, x._3)).sameElements(
+      run().sortBy(x => (x._2, x._3))))
+  }
+
   test("packBinsFfd: whole docs keep boundaries at near-emit utilization; oversized docs split into dedicated chunks + a packed tail") {
     import graft.queries.Tables
     val docs = Tables.documents(spark, graft.TestSpark.sf)

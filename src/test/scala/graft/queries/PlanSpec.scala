@@ -201,6 +201,34 @@ class PlanSpec extends AnyFunSuite {
       "gram text must not shuffle\n" + exchanges.mkString("\n"))
   }
 
+  test("text_c4_filter / text_url_normalize: per-row page/url rules, no hash shuffle") {
+    Seq("text_c4_filter", "text_url_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must stay per-row\n$p")
+    }
+  }
+
+  test("text_domain_cap: the only hash exchange keys on the domain (cap-bounded per-key mass)") {
+    val p = plan("text_domain_cap")
+    val ex = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("domain")),
+      "admission must key on the many-valued domain only\n" +
+        ex.mkString("\n") + "\n" + p)
+  }
+
+  test("text_span_cuts: the union pass adds only doc-id-keyed work — no single-partition exchange anywhere") {
+    val p = plan("text_span_cuts")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the cut-list merge must stay partition-parallel\n" + p)
+    // the cut-stage window/agg key on the doc id; the only other hash
+    // exchanges belong to the span stage (gram hash / diagonal run keys)
+    val ex = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(ex.nonEmpty && ex.forall(e =>
+      e.contains("doc_id") || e.contains("gh") || e.contains("id")),
+      "unexpected exchange key\n" + ex.mkString("\n"))
+  }
+
   test("text_bm25: token stream pruned by broadcast semi-join before the tf shuffle; top-k is WindowGroupLimit") {
     val p = plan("text_bm25")
     // the query-term set must reach the token stream as a broadcast
