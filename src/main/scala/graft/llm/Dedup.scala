@@ -451,6 +451,59 @@ object Dedup {
   }
 
   /**
+   * Soft deduplication (SoftDeDup, He et al. 2024: reweight common data
+   * instead of removing it): per document, `dup_score` = the mean over
+   * its word-`n`-gram occurrences of `(cnt−1)/cnt`, where `cnt` is the
+   * gram's corpus-wide occurrence count — the expected fraction of each
+   * gram's mass that is duplicated elsewhere (0 for a fully unique doc,
+   * → 1 for pure boilerplate) — and `weight = 1 − λ·dup_score`, the
+   * sampling down-weight a trainer applies in place of a hard drop.
+   *
+   * Engine-exact reduction: each occurrence's 6-dp-rounded share is
+   * scaled to an integer (`round(round(x,6)·10⁶, 0)` — round-to-nearest
+   * BEFORE the long cast, so both engines land the same integer) and
+   * summed as longs — order-independent, so partial aggregation
+   * parallelizes arbitrarily; division and final rounding happen once
+   * per doc.
+   *
+   * 100 TB shape: the [[repeatedSpans]] formulation — ONE corpus-wide
+   * exchange carrying `(gh, id)` (never gram text), the occurrence count
+   * as a window over that exchange (an agg + self-join would pay the
+   * same skewed shuffle twice), then a partial-aggregable per-doc
+   * rollup. A boilerplate gram's window partition holds its occurrence
+   * list — the same bounded per-key count pass repeatedSpans documents.
+   */
+  def softDedupScores(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 4, lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else TextHashing.wordNgramsKernel(t, n).iterator.map(g =>
+          (id, TextHashing.md5Long60Kernel(g)))
+      }.toDF("id", "gh")
+    val per = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .withColumn("v6",
+        round(round((col("cnt") - 1).cast("double") / col("cnt"), 6) * 1e6, 0)
+          .cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("v6")).as("s6"))
+    val score = round(col("s6") / 1e6 / col("n_grams"), 6)
+    docs.select(col(idCol))
+      .join(per.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(score, lit(0.0)).as("dup_score"),
+        round(lit(1.0) - lit(lambda) * coalesce(score, lit(0.0)), 6)
+          .as("weight"))
+  }
+
+  /**
    * Cross-document repeated-SPAN detection (exact-substring dedup in the
    * "Deduplicating Training Data Makes Language Models Better" mold,
    * Lee et al. 2022 — suffix-array semantics re-expressed as a distributed

@@ -41,7 +41,7 @@ object LlmQueries {
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
     textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2,
     textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
-    textUrlDedup, textBpeFertility)
+    textUrlDedup, textBpeFertility, textSoftDedup)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4676,6 +4676,30 @@ object LlmQueries {
            |SELECT doc_id, url_norm, canonical_id,
            |  doc_id <> canonical_id AS is_dup
            |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Soft dedup ([[Dedup.softDedupScores]], SoftDeDup He et al. 2024):
+    * reweight-instead-of-remove — per doc, the mean duplicated fraction
+    * of its 4-gram occurrences under corpus-wide counts, and the
+    * λ=0.5 sampling down-weight. One (gh, id) exchange + window count +
+    * per-doc rollup; the oracle replays it over exact gram text with the
+    * same scaled-long reduction. */
+  val textSoftDedup: QueryDef = QueryDef("text_soft_dedup",
+    (s, d) => Dedup.softDedupScores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+           |c AS (SELECT doc_id, count(*) OVER (PARTITION BY gr) AS cnt FROM ex),
+           |p AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+           |        sum(round(round((cnt - 1)::DOUBLE / cnt, 6) * 1000000, 0)::BIGINT) AS s6
+           |      FROM c GROUP BY 1)
+           |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+           |  coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0) AS dup_score,
+           |  round(1.0 - 0.5 * coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0), 6)
+           |    AS weight
+           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
   /** Tokenizer evaluation from the stored artifact ([[Materialized
     * .bpeMerges]]): per-source fertility (BPE tokens per word) and

@@ -1196,6 +1196,25 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.spanCuts(s3, "doc_id").count() == 1)
   }
 
+  test("softDedupScores: unique doc scores 0 / weight 1; exact pair scores 0.5 / weight 0.75; short and null docs are deterministic") {
+    val unique = (0 until 20).map(i => s"u$i").mkString(" ")
+    val copyA = (0 until 20).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (1L, unique),                 // every 4-gram unique → 0
+      (2L, copyA), (3L, copyA),     // every 4-gram cnt=2 → (2-1)/2 = 0.5
+      (4L, "a b c"),                // < n words → no grams
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Dedup.softDedupScores(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) == ((17L, 0.0, 1.0)), rows(1L).toString)
+    assert(rows(2L) == ((17L, 0.5, 0.75)) && rows(3L) == ((17L, 0.5, 0.75)),
+      rows.toString)
+    assert(rows(4L) == ((0L, 0.0, 1.0)) && rows(5L) == ((0L, 0.0, 1.0)),
+      rows.toString)
+  }
+
   test("c4LineFilter: line rules (terminal punct, ≥5 words, javascript) and page rules (lorem, brace, <3 kept)") {
     val d = Seq(
       (1L, "this first line carries plenty of words to keep.\nshort one.\n" +

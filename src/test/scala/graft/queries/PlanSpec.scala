@@ -229,6 +229,16 @@ class PlanSpec extends AnyFunSuite {
       "unexpected exchange key\n" + ex.mkString("\n"))
   }
 
+  test("text_soft_dedup: gram counts exchange on the 60-bit hash, never gram text; per-doc rollup is partial-aggregated") {
+    val p = plan("text_soft_dedup")
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(e => !e.contains("gram") && !e.contains(", t#")),
+      "gram/doc text must not shuffle\n" + exchanges.mkString("\n"))
+  }
+
   test("text_bm25: token stream pruned by broadcast semi-join before the tf shuffle; top-k is WindowGroupLimit") {
     val p = plan("text_bm25")
     // the query-term set must reach the token stream as a broadcast
