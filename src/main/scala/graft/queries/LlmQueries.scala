@@ -41,7 +41,7 @@ object LlmQueries {
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
     textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2,
     textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
-    textUrlDedup, textBpeFertility, textSoftDedup)
+    textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4610,7 +4610,7 @@ object LlmQueries {
            |FROM s2 ORDER BY doc_id""".stripMargin))
 
   /** Per-domain cap ([[TextAnalysis.domainCap]] ∘ urlNormalize):
-    * RefinedWeb-style domain balancing — ≤25 docs per registered domain in
+    * RefinedWeb-style domain balancing — ≤2 docs per registered domain in
     * content-hash priority order. The window key is the DOMAIN (a web
     * corpus has millions; here sources × 23 shards), so per-key mass is
     * capped by construction — the scale contrast to the source/language
@@ -4618,7 +4618,7 @@ object LlmQueries {
   val textDomainCap: QueryDef = QueryDef("text_domain_cap",
     (s, d) => TextAnalysis.domainCap(
         TextAnalysis.urlNormalize(urlFixture(s, d), "url"),
-        "doc_id", "text", "domain", cap = 25)
+        "doc_id", "text", "domain", cap = 2)
       .orderBy("domain", "rk"),
     Some(s"""WITH u AS ($urlBuildSql),
            |s1 AS (SELECT doc_id, text,
@@ -4632,7 +4632,7 @@ object LlmQueries {
            |r AS (SELECT doc_id, domain,
            |  row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id)::BIGINT AS rk
            |  FROM p)
-           |SELECT doc_id, domain, rk, rk <= 25 AS keep
+           |SELECT doc_id, domain, rk, rk <= 2 AS keep
            |FROM r ORDER BY domain, rk""".stripMargin))
 
   /** URL dedup at the canonical key (the C4 crawl staple): docs whose
@@ -4700,6 +4700,113 @@ object LlmQueries {
            |  round(1.0 - 0.5 * coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0), 6)
            |    AS weight
            |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
+  /** The REWEIGHTED curation capstone: the web-curation ring's hard
+    * gates (canonical-URL dedup, per-domain cap, Gopher rules) compose
+    * with the SOFT signals (stored-classifier probability × soft-dedup
+    * down-weight) into one per-doc sampling weight — the
+    * reweight-instead-of-remove pipeline shape. Every stage reuses its
+    * standalone query's fixture and plan (id-keyed joins, stored model
+    * broadcast, many-key windows only); the oracle chains the five
+    * stages' replays unchanged. */
+  val pipelineCuration5: QueryDef = QueryDef("pipeline_curation5",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // gate 1: canonical-URL election (the text_url_dedup fixture)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example/"), col("lang"), lit("/page-"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+      val norm = TextAnalysis.urlNormalize(
+        docs.select(col("doc_id"), url.as("url")), "url")
+      val urlGate = norm.select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy("url_norm"))).as("keep_url"))
+      // gate 2: per-domain cap (the text_domain_cap fixture, cap 2)
+      val capped = TextAnalysis.domainCap(
+          TextAnalysis.urlNormalize(urlFixture(s, d), "url"),
+          "doc_id", "text", "domain", cap = 2)
+        .select(col("doc_id"), col("keep").as("keep_domain"))
+      // gate 3: Gopher rules
+      val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("keep_quality"))
+      // soft 1: stored-classifier probability
+      val clf = TextAnalysis.qualityClfScore(docs, "doc_id", "text",
+          Materialized.clfWeights(s, d))
+        .select(col("doc_id"), col("score").as("clf_score"))
+      // soft 2: soft-dedup down-weight
+      val soft = Dedup.softDedupScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("weight").as("w_soft"))
+      docs.select(col("doc_id"))
+        .join(urlGate, "doc_id").join(capped, "doc_id").join(g, "doc_id")
+        .join(clf, "doc_id").join(soft, "doc_id")
+        .select(col("doc_id"), col("keep_url"), col("keep_domain"),
+          col("keep_quality"), col("clf_score"), col("w_soft"),
+          when(col("keep_url") && col("keep_domain") && col("keep_quality"),
+            round(col("w_soft") * col("clf_score"), 6))
+            .otherwise(lit(0.0)).as("weight"))
+        .withColumn("selected", col("weight") > 0.0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clfTrainedSql,
+            |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
+            |  FROM f JOIN w$ClfIters w USING (bucket) GROUP BY 1),
+            |so AS (SELECT d.doc_id,
+            |    round(1.0 / (1.0 + exp(-round(coalesce(zs.zs::DOUBLE, 0.0), 6))), 6)
+            |      AS clf_score
+            |  FROM documents d LEFT JOIN zsf zs ON d.doc_id = zs.id),
+            |u1 AS (SELECT doc_id,
+            |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+            |   CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+            |   source || '.example/' || lang || '/page-' || (doc_id % 40)::VARCHAR ||
+            |   CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+            |  FROM documents),
+            |ub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+            |    lower(url), '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS bare
+            |  FROM u1),
+            |un AS (SELECT doc_id,
+            |  regexp_replace(regexp_replace(bare, '\\?.*$$', ''), '/$$', '') AS url_norm
+            |  FROM ub),
+            |ug AS (SELECT doc_id,
+            |  doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep_url FROM un),
+            |v1 AS ($urlBuildSql),
+            |vb AS (SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(
+            |    lower(url), '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS bare
+            |  FROM v1),
+            |vd AS (SELECT doc_id, text,
+            |  regexp_extract(regexp_extract(bare, '^([^/?]+)', 1),
+            |    '([^.]+\\.[^.]+)$$', 1) AS domain FROM vb),
+            |vr AS (SELECT doc_id, domain,
+            |  row_number() OVER (PARTITION BY domain
+            |    ORDER BY coalesce(md5(text), '<null-text>'), doc_id)::BIGINT AS rk
+            |  FROM vd),
+            |dc AS (SELECT doc_id, rk <= 2 AS keep_domain FROM vr),
+            |st AS (SELECT doc_id, string_split(text, ' ') AS ws3 FROM documents),
+            |sgr AS (SELECT doc_id,
+            |  [array_to_string(ws3[i:i+3], ' ') for i in range(1, len(ws3) - 2)] AS gs3
+            |  FROM st),
+            |sex AS (SELECT doc_id, unnest(gs3) AS gr3 FROM sgr),
+            |scn AS (SELECT doc_id, count(*) OVER (PARTITION BY gr3) AS cnt3 FROM sex),
+            |sp AS (SELECT doc_id, count(*)::BIGINT AS ng,
+            |  sum(round(round((cnt3 - 1)::DOUBLE / cnt3, 6) * 1000000, 0)::BIGINT) AS s6
+            |  FROM scn GROUP BY 1),
+            |sd AS (SELECT d.doc_id,
+            |  round(1.0 - 0.5 * coalesce(round(sp.s6 / 1000000.0 / sp.ng, 6), 0.0), 6)
+            |    AS w_soft
+            |  FROM documents d LEFT JOIN sp USING (doc_id))
+            |SELECT d.doc_id, ug.keep_url, dc.keep_domain, gk.keep AS keep_quality,
+            |  so.clf_score, sd.w_soft,
+            |  CASE WHEN ug.keep_url AND dc.keep_domain AND gk.keep
+            |       THEN round(sd.w_soft * so.clf_score, 6) ELSE 0.0 END AS weight,
+            |  (CASE WHEN ug.keep_url AND dc.keep_domain AND gk.keep
+            |        THEN round(sd.w_soft * so.clf_score, 6) ELSE 0.0 END) > 0.0
+            |    AS selected
+            |FROM documents d JOIN ug USING (doc_id) JOIN dc USING (doc_id)
+            |  JOIN gk USING (doc_id) JOIN so USING (doc_id) JOIN sd USING (doc_id)
+            |ORDER BY d.doc_id""".stripMargin))
 
   /** Tokenizer evaluation from the stored artifact ([[Materialized
     * .bpeMerges]]): per-source fertility (BPE tokens per word) and

@@ -923,6 +923,19 @@ object ScaleCurveMain {
     }
     println(f"tenmillion-doc spans: docs=$n planted=${n / 1000} copies | " +
       f"maximal spans=${spans._1} exact-40-token=${spans._2} ${tSpan}%.1fs")
+    // --- soft dedup at 10M docs over the same planted corpus ---
+    // 1/1000 docs share the 40-token boilerplate block (each of its
+    // 4-grams occurs 10k times); the rest are id-unique. The planted
+    // rows' mean gram-duplication must separate cleanly from ~0.
+    val (softStats, tSoft) = timed {
+      Dedup.softDedupScores(spanDocs, "doc_id", "text")
+        .select(when(col("doc_id") % 1000 === 7, lit("planted"))
+          .otherwise(lit("unique")).as("cls"), col("dup_score"))
+        .groupBy("cls").agg(avg("dup_score").as("mean_dup"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    println(f"tenmillion-doc soft-dedup: planted mean=${softStats("planted")}%.4f " +
+      f"unique mean=${softStats("unique")}%.6f ${tSoft}%.1fs")
   }
 
   /** Deterministic uniform component in [-0.5, 0.5) — serializable at the

@@ -239,6 +239,14 @@ class PlanSpec extends AnyFunSuite {
       "gram/doc text must not shuffle\n" + exchanges.mkString("\n"))
   }
 
+  test("pipeline_curation5: stages join on the doc id, stored model broadcasts, no cartesian or single-partition exchange") {
+    val p = plan("pipeline_curation5")
+    assert(p.contains("BroadcastHashJoin"),
+      "the stored classifier weights must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("Exchange SinglePartition"), p)
+  }
+
   test("text_bm25: token stream pruned by broadcast semi-join before the tf shuffle; top-k is WindowGroupLimit") {
     val p = plan("text_bm25")
     // the query-term set must reach the token stream as a broadcast
