@@ -747,6 +747,60 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated BIGRAM LM scoring — the step from [[lmScore]]'s unigram
+   * toward CCNet's KenLM shape: per doc,
+   * `nll = −( ln p_uni(w₁) + Σ ln(λ·p_bi(wᵢ|wᵢ₋₁) + (1−λ)·p_uni(wᵢ)) )`
+   * with `p_bi = c(prev,w)/c_ctx(prev)` over observed bigram types and
+   * `c_ctx(prev) = Σ_w c(prev,w)` (bigram-start mass, so doc-final
+   * occurrences never deflate the context). λ defaults to 0.75 — chosen
+   * exactly representable in binary so `1−λ` is the same literal in both
+   * engines. Per-type `ln` is 6-dp rounded before the tf-weighted doc
+   * sum (the [[lmScore]] convention).
+   *
+   * 100 TB shape: unigram/context tables are vocab-bounded broadcasts
+   * (the [[lmScoreFromModel]] precedent); the bigram TYPE table is
+   * corpus-vocab²-bounded and stays a hash join on `(prev, w)` — never
+   * broadcast; the only windows are per-doc (`lag` over positions,
+   * bounded by document length). Docs with one word score the unigram
+   * term alone; null-text docs have no tokens and (like [[lmScore]]'s
+   * oracle twin) emit no row.
+   */
+  def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
+    val total = uni.agg(sum(col("cu")).as("t"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .where(col("pw").isNotNull)
+      .select(col("id"), col("pw"), col("w"))
+    val ctx = pairs.groupBy("pw").agg(count(lit(1)).cast("double").as("cc"))
+    val types = pairs.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("cb"))
+      .join(broadcast(ctx), "pw")
+      .join(broadcast(uni), "w")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(lit(lambda) * col("cb") / col("cc") +
+        lit(1.0 - lambda) * col("cu") / col("t")), 6))
+      .select(col("pw"), col("w"), col("lp"))
+    val biPart = pairs.groupBy("id", "pw", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(types, Seq("pw", "w"))
+      .groupBy("id").agg(sum(col("tf") * col("lp")).as("bi_lp"),
+        sum(col("tf")).cast("long").as("n_bigrams"))
+    val firstPart = toks.where(col("pos") === 0)
+      .join(broadcast(uni), "w").crossJoin(broadcast(total))
+      .select(col("id"), round(log(col("cu") / col("t")), 6).as("lp1"))
+    toks.groupBy("id").agg(count(lit(1)).cast("long").as("n_words"))
+      .join(firstPart, "id")
+      .join(biPart, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("lp1") + coalesce(col("bi_lp"), lit(0.0))), 6).as("nll_sum"))
+  }
+
+  /**
    * Token-budget-bounded mixture: within each source, documents are
    * admitted in deterministic content-hash priority order until the
    * source's cumulative token count exceeds `budget` — the "fill each

@@ -41,7 +41,8 @@ object LlmQueries {
     textBudgetMix2, textTempMix2, textPplBuckets2, textBpeTrainBytes,
     textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2,
     textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
-    textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5)
+    textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5,
+    textLmBigram)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4700,6 +4701,43 @@ object LlmQueries {
            |  round(1.0 - 0.5 * coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0), 6)
            |    AS weight
            |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
+  /** Interpolated bigram LM ([[TextAnalysis.lmScoreBigram]], λ=0.75):
+    * per-doc NLL under λ·p(w|prev) + (1−λ)·p(w) — the unigram family's
+    * KenLM-direction upgrade. Vocab tables broadcast; the bigram type
+    * table stays a hash join; per-doc windows only. The oracle replays
+    * the identical counts, interpolation, and 6-dp type rounding. */
+  val textLmBigram: QueryDef = QueryDef("text_lm_bigram",
+    (s, d) => TextAnalysis.lmScoreBigram(Tables.documents(s, d), "doc_id",
+        "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, unnest(ws) AS w,
+           |          generate_subscripts(ws, 1)::BIGINT AS pos FROM t),
+           |uni AS (SELECT w, count(*)::DOUBLE AS cu FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(cu) AS t FROM uni),
+           |pr AS (SELECT doc_id, pos, w,
+           |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw FROM tok),
+           |pairs AS (SELECT doc_id, pw, w FROM pr WHERE pw IS NOT NULL),
+           |ctx AS (SELECT pw, count(*)::DOUBLE AS cc FROM pairs GROUP BY 1),
+           |ty AS (SELECT pw, w, count(*)::DOUBLE AS cb FROM pairs GROUP BY 1, 2),
+           |lp AS (SELECT ty.pw, ty.w,
+           |         round(ln(0.75 * ty.cb / ctx.cc + 0.25 * uni.cu / tot.t), 6) AS lp
+           |       FROM ty JOIN ctx USING (pw) JOIN uni ON ty.w = uni.w
+           |       CROSS JOIN tot),
+           |tfb AS (SELECT doc_id, pw, w, count(*)::DOUBLE AS tf
+           |        FROM pairs GROUP BY 1, 2, 3),
+           |bi AS (SELECT tfb.doc_id, sum(tfb.tf * lp.lp) AS bi_lp,
+           |         sum(tfb.tf)::BIGINT AS n_bigrams
+           |       FROM tfb JOIN lp USING (pw, w) GROUP BY 1),
+           |fw AS (SELECT tok.doc_id, round(ln(uni.cu / tot.t), 6) AS lp1
+           |       FROM tok JOIN uni USING (w) CROSS JOIN tot WHERE tok.pos = 1),
+           |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_words FROM tok GROUP BY 1)
+           |SELECT cnt.doc_id, cnt.n_words,
+           |  coalesce(bi.n_bigrams, 0)::BIGINT AS n_bigrams,
+           |  round(-(fw.lp1 + coalesce(bi.bi_lp, 0.0)), 6) AS nll_sum
+           |FROM cnt JOIN fw USING (doc_id) LEFT JOIN bi USING (doc_id)
+           |ORDER BY cnt.doc_id""".stripMargin))
 
   /** The REWEIGHTED curation capstone: the web-curation ring's hard
     * gates (canonical-URL dedup, per-domain cap, Gopher rules) compose

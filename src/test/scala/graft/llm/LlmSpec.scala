@@ -1196,6 +1196,19 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.spanCuts(s3, "doc_id").count() == 1)
   }
 
+  test("lmScoreBigram: hand-computed interpolated NLL; one-word docs score the unigram term alone") {
+    // corpus: uni a=3 b=3 c=1 (T=7); ctx a=3 b=1; types (a,b)=3 (b,a)=1
+    // lp(a,b) = lp(b,a) = round(ln(0.75·1 + 0.25·3/7), 6) = −0.154151
+    // lp1(a) = round(ln(3/7), 6) = −0.847298; lp1(c) = round(ln(1/7), 6)
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBigram(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4L, 3L, 1.309751)), out(1L).toString)
+    assert(out(2L) == ((2L, 1L, 1.001449)), out(2L).toString)
+    assert(out(3L) == ((1L, 0L, 1.94591)), out(3L).toString)
+  }
+
   test("softDedupScores: unique doc scores 0 / weight 1; exact pair scores 0.5 / weight 0.75; short and null docs are deterministic") {
     val unique = (0 until 20).map(i => s"u$i").mkString(" ")
     val copyA = (0 until 20).map(i => s"c$i").mkString(" ")
