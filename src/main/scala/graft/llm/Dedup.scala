@@ -1379,4 +1379,98 @@ object Dedup {
       .where(firstMatch === col("x.band") + 1) // first_match is 1-based
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
+
+  /** Position-field width for the winnowing combined key: positions ride
+    * in the low 20 bits, the 40-bit gram hash in bits 20–59. */
+  private val WinnowPosBits = 20
+  private val WinnowPosLim = 1L << WinnowPosBits
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+   * the MOSS local-fingerprinting algorithm). Word `k`-grams are hashed to
+   * 40 bits (md5 prefix — engine-portable, the [[TextHashing]] discipline);
+   * every window of `w` consecutive gram hashes selects its MINIMUM,
+   * rightmost occurrence on ties, and the distinct selected
+   * `(hash, position)` pairs are the document's fingerprints. The winnowing
+   * guarantee: any shared run of at least `w + k − 1` consecutive words
+   * between two documents shares at least one fingerprint, while only
+   * ~`2/(w+1)` of the grams are kept — the bounded-storage local
+   * fingerprint a 100 TB near-dup index stores instead of every gram.
+   *
+   * The rightmost-min election rides in ONE comparable BIGINT key,
+   * `hash·2²⁰ + (2²⁰−1−pos)`: min over the window is min hash with max
+   * position on ties, identical in any engine — no struct ordering, no
+   * second window. Documents beyond 2²⁰−1 grams fail LOUD (the position
+   * field would wrap and fingerprint wrong). 40-bit hashes collide at
+   * ~G²·2⁻⁴¹ over G distinct grams — a collision only adds a candidate
+   * pair for [[winnowPairs]]' count filter, never corrupts a document's
+   * own selection, and both engines hash identically so parity is exact.
+   *
+   * 100 TB shape: gram expansion and hashing are per-row expressions
+   * (codegen over the scan); the ONLY windows are per-document ordered by
+   * position — bounded by document length, keyed by the many-valued doc
+   * id — and the output is the distinct selected set. No corpus-wide
+   * shuffle at all until a pairing operator joins on the fingerprint.
+   * Docs with fewer than `k` words have no gram and emit no rows (the
+   * standard winnowing domain; a caller gating on "has fingerprints"
+   * left-joins this table).
+   */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(wordNgrams(col(textCol), k)).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val h40 = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
+    val keyed = g.select(col("id"), col("pos"),
+      when(col("pos") < WinnowPosLim,
+        h40 * lit(WinnowPosLim) + (lit(WinnowPosLim - 1) - col("pos")))
+        .otherwise(raise_error(lit(
+          s"winnowing: document exceeds ${WinnowPosLim - 1} grams — widen " +
+            "WinnowPosBits")).cast("long"))
+        .as("key"))
+    val byDoc = Window.partitionBy("id")
+    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("kmin", min(col("key")).over(frame))
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      // full windows start at pos 1..ng−w+1; a doc shorter than one window
+      // still selects the min of all its grams (pos 1)
+      .where(col("pos") <= greatest(col("ng") - lit(w - 1), lit(1L)))
+      .select(col("id").as(idCol),
+        shiftrightunsigned(col("kmin"), WinnowPosBits).as("fp"),
+        (lit(WinnowPosLim - 1) - col("kmin").bitwiseAND(lit(WinnowPosLim - 1)))
+          .as("fp_pos"))
+      .distinct()
+  }
+
+  /**
+   * Winnowing near-dup candidate pairs: documents sharing at least
+   * `minShared` selected fingerprints, with the shared count as the match
+   * strength (MOSS's report rank). Fingerprints appearing in more than
+   * `maxDocFreq` documents are dropped before pairing — the standard
+   * boilerplate cut, and the SCALE bound: each fingerprint bucket joins at
+   * most `maxDocFreq²` pairs, so total pair volume is linear in the
+   * fingerprint count with a constant cap, never quadratic in corpus size.
+   * The join shuffles bare `(fp, id)` rows; text never leaves the
+   * fingerprinting scan.
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4, minShared: Int = 2,
+                  maxDocFreq: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("fp")
+    val shared = fps.join(rare, "fp")
+    shared.as("a").join(shared.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

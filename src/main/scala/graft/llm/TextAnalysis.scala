@@ -801,6 +801,180 @@ object TextAnalysis {
   }
 
   /**
+   * Kneser–Ney bigram LM scoring (Kneser & Ney 1995; the interpolated
+   * form of Chen & Goodman 1998) — the smoothing KenLM/CCNet actually
+   * ship, stepping past [[lmScoreBigram]]'s ML interpolation: per bigram
+   * type,
+   * `p(w|pw) = max(c(pw,w)−D, 0)/c(pw·) + D·N₁₊(pw·)/c(pw·) · P_cont(w)`
+   * with `P_cont(w) = N₁₊(·w)/N₁₊(··)` — the continuation probability
+   * that makes "Francisco" cheap after anything but "San". `D = 0.75`
+   * (exactly representable in binary, same literal in both engines).
+   * First word scores the ML unigram (the [[lmScoreBigram]] convention);
+   * per-type `ln` is 6-dp rounded before the tf-weighted doc sum.
+   *
+   * 100 TB shape: identical to [[lmScoreBigram]] — the three smoothing
+   * count tables (context totals + distinct-follower counts, distinct-
+   * predecessor counts, the type-count scalar) are all vocab-bounded
+   * broadcasts; the bigram TYPE table stays a hash join on `(pw, w)`;
+   * the only windows are per-doc `lag` over positions.
+   */
+  def lmScoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
+    val total = uni.agg(sum(col("cu")).as("t"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .where(col("pw").isNotNull)
+      .select(col("id"), col("pw"), col("w"))
+    val ty = pairs.groupBy("pw", "w")
+      .agg(count(lit(1)).cast("double").as("cb"))
+    // context mass + distinct-follower count per history; distinct-
+    // predecessor count per word; total bigram-type count — all derived
+    // from the TYPE table, so no second corpus pass
+    val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"),
+      count(lit(1)).cast("double").as("n1f"))
+    val cont = ty.groupBy("w").agg(count(lit(1)).cast("double").as("nctx"))
+    val ntypes = ty.agg(count(lit(1)).cast("double").as("tt"))
+    val lp = ty.join(broadcast(ctx), "pw").join(broadcast(cont), "w")
+      .crossJoin(broadcast(ntypes))
+      .withColumn("lp", round(log(
+        greatest(col("cb") - lit(discount), lit(0.0)) / col("cc") +
+          lit(discount) * col("n1f") / col("cc") * (col("nctx") / col("tt"))), 6))
+      .select(col("pw"), col("w"), col("lp"))
+    val biPart = pairs.groupBy("id", "pw", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(lp, Seq("pw", "w"))
+      .groupBy("id").agg(sum(col("tf") * col("lp")).as("bi_lp"),
+        sum(col("tf")).cast("long").as("n_bigrams"))
+    val firstPart = toks.where(col("pos") === 0)
+      .join(broadcast(uni), "w").crossJoin(broadcast(total))
+      .select(col("id"), round(log(col("cu") / col("t")), 6).as("lp1"))
+    toks.groupBy("id").agg(count(lit(1)).cast("long").as("n_words"))
+      .join(firstPart, "id")
+      .join(biPart, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("lp1") + coalesce(col("bi_lp"), lit(0.0))), 6).as("nll_sum"))
+  }
+
+  /**
+   * Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+   * Models in Machine Translation" — the score Google built FOR
+   * MapReduce-scale corpora: relative frequencies with a fixed backoff
+   * factor α, no discounting, no normalization). Trained on `train`,
+   * scored on `docs` — a HELD-OUT split, so the backoff chain is actually
+   * exercised:
+   *
+   *  - pos ≥ 3: `c₃/c₂(ctx)` if the trigram is attested, else
+   *    `α·c₂/c₁(pw)`, else `α²·c₁(w)/N`
+   *  - pos 2: `c₂/c₁(pw)` else `α·c₁(w)/N`
+   *  - pos 1: `c₁(w)/N`
+   *
+   * α = 0.4 (Brants' value; 0.4 is exact in neither binary nor the point —
+   * both engines parse the same decimal literal to the same double).
+   * Positions whose word is out-of-vocabulary score nothing and are
+   * COUNTED (`n_oov`) rather than silently dropped — a perplexity gate
+   * must see its OOV mass. Per-position `ln` is 6-dp rounded before the
+   * doc sum.
+   *
+   * 100 TB shape: unigram table broadcasts (vocab-bounded); bigram and
+   * trigram TYPE tables stay hash joins on their word keys (never
+   * broadcast, never collected); the only windows are per-doc `lag`s.
+   * Scoring joins are per-occurrence left joins — exactly the shape the
+   * backoff CASE needs, each partial-aggregable after the join.
+   */
+  def lmScoreStupidBackoff(docs: DataFrame, train: DataFrame, idCol: String,
+                           textCol: String, alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    def withHist(t: DataFrame): DataFrame = {
+      val byDoc = Window.partitionBy("id").orderBy("pos")
+      t.withColumn("pw", lag(col("w"), 1).over(byDoc))
+        .withColumn("ppw", lag(col("w"), 2).over(byDoc))
+    }
+    val tt = withHist(toks(train))
+    val uni = tt.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
+    val n = uni.agg(sum(col("c1")).as("n"))
+    val bi = tt.where(col("pw").isNotNull).groupBy("pw", "w")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val tri = tt.where(col("ppw").isNotNull).groupBy("ppw", "pw", "w")
+      .agg(count(lit(1)).cast("double").as("c3"))
+    val occ = withHist(toks(docs))
+    val joined = occ
+      .join(broadcast(uni), Seq("w"), "left")
+      .join(broadcast(uni.select(col("w").as("pw"), col("c1").as("c1p"))),
+        Seq("pw"), "left")
+      .join(bi, Seq("pw", "w"), "left")
+      .join(bi.select(col("pw").as("ppw"), col("w").as("pw"),
+        col("c2").as("c2ctx")), Seq("ppw", "pw"), "left")
+      .join(tri, Seq("ppw", "pw", "w"), "left")
+      .crossJoin(broadcast(n))
+    val a = lit(alpha)
+    val s = when(col("c1").isNull, lit(null).cast("double"))
+      .when(col("pos") === 0, col("c1") / col("n"))
+      .when(col("pos") === 1,
+        when(col("c2").isNotNull, col("c2") / col("c1p"))
+          .otherwise(a * col("c1") / col("n")))
+      .otherwise(
+        when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+          .when(col("c2").isNotNull, a * col("c2") / col("c1p"))
+          .otherwise(a * a * col("c1") / col("n")))
+    joined.select(col("id"), round(log(s), 6).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(when(col("lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(-sum(coalesce(col("lp"), lit(0.0))), 6).as("nll_sum"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Count-min-sketch bucket for word `w` under hash row `seed`:
+    * `md5(seed|w)` reduced to 60 bits then mod `width` — the portable
+    * [[TextHashing]] discipline, so any engine addresses the same cell. */
+  def cmsBucket(w: Column, seed: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", seed.cast("string"), w)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /**
+   * Count-min sketch over corpus word frequencies (Cormode & Muthukrishnan
+   * 2005): `depth` independent hash rows × `width` buckets, each cell the
+   * sum of counts hashing into it. THE bounded-memory frequency structure —
+   * the sketch is `depth·width` cells no matter the corpus size, with
+   * one-sided error: `estimate ≥ true count` always, and
+   * `estimate ≤ true + εN` w.p. 1−δ at `width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉`.
+   *
+   * 100 TB shape: one token scan → partial-aggregable groupBy onto at most
+   * `depth·width` cells (every executor combines map-side into the same
+   * tiny key space — the shuffle carries ≤ `depth·width` rows per task,
+   * not the vocabulary). The cell table then BROADCASTS to probes
+   * ([[cmsEstimate]]) — frequency lookups against a 100 TB corpus for the
+   * cost of a few-KB join, no vocabulary-sized exact table anywhere.
+   */
+  def cmsCells(docs: DataFrame, textCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .groupBy(col("seed"), cmsBucket(col("w"), col("seed"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Probe a count-min sketch: each probe word reads its `depth` cells
+    * and takes the MIN (missing cells read 0 — a word the corpus never
+    * hashed can still alias into occupied cells, which is exactly the
+    * overestimate the sketch contract allows). The cell table broadcasts;
+    * the probe side is the caller's (bounded) word set. */
+  def cmsEstimate(probe: DataFrame, wordCol: String, cells: DataFrame,
+                  depth: Int, width: Int): DataFrame =
+    probe.select(col(wordCol).as("w")).distinct()
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("bucket", cmsBucket(col("w"), col("seed"), width))
+      .join(broadcast(cells), Seq("seed", "bucket"), "left")
+      .groupBy("w")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /**
    * Token-budget-bounded mixture: within each source, documents are
    * admitted in deterministic content-hash priority order until the
    * source's cumulative token count exceeds `budget` — the "fill each

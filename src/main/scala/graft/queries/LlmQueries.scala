@@ -42,7 +42,8 @@ object LlmQueries {
     textHybridRrf2, textBpeTokensBytes, textBpeTokensBytes2,
     textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
     textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5,
-    textLmBigram)
+    textLmBigram,
+    textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4885,4 +4886,204 @@ object LlmQueries {
            |  round(sum(pd.n_base)::DOUBLE / sum(pd.n_bpe), 6) AS chars_per_token
            |FROM pd JOIN documents doc USING (doc_id)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Winnowing fingerprint selection ([[Dedup.winnowFingerprints]],
+    * Schleimer et al. 2003 / MOSS): 4-gram hashes, window 4 — every
+    * ≥7-word shared run is guaranteed a shared fingerprint at ~2/5 of the
+    * gram storage. The oracle replays the combined rightmost-min key and
+    * the full-window start filter exactly. */
+  val textWinnow: QueryDef = QueryDef("text_winnow",
+    (s, d) => Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id",
+        "text", k = 4, w = 4)
+      .orderBy("doc_id", "fp_pos", "fp"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr,
+           |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
+           |ky AS (SELECT doc_id, pos,
+           |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
+           |           + (1048575 - pos) AS key
+           |       FROM ex),
+           |mn AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
+           |         count(*) OVER (PARTITION BY doc_id) AS ng
+           |       FROM ky),
+           |sel AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp,
+           |          1048575 - (kmin & 1048575) AS fp_pos
+           |        FROM mn WHERE pos <= greatest(ng - 3, 1))
+           |SELECT doc_id, fp, fp_pos FROM sel
+           |ORDER BY doc_id, fp_pos, fp""".stripMargin))
+
+  /** Winnowing near-dup candidates ([[Dedup.winnowPairs]]): documents
+    * sharing ≥2 selected fingerprints, boilerplate fingerprints (>100
+    * docs) cut before pairing — the MOSS report, as a bounded-bucket
+    * fingerprint join. */
+  val dedupWinnow: QueryDef = QueryDef("dedup_winnow",
+    (s, d) => Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDocFreq = 100)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)] AS gs
+           |      FROM t),
+           |ex AS (SELECT doc_id, unnest(gs) AS gr,
+           |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
+           |ky AS (SELECT doc_id, pos,
+           |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
+           |           + (1048575 - pos) AS key
+           |       FROM ex),
+           |mn AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
+           |         count(*) OVER (PARTITION BY doc_id) AS ng
+           |       FROM ky),
+           |fp2 AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp
+           |        FROM mn WHERE pos <= greatest(ng - 3, 1)),
+           |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp2 GROUP BY 1)
+           |         WHERE df BETWEEN 2 AND 100),
+           |sh AS (SELECT fp2.doc_id, fp2.fp FROM fp2 JOIN rare USING (fp))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+           |FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** Kneser–Ney bigram scoring ([[TextAnalysis.lmScoreKneserNey]], D=0.75):
+    * absolute discounting + continuation-probability backoff — the KenLM
+    * smoothing, stage-for-stage replayed (type table, context mass,
+    * distinct-follower/predecessor counts) by the oracle. */
+  val textLmKn: QueryDef = QueryDef("text_lm_kn",
+    (s, d) => TextAnalysis.lmScoreKneserNey(Tables.documents(s, d), "doc_id",
+        "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, unnest(ws) AS w,
+           |          generate_subscripts(ws, 1)::BIGINT AS pos FROM t),
+           |uni AS (SELECT w, count(*)::DOUBLE AS cu FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(cu) AS t FROM uni),
+           |pr AS (SELECT doc_id, pos, w,
+           |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw FROM tok),
+           |pairs AS (SELECT doc_id, pw, w FROM pr WHERE pw IS NOT NULL),
+           |ty AS (SELECT pw, w, count(*)::DOUBLE AS cb FROM pairs GROUP BY 1, 2),
+           |cx AS (SELECT pw, sum(cb) AS cc, count(*)::DOUBLE AS n1f FROM ty GROUP BY 1),
+           |cont AS (SELECT w, count(*)::DOUBLE AS nctx FROM ty GROUP BY 1),
+           |tts AS (SELECT count(*)::DOUBLE AS tt FROM ty),
+           |lp AS (SELECT ty.pw, ty.w,
+           |         round(ln(greatest(ty.cb - 0.75, 0.0) / cx.cc
+           |           + 0.75 * cx.n1f / cx.cc * (cont.nctx / tts.tt)), 6) AS lp
+           |       FROM ty JOIN cx USING (pw) JOIN cont ON ty.w = cont.w
+           |       CROSS JOIN tts),
+           |tfb AS (SELECT doc_id, pw, w, count(*)::DOUBLE AS tf
+           |        FROM pairs GROUP BY 1, 2, 3),
+           |bi AS (SELECT tfb.doc_id, sum(tfb.tf * lp.lp) AS bi_lp,
+           |         sum(tfb.tf)::BIGINT AS n_bigrams
+           |       FROM tfb JOIN lp USING (pw, w) GROUP BY 1),
+           |fw AS (SELECT tok.doc_id, round(ln(uni.cu / tot.t), 6) AS lp1
+           |       FROM tok JOIN uni USING (w) CROSS JOIN tot WHERE tok.pos = 1),
+           |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_words FROM tok GROUP BY 1)
+           |SELECT cnt.doc_id, cnt.n_words,
+           |  coalesce(bi.n_bigrams, 0)::BIGINT AS n_bigrams,
+           |  round(-(fw.lp1 + coalesce(bi.bi_lp, 0.0)), 6) AS nll_sum
+           |FROM cnt JOIN fw USING (doc_id) LEFT JOIN bi USING (doc_id)
+           |ORDER BY cnt.doc_id""".stripMargin))
+
+  /** Stupid Backoff trigram scoring ([[TextAnalysis.lmScoreStupidBackoff]],
+    * Brants et al. 2007, α=0.4) on a HELD-OUT split — trained on even
+    * doc_ids, scored on every doc, so unseen trigrams/bigrams/words
+    * exercise the whole backoff chain (OOV positions counted, not
+    * dropped). */
+  val textLmSbo: QueryDef = QueryDef("text_lm_sbo",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmScoreStupidBackoff(docs,
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |            FROM documents WHERE doc_id % 2 = 0),
+           |ttok AS (SELECT doc_id, unnest(ws) AS w,
+           |           generate_subscripts(ws, 1)::BIGINT AS pos FROM tr),
+           |th AS (SELECT doc_id, pos, w,
+           |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw,
+           |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS ppw
+           |       FROM ttok),
+           |uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM th GROUP BY 1),
+           |nn AS (SELECT sum(c1) AS n FROM uni),
+           |bi AS (SELECT pw, w, count(*)::DOUBLE AS c2 FROM th
+           |       WHERE pw IS NOT NULL GROUP BY 1, 2),
+           |tri AS (SELECT ppw, pw, w, count(*)::DOUBLE AS c3 FROM th
+           |        WHERE ppw IS NOT NULL GROUP BY 1, 2, 3),
+           |sa AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |stok AS (SELECT doc_id, unnest(ws) AS w,
+           |           generate_subscripts(ws, 1)::BIGINT AS pos FROM sa),
+           |sc AS (SELECT doc_id, pos, w,
+           |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw,
+           |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS ppw
+           |       FROM stok),
+           |j AS (SELECT sc.doc_id,
+           |        CASE WHEN u.c1 IS NULL THEN NULL
+           |             WHEN sc.pos = 1 THEN u.c1 / nn.n
+           |             WHEN sc.pos = 2 THEN
+           |               CASE WHEN b.c2 IS NOT NULL THEN b.c2 / up.c1p
+           |                    ELSE 0.4 * u.c1 / nn.n END
+           |             ELSE
+           |               CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / bc.c2ctx
+           |                    WHEN b.c2 IS NOT NULL THEN 0.4 * b.c2 / up.c1p
+           |                    ELSE 0.4 * 0.4 * u.c1 / nn.n END END AS s
+           |      FROM sc
+           |      LEFT JOIN uni u ON sc.w = u.w
+           |      LEFT JOIN (SELECT w AS pw, c1 AS c1p FROM uni) up ON sc.pw = up.pw
+           |      LEFT JOIN bi b ON sc.pw = b.pw AND sc.w = b.w
+           |      LEFT JOIN (SELECT pw AS ppw, w AS pw2, c2 AS c2ctx FROM bi) bc
+           |        ON sc.ppw = bc.ppw AND sc.pw = bc.pw2
+           |      LEFT JOIN tri t3
+           |        ON sc.ppw = t3.ppw AND sc.pw = t3.pw AND sc.w = t3.w
+           |      CROSS JOIN nn)
+           |SELECT doc_id, count(*)::BIGINT AS n_words,
+           |  sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           |  round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Count-min sketch frequency probe ([[TextAnalysis.cmsCells]] /
+    * [[TextAnalysis.cmsEstimate]], Cormode & Muthukrishnan 2005): 4×1024
+    * cells over the corpus word stream, probed with the distinct words of
+    * every 97th document against their exact counts — `over_ok` pins the
+    * one-sided estimate ≥ truth guarantee on every probe. */
+  val textCmsCount: QueryDef = QueryDef("text_cms_count",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cells = TextAnalysis.cmsCells(docs, "text", depth = 4, width = 1024)
+      val probe = docs.where(col("doc_id") % 97 === 3)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val est = TextAnalysis.cmsEstimate(probe, "w", cells,
+        depth = 4, width = 1024)
+      val exact = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("w"), "left")
+        .select(col("w").as("word"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("over_ok"))
+        .orderBy("word")
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |sd AS (SELECT unnest(range(0, 4)) AS seed),
+           |cells AS (SELECT sd.seed,
+           |            ('0x' || substr(md5(sd.seed::VARCHAR || '|' || tok.w), 1, 15))::BIGINT
+           |              % 1024 AS bucket,
+           |            count(*)::BIGINT AS cnt
+           |          FROM tok, sd GROUP BY 1, 2),
+           |probe AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+           |          FROM documents WHERE doc_id % 97 = 3),
+           |pb AS (SELECT p.w, sd.seed,
+           |         ('0x' || substr(md5(sd.seed::VARCHAR || '|' || p.w), 1, 15))::BIGINT
+           |           % 1024 AS bucket
+           |       FROM probe p, sd),
+           |est AS (SELECT pb.w, min(coalesce(c.cnt, 0))::BIGINT AS est
+           |        FROM pb LEFT JOIN cells c USING (seed, bucket) GROUP BY 1),
+           |ex AS (SELECT w, count(*)::BIGINT AS exact FROM tok GROUP BY 1)
+           |SELECT e.w AS word, e.est, coalesce(x.exact, 0)::BIGINT AS exact,
+           |  e.est >= coalesce(x.exact, 0) AS over_ok
+           |FROM est e LEFT JOIN ex x USING (w) ORDER BY word""".stripMargin))
 }

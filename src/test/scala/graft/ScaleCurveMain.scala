@@ -27,7 +27,7 @@ object ScaleCurveMain {
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
-      "admission-only")
+      "admission-only", "winnow-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -75,6 +75,7 @@ object ScaleCurveMain {
     else if (args.contains("million-ivfpq-only")) millionIvfPq(spark)
     else if (args.contains("million-sdc-only")) millionSdc(spark)
     else if (args.contains("admission-only")) admission10M(spark)
+    else if (args.contains("winnow-only")) winnow10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -936,6 +937,48 @@ object ScaleCurveMain {
     }
     println(f"tenmillion-doc soft-dedup: planted mean=${softStats("planted")}%.4f " +
       f"unique mean=${softStats("unique")}%.6f ${tSoft}%.1fs")
+  }
+
+  /** Winnowing at 10M docs: every doc carries 10 id-unique filler words;
+    * ids ≡ 0,1 (mod 100) additionally share an 8-word run keyed by
+    * id div 100 — 100k planted PAIRS, each run ≥ w+k−1 = 7 words so the
+    * winnowing guarantee applies pair by pair. Measures the fingerprint
+    * scan (per-doc windows only) and the df-capped pairing join; the pair
+    * count must be exactly the planted 100k (unique filler never pairs;
+    * the cap never fires at df=2). */
+  private def winnow10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    val pairKey = (col("id") / 100).cast("long")
+    val shared = concat(lit("s"), pairKey, lit("a s"), pairKey, lit("b s"),
+      pairKey, lit("c s"), pairKey, lit("d s"), pairKey, lit("e s"), pairKey,
+      lit("f s"), pairKey, lit("g s"), pairKey, lit("h"))
+    val filler = concat(
+      lit("u"), col("id"), lit("a u"), col("id"), lit("b u"), col("id"),
+      lit("c u"), col("id"), lit("d u"), col("id"), lit("e u"), col("id"),
+      lit("f u"), col("id"), lit("g u"), col("id"), lit("h u"), col("id"),
+      lit("i u"), col("id"), lit("j"))
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 100 < 2, concat(filler, lit(" "), shared))
+        .otherwise(filler).as("text"))
+    val (nFp, tFp) = timed(
+      Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4).count())
+    val (pairs, tPair) = timed {
+      val p = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4,
+        minShared = 1, maxDocFreq = 100)
+      (p.count(), p.where(col("id_b") === col("id_a") + 1).count())
+    }
+    // adjacent must cover every planted pair (the winnowing guarantee);
+    // total may exceed it slightly — ~1.4e8 distinct grams against 40-bit
+    // hashes yields a few thousand colliding gram pairs, a handful of which
+    // land on selected fingerprints (the documented quality-not-correctness
+    // trade; minShared=2 removes them at production settings)
+    println(f"winnow-10M docs=$n planted_pairs=${n / 100} | " +
+      f"fingerprints=$nFp scan ${tFp}%.1fs | pairs=${pairs._1} " +
+      f"adjacent=${pairs._2} (expect adjacent ≥ ${n / 100}) join ${tPair}%.1fs")
   }
 
   /** Deterministic uniform component in [-0.5, 0.5) — serializable at the

@@ -2459,4 +2459,126 @@ class LlmSpec extends AnyFunSuite {
     // the whitespace trainer happily learns the cross-boundary '-y'/'x-y'
     assert(raw == Set("-y", "to", "x-y"))
   }
+
+  test("winnowFingerprints: shared-run guarantee, exact-dup set equality, short-doc domain") {
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    // docs 1 and 2 share their first 13 words (≥ w+k−1 = 7): the winnowing
+    // guarantee promises at least one shared fingerprint
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // byte-identical docs select identical fingerprint sets
+    assert(byDoc(1L) == byDoc(4L))
+    // unrelated content shares nothing
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // 2-word doc has no 4-gram: outside the winnowing domain, no rows
+    assert(!byDoc.contains(5L))
+    // every selected position is a valid full-window start and density is
+    // bounded: a doc never selects more fingerprints than it has windows
+    val words1 = docs.where($"doc_id" === 1L).head().getString(1).split(" ").length
+    val windows1 = words1 - 4 + 1 - (4 - 1) // ng − w + 1
+    assert(byDoc(1L).size <= windows1)
+  }
+
+  test("winnowPairs: dup pairs found with counts, unrelated/short docs excluded, exact dup shares the full set") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4,
+        minShared = 1, maxDocFreq = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // the exact-dup pair shares every fingerprint doc 1 selects (each has
+    // doc-frequency ≥ 2 by virtue of the duplicate itself)
+    val n1 = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .where($"doc_id" === 1L).select("fp").distinct().count()
+    assert(pairs((1L, 4L)) == n1)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lmScoreKneserNey: matches an in-JVM reference of the interpolated-KN formula") {
+    val corpus = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokss = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = tokss.values.flatten.groupBy(identity).map { case (w, v) => w -> v.size.toDouble }
+    val total = uni.values.sum
+    val occs = tokss.values.toSeq.flatMap(ws => ws.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq)
+    val cb = occs.groupBy(identity).map { case (k2, v) => k2 -> v.size.toDouble }
+    val cc = occs.groupBy(_._1).map { case (k2, v) => k2 -> v.size.toDouble }
+    val n1f = cb.keys.toSeq.groupBy(_._1).map { case (k2, v) => k2 -> v.size.toDouble }
+    val nctx = cb.keys.toSeq.groupBy(_._2).map { case (k2, v) => k2 -> v.size.toDouble }
+    val tt = cb.size.toDouble
+    val d = 0.75
+    def lpBi(pw: String, w: String): Double = r6(math.log(
+      math.max(cb((pw, w)) - d, 0.0) / cc(pw) +
+        d * n1f(pw) / cc(pw) * (nctx(w) / tt)))
+    val expected = tokss.map { case (id, ws) =>
+      val lp1 = r6(math.log(uni(ws.head) / total))
+      val bi = ws.sliding(2).filter(_.size == 2).map(p => lpBi(p(0), p(1))).sum
+      id -> r6(-(lp1 + bi))
+    }
+    val got = TextAnalysis.lmScoreKneserNey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-9, s"doc $id: got ${got(id)}, want $e")
+    }
+  }
+
+  test("lmScoreStupidBackoff: matches an in-JVM reference of the backoff chain; OOV counted not dropped") {
+    val train = docs.where($"doc_id" % 2 === 0)
+    val tokss = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tr = train.collect().map(_.getString(1).split(" ").toSeq).toSeq
+    val c1 = tr.flatten.groupBy(identity).map { case (w, v) => w -> v.size.toDouble }
+    val n = c1.values.sum
+    val c2 = tr.flatMap(_.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toDouble }
+    val c3 = tr.flatMap(_.sliding(3).filter(_.size == 3).map(p => (p(0), p(1), p(2))))
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toDouble }
+    val a = 0.4
+    def s(ws: Seq[String], i: Int): Option[Double] = {
+      val w = ws(i)
+      if (!c1.contains(w)) None
+      else if (i == 0) Some(c1(w) / n)
+      else if (i == 1) {
+        val pw = ws(0)
+        c2.get((pw, w)).map(_ / c1(pw)).orElse(Some(a * c1(w) / n))
+      } else {
+        val pw = ws(i - 1); val ppw = ws(i - 2)
+        c3.get((ppw, pw, w)).map(_ / c2((ppw, pw)))
+          .orElse(c2.get((pw, w)).map(a * _ / c1(pw)))
+          .orElse(Some(a * a * c1(w) / n))
+      }
+    }
+    val got = TextAnalysis.lmScoreStupidBackoff(docs, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    tokss.foreach { case (id, ws) =>
+      val scores = ws.indices.map(i => s(ws, i))
+      val eOov = scores.count(_.isEmpty).toLong
+      val eNll = r6(-scores.flatten.map(x => r6(math.log(x))).sum)
+      val (nw, oov, nll) = got(id)
+      assert(nw == ws.size && oov == eOov, s"doc $id words/oov")
+      assert(math.abs(nll - eNll) < 1e-9, s"doc $id: got $nll, want $eNll")
+    }
+    // odd docs contain train-absent vocabulary: OOV mass must be visible
+    assert(got.exists { case (id, (_, oov, _)) => id % 2 == 1 && oov > 0 })
+  }
+
+  test("cms: per-row mass conservation, one-sided estimates over the whole vocabulary") {
+    val d = Tables10
+    val cells = TextAnalysis.cmsCells(d, "text", depth = 4, width = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = d.select(explode(split(col("text"), " "))).count()
+    // each hash row partitions the full token stream: mass conserved
+    cells.groupBy(_._1).foreach { case (seed, v) =>
+      assert(v.map(_._3).sum == n, s"seed $seed mass")
+      assert(v.size <= 256)
+    }
+    // estimate >= exact for EVERY corpus word (the CMS one-sided bound)
+    val probe = d.select(explode(split(col("text"), " ")).as("w"))
+    val est = TextAnalysis.cmsEstimate(probe, "w",
+        TextAnalysis.cmsCells(d, "text", depth = 4, width = 256),
+        depth = 4, width = 256)
+    val exact = probe.groupBy("w").count()
+    val bad = est.join(exact, "w").where(col("est") < col("count")).count()
+    assert(bad == 0L)
+  }
 }
