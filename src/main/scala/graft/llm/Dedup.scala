@@ -1473,4 +1473,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /**
+   * Content-defined chunking (the Rabin/Gear CDC idea of storage dedup —
+   * LBFS, Muthitacharoen et al. 2001 — at word granularity): a chunk
+   * boundary falls AFTER word `j` whenever the hash of the trailing
+   * `k`-gram (words `j−k+1 … j`) is ≡ 0 (mod `mask`) — so boundaries are
+   * decided by CONTENT, not offsets, and an insertion early in a document
+   * shifts only the chunk it lands in; every later chunk re-aligns and
+   * keeps its hash. Expected chunk length ≈ `mask` words. Output: one row
+   * per chunk `(id, chunk_idx, c_start, c_end, n_words, chunk_hash)`,
+   * 1-based inclusive word indices.
+   *
+   * 100 TB shape: the entire boundary computation is per-row array
+   * expressions over STAGED `ws`/`gs` columns (staged once — higher-order
+   * functions re-evaluate inline subexpressions per element, the repo's
+   * measured trap), then one posexplode. Zero shuffle: chunking a corpus
+   * is exactly one codegen'd scan; only [[cdcDuplicateChunks]]' hash
+   * rollup exchanges — fixed-width `(hash, id)` rows, never text.
+   */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 4, mask: Int = 16): DataFrame = {
+    val staged = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .withColumn("gs", {
+        val cnt = size(col("ws")) - lit(k - 1)
+        when(cnt > 0, transform(sequence(lit(0), cnt - 1), i =>
+          concat_ws(" ", (0 until k).map(x =>
+            element_at(col("ws"), i + x + 1)): _*)))
+          .otherwise(typedLit(Seq.empty[String]))
+      })
+      .withColumn("n", size(col("ws")))
+    // boundary after word j (j in k..n−1; a boundary after the last word is
+    // meaningless): trailing gram is gs[j−k+1]
+    val withStarts = staged
+      .withColumn("bjs", when(col("n") >= k + 1,
+        filter(sequence(lit(k), col("n") - 1), j =>
+          pmod(md5Long60(element_at(col("gs"), j - (k - 1))),
+            lit(mask.toLong)) === 0))
+        .otherwise(typedLit(Seq.empty[Int])))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bjs"), j => j + 1)))
+      .withColumn("ends", concat(
+        transform(slice(col("starts"), lit(2), size(col("starts")) - 1),
+          s => s - 1),
+        array(col("n"))))
+    withStarts
+      .select(col("id"), col("ws"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("ci0", "se")))
+      .select(col("id").as(idCol),
+        (col("ci0") + 1).cast("long").as("chunk_idx"),
+        col("se.s").cast("long").as("c_start"),
+        col("se.e").cast("long").as("c_end"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_words"),
+        md5Long60(array_join(
+          slice(col("ws"), col("se.s"), col("se.e") - col("se.s") + 1), " "))
+          .as("chunk_hash"))
+  }
+
+  /** Cross-document duplicated CDC chunks: every chunk hash held by ≥ 2
+    * documents, with its occurrence/document counts and the canonical
+    * (min-id) holder — the block-level dedup report (which REGIONS of the
+    * corpus are shared, robust to insertions that would break any
+    * fixed-offset blocking). One fixed-width `(hash, id)` exchange. */
+  def cdcDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, mask: Int = 16): DataFrame =
+    cdcChunks(docs, idCol, textCol, k, mask)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        max(col("n_words")).as("n_words"))
+      .where(col("n_docs") >= 2)
 }

@@ -89,6 +89,46 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each labeled query
+   * vector, the `k` nearest corpus vectors whose label DIFFERS — the
+   * negatives a contrastive loss learns most from (closest in embedding
+   * space, wrong class). ONE corpus scan joined against the broadcast
+   * (bounded, [[knnJoin]]-style) query side; the label-mismatch predicate
+   * rides IN the join condition so same-class rows never leave the scan;
+   * the per-query rank window is cut by WindowGroupLimit at `k`. Cosines
+   * through the codegen'd [[dot]] expression, 6-dp rounded — bit-equal to
+   * every other cosine in the library.
+   */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, k: Int,
+                    maxQueries: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).cast("int").as("neighbor_label"),
+        asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(labelCol).cast("int").as("query_label"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val nq = q.count()
+    require(nq <= maxQueries,
+      s"query side has $nq vectors; broadcast hard-negative mining is " +
+        s"bounded at $maxQueries — use the IVF/distributed kNN shapes past it")
+    val joined = corpus
+      .join(broadcast(q), col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        cosine(col("nv"), col("qv"), col("nn"), col("qn")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "rank", "cosine")
+  }
+
   /** splitmix64 finalizer — full avalanche, so components are independent.
     * (A plain multiplicative-congruential formula here made every plane a
     * segment of one arithmetic progression mod M: planes were correlated and

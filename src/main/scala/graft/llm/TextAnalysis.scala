@@ -975,6 +975,60 @@ object TextAnalysis {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   /**
+   * Blocklist word-fraction filter — the UT1/RefinedWeb-style NSFW /
+   * boilerplate gate: a document is kept iff the fraction of its words
+   * (case-folded) on the banned list stays ≤ `maxFraction`. A FRACTION,
+   * not a contains — one banned word in a long document is noise; a
+   * document that is mostly banned vocabulary is the signal. The list is
+   * a literal array in the plan (blocklists are KBs — they ride in the
+   * task binary, no join at all), the count a per-row array expression:
+   * zero shuffle, whole-stage codegen over the scan at any corpus size.
+   */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      banned: Seq[String],
+                      maxFraction: Double = 0.05): DataFrame = {
+    val ws = split(coalesce(col(textCol), lit("")), " ")
+    val bl = typedLit(banned.map(_.toLowerCase))
+    docs.select(col(idCol),
+        size(ws).cast("long").as("n_words"),
+        size(filter(ws, w => array_contains(bl, lower(w))))
+          .cast("long").as("n_banned"))
+      .withColumn("banned_frac",
+        round(col("n_banned").cast("double") / col("n_words"), 6))
+      .withColumn("keep", col("banned_frac") <= maxFraction)
+  }
+
+  /**
+   * TF-IDF keyword extraction: per document, the `topK` terms by
+   * `tf · ln(N/df)` (raw tf, no length normalization — the classic
+   * salience ranking for corpus exploration / topic labeling).
+   * Deterministic rank order: score desc, then word asc.
+   *
+   * 100 TB shape: the document-frequency table is vocab-bounded and
+   * BROADCASTS into the (id, word, tf) aggregate (which shuffles fixed-
+   * width rows once, partial-combined map-side); the rank window
+   * partitions by the many-valued doc id and WindowGroupLimit cuts at
+   * `topK` before the final exchange. No corpus-wide sort anywhere.
+   */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfT), "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * round(log(col("n").cast("double") / col("df")), 6), 6))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("w").as("word"),
+        col("tf"), col("score"))
+  }
+
+  /**
    * Token-budget-bounded mixture: within each source, documents are
    * admitted in deterministic content-hash priority order until the
    * source's cumulative token count exceeds `budget` — the "fill each

@@ -43,7 +43,8 @@ object LlmQueries {
     textSpanCuts, textC4Filter, textUrlNormalize, textDomainCap,
     textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5,
     textLmBigram,
-    textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount)
+    textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount,
+    textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5086,4 +5087,125 @@ object LlmQueries {
            |SELECT e.w AS word, e.est, coalesce(x.exact, 0)::BIGINT AS exact,
            |  e.est >= coalesce(x.exact, 0) AS over_ok
            |FROM est e LEFT JOIN ex x USING (w) ORDER BY word""".stripMargin))
+
+  /** The shared CDC chunk replay (content-defined boundaries after word j
+    * iff md5-60 of the trailing 4-gram ≡ 0 mod 16) — one CTE chain used by
+    * both `text_cdc_chunks` and `dedup_cdc` so the two cannot silently
+    * diverge. */
+  private val cdcChunkSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws,
+      |        [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)] AS gs
+      |      FROM t),
+      |st AS (SELECT doc_id, ws,
+      |        [1] || [j + 1 for j in range(4, greatest(len(ws), 1))
+      |                if (('0x' || substr(md5(gs[j-3]), 1, 15))::BIGINT % 16) = 0] AS starts
+      |       FROM g),
+      |se AS (SELECT doc_id, ws, starts,
+      |        [starts[i+1] - 1 for i in range(1, len(starts))] || [len(ws)] AS ends
+      |       FROM st),
+      |cl AS (SELECT doc_id, ws,
+      |        [{'ci': i, 's': starts[i], 'e': ends[i]}
+      |         for i in range(1, len(starts) + 1)] AS chunks
+      |       FROM se),
+      |exd AS (SELECT doc_id, ws, unnest(chunks) AS c FROM cl),
+      |ch AS (SELECT doc_id, c.ci::BIGINT AS chunk_idx, c.s::BIGINT AS c_start,
+      |         c.e::BIGINT AS c_end, (c.e - c.s + 1)::BIGINT AS n_words,
+      |         ('0x' || substr(md5(array_to_string(ws[c.s:c.e], ' ')), 1, 15))::BIGINT
+      |           AS chunk_hash
+      |       FROM exd)""".stripMargin
+
+  /** Content-defined chunking ([[Dedup.cdcChunks]], the LBFS/Rabin CDC
+    * idea at word granularity): boundaries decided by content, so an
+    * early insertion shifts one chunk and every later chunk re-aligns —
+    * the block-level dedup primitive fixed-offset blocking cannot give.
+    * Zero-shuffle per-row array expressions; the oracle replays the
+    * boundary rule, start/end assembly, and chunk hashing exactly. */
+  val textCdcChunks: QueryDef = QueryDef("text_cdc_chunks",
+    (s, d) => Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+        k = 4, mask = 16)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH $cdcChunkSql
+           |SELECT doc_id, chunk_idx, c_start, c_end, n_words, chunk_hash
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Cross-document duplicated CDC chunks ([[Dedup.cdcDuplicateChunks]]):
+    * chunk hashes held by ≥2 docs with occurrence counts and the
+    * canonical holder — which corpus REGIONS are shared. */
+  val dedupCdc: QueryDef = QueryDef("dedup_cdc",
+    (s, d) => Dedup.cdcDuplicateChunks(Tables.documents(s, d), "doc_id",
+        "text", k = 4, mask = 16)
+      .orderBy("chunk_hash"),
+    Some(s"""WITH $cdcChunkSql
+           |SELECT chunk_hash, count(*)::BIGINT AS n_occ,
+           |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+           |  min(doc_id) AS canonical_id, max(n_words) AS n_words
+           |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY chunk_hash""".stripMargin))
+
+  /** Blocklist word-fraction gate ([[TextAnalysis.blocklistFilter]], the
+    * UT1/RefinedWeb NSFW-wordlist shape): per-row array expression, zero
+    * shuffle; keep iff ≤5% of words are listed. */
+  val textBlocklist: QueryDef = QueryDef("text_blocklist",
+    (s, d) => TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id",
+        "text", banned = Seq("slow", "dup", "drop", "stale"),
+        maxFraction = 0.05)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           |           FROM documents),
+           |c AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+           |        len([w for w in ws
+           |             if lower(w) IN ('slow', 'dup', 'drop', 'stale')])::BIGINT
+           |          AS n_banned
+           |      FROM t)
+           |SELECT doc_id, n_words, n_banned,
+           |  round(n_banned::DOUBLE / n_words, 6) AS banned_frac,
+           |  round(n_banned::DOUBLE / n_words, 6) <= 0.05 AS keep
+           |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): each labeled
+    * query's top-5 nearest DIFFERENT-label corpus vectors — the
+    * contrastive-training negative set, label mismatch enforced in the
+    * join itself. */
+  val simHardNegatives: QueryDef = QueryDef("sim_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") % 97 === 3), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v,
+           |        sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv,
+           |        nrm AS qn FROM n WHERE vec_id % 97 = 3),
+           |s AS (SELECT q.query_id, q.query_label, n.vec_id AS neighbor_id,
+           |        n.label AS neighbor_label,
+           |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)])
+           |              / (n.nrm * q.qn), 6) AS cosine
+           |      FROM n, q WHERE n.label <> q.query_label),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top-3
+    * salient terms per doc by tf·ln(N/df); vocab-bounded df broadcast,
+    * WindowGroupLimit-cut per-doc rank. */
+  val textTfidf: QueryDef = QueryDef("text_tfidf",
+    (s, d) => TextAnalysis.tfidfKeywords(Tables.documents(s, d), "doc_id",
+        "text", topK = 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |              FROM documents),
+           |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.w, tf.tf,
+           |         round(tf.tf * round(ln(nn.n / dfq.df), 6), 6) AS score
+           |       FROM tf JOIN dfq USING (w) CROSS JOIN nn),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY score DESC, w) AS rank FROM sc)
+           |SELECT doc_id, rank, w AS word, tf, score FROM r WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin))
 }

@@ -2562,6 +2562,95 @@ class LlmSpec extends AnyFunSuite {
     assert(got.exists { case (id, (_, oov, _)) => id % 2 == 1 && oov > 0 })
   }
 
+  test("cdcChunks: chunks tile each doc exactly; boundary stability under an early insertion") {
+    val d = Tables10
+    val ch = Dedup.cdcChunks(d, "doc_id", "text", k = 4, mask = 16)
+    // tiling: per doc, chunks are contiguous from 1 to n_words with no
+    // gaps or overlaps (c_start of chunk i+1 = c_end of chunk i + 1)
+    val rows = ch.orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $id first chunk start")
+      sorted.sliding(2).filter(_.size == 2).foreach { case Array(a, b) =>
+        assert(b._3 == a._4 + 1, s"doc $id gap between chunks ${a._2}/${b._2}")
+      }
+      val nWords = d.where($"doc_id" === id).head().getString(1).split(" ").length
+      assert(sorted.last._4 == nWords, s"doc $id last chunk end")
+    }
+    // content-defined stability: prepend words to one doc — all chunk
+    // hashes except (at most) the ones covering the edit survive
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val edited = base.select($"doc_id", concat(lit("inserted words here "), $"text").as("text"))
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(df, "doc_id", "text", k = 4, mask = 16)
+        .select("chunk_hash").collect().map(_.getLong(0)).toSet
+    val (h0, h1) = (hashes(base), hashes(edited))
+    // a fixed-offset blocking would lose every block; CDC must keep the
+    // tail chunks whenever any boundary fires in the shared suffix
+    if (h0.size > 1) assert((h0 intersect h1).nonEmpty,
+      "no chunk survived an early insertion despite multiple chunks")
+  }
+
+  test("cdcDuplicateChunks: exact-dup docs share every chunk; canonical is min id") {
+    val dup = Dedup.cdcDuplicateChunks(docs, "doc_id", "text", k = 4, mask = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1 and 4 are byte-identical: every one of their chunks is
+    // duplicated with canonical id 1
+    val n1 = Dedup.cdcChunks(docs.where($"doc_id" === 1L), "doc_id", "text",
+      k = 4, mask = 16).count()
+    val canon1 = dup.filter(_._4 == 1L)
+    assert(canon1.length >= n1.toInt)
+    assert(canon1.forall(c => c._2 >= 2 && c._3 >= 2))
+  }
+
+  test("blocklistFilter: fraction gate, case fold, zero-banned docs keep") {
+    val d = Seq(
+      (1L, "clean words only here"),
+      (2L, "SPAM spam spam ok"),          // 3/4 banned (case-folded)
+      (3L, "one spam in twenty words a b c d e f g h i j k l m n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(d, "doc_id", "text",
+        banned = Seq("spam"), maxFraction = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((3L, false)))
+    assert(out(3L) == ((1L, true))) // 1/20 = 0.05 <= 0.1
+  }
+
+  test("tfidfKeywords: corpus-wide words score zero, doc-unique words rank first") {
+    val d = Seq(
+      (1L, "common common unique1 filler"),
+      (2L, "common filler unique2 unique2"),
+      (3L, "common filler other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(d, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(4)))
+    val top = out.filter(_._2 == 1L).map(x => x._1 -> x._3).toMap
+    // 'common' appears in all 3 docs: idf = ln(1) = 0 — never a keyword
+    assert(!out.exists(x => x._3 == "common" && x._4 > 0.0))
+    assert(top(1L) == "unique1" && top(2L) == "unique2" && top(3L) == "other")
+  }
+
+  test("hardNegatives: no same-label neighbor ever; ranks are label-filtered top-k by cosine") {
+    val d = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val q = d.where($"vec_id" % 97 === 3)
+    val out = Similarity.hardNegatives(d, "vec_id", "embedding", "label", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    assert(out.forall(x => x._2 != x._4), "a same-label neighbor leaked through")
+    // per query: exactly k rows, ranks 1..k, cosine non-increasing
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to 5L), s"query $qid ranks")
+      assert(sorted.sliding(2).filter(_.size == 2)
+        .forall { case Array(a, b) => a._6 >= b._6 }, s"query $qid cosine order")
+    }
+  }
+
   test("cms: per-row mass conservation, one-sided estimates over the whole vocabulary") {
     val d = Tables10
     val cells = TextAnalysis.cmsCells(d, "text", depth = 4, width = 256)
