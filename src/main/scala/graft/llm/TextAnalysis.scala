@@ -974,6 +974,171 @@ object TextAnalysis {
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  // ---- Unigram LM tokenizer (SentencePiece, Kudo 2018) — hard-EM ----
+
+  /** The unigram segmentation total order: higher log-prob sum wins, then
+    * fewer pieces, then the lexicographically smaller joined sequence.
+    * SUFFIX-COMPOSABLE (two prefixes of the same substring have the same
+    * character content, so with equal piece counts their joined strings
+    * have equal length and appending a common suffix preserves the
+    * comparison) — which is what lets the left-to-right Viterbi DP find
+    * the global optimum of the exact order the oracle's full-enumeration
+    * replay ranks by. */
+  private[llm] def unigramBetter(aLp: Double, aNp: Int, aSeq: String,
+                                 bLp: Double, bNp: Int, bSeq: String): Boolean =
+    aLp > bLp || (aLp == bLp && (aNp < bNp || (aNp == bNp && aSeq < bSeq)))
+
+  /** Viterbi segmentation of one word under piece log-probs. Log-prob
+    * sums accumulate left-to-right (the same IEEE order as the oracle's
+    * path enumeration). Fails loud if the vocabulary cannot cover the
+    * word — unreachable while single characters stay in the vocabulary,
+    * which hard-EM preserves (a survivor segmentation is always
+    * available to the next iteration). */
+  private[llm] def viterbiSegment(w: String, lp: collection.Map[String, Double],
+                                  maxPieceLen: Int): (String, Double, Int) = {
+    val n = w.length
+    val bLp = new Array[Double](n + 1)
+    val bNp = new Array[Int](n + 1)
+    val bSeq = new Array[String](n + 1)
+    bSeq(0) = ""
+    var j = 1
+    while (j <= n) {
+      var found = false
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        val i = j - l
+        if (bSeq(i) != null) {
+          val piece = w.substring(i, j)
+          val x = lp.get(piece)
+          if (x.isDefined) {
+            val cLp = bLp(i) + x.get
+            val cNp = bNp(i) + 1
+            val cSeq = if (bSeq(i).isEmpty) piece else bSeq(i) + " " + piece
+            if (!found ||
+                unigramBetter(cLp, cNp, cSeq, bLp(j), bNp(j), bSeq(j))) {
+              bLp(j) = cLp; bNp(j) = cNp; bSeq(j) = cSeq; found = true
+            }
+          }
+        }
+        l += 1
+      }
+      if (!found) bSeq(j) = null
+      j += 1
+    }
+    require(bSeq(n) != null,
+      s"unigram vocab cannot segment '$w' — single-char coverage lost")
+    (bSeq(n), bLp(n), bNp(n))
+  }
+
+  /** Distinct-word frequency table — the vocab-bounded artifact every
+    * unigram stage runs over (the corpus is scanned ONCE, here). */
+  private def unigramWordTable(docs: DataFrame, textCol: String) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+  }
+
+  /**
+   * Unigram-LM tokenizer training (the SentencePiece model, Kudo 2018) by
+   * hard (Viterbi) EM — the OTHER major subword family beside BPE:
+   * pieces carry probabilities and a word's tokenization is its most
+   * probable segmentation, not a greedy merge replay.
+   *
+   *  - Seed: every ≤`maxPieceLen`-char substring occurrence over the
+   *    word table, weighted by word frequency; top `seedSize` by
+   *    (count, piece) plus ALL single characters (coverage floor).
+   *  - E-step: Viterbi-segment each DISTINCT word (the [[viterbiSegment]]
+   *    kernel, broadcast log-prob map) — hard counts weighted by word
+   *    frequency. M-step: re-normalize; pieces the segmentation stopped
+   *    using drop out. `iters` rounds.
+   *
+   * 100 TB shape: the corpus contributes exactly ONE token scan (the
+   * word table); every EM iteration runs over the vocab-bounded distinct
+   * word table with the piece table broadcast — corpus text never moves
+   * again (the [[bpeTrainDelta]] discipline). Collects are vocab-bounded
+   * and fail loud at `maxVocabCollect`.
+   */
+  def unigramTrain(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   seedSize: Int = 40, iters: Int = 2,
+                   maxVocabCollect: Int = 200000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wt = unigramWordTable(docs, textCol)
+    val mp = maxPieceLen
+    val sub = wt.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(mp, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+    val top = sub.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+    val v0 = top.unionByName(sub.where(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    def lpMap(v: DataFrame): Map[String, Double] = {
+      val rows = v.select(col("piece"), col("cnt").cast("long"))
+        .as[(String, Long)].collect()
+      require(rows.length <= maxVocabCollect,
+        s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
+      val total = rows.map(_._2).sum.toDouble
+      rows.iterator.map { case (p, c) =>
+        p -> Similarity.roundHalfUp(math.log(c / total), 6)
+      }.toMap
+    }
+    var lp = lpMap(v0)
+    var counts = v0
+    var it = 0
+    while (it < iters) {
+      val lpB = spark.sparkContext.broadcast(lp)
+      counts = wt.flatMap { case (w, f) =>
+        viterbiSegment(w, lpB.value, mp)._1.split(" ").iterator.map((_, f))
+      }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+      lp = lpMap(counts)
+      it += 1
+    }
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").cast("double").as("t"))))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt") / col("t")), 6).as("lp"))
+  }
+
+  /**
+   * Unigram tokenization against a TRAINED piece table (`(piece, lp)`
+   * rows — [[unigramTrain]]'s output or a stored artifact): per document,
+   * word count, piece count, and the negative log-likelihood of its
+   * Viterbi segmentation. Segmentation runs ONCE per distinct word
+   * (vocab-bounded, piece table broadcast) and documents join the result
+   * by word — the corpus pays one tf aggregation, never a per-occurrence
+   * DP.
+   */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, maxPieceLen: Int = 4,
+                    maxVocabCollect: Int = 200000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("lp").cast("double"))
+      .as[(String, Double)].collect()
+    require(rows.length <= maxVocabCollect,
+      s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
+    val lpB = spark.sparkContext.broadcast(rows.toMap)
+    val mp = maxPieceLen
+    val segs = unigramWordTable(docs, textCol)
+      .map { case (w, _) =>
+        val (_, sLp, sNp) = viterbiSegment(w, lpB.value, mp)
+        (w, sNp.toLong, sLp)
+      }.toDF("w", "np", "wlp")
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(segs), "w")
+      .groupBy("id")
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf") * col("np")).cast("long").as("n_pieces"),
+        round(-sum(col("tf") * col("wlp")), 6).as("nll_sum"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /**
    * Blocklist word-fraction filter — the UT1/RefinedWeb-style NSFW /
    * boilerplate gate: a document is kept iff the fraction of its words

@@ -44,7 +44,8 @@ object LlmQueries {
     textUrlDedup, textBpeFertility, textSoftDedup, pipelineCuration5,
     textLmBigram,
     textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount,
-    textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf)
+    textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf,
+    textUnigramTrain, textUnigramEncode)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5188,6 +5189,98 @@ object LlmQueries {
            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
            |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** The shared unigram-tokenizer hard-EM replay (Kudo 2018 as the oracle
+    * would compute it): substring seed → 2 rounds of full-enumeration
+    * Viterbi (every segmentation of every distinct word via a recursive
+    * CTE, ranked by the exact (lp desc, piece count, joined seq) order the
+    * Spark DP optimizes) → re-normalized piece table. One CTE chain shared
+    * by `text_unigram_train` and `text_unigram_encode`. */
+  private val unigramTrainSql: String =
+    """wt AS (SELECT w, count(*)::BIGINT AS f
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       GROUP BY 1),
+      |sub AS (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
+      |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
+      |        WHERE i + l <= len(w) + 1
+      |        GROUP BY 1),
+      |top AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 40),
+      |v0 AS (SELECT DISTINCT piece, cnt FROM
+      |        (SELECT * FROM top UNION ALL SELECT * FROM sub WHERE len(piece) = 1)),
+      |l0 AS (SELECT piece, round(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM v0)), 6) AS lp FROM v0),
+      |seg1 AS (
+      |  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS lp, 0::INT AS np, '' AS seq FROM wt
+      |  UNION ALL
+      |  SELECT s.w, (s.pos + len(v.piece))::INT, s.lp + v.lp, (s.np + 1)::INT,
+      |         CASE WHEN s.seq = '' THEN v.piece ELSE s.seq || ' ' || v.piece END
+      |  FROM seg1 s JOIN l0 v ON v.piece = substr(s.w, s.pos + 1, len(v.piece))
+      |  WHERE s.pos < len(s.w)),
+      |b1 AS (SELECT w, seq FROM seg1 WHERE pos = len(w)
+      |       QUALIFY row_number() OVER (PARTITION BY w ORDER BY lp DESC, np, seq) = 1),
+      |c1 AS (SELECT piece, sum(f)::BIGINT AS cnt FROM
+      |        (SELECT b1.w, unnest(string_split(b1.seq, ' ')) AS piece FROM b1) e
+      |       JOIN wt USING (w) GROUP BY 1),
+      |l1 AS (SELECT piece, round(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM c1)), 6) AS lp FROM c1),
+      |seg2 AS (
+      |  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS lp, 0::INT AS np, '' AS seq FROM wt
+      |  UNION ALL
+      |  SELECT s.w, (s.pos + len(v.piece))::INT, s.lp + v.lp, (s.np + 1)::INT,
+      |         CASE WHEN s.seq = '' THEN v.piece ELSE s.seq || ' ' || v.piece END
+      |  FROM seg2 s JOIN l1 v ON v.piece = substr(s.w, s.pos + 1, len(v.piece))
+      |  WHERE s.pos < len(s.w)),
+      |b2 AS (SELECT w, seq FROM seg2 WHERE pos = len(w)
+      |       QUALIFY row_number() OVER (PARTITION BY w ORDER BY lp DESC, np, seq) = 1),
+      |c2 AS (SELECT piece, sum(f)::BIGINT AS cnt FROM
+      |        (SELECT b2.w, unnest(string_split(b2.seq, ' ')) AS piece FROM b2) e
+      |       JOIN wt USING (w) GROUP BY 1),
+      |l2 AS (SELECT piece, cnt,
+      |         round(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM c2)), 6) AS lp FROM c2)""".stripMargin
+
+  /** Unigram-LM tokenizer training ([[TextAnalysis.unigramTrain]] — the
+    * SentencePiece family beside BPE): substring seed, 2 hard-EM rounds
+    * of Viterbi segmentation over the distinct-word table, re-normalized
+    * piece probabilities. The Spark DP and the oracle's full enumeration
+    * rank by the same suffix-composable total order, so the learned
+    * table matches bit-for-bit. */
+  val textUnigramTrain: QueryDef = QueryDef("text_unigram_train",
+    (s, d) => TextAnalysis.unigramTrain(Tables.documents(s, d), "text",
+        maxPieceLen = 4, seedSize = 40, iters = 2)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE
+           |$unigramTrainSql
+           |SELECT piece, cnt, lp FROM l2 ORDER BY piece""".stripMargin))
+
+  /** Unigram tokenization with the trained pieces
+    * ([[TextAnalysis.unigramEncode]]): Viterbi runs once per DISTINCT
+    * word (vocab-bounded, piece table broadcast); documents pay one tf
+    * aggregation. Per-doc word/piece counts + segmentation NLL. */
+  val textUnigramEncode: QueryDef = QueryDef("text_unigram_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.unigramEncode(docs, "doc_id", "text",
+          TextAnalysis.unigramTrain(docs, "text", maxPieceLen = 4,
+            seedSize = 40, iters = 2), maxPieceLen = 4)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+           |$unigramTrainSql,
+           |seg3 AS (
+           |  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS lp, 0::INT AS np, '' AS seq FROM wt
+           |  UNION ALL
+           |  SELECT s.w, (s.pos + len(v.piece))::INT, s.lp + v.lp, (s.np + 1)::INT,
+           |         CASE WHEN s.seq = '' THEN v.piece ELSE s.seq || ' ' || v.piece END
+           |  FROM seg3 s JOIN l2 v ON v.piece = substr(s.w, s.pos + 1, len(v.piece))
+           |  WHERE s.pos < len(s.w)),
+           |b3 AS (SELECT w, lp, np FROM seg3 WHERE pos = len(w)
+           |       QUALIFY row_number() OVER (PARTITION BY w ORDER BY lp DESC, np, seq) = 1),
+           |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+           |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |             FROM documents)
+           |       GROUP BY 1, 2)
+           |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_words,
+           |  sum(tf.tf * b3.np)::BIGINT AS n_pieces,
+           |  round(-sum(tf.tf * b3.lp), 6) AS nll_sum
+           |FROM tf JOIN b3 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top-3
     * salient terms per doc by tf·ln(N/df); vocab-bounded df broadcast,

@@ -2480,6 +2480,21 @@ class LlmSpec extends AnyFunSuite {
     assert(byDoc(1L).size <= windows1)
   }
 
+  test("winnowFingerprints: typed kernel path is row-set identical to the expression path") {
+    val d = Tables10
+    def rows(typed: Boolean) =
+      Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4, typed = typed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (tk, ex) = (rows(true), rows(false))
+    assert(tk == ex, s"kernel minus expr: ${(tk -- ex).take(3)}; " +
+      s"expr minus kernel: ${(ex -- tk).take(3)}")
+    // and on the fixture with short/duplicate docs
+    def fx(typed: Boolean) =
+      Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4, typed = typed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fx(true) == fx(false))
+  }
+
   test("winnowPairs: dup pairs found with counts, unrelated/short docs excluded, exact dup shares the full set") {
     val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4,
         minShared = 1, maxDocFreq = 10)
@@ -2649,6 +2664,48 @@ class LlmSpec extends AnyFunSuite {
       assert(sorted.sliding(2).filter(_.size == 2)
         .forall { case Array(a, b) => a._6 >= b._6 }, s"query $qid cosine order")
     }
+  }
+
+  test("viterbiSegment: DP optimum equals exhaustive enumeration under the (lp, np, seq) order") {
+    val lp = Map("a" -> -2.0, "b" -> -2.5, "ab" -> -3.0, "ba" -> -5.0,
+      "aba" -> -6.5, "bb" -> -4.5)
+    def segs(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (lp.contains(p)) segs(w.substring(l)).map(p :: _) else Seq.empty
+      }
+    val words = (1 to 7).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(i => if (((m >> i) & 1) == 0) 'a' else 'b').mkString))
+    words.foreach { w =>
+      val all = segs(w).map { ps =>
+        (ps.foldLeft(0.0)((acc, p) => acc + lp(p)), ps.length, ps.mkString(" "))
+      }
+      assert(all.nonEmpty, s"$w unsegmentable in fixture vocab")
+      val best = all.sortWith { case ((al, an, as), (bl, bn, bs)) =>
+        TextAnalysis.unigramBetter(al, an, as, bl, bn, bs)
+      }.head
+      val (gSeq, gLp, gNp) = TextAnalysis.viterbiSegment(w, lp, 4)
+      assert((gLp, gNp, gSeq) == best, s"word $w: DP $gSeq vs enum ${best._3}")
+    }
+  }
+
+  test("unigramTrain/unigramEncode: piece-length bound, count mass conservation, encode consistency") {
+    val d = Tables10
+    val vocab = TextAnalysis.unigramTrain(d, "text", maxPieceLen = 4,
+      seedSize = 40, iters = 2)
+    val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.forall(_._1.length <= 4))
+    assert(rows.exists(_._1.length > 1), "hard-EM learned no multi-char piece")
+    val enc = TextAnalysis.unigramEncode(d, "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(enc.length == d.count())
+    // every word is at least one piece; NLL of a segmentation is positive
+    assert(enc.forall(e => e._3 >= e._2 && e._4 > 0.0))
+    // (vocab counts are the ITER-2 segmentation's masses under l1 probs;
+    // encode re-segments under the final l2 probs, so the two piece masses
+    // may legitimately differ — no cross-equation asserted)
   }
 
   test("cms: per-row mass conservation, one-sided estimates over the whole vocabulary") {
