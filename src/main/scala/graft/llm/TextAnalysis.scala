@@ -974,6 +974,48 @@ object TextAnalysis {
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /**
+   * Histogram-sketch quantiles of document token lengths — the MERGEABLE
+   * bounded-memory quantile structure that completes the sketch family
+   * (HLL distincts, Bloom membership, count-min frequencies, this for
+   * order statistics): an equi-width histogram of `binWidth` tokens per
+   * bin is a fixed-size, trivially mergeable per-shard artifact; the
+   * q-quantile estimate is the upper edge of the first bin whose
+   * cumulative count reaches `⌈q·N⌉`, one-sided (`exact ≤ est <
+   * exact + binWidth` — both pinned per row in the output). The exact
+   * twin runs the SAME order-statistics cut over the width-1 value-count
+   * table (token lengths are small integers, so that table is bounded
+   * too — the `pplBucketsThreshold` discipline).
+   *
+   * 100 TB shape: one scan → partial-aggregable groupBy onto ≤ maxLen/W
+   * bins; the cumulative windows run over the BOUNDED bin/value tables
+   * (hundreds of rows), never the corpus.
+   */
+  def lenQuantileSketch(docs: DataFrame, textCol: String, binWidth: Int = 8,
+                        qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(size(split(col(textCol), " ")).cast("long").as("l"))
+    val tot = lens.agg(count(lit(1)).as("n"))
+    val hist = lens.groupBy(floor(col("l") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+    val vals = lens.groupBy(col("l")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("l")))
+    val qDf = docs.sparkSession.createDataFrame(
+      qs.map(Tuple1.apply)).toDF("q")
+    val est = qDf.crossJoin(broadcast(tot)).join(broadcast(hist),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q").agg(min((col("bin") + 1) * binWidth - 1).as("est"))
+    val exact = qDf.crossJoin(broadcast(tot)).join(broadcast(vals),
+        col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q").agg(min(col("l")).as("exact"))
+    est.join(exact, "q")
+      .select(col("q"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("err"),
+        (col("est") >= col("exact") &&
+          col("est") - col("exact") < binWidth).as("within_bound"))
+  }
+
   // ---- Unigram LM tokenizer (SentencePiece, Kudo 2018) — hard-EM ----
 
   /** The unigram segmentation total order: higher log-prob sum wins, then

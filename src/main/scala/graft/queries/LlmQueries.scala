@@ -45,7 +45,8 @@ object LlmQueries {
     textLmBigram,
     textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount,
     textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf,
-    textUnigramTrain, textUnigramEncode)
+    textUnigramTrain, textUnigramEncode, textUnigramEncode2,
+    textLenQuantiles)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5281,6 +5282,42 @@ object LlmQueries {
            |  sum(tf.tf * b3.np)::BIGINT AS n_pieces,
            |  round(-sum(tf.tf * b3.lp), 6) AS nll_sum
            |FROM tf JOIN b3 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Unigram tokenization from the STORED piece artifact
+    * ([[Materialized.unigramPieces]]) — the production twin of
+    * `text_unigram_encode`: the EM rounds are paid once per (corpus,
+    * config); scoring runs broadcast the stored table. Same oracle as the
+    * live twin (the artifact's builder IS that computation). */
+  val textUnigramEncode2: QueryDef = QueryDef("text_unigram_encode2",
+    (s, d) => TextAnalysis.unigramEncode(Tables.documents(s, d), "doc_id",
+        "text", Materialized.unigramPieces(s, d), maxPieceLen = 4)
+      .orderBy("doc_id"),
+    textUnigramEncode.oracle)
+
+  /** Histogram-sketch quantiles of doc token lengths
+    * ([[TextAnalysis.lenQuantileSketch]]) — the mergeable bounded-memory
+    * order-statistics sketch completing the HLL/Bloom/CMS family; the
+    * one-sided `exact ≤ est < exact+W` bound pinned per quantile row
+    * against the exact width-1 order-statistics twin. */
+  val textLenQuantiles: QueryDef = QueryDef("text_len_quantiles",
+    (s, d) => TextAnalysis.lenQuantileSketch(Tables.documents(s, d), "text",
+        binWidth = 8)
+      .orderBy("q"),
+    Some("""WITH n AS (SELECT len(string_split(text, ' '))::BIGINT AS l FROM documents),
+           |tot AS (SELECT count(*)::BIGINT AS n FROM n),
+           |h AS (SELECT (l // 8)::BIGINT AS bin, count(*)::BIGINT AS cnt
+           |      FROM n GROUP BY 1),
+           |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
+           |v AS (SELECT l, count(*)::BIGINT AS cnt FROM n GROUP BY 1),
+           |cv AS (SELECT l, sum(cnt) OVER (ORDER BY l)::BIGINT AS cum FROM v),
+           |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+           |est AS (SELECT q, min((bin + 1) * 8 - 1)::BIGINT AS est
+           |        FROM qs, c, tot WHERE cum >= ceil(q * n) GROUP BY 1),
+           |ex AS (SELECT q, min(l)::BIGINT AS exact
+           |       FROM qs, cv, tot WHERE cum >= ceil(q * n) GROUP BY 1)
+           |SELECT est.q, est.est, ex.exact, (est.est - ex.exact)::BIGINT AS err,
+           |  (est.est >= ex.exact AND est.est - ex.exact < 8) AS within_bound
+           |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin))
 
   /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top-3
     * salient terms per doc by tf·ln(N/df); vocab-bounded df broadcast,

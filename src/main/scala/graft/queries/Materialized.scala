@@ -817,6 +817,16 @@ object Materialized {
         iters = LlmQueries.ClfIters, lr = LlmQueries.ClfLr)
     }
 
+  /** Stored unigram-LM tokenizer pieces `(piece, cnt, lp)`
+    * ([[graft.llm.TextAnalysis.unigramTrain]], SentencePiece hard-EM) —
+    * trained once per (corpus, config); encode runs broadcast the stored
+    * table instead of re-paying the EM rounds over the word table. */
+  def unigramPieces(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "unigram_pieces", "p4_s40_i2", sfDir, "documents") {
+      graft.llm.TextAnalysis.unigramTrain(Tables.documents(spark, sfDir),
+        "text", maxPieceLen = 4, seedSize = 40, iters = 2)
+    }
+
   /** Stored DSIR log-likelihood-ratio table `(bucket, log_ratio)` against
     * the English slice as the target distribution
     * ([[graft.llm.TextAnalysis.dsirRatios]]) — estimated once per corpus

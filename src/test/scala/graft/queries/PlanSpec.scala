@@ -563,4 +563,55 @@ class PlanSpec extends AnyFunSuite {
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
+
+  test("text_cdc_chunks: chunking is one zero-shuffle scan (the only exchange is the output sort)") {
+    val p = plan("text_cdc_chunks")
+    // boundary detection, start/end assembly, chunk explode and hashing are
+    // all per-row over staged arrays: no hash exchange anywhere — chunking
+    // a 100 TB corpus is exactly one codegen'd scan
+    assert(!p.contains("Exchange hashpartitioning"),
+      "CDC chunking must not shuffle\n" + p)
+  }
+
+  test("text_blocklist: per-row gate — zero exchanges of any kind before the output sort") {
+    val p = plan("text_blocklist")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), "the plan-literal list must not join\n" + p)
+  }
+
+  test("text_tfidf: df table broadcasts; rank window partitions by doc id and is WindowGroupLimit-cut") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded df table must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(id".r.findFirstIn(p).isDefined,
+      "the rank window must partition by the many-valued doc id\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "the top-k cut must push below the window's exchange\n" + p)
+  }
+
+  test("sim_hard_negatives: corpus scanned once, query side broadcast, k-cut via WindowGroupLimit") {
+    val p = plan("sim_hard_negatives")
+    // the label-mismatch theta-join is corpus × broadcast(bounded queries):
+    // a BroadcastNestedLoopJoin over the tiny side is the intended shape;
+    // what must never appear is a shuffled or cartesian corpus pair
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("FileScan parquet.*embeddings".r.findAllIn(p).size <= 2,
+      "corpus must not be re-scanned per label\n" + p)
+  }
+
+  test("dedup_winnow: self-join sides share the one fp pipeline (reused exchange or broadcast), never a cartesian") {
+    val p = plan("dedup_winnow")
+    // at corpus scale the SMJ's two identical sides reuse the single fp
+    // exchange (the 10M-doc measurement's shape); at spec scale AQE may
+    // legally broadcast the tiny filtered side instead — both are bounded.
+    // What must never appear: a cartesian, or more than the two scans the
+    // equi-join's sides can pay.
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("FileScan parquet.*documents".r.findAllIn(p).size <= 2,
+      "fingerprinting must not run more than once per join side\n" + p)
+  }
 }
