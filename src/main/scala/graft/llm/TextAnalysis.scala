@@ -975,6 +975,111 @@ object TextAnalysis {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   /**
+   * PMI collocations (Church & Hanks 1990): adjacent word pairs ranked by
+   * pointwise mutual information `ln( p(w1,w2) / (p(w1)·p(w2)) )` with a
+   * minimum-count floor (PMI without the floor surfaces hapax noise) —
+   * the standard collocation / stop-phrase discovery pass. One corpus
+   * token scan feeds both count tables; unigrams and the two scalars
+   * broadcast into the vocab²-bounded bigram TYPE table; the top-k is a
+   * TakeOrdered over that bounded table, never a corpus sort.
+   */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 20, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
+    val t = uni.agg(sum(col("cu")).as("t"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .where(col("pw").isNotNull)
+    val bt = pairs.agg(count(lit(1)).cast("double").as("bt"))
+    pairs.groupBy(col("pw").as("w1"), col("w").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+      .crossJoin(broadcast(t)).crossJoin(broadcast(bt))
+      .withColumn("pmi", round(log((col("cb") / col("bt")) /
+        ((col("cu1") / col("t")) * (col("cu2") / col("t")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("cb"), col("pmi"))
+  }
+
+  /**
+   * Pairwise Jensen–Shannon divergence between per-source unigram
+   * distributions — the mixture-design diagnostic ("how different are my
+   * domains?"). The trick that keeps it ONE inner self-join: words
+   * outside the intersection contribute exactly `p·ln 2` to their side's
+   * KL term, and the intersection's probability mass `S` is already in
+   * hand, so
+   * `JS = ½(Σ∩ p_a ln(p_a/m) + (1−S_a)·ln 2) + ½(… b …)` — no full-outer
+   * join, no union-domain table. Per-word terms reduce as 6-dp scaled
+   * longs (integer sums — bit-stable across engines and partitionings).
+   * The join on `w` is vocab-bounded × S² sources; totals broadcast.
+   */
+  def jsDivergenceBySource(docs: DataFrame, sourceCol: String,
+                           textCol: String): DataFrame = {
+    val counts = docs.select(col(sourceCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy("src").agg(sum(col("c")).as("tot"))
+    val p = counts.join(broadcast(totals), "src")
+      .select(col("src"), col("w"), (col("c") / col("tot")).as("p"))
+    def s6(c: Column): Column = round(round(c, 6) * 1e6, 0).cast("long")
+    val m = (col("a.p") + col("b.p")) / 2
+    val joined = p.as("a").join(p.as("b"),
+      col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+    val agg = joined.groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(s6(col("a.p") * log(col("a.p") / m))).as("ka6"),
+        sum(s6(col("b.p") * log(col("b.p") / m))).as("kb6"),
+        sum(s6(col("a.p"))).as("sa6"),
+        sum(s6(col("b.p"))).as("sb6"))
+    agg.select(col("src_a"), col("src_b"), col("n_shared_words"),
+      round(lit(0.5) * (col("ka6") / 1e6 +
+          (lit(1.0) - col("sa6") / 1e6) * log(lit(2.0))) +
+        lit(0.5) * (col("kb6") / 1e6 +
+          (lit(1.0) - col("sb6") / 1e6) * log(lit(2.0))), 6).as("js"))
+  }
+
+  /**
+   * Population-stability index between two corpus slices over the
+   * doc-token-length distribution — the data-drift monitor a continuous
+   * ingestion pipeline alarms on (PSI > 0.2 = major shift, credit-risk
+   * folklore thresholds). Laplace-smoothed bin probabilities
+   * `(cnt+1)/(n+B)` over the OBSERVED bin union (B = observed bin count),
+   * so empty-on-one-side bins contribute finitely; per-bin terms reduce
+   * as 6-dp scaled longs. Output: one row per bin with both sides'
+   * smoothed probabilities and the term, plus the total replicated per
+   * row (the bin table is bounded by maxLen/binWidth — the single
+   * partition the total window runs over holds dozens of rows, not
+   * corpus rows).
+   */
+  def psiDrift(docs: DataFrame, sliceA: Column, textCol: String,
+               binWidth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(sliceA.as("in_a"),
+      floor(size(split(col(textCol), " ")) / binWidth).cast("long").as("bin"))
+    val bins = lens.groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
+    val tot = bins.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"),
+      count(lit(1)).cast("long").as("nbins"))
+    val withP = bins.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("cnt_a") + 1) / (col("na") + col("nbins")))
+      .withColumn("pb", (col("cnt_b") + 1) / (col("nb") + col("nbins")))
+      .withColumn("term6",
+        round(round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6) * 1e6, 0)
+          .cast("long"))
+    withP.select(col("bin"), col("cnt_a"), col("cnt_b"),
+      round(col("pa"), 6).as("pa"), round(col("pb"), 6).as("pb"),
+      round(col("term6") / 1e6, 6).as("term"),
+      round(sum(col("term6")).over(Window.partitionBy(lit(1))) / 1e6, 6)
+        .as("psi_total"))
+  }
+
+  /**
    * Histogram-sketch quantiles of document token lengths — the MERGEABLE
    * bounded-memory quantile structure that completes the sketch family
    * (HLL distincts, Bloom membership, count-min frequencies, this for

@@ -46,7 +46,8 @@ object LlmQueries {
     textWinnow, dedupWinnow, textLmKn, textLmSbo, textCmsCount,
     textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf,
     textUnigramTrain, textUnigramEncode, textUnigramEncode2,
-    textLenQuantiles)
+    textLenQuantiles,
+    textPmi, textJsDiv, textPsi, pipelineDatacard)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5318,6 +5319,138 @@ object LlmQueries {
            |SELECT est.q, est.est, ex.exact, (est.est - ex.exact)::BIGINT AS err,
            |  (est.est >= ex.exact AND est.est - ex.exact < 8) AS within_bound
            |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin))
+
+  /** PMI collocations ([[TextAnalysis.pmiCollocations]], Church & Hanks
+    * 1990): top-20 adjacent pairs by pointwise mutual information over a
+    * ≥20-count floor — collocation / stop-phrase discovery. */
+  val textPmi: QueryDef = QueryDef("text_pmi",
+    (s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d), "doc_id",
+        "text", minCount = 20, topK = 20),
+    Some("""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+           |              generate_subscripts(ws, 1)::BIGINT AS pos
+           |            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |                  FROM documents)),
+           |uni AS (SELECT w, count(*)::DOUBLE AS cu FROM tok GROUP BY 1),
+           |tt AS (SELECT sum(cu) AS t FROM uni),
+           |pr AS (SELECT doc_id, pos, w,
+           |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw FROM tok),
+           |pairs AS (SELECT pw AS w1, w AS w2 FROM pr WHERE pw IS NOT NULL),
+           |bt AS (SELECT count(*)::DOUBLE AS bt FROM pairs),
+           |ty AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY 1, 2)
+           |SELECT ty.w1, ty.w2, ty.cb,
+           |  round(ln((ty.cb / bt.bt) / ((u1.cu / tt.t) * (u2.cu / tt.t))), 6) AS pmi
+           |FROM ty JOIN uni u1 ON ty.w1 = u1.w JOIN uni u2 ON ty.w2 = u2.w
+           |CROSS JOIN tt CROSS JOIN bt
+           |WHERE ty.cb >= 20
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions ([[TextAnalysis.jsDivergenceBySource]]) — the
+    * mixture-design diagnostic, computed from ONE inner self-join via the
+    * `(1−S)·ln 2` identity for off-intersection mass; 6-dp scaled-long
+    * term sums. */
+  val textJsDiv: QueryDef = QueryDef("text_js_div",
+    (s, d) => TextAnalysis.jsDivergenceBySource(Tables.documents(s, d),
+        "source", "text")
+      .orderBy("src_a", "src_b"),
+    Some("""WITH c AS (SELECT source AS src, w, count(*)::DOUBLE AS c FROM
+           |            (SELECT source, unnest(string_split(text, ' ')) AS w
+           |             FROM documents) GROUP BY 1, 2),
+           |t AS (SELECT src, sum(c) AS tot FROM c GROUP BY 1),
+           |p AS (SELECT c.src, c.w, c.c / t.tot AS p FROM c JOIN t USING (src)),
+           |j AS (SELECT a.src AS src_a, b.src AS src_b,
+           |        count(*)::BIGINT AS n_shared_words,
+           |        sum(round(round(a.p * ln(a.p / ((a.p + b.p) / 2)), 6)
+           |            * 1000000, 0)::BIGINT) AS ka6,
+           |        sum(round(round(b.p * ln(b.p / ((a.p + b.p) / 2)), 6)
+           |            * 1000000, 0)::BIGINT) AS kb6,
+           |        sum(round(round(a.p, 6) * 1000000, 0)::BIGINT) AS sa6,
+           |        sum(round(round(b.p, 6) * 1000000, 0)::BIGINT) AS sb6
+           |      FROM p a JOIN p b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2)
+           |SELECT src_a, src_b, n_shared_words,
+           |  round(0.5 * (ka6 / 1000000.0 + (1.0 - sa6 / 1000000.0) * ln(2)) +
+           |        0.5 * (kb6 / 1000000.0 + (1.0 - sb6 / 1000000.0) * ln(2)), 6) AS js
+           |FROM j ORDER BY src_a, src_b""".stripMargin))
+
+  /** PSI drift between the even/odd doc_id slices over the token-length
+    * distribution ([[TextAnalysis.psiDrift]]) — the snapshot-A-vs-B data
+    * health alarm; Laplace-smoothed over the observed bin union, bounded
+    * bin table, scaled-long terms. */
+  val textPsi: QueryDef = QueryDef("text_psi",
+    (s, d) => TextAnalysis.psiDrift(Tables.documents(s, d),
+        col("doc_id") % 2 === 0, "text", binWidth = 8)
+      .orderBy("bin"),
+    Some("""WITH l AS (SELECT (doc_id % 2 = 0) AS in_a,
+           |             (len(string_split(text, ' ')) // 8)::BIGINT AS bin
+           |           FROM documents),
+           |b AS (SELECT bin,
+           |        sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+           |        sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS cnt_b
+           |      FROM l GROUP BY 1),
+           |t AS (SELECT sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb,
+           |        count(*)::BIGINT AS nbins FROM b),
+           |w AS (SELECT bin, cnt_a, cnt_b,
+           |        (cnt_a + 1)::DOUBLE / (na + nbins) AS pa,
+           |        (cnt_b + 1)::DOUBLE / (nb + nbins) AS pb
+           |      FROM b, t),
+           |w2 AS (SELECT bin, cnt_a, cnt_b, pa, pb,
+           |        round(round((pa - pb) * ln(pa / pb), 6) * 1000000, 0)::BIGINT
+           |          AS term6 FROM w)
+           |SELECT bin, cnt_a, cnt_b, round(pa, 6) AS pa, round(pb, 6) AS pb,
+           |  round(term6 / 1000000.0, 6) AS term,
+           |  round((SELECT sum(term6) FROM w2) / 1000000.0, 6) AS psi_total
+           |FROM w2 ORDER BY bin""".stripMargin))
+
+  /** Per-source data card ([[Dedup.exact]] ∘ [[TextAnalysis
+    * .blocklistFilter]] ∘ per-row stats): the one-row-per-domain summary a
+    * corpus release ships — doc/token counts, mean length, English share,
+    * exact-duplicate fraction, blocklist keep rate. All signals join on
+    * the doc id; one final rollup. */
+  val pipelineDatacard: QueryDef = QueryDef("pipeline_datacard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dup = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical"))
+      val bl = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          banned = Seq("slow", "dup", "drop", "stale"), maxFraction = 0.05)
+        .select(col("doc_id"), col("keep"))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .join(dup, "doc_id").join(bl, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("n_tokens"),
+          round(sum(col("len")).cast("double") / count(lit(1)), 6).as("mean_len"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("pct_en"),
+          round(sum(when(col("is_canonical"), 0L).otherwise(1L)).cast("double")
+            / count(lit(1)), 6).as("dup_frac"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("keep_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+           |g AS (SELECT ch, min(doc_id) AS canon FROM h GROUP BY 1),
+           |dup AS (SELECT h.doc_id, h.doc_id = g.canon AS is_canonical
+           |        FROM h JOIN g USING (ch)),
+           |bl AS (SELECT doc_id,
+           |        round(len([w for w in string_split(coalesce(text, ''), ' ')
+           |                   if lower(w) IN ('slow', 'dup', 'drop', 'stale')])::DOUBLE
+           |          / len(string_split(coalesce(text, ''), ' ')), 6) <= 0.05 AS keep
+           |       FROM documents),
+           |base AS (SELECT d.doc_id, d.source, d.lang,
+           |           len(string_split(d.text, ' '))::BIGINT AS l,
+           |           dup.is_canonical, bl.keep
+           |         FROM documents d JOIN dup USING (doc_id) JOIN bl USING (doc_id))
+           |SELECT source, count(*)::BIGINT AS n_docs, sum(l)::BIGINT AS n_tokens,
+           |  round(sum(l)::DOUBLE / count(*), 6) AS mean_len,
+           |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           |    AS pct_en,
+           |  round(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
+           |    AS dup_frac,
+           |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           |    AS keep_frac
+           |FROM base GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top-3
     * salient terms per doc by tf·ln(N/df); vocab-bounded df broadcast,
