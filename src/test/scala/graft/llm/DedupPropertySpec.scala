@@ -128,4 +128,61 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(rows.forall { case (id, _, _) => !got(id)._3 || bigger(id)._3 })
     }
   }
+
+  // random word sequences over a small alphabet, with a planted shared run
+  private val winnowDocsGen: Gen[(List[String], List[String], Int)] = for {
+    na <- Gen.choose(0, 10)
+    nb <- Gen.choose(0, 10)
+    runLen <- Gen.choose(7, 12) // >= w + k - 1 = 7 at k=4, w=4
+    a <- Gen.listOfN(na, Gen.oneOf("pa", "pb", "pc", "pd", "pe"))
+    b <- Gen.listOfN(nb, Gen.oneOf("qa", "qb", "qc", "qd", "qe"))
+    run <- Gen.listOfN(runLen, Gen.oneOf("ra", "rb", "rc", "rd", "re"))
+  } yield (a ++ run, run ++ b, runLen)
+
+  test("winnowing guarantee: any two docs sharing a >= w+k-1 word run share a fingerprint (arbitrary surroundings)") {
+    forAll(winnowDocsGen, n = 16) { case (docA, docB, _) =>
+      val df = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 4, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (f1, f2) = (fps.filter(_._1 == 1L).map(_._2).toSet,
+        fps.filter(_._1 == 2L).map(_._2).toSet)
+      assert((f1 intersect f2).nonEmpty,
+        s"guarantee violated: a=$docA b=$docB")
+    }
+  }
+
+  private val cdcDocGen: Gen[List[String]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ca", "cb", "cc", "cd", "ce", "cf")))
+
+  test("cdc chunks: tiling invariant and suffix stability under a random prefix edit") {
+    forAll(cdcDocGen, n = 16) { words =>
+      val base = words.mkString(" ")
+      val df = Seq((1L, base)).toDF("doc_id", "text")
+      val ch = Dedup.cdcChunks(df, "doc_id", "text", k = 4, mask = 4)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
+      // tiling: contiguous 1..n
+      val n = if (base.isEmpty) 1 else words.length // split("") -> [""]
+      assert(ch.head._1 == 1L && ch.last._2 == math.max(n, 1).toLong)
+      ch.sliding(2).filter(_.length == 2).foreach { case Array(x, y) =>
+        assert(y._1 == x._2 + 1)
+      }
+      // suffix stability: prepend 3 words; every chunk that starts after
+      // the first post-edit boundary must reappear (same hash)
+      val edited = Seq((1L, ("zz1 zz2 zz3 " + base).trim))
+        .toDF("doc_id", "text")
+      val ch2 = Dedup.cdcChunks(edited, "doc_id", "text", k = 4, mask = 4)
+        .collect().map(_.getLong(5)).toSet
+      // chunks of the base doc strictly after the first boundary-aligned
+      // chunk are content-defined: if the base had >= 3 chunks, at least
+      // its later chunks must survive the edit
+      if (ch.length >= 3) {
+        val survivors = ch.drop(2).map(_._3).toSet intersect ch2
+        assert(survivors.nonEmpty,
+          s"no tail chunk survived a prefix edit: $words")
+      }
+    }
+  }
 }
