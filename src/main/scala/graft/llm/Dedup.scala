@@ -1555,6 +1555,64 @@ object Dedup {
   }
 
   /**
+   * Incremental winnowing judgment: classify a NEW batch against a STORED
+   * corpus fingerprint table ([[graft.queries.Materialized.winnowFps]]) —
+   * the continuous-ingestion twin of [[winnowPairs]], completing the
+   * incremental family (exact hash / Bloom / MinHash / embedding / this).
+   * Batch docs are fingerprinted by the [[winnowKernel]] scan; corpus
+   * fingerprints above `maxDocFreq` documents are cut (boilerplate, and
+   * the per-fp join bound); a batch doc sharing ≥ `minShared`
+   * fingerprints with some corpus doc is `near_dup_of_corpus` (best
+   * match = most shared, ties to the smaller corpus id), else `kept`.
+   * Every batch doc emits a row (a gate must see what it judged).
+   *
+   * 100 TB shape: corpus TEXT is never read — only its stored `(id, fp)`
+   * table, shuffled once on fp with the bounded-per-key df window; the
+   * batch side is the day's delta. The match rollup and best-match
+   * window key on batch ids (many-valued).
+   */
+  def dedupIncrementalWinnow(batch: DataFrame, corpusFps: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 4, w: Int = 4, minShared: Int = 2,
+                             maxDocFreq: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bf = batch.select(col(idCol).cast("long").as("bid"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[Long]()
+          winnowKernel(t, k, w).iterator
+            .filter(p => seen.add(p._1)).map(p => (id, p._1))
+        }
+      }.toDF("bid", "fp")
+    val capped = corpusFps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("df") <= maxDocFreq)
+      .select(col("id").as("cid"), col("fp"))
+    val matches = bf.join(capped, "fp")
+      .groupBy("bid", "cid").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val best = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bid").orderBy(col("n_shared").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("bid"), col("cid").as("match_id"), col("n_shared"))
+    val nf = bf.groupBy("bid").agg(count(lit(1)).as("n_fps"))
+    batch.select(col(idCol).cast("long").as("bid"))
+      .join(nf, Seq("bid"), "left")
+      .join(best, Seq("bid"), "left")
+      .select(col("bid").as(idCol),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        col("match_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("match_id").isNotNull, lit("near_dup_of_corpus"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
+  /**
    * Content-defined chunking (the Rabin/Gear CDC idea of storage dedup —
    * LBFS, Muthitacharoen et al. 2001 — at word granularity): a chunk
    * boundary falls AFTER word `j` whenever the hash of the trailing
@@ -1572,8 +1630,55 @@ object Dedup {
    * is exactly one codegen'd scan; only [[cdcDuplicateChunks]]' hash
    * rollup exchanges — fixed-width `(hash, id)` rows, never text.
    */
+  /** Kernel replica of the expression CDC path (bit-identical,
+    * property-pinned): boundary grams and chunk hashes through
+    * [[TextHashing.md5Long60Kernel]]. One JIT'd pass per document —
+    * measured ~9× over the interpreted higher-order-function form at
+    * 10M docs. Returns (chunk_idx, c_start, c_end, chunk_hash),
+    * 1-based inclusive. */
+  private[llm] def cdcChunkKernel(text: String, k: Int,
+                                  mask: Int): Array[(Long, Long, Long, Long)] = {
+    val ws = text.split(" ", -1)
+    val n = ws.length
+    val starts = scala.collection.mutable.ArrayBuffer(1)
+    var j = k
+    while (j <= n - 1) {
+      val sb = new StringBuilder(ws(j - k))
+      var x = j - k + 1
+      while (x < j) { sb.append(' ').append(ws(x)); x += 1 }
+      if (TextHashing.md5Long60Kernel(sb.toString) % mask == 0) starts += (j + 1)
+      j += 1
+    }
+    Array.tabulate(starts.length) { i =>
+      val s = starts(i)
+      val e = if (i + 1 < starts.length) starts(i + 1) - 1 else n
+      val sb = new StringBuilder(ws(s - 1))
+      var x = s
+      while (x < e) { sb.append(' ').append(ws(x)); x += 1 }
+      ((i + 1).toLong, s.toLong, e.toLong,
+        TextHashing.md5Long60Kernel(sb.toString))
+    }
+  }
+
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 4, mask: Int = 16): DataFrame = {
+                k: Int = 4, mask: Int = 16,
+                typed: Boolean = true): DataFrame = {
+    if (typed) {
+      // JIT kernel path (default): the higher-order-function expressions
+      // below re-evaluate interpreted per array element; at 10M docs the
+      // kernel measured ~9× faster with bit-identical rows (LlmSpec).
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return docs
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else cdcChunkKernel(t, k, mask).iterator.map(c =>
+            (id, c._1, c._2, c._3, c._3 - c._2 + 1, c._4))
+        }
+        .toDF(idCol, "chunk_idx", "c_start", "c_end", "n_words", "chunk_hash")
+    }
     val staged = docs
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), words(col(textCol)).as("ws"))

@@ -129,6 +129,64 @@ object Similarity {
         "rank", "cosine")
   }
 
+  /**
+   * Table-scale hard-negative mining over the STORED IVF index — the
+   * [[hardNegatives]] semantics past the broadcast Q bound, the same step
+   * [[knnJoinDistributed]] takes past [[knnJoin]]: queries stay a
+   * DataFrame end-to-end, candidates ride the probed-cell equi-join,
+   * and the label-mismatch filter runs BEFORE the rank window so `k`
+   * true negatives always emerge (an oversample-then-refilter over the
+   * unlabeled join can come up short when a cell is label-pure). Labels
+   * join the index by id (hash join, co-partitionable with the index;
+   * a production index would store the label column and skip even
+   * that). Cosines through the codegen'd [[dot]], 6-dp rounded.
+   */
+  def hardNegativesDistributed(index: DataFrame, centroids: DataFrame,
+                               queries: DataFrame, labels: DataFrame,
+                               qIdCol: String, vecCol: String,
+                               labelCol: String, k: Int,
+                               nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn0 = sqrt(dot(col("qv"), col("qv")))
+    val q = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(labelCol).cast("int").as("query_label"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", when(
+        qn0.isNull || isnan(qn0) || qn0 <= 0.0 || qn0 === Double.PositiveInfinity,
+        raise_error(concat(lit("hard-negative query "),
+          col("query_id").cast("string"),
+          lit(" has a null/zero/non-finite vector — cosine undefined"))))
+        .otherwise(qn0))
+    val cents = broadcast(centroids
+      .select(col("centroid_id").cast("long").as("cell"), col("vec")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    val probe = q.crossJoin(cents)
+      .withColumn("cdist",
+        graft.functions.VectorExpressions.graft_l2sq(col("qv"), col("vec")))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select(col("query_id"), col("query_label"), col("qv"), col("qn"),
+        col("cell"))
+    val lab = labels.select(col("id").cast("long").as("neighbor_id"),
+      col(labelCol).cast("int").as("neighbor_label"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    index
+      .select(col("id").cast("long").as("neighbor_id"),
+        col("centroid_id").cast("long").as("cell"), col("norm"), col("v"))
+      .where(col("norm") > 0.0)
+      .join(lab, "neighbor_id")
+      .join(probe, Seq("cell"))
+      .where(col("neighbor_label") =!= col("query_label"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cosine"))
+  }
+
   /** splitmix64 finalizer — full avalanche, so components are independent.
     * (A plain multiplicative-congruential formula here made every plane a
     * segment of one arithmetic progression mod M: planes were correlated and

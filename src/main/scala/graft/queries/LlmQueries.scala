@@ -47,7 +47,8 @@ object LlmQueries {
     textCdcChunks, dedupCdc, textBlocklist, simHardNegatives, textTfidf,
     textUnigramTrain, textUnigramEncode, textUnigramEncode2,
     textLenQuantiles,
-    textPmi, textJsDiv, textPsi, pipelineDatacard)
+    textPmi, textJsDiv, textPsi, pipelineDatacard,
+    dedupIncrementalWinnow, simHardNegatives2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -3723,6 +3724,49 @@ object LlmQueries {
             |SELECT query_id, neighbor_id, rank, cosine FROM r
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** Table-scale hard negatives over the stored IVF index
+    * ([[Similarity.hardNegativesDistributed]]): the `sim_hard_negatives`
+    * semantics past the broadcast Q bound — label-mismatch filtered
+    * BEFORE the rank so k true negatives always emerge; the oracle
+    * replays train → assign → probe → label-filter → rank. */
+  val simHardNegatives2: QueryDef = QueryDef("sim_hard_negatives2",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesDistributed(idx.assignment, idx.centroids,
+          emb.where(col("vec_id") % 97 === 3),
+          emb.select(col("vec_id").as("id"), col("label")),
+          "vec_id", "embedding", "label", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |qs AS (SELECT e.vec_id AS query_id, emb.label AS query_label,
+            |         e.v AS qv, sqrt(list_sum([x * x for x in e.v])) AS qn
+            |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+            |       WHERE e.vec_id % 97 = 3),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |n AS (SELECT e.vec_id, emb.label, e.v,
+            |        sqrt(list_sum([x * x for x in e.v])) AS nrm
+            |      FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+            |sc AS (SELECT q.query_id, q.query_label, n.vec_id AS neighbor_id,
+            |        n.label AS neighbor_label,
+            |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
+            |          (n.nrm * q.qn), 6) AS cosine
+            |      FROM n JOIN a3 ON n.vec_id = a3.vec_id
+            |        JOIN probe p ON a3.centroid_id = p.centroid_id
+            |        JOIN qs q ON p.query_id = q.query_id
+            |      WHERE n.label <> q.query_label),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+            |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
+            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** Corpus-wide kNN GRAPH ([[Similarity.knnGraph]]): every stored vector's
     * approximate top-3 neighbors from its own IVF cell (nprobe=1 — the
     * blocked NN-descent-style construction), plus the `mutual` flag
@@ -4953,6 +4997,75 @@ object LlmQueries {
            |FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY 1, 2""".stripMargin))
+
+  /** The winnowing fingerprint chain over relation `rel`, CTE names
+    * prefixed with `p` — the parameterized form `dedup_incremental_winnow`
+    * replays over its corpus and batch slices (k=4, w=4). Ends in CTE
+    * `${p}fp` = distinct `(doc_id, fp)`. */
+  private def winnowFpSql(p: String, rel: String): String =
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
+       |${p}g AS (SELECT doc_id,
+       |        [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)] AS gs
+       |      FROM ${p}t),
+       |${p}ex AS (SELECT doc_id, unnest(gs) AS gr,
+       |         generate_subscripts(gs, 1)::BIGINT AS pos FROM ${p}g),
+       |${p}ky AS (SELECT doc_id, pos,
+       |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
+       |           + (1048575 - pos) AS key
+       |       FROM ${p}ex),
+       |${p}mn AS (SELECT doc_id, pos,
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
+       |         count(*) OVER (PARTITION BY doc_id) AS ng
+       |       FROM ${p}ky),
+       |${p}fp AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp
+       |        FROM ${p}mn WHERE pos <= greatest(ng - 3, 1))""".stripMargin
+
+  /** Incremental winnowing judgment ([[Dedup.dedupIncrementalWinnow]])
+    * against the STORED corpus fingerprint table
+    * ([[Materialized.winnowFps]]): the day's batch (the last-100 slice
+    * plus 5 truncated near-copies of early docs, the incremental-family
+    * fixture) is fingerprinted and judged — corpus text never re-read.
+    * The oracle replays both fingerprint chains, the df cap, and the
+    * best-match election. */
+  val dedupIncrementalWinnow: QueryDef = QueryDef("dedup_incremental_winnow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = maxd - 99
+      val batch = docs.where(col("doc_id") >= cut).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .select((col("doc_id") + maxd + 1001).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text")))
+      val corpusFps = Materialized.winnowFps(s, d).where(col("id") < cut)
+      Dedup.dedupIncrementalWinnow(batch, corpusFps, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            |corpus AS (SELECT doc_id, text FROM documents, mx WHERE doc_id < m - 99),
+            |nb AS (SELECT doc_id, text FROM documents, mx WHERE doc_id >= m - 99
+            |       UNION ALL
+            |       SELECT doc_id + m + 1001, regexp_replace(text, ' \\S+$$', '')
+            |       FROM documents, mx WHERE doc_id < 5),
+            |${winnowFpSql("c", "corpus")},
+            |${winnowFpSql("b", "nb")},
+            |cap AS (SELECT doc_id AS cid, fp FROM
+            |         (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            |          FROM cfp) WHERE df <= 100),
+            |m AS (SELECT b.doc_id AS bid, cap.cid, count(*)::BIGINT AS n_shared
+            |      FROM bfp b JOIN cap USING (fp) GROUP BY 1, 2
+            |      HAVING count(*) >= 2),
+            |best AS (SELECT bid, cid AS match_id, n_shared FROM m
+            |         QUALIFY row_number() OVER (PARTITION BY bid
+            |           ORDER BY n_shared DESC, cid) = 1),
+            |nf AS (SELECT doc_id, count(*)::BIGINT AS n_fps FROM bfp GROUP BY 1)
+            |SELECT nb.doc_id, coalesce(nf.n_fps, 0)::BIGINT AS n_fps,
+            |  best.match_id, coalesce(best.n_shared, 0)::BIGINT AS n_shared,
+            |  CASE WHEN best.match_id IS NOT NULL THEN 'near_dup_of_corpus'
+            |       ELSE 'kept' END AS status
+            |FROM nb LEFT JOIN nf USING (doc_id)
+            |LEFT JOIN best ON nb.doc_id = best.bid
+            |ORDER BY nb.doc_id""".stripMargin))
 
   /** Kneser–Ney bigram scoring ([[TextAnalysis.lmScoreKneserNey]], D=0.75):
     * absolute discounting + continuation-probability backoff — the KenLM

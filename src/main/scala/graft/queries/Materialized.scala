@@ -817,6 +817,17 @@ object Materialized {
         iters = LlmQueries.ClfIters, lr = LlmQueries.ClfLr)
     }
 
+  /** Stored winnowing fingerprint table `(id, fp)` (distinct,
+    * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
+    * artifact incremental near-dup judgment joins new batches against,
+    * so corpus text is fingerprinted once ever. */
+  def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "winnow_fps", "k4_w4", sfDir, "documents") {
+      graft.llm.Dedup.winnowFingerprints(Tables.documents(spark, sfDir),
+          "doc_id", "text", k = 4, w = 4)
+        .select(col("doc_id").as("id"), col("fp")).distinct()
+    }
+
   /** Stored unigram-LM tokenizer pieces `(piece, cnt, lp)`
     * ([[graft.llm.TextAnalysis.unigramTrain]], SentencePiece hard-EM) —
     * trained once per (corpus, config); encode runs broadcast the stored

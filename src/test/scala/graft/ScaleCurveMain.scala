@@ -27,7 +27,7 @@ object ScaleCurveMain {
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
-      "admission-only", "winnow-only")
+      "admission-only", "winnow-only", "cdc-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -76,6 +76,7 @@ object ScaleCurveMain {
     else if (args.contains("million-sdc-only")) millionSdc(spark)
     else if (args.contains("admission-only")) admission10M(spark)
     else if (args.contains("winnow-only")) winnow10M(spark)
+    else if (args.contains("cdc-only")) cdc10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -979,6 +980,41 @@ object ScaleCurveMain {
     println(f"winnow-10M docs=$n planted_pairs=${n / 100} | " +
       f"fingerprints=$nFp scan ${tFp}%.1fs | pairs=${pairs._1} " +
       f"adjacent=${pairs._2} (expect adjacent ≥ ${n / 100}) join ${tPair}%.1fs")
+  }
+
+  /** CDC chunking at 10M docs: the tenmillion-doc planted corpus (1/1000
+    * docs carry the same 40-word block inside unique surroundings).
+    * Measures the zero-shuffle chunking scan and the duplicate-chunk
+    * rollup; the planted block's INTERIOR boundaries are content-defined
+    * and identical in every copy, so its interior chunks must surface as
+    * duplicated hashes held by ~n/1000 docs. */
+  private def cdc10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    val blockWords = (0 until 40).map(i => s"rep$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 1000 === 7,
+        concat(lit(blockWords + " unique"), col("id"), lit("a uniq"), col("id"),
+          lit("b uniq"), col("id"), lit("c")))
+        .otherwise(concat(
+          lit("u"), col("id"), lit("a u"), col("id"), lit("b u"), col("id"),
+          lit("c u"), col("id"), lit("d u"), col("id"), lit("e u"), col("id"),
+          lit("f u"), col("id"), lit("g u"), col("id"), lit("h u"), col("id"),
+          lit("i u"), col("id"), lit("j u"), col("id"), lit("k u"), col("id"),
+          lit("l")))
+        .as("text"))
+    val (nCh, tCh) = timed(
+      Dedup.cdcChunks(docs, "doc_id", "text", k = 4, mask = 16).count())
+    val (dup, tDup) = timed {
+      val d = Dedup.cdcDuplicateChunks(docs, "doc_id", "text", k = 4, mask = 16)
+      (d.count(), d.agg(max("n_docs")).head().getLong(0))
+    }
+    println(f"cdc-10M docs=$n planted=${n / 1000} | chunks=$nCh scan ${tCh}%.1fs | " +
+      f"dup_chunk_hashes=${dup._1} max_docs_per_chunk=${dup._2} " +
+      f"(expect ≈ ${n / 1000}) rollup ${tDup}%.1fs")
   }
 
   /** Deterministic uniform component in [-0.5, 0.5) — serializable at the

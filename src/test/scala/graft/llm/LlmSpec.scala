@@ -2507,6 +2507,25 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 4L)) == n1)
   }
 
+  test("dedupIncrementalWinnow: exact copy matches its corpus donor, novel and sub-gram docs keep") {
+    val corpusFps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .select($"doc_id".as("id"), $"fp").distinct()
+    val batch = Seq(
+      (100L, docs.where($"doc_id" === 1L).head().getString(1)), // exact copy
+      (101L, "totally novel unrelated words appear in this batch document now"),
+      (102L, "one two") // < k words: no fingerprints
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrementalWinnow(batch, corpusFps, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(4))).toMap
+    // exact copy shares every fingerprint with docs 1 AND 4 (identical);
+    // the tie elects the smaller corpus id
+    assert(out(100L)._2.contains(1L) && out(100L)._3 == "near_dup_of_corpus")
+    assert(out(100L)._1 > 0)
+    assert(out(101L) == ((out(101L)._1, None, "kept")))
+    assert(out(102L) == ((0L, None, "kept")))
+  }
+
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -2607,6 +2626,15 @@ class LlmSpec extends AnyFunSuite {
     // tail chunks whenever any boundary fires in the shared suffix
     if (h0.size > 1) assert((h0 intersect h1).nonEmpty,
       "no chunk survived an early insertion despite multiple chunks")
+  }
+
+  test("cdcChunks: typed kernel path is row-set identical to the expression path") {
+    def rows(df: org.apache.spark.sql.DataFrame, typed: Boolean) =
+      Dedup.cdcChunks(df, "doc_id", "text", k = 4, mask = 16, typed = typed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows(Tables10, typed = true) == rows(Tables10, typed = false))
+    assert(rows(docs, typed = true) == rows(docs, typed = false))
   }
 
   test("cdcDuplicateChunks: exact-dup docs share every chunk; canonical is min id") {
