@@ -48,7 +48,7 @@ object LlmQueries {
     textUnigramTrain, textUnigramEncode, textUnigramEncode2,
     textLenQuantiles,
     textPmi, textJsDiv, textPsi, pipelineDatacard,
-    dedupIncrementalWinnow, simHardNegatives2)
+    dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5311,9 +5311,9 @@ object LlmQueries {
     * CTE, ranked by the exact (lp desc, piece count, joined seq) order the
     * Spark DP optimizes) → re-normalized piece table. One CTE chain shared
     * by `text_unigram_train` and `text_unigram_encode`. */
-  private val unigramTrainSql: String =
-    """wt AS (SELECT w, count(*)::BIGINT AS f
-      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  private def unigramTrainSqlFor(wordSql: String): String =
+    s"""wt AS (SELECT w, count(*)::BIGINT AS f
+      |       FROM ($wordSql)
       |       GROUP BY 1),
       |sub AS (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
       |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
@@ -5350,6 +5350,9 @@ object LlmQueries {
       |       JOIN wt USING (w) GROUP BY 1),
       |l2 AS (SELECT piece, cnt,
       |         round(ln(cnt / (SELECT sum(cnt)::DOUBLE FROM c2)), 6) AS lp FROM c2)""".stripMargin
+
+  private val unigramTrainSql: String = unigramTrainSqlFor(
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents")
 
   /** Unigram-LM tokenizer training ([[TextAnalysis.unigramTrain]] — the
     * SentencePiece family beside BPE): substring seed, 2 hard-EM rounds
@@ -5407,6 +5410,27 @@ object LlmQueries {
         "text", Materialized.unigramPieces(s, d), maxPieceLen = 4)
       .orderBy("doc_id"),
     textUnigramEncode.oracle)
+
+  /** BYTE-level unigram training: [[TextAnalysis.unigramTrain]] over the
+    * byte-mapped GPT-2 piece stream (the `text_bpe_train_bytes` corpus,
+    * planted multi-byte rows included) — the unigram family composes
+    * with the byte alphabet exactly as BPE did: the EM loop is
+    * unchanged, only the word table's alphabet moves to
+    * bytes_to_unicode space, so pieces form at byte granularity
+    * (é enters as Ã©). */
+  val textUnigramTrainBytes: QueryDef = QueryDef("text_unigram_train_bytes",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("text"))
+      val planted = bpeMultibyteTexts.toDF("text")
+      TextAnalysis.unigramTrain(
+          TextAnalysis.byteLevelCorpus(docs.unionByName(planted), "text"),
+          "text", maxPieceLen = 4, seedSize = 40, iters = 2)
+        .orderBy("piece")
+    },
+    Some(s"""WITH RECURSIVE
+           |${unigramTrainSqlFor(byteWordSql)}
+           |SELECT piece, cnt, lp FROM l2 ORDER BY piece""".stripMargin))
 
   /** Histogram-sketch quantiles of doc token lengths
     * ([[TextAnalysis.lenQuantileSketch]]) — the mergeable bounded-memory
