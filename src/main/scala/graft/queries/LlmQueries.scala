@@ -48,7 +48,8 @@ object LlmQueries {
     textUnigramTrain, textUnigramEncode, textUnigramEncode2,
     textLenQuantiles,
     textPmi, textJsDiv, textPsi, pipelineDatacard,
-    dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes)
+    dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
+    textSplitSafe)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -2868,6 +2869,40 @@ object LlmQueries {
     Some(s"""WITH RECURSIVE $docShingles3,
             |$clusterClosureSql
             |SELECT doc_id, cluster_id FROM c ORDER BY doc_id""".stripMargin))
+
+  /** LEAKAGE-SAFE train/test split: every document inherits its near-dup
+    * CLUSTER representative's content-hash bucket, so a near-duplicate
+    * pair can never straddle train/test (the eval-contamination mode a
+    * doc-keyed split like `text_split` permits — a paraphrase of a
+    * training doc landing in test). Clusters come from the stored
+    * minhash pair table; the canonical's text joins by the min-id
+    * cluster label; split stays the deterministic md5 bucket. The
+    * per-cluster single-split invariant is spec-asserted. */
+  val textSplitSafe: QueryDef = QueryDef("text_split_safe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.duplicateClusters(Materialized.minhashPairs(s, d),
+          docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val canon = docs.select(col("doc_id").as("cluster_id"),
+        col("text").as("canon_text"))
+      val bucket = pmod(graft.llm.TextHashing.md5Long60(col("canon_text")),
+        lit(100L))
+      docs.select(col("doc_id"))
+        .join(clusters, "doc_id")
+        .join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
+          when(bucket < 80, lit("train")).otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $docShingles3,
+            |$clusterClosureSql
+            |SELECT c.doc_id, c.cluster_id,
+            |  ('0x' || substr(md5(t.text), 1, 15))::BIGINT % 100 AS bucket,
+            |  CASE WHEN ('0x' || substr(md5(t.text), 1, 15))::BIGINT % 100 < 80
+            |       THEN 'train' ELSE 'test' END AS split
+            |FROM c JOIN documents t ON c.cluster_id = t.doc_id
+            |ORDER BY c.doc_id""".stripMargin))
 
   /** Deterministic content-hash train/test split. */
   val textSplit: QueryDef = QueryDef("text_split",

@@ -2507,6 +2507,16 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 4L)) == n1)
   }
 
+  test("text_split_safe: no near-dup cluster straddles the train/test boundary") {
+    val out = graft.SparkEntry.queries("text_split_safe")(spark, TestSpark.sf)
+    val straddlers = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).where($"n" > 1).count()
+    assert(straddlers == 0L)
+    // and both sides are non-empty at this scale (a degenerate one-sided
+    // split would vacuously pass the invariant)
+    assert(out.select("split").distinct().count() == 2L)
+  }
+
   test("dedupIncrementalWinnow: exact copy matches its corpus donor, novel and sub-gram docs keep") {
     val corpusFps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
       .select($"doc_id".as("id"), $"fp").distinct()
