@@ -1555,6 +1555,54 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT over winnowing fingerprints — the
+   * quote/subset detector Jaccard-symmetric dedup misses: a short doc
+   * fully quoted inside a long one has low Jaccard but containment ≈ 1.
+   * `containment(A in B) = |fp(A) ∩ fp(B)| / |fp(A)|` (Broder's
+   * containment on the winnowed sketch). Output: ordered pairs with
+   * containment ≥ `minContainment`. The shared count runs over the
+   * df-capped fingerprint set (boilerplate fingerprints neither count
+   * toward sharing nor blow up the join — the [[winnowPairs]] bound);
+   * the denominator is the contained doc's FULL fingerprint count, so
+   * the cap can only under-report containment, never inflate it.
+   */
+  def winnowContainment(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 4, w: Int = 4,
+                        minContainment: Double = 0.8,
+                        maxDocFreq: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[Long]()
+          winnowKernel(t, k, w).iterator
+            .filter(p => seen.add(p._1)).map(p => (id, p._1))
+        }
+      }.toDF("id", "fp")
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fps"))
+    val byFp = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("id", "fp")
+    byFp.as("a").join(byFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained_id"), col("b.id").as("container_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("contained_id"), col("n_fps")),
+        "contained_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_fps"), 6))
+      .where(col("containment") >= minContainment)
+      .select("contained_id", "container_id", "n_shared", "n_fps",
+        "containment")
+  }
+
+  /**
    * Incremental winnowing judgment: classify a NEW batch against a STORED
    * corpus fingerprint table ([[graft.queries.Materialized.winnowFps]]) —
    * the continuous-ingestion twin of [[winnowPairs]], completing the

@@ -49,7 +49,7 @@ object LlmQueries {
     textLenQuantiles,
     textPmi, textJsDiv, textPsi, pipelineDatacard,
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
-    textSplitSafe)
+    textSplitSafe, dedupContainment)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5101,6 +5101,44 @@ object LlmQueries {
             |FROM nb LEFT JOIN nf USING (doc_id)
             |LEFT JOIN best ON nb.doc_id = best.bid
             |ORDER BY nb.doc_id""".stripMargin))
+
+  /** Asymmetric containment over winnow fingerprints
+    * ([[Dedup.winnowContainment]], Broder containment on the winnowed
+    * sketch): the quote/subset detector symmetric Jaccard misses. The
+    * fixture plants a true subset: each doc with id%50==0 contributes a
+    * truncated prefix copy at id+70000 whose fingerprints are (mostly)
+    * contained in the original's. */
+  val dedupContainment: QueryDef = QueryDef("dedup_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val withSubsets = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            regexp_replace(col("text"),
+              "^((\\S+ ){10}).*$", "$1x-tail").as("text")))
+      Dedup.winnowContainment(withSubsets, "doc_id", "text",
+          k = 4, w = 4, minContainment = 0.5, maxDocFreq = 100)
+        .orderBy("contained_id", "container_id")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+            |       UNION ALL
+            |       SELECT doc_id + 70000,
+            |         regexp_replace(text, '^((\\S+ ){10}).*$$', '\\1x-tail')
+            |       FROM documents WHERE doc_id % 50 = 0),
+            |${winnowFpSql("w", "base")},
+            |sz AS (SELECT doc_id, count(*)::BIGINT AS n_fps FROM wfp GROUP BY 1),
+            |cap AS (SELECT doc_id, fp FROM
+            |         (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            |          FROM wfp) WHERE df BETWEEN 2 AND 100),
+            |sh AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+            |         count(*)::BIGINT AS n_shared
+            |       FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+            |       GROUP BY 1, 2)
+            |SELECT sh.contained_id, sh.container_id, sh.n_shared, sz.n_fps,
+            |  round(sh.n_shared::DOUBLE / sz.n_fps, 6) AS containment
+            |FROM sh JOIN sz ON sh.contained_id = sz.doc_id
+            |WHERE round(sh.n_shared::DOUBLE / sz.n_fps, 6) >= 0.5
+            |ORDER BY contained_id, container_id""".stripMargin))
 
   /** Kneser–Ney bigram scoring ([[TextAnalysis.lmScoreKneserNey]], D=0.75):
     * absolute discounting + continuation-probability backoff — the KenLM

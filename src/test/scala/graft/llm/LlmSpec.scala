@@ -2507,6 +2507,20 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs((1L, 4L)) == n1)
   }
 
+  test("winnowContainment: a prefix subset is fully contained in its original, never the reverse") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val out = Dedup.winnowContainment(d, "doc_id", "text", k = 4, w = 4,
+        minContainment = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // the subset's windows select over the SAME positional keys the
+    // original's prefix windows do, so every subset fingerprint is the
+    // original's too: containment(short in long) is exactly 1
+    assert(out((2L, 1L)) == 1.0)
+    assert(out((1L, 2L)) < 1.0)
+  }
+
   test("text_split_safe: no near-dup cluster straddles the train/test boundary") {
     val out = graft.SparkEntry.queries("text_split_safe")(spark, TestSpark.sf)
     val straddlers = out.groupBy("cluster_id")
