@@ -602,6 +602,33 @@ class PlanSpec extends AnyFunSuite {
       "corpus must not be re-scanned per label\n" + p)
   }
 
+  test("dedup_incremental_winnow: corpus served from the stored fp table, no cartesian") {
+    val p = plan("dedup_incremental_winnow")
+    assert(p.contains("winnow_fps"),
+      "the corpus side must read the stored fingerprint table\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("sim_hard_negatives2: queries never collect; probed equi-join; WindowGroupLimit cuts") {
+    val p = plan("sim_hard_negatives2")
+    assert(!p.contains("LocalTableScan"),
+      "the query side must stay a DataFrame\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus × k-row broadcast centroid probe (+ its DPP replica) only
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("text_js_div / pipeline_datacard / text_psi: broadcast-bounded diagnostics, no cartesian on data tables") {
+    Seq("text_js_div", "pipeline_datacard", "text_psi").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n" + p)
+    }
+    // the JS self-join keys on the word; totals broadcast
+    val js = plan("text_js_div")
+    assert(js.contains("BroadcastHashJoin"), js)
+  }
+
   test("dedup_winnow: self-join sides share the one fp pipeline (reused exchange or broadcast), never a cartesian") {
     val p = plan("dedup_winnow")
     // at corpus scale the SMJ's two identical sides reuse the single fp
