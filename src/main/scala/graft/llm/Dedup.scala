@@ -493,13 +493,26 @@ object Dedup {
           .cast("long"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum(col("v6")).as("s6"))
-    val score = round(col("s6") / 1e6 / col("n_grams"), 6)
+    // exact 6-dp arithmetic END-TO-END: score6 = half-up(s6/ng) and
+    // weight6 = 1e6 − half-up(λ6·score6/1e6) as INTEGER ops — a float
+    // `round(x, 6)` at the final step diverges between engines whenever
+    // the true value sits within an ulp of a .5e-6 boundary (Spark rounds
+    // the double's exact decimal expansion HALF_UP; a multiply-round-divide
+    // implementation can land on the other side), and λ=0.5 puts EVERY odd
+    // score6 on that boundary — surfaced as last-digit mismatches at
+    // sf0.1. Integer division is the same operation in any engine.
+    val lam6 = math.round(lambda * 1e6)
+    require(math.abs(lambda * 1e6 - lam6) < 1e-9,
+      s"softDedup lambda must be a 6-dp decimal, got $lambda")
     docs.select(col(idCol))
       .join(per.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("sc6", coalesce(
+        expr("(2 * s6 + n_grams) div (2 * n_grams)"), lit(0L)))
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(score, lit(0.0)).as("dup_score"),
-        round(lit(1.0) - lit(lambda) * coalesce(score, lit(0.0)), 6)
+        (col("sc6") / lit(1e6)).as("dup_score"),
+        ((lit(1000000L) -
+          expr(s"(2 * $lam6 * sc6 + 1000000) div 2000000")) / lit(1e6))
           .as("weight"))
   }
 

@@ -3707,9 +3707,13 @@ object LlmQueries {
   val simKnnJoinAuto: QueryDef = QueryDef("sim_knn_join_auto",
     (s, d) => {
       Materialized.ivfIndex(s, d) // deterministic regime: index present
+      // baseView: the oracle replays train→assign from the corpus alone,
+      // so dispatch must read the base generation, not a live view that
+      // may carry absorbed batches from maintenance queries (the sf0.1
+      // divergence this pins down)
       val choice = Materialized.knnJoinAuto(s, d,
         Tables.embeddings(s, d).where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5, nprobe = 2)
+        "vec_id", "embedding", k = 5, nprobe = 2, baseView = true)
       require(choice.strategy == "ivf-probed",
         s"dispatch must choose the stored index: ${choice.strategy}")
       choice.result.orderBy("query_id", "rank")
@@ -4779,12 +4783,14 @@ object LlmQueries {
            |c AS (SELECT doc_id, count(*) OVER (PARTITION BY gr) AS cnt FROM ex),
            |p AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
            |        sum(round(round((cnt - 1)::DOUBLE / cnt, 6) * 1000000, 0)::BIGINT) AS s6
-           |      FROM c GROUP BY 1)
-           |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
-           |  coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0) AS dup_score,
-           |  round(1.0 - 0.5 * coalesce(round(p.s6 / 1000000.0 / p.n_grams, 6), 0.0), 6)
-           |    AS weight
-           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+           |      FROM c GROUP BY 1),
+           |q AS (SELECT doc_id, n_grams,
+           |        (2 * s6 + n_grams) // (2 * n_grams) AS score6 FROM p)
+           |SELECT d.doc_id, coalesce(q.n_grams, 0)::BIGINT AS n_grams,
+           |  coalesce(q.score6, 0) / 1000000.0 AS dup_score,
+           |  (1000000 - (2 * 500000 * coalesce(q.score6, 0) + 1000000) // 2000000)
+           |    / 1000000.0 AS weight
+           |FROM documents d LEFT JOIN q USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
   /** Interpolated bigram LM ([[TextAnalysis.lmScoreBigram]], λ=0.75):
     * per-doc NLL under λ·p(w|prev) + (1−λ)·p(w) — the unigram family's
@@ -4915,10 +4921,11 @@ object LlmQueries {
             |sp AS (SELECT doc_id, count(*)::BIGINT AS ng,
             |  sum(round(round((cnt3 - 1)::DOUBLE / cnt3, 6) * 1000000, 0)::BIGINT) AS s6
             |  FROM scn GROUP BY 1),
+            |sq AS (SELECT doc_id, (2 * s6 + ng) // (2 * ng) AS score6 FROM sp),
             |sd AS (SELECT d.doc_id,
-            |  round(1.0 - 0.5 * coalesce(round(sp.s6 / 1000000.0 / sp.ng, 6), 0.0), 6)
-            |    AS w_soft
-            |  FROM documents d LEFT JOIN sp USING (doc_id))
+            |  (1000000 - (2 * 500000 * coalesce(sq.score6, 0) + 1000000) // 2000000)
+            |    / 1000000.0 AS w_soft
+            |  FROM documents d LEFT JOIN sq USING (doc_id))
             |SELECT d.doc_id, ug.keep_url, dc.keep_domain, gk.keep AS keep_quality,
             |  so.clf_score, sd.w_soft,
             |  CASE WHEN ug.keep_url AND dc.keep_domain AND gk.keep

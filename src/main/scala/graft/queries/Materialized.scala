@@ -1196,12 +1196,20 @@ object Materialized {
    * [[pqCodesCurrent]]). The query frame carries `(qIdCol, vecCol)`;
    * the corpus side is the `embeddings` table / its stored artifacts.
    */
+  /** `baseView = true` pins dispatch to the BASE index generation instead
+    * of the head-aware live view — the registry query's mode: the DuckDB
+    * oracle replays train→assign from the corpus alone and cannot see
+    * maintenance history, so serving absorbed generations is correct
+    * production behavior but a DATA-DEPENDENT divergence from the replay
+    * (surfaced at sf0.1: an absorbed batch vector cracked a query's
+    * top-5). Production callers keep the live view. */
   def knnJoinAuto(spark: SparkSession, sfDir: String, queries: DataFrame,
                   qIdCol: String, vecCol: String, k: Int, nprobe: Int,
                   excludeSelf: Boolean = true, allowApprox: Boolean = true,
                   heapBound: Int = 4096, ivfBound: Int = 65536,
                   pqMinQ: Int = 4096,
-                  kIvf: Int = 8, iters: Int = 2): KnnJoinChoice = {
+                  kIvf: Int = 8, iters: Int = 2,
+                  baseView: Boolean = false): KnnJoinChoice = {
     import graft.llm.Similarity
     val cfg = s"k${kIvf}_i$iters"
     val qCount = queries.count()
@@ -1217,7 +1225,8 @@ object Materialized {
     } else {
       // stored index present — or Q is past the heap bound and the build
       // is the amortized cost of entering the indexed regime
-      val idx = ivfIndexCurrent(spark, sfDir, kIvf, iters)
+      val idx = if (baseView) ivfIndex(spark, sfDir, kIvf, iters)
+                else ivfIndexCurrent(spark, sfDir, kIvf, iters)
       val built = if (hasIvf) "" else " (index built)"
       if (qCount > ivfBound)
         KnnJoinChoice("distributed" + built,
