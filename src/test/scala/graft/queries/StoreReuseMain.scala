@@ -38,8 +38,10 @@ object StoreReuseMain {
     val lm = Materialized.lmUnigrams(spark, sfDir).count()
     val clf = Materialized.clfWeights(spark, sfDir).count()
     val dsir = Materialized.dsirRatios(spark, sfDir).count()
+    val uni = Materialized.unigramPieces(spark, sfDir).count()
+    val wfp = Materialized.winnowFps(spark, sfDir).count()
     val builds = Materialized.buildsStarted.get()
     spark.stop()
-    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir")
+    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir uni=$uni wfp=$wfp")
   }
 }
