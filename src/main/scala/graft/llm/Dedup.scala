@@ -1522,6 +1522,27 @@ object Dedup {
       WinnowPosLim - 1 - (key & (WinnowPosLim - 1)))).toArray
   }
 
+  /** Per-document DISTINCT fingerprint set `(id, fp)` straight out of the
+    * selection kernel — the ONE scan [[winnowPairs]], [[winnowContainment]]
+    * and [[dedupIncrementalWinnow]] all start from (pairing/judgment
+    * ignore positions, and an agg-based distinct would pay an exchange the
+    * in-kernel set avoids). */
+  private def winnowFpSet(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[Long]()
+          winnowKernel(t, k, w).iterator
+            .filter(p => seen.add(p._1)).map(p => (id, p._1))
+        }
+      }.toDF("id", "fp")
+  }
+
   /**
    * Winnowing near-dup candidate pairs: documents sharing at least
    * `minShared` selected fingerprints, with the shared count as the match
@@ -1537,25 +1558,11 @@ object Dedup {
                   k: Int = 4, w: Int = 4, minShared: Int = 2,
                   maxDocFreq: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // per-doc DISTINCT fp set straight out of the selection kernel (pairing
-    // ignores positions) — no distinct exchange at all; the doc-frequency
-    // cut is a window over the ONE fp exchange, which the self-join's two
-    // identical sides then reuse (an agg + join-back formulation planned a
-    // separate aggregate subtree per reference — three full fingerprint
-    // scans; measured 3× slower at 10M docs)
-    val fps = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else {
-          val seen = new scala.collection.mutable.HashSet[Long]()
-          winnowKernel(t, k, w).iterator
-            .filter(p => seen.add(p._1)).map(p => (id, p._1))
-        }
-      }.toDF("id", "fp")
+    // the doc-frequency cut is a window over the ONE fp exchange, which
+    // the self-join's two identical sides then reuse (an agg + join-back
+    // formulation planned a separate aggregate subtree per reference —
+    // three full fingerprint scans; measured 3× slower at 10M docs)
+    val fps = winnowFpSet(docs, idCol, textCol, k, w)
     val byFp = fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .where(col("df") >= 2 && col("df") <= maxDocFreq)
@@ -1584,19 +1591,7 @@ object Dedup {
                         minContainment: Double = 0.8,
                         maxDocFreq: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fps = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else {
-          val seen = new scala.collection.mutable.HashSet[Long]()
-          winnowKernel(t, k, w).iterator
-            .filter(p => seen.add(p._1)).map(p => (id, p._1))
-        }
-      }.toDF("id", "fp")
+    val fps = winnowFpSet(docs, idCol, textCol, k, w)
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fps"))
     val byFp = fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
@@ -1637,18 +1632,8 @@ object Dedup {
                              k: Int = 4, w: Int = 4, minShared: Int = 2,
                              maxDocFreq: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val bf = batch.select(col(idCol).cast("long").as("bid"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else {
-          val seen = new scala.collection.mutable.HashSet[Long]()
-          winnowKernel(t, k, w).iterator
-            .filter(p => seen.add(p._1)).map(p => (id, p._1))
-        }
-      }.toDF("bid", "fp")
+    val bf = winnowFpSet(batch, idCol, textCol, k, w)
+      .withColumnRenamed("id", "bid")
     val capped = corpusFps
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .where(col("df") <= maxDocFreq)
@@ -1673,24 +1658,6 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
-  /**
-   * Content-defined chunking (the Rabin/Gear CDC idea of storage dedup —
-   * LBFS, Muthitacharoen et al. 2001 — at word granularity): a chunk
-   * boundary falls AFTER word `j` whenever the hash of the trailing
-   * `k`-gram (words `j−k+1 … j`) is ≡ 0 (mod `mask`) — so boundaries are
-   * decided by CONTENT, not offsets, and an insertion early in a document
-   * shifts only the chunk it lands in; every later chunk re-aligns and
-   * keeps its hash. Expected chunk length ≈ `mask` words. Output: one row
-   * per chunk `(id, chunk_idx, c_start, c_end, n_words, chunk_hash)`,
-   * 1-based inclusive word indices.
-   *
-   * 100 TB shape: the entire boundary computation is per-row array
-   * expressions over STAGED `ws`/`gs` columns (staged once — higher-order
-   * functions re-evaluate inline subexpressions per element, the repo's
-   * measured trap), then one posexplode. Zero shuffle: chunking a corpus
-   * is exactly one codegen'd scan; only [[cdcDuplicateChunks]]' hash
-   * rollup exchanges — fixed-width `(hash, id)` rows, never text.
-   */
   /** Kernel replica of the expression CDC path (bit-identical,
     * property-pinned): boundary grams and chunk hashes through
     * [[TextHashing.md5Long60Kernel]]. One JIT'd pass per document —
@@ -1721,6 +1688,24 @@ object Dedup {
     }
   }
 
+  /**
+   * Content-defined chunking (the Rabin/Gear CDC idea of storage dedup —
+   * LBFS, Muthitacharoen et al. 2001 — at word granularity): a chunk
+   * boundary falls AFTER word `j` whenever the hash of the trailing
+   * `k`-gram (words `j−k+1 … j`) is ≡ 0 (mod `mask`) — so boundaries are
+   * decided by CONTENT, not offsets, and an insertion early in a document
+   * shifts only the chunk it lands in; every later chunk re-aligns and
+   * keeps its hash. Expected chunk length ≈ `mask` words. Output: one row
+   * per chunk `(id, chunk_idx, c_start, c_end, n_words, chunk_hash)`,
+   * 1-based inclusive word indices.
+   *
+   * 100 TB shape: the entire boundary computation is per-row array
+   * expressions over STAGED `ws`/`gs` columns (staged once — higher-order
+   * functions re-evaluate inline subexpressions per element, the repo's
+   * measured trap), then one posexplode. Zero shuffle: chunking a corpus
+   * is exactly one codegen'd scan; only [[cdcDuplicateChunks]]' hash
+   * rollup exchanges — fixed-width `(hash, id)` rows, never text.
+   */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 4, mask: Int = 16,
                 typed: Boolean = true): DataFrame = {

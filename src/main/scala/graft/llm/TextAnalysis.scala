@@ -1059,8 +1059,11 @@ object TextAnalysis {
   def psiDrift(docs: DataFrame, sliceA: Column, textCol: String,
                binWidth: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null text coalesces to "" (bin 0) — same NULL-bin cross-engine
+    // ordering hazard as [[lenQuantileSketch]]
     val lens = docs.select(sliceA.as("in_a"),
-      floor(size(split(col(textCol), " ")) / binWidth).cast("long").as("bin"))
+      floor(size(split(coalesce(col(textCol), lit("")), " ")) / binWidth)
+        .cast("long").as("bin"))
     val bins = lens.groupBy("bin")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
@@ -1099,7 +1102,11 @@ object TextAnalysis {
   def lenQuantileSketch(docs: DataFrame, textCol: String, binWidth: Int = 8,
                         qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = docs.select(size(split(col(textCol), " ")).cast("long").as("l"))
+    // null text coalesces to "" (one empty word, bin 0) BEFORE binning: a
+    // NULL bin would sort first in Spark's cumulative window but last in a
+    // SQL engine's, silently shifting every quantile's cum counts
+    val lens = docs.select(
+      size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("l"))
     val tot = lens.agg(count(lit(1)).as("n"))
     val hist = lens.groupBy(floor(col("l") / binWidth).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -1216,6 +1223,13 @@ object TextAnalysis {
     val wt = unigramWordTable(docs, textCol)
     val mp = maxPieceLen
     val sub = wt.flatMap { case (w, f) =>
+      // fail LOUD past the oracle's substring-start bound (range(1, 64)):
+      // a 64+-char word would seed substrings the replay never sees — the
+      // silent data-dependent divergence class, caught at the word instead
+      require(w.length < 64,
+        s"unigram seeding bounds word length at 63 chars, got ${w.length}: " +
+          s"'${w.take(32)}…' — raise the bound in BOTH the trainer and the " +
+          "oracle's range(1, 64)")
       for {
         i <- 0 until w.length
         l <- 1 to math.min(mp, w.length - i)

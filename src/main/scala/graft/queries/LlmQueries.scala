@@ -5521,7 +5521,8 @@ object LlmQueries {
     (s, d) => TextAnalysis.lenQuantileSketch(Tables.documents(s, d), "text",
         binWidth = 8)
       .orderBy("q"),
-    Some("""WITH n AS (SELECT len(string_split(text, ' '))::BIGINT AS l FROM documents),
+    Some("""WITH n AS (SELECT len(string_split(coalesce(text, ''), ' '))::BIGINT AS l
+           |           FROM documents),
            |tot AS (SELECT count(*)::BIGINT AS n FROM n),
            |h AS (SELECT (l // 8)::BIGINT AS bin, count(*)::BIGINT AS cnt
            |      FROM n GROUP BY 1),
@@ -5598,7 +5599,7 @@ object LlmQueries {
         col("doc_id") % 2 === 0, "text", binWidth = 8)
       .orderBy("bin"),
     Some("""WITH l AS (SELECT (doc_id % 2 = 0) AS in_a,
-           |             (len(string_split(text, ' ')) // 8)::BIGINT AS bin
+           |             (len(string_split(coalesce(text, ''), ' ')) // 8)::BIGINT AS bin
            |           FROM documents),
            |b AS (SELECT bin,
            |        sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
