@@ -766,7 +766,30 @@ object TextAnalysis {
    * oracle twin) emit no row.
    */
   def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String,
-                    lambda: Double = 0.75): DataFrame = {
+                    lambda: Double = 0.75): DataFrame =
+    lmBigramFamily(docs, idCol, textCol) { (ty, uni, total) =>
+      val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"))
+      ty.join(broadcast(ctx), "pw")
+        .join(broadcast(uni), "w")
+        .crossJoin(broadcast(total))
+        .withColumn("lp", round(log(lit(lambda) * col("cb") / col("cc") +
+          lit(1.0 - lambda) * col("cu") / col("t")), 6))
+    }
+
+  /**
+   * Shared bigram-LM scaffolding: tokenize, count unigrams/pairs, build
+   * the bigram TYPE table, score it through `typeLp` (the ONE thing the
+   * smoothings differ in — it receives `(ty(pw, w, cb), uni(w, cu),
+   * total(t))` and must yield rows with `pw`, `w`, `lp`), then assemble
+   * the per-doc NLL: first word at the ML unigram, the tf-weighted
+   * 6-dp-rounded type sum for the rest. Context masses derive from the
+   * type table (`Σ_w cb` per `pw` = the pair count — exact integer
+   * doubles either way), so no smoothing pays a second corpus pass.
+   * Scale shape shared too: vocab-bounded broadcasts, the type table a
+   * hash join, per-doc `lag` windows only.
+   */
+  private def lmBigramFamily(docs: DataFrame, idCol: String, textCol: String)
+      (typeLp: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
@@ -776,17 +799,11 @@ object TextAnalysis {
     val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
       .where(col("pw").isNotNull)
       .select(col("id"), col("pw"), col("w"))
-    val ctx = pairs.groupBy("pw").agg(count(lit(1)).cast("double").as("cc"))
-    val types = pairs.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("cb"))
-      .join(broadcast(ctx), "pw")
-      .join(broadcast(uni), "w")
-      .crossJoin(broadcast(total))
-      .withColumn("lp", round(log(lit(lambda) * col("cb") / col("cc") +
-        lit(1.0 - lambda) * col("cu") / col("t")), 6))
-      .select(col("pw"), col("w"), col("lp"))
+    val ty = pairs.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("cb"))
+    val lp = typeLp(ty, uni, total).select(col("pw"), col("w"), col("lp"))
     val biPart = pairs.groupBy("id", "pw", "w")
       .agg(count(lit(1)).cast("double").as("tf"))
-      .join(types, Seq("pw", "w"))
+      .join(lp, Seq("pw", "w"))
       .groupBy("id").agg(sum(col("tf") * col("lp")).as("bi_lp"),
         sum(col("tf")).cast("long").as("n_bigrams"))
     val firstPart = toks.where(col("pos") === 0)
@@ -819,46 +836,21 @@ object TextAnalysis {
    * the only windows are per-doc `lag` over positions.
    */
   def lmScoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
-                       discount: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
-    val total = uni.agg(sum(col("cu")).as("t"))
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
-      .where(col("pw").isNotNull)
-      .select(col("id"), col("pw"), col("w"))
-    val ty = pairs.groupBy("pw", "w")
-      .agg(count(lit(1)).cast("double").as("cb"))
-    // context mass + distinct-follower count per history; distinct-
-    // predecessor count per word; total bigram-type count — all derived
-    // from the TYPE table, so no second corpus pass
-    val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"),
-      count(lit(1)).cast("double").as("n1f"))
-    val cont = ty.groupBy("w").agg(count(lit(1)).cast("double").as("nctx"))
-    val ntypes = ty.agg(count(lit(1)).cast("double").as("tt"))
-    val lp = ty.join(broadcast(ctx), "pw").join(broadcast(cont), "w")
-      .crossJoin(broadcast(ntypes))
-      .withColumn("lp", round(log(
-        greatest(col("cb") - lit(discount), lit(0.0)) / col("cc") +
-          lit(discount) * col("n1f") / col("cc") * (col("nctx") / col("tt"))), 6))
-      .select(col("pw"), col("w"), col("lp"))
-    val biPart = pairs.groupBy("id", "pw", "w")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .join(lp, Seq("pw", "w"))
-      .groupBy("id").agg(sum(col("tf") * col("lp")).as("bi_lp"),
-        sum(col("tf")).cast("long").as("n_bigrams"))
-    val firstPart = toks.where(col("pos") === 0)
-      .join(broadcast(uni), "w").crossJoin(broadcast(total))
-      .select(col("id"), round(log(col("cu") / col("t")), 6).as("lp1"))
-    toks.groupBy("id").agg(count(lit(1)).cast("long").as("n_words"))
-      .join(firstPart, "id")
-      .join(biPart, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_words"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(-(col("lp1") + coalesce(col("bi_lp"), lit(0.0))), 6).as("nll_sum"))
-  }
+                       discount: Double = 0.75): DataFrame =
+    lmBigramFamily(docs, idCol, textCol) { (ty, _, _) =>
+      // context mass + distinct-follower count per history; distinct-
+      // predecessor count per word; total bigram-type count — all derived
+      // from the TYPE table, so no second corpus pass
+      val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"),
+        count(lit(1)).cast("double").as("n1f"))
+      val cont = ty.groupBy("w").agg(count(lit(1)).cast("double").as("nctx"))
+      val ntypes = ty.agg(count(lit(1)).cast("double").as("tt"))
+      ty.join(broadcast(ctx), "pw").join(broadcast(cont), "w")
+        .crossJoin(broadcast(ntypes))
+        .withColumn("lp", round(log(
+          greatest(col("cb") - lit(discount), lit(0.0)) / col("cc") +
+            lit(discount) * col("n1f") / col("cc") * (col("nctx") / col("tt"))), 6))
+    }
 
   /**
    * Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
