@@ -837,20 +837,48 @@ object TextAnalysis {
    */
   def lmScoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
                        discount: Double = 0.75): DataFrame =
-    lmBigramFamily(docs, idCol, textCol) { (ty, _, _) =>
-      // context mass + distinct-follower count per history; distinct-
-      // predecessor count per word; total bigram-type count — all derived
-      // from the TYPE table, so no second corpus pass
-      val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"),
-        count(lit(1)).cast("double").as("n1f"))
-      val cont = ty.groupBy("w").agg(count(lit(1)).cast("double").as("nctx"))
-      val ntypes = ty.agg(count(lit(1)).cast("double").as("tt"))
-      ty.join(broadcast(ctx), "pw").join(broadcast(cont), "w")
-        .crossJoin(broadcast(ntypes))
-        .withColumn("lp", round(log(
-          greatest(col("cb") - lit(discount), lit(0.0)) / col("cc") +
-            lit(discount) * col("n1f") / col("cc") * (col("nctx") / col("tt"))), 6))
-    }
+    lmBigramFamily(docs, idCol, textCol)((ty, _, _) => knLpFromTypes(ty, discount))
+
+  /** The KN per-type log-prob table from a bigram TYPE table: context
+    * mass + distinct-follower count per history, distinct-predecessor
+    * count per word, total type count — all derived from the type table,
+    * so no second corpus pass. */
+  private def knLpFromTypes(ty: DataFrame, discount: Double): DataFrame = {
+    val ctx = ty.groupBy("pw").agg(sum(col("cb")).as("cc"),
+      count(lit(1)).cast("double").as("n1f"))
+    val cont = ty.groupBy("w").agg(count(lit(1)).cast("double").as("nctx"))
+    val ntypes = ty.agg(count(lit(1)).cast("double").as("tt"))
+    ty.join(broadcast(ctx), "pw").join(broadcast(cont), "w")
+      .crossJoin(broadcast(ntypes))
+      .withColumn("lp", round(log(
+        greatest(col("cb") - lit(discount), lit(0.0)) / col("cc") +
+          lit(discount) * col("n1f") / col("cc") * (col("nctx") / col("tt"))), 6))
+  }
+
+  /** The trained KN type table `(pw, w, lp)` — the artifact a store keeps
+    * ([[graft.queries.Materialized.knTypes]]) so scoring runs replay the
+    * smoothed table instead of re-deriving the four count tables. */
+  def knTypeTable(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .where(col("pw").isNotNull)
+    val ty = pairs.groupBy("pw", "w").agg(count(lit(1)).cast("double").as("cb"))
+    knLpFromTypes(ty, discount).select(col("pw"), col("w"), col("lp"))
+  }
+
+  /** [[lmScoreKneserNey]] against a STORED type table — training paid
+    * once per (corpus, discount); scoring reuses [[lmBigramFamily]]'s
+    * assembly with the stored `(pw, w, lp)` rows (the live type subtree
+    * is never referenced, so Catalyst plans only the tf/unigram scans).
+    * On the training corpus this is row-identical to the live twin. */
+  def lmScoreKneserNeyFromModel(docs: DataFrame, idCol: String,
+                                textCol: String, lpTable: DataFrame): DataFrame =
+    lmBigramFamily(docs, idCol, textCol)((_, _, _) =>
+      lpTable.select(col("pw"), col("w"), col("lp")))
 
   /**
    * Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language

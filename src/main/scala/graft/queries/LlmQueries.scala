@@ -49,7 +49,7 @@ object LlmQueries {
     textLenQuantiles,
     textPmi, textJsDiv, textPsi, pipelineDatacard,
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
-    textSplitSafe, dedupContainment)
+    textSplitSafe, dedupContainment, textLmKn2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5185,6 +5185,19 @@ object LlmQueries {
            |  round(-(fw.lp1 + coalesce(bi.bi_lp, 0.0)), 6) AS nll_sum
            |FROM cnt JOIN fw USING (doc_id) LEFT JOIN bi USING (doc_id)
            |ORDER BY cnt.doc_id""".stripMargin))
+
+  /** Kneser–Ney scoring from the STORED type table
+    * ([[Materialized.knTypes]] ∘
+    * [[TextAnalysis.lmScoreKneserNeyFromModel]]) — the production twin of
+    * `text_lm_kn`: the four smoothing count tables are derived once per
+    * corpus snapshot; scoring replays the stored `(pw, w, lp)` rows. Same
+    * oracle as the live twin (the artifact's builder IS that
+    * computation). */
+  val textLmKn2: QueryDef = QueryDef("text_lm_kn2",
+    (s, d) => TextAnalysis.lmScoreKneserNeyFromModel(Tables.documents(s, d),
+        "doc_id", "text", Materialized.knTypes(s, d))
+      .orderBy("doc_id"),
+    textLmKn.oracle)
 
   /** Stupid Backoff trigram scoring ([[TextAnalysis.lmScoreStupidBackoff]],
     * Brants et al. 2007, α=0.4) on a HELD-OUT split — trained on even

@@ -817,6 +817,16 @@ object Materialized {
         iters = LlmQueries.ClfIters, lr = LlmQueries.ClfLr)
     }
 
+  /** Stored Kneser–Ney type table `(pw, w, lp)`
+    * ([[graft.llm.TextAnalysis.knTypeTable]], D=0.75) — the smoothed
+    * bigram model trained once per corpus snapshot; scoring runs replay
+    * the stored table instead of re-deriving the four count tables. */
+  def knTypes(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn_types", "d075", sfDir, "documents") {
+      graft.llm.TextAnalysis.knTypeTable(Tables.documents(spark, sfDir),
+        "doc_id", "text")
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,

@@ -40,8 +40,9 @@ object StoreReuseMain {
     val dsir = Materialized.dsirRatios(spark, sfDir).count()
     val uni = Materialized.unigramPieces(spark, sfDir).count()
     val wfp = Materialized.winnowFps(spark, sfDir).count()
+    val kn = Materialized.knTypes(spark, sfDir).count()
     val builds = Materialized.buildsStarted.get()
     spark.stop()
-    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir uni=$uni wfp=$wfp")
+    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir uni=$uni wfp=$wfp kn=$kn")
   }
 }
