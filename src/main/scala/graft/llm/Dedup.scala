@@ -1440,6 +1440,8 @@ object Dedup {
       // on the 10M-doc corpus where the window+distinct shuffles dominate.
       val spark = docs.sparkSession
       import spark.implicits._
+      requireIntegralId(docs, idCol, "winnowFingerprints")
+      val idType = docs.schema(idCol).dataType
       return docs
         .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
         .as[(Long, String)]
@@ -1447,7 +1449,10 @@ object Dedup {
           if (t == null) Iterator.empty
           else winnowKernel(t, k, w).iterator.map(p => (id, p._1, p._2))
         }
-        .toDF(idCol, "fp", "fp_pos")
+        .toDF("id0", "fp", "fp_pos")
+        // lossless (requireIntegralId) cast back to the caller's id type so
+        // the kernel and expression paths agree on schema, not just values
+        .select(col("id0").cast(idType).as(idCol), col("fp"), col("fp_pos"))
     }
     import org.apache.spark.sql.expressions.Window
     val g = docs
@@ -1531,6 +1536,7 @@ object Dedup {
                           k: Int, w: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    requireIntegralId(docs, idCol, "winnowing")
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -1715,6 +1721,8 @@ object Dedup {
       // kernel measured ~9× faster with bit-identical rows (LlmSpec).
       val spark = docs.sparkSession
       import spark.implicits._
+      requireIntegralId(docs, idCol, "cdcChunks")
+      val idType = docs.schema(idCol).dataType
       return docs
         .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
         .as[(Long, String)]
@@ -1723,7 +1731,11 @@ object Dedup {
           else cdcChunkKernel(t, k, mask).iterator.map(c =>
             (id, c._1, c._2, c._3, c._3 - c._2 + 1, c._4))
         }
-        .toDF(idCol, "chunk_idx", "c_start", "c_end", "n_words", "chunk_hash")
+        .toDF("id0", "chunk_idx", "c_start", "c_end", "n_words", "chunk_hash")
+        // lossless (requireIntegralId) cast back to the caller's id type so
+        // the kernel and expression paths agree on schema, not just values
+        .select(col("id0").cast(idType).as(idCol), col("chunk_idx"),
+          col("c_start"), col("c_end"), col("n_words"), col("chunk_hash"))
     }
     val staged = docs
       .where(col(textCol).isNotNull)

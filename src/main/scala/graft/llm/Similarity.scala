@@ -112,10 +112,12 @@ object Similarity {
         col(labelCol).cast("int").as("query_label"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val nq = q.count()
-    require(nq <= maxQueries,
-      s"query side has $nq vectors; broadcast hard-negative mining is " +
-        s"bounded at $maxQueries — use the IVF/distributed kNN shapes past it")
+    // bound check touches at most maxQueries+1 rows — never a full count
+    // of the query subtree (which at scale is its own Spark job)
+    val over = q.limit(maxQueries + 1).count() > maxQueries
+    require(!over,
+      s"query side has more than $maxQueries vectors; broadcast hard-negative " +
+        "mining is bounded there — use the IVF/distributed kNN shapes past it")
     val joined = corpus
       .join(broadcast(q), col("neighbor_label") =!= col("query_label"))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
@@ -140,6 +142,16 @@ object Similarity {
    * join the index by id (hash join, co-partitionable with the index;
    * a production index would store the label column and skip even
    * that). Cosines through the codegen'd [[dot]], 6-dp rounded.
+   *
+   * Degenerate-vector policy is ASYMMETRIC by design: a zero/non-finite
+   * QUERY vector fails loud (`raise_error` — the caller asked for its
+   * negatives, so an undefined cosine is their bug to see), while a
+   * zero-norm CORPUS row is filtered out of the candidate set (the
+   * kNN-oracle convention: a degenerate index row can never be a
+   * meaningful negative for anyone, and failing the whole mining job on
+   * one bad stored row would make the index's hygiene every caller's
+   * outage). Filtered corpus rows simply never appear in any negative
+   * set.
    */
   def hardNegativesDistributed(index: DataFrame, centroids: DataFrame,
                                queries: DataFrame, labels: DataFrame,

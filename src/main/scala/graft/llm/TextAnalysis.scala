@@ -1037,6 +1037,13 @@ object TextAnalysis {
    * join, no union-domain table. Per-word terms reduce as 6-dp scaled
    * longs (integer sums — bit-stable across engines and partitionings).
    * The join on `w` is vocab-bounded × S² sources; totals broadcast.
+   *
+   * EVERY ordered source pair gets a row: pairs with fully disjoint
+   * vocabularies — exactly the maximal-divergence case a mixture-design
+   * diagnostic most needs to surface — have no shared-word rows, so the
+   * pair domain comes from the (bounded) source list and the aggregate
+   * left-joins onto it, reporting `n_shared_words = 0` and the identity's
+   * limit `js = ln 2`.
    */
   def jsDivergenceBySource(docs: DataFrame, sourceCol: String,
                            textCol: String): DataFrame = {
@@ -1056,11 +1063,21 @@ object TextAnalysis {
         sum(s6(col("b.p") * log(col("b.p") / m))).as("kb6"),
         sum(s6(col("a.p"))).as("sa6"),
         sum(s6(col("b.p"))).as("sb6"))
-    agg.select(col("src_a"), col("src_b"), col("n_shared_words"),
-      round(lit(0.5) * (col("ka6") / 1e6 +
-          (lit(1.0) - col("sa6") / 1e6) * log(lit(2.0))) +
-        lit(0.5) * (col("kb6") / 1e6 +
-          (lit(1.0) - col("sb6") / 1e6) * log(lit(2.0))), 6).as("js"))
+    // all ordered pairs over the bounded source list (a broadcast
+    // theta-join over two #sources-row aggregates, never a data-table
+    // cartesian); disjoint-vocabulary pairs coalesce to the ln 2 limit
+    val srcs = totals.select(col("src"))
+    val allPairs = srcs.select(col("src").as("src_a"))
+      .join(broadcast(srcs.select(col("src").as("src_b"))),
+        col("src_a") < col("src_b"))
+    allPairs.join(agg, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared_words"), lit(0L)).as("n_shared_words"),
+        round(lit(0.5) * (coalesce(col("ka6"), lit(0L)) / 1e6 +
+            (lit(1.0) - coalesce(col("sa6"), lit(0L)) / 1e6) * log(lit(2.0))) +
+          lit(0.5) * (coalesce(col("kb6"), lit(0L)) / 1e6 +
+            (lit(1.0) - coalesce(col("sb6"), lit(0L)) / 1e6) * log(lit(2.0))),
+          6).as("js"))
   }
 
   /**

@@ -148,4 +148,21 @@ object TextHashing {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map(b => f"${b & 0xff}%02x").mkString
   }
+
+  /** The typed-kernel id contract: kernels key their rows by `id.cast(long)`,
+    * which on a non-integral column silently NULLs every id and collapses the
+    * whole corpus onto one key — a silent, data-destroying divergence from
+    * the expression paths (which preserve any id type). Fail at plan time
+    * instead. */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+        dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+      s"$op's typed kernel keys rows by `$idCol` cast to BIGINT; column is " +
+        s"${dt.simpleString} — a non-integral id would silently cast to NULL " +
+        "and collapse every row onto one key. Use an integral id column " +
+        "(or the typed=false expression path, which preserves any id type).")
+  }
 }

@@ -3792,7 +3792,8 @@ object LlmQueries {
             |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
             |n AS (SELECT e.vec_id, emb.label, e.v,
             |        sqrt(list_sum([x * x for x in e.v])) AS nrm
-            |      FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+            |      FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+            |      WHERE list_sum([x * x for x in e.v]) > 0),
             |sc AS (SELECT q.query_id, q.query_label, n.vec_id AS neighbor_id,
             |        n.label AS neighbor_label,
             |        round(list_sum([n.v[i] * q.qv[i] for i in range(1, 65)]) /
@@ -5579,7 +5580,8 @@ object LlmQueries {
     * distributions ([[TextAnalysis.jsDivergenceBySource]]) — the
     * mixture-design diagnostic, computed from ONE inner self-join via the
     * `(1−S)·ln 2` identity for off-intersection mass; 6-dp scaled-long
-    * term sums. */
+    * term sums. Disjoint-vocabulary pairs surface at the `ln 2` limit
+    * (pair domain = the bounded source list, aggregate left-joined). */
   val textJsDiv: QueryDef = QueryDef("text_js_div",
     (s, d) => TextAnalysis.jsDivergenceBySource(Tables.documents(s, d),
         "source", "text")
@@ -5597,11 +5599,17 @@ object LlmQueries {
            |            * 1000000, 0)::BIGINT) AS kb6,
            |        sum(round(round(a.p, 6) * 1000000, 0)::BIGINT) AS sa6,
            |        sum(round(round(b.p, 6) * 1000000, 0)::BIGINT) AS sb6
-           |      FROM p a JOIN p b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2)
-           |SELECT src_a, src_b, n_shared_words,
-           |  round(0.5 * (ka6 / 1000000.0 + (1.0 - sa6 / 1000000.0) * ln(2)) +
-           |        0.5 * (kb6 / 1000000.0 + (1.0 - sb6 / 1000000.0) * ln(2)), 6) AS js
-           |FROM j ORDER BY src_a, src_b""".stripMargin))
+           |      FROM p a JOIN p b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2),
+           |ap AS (SELECT ta.src AS src_a, tb.src AS src_b
+           |       FROM t ta JOIN t tb ON ta.src < tb.src)
+           |SELECT ap.src_a, ap.src_b,
+           |  coalesce(n_shared_words, 0)::BIGINT AS n_shared_words,
+           |  round(0.5 * (coalesce(ka6, 0) / 1000000.0 +
+           |          (1.0 - coalesce(sa6, 0) / 1000000.0) * ln(2)) +
+           |        0.5 * (coalesce(kb6, 0) / 1000000.0 +
+           |          (1.0 - coalesce(sb6, 0) / 1000000.0) * ln(2)), 6) AS js
+           |FROM ap LEFT JOIN j ON ap.src_a = j.src_a AND ap.src_b = j.src_b
+           |ORDER BY ap.src_a, ap.src_b""".stripMargin))
 
   /** PSI drift between the even/odd doc_id slices over the token-length
     * distribution ([[TextAnalysis.psiDrift]]) — the snapshot-A-vs-B data

@@ -2779,4 +2779,44 @@ class LlmSpec extends AnyFunSuite {
     val bad = est.join(exact, "w").where(col("est") < col("count")).count()
     assert(bad == 0L)
   }
+
+  test("jsDivergenceBySource: disjoint-vocabulary pair surfaces at the ln 2 maximum") {
+    val d = Seq(
+      ("a", "alpha beta alpha"), ("a", "beta gamma"),
+      ("b", "delta epsilon"), ("b", "zeta delta"),
+      ("c", "alpha delta")   // shares words with both a and b
+    ).toDF("source", "text")
+    val out = TextAnalysis.jsDivergenceBySource(d, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // every ordered pair present, including the disjoint one
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (nsAB, jsAB) = out(("a", "b"))
+    assert(nsAB == 0L, "a/b share no words")
+    assert(jsAB == Similarity.roundHalfUp(math.log(2.0), 6),
+      s"disjoint pair must report ln 2, got $jsAB")
+    // overlapping pairs are strictly below the maximum
+    assert(out(("a", "c"))._2 < jsAB && out(("b", "c"))._2 < jsAB)
+  }
+
+  test("typed kernels fail loud on a non-integral id column; integral ids keep their type") {
+    val bad = Seq(("x1", "a b c d e f"), ("x2", "g h i j k l"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(bad, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("typed kernel"))
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(bad, "doc_id", "text")
+    }
+    // int ids: kernel output schema matches the expression path's
+    val intDocs = Seq((1, "a b c d e f g h"), (2, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val typed = Dedup.winnowFingerprints(intDocs, "doc_id", "text")
+    val expr = Dedup.winnowFingerprints(intDocs, "doc_id", "text", typed = false)
+    assert(typed.schema.map(f => (f.name, f.dataType)) ==
+      expr.schema.map(f => (f.name, f.dataType)),
+      s"${typed.schema} vs ${expr.schema}")
+    assert(typed.collect().toSet == expr.collect().toSet)
+  }
 }
