@@ -1222,8 +1222,9 @@ object TextAnalysis {
     (bSeq(n), bLp(n), bNp(n))
   }
 
-  /** Distinct-word frequency table — the vocab-bounded artifact every
-    * unigram stage runs over (the corpus is scanned ONCE, here). */
+  /** Distinct-word frequency table — the vocab-bounded artifact the
+    * unigram TRAINER's EM loop runs over (the corpus is scanned ONCE,
+    * here, and [[unigramTrain]] persists the result for the loop). */
   private def unigramWordTable(docs: DataFrame, textCol: String) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1246,69 +1247,92 @@ object TextAnalysis {
    *    frequency. M-step: re-normalize; pieces the segmentation stopped
    *    using drop out. `iters` rounds.
    *
-   * 100 TB shape: the corpus contributes exactly ONE token scan (the
-   * word table); every EM iteration runs over the vocab-bounded distinct
-   * word table with the piece table broadcast — corpus text never moves
-   * again (the [[bpeTrainDelta]] discipline). Collects are vocab-bounded
-   * and fail loud at `maxVocabCollect`.
+   * 100 TB shape: the corpus contributes exactly ONE token scan — the
+   * word table is persisted for the duration of the call (the [[bpeLoop]]
+   * discipline), so the seed collect and every EM round read the cache,
+   * never the corpus. The returned model is a LOCAL relation built from
+   * the M-step's own collected rows (the EM loop already pulls the
+   * vocab-bounded counts to the driver each round to build the broadcast
+   * log-prob map), so consumers pay ZERO corpus scans per action — the
+   * trained tokenizer is a ≤`maxVocabCollect`-row artifact, the same
+   * class as a BPE merge list. Collects are vocab-bounded and fail loud
+   * at `maxVocabCollect`.
    */
   def unigramTrain(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                    seedSize: Int = 40, iters: Int = 2,
                    maxVocabCollect: Int = 200000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wt = unigramWordTable(docs, textCol)
-    val mp = maxPieceLen
-    val sub = wt.flatMap { case (w, f) =>
-      // fail LOUD past the oracle's substring-start bound (range(1, 64)):
-      // a 64+-char word would seed substrings the replay never sees — the
-      // silent data-dependent divergence class, caught at the word instead
-      require(w.length < 64,
-        s"unigram seeding bounds word length at 63 chars, got ${w.length}: " +
-          s"'${w.take(32)}…' — raise the bound in BOTH the trainer and the " +
-          "oracle's range(1, 64)")
-      for {
-        i <- 0 until w.length
-        l <- 1 to math.min(mp, w.length - i)
-      } yield (w.substring(i, i + l), f)
-    }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
-    val top = sub.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
-    val v0 = top.unionByName(sub.where(length(col("piece")) === 1))
-      .dropDuplicates("piece")
-    def lpMap(v: DataFrame): Map[String, Double] = {
-      val rows = v.select(col("piece"), col("cnt").cast("long"))
-        .as[(String, Long)].collect()
-      require(rows.length <= maxVocabCollect,
-        s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
-      val total = rows.map(_._2).sum.toDouble
-      rows.iterator.map { case (p, c) =>
-        p -> Similarity.roundHalfUp(math.log(c / total), 6)
-      }.toMap
-    }
-    var lp = lpMap(v0)
-    var counts = v0
-    var it = 0
-    while (it < iters) {
-      val lpB = spark.sparkContext.broadcast(lp)
-      counts = wt.flatMap { case (w, f) =>
-        viterbiSegment(w, lpB.value, mp)._1.split(" ").iterator.map((_, f))
+    val wt = unigramWordTable(docs, textCol).persist()
+    try {
+      val mp = maxPieceLen
+      val sub = wt.flatMap { case (w, f) =>
+        // fail LOUD past the oracle's substring-start bound (range(1, 64)):
+        // a 64+-char word would seed substrings the replay never sees — the
+        // silent data-dependent divergence class, caught at the word instead
+        require(w.length < 64,
+          s"unigram seeding bounds word length at 63 chars, got ${w.length}: " +
+            s"'${w.take(32)}…' — raise the bound in BOTH the trainer and the " +
+            "oracle's range(1, 64)")
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(mp, w.length - i)
+        } yield (w.substring(i, i + l), f)
       }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
-      lp = lpMap(counts)
-      it += 1
-    }
-    counts.crossJoin(broadcast(counts.agg(sum("cnt").cast("double").as("t"))))
-      .select(col("piece"), col("cnt"),
-        round(log(col("cnt") / col("t")), 6).as("lp"))
+      val top = sub.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      val v0 = top.unionByName(sub.where(length(col("piece")) === 1))
+        .dropDuplicates("piece")
+      def collectCounts(v: DataFrame): Array[(String, Long)] = {
+        val rows = v.select(col("piece"), col("cnt").cast("long"))
+          .as[(String, Long)].collect()
+        require(rows.length <= maxVocabCollect,
+          s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
+        rows
+      }
+      def lpMap(rows: Array[(String, Long)]): Map[String, Double] = {
+        val total = rows.map(_._2).sum.toDouble
+        rows.iterator.map { case (p, c) =>
+          p -> Similarity.roundHalfUp(math.log(c / total), 6)
+        }.toMap
+      }
+      var rows = collectCounts(v0)
+      var lp = lpMap(rows)
+      var it = 0
+      while (it < iters) {
+        val lpB = spark.sparkContext.broadcast(lp)
+        val counts = wt.flatMap { case (w, f) =>
+          viterbiSegment(w, lpB.value, mp)._1.split(" ").iterator.map((_, f))
+        }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+        rows = collectCounts(counts)
+        lp = lpMap(rows)
+        it += 1
+      }
+      // same normalization as lpMap: exact long-sum total, Math.log, 6-dp
+      // HALF_UP — the values the last EM round already broadcast
+      val total = rows.map(_._2).sum.toDouble
+      spark.createDataFrame(rows.toSeq.map { case (p, c) =>
+        (p, c, Similarity.roundHalfUp(math.log(c / total), 6))
+      }).toDF("piece", "cnt", "lp")
+    } finally wt.unpersist()
   }
 
   /**
    * Unigram tokenization against a TRAINED piece table (`(piece, lp)`
    * rows — [[unigramTrain]]'s output or a stored artifact): per document,
    * word count, piece count, and the negative log-likelihood of its
-   * Viterbi segmentation. Segmentation runs ONCE per distinct word
-   * (vocab-bounded, piece table broadcast) and documents join the result
-   * by word — the corpus pays one tf aggregation, never a per-occurrence
-   * DP.
+   * Viterbi segmentation.
+   *
+   * 100 TB shape: the corpus is scanned exactly ONCE — the Viterbi DP
+   * runs INLINE on the `(id, word)` tf rows (a typed kernel over the one
+   * tf aggregation), so there is no second scan to build a word table and
+   * no broadcast of a corpus-vocabulary-sized segmentation table (corpus
+   * vocabulary is unbounded; the only broadcast is the TRAINED piece
+   * table, bounded by `maxVocabCollect`). The DP costs
+   * O(|word|·maxPieceLen) map lookups per distinct (doc, word) pair —
+   * orders of magnitude under the shuffle+broadcast round-trip a
+   * segment-once-join-by-word plan pays, and the repeated-word DP work is
+   * bounded by the tf table the plan reads anyway. Typed kernel ⇒
+   * integral id required (fails loud, [[TextHashing.requireIntegralId]]).
    */
   def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
                     vocab: DataFrame, maxPieceLen: Int = 4,
@@ -1319,22 +1343,24 @@ object TextAnalysis {
       .as[(String, Double)].collect()
     require(rows.length <= maxVocabCollect,
       s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
+    TextHashing.requireIntegralId(docs, idCol, "unigramEncode")
+    val idType = docs.schema(idCol).dataType
     val lpB = spark.sparkContext.broadcast(rows.toMap)
     val mp = maxPieceLen
-    val segs = unigramWordTable(docs, textCol)
-      .map { case (w, _) =>
-        val (_, sLp, sNp) = viterbiSegment(w, lpB.value, mp)
-        (w, sNp.toLong, sLp)
-      }.toDF("w", "np", "wlp")
-    val tf = docs.select(col(idCol).as("id"),
+    val tf = docs.select(col(idCol).cast("long").as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(segs), "w")
+      .as[(Long, String, Long)]
+    tf.map { case (id, w, f) =>
+        val (_, sLp, sNp) = viterbiSegment(w, lpB.value, mp)
+        (id, f, f * sNp.toLong, f * sLp)
+      }.toDF("id", "tf", "pieces", "wlpsum")
       .groupBy("id")
       .agg(sum(col("tf")).cast("long").as("n_words"),
-        sum(col("tf") * col("np")).cast("long").as("n_pieces"),
-        round(-sum(col("tf") * col("wlp")), 6).as("nll_sum"))
-      .withColumnRenamed("id", idCol)
+        sum(col("pieces")).cast("long").as("n_pieces"),
+        round(-sum(col("wlpsum")), 6).as("nll_sum"))
+      .select(col("id").cast(idType).as(idCol), col("n_words"),
+        col("n_pieces"), col("nll_sum"))
   }
 
   /**

@@ -629,6 +629,50 @@ class PlanSpec extends AnyFunSuite {
     assert(js.contains("BroadcastHashJoin"), js)
   }
 
+  test("unigram tokenizer honors its one-corpus-scan contract (train: local model, zero scans; encode: one scan)") {
+    // the trained model is a driver-resident artifact (≤ maxVocabCollect
+    // rows, the BPE-merge-list class): consumers must see a local relation,
+    // never a plan whose every action re-scans the corpus
+    val pt = plan("text_unigram_train")
+    assert(!pt.contains("FileScan parquet"),
+      "the trained piece table must be a local relation\n" + pt)
+    assert(!pt.contains("Exchange hashpartitioning"),
+      "nothing to aggregate or join — only the output sort may exchange\n" + pt)
+    // encode = ONE corpus scan: the Viterbi DP runs inline on the tf rows —
+    // no second scan for a word table, no corpus-vocab broadcast
+    Seq("text_unigram_encode", "text_unigram_encode2").foreach { q =>
+      val p = plan(q)
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q must scan exactly once, saw $scans\n" + p)
+    }
+    // and the TRAINING loop itself reads the corpus once: actual FILE bytes
+    // across train ≈ one text-column scan (a per-EM-round re-scan would
+    // read ~4-6×). Task inputMetrics would double-count cached-block reads
+    // at in-memory sizes, so measure at the Hadoop FS layer — local[n]
+    // executors share this JVM, and cache hits never touch the filesystem.
+    def measure(body: => Unit): Long = {
+      def fsBytes: Long =
+        org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+          .get("file").getLong("bytesRead")
+      val before = fsBytes
+      body
+      fsBytes - before
+    }
+    val docs = Tables.documents(spark, sf)
+    val baseline = measure {
+      docs.select(org.apache.spark.sql.functions.col("text"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()
+    }
+    assert(baseline > 0L, "baseline scan read nothing — metric broken")
+    val trained = measure {
+      graft.llm.TextAnalysis.unigramTrain(docs, "text").collect()
+    }
+    assert(trained <= 2 * baseline,
+      s"unigram training read $trained bytes vs one-scan baseline $baseline " +
+        "— the EM loop is re-scanning the corpus (word table not cached?)")
+  }
+
   test("dedup_winnow: self-join sides share the one fp pipeline (reused exchange or broadcast), never a cartesian") {
     val p = plan("dedup_winnow")
     // at corpus scale the SMJ's two identical sides reuse the single fp
