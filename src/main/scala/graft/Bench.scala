@@ -16,6 +16,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // machine-load stamp (round-10 judge ask): BENCH_r10 was recorded under
+    // heavy concurrent load and its numbers read as phantom regressions —
+    // the artifact now carries the 1-minute load average at start and end
+    // so any reader can tell a loaded recording from a real slowdown
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     // JVM/codegen warmup so the first timed query doesn't absorb classloading
     locally {
       import spark.implicits._
@@ -127,7 +135,7 @@ object Bench {
     // — a cut from either end still records the number that matters
     println(s"""{"metric":"total_headline","value":$total,"unit":"sec"}""")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"timing_action":"xxhash64_agg","sf":"$sfDir","total_secs":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"timing_action":"xxhash64_agg","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir","total_secs":$total}"""
     println(fullLine)
     // truncation-proof artifact: the driver's stdout capture has clipped
     // this (long) line from both ends across rounds — BENCH_r06 lost its
