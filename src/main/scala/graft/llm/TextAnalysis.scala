@@ -951,6 +951,196 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /**
+   * Unified n-gram type table for the 5-gram Kneser–Ney model
+   * ([[lmScoreKn5]]): one row per attested n-gram TYPE of every order
+   * 1..5 — `(ord, h4, h3, h2, h1, w, cnt)` with `h1` the closest history
+   * word and unused history slots null. This is the ONE artifact a store
+   * keeps ([[graft.queries.Materialized.kn5Types]]); every smoothing
+   * count table (context masses, continuation counts, follower counts,
+   * the type-count scalars) derives from it without touching corpus text.
+   *
+   * 100 TB shape: ONE corpus token scan (per-doc `lag` windows only,
+   * bounded by document length) explodes each position into its ≤5
+   * attested orders, and ONE hash aggregation on the gram key counts
+   * them — shuffle volume equals the n-gram instance stream, the same
+   * bytes five per-order aggregations would move in total, for a fifth
+   * of the scans. Never broadcast, never collected (the order-5 table is
+   * corpus-sized).
+   */
+  def kn5TypeTable(train: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val th = train.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("h1", lag(col("w"), 1).over(byDoc))
+      .withColumn("h2", lag(col("w"), 2).over(byDoc))
+      .withColumn("h3", lag(col("w"), 3).over(byDoc))
+      .withColumn("h4", lag(col("w"), 4).over(byDoc))
+    val ns = lit(null).cast("string")
+    def gram(ord: Int, h4: Column, h3: Column, h2: Column, h1: Column) =
+      struct(lit(ord).as("ord"), h4.as("h4"), h3.as("h3"), h2.as("h2"),
+        h1.as("h1"), col("w").as("w"))
+    val entries = array(
+      gram(1, ns, ns, ns, ns),
+      when(col("h1").isNotNull, gram(2, ns, ns, ns, col("h1"))),
+      when(col("h2").isNotNull, gram(3, ns, ns, col("h2"), col("h1"))),
+      when(col("h3").isNotNull, gram(4, ns, col("h3"), col("h2"), col("h1"))),
+      when(col("h4").isNotNull,
+        gram(5, col("h4"), col("h3"), col("h2"), col("h1"))))
+    th.select(explode(filter(entries, e => e.isNotNull)).as("g"))
+      .select(col("g.ord").as("ord"), col("g.h4").as("h4"),
+        col("g.h3").as("h3"), col("g.h2").as("h2"), col("g.h1").as("h1"),
+        col("g.w").as("w"))
+      .groupBy("ord", "h4", "h3", "h2", "h1", "w")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+  }
+
+  /**
+   * Interpolated 5-gram Kneser–Ney scoring (Kneser & Ney 1995; the
+   * interpolated formulation of Chen & Goodman 1998) — the shape of the
+   * KenLM 5-gram gate CCNet actually ships, generalizing
+   * [[lmScoreKneserNey]]'s bigram to the full backoff chain. Trained on
+   * `train`, scored on `docs` — a HELD-OUT split, so unseen histories
+   * exercise every backoff level. Per position (0-based) the chain top
+   * is the longest available order (`min(pos+1, 5)`):
+   *
+   *  - top level (raw counts):
+   *    `p_k(w|h) = max(c_k−D,0)/c_k(h·) + D·N₁₊(h·)/c_k(h·) · p_{k−1}`
+   *  - middle levels (continuation counts, the "Francisco" correction):
+   *    `p_k(w|h) = max(N₁₊(·hw)−D,0)/N₁₊(·h·) + D·N₁₊(h·)/N₁₊(·h·) · p_{k−1}`
+   *  - base: `p₁(w) = max(N₁₊(·w)−D,0)/N₁₊(··) + D·W₁/N₁₊(··) · (1/|V|)`
+   *    — interpolated with the uniform distribution (the KenLM bottom),
+   *    so every in-vocab word has p₁ > 0 even if it only ever appears
+   *    document-initially
+   *  - an UNSEEN history at any level backs off with weight 1 to the
+   *    level below; position 0 scores the ML unigram (the
+   *    [[lmScoreBigram]] house convention); OOV words are counted
+   *    (`n_oov`), never silently dropped
+   *
+   * `D = 0.75` at every order (exactly representable in binary — the
+   * same literal in both engines; KenLM's count-of-count-estimated
+   * modified discounts are the remaining fidelity dial). Per-position
+   * `ln` is 6-dp rounded before the doc sum (the [[lmScoreStupidBackoff]]
+   * convention).
+   *
+   * 100 TB shape: all n-gram/continuation/context tables stay hash joins
+   * on their word keys — NEVER broadcast, never collected (the order-5
+   * table is corpus-sized); the only broadcasts are the two one-row
+   * scalar aggregates; the only windows are per-doc `lag`s. The live
+   * form replays the model subtree per join — production scoring uses
+   * the STORED type table ([[graft.queries.Materialized.kn5Types]]),
+   * which makes every join side a parquet read.
+   */
+  def lmScoreKn5(docs: DataFrame, train: DataFrame, idCol: String,
+                 textCol: String, discount: Double = 0.75): DataFrame =
+    lmScoreKn5FromModel(docs, idCol, textCol,
+      kn5TypeTable(train, idCol, textCol), discount)
+
+  /** [[lmScoreKn5]] against a TRAINED unified type table
+    * ([[kn5TypeTable]]'s output or the stored artifact): derives the
+    * smoothing count tables from the types alone — corpus text is never
+    * re-read for the model side. */
+  def lmScoreKn5FromModel(docs: DataFrame, idCol: String, textCol: String,
+                          types: DataFrame, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = lit(discount)
+    val uni = types.where(col("ord") === 1).select(col("w"), col("cnt").as("c1"))
+    val t2 = types.where(col("ord") === 2)
+      .select(col("h1"), col("w"), col("cnt").as("c2"))
+    val t3 = types.where(col("ord") === 3)
+      .select(col("h2"), col("h1"), col("w"), col("cnt").as("c3"))
+    val t4 = types.where(col("ord") === 4)
+      .select(col("h3"), col("h2"), col("h1"), col("w"), col("cnt").as("c4"))
+    val t5 = types.where(col("ord") === 5)
+      .select(col("h4"), col("h3"), col("h2"), col("h1"), col("w"),
+        col("cnt").as("c5"))
+    // raw context masses + distinct-follower counts per history
+    val ctx2 = t2.groupBy("h1")
+      .agg(sum(col("c2")).as("cs2"), count(lit(1)).cast("double").as("nf2"))
+    val ctx3 = t3.groupBy("h2", "h1")
+      .agg(sum(col("c3")).as("cs3"), count(lit(1)).cast("double").as("nf3"))
+    val ctx4 = t4.groupBy("h3", "h2", "h1")
+      .agg(sum(col("c4")).as("cs4"), count(lit(1)).cast("double").as("nf4"))
+    val ctx5 = t5.groupBy("h4", "h3", "h2", "h1")
+      .agg(sum(col("c5")).as("cs5"), count(lit(1)).cast("double").as("nf5"))
+    // continuation counts N₁₊(·hw) per middle order, from the order above
+    val cc2 = t3.groupBy("h1", "w").agg(count(lit(1)).cast("double").as("cc2"))
+    val cx2 = cc2.groupBy("h1")
+      .agg(sum(col("cc2")).as("ccs2"), count(lit(1)).cast("double").as("ncf2"))
+    val cc3 = t4.groupBy("h2", "h1", "w")
+      .agg(count(lit(1)).cast("double").as("cc3"))
+    val cx3 = cc3.groupBy("h2", "h1")
+      .agg(sum(col("cc3")).as("ccs3"), count(lit(1)).cast("double").as("ncf3"))
+    val cc4 = t5.groupBy("h3", "h2", "h1", "w")
+      .agg(count(lit(1)).cast("double").as("cc4"))
+    val cx4 = cc4.groupBy("h3", "h2", "h1")
+      .agg(sum(col("cc4")).as("ccs4"), count(lit(1)).cast("double").as("ncf4"))
+    // continuation unigram + the two scalar aggregates
+    val cont1 = t2.groupBy("w").agg(count(lit(1)).cast("double").as("nc1"))
+    val nv = uni.agg(sum(col("c1")).as("n"), count(lit(1)).cast("double").as("v"))
+    val tts = t2.agg(count(lit(1)).cast("double").as("tt"),
+      countDistinct(col("w")).cast("double").as("w1"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val occ = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("h1", lag(col("w"), 1).over(byDoc))
+      .withColumn("h2", lag(col("w"), 2).over(byDoc))
+      .withColumn("h3", lag(col("w"), 3).over(byDoc))
+      .withColumn("h4", lag(col("w"), 4).over(byDoc))
+    val joined = occ
+      .join(uni, Seq("w"), "left")
+      .join(cont1, Seq("w"), "left")
+      .join(t2, Seq("h1", "w"), "left")
+      .join(ctx2, Seq("h1"), "left")
+      .join(cc2, Seq("h1", "w"), "left")
+      .join(cx2, Seq("h1"), "left")
+      .join(t3, Seq("h2", "h1", "w"), "left")
+      .join(ctx3, Seq("h2", "h1"), "left")
+      .join(cc3, Seq("h2", "h1", "w"), "left")
+      .join(cx3, Seq("h2", "h1"), "left")
+      .join(t4, Seq("h3", "h2", "h1", "w"), "left")
+      .join(ctx4, Seq("h3", "h2", "h1"), "left")
+      .join(cc4, Seq("h3", "h2", "h1", "w"), "left")
+      .join(cx4, Seq("h3", "h2", "h1"), "left")
+      .join(t5, Seq("h4", "h3", "h2", "h1", "w"), "left")
+      .join(ctx5, Seq("h4", "h3", "h2", "h1"), "left")
+      .crossJoin(broadcast(nv))
+      .crossJoin(broadcast(tts))
+    // the discounted-interpolation step, identical shape at every level —
+    // the SAME expression text as the oracle's replay
+    def interp(cnt: Column, cs: Column, nf: Column, lower: Column): Column =
+      when(cs.isNotNull,
+        greatest(coalesce(cnt, lit(0.0)) - d, lit(0.0)) / cs +
+          d * nf / cs * lower)
+        .otherwise(lower)
+    val staged = joined
+      .withColumn("p1",
+        when(col("tt") > 0.0,
+          greatest(coalesce(col("nc1"), lit(0.0)) - d, lit(0.0)) / col("tt") +
+            d * col("w1") / col("tt") * (lit(1.0) / col("v")))
+          .otherwise(lit(1.0) / col("v")))
+      .withColumn("p2c", interp(col("cc2"), col("ccs2"), col("ncf2"), col("p1")))
+      .withColumn("p2r", interp(col("c2"), col("cs2"), col("nf2"), col("p1")))
+      .withColumn("p3c", interp(col("cc3"), col("ccs3"), col("ncf3"), col("p2c")))
+      .withColumn("p3r", interp(col("c3"), col("cs3"), col("nf3"), col("p2c")))
+      .withColumn("p4c", interp(col("cc4"), col("ccs4"), col("ncf4"), col("p3c")))
+      .withColumn("p4r", interp(col("c4"), col("cs4"), col("nf4"), col("p3c")))
+      .withColumn("p5", interp(col("c5"), col("cs5"), col("nf5"), col("p4c")))
+    val s = when(col("c1").isNull, lit(null).cast("double"))
+      .when(col("pos") === 0, col("c1") / col("n"))
+      .when(col("pos") === 1, col("p2r"))
+      .when(col("pos") === 2, col("p3r"))
+      .when(col("pos") === 3, col("p4r"))
+      .otherwise(col("p5"))
+    staged.select(col("id"), round(log(s), 6).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(when(col("lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(-sum(coalesce(col("lp"), lit(0.0))), 6).as("nll_sum"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Count-min-sketch bucket for word `w` under hash row `seed`:
     * `md5(seed|w)` reduced to 60 bits then mod `width` — the portable
     * [[TextHashing]] discipline, so any engine addresses the same cell. */
@@ -1646,6 +1836,14 @@ object TextAnalysis {
    * splits ties by the (ppl, id) order, identical in Spark and DuckDB
    * (first `rows mod n` buckets take the extra row).
    *
+   * `ppl_tok` is EXACT-INTEGER 6-dp arithmetic: the 6-dp `nll_sum` is an
+   * integer in micro-nats, and `round(nll/n_words, 6)` as a float op
+   * lands exactly on .5e-6 boundaries whenever `n_words` divides evenly
+   * (e.g. 2.765957/2) — the cross-engine float-round divergence class —
+   * so the per-token value is the half-up INTEGER division
+   * `(2·nll6 + n_words) div (2·n_words)` unscaled, the same op in any
+   * engine (caught by the tri-scale gate at sf0.1, round 11).
+   *
    * SCALE CAVEAT: languages are a handful of giant keys, so the `ntile`
    * window makes ONE task sort every doc of a language —
    * [[pplBucketsThreshold]] is the broadcast-threshold twin for that
@@ -1658,7 +1856,9 @@ object TextAnalysis {
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("ppl_tok"), col(idCol))
     scored.where(col("n_words") > 0)
-      .withColumn("ppl_tok", round(col("nll_sum") / col("n_words"), 6))
+      .withColumn("nll6", round(col("nll_sum") * 1e6, 0).cast("long"))
+      .withColumn("ppl_tok",
+        expr("(2 * nll6 + n_words) div (2 * n_words)").cast("double") / 1e6)
       .withColumn("bucket", ntile(n).over(w).cast("long"))
       .withColumn("bucket_label",
         when(col("bucket") === 1, "head")
@@ -1699,7 +1899,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"need at least 2 buckets, got $n")
     val p = scored.where(col("n_words") > 0)
-      .withColumn("ppl_tok", round(col("nll_sum") / col("n_words"), 6))
+      .withColumn("nll6", round(col("nll_sum") * 1e6, 0).cast("long"))
+      .withColumn("ppl_tok",
+        expr("(2 * nll6 + n_words) div (2 * n_words)").cast("double") / 1e6)
     val vc = p.groupBy(col(langCol), col("ppl_tok"))
       .agg(count(lit(1)).as("cnt"))
     val nr = vc.groupBy(col(langCol)).agg(sum(col("cnt")).as("n_rows"))

@@ -49,7 +49,8 @@ object LlmQueries {
     textLenQuantiles,
     textPmi, textJsDiv, textPsi, pipelineDatacard,
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
-    textSplitSafe, dedupContainment, textLmKn2)
+    textSplitSafe, dedupContainment, textLmKn2,
+    textLmKn5, textLmKn52, textPplBuckets5)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -269,7 +270,8 @@ object LlmQueries {
            |         coalesce(nll.nll_sum, 0.0) AS nll_sum
            |       FROM d0 LEFT JOIN nll USING (doc_id, dl)),
            |p AS (SELECT sc.doc_id, dd.lang, sc.n_words,
-           |        round(sc.nll_sum / sc.n_words, 6) AS ppl_tok
+           |        ((2 * round(sc.nll_sum * 1000000, 0)::BIGINT + sc.n_words)
+           |          // (2 * sc.n_words)) / 1000000.0 AS ppl_tok
            |      FROM sc JOIN documents dd USING (doc_id) WHERE sc.n_words > 0),
            |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
            |        ORDER BY ppl_tok, doc_id)::BIGINT AS bucket FROM p)
@@ -309,7 +311,8 @@ object LlmQueries {
            |         coalesce(nll.nll_sum, 0.0) AS nll_sum
            |       FROM d0 LEFT JOIN nll USING (doc_id, dl)),
            |p AS (SELECT sc.doc_id, dd.lang, sc.n_words,
-           |        round(sc.nll_sum / sc.n_words, 6) AS ppl_tok
+           |        ((2 * round(sc.nll_sum * 1000000, 0)::BIGINT + sc.n_words)
+           |          // (2 * sc.n_words)) / 1000000.0 AS ppl_tok
            |      FROM sc JOIN documents dd USING (doc_id) WHERE sc.n_words > 0),
            |vc AS (SELECT lang, ppl_tok, count(*)::BIGINT AS cnt FROM p GROUP BY 1, 2),
            |nr AS (SELECT lang, sum(cnt)::BIGINT AS n_rows FROM vc GROUP BY 1),
@@ -2459,7 +2462,8 @@ object LlmQueries {
             |          coalesce(pnll.nll_sum, 0.0) AS nll_sum
             |        FROM pd0 LEFT JOIN pnll USING (doc_id, dl)),
             |pp AS (SELECT psc.doc_id, dd.lang,
-            |         round(psc.nll_sum / psc.n_words, 6) AS ppl_tok
+            |         ((2 * round(psc.nll_sum * 1000000, 0)::BIGINT + psc.n_words)
+            |          // (2 * psc.n_words)) / 1000000.0 AS ppl_tok
             |       FROM psc JOIN documents dd USING (doc_id) WHERE psc.n_words > 0),
             |pvc AS (SELECT lang, ppl_tok, count(*)::BIGINT AS cnt FROM pp GROUP BY 1, 2),
             |pnr AS (SELECT lang, sum(cnt)::BIGINT AS n_rows FROM pvc GROUP BY 1),
@@ -5256,6 +5260,217 @@ object LlmQueries {
            |  sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
            |  round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** The 5-gram interpolated-KN score replay, shared by `text_lm_kn5`,
+    * its stored twin and the perplexity-bucket consumer: model tables
+    * from the even-doc_id train split, the full backoff chain (raw-count
+    * top per position order, continuation-count middles, uniform-
+    * interpolated base), per-position 6-dp `ln`. Ends with `kn5s AS
+    * (doc_id, n_words, n_oov, nll_sum)`. */
+  private val kn5ScoreSql: String =
+    """tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |       FROM documents WHERE doc_id % 2 = 0),
+      |ttok AS (SELECT doc_id, unnest(ws) AS w,
+      |           generate_subscripts(ws, 1)::BIGINT AS pos FROM tr),
+      |th AS (SELECT doc_id, pos, w,
+      |         lag(w)    OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+      |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+      |         lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3,
+      |         lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS h4
+      |       FROM ttok),
+      |uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM th GROUP BY 1),
+      |nv AS (SELECT sum(c1) AS n, count(*)::DOUBLE AS v FROM uni),
+      |t2 AS (SELECT h1, w, count(*)::DOUBLE AS c2 FROM th
+      |       WHERE h1 IS NOT NULL GROUP BY 1, 2),
+      |t3 AS (SELECT h2, h1, w, count(*)::DOUBLE AS c3 FROM th
+      |       WHERE h2 IS NOT NULL GROUP BY 1, 2, 3),
+      |t4 AS (SELECT h3, h2, h1, w, count(*)::DOUBLE AS c4 FROM th
+      |       WHERE h3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+      |t5 AS (SELECT h4, h3, h2, h1, w, count(*)::DOUBLE AS c5 FROM th
+      |       WHERE h4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+      |ctx2 AS (SELECT h1, sum(c2) AS cs2, count(*)::DOUBLE AS nf2
+      |         FROM t2 GROUP BY 1),
+      |ctx3 AS (SELECT h2, h1, sum(c3) AS cs3, count(*)::DOUBLE AS nf3
+      |         FROM t3 GROUP BY 1, 2),
+      |ctx4 AS (SELECT h3, h2, h1, sum(c4) AS cs4, count(*)::DOUBLE AS nf4
+      |         FROM t4 GROUP BY 1, 2, 3),
+      |ctx5 AS (SELECT h4, h3, h2, h1, sum(c5) AS cs5,
+      |           count(*)::DOUBLE AS nf5 FROM t5 GROUP BY 1, 2, 3, 4),
+      |cc2 AS (SELECT h1, w, count(*)::DOUBLE AS cc2 FROM t3 GROUP BY 1, 2),
+      |cx2 AS (SELECT h1, sum(cc2) AS ccs2, count(*)::DOUBLE AS ncf2
+      |        FROM cc2 GROUP BY 1),
+      |cc3 AS (SELECT h2, h1, w, count(*)::DOUBLE AS cc3 FROM t4
+      |        GROUP BY 1, 2, 3),
+      |cx3 AS (SELECT h2, h1, sum(cc3) AS ccs3, count(*)::DOUBLE AS ncf3
+      |        FROM cc3 GROUP BY 1, 2),
+      |cc4 AS (SELECT h3, h2, h1, w, count(*)::DOUBLE AS cc4 FROM t5
+      |        GROUP BY 1, 2, 3, 4),
+      |cx4 AS (SELECT h3, h2, h1, sum(cc4) AS ccs4, count(*)::DOUBLE AS ncf4
+      |        FROM cc4 GROUP BY 1, 2, 3),
+      |cont1 AS (SELECT w, count(*)::DOUBLE AS nc1 FROM t2 GROUP BY 1),
+      |tts AS (SELECT count(*)::DOUBLE AS tt,
+      |          count(DISTINCT w)::DOUBLE AS w1 FROM t2),
+      |sa AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |stok AS (SELECT doc_id, unnest(ws) AS w,
+      |           generate_subscripts(ws, 1)::BIGINT AS pos FROM sa),
+      |sh AS (SELECT doc_id, pos, w,
+      |         lag(w)    OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+      |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+      |         lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3,
+      |         lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS h4
+      |       FROM stok),
+      |j0 AS (SELECT sh.doc_id, sh.pos, u.c1, cont1.nc1,
+      |         t2.c2, ctx2.cs2, ctx2.nf2, cc2.cc2, cx2.ccs2, cx2.ncf2,
+      |         t3.c3, ctx3.cs3, ctx3.nf3, cc3.cc3, cx3.ccs3, cx3.ncf3,
+      |         t4.c4, ctx4.cs4, ctx4.nf4, cc4.cc4, cx4.ccs4, cx4.ncf4,
+      |         t5.c5, ctx5.cs5, ctx5.nf5, nv.n, nv.v, tts.tt, tts.w1
+      |       FROM sh
+      |       LEFT JOIN uni u ON sh.w = u.w
+      |       LEFT JOIN cont1 ON sh.w = cont1.w
+      |       LEFT JOIN t2 ON sh.h1 = t2.h1 AND sh.w = t2.w
+      |       LEFT JOIN ctx2 ON sh.h1 = ctx2.h1
+      |       LEFT JOIN cc2 ON sh.h1 = cc2.h1 AND sh.w = cc2.w
+      |       LEFT JOIN cx2 ON sh.h1 = cx2.h1
+      |       LEFT JOIN t3 ON sh.h2 = t3.h2 AND sh.h1 = t3.h1 AND sh.w = t3.w
+      |       LEFT JOIN ctx3 ON sh.h2 = ctx3.h2 AND sh.h1 = ctx3.h1
+      |       LEFT JOIN cc3 ON sh.h2 = cc3.h2 AND sh.h1 = cc3.h1
+      |         AND sh.w = cc3.w
+      |       LEFT JOIN cx3 ON sh.h2 = cx3.h2 AND sh.h1 = cx3.h1
+      |       LEFT JOIN t4 ON sh.h3 = t4.h3 AND sh.h2 = t4.h2
+      |         AND sh.h1 = t4.h1 AND sh.w = t4.w
+      |       LEFT JOIN ctx4 ON sh.h3 = ctx4.h3 AND sh.h2 = ctx4.h2
+      |         AND sh.h1 = ctx4.h1
+      |       LEFT JOIN cc4 ON sh.h3 = cc4.h3 AND sh.h2 = cc4.h2
+      |         AND sh.h1 = cc4.h1 AND sh.w = cc4.w
+      |       LEFT JOIN cx4 ON sh.h3 = cx4.h3 AND sh.h2 = cx4.h2
+      |         AND sh.h1 = cx4.h1
+      |       LEFT JOIN t5 ON sh.h4 = t5.h4 AND sh.h3 = t5.h3
+      |         AND sh.h2 = t5.h2 AND sh.h1 = t5.h1 AND sh.w = t5.w
+      |       LEFT JOIN ctx5 ON sh.h4 = ctx5.h4 AND sh.h3 = ctx5.h3
+      |         AND sh.h2 = ctx5.h2 AND sh.h1 = ctx5.h1
+      |       CROSS JOIN nv CROSS JOIN tts),
+      |l1 AS (SELECT *, CASE WHEN tt > 0.0 THEN
+      |           greatest(coalesce(nc1, 0.0) - 0.75, 0.0) / tt
+      |             + 0.75 * w1 / tt * (1.0 / v)
+      |         ELSE 1.0 / v END AS p1 FROM j0),
+      |l2 AS (SELECT *,
+      |         CASE WHEN ccs2 IS NOT NULL THEN
+      |             greatest(coalesce(cc2, 0.0) - 0.75, 0.0) / ccs2
+      |               + 0.75 * ncf2 / ccs2 * p1
+      |           ELSE p1 END AS p2c,
+      |         CASE WHEN cs2 IS NOT NULL THEN
+      |             greatest(coalesce(c2, 0.0) - 0.75, 0.0) / cs2
+      |               + 0.75 * nf2 / cs2 * p1
+      |           ELSE p1 END AS p2r FROM l1),
+      |l3 AS (SELECT *,
+      |         CASE WHEN ccs3 IS NOT NULL THEN
+      |             greatest(coalesce(cc3, 0.0) - 0.75, 0.0) / ccs3
+      |               + 0.75 * ncf3 / ccs3 * p2c
+      |           ELSE p2c END AS p3c,
+      |         CASE WHEN cs3 IS NOT NULL THEN
+      |             greatest(coalesce(c3, 0.0) - 0.75, 0.0) / cs3
+      |               + 0.75 * nf3 / cs3 * p2c
+      |           ELSE p2c END AS p3r FROM l2),
+      |l4 AS (SELECT *,
+      |         CASE WHEN ccs4 IS NOT NULL THEN
+      |             greatest(coalesce(cc4, 0.0) - 0.75, 0.0) / ccs4
+      |               + 0.75 * ncf4 / ccs4 * p3c
+      |           ELSE p3c END AS p4c,
+      |         CASE WHEN cs4 IS NOT NULL THEN
+      |             greatest(coalesce(c4, 0.0) - 0.75, 0.0) / cs4
+      |               + 0.75 * nf4 / cs4 * p3c
+      |           ELSE p3c END AS p4r FROM l3),
+      |l5 AS (SELECT *,
+      |         CASE WHEN cs5 IS NOT NULL THEN
+      |             greatest(coalesce(c5, 0.0) - 0.75, 0.0) / cs5
+      |               + 0.75 * nf5 / cs5 * p4c
+      |           ELSE p4c END AS p5 FROM l4),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN c1 IS NULL THEN NULL
+      |              WHEN pos = 1 THEN c1 / n
+      |              WHEN pos = 2 THEN p2r
+      |              WHEN pos = 3 THEN p3r
+      |              WHEN pos = 4 THEN p4r
+      |              ELSE p5 END AS s FROM l5),
+      |kn5s AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
+      |         FROM sp GROUP BY 1)""".stripMargin
+
+  /** Interpolated 5-gram Kneser–Ney scoring ([[TextAnalysis.lmScoreKn5]],
+    * D=0.75 at every order) — the KenLM-shape gate CCNet ships: raw-count
+    * top level, continuation-count middles, uniform-interpolated base,
+    * weight-1 backoff on unseen histories. Trained on even doc_ids,
+    * scored on every doc, so the held-out half exercises all five backoff
+    * levels; OOV positions counted, never dropped. */
+  val textLmKn5: QueryDef = QueryDef("text_lm_kn5",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmScoreKn5(docs, docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $kn5ScoreSql
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
+
+  /** 5-gram KN scoring from the STORED unified type table
+    * ([[Materialized.kn5Types]] ∘ [[TextAnalysis.lmScoreKn5FromModel]]) —
+    * the production twin of `text_lm_kn5`: the n-gram counting is paid
+    * once per corpus snapshot; every smoothing table derives from the
+    * stored types, so scoring never re-reads the training text. Same
+    * oracle as the live twin (the artifact's builder IS that
+    * computation). */
+  val textLmKn52: QueryDef = QueryDef("text_lm_kn52",
+    (s, d) => TextAnalysis.lmScoreKn5FromModel(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5Types(s, d))
+      .orderBy("doc_id"),
+    textLmKn5.oracle)
+
+  /** CCNet's ACTUAL gate composition: per-language perplexity terciles
+    * over the STORED 5-gram KN model's per-token NLL — the
+    * `text_ppl_buckets2` threshold construction consuming the 5-gram
+    * scores unchanged (Wenzek et al. 2020 gate KenLM 5-gram perplexity;
+    * the unigram-scored twin demonstrated the plumbing). Thresholds from
+    * exact order statistics on the 6-dp value table, broadcast back,
+    * buckets by comparison — no corpus ntile. */
+  val textPplBuckets5: QueryDef = QueryDef("text_ppl_buckets5",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.lmScoreKn5FromModel(docs, "doc_id", "text",
+          Materialized.kn5Types(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $kn5ScoreSql,
+            |p AS (SELECT k.doc_id, dd.lang, k.n_words,
+            |        ((2 * round(k.nll_sum * 1000000, 0)::BIGINT + k.n_words)
+            |          // (2 * k.n_words)) / 1000000.0 AS ppl_tok
+            |      FROM kn5s k JOIN documents dd USING (doc_id)
+            |      WHERE k.n_words > 0),
+            |vc AS (SELECT lang, ppl_tok, count(*)::BIGINT AS cnt FROM p
+            |       GROUP BY 1, 2),
+            |nr AS (SELECT lang, sum(cnt)::BIGINT AS n_rows FROM vc GROUP BY 1),
+            |cq AS (SELECT vc.lang, vc.ppl_tok,
+            |         sum(vc.cnt) OVER (PARTITION BY vc.lang
+            |           ORDER BY vc.ppl_tok)::BIGINT AS cum,
+            |         nr.n_rows
+            |       FROM vc JOIN nr USING (lang)),
+            |thr AS (SELECT lang,
+            |          min(CASE WHEN cum >= (n_rows // 3) + least(1, n_rows % 3)
+            |              THEN ppl_tok END) AS t1,
+            |          min(CASE WHEN cum >= 2 * (n_rows // 3) + least(2, n_rows % 3)
+            |              THEN ppl_tok END) AS t2
+            |        FROM cq GROUP BY 1),
+            |b AS (SELECT p.doc_id, p.lang, p.n_words, p.ppl_tok,
+            |        (1 + (p.ppl_tok > thr.t1)::INT + (p.ppl_tok > thr.t2)::INT)::BIGINT
+            |          AS bucket
+            |      FROM p JOIN thr USING (lang))
+            |SELECT doc_id, lang, n_words, ppl_tok, bucket,
+            |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+            |       ELSE 'middle' END AS bucket_label
+            |FROM b ORDER BY doc_id""".stripMargin))
 
   /** Count-min sketch frequency probe ([[TextAnalysis.cmsCells]] /
     * [[TextAnalysis.cmsEstimate]], Cormode & Muthukrishnan 2005): 4×1024

@@ -827,6 +827,20 @@ object Materialized {
         "doc_id", "text")
     }
 
+  /** Stored unified 5-gram type table `(ord, h4, h3, h2, h1, w, cnt)`
+    * ([[graft.llm.TextAnalysis.kn5TypeTable]] over the even-doc_id train
+    * split) — ONE artifact holding every n-gram order; 5-gram KN scoring
+    * derives all smoothing count tables from it, so held-out scoring
+    * never re-reads the training corpus. Partitioned by `ord` so each
+    * per-order consumer scans only its slice. */
+  def kn5Types(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_types", "even_split", sfDir, "documents",
+      partitionCols = Seq("ord")) {
+      graft.llm.TextAnalysis.kn5TypeTable(
+        Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,

@@ -2780,6 +2780,59 @@ class LlmSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("lmScoreKn5: OOV accounted, self-score has zero OOV, continuation probability beats raw frequency after an unseen context") {
+    // 'francisco' and 'the' have EQUAL unigram counts (8), but francisco
+    // only ever follows 'san' (one continuation context) while 'the'
+    // follows eight distinct words — after an UNSEEN history, KN must
+    // prefer 'the' (the correction raw-frequency backoff cannot make)
+    val train = (
+      (1 to 8).map(i => (i.toLong, "san francisco")) ++
+      (1 to 8).map(i => (8L + i, s"w$i the"))
+    ).toDF("doc_id", "text")
+    val self = TextAnalysis.lmScoreKn5(train, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(self.length == 16)
+    assert(self.forall(_._3 == 0L), "train-corpus self-score must have zero OOV")
+    assert(self.forall(_._4 > 0.0))
+    val probe = Seq((100L, "zzz francisco"), (101L, "zzz the")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKn5(probe, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(100L)._1 == 1L && out(101L)._1 == 1L, "zzz is OOV, counted once")
+    assert(out(101L)._2 < out(100L)._2,
+      s"after unseen context, p(the) must exceed p(francisco): $out")
+  }
+
+  test("lmScoreKn5: top-level conditional distributions normalize over the vocabulary") {
+    // extract p(w|h) by score differencing: nll(prefix + w) − nll(prefix)
+    // is the final position's −ln p under the chain top for that length;
+    // summed over the FULL vocab it must be 1 (within 6-dp rounding dust)
+    val train = Tables10.limit(40)
+    val vocab = train.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(vocab.length >= 5)
+    // an attested 4-word history from the train text (first 4 words of doc 1)
+    val first = train.orderBy("doc_id").select(col("text")).head().getString(0)
+    val h4 = first.split(" ").take(4)
+    require(h4.length == 4)
+    def nlls(docs: Seq[(Long, String)]): Map[Long, Double] =
+      TextAnalysis.lmScoreKn5(docs.toDF("doc_id", "text"), train, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // bigram level: p2r(w | h) over vocab sums to 1
+    val h1 = h4.head
+    val bg = nlls(Seq((0L, h1)) ++ vocab.zipWithIndex.map { case (w, i) =>
+      ((i + 1).toLong, s"$h1 $w") })
+    val base1 = bg(0L)
+    val sum2 = vocab.indices.map(i => math.exp(-(bg((i + 1).toLong) - base1))).sum
+    assert(math.abs(sum2 - 1.0) < 1e-3, s"p2r sums to $sum2")
+    // 5-gram level: p5(w | h4 h3 h2 h1) over vocab sums to 1
+    val prefix = h4.mkString(" ")
+    val fg = nlls(Seq((0L, prefix)) ++ vocab.zipWithIndex.map { case (w, i) =>
+      ((i + 1).toLong, s"$prefix $w") })
+    val base4 = fg(0L)
+    val sum5 = vocab.indices.map(i => math.exp(-(fg((i + 1).toLong) - base4))).sum
+    assert(math.abs(sum5 - 1.0) < 1e-3, s"p5 sums to $sum5")
+  }
+
   test("jsDivergenceBySource: disjoint-vocabulary pair surfaces at the ln 2 maximum") {
     val d = Seq(
       ("a", "alpha beta alpha"), ("a", "beta gamma"),

@@ -673,6 +673,28 @@ class PlanSpec extends AnyFunSuite {
         "— the EM loop is re-scanning the corpus (word table not cached?)")
   }
 
+  test("text_lm_kn52: stored 5-gram KN — docs scanned once, no data-table broadcast hint, ord slices partition-pruned") {
+    val df = graft.SparkEntry.queries("text_lm_kn52")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan parquet.*documents".r.findAllIn(p).size == 1,
+      "held-out scoring must tokenize the corpus exactly once\n" + p)
+    // the only broadcast HINTS are the two one-row scalar aggregates; the
+    // n-gram/continuation/context tables float with Catalyst — AQE
+    // broadcasts them at spec scale, shuffle-joins them at corpus scale,
+    // and nothing pins a corpus-sized table to broadcast memory
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"expected exactly the 2 scalar broadcast hints, saw $hints")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the one-row scalars may cross-join\n" + p)
+    // each per-order consumer prunes the stored unified table to its slice
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*ord".r.findFirstIn(p).isDefined,
+      "ord must reach the store scan as a partition filter\n" + p)
+  }
+
   test("dedup_winnow: self-join sides share the one fp pipeline (reused exchange or broadcast), never a cartesian") {
     val p = plan("dedup_winnow")
     // at corpus scale the SMJ's two identical sides reuse the single fp
