@@ -1507,6 +1507,170 @@ object TextAnalysis {
   }
 
   /**
+   * Forward–backward expected piece masses for ONE word under piece
+   * probabilities — soft-EM's E-step kernel. Probability space, NOT log
+   * space: log-space would need cross-engine-exact `log1p`-sums, while
+   * probability products/sums of exact-ratio doubles replay bit-for-bit
+   * in any engine as long as the FOLD ORDER is fixed — here every α/β
+   * value folds its ≤`maxPieceLen` terms in ascending piece-length
+   * order, the same order the oracle's register-carrying recursive CTE
+   * adds them (skipping an out-of-vocab term equals adding its 0.0 —
+   * IEEE `x + 0.0 = x`). Per-OCCURRENCE expected use
+   * `α(j)·p·β(j+l)/α(n)` is one fixed closed-form expression; the
+   * emitted mass is 6-dp-quantized micro-units (`round(f·ec, 6)·1e6` as
+   * a long), so cross-partition/cross-engine reduction is an exact
+   * integer sum in any order. Fails loud if the word's total mass
+   * underflows probability space (a ≫63-char word over a diffuse
+   * vocabulary — the bounded-word contract already rejects those at
+   * seeding).
+   */
+  private[llm] def softEmExpected(w: String, f: Long,
+                                  p: collection.Map[String, Double],
+                                  maxPieceLen: Int): Iterator[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Iterator.empty
+    val a = new Array[Double](n + 1)
+    a(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var l = 1
+      val lm = math.min(maxPieceLen, i)
+      while (l <= lm) {
+        val pv = p.get(w.substring(i - l, i))
+        if (pv.isDefined) s += a(i - l) * pv.get
+        l += 1
+      }
+      a(i) = s
+      i += 1
+    }
+    val z = a(n)
+    require(z > 1e-300,
+      s"soft-EM forward mass underflowed for '${w.take(32)}…' (z=$z) — " +
+        "word too long / vocabulary too diffuse for probability space")
+    val b = new Array[Double](n + 1)
+    b(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var l = 1
+      val lm = math.min(maxPieceLen, n - i)
+      while (l <= lm) {
+        val pv = p.get(w.substring(i, i + l))
+        if (pv.isDefined) s += pv.get * b(i + l)
+        l += 1
+      }
+      b(i) = s
+      i -= 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var j = 0
+    while (j < n) {
+      var l = 1
+      val lm = math.min(maxPieceLen, n - j)
+      while (l <= lm) {
+        val piece = w.substring(j, j + l)
+        val pv = p.get(piece)
+        if (pv.isDefined) {
+          val ec = a(j) * pv.get * b(j + l) / z
+          val m6 = Math.round(Similarity.roundHalfUp(f * ec, 6) * 1e6)
+          out += ((piece, m6))
+        }
+        l += 1
+      }
+      j += 1
+    }
+    out.iterator
+  }
+
+  /**
+   * SOFT-EM unigram-LM tokenizer training with a vocabulary-pruning
+   * schedule — the full SentencePiece trainer shape (Kudo 2018) beside
+   * [[unigramTrain]]'s hard-EM twin: the E-step accumulates
+   * forward–backward EXPECTED piece masses over every segmentation
+   * (not just the Viterbi one), the M-step re-normalizes, and after
+   * every round the vocabulary SHRINKS — multi-char pieces ranked by
+   * (mass desc, piece asc) keep only
+   * `max(targetMulti, ceil(#survivors·shrink))` entries while ALL
+   * single characters survive (the coverage floor that keeps every word
+   * segmentable), with zero-quantized single-char masses clamped to one
+   * micro-unit so coverage never divides by zero. Masses are exact
+   * integer micro-units end-to-end (the [[softEmExpected]] quantization),
+   * so the ranking, the pruning cut and the output replay bit-for-bit in
+   * any engine. Output: `(piece, em6, lp)` — surviving pieces, expected
+   * mass in micro-units, 6-dp log-probability.
+   *
+   * 100 TB shape: the [[unigramTrain]] discipline exactly — ONE corpus
+   * token scan into the persisted distinct-word table, every EM round a
+   * vocab-bounded flatMap + integer-sum aggregation over it with the
+   * piece probabilities broadcast, the returned model a local relation
+   * built from the M-step's own collected rows.
+   */
+  def unigramTrainSoft(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                       seedSize: Int = 40, iters: Int = 2,
+                       targetMulti: Int = 8, shrink: Double = 0.5,
+                       maxVocabCollect: Int = 200000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wt = unigramWordTable(docs, textCol).persist()
+    try {
+      val mp = maxPieceLen
+      val sub = wt.flatMap { case (w, f) =>
+        require(w.length < 64,
+          s"unigram seeding bounds word length at 63 chars, got ${w.length}: " +
+            s"'${w.take(32)}…' — raise the bound in BOTH the trainer and the " +
+            "oracle's range(1, 64)")
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(mp, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+      val top = sub.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      val v0 = top.unionByName(sub.where(length(col("piece")) === 1))
+        .dropDuplicates("piece")
+      val seed = v0.select(col("piece"), col("cnt").cast("long"))
+        .as[(String, Long)].collect()
+      require(seed.length <= maxVocabCollect,
+        s"unigram vocab ${seed.length} exceeds $maxVocabCollect")
+      def probs(masses: Array[(String, Long)]): Map[String, Double] = {
+        val total = masses.map(_._2).sum.toDouble
+        masses.iterator.map { case (p, m) => p -> (m / total) }.toMap
+      }
+      // the deterministic prune: singles clamped and always kept, positive
+      // multis ranked (mass desc, piece asc), keep max(target, ceil(n·shrink))
+      def prune(masses: Array[(String, Long)]): Array[(String, Long)] = {
+        val singles = masses.filter(_._1.length == 1)
+          .map { case (p, m) => (p, math.max(m, 1L)) }
+        val multis = masses.filter { case (p, m) => p.length > 1 && m > 0 }
+        val keep = math.max(targetMulti.toLong,
+          math.ceil(multis.length * shrink).toLong).toInt
+        val kept = multis.sortBy { case (p, m) => (-m, p) }.take(keep)
+        singles ++ kept
+      }
+      var vocab = seed
+      var pm = probs(vocab)
+      var it = 0
+      while (it < iters) {
+        val pB = spark.sparkContext.broadcast(pm)
+        val masses = wt.flatMap { case (w, f) =>
+          softEmExpected(w, f, pB.value, mp)
+        }.toDF("piece", "m").groupBy("piece")
+          .agg(sum("m").cast("long").as("m"))
+          .as[(String, Long)].collect()
+        require(masses.length <= maxVocabCollect,
+          s"unigram vocab ${masses.length} exceeds $maxVocabCollect")
+        vocab = prune(masses)
+        pm = probs(vocab)
+        it += 1
+      }
+      val total = vocab.map(_._2).sum.toDouble
+      spark.createDataFrame(vocab.toSeq.map { case (p, m) =>
+        (p, m, Similarity.roundHalfUp(math.log(m / total), 6))
+      }).toDF("piece", "em6", "lp")
+    } finally wt.unpersist()
+  }
+
+  /**
    * Unigram tokenization against a TRAINED piece table (`(piece, lp)`
    * rows — [[unigramTrain]]'s output or a stored artifact): per document,
    * word count, piece count, and the negative log-likelihood of its

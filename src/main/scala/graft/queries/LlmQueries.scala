@@ -50,7 +50,7 @@ object LlmQueries {
     textPmi, textJsDiv, textPsi, pipelineDatacard,
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
     textSplitSafe, dedupContainment, textLmKn2,
-    textLmKn5, textLmKn52, textPplBuckets5)
+    textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5727,6 +5727,97 @@ object LlmQueries {
     * unchanged, only the word table's alphabet moves to
     * bytes_to_unicode space, so pieces form at byte granularity
     * (é enters as Ã©). */
+  /** One soft-EM round's replay: α/β forward–backward via register-
+    * carrying recursive CTEs (each step folds its 4 piece-length terms in
+    * the kernel's fixed order — out-of-range terms multiply a 0.0
+    * register, IEEE-identical to skipping them), per-occurrence expected
+    * use `α(j)·p·β(j+l)/z` quantized to integer micro-units, then the
+    * deterministic prune (singles clamped ≥1, positive multis ranked by
+    * (mass desc, piece asc), keep `max(8, ceil(n·0.5))`). `pIn` names the
+    * incoming probability CTE; emits `a$r/b$r/occ$r/m$r/s$r/mu$r/v$r/p$r`. */
+  private def softEmRoundSql(r: Int, pIn: String): String =
+    s"""a$r AS (
+      |  SELECT w, f, 0::INT AS i, 1.0::DOUBLE AS a0, 0.0::DOUBLE AS am1,
+      |         0.0::DOUBLE AS am2, 0.0::DOUBLE AS am3 FROM wt
+      |  UNION ALL
+      |  SELECT s.w, s.f, s.i + 1,
+      |    coalesce(s.a0 * p1.p, 0.0) + coalesce(s.am1 * p2.p, 0.0)
+      |      + coalesce(s.am2 * p3.p, 0.0) + coalesce(s.am3 * p4.p, 0.0),
+      |    s.a0, s.am1, s.am2
+      |  FROM a$r s
+      |  LEFT JOIN $pIn p1 ON p1.piece = substr(s.w, s.i + 1, 1)
+      |  LEFT JOIN $pIn p2 ON p2.piece = substr(s.w, s.i, 2)
+      |  LEFT JOIN $pIn p3 ON p3.piece = substr(s.w, s.i - 1, 3)
+      |  LEFT JOIN $pIn p4 ON p4.piece = substr(s.w, s.i - 2, 4)
+      |  WHERE s.i < len(s.w)),
+      |b$r AS (
+      |  SELECT w, f, len(w)::INT AS i, 1.0::DOUBLE AS b0, 0.0::DOUBLE AS bp1,
+      |         0.0::DOUBLE AS bp2, 0.0::DOUBLE AS bp3 FROM wt
+      |  UNION ALL
+      |  SELECT s.w, s.f, s.i - 1,
+      |    coalesce(p1.p * s.b0, 0.0) + coalesce(p2.p * s.bp1, 0.0)
+      |      + coalesce(p3.p * s.bp2, 0.0) + coalesce(p4.p * s.bp3, 0.0),
+      |    s.b0, s.bp1, s.bp2
+      |  FROM b$r s
+      |  LEFT JOIN $pIn p1 ON p1.piece = substr(s.w, s.i, 1)
+      |  LEFT JOIN $pIn p2 ON p2.piece = substr(s.w, s.i, 2)
+      |  LEFT JOIN $pIn p3 ON p3.piece = substr(s.w, s.i, 3)
+      |  LEFT JOIN $pIn p4 ON p4.piece = substr(s.w, s.i, 4)
+      |  WHERE s.i > 0),
+      |occ$r AS MATERIALIZED (SELECT al.w, al.f, pp.piece, pp.p, al.a0 AS aj, bt.b0 AS bi,
+      |            az.a0 AS z
+      |          FROM a$r al
+      |          JOIN range(1, 5) q(l) ON al.i + q.l <= len(al.w)
+      |          JOIN $pIn pp ON pp.piece = substr(al.w, al.i + 1, q.l)
+      |          JOIN b$r bt ON bt.w = al.w AND bt.i = al.i + q.l
+      |          JOIN a$r az ON az.w = al.w AND az.i = len(al.w)),
+      |m$r AS MATERIALIZED (SELECT piece,
+      |          sum(round(round(f * (aj * p * bi / z), 6) * 1000000, 0)::BIGINT)
+      |            ::BIGINT AS m
+      |        FROM occ$r GROUP BY 1),
+      |s$r AS MATERIALIZED (SELECT piece, greatest(m, 1) AS m FROM m$r WHERE len(piece) = 1),
+      |mu${r}a AS MATERIALIZED (SELECT piece, m FROM m$r WHERE len(piece) > 1 AND m > 0),
+      |k$r AS (SELECT greatest(8, ceil(count(*) * 0.5)::BIGINT) AS k FROM mu${r}a),
+      |mu$r AS MATERIALIZED (SELECT piece, m FROM mu${r}a, k$r
+      |         QUALIFY row_number() OVER (ORDER BY m DESC, piece) <= k$r.k),
+      |v$r AS MATERIALIZED (SELECT * FROM s$r UNION ALL SELECT * FROM mu$r),
+      |p$r AS MATERIALIZED (SELECT piece, m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v$r) AS p
+      |        FROM v$r)""".stripMargin
+
+  /** Soft-EM unigram training with the pruning schedule
+    * ([[TextAnalysis.unigramTrainSoft]], Kudo 2018's full trainer shape):
+    * forward–backward EXPECTED masses over every segmentation, exact
+    * integer micro-units end-to-end, vocabulary shrinking every round
+    * with the single-char coverage floor. The oracle replays both EM
+    * rounds via register-carrying recursive CTEs in the kernel's exact
+    * fold order. */
+  val textUnigramTrainEm: QueryDef = QueryDef("text_unigram_train_em",
+    (s, d) => TextAnalysis.unigramTrainSoft(Tables.documents(s, d), "text",
+        maxPieceLen = 4, seedSize = 40, iters = 2,
+        targetMulti = 8, shrink = 0.5)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE
+            |wt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f
+            |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1),
+            |sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
+            |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
+            |        WHERE i + l <= len(w) + 1
+            |        GROUP BY 1),
+            |top AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 40),
+            |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM
+            |        (SELECT * FROM top UNION ALL
+            |         SELECT * FROM sub WHERE len(piece) = 1)),
+            |p0 AS MATERIALIZED (SELECT piece,
+            |         cnt::DOUBLE / (SELECT sum(cnt)::DOUBLE FROM v0) AS p
+            |       FROM v0),
+            |${softEmRoundSql(1, "p0")},
+            |${softEmRoundSql(2, "p1")}
+            |SELECT piece, m AS em6,
+            |  round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
+            |FROM v2 ORDER BY piece""".stripMargin))
+
   val textUnigramTrainBytes: QueryDef = QueryDef("text_unigram_train_bytes",
     (s, d) => {
       import s.implicits._

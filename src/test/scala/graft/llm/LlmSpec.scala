@@ -2780,6 +2780,43 @@ class LlmSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("softEmExpected: hand-computed masses, per-position coverage conservation") {
+    // word "ab", vocab {a: .25, b: .25, ab: .5}: Z = .25·.25 + .5 = .5625
+    // ec(a) = ec(b) = .0625/.5625 = .1̄; ec(ab) = .5/.5625 = .8̄
+    val m = TextAnalysis.softEmExpected("ab", 1L,
+      Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), 4).toMap
+    assert(m == Map("a" -> 111111L, "b" -> 111111L, "ab" -> 888889L), m.toString)
+    // coverage conservation: occurrences covering each char position sum
+    // to one token's mass (position 0: a + ab; position 1: b + ab)
+    assert(m("a") + m("ab") == 1000000L)
+    assert(m("b") + m("ab") == 1000000L)
+    // frequency weighting scales linearly in the quantized units
+    val m7 = TextAnalysis.softEmExpected("ab", 7L,
+      Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), 4).toMap
+    assert(m7("ab") == 6222222L, m7.toString) // round(7·0.8̄, 6)·1e6
+  }
+
+  test("unigramTrainSoft: monotone vocabulary shrink, single-char coverage floor survives pruning") {
+    val d = Tables10
+    def multis(iters: Int): (Set[String], Int) = {
+      val rows = TextAnalysis.unigramTrainSoft(d, "text", maxPieceLen = 4,
+          seedSize = 40, iters = iters, targetMulti = 8, shrink = 0.5)
+        .collect().map(_.getString(0)).toSet
+      (rows, rows.count(_.length > 1))
+    }
+    val (v1, m1) = multis(1)
+    val (v2, m2) = multis(2)
+    val (v3, m3) = multis(3)
+    assert(m1 >= m2 && m2 >= m3,
+      s"pruning schedule must shrink the multi-piece vocab: $m1, $m2, $m3")
+    assert(m3 >= 8, "never below the target floor while survivors remain")
+    // coverage floor: every distinct corpus character survives every round
+    val chars = d.select(explode(split(col("text"), " ")).as("w"))
+      .collect().flatMap(_.getString(0).toCharArray.map(_.toString)).toSet
+    Seq(v1, v2, v3).foreach(v => assert(chars.subsetOf(v),
+      s"missing single chars: ${chars -- v}"))
+  }
+
   test("lmScoreKn5: OOV accounted, self-score has zero OOV, continuation probability beats raw frequency after an unseen context") {
     // 'francisco' and 'the' have EQUAL unigram counts (8), but francisco
     // only ever follows 'san' (one continuation context) while 'the'
