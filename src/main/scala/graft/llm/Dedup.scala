@@ -471,10 +471,13 @@ object Dedup {
    * as a window over that exchange (an agg + self-join would pay the
    * same skewed shuffle twice), then a partial-aggregable per-doc
    * rollup. A boilerplate gram's window partition holds its occurrence
-   * list — the same bounded per-key count pass repeatedSpans documents.
+   * list; `hotGramThreshold` is the cap for the pathological tail — see
+   * [[repeatedSpans]] (same dial, same mechanics, bit-identical outputs
+   * property-pinned in LlmSpec).
    */
   def softDedupScores(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 4, lambda: Double = 0.5): DataFrame = {
+                      n: Int = 4, lambda: Double = 0.5,
+                      hotGramThreshold: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -486,8 +489,24 @@ object Dedup {
         else TextHashing.wordNgramsKernel(t, n).iterator.map(g =>
           (id, TextHashing.md5Long60Kernel(g)))
       }.toDF("id", "gh")
-    val per = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+    val counted = hotGramThreshold match {
+      case None =>
+        grams.withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      case Some(t) =>
+        // hot grams (> t occurrences, ≤ corpus/t of them) take their count
+        // from a partial-aggregated broadcast table and ride the window
+        // exchange under a salted key so no task ever holds a hot gram's
+        // full occurrence list; cold rows keep salt 0 = the exact window
+        // count. coalesce order makes hot rows ignore their salted count.
+        val hot = grams.groupBy("gh").agg(count(lit(1)).as("hcnt"))
+          .where(col("hcnt") > t)
+        grams.join(broadcast(hot), Seq("gh"), "left")
+          .withColumn("slt", when(col("hcnt").isNotNull,
+            pmod(col("id"), lit(HotGramSalt))).otherwise(lit(0L)))
+          .withColumn("cnt", coalesce(col("hcnt"),
+            count(lit(1)).over(Window.partitionBy("gh", "slt"))))
+    }
+    val per = counted
       .withColumn("v6",
         round(round((col("cnt") - 1).cast("double") / col("cnt"), 6) * 1e6, 0)
           .cast("long"))
@@ -536,16 +555,25 @@ object Dedup {
    * pos)` — never gram text — and both the occurrence count and the
    * canonical-copy election happen in a single window pass over that
    * exchange (an earlier agg + self-join formulation paid the same skewed
-   * occurrence shuffle TWICE plus a second full gram expansion). A
-   * pathological gram repeated ~millions of times lands on one window
-   * partition in either formulation — its non-canonical occurrences ARE
-   * the output — and the sort is per-partition, never global. Span
+   * occurrence shuffle TWICE plus a second full gram expansion). Span
    * merging is a per-document window — bounded by document length. An
    * md5-60 collision (prob ≤ G²·2⁻⁶¹ over G distinct grams) flags a
    * unique span — acceptable for a dedup filter.
+   *
+   * THE HOT-GRAM CAP (`hotGramThreshold = Some(t)`): a pathological gram
+   * repeated ~10⁹ times would land its whole occurrence list on one
+   * window task. With the cap, grams past `t` occurrences (≤ corpus/t of
+   * them — a bounded broadcast) take their count AND canonical copy
+   * (`min (id, pos)`) from a partial-aggregated broadcast table — both
+   * skew-immune map-side combines — and ride the window exchange under a
+   * salted key so no task ever holds a hot gram's full list; cold grams
+   * keep salt 0 = exactly the uncapped window. Outputs are bit-identical
+   * to the uncapped path (LlmSpec property); the dial costs one extra
+   * corpus gram scan for the hot census, which is why it is opt-in.
    */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
+                    n: Int,
+                    hotGramThreshold: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -562,12 +590,32 @@ object Dedup {
           case (g, i) => (id, (i + 1).toLong, TextHashing.md5Long60Kernel(g))
         }
       }.toDF("id", "pos", "gh")
-    val byGram = Window.partitionBy("gh")
-    val flagged = grams
-      .withColumn("cnt", count(lit(1)).over(byGram))
-      .withColumn("rn", row_number().over(byGram.orderBy("id", "pos")))
-      .where(col("cnt") > 1 && col("rn") > 1)
-      .select(col("id"), col("pos"))
+    val flagged = hotGramThreshold match {
+      case None =>
+        val byGram = Window.partitionBy("gh")
+        grams
+          .withColumn("cnt", count(lit(1)).over(byGram))
+          .withColumn("rn", row_number().over(byGram.orderBy("id", "pos")))
+          .where(col("cnt") > 1 && col("rn") > 1)
+          .select(col("id"), col("pos"))
+      case Some(t) =>
+        val hot = grams.groupBy("gh")
+          .agg(count(lit(1)).as("hcnt"),
+            min(struct(col("id"), col("pos"))).as("hmin"))
+          .where(col("hcnt") > t)
+        val byGram = Window.partitionBy("gh", "slt")
+        grams.join(broadcast(hot), Seq("gh"), "left")
+          .withColumn("slt", when(col("hcnt").isNotNull,
+            pmod(col("id"), lit(HotGramSalt))).otherwise(lit(0L)))
+          .withColumn("cnt", count(lit(1)).over(byGram))
+          .withColumn("rn", row_number().over(byGram.orderBy("id", "pos")))
+          .where(when(col("hcnt").isNotNull,
+            // hot: every occurrence except the broadcast-elected canonical
+            // (hcnt > t ≥ 1, so the count condition is always met)
+            !(col("id") === col("hmin.id") && col("pos") === col("hmin.pos")))
+            .otherwise(col("cnt") > 1 && col("rn") > 1))
+          .select(col("id"), col("pos"))
+    }
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(byDoc)
     flagged
@@ -1393,15 +1441,24 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
 
+  /** Salt width for the hot-gram cap's window exchange: a hot gram's
+    * occurrences spread over this many tasks (their window values are
+    * unused — count and canonical copy come from the broadcast census). */
+  private val HotGramSalt = 64L
+
   /** Position-field width for the winnowing combined key: positions ride
-    * in the low 20 bits, the 40-bit gram hash in bits 20–59. */
-  private val WinnowPosBits = 20
+    * in the low 19 bits, the 44-bit gram hash in bits 19–62 (widened from
+    * 40+20 in round 11: at 10M docs the 40-bit hash's birthday collisions
+    * added ~0.4% phantom pairs at `minShared = 1`; 44 bits push the
+    * collision knee past 10⁸ distinct grams at the cost of halving the
+    * max document length — still 524k grams, fail-loud). */
+  private val WinnowPosBits = 19
   private val WinnowPosLim = 1L << WinnowPosBits
 
   /**
    * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
    * the MOSS local-fingerprinting algorithm). Word `k`-grams are hashed to
-   * 40 bits (md5 prefix — engine-portable, the [[TextHashing]] discipline);
+   * 44 bits (md5 prefix — engine-portable, the [[TextHashing]] discipline);
    * every window of `w` consecutive gram hashes selects its MINIMUM,
    * rightmost occurrence on ties, and the distinct selected
    * `(hash, position)` pairs are the document's fingerprints. The winnowing
@@ -1411,11 +1468,11 @@ object Dedup {
    * fingerprint a 100 TB near-dup index stores instead of every gram.
    *
    * The rightmost-min election rides in ONE comparable BIGINT key,
-   * `hash·2²⁰ + (2²⁰−1−pos)`: min over the window is min hash with max
+   * `hash·2¹⁹ + (2¹⁹−1−pos)`: min over the window is min hash with max
    * position on ties, identical in any engine — no struct ordering, no
-   * second window. Documents beyond 2²⁰−1 grams fail LOUD (the position
-   * field would wrap and fingerprint wrong). 40-bit hashes collide at
-   * ~G²·2⁻⁴¹ over G distinct grams — a collision only adds a candidate
+   * second window. Documents beyond 2¹⁹−1 grams fail LOUD (the position
+   * field would wrap and fingerprint wrong). 44-bit hashes collide at
+   * ~G²·2⁻⁴⁵ over G distinct grams — a collision only adds a candidate
    * pair for [[winnowPairs]]' count filter, never corrupts a document's
    * own selection, and both engines hash identically so parity is exact.
    *
@@ -1460,10 +1517,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(wordNgrams(col(textCol), k)).as(Seq("p0", "gram")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val h40 = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
+    val h44 = conv(substring(md5(col("gram")), 1, 11), 16, 10).cast("long")
     val keyed = g.select(col("id"), col("pos"),
       when(col("pos") < WinnowPosLim,
-        h40 * lit(WinnowPosLim) + (lit(WinnowPosLim - 1) - col("pos")))
+        h44 * lit(WinnowPosLim) + (lit(WinnowPosLim - 1) - col("pos")))
         .otherwise(raise_error(lit(
           s"winnowing: document exceeds ${WinnowPosLim - 1} grams — widen " +
             "WinnowPosBits")).cast("long"))
@@ -1484,7 +1541,7 @@ object Dedup {
   }
 
   /** Kernel replica of the expression winnowing path: combined keys
-    * `hash40·2²⁰ + (2²⁰−1−pos)` (positions 1-based), sliding-window
+    * `hash44·2¹⁹ + (2¹⁹−1−pos)` (positions 1-based), sliding-window
     * minimum via a monotonic deque (keys are unique — the position field
     * makes ties impossible, so rightmost-min is already encoded), distinct
     * `(fp, fp_pos)` per document via an in-kernel set. For documents
@@ -1500,7 +1557,7 @@ object Dedup {
     val keys = new Array[Long](ng)
     var i = 0
     while (i < ng) {
-      keys(i) = TextHashing.md5Long40Kernel(grams(i)) * WinnowPosLim +
+      keys(i) = TextHashing.md5Long44Kernel(grams(i)) * WinnowPosLim +
         (WinnowPosLim - 1 - (i + 1))
       i += 1
     }
@@ -1790,4 +1847,80 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         max(col("n_words")).as("n_words"))
       .where(col("n_docs") >= 2)
+
+  /** Gear rolling-hash kernel for [[gearChunks]]: per character,
+    * `h = (h << 1) + G(c)` with 64-bit wrapping arithmetic, where
+    * `G(c) = md5Long60(c)` (engine-portable gear table — no baked-in
+    * constants). A boundary falls after position `i < n` when the top
+    * `maskBits` bits of `h` are zero — equivalently `h`, read unsigned,
+    * is below `2^(64−maskBits)`; because a shift-by-64 vanishes mod 2⁶⁴,
+    * the decision depends on exactly the trailing ≤64 characters, which
+    * is what the oracle's closed-form window sum
+    * `Σ G(c_j)·2^(i−j) mod 2⁶⁴` replays with exact HUGEINT arithmetic.
+    * The hash never resets at a boundary (the pure-rolling Rabin/rsync
+    * variant, not FastCDC's per-chunk restart), so boundary placement is
+    * a LOCAL property of the byte stream and an edit re-aligns after at
+    * most 64 characters. Returns (chunk_idx, c_start, c_end,
+    * chunk_hash), 1-based inclusive character positions. */
+  private[llm] def gearChunkKernel(text: String,
+                                   maskBits: Int): Array[(Long, Long, Long, Long)] = {
+    val n = text.length
+    if (n == 0) return Array.empty
+    val shift = 64 - maskBits
+    val g = new scala.collection.mutable.HashMap[Char, Long]()
+    val bounds = scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var i = 1
+    while (i <= n) {
+      val c = text.charAt(i - 1)
+      h = (h << 1) + g.getOrElseUpdate(c, TextHashing.md5Long60Kernel(c.toString))
+      if (i < n && (h >>> shift) == 0L) bounds += i
+      i += 1
+    }
+    val starts = 1 +: bounds.map(_ + 1)
+    val ends = bounds :+ n
+    starts.indices.iterator.map { ci =>
+      val (s, e) = (starts(ci), ends(ci))
+      ((ci + 1).toLong, s.toLong, e.toLong,
+        TextHashing.md5Long60Kernel(text.substring(s - 1, e)))
+    }.toArray
+  }
+
+  /**
+   * BYTE-rolling content-defined chunking (the Gear/Rabin rolling-hash
+   * family — Muthitacharoen et al. 2001 LBFS; Xia et al. 2016 FastCDC's
+   * gear function) — the character/byte-granular sibling of the
+   * word-granular [[cdcChunks]]: boundaries are decided by a 64-bit
+   * rolling hash over the trailing ≤64 CHARACTERS, so an edit INSIDE a
+   * word (which shifts every word k-gram after it within its word) still
+   * re-aligns chunking within 64 characters. Feed it raw (ASCII/binary-
+   * mapped) text; for true binary blobs compose with
+   * [[graft.llm.TextAnalysis.byteLevelCorpus]], whose one-char-per-byte
+   * mapping makes each character exactly one byte. Mean chunk length ≈
+   * `2^maskBits` characters (no min/max normalization — the plain
+   * rolling form, documented trade: tiny/huge chunks possible at the
+   * geometric tails).
+   *
+   * 100 TB shape: one typed JIT scan per document, zero shuffle — the
+   * [[cdcChunks]] plan shape exactly; only a downstream duplicate rollup
+   * exchanges fixed-width `(hash, id)` rows.
+   */
+  def gearChunks(docs: DataFrame, idCol: String, textCol: String,
+                 maskBits: Int = 6): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 32, s"maskBits out of range: $maskBits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireIntegralId(docs, idCol, "gearChunks")
+    val idType = docs.schema(idCol).dataType
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else gearChunkKernel(t, maskBits).iterator.map(c =>
+          (id, c._1, c._2, c._3, c._3 - c._2 + 1, c._4))
+      }
+      .toDF("id0", "chunk_idx", "c_start", "c_end", "n_chars", "chunk_hash")
+      .select(col("id0").cast(idType).as(idCol), col("chunk_idx"),
+        col("c_start"), col("c_end"), col("n_chars"), col("chunk_hash"))
+  }
 }

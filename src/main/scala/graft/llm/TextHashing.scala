@@ -130,16 +130,16 @@ object TextHashing {
   def wordNgramsKernel(text: String, n: Int): Array[String] =
     wordNgramsKernel(text.split(" ", -1), n)
 
-  /** Kernel replica of `conv(substring(md5(s), 1, 10), 16, 10)` — the
-    * first 40 bits of md5 (first 5 digest bytes), the winnowing gram
-    * hash. */
-  def md5Long40Kernel(s: String): Long = {
+  /** Kernel replica of `conv(substring(md5(s), 1, 11), 16, 10)` — the
+    * first 44 bits of md5 (first 5 digest bytes plus the high nibble of
+    * the 6th), the winnowing gram hash. */
+  def md5Long44Kernel(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var acc = 0L
     var i = 0
     while (i < 5) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    acc
+    (acc << 4) | ((d(5) >>> 4) & 0xfL)
   }
 
   /** Hex md5 of a string (band-key kernel, equals Spark/DuckDB `md5`). */

@@ -50,7 +50,8 @@ object LlmQueries {
     textPmi, textJsDiv, textPsi, pipelineDatacard,
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
     textSplitSafe, dedupContainment, textLmKn2,
-    textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm)
+    textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
+    textGearChunks)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4998,16 +4999,16 @@ object LlmQueries {
            |ex AS (SELECT doc_id, unnest(gs) AS gr,
            |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
            |ky AS (SELECT doc_id, pos,
-           |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
-           |           + (1048575 - pos) AS key
+           |         ('0x' || substr(md5(gr), 1, 11))::BIGINT * 524288
+           |           + (524287 - pos) AS key
            |       FROM ex),
            |mn AS (SELECT doc_id, pos,
            |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
            |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
            |         count(*) OVER (PARTITION BY doc_id) AS ng
            |       FROM ky),
-           |sel AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp,
-           |          1048575 - (kmin & 1048575) AS fp_pos
+           |sel AS (SELECT DISTINCT doc_id, kmin >> 19 AS fp,
+           |          524287 - (kmin & 524287) AS fp_pos
            |        FROM mn WHERE pos <= greatest(ng - 3, 1))
            |SELECT doc_id, fp, fp_pos FROM sel
            |ORDER BY doc_id, fp_pos, fp""".stripMargin))
@@ -5027,15 +5028,15 @@ object LlmQueries {
            |ex AS (SELECT doc_id, unnest(gs) AS gr,
            |         generate_subscripts(gs, 1)::BIGINT AS pos FROM g),
            |ky AS (SELECT doc_id, pos,
-           |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
-           |           + (1048575 - pos) AS key
+           |         ('0x' || substr(md5(gr), 1, 11))::BIGINT * 524288
+           |           + (524287 - pos) AS key
            |       FROM ex),
            |mn AS (SELECT doc_id, pos,
            |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
            |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
            |         count(*) OVER (PARTITION BY doc_id) AS ng
            |       FROM ky),
-           |fp2 AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp
+           |fp2 AS (SELECT DISTINCT doc_id, kmin >> 19 AS fp
            |        FROM mn WHERE pos <= greatest(ng - 3, 1)),
            |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp2 GROUP BY 1)
            |         WHERE df BETWEEN 2 AND 100),
@@ -5057,15 +5058,15 @@ object LlmQueries {
        |${p}ex AS (SELECT doc_id, unnest(gs) AS gr,
        |         generate_subscripts(gs, 1)::BIGINT AS pos FROM ${p}g),
        |${p}ky AS (SELECT doc_id, pos,
-       |         ('0x' || substr(md5(gr), 1, 10))::BIGINT * 1048576
-       |           + (1048575 - pos) AS key
+       |         ('0x' || substr(md5(gr), 1, 11))::BIGINT * 524288
+       |           + (524287 - pos) AS key
        |       FROM ${p}ex),
        |${p}mn AS (SELECT doc_id, pos,
        |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin,
        |         count(*) OVER (PARTITION BY doc_id) AS ng
        |       FROM ${p}ky),
-       |${p}fp AS (SELECT DISTINCT doc_id, kmin >> 20 AS fp
+       |${p}fp AS (SELECT DISTINCT doc_id, kmin >> 19 AS fp
        |        FROM ${p}mn WHERE pos <= greatest(ng - 3, 1))""".stripMargin
 
   /** Incremental winnowing judgment ([[Dedup.dedupIncrementalWinnow]])
@@ -5567,6 +5568,64 @@ object LlmQueries {
            |  min(doc_id) AS canonical_id, max(n_words) AS n_words
            |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY chunk_hash""".stripMargin))
+
+  /** BYTE-rolling Gear CDC ([[Dedup.gearChunks]], the LBFS/FastCDC gear
+    * family at character granularity): boundaries from a 64-bit rolling
+    * hash over the trailing ≤64 chars, so an edit INSIDE a word re-aligns
+    * chunking within 64 characters — the case word-k-gram CDC
+    * (`text_cdc_chunks`) shifts a whole gram on. The fixture plants
+    * exactly that: every 37th doc gets a copy with ONE character
+    * overwritten mid-word at position 25; the copies' chunks re-align
+    * with the originals' past the edit (asserted in LlmSpec). The oracle
+    * replays the rolling hash as the closed-form trailing-window sum
+    * `Σ G(c_j)·2^(i−j) mod 2⁶⁴` in exact HUGEINT arithmetic — the same
+    * integers the kernel's wrapping `(h<<1)+G` produces. */
+  val textGearChunks: QueryDef = QueryDef("text_gear_chunks",
+    (s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") % 37 === 5)
+      val edited = docs.select((col("doc_id") + 80000).as("doc_id"),
+        concat(substring(col("text"), 1, 24), lit("@"),
+          substring(col("text"), 26, Int.MaxValue)).as("text"))
+      Dedup.gearChunks(docs.select(col("doc_id"), col("text"))
+          .unionByName(edited), "doc_id", "text", maskBits = 6)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH gt AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 5
+           |            UNION ALL
+           |            SELECT doc_id + 80000, text[1:24] || '@' || text[26:]
+           |            FROM documents WHERE doc_id % 37 = 5),
+           |ch AS MATERIALIZED (SELECT doc_id, generate_subscripts(cs, 1)::BIGINT AS i,
+           |        unnest(cs) AS c
+           |      FROM (SELECT doc_id, [text[j] for j in range(1, len(text) + 1)] AS cs
+           |            FROM gt WHERE text IS NOT NULL)),
+           |gv AS MATERIALIZED (SELECT doc_id, i,
+           |        ('0x' || substr(md5(c), 1, 15))::BIGINT AS g FROM ch),
+           |ln0 AS (SELECT doc_id, len(text)::BIGINT AS n FROM gt
+           |        WHERE text IS NOT NULL),
+           |hh AS MATERIALIZED (SELECT a.doc_id, a.i,
+           |        (sum((b.g::HUGEINT * (1::HUGEINT << (a.i - b.i)))
+           |             % 18446744073709551616::HUGEINT)
+           |         % 18446744073709551616::HUGEINT) AS h
+           |      FROM gv a JOIN gv b
+           |        ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 63 AND a.i
+           |      GROUP BY 1, 2),
+           |bd AS (SELECT hh.doc_id, list(hh.i ORDER BY hh.i) AS bs
+           |       FROM hh JOIN ln0 ON hh.doc_id = ln0.doc_id
+           |       WHERE hh.i < ln0.n AND hh.h < 288230376151711744::HUGEINT
+           |       GROUP BY 1),
+           |cl AS (SELECT g.doc_id, g.text,
+           |         [1::BIGINT] || [b + 1 for b in coalesce(bd.bs, [])] AS starts,
+           |         coalesce(bd.bs, []) || [len(g.text)::BIGINT] AS ends
+           |       FROM gt g LEFT JOIN bd USING (doc_id)
+           |       WHERE g.text IS NOT NULL AND len(g.text) > 0),
+           |ex AS (SELECT doc_id, text,
+           |         unnest([{'ci': i, 's': starts[i], 'e': ends[i]}
+           |                 for i in range(1, len(starts) + 1)]) AS c
+           |       FROM cl)
+           |SELECT doc_id, c.ci::BIGINT AS chunk_idx, c.s::BIGINT AS c_start,
+           |  c.e::BIGINT AS c_end, (c.e - c.s + 1)::BIGINT AS n_chars,
+           |  ('0x' || substr(md5(text[c.s:c.e]), 1, 15))::BIGINT AS chunk_hash
+           |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin))
 
   /** Blocklist word-fraction gate ([[TextAnalysis.blocklistFilter]], the
     * UT1/RefinedWeb NSFW-wordlist shape): per-row array expression, zero

@@ -846,7 +846,7 @@ object Materialized {
     * artifact incremental near-dup judgment joins new batches against,
     * so corpus text is fingerprinted once ever. */
   def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "winnow_fps", "k4_w4", sfDir, "documents") {
+    parquetBacked(spark, "winnow_fps", "k4_w4_h44", sfDir, "documents") {
       graft.llm.Dedup.winnowFingerprints(Tables.documents(spark, sfDir),
           "doc_id", "text", k = 4, w = 4)
         .select(col("doc_id").as("id"), col("fp")).distinct()

@@ -27,7 +27,7 @@ object ScaleCurveMain {
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
-      "admission-only", "winnow-only", "cdc-only")
+      "admission-only", "winnow-only", "cdc-only", "hotgram-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -77,6 +77,7 @@ object ScaleCurveMain {
     else if (args.contains("admission-only")) admission10M(spark)
     else if (args.contains("winnow-only")) winnow10M(spark)
     else if (args.contains("cdc-only")) cdc10M(spark)
+    else if (args.contains("hotgram-only")) hotGram10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -980,6 +981,36 @@ object ScaleCurveMain {
     println(f"winnow-10M docs=$n planted_pairs=${n / 100} | " +
       f"fingerprints=$nFp scan ${tFp}%.1fs | pairs=${pairs._1} " +
       f"adjacent=${pairs._2} (expect adjacent ≥ ${n / 100}) join ${tPair}%.1fs")
+  }
+
+  /** The hot-gram cap at 10M docs: EVERY doc opens with the same 4-word
+    * boilerplate (one gram with 10⁷ occurrences — the pathological key
+    * the uncapped window puts on one task) followed by id-unique filler.
+    * Measures softDedupScores uncapped vs capped (threshold 1000, salt
+    * 64) and asserts the per-doc aggregates agree exactly (bit-identity
+    * itself is LlmSpec-pinned at spec scale). */
+  private def hotGram10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("hb1 hb2 hb3 hb4 u"), col("id"), lit("a u"), col("id"),
+        lit("b u"), col("id"), lit("c u"), col("id"), lit("d")).as("text"))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("n_grams").cast("long"),
+        sum(round(col("dup_score") * 1e6, 0).cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (fU, tU) = timed(fingerprint(
+      Dedup.softDedupScores(docs, "doc_id", "text", n = 4)))
+    val (fC, tC) = timed(fingerprint(
+      Dedup.softDedupScores(docs, "doc_id", "text", n = 4,
+        hotGramThreshold = Some(1000L))))
+    require(fU == fC, s"capped path diverged: $fU vs $fC")
+    println(f"hotgram-10M docs=$n | uncapped ${tU}%.1fs | " +
+      f"capped(t=1000, salt=64) ${tC}%.1fs | aggregates equal: $fU")
   }
 
   /** CDC chunking at 10M docs: the tenmillion-doc planted corpus (1/1000

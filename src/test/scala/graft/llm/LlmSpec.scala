@@ -2780,6 +2780,56 @@ class LlmSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("gearChunks: chunks partition the text; an in-word byte edit re-aligns within 64 chars") {
+    val base = (1 to 400).map(i => s"w$i").mkString(" ") // ~2,400 chars
+    // overwrite ONE character mid-word at offset 300 — the edit class that
+    // shifts a word k-gram but must not shift distant gear boundaries
+    val edited = base.substring(0, 300) + "@" + base.substring(301)
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = Dedup.gearChunks(d, "doc_id", "text", maskBits = 6)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // partition: chunks tile [1, n] contiguously in order
+    rows.values.foreach { cs =>
+      assert(cs.head._2 == 1L)
+      cs.sliding(2).withFilter(_.length == 2).foreach { p =>
+        assert(p(1)._2 == p(0)._3 + 1, s"gap: ${p(0)} -> ${p(1)}")
+      }
+      assert(cs.last._3 == base.length.toLong)
+    }
+    // re-alignment: every chunk that starts 64+ chars past the edit (and
+    // every chunk fully before it) has an identical hash in both docs
+    val h1 = rows(1L).map(c => (c._2, c._4)).toSet
+    val far = rows(2L).filter(c => c._2 > 301 + 64 || c._3 < 301)
+    assert(far.nonEmpty)
+    far.foreach(c => assert(h1.contains((c._2, c._4)),
+      s"chunk at ${c._2} failed to re-align"))
+    // and the edit itself changed at least one chunk
+    assert(rows(1L).map(_._4).toSet != rows(2L).map(_._4).toSet)
+  }
+
+  test("hot-gram cap: capped and uncapped paths are row-identical for softDedup and repeatedSpans") {
+    // every doc shares a 6-word boilerplate tail → its grams are hot at
+    // threshold 3; doc-unique grams stay on the cold window path
+    val d = Tables10.select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" hb1 hb2 hb3 hb4 hb5 hb6")).as("text"))
+    val softU = Dedup.softDedupScores(d, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val softC = Dedup.softDedupScores(d, "doc_id", "text", n = 4,
+        hotGramThreshold = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(softU == softC)
+    val spanU = Dedup.repeatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(_.toSeq).toSet
+    val spanC = Dedup.repeatedSpans(d, "doc_id", "text", n = 4,
+        hotGramThreshold = Some(3L))
+      .collect().map(_.toSeq).toSet
+    assert(spanU == spanC)
+    assert(spanU.nonEmpty, "the boilerplate tail must flag spans")
+  }
+
   test("softEmExpected: hand-computed masses, per-position coverage conservation") {
     // word "ab", vocab {a: .25, b: .25, ab: .5}: Z = .25·.25 + .5 = .5625
     // ec(a) = ec(b) = .0625/.5625 = .1̄; ec(ab) = .5/.5625 = .8̄
