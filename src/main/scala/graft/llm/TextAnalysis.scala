@@ -1033,16 +1033,33 @@ object TextAnalysis {
    * which makes every join side a parquet read.
    */
   def lmScoreKn5(docs: DataFrame, train: DataFrame, idCol: String,
-                 textCol: String, discount: Double = 0.75): DataFrame =
+                 textCol: String, discount: Double = 0.75,
+                 modified: Boolean = false): DataFrame =
     lmScoreKn5FromModel(docs, idCol, textCol,
-      kn5TypeTable(train, idCol, textCol), discount)
+      kn5TypeTable(train, idCol, textCol), discount, modified)
 
   /** [[lmScoreKn5]] against a TRAINED unified type table
     * ([[kn5TypeTable]]'s output or the stored artifact): derives the
     * smoothing count tables from the types alone — corpus text is never
-    * re-read for the model side. */
+    * re-read for the model side.
+    *
+    * `modified = true` switches to MODIFIED Kneser–Ney (Chen & Goodman
+    * 1998 §3; the estimator KenLM ships): instead of one fixed `D`,
+    * each distribution level carries THREE discounts estimated from its
+    * own count-of-counts — `Y = n₁/(n₁+2n₂)`, `D₁ = 1−2Y·n₂/n₁`,
+    * `D₂ = 2−3Y·n₃/n₂`, `D₃ = 3−4Y·n₄/n₃` (clamped to `[0, k]`; any
+    * zero among n₁..n₄ falls back to the fixed `discount` — a degenerate
+    * count-of-counts table has nothing to estimate from) — applied by
+    * count class (`D(c) = D₁, D₂, D₃` for `c = 1, 2, ≥3`) with backoff
+    * mass `γ(h) = (D₁N₁(h·)+D₂N₂(h·)+D₃N₃₊(h·))/c(h·)`. Raw-count
+    * levels estimate from raw counts, continuation levels from
+    * continuation counts, the base from the continuation unigram. All
+    * eight discount triples are one-row aggregates of the (bounded) type
+    * tables — broadcast scalars, never corpus scans — so modified
+    * scoring reads the SAME stored artifact as fixed scoring. */
   def lmScoreKn5FromModel(docs: DataFrame, idCol: String, textCol: String,
-                          types: DataFrame, discount: Double = 0.75): DataFrame = {
+                          types: DataFrame, discount: Double = 0.75,
+                          modified: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = lit(discount)
     val uni = types.where(col("ord") === 1).select(col("w"), col("cnt").as("c1"))
@@ -1055,32 +1072,69 @@ object TextAnalysis {
     val t5 = types.where(col("ord") === 5)
       .select(col("h4"), col("h3"), col("h2"), col("h1"), col("w"),
         col("cnt").as("c5"))
-    // raw context masses + distinct-follower counts per history
-    val ctx2 = t2.groupBy("h1")
-      .agg(sum(col("c2")).as("cs2"), count(lit(1)).cast("double").as("nf2"))
-    val ctx3 = t3.groupBy("h2", "h1")
-      .agg(sum(col("c3")).as("cs3"), count(lit(1)).cast("double").as("nf3"))
-    val ctx4 = t4.groupBy("h3", "h2", "h1")
-      .agg(sum(col("c4")).as("cs4"), count(lit(1)).cast("double").as("nf4"))
-    val ctx5 = t5.groupBy("h4", "h3", "h2", "h1")
-      .agg(sum(col("c5")).as("cs5"), count(lit(1)).cast("double").as("nf5"))
+    // per-count-class follower counts (N₁, N₂, N₃₊ per history) — the
+    // modified-KN backoff mass needs them; the fixed path stays narrow
+    def cls(c: Column, p: String): Seq[Column] =
+      if (!modified) Nil
+      else Seq(count(when(c === 1.0, 1)).cast("double").as(s"${p}1"),
+        count(when(c === 2.0, 1)).cast("double").as(s"${p}2"),
+        count(when(c >= 3.0, 1)).cast("double").as(s"${p}3"))
+    def ctxAgg(tbl: DataFrame, keys: Seq[String], c: String,
+               cs: String, nf: String, p: String): DataFrame = {
+      val aggs = Seq(sum(col(c)).as(cs),
+        count(lit(1)).cast("double").as(nf)) ++ cls(col(c), p)
+      tbl.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // raw context masses + follower counts per history
+    val ctx2 = ctxAgg(t2, Seq("h1"), "c2", "cs2", "nf2", "e2_")
+    val ctx3 = ctxAgg(t3, Seq("h2", "h1"), "c3", "cs3", "nf3", "e3_")
+    val ctx4 = ctxAgg(t4, Seq("h3", "h2", "h1"), "c4", "cs4", "nf4", "e4_")
+    val ctx5 = ctxAgg(t5, Seq("h4", "h3", "h2", "h1"), "c5", "cs5", "nf5", "e5_")
     // continuation counts N₁₊(·hw) per middle order, from the order above
     val cc2 = t3.groupBy("h1", "w").agg(count(lit(1)).cast("double").as("cc2"))
-    val cx2 = cc2.groupBy("h1")
-      .agg(sum(col("cc2")).as("ccs2"), count(lit(1)).cast("double").as("ncf2"))
+    val cx2 = ctxAgg(cc2, Seq("h1"), "cc2", "ccs2", "ncf2", "f2_")
     val cc3 = t4.groupBy("h2", "h1", "w")
       .agg(count(lit(1)).cast("double").as("cc3"))
-    val cx3 = cc3.groupBy("h2", "h1")
-      .agg(sum(col("cc3")).as("ccs3"), count(lit(1)).cast("double").as("ncf3"))
+    val cx3 = ctxAgg(cc3, Seq("h2", "h1"), "cc3", "ccs3", "ncf3", "f3_")
     val cc4 = t5.groupBy("h3", "h2", "h1", "w")
       .agg(count(lit(1)).cast("double").as("cc4"))
-    val cx4 = cc4.groupBy("h3", "h2", "h1")
-      .agg(sum(col("cc4")).as("ccs4"), count(lit(1)).cast("double").as("ncf4"))
+    val cx4 = ctxAgg(cc4, Seq("h3", "h2", "h1"), "cc4", "ccs4", "ncf4", "f4_")
     // continuation unigram + the two scalar aggregates
     val cont1 = t2.groupBy("w").agg(count(lit(1)).cast("double").as("nc1"))
     val nv = uni.agg(sum(col("c1")).as("n"), count(lit(1)).cast("double").as("v"))
     val tts = t2.agg(count(lit(1)).cast("double").as("tt"),
       countDistinct(col("w")).cast("double").as("w1"))
+    // modified-KN discount triples: one-row count-of-counts aggregates per
+    // distribution level, Chen & Goodman's Y/D₁/D₂/D₃ estimator with
+    // KenLM's validity rule — a level whose estimate falls outside
+    // `0 < Dₖ ≤ k` (or whose count-of-counts has a zero) falls back to the
+    // fixed `discount` WHOLE-TRIPLE. The positivity half of the rule is
+    // what guarantees p > 0 everywhere: a zero discount zeroes a sparse
+    // history's entire backoff mass, and an unseen word under it would
+    // score ln(0). The SAME expression text as the oracle's replay.
+    def discountsOf(tbl: DataFrame, c: String, p: String): DataFrame = {
+      val coc = tbl.agg(
+        count(when(col(c) === 1.0, 1)).cast("double").as("n1"),
+        count(when(col(c) === 2.0, 1)).cast("double").as("n2"),
+        count(when(col(c) === 3.0, 1)).cast("double").as("n3"),
+        count(when(col(c) === 4.0, 1)).cast("double").as("n4"))
+      // try_divide: under ANSI a zero denominator would THROW before the
+      // n-zero guard can choose the fallback; a null estimate instead
+      // makes `invalid` true through the n-zero disjuncts (a denominator
+      // is zero only when some nₖ is), and when all nₖ > 0 try_divide is
+      // the plain IEEE division the oracle computes
+      val y = try_divide(col("n1"), col("n1") + lit(2.0) * col("n2"))
+      val d1r = lit(1.0) - try_divide(lit(2.0) * y * col("n2"), col("n1"))
+      val d2r = lit(2.0) - try_divide(lit(3.0) * y * col("n3"), col("n2"))
+      val d3r = lit(3.0) - try_divide(lit(4.0) * y * col("n4"), col("n3"))
+      val invalid = col("n1") === 0.0 || col("n2") === 0.0 ||
+        col("n3") === 0.0 || col("n4") === 0.0 ||
+        d1r <= 0.0 || d1r > 1.0 || d2r <= 0.0 || d2r > 2.0 ||
+        d3r <= 0.0 || d3r > 3.0
+      def dk(k: Int, raw: Column): Column =
+        when(invalid, d).otherwise(raw).as(s"$p$k")
+      coc.select(dk(1, d1r), dk(2, d2r), dk(3, d3r))
+    }
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val occ = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
@@ -1107,6 +1161,19 @@ object TextAnalysis {
       .join(ctx5, Seq("h4", "h3", "h2", "h1"), "left")
       .crossJoin(broadcast(nv))
       .crossJoin(broadcast(tts))
+    val joinedD =
+      if (!modified) joined
+      else joined
+        .crossJoin(broadcast(discountsOf(t2, "c2", "r2d")))
+        .crossJoin(broadcast(discountsOf(t3, "c3", "r3d")))
+        .crossJoin(broadcast(discountsOf(t4, "c4", "r4d")))
+        .crossJoin(broadcast(discountsOf(t5, "c5", "r5d")))
+        .crossJoin(broadcast(discountsOf(cc2, "cc2", "c2d")))
+        .crossJoin(broadcast(discountsOf(cc3, "cc3", "c3d")))
+        .crossJoin(broadcast(discountsOf(cc4, "cc4", "c4d")))
+        .crossJoin(broadcast(discountsOf(cont1, "nc1", "ud")))
+        .crossJoin(broadcast(
+          cont1.agg(cls(col("nc1"), "u_").head, cls(col("nc1"), "u_").tail: _*)))
     // the discounted-interpolation step, identical shape at every level —
     // the SAME expression text as the oracle's replay
     def interp(cnt: Column, cs: Column, nf: Column, lower: Column): Column =
@@ -1114,19 +1181,50 @@ object TextAnalysis {
         greatest(coalesce(cnt, lit(0.0)) - d, lit(0.0)) / cs +
           d * nf / cs * lower)
         .otherwise(lower)
-    val staged = joined
-      .withColumn("p1",
-        when(col("tt") > 0.0,
-          greatest(coalesce(col("nc1"), lit(0.0)) - d, lit(0.0)) / col("tt") +
-            d * col("w1") / col("tt") * (lit(1.0) / col("v")))
-          .otherwise(lit(1.0) / col("v")))
-      .withColumn("p2c", interp(col("cc2"), col("ccs2"), col("ncf2"), col("p1")))
-      .withColumn("p2r", interp(col("c2"), col("cs2"), col("nf2"), col("p1")))
-      .withColumn("p3c", interp(col("cc3"), col("ccs3"), col("ncf3"), col("p2c")))
-      .withColumn("p3r", interp(col("c3"), col("cs3"), col("nf3"), col("p2c")))
-      .withColumn("p4c", interp(col("cc4"), col("ccs4"), col("ncf4"), col("p3c")))
-      .withColumn("p4r", interp(col("c4"), col("cs4"), col("nf4"), col("p3c")))
-      .withColumn("p5", interp(col("c5"), col("cs5"), col("nf5"), col("p4c")))
+    // modified-KN level: per-count-class discount, class-weighted backoff
+    def interpM(cnt: Column, cs: Column, kp: String, dp: String,
+                lower: Column): Column = {
+      val (d1, d2, d3) = (col(s"${dp}1"), col(s"${dp}2"), col(s"${dp}3"))
+      when(cs.isNotNull,
+        (when(cnt.isNull, lit(0.0))
+          .when(cnt === 1.0, cnt - d1)
+          .when(cnt === 2.0, cnt - d2)
+          .otherwise(cnt - d3)) / cs +
+          (d1 * col(s"${kp}1") + d2 * col(s"${kp}2") + d3 * col(s"${kp}3")) /
+            cs * lower)
+        .otherwise(lower)
+    }
+    val staged =
+      if (!modified) joinedD
+        .withColumn("p1",
+          when(col("tt") > 0.0,
+            greatest(coalesce(col("nc1"), lit(0.0)) - d, lit(0.0)) / col("tt") +
+              d * col("w1") / col("tt") * (lit(1.0) / col("v")))
+            .otherwise(lit(1.0) / col("v")))
+        .withColumn("p2c", interp(col("cc2"), col("ccs2"), col("ncf2"), col("p1")))
+        .withColumn("p2r", interp(col("c2"), col("cs2"), col("nf2"), col("p1")))
+        .withColumn("p3c", interp(col("cc3"), col("ccs3"), col("ncf3"), col("p2c")))
+        .withColumn("p3r", interp(col("c3"), col("cs3"), col("nf3"), col("p2c")))
+        .withColumn("p4c", interp(col("cc4"), col("ccs4"), col("ncf4"), col("p3c")))
+        .withColumn("p4r", interp(col("c4"), col("cs4"), col("nf4"), col("p3c")))
+        .withColumn("p5", interp(col("c5"), col("cs5"), col("nf5"), col("p4c")))
+      else joinedD
+        .withColumn("p1",
+          when(col("tt") > 0.0,
+            (when(col("nc1").isNull, lit(0.0))
+              .when(col("nc1") === 1.0, col("nc1") - col("ud1"))
+              .when(col("nc1") === 2.0, col("nc1") - col("ud2"))
+              .otherwise(col("nc1") - col("ud3"))) / col("tt") +
+              (col("ud1") * col("u_1") + col("ud2") * col("u_2") +
+                col("ud3") * col("u_3")) / col("tt") * (lit(1.0) / col("v")))
+            .otherwise(lit(1.0) / col("v")))
+        .withColumn("p2c", interpM(col("cc2"), col("ccs2"), "f2_", "c2d", col("p1")))
+        .withColumn("p2r", interpM(col("c2"), col("cs2"), "e2_", "r2d", col("p1")))
+        .withColumn("p3c", interpM(col("cc3"), col("ccs3"), "f3_", "c3d", col("p2c")))
+        .withColumn("p3r", interpM(col("c3"), col("cs3"), "e3_", "r3d", col("p2c")))
+        .withColumn("p4c", interpM(col("cc4"), col("ccs4"), "f4_", "c4d", col("p3c")))
+        .withColumn("p4r", interpM(col("c4"), col("cs4"), "e4_", "r4d", col("p3c")))
+        .withColumn("p5", interpM(col("c5"), col("cs5"), "e5_", "r5d", col("p4c")))
     val s = when(col("c1").isNull, lit(null).cast("double"))
       .when(col("pos") === 0, col("c1") / col("n"))
       .when(col("pos") === 1, col("p2r"))

@@ -51,7 +51,7 @@ object LlmQueries {
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
     textSplitSafe, dedupContainment, textLmKn2,
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
-    textGearChunks)
+    textGearChunks, textLmKn5m)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5268,7 +5268,10 @@ object LlmQueries {
     * top per position order, continuation-count middles, uniform-
     * interpolated base), per-position 6-dp `ln`. Ends with `kn5s AS
     * (doc_id, n_words, n_oov, nll_sum)`. */
-  private val kn5ScoreSql: String =
+  /** The shared 5-gram KN model/token CTEs: even-split training tables of
+    * every order, continuation tables, the held-out token stream with its
+    * four history lags — both discount variants build on this prefix. */
+  private val kn5ModelSql: String =
     """tr AS (SELECT doc_id, string_split(text, ' ') AS ws
       |       FROM documents WHERE doc_id % 2 = 0),
       |ttok AS (SELECT doc_id, unnest(ws) AS w,
@@ -5289,25 +5292,11 @@ object LlmQueries {
       |       WHERE h3 IS NOT NULL GROUP BY 1, 2, 3, 4),
       |t5 AS (SELECT h4, h3, h2, h1, w, count(*)::DOUBLE AS c5 FROM th
       |       WHERE h4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
-      |ctx2 AS (SELECT h1, sum(c2) AS cs2, count(*)::DOUBLE AS nf2
-      |         FROM t2 GROUP BY 1),
-      |ctx3 AS (SELECT h2, h1, sum(c3) AS cs3, count(*)::DOUBLE AS nf3
-      |         FROM t3 GROUP BY 1, 2),
-      |ctx4 AS (SELECT h3, h2, h1, sum(c4) AS cs4, count(*)::DOUBLE AS nf4
-      |         FROM t4 GROUP BY 1, 2, 3),
-      |ctx5 AS (SELECT h4, h3, h2, h1, sum(c5) AS cs5,
-      |           count(*)::DOUBLE AS nf5 FROM t5 GROUP BY 1, 2, 3, 4),
       |cc2 AS (SELECT h1, w, count(*)::DOUBLE AS cc2 FROM t3 GROUP BY 1, 2),
-      |cx2 AS (SELECT h1, sum(cc2) AS ccs2, count(*)::DOUBLE AS ncf2
-      |        FROM cc2 GROUP BY 1),
       |cc3 AS (SELECT h2, h1, w, count(*)::DOUBLE AS cc3 FROM t4
       |        GROUP BY 1, 2, 3),
-      |cx3 AS (SELECT h2, h1, sum(cc3) AS ccs3, count(*)::DOUBLE AS ncf3
-      |        FROM cc3 GROUP BY 1, 2),
       |cc4 AS (SELECT h3, h2, h1, w, count(*)::DOUBLE AS cc4 FROM t5
       |        GROUP BY 1, 2, 3, 4),
-      |cx4 AS (SELECT h3, h2, h1, sum(cc4) AS ccs4, count(*)::DOUBLE AS ncf4
-      |        FROM cc4 GROUP BY 1, 2, 3),
       |cont1 AS (SELECT w, count(*)::DOUBLE AS nc1 FROM t2 GROUP BY 1),
       |tts AS (SELECT count(*)::DOUBLE AS tt,
       |          count(DISTINCT w)::DOUBLE AS w1 FROM t2),
@@ -5319,7 +5308,24 @@ object LlmQueries {
       |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
       |         lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3,
       |         lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS h4
-      |       FROM stok),
+      |       FROM stok)""".stripMargin
+
+  private val kn5ScoreSql: String =
+    s"""$kn5ModelSql,
+      |ctx2 AS (SELECT h1, sum(c2) AS cs2, count(*)::DOUBLE AS nf2
+      |         FROM t2 GROUP BY 1),
+      |ctx3 AS (SELECT h2, h1, sum(c3) AS cs3, count(*)::DOUBLE AS nf3
+      |         FROM t3 GROUP BY 1, 2),
+      |ctx4 AS (SELECT h3, h2, h1, sum(c4) AS cs4, count(*)::DOUBLE AS nf4
+      |         FROM t4 GROUP BY 1, 2, 3),
+      |ctx5 AS (SELECT h4, h3, h2, h1, sum(c5) AS cs5,
+      |           count(*)::DOUBLE AS nf5 FROM t5 GROUP BY 1, 2, 3, 4),
+      |cx2 AS (SELECT h1, sum(cc2) AS ccs2, count(*)::DOUBLE AS ncf2
+      |        FROM cc2 GROUP BY 1),
+      |cx3 AS (SELECT h2, h1, sum(cc3) AS ccs3, count(*)::DOUBLE AS ncf3
+      |        FROM cc3 GROUP BY 1, 2),
+      |cx4 AS (SELECT h3, h2, h1, sum(cc4) AS ccs4, count(*)::DOUBLE AS ncf4
+      |        FROM cc4 GROUP BY 1, 2, 3),
       |j0 AS (SELECT sh.doc_id, sh.pos, u.c1, cont1.nc1,
       |         t2.c2, ctx2.cs2, ctx2.nf2, cc2.cc2, cx2.ccs2, cx2.ncf2,
       |         t3.c3, ctx3.cs3, ctx3.nf3, cc3.cc3, cx3.ccs3, cx3.ncf3,
@@ -5398,6 +5404,152 @@ object LlmQueries {
       |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
       |         FROM sp GROUP BY 1)""".stripMargin
 
+  /** One modified-KN discount CTE: count-of-counts n₁..n₄ of `tbl.c`,
+    * Chen & Goodman's `Y/D₁/D₂/D₃` under KenLM's validity rule — any
+    * zero among n₁..n₄ or any estimate outside `0 < Dₖ ≤ k` falls the
+    * WHOLE triple back to the fixed 0.75 (positivity is what keeps every
+    * probability > 0) — the same expression text as
+    * [[graft.llm.TextAnalysis.lmScoreKn5FromModel]]'s `discountsOf`. */
+  private def knmDiscountSql(cte: String, tbl: String, c: String): String = {
+    val y = "(n1 / (n1 + 2.0 * n2))"
+    val d1r = s"1.0 - 2.0 * $y * n2 / n1"
+    val d2r = s"2.0 - 3.0 * $y * n3 / n2"
+    val d3r = s"3.0 - 4.0 * $y * n4 / n3"
+    val invalid =
+      s"""n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0
+         |         OR $d1r <= 0.0 OR $d1r > 1.0
+         |         OR $d2r <= 0.0 OR $d2r > 2.0
+         |         OR $d3r <= 0.0 OR $d3r > 3.0""".stripMargin
+    def dk(k: Int, raw: String) =
+      s"""CASE WHEN $invalid
+         |    THEN 0.75 ELSE $raw END AS $cte$k""".stripMargin
+    s"""$cte AS (SELECT
+       |    ${dk(1, d1r)},
+       |    ${dk(2, d2r)},
+       |    ${dk(3, d3r)}
+       |  FROM (SELECT (count(*) FILTER (WHERE $c = 1))::DOUBLE AS n1,
+       |          (count(*) FILTER (WHERE $c = 2))::DOUBLE AS n2,
+       |          (count(*) FILTER (WHERE $c = 3))::DOUBLE AS n3,
+       |          (count(*) FILTER (WHERE $c = 4))::DOUBLE AS n4 FROM $tbl))""".stripMargin
+  }
+
+  /** One modified-KN interpolation level: per-count-class discount,
+    * class-weighted backoff mass — mirrors the Spark `interpM`. */
+  private def knmLevel(c: String, cs: String, kp: String, dp: String,
+                       lower: String): String =
+    s"""CASE WHEN $cs IS NOT NULL THEN
+       |           (CASE WHEN $c IS NULL THEN 0.0 WHEN $c = 1 THEN $c - ${dp}1
+       |                 WHEN $c = 2 THEN $c - ${dp}2 ELSE $c - ${dp}3 END) / $cs
+       |           + (${dp}1 * ${kp}1 + ${dp}2 * ${kp}2 + ${dp}3 * ${kp}3)
+       |             / $cs * $lower
+       |         ELSE $lower END""".stripMargin
+
+  /** Per-history count-class columns for a modified-KN context CTE. */
+  private def knmCls(c: String, p: String): String =
+    s"""(count(*) FILTER (WHERE $c = 1))::DOUBLE AS ${p}1,
+       |           (count(*) FILTER (WHERE $c = 2))::DOUBLE AS ${p}2,
+       |           (count(*) FILTER (WHERE $c >= 3))::DOUBLE AS ${p}3""".stripMargin
+
+  /** The MODIFIED-KN replay: same model prefix, context CTEs widened with
+    * count-class follower counts, eight discount triples, class-weighted
+    * interpolation at every level. Ends in `kn5s` like the fixed form. */
+  private val kn5mScoreSql: String =
+    s"""$kn5ModelSql,
+      |ctx2 AS (SELECT h1, sum(c2) AS cs2,
+      |           ${knmCls("c2", "e2_")}
+      |         FROM t2 GROUP BY 1),
+      |ctx3 AS (SELECT h2, h1, sum(c3) AS cs3,
+      |           ${knmCls("c3", "e3_")}
+      |         FROM t3 GROUP BY 1, 2),
+      |ctx4 AS (SELECT h3, h2, h1, sum(c4) AS cs4,
+      |           ${knmCls("c4", "e4_")}
+      |         FROM t4 GROUP BY 1, 2, 3),
+      |ctx5 AS (SELECT h4, h3, h2, h1, sum(c5) AS cs5,
+      |           ${knmCls("c5", "e5_")}
+      |         FROM t5 GROUP BY 1, 2, 3, 4),
+      |cx2 AS (SELECT h1, sum(cc2) AS ccs2,
+      |           ${knmCls("cc2", "f2_")}
+      |        FROM cc2 GROUP BY 1),
+      |cx3 AS (SELECT h2, h1, sum(cc3) AS ccs3,
+      |           ${knmCls("cc3", "f3_")}
+      |        FROM cc3 GROUP BY 1, 2),
+      |cx4 AS (SELECT h3, h2, h1, sum(cc4) AS ccs4,
+      |           ${knmCls("cc4", "f4_")}
+      |        FROM cc4 GROUP BY 1, 2, 3),
+      |${knmDiscountSql("r2d", "t2", "c2")},
+      |${knmDiscountSql("r3d", "t3", "c3")},
+      |${knmDiscountSql("r4d", "t4", "c4")},
+      |${knmDiscountSql("r5d", "t5", "c5")},
+      |${knmDiscountSql("c2d", "cc2", "cc2")},
+      |${knmDiscountSql("c3d", "cc3", "cc3")},
+      |${knmDiscountSql("c4d", "cc4", "cc4")},
+      |${knmDiscountSql("ud", "cont1", "nc1")},
+      |ucls AS (SELECT (count(*) FILTER (WHERE nc1 = 1))::DOUBLE AS u_1,
+      |           (count(*) FILTER (WHERE nc1 = 2))::DOUBLE AS u_2,
+      |           (count(*) FILTER (WHERE nc1 >= 3))::DOUBLE AS u_3 FROM cont1),
+      |jm AS (SELECT sh.doc_id, sh.pos, u.c1, cont1.nc1,
+      |         t2.c2, ctx2.cs2, ctx2.e2_1, ctx2.e2_2, ctx2.e2_3,
+      |         cc2.cc2, cx2.ccs2, cx2.f2_1, cx2.f2_2, cx2.f2_3,
+      |         t3.c3, ctx3.cs3, ctx3.e3_1, ctx3.e3_2, ctx3.e3_3,
+      |         cc3.cc3, cx3.ccs3, cx3.f3_1, cx3.f3_2, cx3.f3_3,
+      |         t4.c4, ctx4.cs4, ctx4.e4_1, ctx4.e4_2, ctx4.e4_3,
+      |         cc4.cc4, cx4.ccs4, cx4.f4_1, cx4.f4_2, cx4.f4_3,
+      |         t5.c5, ctx5.cs5, ctx5.e5_1, ctx5.e5_2, ctx5.e5_3
+      |       FROM sh
+      |       LEFT JOIN uni u ON sh.w = u.w
+      |       LEFT JOIN cont1 ON sh.w = cont1.w
+      |       LEFT JOIN t2 ON sh.h1 = t2.h1 AND sh.w = t2.w
+      |       LEFT JOIN ctx2 ON sh.h1 = ctx2.h1
+      |       LEFT JOIN cc2 ON sh.h1 = cc2.h1 AND sh.w = cc2.w
+      |       LEFT JOIN cx2 ON sh.h1 = cx2.h1
+      |       LEFT JOIN t3 ON sh.h2 = t3.h2 AND sh.h1 = t3.h1 AND sh.w = t3.w
+      |       LEFT JOIN ctx3 ON sh.h2 = ctx3.h2 AND sh.h1 = ctx3.h1
+      |       LEFT JOIN cc3 ON sh.h2 = cc3.h2 AND sh.h1 = cc3.h1
+      |         AND sh.w = cc3.w
+      |       LEFT JOIN cx3 ON sh.h2 = cx3.h2 AND sh.h1 = cx3.h1
+      |       LEFT JOIN t4 ON sh.h3 = t4.h3 AND sh.h2 = t4.h2
+      |         AND sh.h1 = t4.h1 AND sh.w = t4.w
+      |       LEFT JOIN ctx4 ON sh.h3 = ctx4.h3 AND sh.h2 = ctx4.h2
+      |         AND sh.h1 = ctx4.h1
+      |       LEFT JOIN cc4 ON sh.h3 = cc4.h3 AND sh.h2 = cc4.h2
+      |         AND sh.h1 = cc4.h1 AND sh.w = cc4.w
+      |       LEFT JOIN cx4 ON sh.h3 = cx4.h3 AND sh.h2 = cx4.h2
+      |         AND sh.h1 = cx4.h1
+      |       LEFT JOIN t5 ON sh.h4 = t5.h4 AND sh.h3 = t5.h3
+      |         AND sh.h2 = t5.h2 AND sh.h1 = t5.h1 AND sh.w = t5.w
+      |       LEFT JOIN ctx5 ON sh.h4 = ctx5.h4 AND sh.h3 = ctx5.h3
+      |         AND sh.h2 = ctx5.h2 AND sh.h1 = ctx5.h1),
+      |l1 AS (SELECT *, CASE WHEN tt > 0.0 THEN
+      |           (CASE WHEN nc1 IS NULL THEN 0.0 WHEN nc1 = 1 THEN nc1 - ud1
+      |                 WHEN nc1 = 2 THEN nc1 - ud2 ELSE nc1 - ud3 END) / tt
+      |           + (ud1 * u_1 + ud2 * u_2 + ud3 * u_3) / tt * (1.0 / v)
+      |         ELSE 1.0 / v END AS p1
+      |       FROM jm CROSS JOIN nv CROSS JOIN tts CROSS JOIN r2d
+      |         CROSS JOIN r3d CROSS JOIN r4d CROSS JOIN r5d CROSS JOIN c2d
+      |         CROSS JOIN c3d CROSS JOIN c4d CROSS JOIN ud CROSS JOIN ucls),
+      |l2 AS (SELECT *,
+      |         ${knmLevel("cc2", "ccs2", "f2_", "c2d", "p1")} AS p2c,
+      |         ${knmLevel("c2", "cs2", "e2_", "r2d", "p1")} AS p2r FROM l1),
+      |l3 AS (SELECT *,
+      |         ${knmLevel("cc3", "ccs3", "f3_", "c3d", "p2c")} AS p3c,
+      |         ${knmLevel("c3", "cs3", "e3_", "r3d", "p2c")} AS p3r FROM l2),
+      |l4 AS (SELECT *,
+      |         ${knmLevel("cc4", "ccs4", "f4_", "c4d", "p3c")} AS p4c,
+      |         ${knmLevel("c4", "cs4", "e4_", "r4d", "p3c")} AS p4r FROM l3),
+      |l5 AS (SELECT *,
+      |         ${knmLevel("c5", "cs5", "e5_", "r5d", "p4c")} AS p5 FROM l4),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN c1 IS NULL THEN NULL
+      |              WHEN pos = 1 THEN c1 / n
+      |              WHEN pos = 2 THEN p2r
+      |              WHEN pos = 3 THEN p3r
+      |              WHEN pos = 4 THEN p4r
+      |              ELSE p5 END AS s FROM l5),
+      |kn5s AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
+      |         FROM sp GROUP BY 1)""".stripMargin
+
   /** Interpolated 5-gram Kneser–Ney scoring ([[TextAnalysis.lmScoreKn5]],
     * D=0.75 at every order) — the KenLM-shape gate CCNet ships: raw-count
     * top level, continuation-count middles, uniform-interpolated base,
@@ -5427,6 +5579,21 @@ object LlmQueries {
         "doc_id", "text", Materialized.kn5Types(s, d))
       .orderBy("doc_id"),
     textLmKn5.oracle)
+
+  /** MODIFIED Kneser–Ney 5-gram scoring (Chen & Goodman 1998 §3 — the
+    * estimator KenLM actually ships): three count-of-count-estimated
+    * discounts per distribution level (`Y/D₁/D₂/D₃`, clamped, fixed-0.75
+    * fallback on degenerate tables) applied by count class, backoff mass
+    * `γ = (D₁N₁+D₂N₂+D₃N₃₊)/c(h·)`. Reads the SAME stored type table as
+    * the fixed twin — the discount triples are one-row aggregates of it,
+    * never corpus scans. */
+  val textLmKn5m: QueryDef = QueryDef("text_lm_kn5m",
+    (s, d) => TextAnalysis.lmScoreKn5FromModel(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5Types(s, d), modified = true)
+      .orderBy("doc_id"),
+    Some(s"""WITH $kn5mScoreSql
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
 
   /** CCNet's ACTUAL gate composition: per-language perplexity terciles
     * over the STORED 5-gram KN model's per-token NLL — the

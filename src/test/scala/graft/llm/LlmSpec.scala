@@ -2889,7 +2889,7 @@ class LlmSpec extends AnyFunSuite {
       s"after unseen context, p(the) must exceed p(francisco): $out")
   }
 
-  test("lmScoreKn5: top-level conditional distributions normalize over the vocabulary") {
+  test("lmScoreKn5: top-level conditional distributions normalize over the vocabulary (fixed AND modified discounts)") {
     // extract p(w|h) by score differencing: nll(prefix + w) − nll(prefix)
     // is the final position's −ln p under the chain top for that length;
     // summed over the FULL vocab it must be 1 (within 6-dp rounding dust)
@@ -2901,23 +2901,26 @@ class LlmSpec extends AnyFunSuite {
     val first = train.orderBy("doc_id").select(col("text")).head().getString(0)
     val h4 = first.split(" ").take(4)
     require(h4.length == 4)
-    def nlls(docs: Seq[(Long, String)]): Map[Long, Double] =
-      TextAnalysis.lmScoreKn5(docs.toDF("doc_id", "text"), train, "doc_id", "text")
-        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    // bigram level: p2r(w | h) over vocab sums to 1
-    val h1 = h4.head
-    val bg = nlls(Seq((0L, h1)) ++ vocab.zipWithIndex.map { case (w, i) =>
-      ((i + 1).toLong, s"$h1 $w") })
-    val base1 = bg(0L)
-    val sum2 = vocab.indices.map(i => math.exp(-(bg((i + 1).toLong) - base1))).sum
-    assert(math.abs(sum2 - 1.0) < 1e-3, s"p2r sums to $sum2")
-    // 5-gram level: p5(w | h4 h3 h2 h1) over vocab sums to 1
-    val prefix = h4.mkString(" ")
-    val fg = nlls(Seq((0L, prefix)) ++ vocab.zipWithIndex.map { case (w, i) =>
-      ((i + 1).toLong, s"$prefix $w") })
-    val base4 = fg(0L)
-    val sum5 = vocab.indices.map(i => math.exp(-(fg((i + 1).toLong) - base4))).sum
-    assert(math.abs(sum5 - 1.0) < 1e-3, s"p5 sums to $sum5")
+    for (mod <- Seq(false, true)) {
+      def nlls(docs: Seq[(Long, String)]): Map[Long, Double] =
+        TextAnalysis.lmScoreKn5(docs.toDF("doc_id", "text"), train,
+            "doc_id", "text", modified = mod)
+          .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // bigram level: p2r(w | h) over vocab sums to 1
+      val h1 = h4.head
+      val bg = nlls(Seq((0L, h1)) ++ vocab.zipWithIndex.map { case (w, i) =>
+        ((i + 1).toLong, s"$h1 $w") })
+      val base1 = bg(0L)
+      val sum2 = vocab.indices.map(i => math.exp(-(bg((i + 1).toLong) - base1))).sum
+      assert(math.abs(sum2 - 1.0) < 1e-3, s"p2r (modified=$mod) sums to $sum2")
+      // 5-gram level: p5(w | h4 h3 h2 h1) over vocab sums to 1
+      val prefix = h4.mkString(" ")
+      val fg = nlls(Seq((0L, prefix)) ++ vocab.zipWithIndex.map { case (w, i) =>
+        ((i + 1).toLong, s"$prefix $w") })
+      val base4 = fg(0L)
+      val sum5 = vocab.indices.map(i => math.exp(-(fg((i + 1).toLong) - base4))).sum
+      assert(math.abs(sum5 - 1.0) < 1e-3, s"p5 (modified=$mod) sums to $sum5")
+    }
   }
 
   test("jsDivergenceBySource: disjoint-vocabulary pair surfaces at the ln 2 maximum") {
