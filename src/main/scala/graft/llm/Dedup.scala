@@ -1923,4 +1923,19 @@ object Dedup {
       .select(col("id0").cast(idType).as(idCol), col("chunk_idx"),
         col("c_start"), col("c_end"), col("n_chars"), col("chunk_hash"))
   }
+
+  /** Cross-document duplicated GEAR chunks — [[cdcDuplicateChunks]]' report
+    * at byte/char granularity: chunk hashes held by ≥ 2 documents with
+    * occurrence/document counts and the canonical (min-id) holder. One
+    * fixed-width `(hash, id)` exchange over [[gearChunks]]' zero-shuffle
+    * scan. */
+  def gearDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                          maskBits: Int = 6): DataFrame =
+    gearChunks(docs, idCol, textCol, maskBits)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        max(col("n_chars")).as("n_chars"))
+      .where(col("n_docs") >= 2)
 }

@@ -51,7 +51,7 @@ object LlmQueries {
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
     textSplitSafe, dedupContainment, textLmKn2,
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
-    textGearChunks, textLmKn5m)
+    textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5736,28 +5736,23 @@ object LlmQueries {
            |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY chunk_hash""".stripMargin))
 
-  /** BYTE-rolling Gear CDC ([[Dedup.gearChunks]], the LBFS/FastCDC gear
-    * family at character granularity): boundaries from a 64-bit rolling
-    * hash over the trailing ≤64 chars, so an edit INSIDE a word re-aligns
-    * chunking within 64 characters — the case word-k-gram CDC
-    * (`text_cdc_chunks`) shifts a whole gram on. The fixture plants
-    * exactly that: every 37th doc gets a copy with ONE character
-    * overwritten mid-word at position 25; the copies' chunks re-align
-    * with the originals' past the edit (asserted in LlmSpec). The oracle
-    * replays the rolling hash as the closed-form trailing-window sum
-    * `Σ G(c_j)·2^(i−j) mod 2⁶⁴` in exact HUGEINT arithmetic — the same
-    * integers the kernel's wrapping `(h<<1)+G` produces. */
-  val textGearChunks: QueryDef = QueryDef("text_gear_chunks",
-    (s, d) => {
-      val docs = Tables.documents(s, d).where(col("doc_id") % 37 === 5)
-      val edited = docs.select((col("doc_id") + 80000).as("doc_id"),
-        concat(substring(col("text"), 1, 24), lit("@"),
-          substring(col("text"), 26, Int.MaxValue)).as("text"))
-      Dedup.gearChunks(docs.select(col("doc_id"), col("text"))
-          .unionByName(edited), "doc_id", "text", maskBits = 6)
-        .orderBy("doc_id", "chunk_idx")
-    },
-    Some("""WITH gt AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 5
+  /** The planted-edit gear corpus both gear queries run on: every 37th
+    * doc plus a copy with one character overwritten mid-word. */
+  private def gearCorpus(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).where(col("doc_id") % 37 === 5)
+    val edited = docs.select((col("doc_id") + 80000).as("doc_id"),
+      concat(substring(col("text"), 1, 24), lit("@"),
+        substring(col("text"), 26, Int.MaxValue)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(edited)
+  }
+
+  /** The gear-chunk replay chain over the planted-edit corpus — closed-form
+    * trailing-window rolling hash in exact HUGEINT arithmetic; ends in
+    * `gch` = one row per chunk. Shared by `text_gear_chunks` and
+    * `dedup_gear`. */
+  private val gearChunkSql: String =
+    """gt AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 5
            |            UNION ALL
            |            SELECT doc_id + 80000, text[1:24] || '@' || text[26:]
            |            FROM documents WHERE doc_id % 37 = 5),
@@ -5788,11 +5783,46 @@ object LlmQueries {
            |ex AS (SELECT doc_id, text,
            |         unnest([{'ci': i, 's': starts[i], 'e': ends[i]}
            |                 for i in range(1, len(starts) + 1)]) AS c
-           |       FROM cl)
-           |SELECT doc_id, c.ci::BIGINT AS chunk_idx, c.s::BIGINT AS c_start,
-           |  c.e::BIGINT AS c_end, (c.e - c.s + 1)::BIGINT AS n_chars,
-           |  ('0x' || substr(md5(text[c.s:c.e]), 1, 15))::BIGINT AS chunk_hash
-           |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin))
+           |       FROM cl),
+           |gch AS (SELECT doc_id, c.ci::BIGINT AS chunk_idx,
+           |          c.s::BIGINT AS c_start, c.e::BIGINT AS c_end,
+           |          (c.e - c.s + 1)::BIGINT AS n_chars,
+           |          ('0x' || substr(md5(text[c.s:c.e]), 1, 15))::BIGINT
+           |            AS chunk_hash
+           |        FROM ex)""".stripMargin
+
+  /** BYTE-rolling Gear CDC ([[Dedup.gearChunks]], the LBFS/FastCDC gear
+    * family at character granularity): boundaries from a 64-bit rolling
+    * hash over the trailing <=64 chars, so an edit INSIDE a word re-aligns
+    * chunking within 64 characters -- the case word-k-gram CDC
+    * (`text_cdc_chunks`) shifts a whole gram on. The fixture plants
+    * exactly that (see [[gearCorpus]]); re-alignment is asserted in
+    * LlmSpec. The oracle replays the rolling hash as the closed-form
+    * trailing-window sum in exact HUGEINT arithmetic -- the same integers
+    * the kernel's wrapping `(h<<1)+G` produces. */
+  val textGearChunks: QueryDef = QueryDef("text_gear_chunks",
+    (s, d) => Dedup.gearChunks(gearCorpus(s, d), "doc_id", "text",
+        maskBits = 6)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH $gearChunkSql
+            |SELECT doc_id, chunk_idx, c_start, c_end, n_chars, chunk_hash
+            |FROM gch ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Cross-document duplicated GEAR chunks ([[Dedup.gearDuplicateChunks]]):
+    * the block-level dedup report at byte granularity -- on the
+    * planted-edit corpus every original/edited pair shares all chunks
+    * outside the edit's 64-char re-alignment window, so shared regions
+    * surface as n_docs >= 2 hashes. One fixed-width (hash, id) exchange. */
+  val dedupGear: QueryDef = QueryDef("dedup_gear",
+    (s, d) => Dedup.gearDuplicateChunks(gearCorpus(s, d), "doc_id", "text",
+        maskBits = 6)
+      .orderBy("chunk_hash"),
+    Some(s"""WITH $gearChunkSql
+            |SELECT chunk_hash, count(*)::BIGINT AS n_occ,
+            |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+            |  min(doc_id) AS canonical_id, max(n_chars) AS n_chars
+            |FROM gch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            |ORDER BY chunk_hash""".stripMargin))
 
   /** Blocklist word-fraction gate ([[TextAnalysis.blocklistFilter]], the
     * UT1/RefinedWeb NSFW-wordlist shape): per-row array expression, zero
@@ -6043,6 +6073,56 @@ object LlmQueries {
             |SELECT piece, m AS em6,
             |  round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
             |FROM v2 ORDER BY piece""".stripMargin))
+
+  /** Unigram tokenization from the STORED soft-EM piece artifact
+    * ([[Materialized.unigramPiecesEm]] ∘ [[TextAnalysis.unigramEncode]]) —
+    * the production twin of the soft trainer: forward–backward training
+    * and pruning are paid once per (corpus, config); encode broadcasts
+    * the stored `(piece, lp)` rows and pays its one tf scan. The oracle
+    * replays both EM rounds, then full-enumeration Viterbi under the
+    * soft-trained log-probs. */
+  val textUnigramEncodeEm: QueryDef = QueryDef("text_unigram_encode_em",
+    (s, d) => TextAnalysis.unigramEncode(Tables.documents(s, d), "doc_id",
+        "text", Materialized.unigramPiecesEm(s, d), maxPieceLen = 4)
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE
+            |wt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f
+            |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1),
+            |sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
+            |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
+            |        WHERE i + l <= len(w) + 1
+            |        GROUP BY 1),
+            |top AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 40),
+            |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM
+            |        (SELECT * FROM top UNION ALL
+            |         SELECT * FROM sub WHERE len(piece) = 1)),
+            |p0 AS MATERIALIZED (SELECT piece,
+            |         cnt::DOUBLE / (SELECT sum(cnt)::DOUBLE FROM v0) AS p
+            |       FROM v0),
+            |${softEmRoundSql(1, "p0")},
+            |${softEmRoundSql(2, "p1")},
+            |lpe AS MATERIALIZED (SELECT piece,
+            |         round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
+            |       FROM v2),
+            |sege AS (
+            |  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS lp, 0::INT AS np, '' AS seq FROM wt
+            |  UNION ALL
+            |  SELECT s.w, (s.pos + len(v.piece))::INT, s.lp + v.lp, (s.np + 1)::INT,
+            |         CASE WHEN s.seq = '' THEN v.piece ELSE s.seq || ' ' || v.piece END
+            |  FROM sege s JOIN lpe v ON v.piece = substr(s.w, s.pos + 1, len(v.piece))
+            |  WHERE s.pos < len(s.w)),
+            |be AS (SELECT w, lp, np FROM sege WHERE pos = len(w)
+            |       QUALIFY row_number() OVER (PARTITION BY w ORDER BY lp DESC, np, seq) = 1),
+            |tfe AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+            |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1, 2)
+            |SELECT tfe.doc_id, sum(tfe.tf)::BIGINT AS n_words,
+            |  sum(tfe.tf * be.np)::BIGINT AS n_pieces,
+            |  round(-sum(tfe.tf * be.lp), 6) AS nll_sum
+            |FROM tfe JOIN be USING (w) GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val textUnigramTrainBytes: QueryDef = QueryDef("text_unigram_train_bytes",
     (s, d) => {

@@ -862,6 +862,19 @@ object Materialized {
         "text", maxPieceLen = 4, seedSize = 40, iters = 2)
     }
 
+  /** Stored SOFT-EM unigram tokenizer pieces `(piece, em6, lp)`
+    * ([[graft.llm.TextAnalysis.unigramTrainSoft]] — forward–backward
+    * expected masses, pruning schedule, single-char coverage floor) —
+    * the production twin's artifact: encode runs broadcast the stored
+    * `(piece, lp)` rows instead of re-paying the EM rounds. */
+  def unigramPiecesEm(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "unigram_pieces_em", "p4_s40_i2_t8_s05", sfDir,
+      "documents") {
+      graft.llm.TextAnalysis.unigramTrainSoft(Tables.documents(spark, sfDir),
+        "text", maxPieceLen = 4, seedSize = 40, iters = 2,
+        targetMulti = 8, shrink = 0.5)
+    }
+
   /** Stored DSIR log-likelihood-ratio table `(bucket, log_ratio)` against
     * the English slice as the target distribution
     * ([[graft.llm.TextAnalysis.dsirRatios]]) — estimated once per corpus
