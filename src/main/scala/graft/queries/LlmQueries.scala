@@ -5596,17 +5596,19 @@ object LlmQueries {
             |ORDER BY doc_id""".stripMargin))
 
   /** CCNet's ACTUAL gate composition: per-language perplexity terciles
-    * over the STORED 5-gram KN model's per-token NLL — the
-    * `text_ppl_buckets2` threshold construction consuming the 5-gram
-    * scores unchanged (Wenzek et al. 2020 gate KenLM 5-gram perplexity;
-    * the unigram-scored twin demonstrated the plumbing). Thresholds from
-    * exact order statistics on the 6-dp value table, broadcast back,
-    * buckets by comparison — no corpus ntile. */
+    * over the STORED 5-gram KN scores — the `text_ppl_buckets2` threshold
+    * construction consuming the 5-gram scores unchanged (Wenzek et al.
+    * 2020 gate KenLM 5-gram perplexity; the unigram-scored twin
+    * demonstrated the plumbing). Scores come from the materialized
+    * [[Materialized.kn5Scores]] table, the CCNet staging: the threshold
+    * construction's two passes over its input would otherwise replay the
+    * dozen-join scoring plan twice (measured 9.0 s vs ~1 s at sf0.1).
+    * Thresholds from exact order statistics on the 6-dp value table,
+    * broadcast back, buckets by comparison — no corpus ntile. */
   val textPplBuckets5: QueryDef = QueryDef("text_ppl_buckets5",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val scored = TextAnalysis.lmScoreKn5FromModel(docs, "doc_id", "text",
-          Materialized.kn5Types(s, d))
+      val scored = Materialized.kn5Scores(s, d)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
         .orderBy("doc_id")

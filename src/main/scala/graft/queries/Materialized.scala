@@ -841,6 +841,20 @@ object Materialized {
         "doc_id", "text")
     }
 
+  /** Stored per-doc 5-gram KN scores `(doc_id, n_words, n_oov, nll_sum)`
+    * over the whole corpus against [[kn5Types]] — the CCNet pipeline
+    * materializes LM scores BEFORE perplexity bucketing because the
+    * scoring plan (a dozen type-table joins over the token stream) is the
+    * expensive stage and every downstream gate re-reads it; the threshold
+    * bucketing's two passes then cost two parquet scans, not two scoring
+    * replays. */
+  def kn5Scores(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_scores", "even_split_d075", sfDir, "documents") {
+      graft.llm.TextAnalysis.lmScoreKn5FromModel(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        kn5Types(spark, sfDir))
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,
