@@ -1924,6 +1924,100 @@ object Dedup {
         col("c_start"), col("c_end"), col("n_chars"), col("chunk_hash"))
   }
 
+  /** FastCDC chunking kernel ([[fastCdcChunks]]): normalized two-mask
+    * content-defined chunking over the [[gearChunkKernel]] rolling hash.
+    * From each chunk start `s`, positions are tested only past
+    * `minSize`; a STRICTER mask (`bitsS`, fewer cuts) applies while the
+    * chunk is shorter than `normalSize` and a LOOSER one (`bitsL`) after,
+    * pulling chunk lengths toward `normalSize`; `maxSize` forces a cut.
+    * `minSize ≥ 64` is REQUIRED and is what makes the pure rolling hash
+    * exactly FastCDC's per-chunk hash at every tested position: the
+    * 64-bit shift window has fully flushed the previous chunk by the
+    * time any position is tested, so boundaries stay a local property
+    * the oracle's closed-form window sum can replay. */
+  private[llm] def fastCdcChunkKernel(text: String, bitsS: Int, bitsL: Int,
+                                      minSize: Int, normalSize: Int,
+                                      maxSize: Int): Array[(Long, Long, Long, Long)] = {
+    val n = text.length
+    if (n == 0) return Array.empty
+    val g = new scala.collection.mutable.HashMap[Char, Long]()
+    val hs = new Array[Long](n + 1)
+    var h = 0L
+    var i = 1
+    while (i <= n) {
+      val c = text.charAt(i - 1)
+      h = (h << 1) + g.getOrElseUpdate(c, TextHashing.md5Long60Kernel(c.toString))
+      hs(i) = h
+      i += 1
+    }
+    def hit(j: Int, bits: Int): Boolean = (hs(j) >>> (64 - bits)) == 0L
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var s = 1
+    var ci = 1L
+    while (s <= n) {
+      var first = Int.MaxValue
+      var j = s + minSize - 1
+      val se = math.min(s + normalSize - 2, n)
+      while (first == Int.MaxValue && j <= se) {
+        if (hit(j, bitsS)) first = j
+        j += 1
+      }
+      if (first == Int.MaxValue) {
+        j = s + normalSize - 1
+        val le = math.min(s + maxSize - 2, n)
+        while (first == Int.MaxValue && j <= le) {
+          if (hit(j, bitsL)) first = j
+          j += 1
+        }
+      }
+      val cut = math.min(math.min(first, s + maxSize - 1), n)
+      out += ((ci, s.toLong, cut.toLong,
+        TextHashing.md5Long60Kernel(text.substring(s - 1, cut))))
+      s = cut + 1
+      ci += 1
+    }
+    out.toArray
+  }
+
+  /**
+   * FastCDC normalized chunking (Xia et al. 2016, "FastCDC: a Fast and
+   * Efficient Content-Defined Chunking Approach for Data Deduplication")
+   * — the production byte-CDC shape beside the plain rolling
+   * [[gearChunks]]: `minSize` suppresses tiny chunks (and skips their
+   * boundary tests entirely), `maxSize` bounds the tail, and the
+   * two-mask NORMALIZATION (a stricter mask before `normalSize`, a
+   * looser one after) concentrates chunk lengths around `normalSize` —
+   * the geometric-tail fix plain gear/Rabin chunking lacks. Same 100 TB
+   * shape as [[gearChunks]]: one typed JIT scan per document, zero
+   * shuffle.
+   */
+  def fastCdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                    bitsS: Int = 8, bitsL: Int = 5, minSize: Int = 64,
+                    normalSize: Int = 128, maxSize: Int = 256): DataFrame = {
+    require(minSize >= 64,
+      s"minSize must be ≥ 64 (got $minSize): below the 64-char rolling " +
+        "window, FastCDC's per-chunk hash diverges from the pure rolling " +
+        "hash and boundaries stop being a local (oracle-replayable) property")
+    require(minSize < normalSize && normalSize <= maxSize,
+      s"need minSize < normalSize <= maxSize, got $minSize/$normalSize/$maxSize")
+    require(bitsS > bitsL && bitsL >= 1 && bitsS <= 32,
+      s"need strict mask > loose mask, got bitsS=$bitsS bitsL=$bitsL")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireIntegralId(docs, idCol, "fastCdcChunks")
+    val idType = docs.schema(idCol).dataType
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else fastCdcChunkKernel(t, bitsS, bitsL, minSize, normalSize, maxSize)
+          .iterator.map(c => (id, c._1, c._2, c._3, c._3 - c._2 + 1, c._4))
+      }
+      .toDF("id0", "chunk_idx", "c_start", "c_end", "n_chars", "chunk_hash")
+      .select(col("id0").cast(idType).as(idCol), col("chunk_idx"),
+        col("c_start"), col("c_end"), col("n_chars"), col("chunk_hash"))
+  }
+
   /** Cross-document duplicated GEAR chunks — [[cdcDuplicateChunks]]' report
     * at byte/char granularity: chunk hashes held by ≥ 2 documents with
     * occurrence/document counts and the canonical (min-id) holder. One

@@ -51,7 +51,8 @@ object LlmQueries {
     dedupIncrementalWinnow, simHardNegatives2, textUnigramTrainBytes,
     textSplitSafe, dedupContainment, textLmKn2,
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
-    textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm)
+    textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
+    textFastCdcChunks)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5749,11 +5750,11 @@ object LlmQueries {
     docs.select(col("doc_id"), col("text")).unionByName(edited)
   }
 
-  /** The gear-chunk replay chain over the planted-edit corpus — closed-form
-    * trailing-window rolling hash in exact HUGEINT arithmetic; ends in
-    * `gch` = one row per chunk. Shared by `text_gear_chunks` and
-    * `dedup_gear`. */
-  private val gearChunkSql: String =
+  /** The rolling gear hash over the planted-edit corpus — closed-form
+    * trailing-window sum in exact HUGEINT arithmetic; ends in `hh` =
+    * `(doc_id, i, h)` per character plus `ln0` = doc lengths. Shared by
+    * the plain-gear and FastCDC replays. */
+  private val gearHashSql: String =
     """gt AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 5
            |            UNION ALL
            |            SELECT doc_id + 80000, text[1:24] || '@' || text[26:]
@@ -5773,7 +5774,13 @@ object LlmQueries {
            |      FROM gv a JOIN gv b
            |        ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 63 AND a.i
            |      GROUP BY 1, 2),
-           |bd AS (SELECT hh.doc_id, list(hh.i ORDER BY hh.i) AS bs
+           |""".stripMargin.dropRight(1)
+
+  /** The plain-gear chunk chain ([[Dedup.gearChunks]]' replay): boundary
+    * list, start/end assembly, chunk hashing; ends in `gch`. */
+  private val gearChunkSql: String =
+    s"""$gearHashSql
+      |bd AS (SELECT hh.doc_id, list(hh.i ORDER BY hh.i) AS bs
            |       FROM hh JOIN ln0 ON hh.doc_id = ln0.doc_id
            |       WHERE hh.i < ln0.n AND hh.h < 288230376151711744::HUGEINT
            |       GROUP BY 1),
@@ -5815,6 +5822,57 @@ object LlmQueries {
     * planted-edit corpus every original/edited pair shares all chunks
     * outside the edit's 64-char re-alignment window, so shared regions
     * surface as n_docs >= 2 hashes. One fixed-width (hash, id) exchange. */
+  /** FastCDC normalized chunking ([[Dedup.fastCdcChunks]], Xia et al.
+    * 2016): min/normal/max sizes with the two-mask normalization — a
+    * stricter mask (8 bits) before the normal point, a looser one
+    * (5 bits) after — over the same rolling gear hash. The oracle walks
+    * the chunks with a recursive CTE whose cut rule is the kernel's:
+    * first strict hit in [s+min−1, s+normal−2], else first loose hit in
+    * [s+normal−1, s+max−2], else the forced max/doc-end cut. The per-
+    * position next-cut table is precomputed with forward window frames
+    * over the shared closed-form HUGEINT hash and the recursion is a
+    * plain equi-join against it (DuckDB's recursive term silently
+    * empties correlated CTE subqueries — joins replay correctly). Exact
+    * because minSize ≥ 64 keeps FastCDC's per-chunk hash equal to the
+    * pure rolling hash at every tested position. */
+  val textFastCdcChunks: QueryDef = QueryDef("text_fastcdc_chunks",
+    (s, d) => Dedup.fastCdcChunks(gearCorpus(s, d), "doc_id", "text",
+        bitsS = 8, bitsL = 5, minSize = 64, normalSize = 128, maxSize = 256)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH RECURSIVE
+            |$gearHashSql
+            |cutt AS MATERIALIZED (
+            |  SELECT hh.doc_id, hh.i,
+            |    least(coalesce(
+            |      min(CASE WHEN h < 72057594037927936::HUGEINT THEN i END)
+            |        OVER (PARTITION BY hh.doc_id ORDER BY hh.i
+            |              ROWS BETWEEN 63 FOLLOWING AND 126 FOLLOWING),
+            |      min(CASE WHEN h < 576460752303423488::HUGEINT THEN i END)
+            |        OVER (PARTITION BY hh.doc_id ORDER BY hh.i
+            |              ROWS BETWEEN 127 FOLLOWING AND 254 FOLLOWING),
+            |      9223372036854775807), hh.i + 255, ln0.n) AS cut
+            |  FROM hh JOIN ln0 USING (doc_id)),
+            |fcs AS (
+            |  SELECT doc_id, 1::BIGINT AS ci, 1::BIGINT AS s FROM ln0
+            |  WHERE n > 0
+            |  UNION ALL
+            |  SELECT f.doc_id, f.ci + 1, c.cut + 1
+            |  FROM fcs f
+            |  JOIN cutt c ON c.doc_id = f.doc_id AND c.i = f.s
+            |  JOIN ln0 l ON l.doc_id = f.doc_id
+            |  WHERE c.cut < l.n
+            |),
+            |fck AS (SELECT f.doc_id, f.ci AS chunk_idx, f.s AS c_start,
+            |          c.cut AS c_end
+            |        FROM fcs f
+            |        JOIN cutt c ON c.doc_id = f.doc_id AND c.i = f.s)
+            |SELECT g.doc_id, chunk_idx, c_start, c_end,
+            |  (c_end - c_start + 1)::BIGINT AS n_chars,
+            |  ('0x' || substr(md5(g.text[c_start:c_end]), 1, 15))::BIGINT
+            |    AS chunk_hash
+            |FROM fck JOIN gt g USING (doc_id)
+            |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val dedupGear: QueryDef = QueryDef("dedup_gear",
     (s, d) => Dedup.gearDuplicateChunks(gearCorpus(s, d), "doc_id", "text",
         maskBits = 6)

@@ -2809,6 +2809,45 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(1L).map(_._4).toSet != rows(2L).map(_._4).toSet)
   }
 
+  test("fastCdcChunks: tiling, size bounds, normalization actually cuts, edits re-align") {
+    val base = (1 to 500).map(i => s"tok$i").mkString(" ") // ~3,400 chars
+    val edited = base.substring(0, 400) + "@" + base.substring(401)
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = Dedup.fastCdcChunks(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    rows.values.foreach { cs =>
+      // contiguous tiling of [1, n]
+      assert(cs.head._2 == 1L && cs.last._3 == base.length.toLong)
+      cs.sliding(2).withFilter(_.length == 2).foreach { p =>
+        assert(p(1)._2 == p(0)._3 + 1, s"gap: ${p(0)} -> ${p(1)}")
+      }
+      // size bounds: every chunk ≤ maxSize; every non-final chunk ≥ minSize
+      cs.foreach(c => assert(c._3 - c._2 + 1 <= 256L, c.toString))
+      cs.init.foreach(c => assert(c._3 - c._2 + 1 >= 64L, c.toString))
+      // normalization cuts on content, not only the max bound
+      assert(cs.init.exists(c => c._3 - c._2 + 1 < 256L),
+        "no content-defined cut fired — fixture/mask mismatch")
+    }
+    // chunks fully before the edit are untouched
+    val h1 = rows(1L).map(c => (c._2, c._4)).toSet
+    val before = rows(2L).filter(_._3 < 401)
+    assert(before.nonEmpty)
+    before.foreach(c => assert(h1.contains((c._2, c._4)), c.toString))
+    // re-alignment: min-size suppression makes boundary positions depend
+    // on the chunk start, so an edit cascades until a boundary COINCIDES
+    // again (probabilistic, unlike pure-rolling gear's 64-char bound) —
+    // and once starts coincide, identical suffix content forces identical
+    // cuts forever. Assert the re-sync happened: the chunk lists share a
+    // nonempty common SUFFIX, and from the first post-edit match onward
+    // every chunk matches.
+    val sync = rows(2L).find(c => c._2 > 401 && h1.contains((c._2, c._4)))
+    assert(sync.isDefined, "chunking never re-synced after the edit")
+    rows(2L).filter(_._2 >= sync.get._2).foreach(c =>
+      assert(h1.contains((c._2, c._4)),
+        s"chunk at ${c._2} diverged after re-sync at ${sync.get._2}"))
+  }
+
   test("hot-gram cap: capped and uncapped paths are row-identical for softDedup and repeatedSpans") {
     // every doc shares a 6-word boilerplate tail → its grams are hot at
     // threshold 3; doc-unique grams stay on the cold window path
