@@ -27,7 +27,8 @@ object ScaleCurveMain {
       "split-only", "bloom-only", "semantic-only", "million-vec-only",
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
-      "admission-only", "winnow-only", "cdc-only", "hotgram-only")
+      "admission-only", "winnow-only", "cdc-only", "hotgram-only",
+      "gear-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -78,6 +79,7 @@ object ScaleCurveMain {
     else if (args.contains("winnow-only")) winnow10M(spark)
     else if (args.contains("cdc-only")) cdc10M(spark)
     else if (args.contains("hotgram-only")) hotGram10M(spark)
+    else if (args.contains("gear-only")) gear10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -981,6 +983,64 @@ object ScaleCurveMain {
     println(f"winnow-10M docs=$n planted_pairs=${n / 100} | " +
       f"fingerprints=$nFp scan ${tFp}%.1fs | pairs=${pairs._1} " +
       f"adjacent=${pairs._2} (expect adjacent ≥ ${n / 100}) join ${tPair}%.1fs")
+  }
+
+  /** Byte-rolling CDC at 10M docs: the cdc10M planted corpus (1/1000 docs
+    * share a ~240-char block inside unique surroundings). Measures the
+    * zero-shuffle gear and FastCDC kernels plus the gear duplicate
+    * rollup; the planted block's interior gear boundaries are
+    * content-defined and identical in every copy, so shared chunk hashes
+    * must surface held by ≈ n/1000 docs. */
+  private def gear10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    val blockWords = (0 until 40).map(i => s"rep$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 1000 === 7,
+        concat(lit(blockWords + " unique"), col("id"), lit("a uniq"), col("id"),
+          lit("b uniq"), col("id"), lit("c")))
+        .otherwise(concat(
+          lit("u"), col("id"), lit("a u"), col("id"), lit("b u"), col("id"),
+          lit("c u"), col("id"), lit("d u"), col("id"), lit("e u"), col("id"),
+          lit("f u"), col("id"), lit("g u"), col("id"), lit("h u"), col("id"),
+          lit("i u"), col("id"), lit("j u"), col("id"), lit("k u"), col("id"),
+          lit("l")))
+        .as("text"))
+    val (nG, tG) = timed(
+      Dedup.gearChunks(docs, "doc_id", "text", maskBits = 6).count())
+    val (nF, tF) = timed(Dedup.fastCdcChunks(docs, "doc_id", "text").count())
+    // plain gear has no min size, so its dup rollup drowns in tiny
+    // accidental chunks (a 2-char chunk shared by ~400k unique docs) —
+    // the geometric-tail pathology that motivates FastCDC's minSize.
+    // Report the planted-block signal for gear RESTRICTED to real-sized
+    // chunks, and the clean FastCDC rollup beside it.
+    val (gd, tGd) = timed {
+      val d = Dedup.gearDuplicateChunks(docs, "doc_id", "text", maskBits = 6)
+      (d.count(),
+        d.where(col("n_chars") >= 32).agg(max("n_docs")).head().getLong(0))
+    }
+    // the FINAL chunk of a doc has no min-size protection (the document
+    // just ends), so a handful of short tail chunks still collide across
+    // docs — restrict the planted-block signal to real-sized chunks for
+    // FastCDC too
+    val (fd, tFd) = timed {
+      val d = Dedup.fastCdcChunks(docs, "doc_id", "text")
+        .groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          max("n_chars").as("n_chars"))
+        .where(col("n_docs") >= 2)
+      (d.count(),
+        d.where(col("n_chars") >= 32).agg(max("n_docs")).head().getLong(0))
+    }
+    println(f"gear-10M docs=$n planted=${n / 1000} | gear chunks=$nG " +
+      f"scan ${tG}%.1fs | fastcdc chunks=$nF scan ${tF}%.1fs | " +
+      f"gear dup_hashes=${gd._1} (tiny-chunk noise) " +
+      f"max_docs_at_32+chars=${gd._2} rollup ${tGd}%.1fs | " +
+      f"fastcdc dup_hashes=${fd._1} max_docs_at_32+chars=${fd._2} " +
+      f"(both expect ≈ ${n / 1000}) rollup ${tFd}%.1fs")
   }
 
   /** The hot-gram cap at 10M docs: EVERY doc opens with the same 4-word

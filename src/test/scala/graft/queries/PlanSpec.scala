@@ -673,11 +673,13 @@ class PlanSpec extends AnyFunSuite {
         "— the EM loop is re-scanning the corpus (word table not cached?)")
   }
 
-  test("text_gear_chunks: byte-rolling chunking is one zero-shuffle scan (only the output sort exchanges)") {
-    val p = plan("text_gear_chunks")
-    assert(!p.contains("Exchange hashpartitioning"),
-      "gear chunking must not shuffle\n" + p)
-    assert(!p.contains("Join"), "the kernel is per-document\n" + p)
+  test("text_gear_chunks / text_fastcdc_chunks: byte-rolling chunking is one zero-shuffle scan (only the output sort exchanges)") {
+    Seq("text_gear_chunks", "text_fastcdc_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle\n" + p)
+      assert(!p.contains("Join"), s"$q: the kernel is per-document\n" + p)
+    }
   }
 
   test("text_lm_kn52: stored 5-gram KN — docs scanned once, no data-table broadcast hint, ord slices partition-pruned") {
