@@ -1848,6 +1848,18 @@ object Dedup {
         max(col("n_words")).as("n_words"))
       .where(col("n_docs") >= 2)
 
+  /** The byte-rolling kernels iterate UTF-16 chars while the SQL replay
+    * indexes CODE POINTS — identical only while the text stays in the
+    * Basic Multilingual Plane. Non-BMP text (emoji, rare CJK) would
+    * silently diverge, so it fails loud here: route binary/astral
+    * content through [[graft.llm.TextAnalysis.byteLevelCorpus]], whose
+    * one-char-per-byte mapping is BMP by construction. */
+  private def requireBmp(text: String, op: String): Unit =
+    require(text.length == text.codePointCount(0, text.length),
+      s"$op: text contains non-BMP code points (surrogate pairs) — char " +
+        "and code-point indexing diverge; map the document through " +
+        "byteLevelCorpus first")
+
   /** Gear rolling-hash kernel for [[gearChunks]]: per character,
     * `h = (h << 1) + G(c)` with 64-bit wrapping arithmetic, where
     * `G(c) = md5Long60(c)` (engine-portable gear table — no baked-in
@@ -1866,6 +1878,7 @@ object Dedup {
                                    maskBits: Int): Array[(Long, Long, Long, Long)] = {
     val n = text.length
     if (n == 0) return Array.empty
+    requireBmp(text, "gearChunks")
     val shift = 64 - maskBits
     val g = new scala.collection.mutable.HashMap[Char, Long]()
     val bounds = scala.collection.mutable.ArrayBuffer[Int]()
@@ -1940,6 +1953,7 @@ object Dedup {
                                       maxSize: Int): Array[(Long, Long, Long, Long)] = {
     val n = text.length
     if (n == 0) return Array.empty
+    requireBmp(text, "fastCdcChunks")
     val g = new scala.collection.mutable.HashMap[Char, Long]()
     val hs = new Array[Long](n + 1)
     var h = 0L

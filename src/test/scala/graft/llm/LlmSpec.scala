@@ -2780,6 +2780,21 @@ class LlmSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("gear/fastCdc kernels fail loud on non-BMP text (char vs code-point indexing would silently diverge)") {
+    val astral = Seq((1L, "plain text with an astral char 😀 inside"))
+      .toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Dedup.gearChunks(astral, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("non-BMP") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-BMP")), e.toString)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Dedup.fastCdcChunks(astral, "doc_id", "text").collect()
+    }
+    assert(e2.getMessage.contains("non-BMP") ||
+      Option(e2.getCause).exists(_.getMessage.contains("non-BMP")), e2.toString)
+  }
+
   test("gearChunks: chunks partition the text; an in-word byte edit re-aligns within 64 chars") {
     val base = (1 to 400).map(i => s"w$i").mkString(" ") // ~2,400 chars
     // overwrite ONE character mid-word at offset 300 — the edit class that
