@@ -1035,8 +1035,14 @@ object TextAnalysis {
   def lmScoreKn5(docs: DataFrame, train: DataFrame, idCol: String,
                  textCol: String, discount: Double = 0.75,
                  modified: Boolean = false): DataFrame =
+    // the live form branches the type table into ~15 join legs — persist
+    // it so the live measurement times SCORING, not 15× re-aggregation
+    // (the in-memory analogue of the stored path's parquet reads; r11
+    // verdict nit). Deliberately never unpersisted: consumption is lazy
+    // and the cache is the bounded train-split type table, the same class
+    // as a cached store read.
     lmScoreKn5FromModel(docs, idCol, textCol,
-      kn5TypeTable(train, idCol, textCol), discount, modified)
+      kn5TypeTable(train, idCol, textCol).persist(), discount, modified)
 
   /** [[lmScoreKn5]] against a TRAINED unified type table
     * ([[kn5TypeTable]]'s output or the stored artifact): derives the
@@ -2111,6 +2117,21 @@ object TextAnalysis {
    * [[pplBucketsThreshold]] is the broadcast-threshold twin for that
    * regime; this form stays as the small-corpus oracle shape.
    */
+  /** 6-dp micro-nat quantization of `nll_sum` with the NON-NEGATIVITY
+    * contract enforced in-plan (r11 ADVICE): the exact half-up division
+    * `(2·nll6 + n) div (2·n)` is only half-up for `nll6 ≥ 0`, and a
+    * scorer emitting a positive total log-prob (an unnormalized model)
+    * would make Spark's truncate-toward-zero `div` and DuckDB's `//`
+    * disagree — fail LOUD instead of silently bucketing on divergent
+    * values. `assert_true` returns null when the contract holds, so the
+    * coalesce is free in the codegen'd hot path. */
+  private def checkedNll6(nll: Column): Column = coalesce(
+    assert_true(nll >= 0.0,
+      lit("pplBuckets requires non-negative nll_sum (−Σ ln p): the exact " +
+        "half-up ppl_tok division assumes nll6 ≥ 0 — a scorer emitted a " +
+        "positive total log-probability")).cast("long"),
+    round(nll * 1e6, 0).cast("long"))
+
   def pplBuckets(scored: DataFrame, idCol: String, langCol: String,
                  n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2118,7 +2139,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("ppl_tok"), col(idCol))
     scored.where(col("n_words") > 0)
-      .withColumn("nll6", round(col("nll_sum") * 1e6, 0).cast("long"))
+      .withColumn("nll6", checkedNll6(col("nll_sum")))
       .withColumn("ppl_tok",
         expr("(2 * nll6 + n_words) div (2 * n_words)").cast("double") / 1e6)
       .withColumn("bucket", ntile(n).over(w).cast("long"))
@@ -2161,7 +2182,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"need at least 2 buckets, got $n")
     val p = scored.where(col("n_words") > 0)
-      .withColumn("nll6", round(col("nll_sum") * 1e6, 0).cast("long"))
+      .withColumn("nll6", checkedNll6(col("nll_sum")))
       .withColumn("ppl_tok",
         expr("(2 * nll6 + n_words) div (2 * n_words)").cast("double") / 1e6)
     val vc = p.groupBy(col(langCol), col("ppl_tok"))

@@ -5743,6 +5743,12 @@ object LlmQueries {
     * doc plus a copy with one character overwritten mid-word. */
   private def gearCorpus(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
+    // the edited ids stay disjoint from the originals only because the
+    // offset is not a multiple of the modulus (doc_id + 80000 ≡ doc_id + 6
+    // mod 37 ≠ doc_id) — pin the invariant so editing either constant
+    // independently cannot silently plant duplicate ids (r11 ADVICE)
+    require(80000 % 37 != 0,
+      "gearCorpus: edit-id offset must not be ≡ 0 mod the doc_id modulus")
     val docs = Tables.documents(s, d).where(col("doc_id") % 37 === 5)
     val edited = docs.select((col("doc_id") + 80000).as("doc_id"),
       concat(substring(col("text"), 1, 24), lit("@"),

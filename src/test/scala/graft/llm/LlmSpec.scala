@@ -2884,6 +2884,37 @@ class LlmSpec extends AnyFunSuite {
     assert(spanU.nonEmpty, "the boilerplate tail must flag spans")
   }
 
+  test("hot-census guard: a careless tiny threshold fails loud at the row bound") {
+    // threshold 0 makes EVERY distinct gram "hot" — far past a 2-row bound
+    val d = Tables10
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.softDedupScores(d, "doc_id", "text", n = 4,
+        hotGramThreshold = Some(0L), hotCensusMaxRows = 2)
+    }
+    assert(e1.getMessage.contains("hot-gram census"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(d, "doc_id", "text", n = 4,
+        hotGramThreshold = Some(0L), hotCensusMaxRows = 2)
+    }
+    assert(e2.getMessage.contains("hot-gram census"), e2.getMessage)
+  }
+
+  test("pplBuckets: a negative nll_sum (positive total log-prob) fails loud") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val scored = Seq((1L, "en", 3L, -0.25), (2L, "en", 2L, 1.5))
+      .toDF("doc_id", "lang", "n_words", "nll_sum")
+    val e = intercept[Exception] {
+      TextAnalysis.pplBuckets(scored, "doc_id", "lang").collect()
+    }
+    assert(msgChain(e).contains("non-negative nll_sum"), msgChain(e))
+    val e2 = intercept[Exception] {
+      TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang").collect()
+    }
+    assert(msgChain(e2).contains("non-negative nll_sum"), msgChain(e2))
+  }
+
   test("softEmExpected: hand-computed masses, per-position coverage conservation") {
     // word "ab", vocab {a: .25, b: .25, ab: .5}: Z = .25·.25 + .5 = .5625
     // ec(a) = ec(b) = .0625/.5625 = .1̄; ec(ab) = .5/.5625 = .8̄

@@ -74,6 +74,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("text_lm_kn5: live type-table subtree cached and reused across join legs") {
+    val p = plan("text_lm_kn5")
+    val hits = "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size
+    assert(hits >= 2,
+      "the live 5-gram type table must be persisted and read by every join " +
+        "leg, not re-aggregated ~15x\n" + p)
+  }
+
   test("sim_ivf_search: partition-pruned scan of the stored index, no join over the corpus") {
     val p = plan("sim_ivf_search")
     assert(p.contains("TakeOrderedAndProject"), p)
