@@ -1245,6 +1245,245 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** KenLM-shape count-threshold pruning of a [[kn5TypeTable]] (the
+    * `--prune 0 0 1 1 1` dial): drop order-3/4/5 types with `cnt` below
+    * the per-order floor, keep orders 1–2 whole. Consumers re-derive
+    * EVERY smoothing table (context masses, continuation counts, backoff
+    * masses) from the pruned table, so the model stays exactly normalized
+    * (per context, `Σ max(c−D,0)/cs + D·nf/cs = 1` holds because `cs` and
+    * `nf` are sums over the KEPT types — property-pinned in LlmSpec).
+    * Suffix-count monotonicity (`cnt(h,w) ≤ cnt(suffix(h),w)`) keeps the
+    * pruned orders closed under suffixing for any non-decreasing
+    * threshold schedule, so continuation tables derived from order k+1
+    * never reference a pruned order-k gram. At 100 TB this is THE stored
+    * artifact's scale dial: the unpruned order-4/5 slices are
+    * near-corpus-sized while singletons carry ~no smoothing mass. */
+  def kn5Prune(types: DataFrame, minCount345: Long = 2L): DataFrame = {
+    require(minCount345 >= 1L, s"minCount345 must be ≥ 1, got $minCount345")
+    types.where(col("ord") <= 2 || col("cnt") >= minCount345.toDouble)
+  }
+
+  /**
+   * Quantized ARPA-style 5-gram KN model from a (pruned) [[kn5TypeTable]]
+   * — the second half of KenLM's `--prune` + quantization recipe: instead
+   * of deriving the smoothing tables at every scoring run, materialize
+   * per-gram discounted probabilities and per-context backoff masses,
+   * quantized to 6-dp micro-units, as ONE unified `(kind, ord)` table:
+   *
+   *  - `kind = 'gram'`, ord 2–5: `qa6 = ⌈(c−D)/c(h·)⌉₆` (raw-top numerator),
+   *    `qb6 = ⌈(N₁₊(·hw)−D)/N₁₊(·h·)⌉₆` (continuation numerator, null when
+   *    the gram never extends leftward);
+   *  - `kind = 'ctx'`, ord 2–5: `qa6 = ⌈D·nf/cs⌉₆` (raw backoff γ),
+   *    `qb6` the continuation γ — both CLAMPED to ≥ 1 micro-unit: a γ
+   *    quantized to zero would zero a sparse history's entire backoff
+   *    mass and score an unseen word ln(0) (the cross-engine error/null
+   *    divergence); one micro-unit is the soft-EM singles discipline;
+   *  - `kind = 'uni'`: per vocab word, `qa6 = ⌈c₁/N⌉₆` (the pos-0 ML
+   *    unigram, clamped ≥ 1 — a hapax in a >2M-token corpus must not
+   *    quantize to ln(0)) and `qb6 = ⌈(nc₁−D)/N₁₊(··)⌉₆`;
+   *  - `kind = 'scal'`: one row — `qa6 = ⌈D·W₁/N₁₊(··)⌉₆` (base γ),
+   *    `qb6 = ⌈1/|V|⌉₆` (uniform floor), both clamped.
+   *
+   * Every quantity is EXACT-INTEGER half-up 6-dp: with `D = 3/4`,
+   * `(c−D)/cs = (4c−3)/(4cs)`, so `q6 = (2·10⁶·a + b) div (2b)` on longs —
+   * the identical operation in any engine (the softDedup discipline; both
+   * operands positive, so truncating and floor division coincide).
+   *
+   * 100 TB shape: scoring against this artifact is TWO hash joins per
+   * order (gram + context) on bounded parquet slices — the derivation
+   * aggregations are paid once at store time; the quantized longs halve
+   * the artifact width vs doubles and cap the value alphabet.
+   */
+  def kn5QuantModel(types: DataFrame): DataFrame = {
+    // micro-unit half-up quantization of a/b on integer columns (a,b > 0)
+    def q6(a: String, b: String): Column =
+      expr(s"(2000000 * ($a) + ($b)) div (2 * ($b))")
+    def clamp(c: Column): Column = greatest(c, lit(1L))
+    val ns = lit(null).cast("string")
+    val nl = lit(null).cast("long")
+    def slice(k: Int, c: String): DataFrame =
+      types.where(col("ord") === k)
+        .select(Seq("h4", "h3", "h2", "h1", "w").map(col) :+
+          col("cnt").cast("long").as(c): _*)
+    val uniT = slice(1, "c1").select(col("w"), col("c1"))
+    val t2 = slice(2, "c2").select(col("h1"), col("w"), col("c2"))
+    val t3 = slice(3, "c3").select(col("h2"), col("h1"), col("w"), col("c3"))
+    val t4 = slice(4, "c4").select(col("h3"), col("h2"), col("h1"), col("w"),
+      col("c4"))
+    val t5 = slice(5, "c5")
+    val nv = uniT.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val tts = t2.agg(count(lit(1)).as("tt"),
+      countDistinct(col("w")).as("w1"))
+    val cont1 = t2.groupBy("w").agg(count(lit(1)).as("nc1"))
+    def ctxOf(tbl: DataFrame, keys: Seq[String], c: String, cs: String,
+              nf: String): DataFrame =
+      tbl.groupBy(keys.map(col): _*)
+        .agg(sum(col(c)).as(cs), count(lit(1)).as(nf))
+    def ccOf(tbl: DataFrame, keys: Seq[String], cc: String): DataFrame =
+      tbl.groupBy((keys :+ "w").map(col): _*).agg(count(lit(1)).as(cc))
+    val k2 = Seq("h1"); val k3 = Seq("h2", "h1")
+    val k4 = Seq("h3", "h2", "h1"); val k5 = Seq("h4", "h3", "h2", "h1")
+    val ctx2 = ctxOf(t2, k2, "c2", "cs2", "nf2")
+    val ctx3 = ctxOf(t3, k3, "c3", "cs3", "nf3")
+    val ctx4 = ctxOf(t4, k4, "c4", "cs4", "nf4")
+    val ctx5 = ctxOf(t5.select((k5 :+ "w").map(col) :+ col("c5"): _*), k5,
+      "c5", "cs5", "nf5")
+    val cc2 = ccOf(t3.select(col("h1"), col("w"), col("c3")), k2, "cc2")
+    val cc3 = ccOf(t4.select(col("h2"), col("h1"), col("w"), col("c4")), k3, "cc3")
+    val cc4 = ccOf(t5.select(col("h3"), col("h2"), col("h1"), col("w"),
+      col("c5")), k4, "cc4")
+    val cx2 = ctxOf(cc2, k2, "cc2", "ccs2", "ncf2")
+    val cx3 = ctxOf(cc3, k3, "cc3", "ccs3", "ncf3")
+    val cx4 = ctxOf(cc4, k4, "cc4", "ccs4", "ncf4")
+    def pad(df: DataFrame, k: Int, kind: String, qa: Column,
+            qb: Column): DataFrame = {
+      val have = df.columns.toSet
+      def hcol(n: String) = if (have(n)) col(n) else ns
+      df.select(lit(kind).as("kind"), lit(k).as("ord"),
+        hcol("h4").as("h4"), hcol("h3").as("h3"), hcol("h2").as("h2"),
+        hcol("h1").as("h1"), hcol("w").as("w"),
+        qa.as("qa6"), qb.as("qb6"))
+    }
+    def gramRows(k: Int, t: DataFrame, keys: Seq[String], c: String,
+                 ctx: DataFrame, cs: String,
+                 cc: Option[(DataFrame, String, DataFrame, String)]): DataFrame = {
+      val base = t.join(ctx, keys)
+      val withCc = cc match {
+        case Some((ccT, ccC, cxT, ccsC)) =>
+          base.join(ccT, keys :+ "w", "left").join(cxT, keys, "left")
+            .withColumn("qb", when(col(ccC).isNotNull,
+              q6(s"4 * $ccC - 3", s"4 * $ccsC")).otherwise(nl))
+        case None => base.withColumn("qb", nl)
+      }
+      pad(withCc.withColumn("qa", q6(s"4 * $c - 3", s"4 * $cs")),
+        k, "gram", col("qa"), col("qb"))
+    }
+    def ctxRows(k: Int, ctx: DataFrame, cs: String, nf: String,
+                cx: Option[(DataFrame, String, String)]): DataFrame = {
+      val base = cx match {
+        case Some((cxT, ccs, ncf)) =>
+          ctx.join(cxT, ctx.columns.filter(_.startsWith("h")).toSeq, "left")
+            .withColumn("qb", when(col(ccs).isNotNull,
+              clamp(q6(s"3 * $ncf", s"4 * $ccs"))).otherwise(nl))
+        case None => ctx.withColumn("qb", nl)
+      }
+      pad(base.withColumn("qa", clamp(q6(s"3 * $nf", s"4 * $cs"))),
+        k, "ctx", col("qa"), col("qb"))
+    }
+    val uniRows = pad(
+      uniT.crossJoin(nv).join(cont1, Seq("w"), "left").crossJoin(tts)
+        .withColumn("qa", clamp(q6("c1", "n")))
+        .withColumn("qb", when(col("nc1").isNotNull && col("tt") > 0L,
+          q6("4 * nc1 - 3", "4 * tt")).otherwise(nl)),
+      1, "uni", col("qa"), col("qb"))
+    val scalRow = pad(
+      tts.crossJoin(nv)
+        .withColumn("qa", when(col("tt") > 0L,
+          clamp(q6("3 * w1", "4 * tt"))).otherwise(nl))
+        .withColumn("qb", clamp(q6("1", "v"))),
+      0, "scal", col("qa"), col("qb"))
+    uniRows
+      .unionByName(gramRows(2, t2, k2, "c2", ctx2, "cs2",
+        Some((cc2, "cc2", cx2, "ccs2"))))
+      .unionByName(gramRows(3, t3, k3, "c3", ctx3, "cs3",
+        Some((cc3, "cc3", cx3, "ccs3"))))
+      .unionByName(gramRows(4, t4, k4, "c4", ctx4, "cs4",
+        Some((cc4, "cc4", cx4, "ccs4"))))
+      .unionByName(gramRows(5,
+        t5.select((k5 :+ "w").map(col) :+ col("c5"): _*), k5, "c5",
+        ctx5, "cs5", None))
+      .unionByName(ctxRows(2, ctx2, "cs2", "nf2", Some((cx2, "ccs2", "ncf2"))))
+      .unionByName(ctxRows(3, ctx3, "cs3", "nf3", Some((cx3, "ccs3", "ncf3"))))
+      .unionByName(ctxRows(4, ctx4, "cs4", "nf4", Some((cx4, "ccs4", "ncf4"))))
+      .unionByName(ctxRows(5, ctx5, "cs5", "nf5", None))
+      .unionByName(scalRow)
+  }
+
+  /**
+   * 5-gram KN scoring against a QUANTIZED stored model
+   * ([[kn5QuantModel]]'s output) — the production KenLM-binary shape:
+   * per order, ONE gram join (discounted-probability numerator) and ONE
+   * context join (backoff γ), then the interpolation chain
+   * `p_k = q + γ·p_{k−1}` runs on the quantized micro-unit values in
+   * double space (identical IEEE ops in any engine; every γ ≥ 1 µ keeps
+   * the chain strictly positive, so `ln` never sees 0). Backoff on an
+   * absent context is weight-1 to the level below; pos-0 scores the
+   * quantized ML unigram; OOV = no `uni` row, counted never dropped.
+   * Same output contract as [[lmScoreKn5FromModel]] (values differ by
+   * ≤ 0.5 µ/term quantization — this is a DIFFERENT, coarser model).
+   *
+   * 100 TB shape: ~9 hash joins on `(kind, ord)`-partition-pruned parquet
+   * slices of one stored artifact; no aggregation over the model at
+   * scoring time at all (the [[lmScoreKn5FromModel]] path re-derives
+   * every context/continuation table per run); only the one-row `scal`
+   * slice broadcasts.
+   */
+  def lmScoreKn5Quant(docs: DataFrame, idCol: String, textCol: String,
+                      quant: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = lit(1e6)
+    val uni = quant.where(col("kind") === "uni")
+      .select(col("w"), col("qa6").as("q0"), col("qb6").as("q1u"))
+    val scal = quant.where(col("kind") === "scal")
+      .select(col("qa6").as("gam1"), col("qb6").as("vinv"))
+    def keysOf(k: Int): Seq[String] =
+      Seq("h4", "h3", "h2", "h1").takeRight(k - 1)
+    def gram(k: Int) = quant.where(col("kind") === "gram" && col("ord") === k)
+      .select((keysOf(k) :+ "w").map(col) :+ col("qa6").as(s"qr$k") :+
+        col("qb6").as(s"qc$k"): _*)
+    def ctx(k: Int) = quant.where(col("kind") === "ctx" && col("ord") === k)
+      .select(keysOf(k).map(col) :+ col("qa6").as(s"gr$k") :+
+        col("qb6").as(s"gc$k"): _*)
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val occ = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("h1", lag(col("w"), 1).over(byDoc))
+      .withColumn("h2", lag(col("w"), 2).over(byDoc))
+      .withColumn("h3", lag(col("w"), 3).over(byDoc))
+      .withColumn("h4", lag(col("w"), 4).over(byDoc))
+    val joined = occ
+      .join(uni, Seq("w"), "left")
+      .join(gram(2), Seq("h1", "w"), "left")
+      .join(ctx(2), Seq("h1"), "left")
+      .join(gram(3), Seq("h2", "h1", "w"), "left")
+      .join(ctx(3), Seq("h2", "h1"), "left")
+      .join(gram(4), Seq("h3", "h2", "h1", "w"), "left")
+      .join(ctx(4), Seq("h3", "h2", "h1"), "left")
+      .join(gram(5), Seq("h4", "h3", "h2", "h1", "w"), "left")
+      .join(ctx(5), Seq("h4", "h3", "h2", "h1"), "left")
+      .crossJoin(broadcast(scal))
+    // the quantized interpolation level: q + γ·lower, weight-1 backoff on
+    // an absent context — the SAME expression text as the oracle's replay
+    def lvl(q: Column, g: Column, lower: Column): Column =
+      when(g.isNotNull,
+        coalesce(q, lit(0L)) / m + g / m * lower).otherwise(lower)
+    val staged = joined
+      .withColumn("p1",
+        when(col("gam1").isNotNull,
+          coalesce(col("q1u"), lit(0L)) / m + col("gam1") / m *
+            (col("vinv") / m))
+          .otherwise(col("vinv") / m))
+      .withColumn("p2c", lvl(col("qc2"), col("gc2"), col("p1")))
+      .withColumn("p2r", lvl(col("qr2"), col("gr2"), col("p1")))
+      .withColumn("p3c", lvl(col("qc3"), col("gc3"), col("p2c")))
+      .withColumn("p3r", lvl(col("qr3"), col("gr3"), col("p2c")))
+      .withColumn("p4c", lvl(col("qc4"), col("gc4"), col("p3c")))
+      .withColumn("p4r", lvl(col("qr4"), col("gr4"), col("p3c")))
+      .withColumn("p5", lvl(col("qr5"), col("gr5"), col("p4c")))
+    val s = when(col("q0").isNull, lit(null).cast("double"))
+      .when(col("pos") === 0, col("q0") / m)
+      .when(col("pos") === 1, col("p2r"))
+      .when(col("pos") === 2, col("p3r"))
+      .when(col("pos") === 3, col("p4r"))
+      .otherwise(col("p5"))
+    staged.select(col("id"), round(log(s), 6).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(when(col("lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(-sum(coalesce(col("lp"), lit(0.0))), 6).as("nll_sum"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Count-min-sketch bucket for word `w` under hash row `seed`:
     * `md5(seed|w)` reduced to 60 bits then mod `width` — the portable
     * [[TextHashing]] discipline, so any engine addresses the same cell. */

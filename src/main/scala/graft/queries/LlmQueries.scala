@@ -52,7 +52,8 @@ object LlmQueries {
     textSplitSafe, dedupContainment, textLmKn2,
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
     textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
-    textFastCdcChunks)
+    textFastCdcChunks,
+    textLmKn5p, textLmKn5q, textPplBuckets5p)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5271,9 +5272,13 @@ object LlmQueries {
     * (doc_id, n_words, n_oov, nll_sum)`. */
   /** The shared 5-gram KN model/token CTEs: even-split training tables of
     * every order, continuation tables, the held-out token stream with its
-    * four history lags — both discount variants build on this prefix. */
-  private val kn5ModelSql: String =
-    """tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+    * four history lags — both discount variants build on this prefix.
+    * `prune345` replays the KenLM `--prune 0 0 1 1 1` dial: order-3/4/5
+    * singleton types dropped; continuation tables derive from the PRUNED
+    * orders, exactly like [[graft.llm.TextAnalysis.kn5Prune]] consumers. */
+  private def kn5ModelSqlFor(prune345: Boolean): String = {
+    val hv = if (prune345) " HAVING count(*) >= 2" else ""
+    s"""tr AS (SELECT doc_id, string_split(text, ' ') AS ws
       |       FROM documents WHERE doc_id % 2 = 0),
       |ttok AS (SELECT doc_id, unnest(ws) AS w,
       |           generate_subscripts(ws, 1)::BIGINT AS pos FROM tr),
@@ -5288,11 +5293,11 @@ object LlmQueries {
       |t2 AS (SELECT h1, w, count(*)::DOUBLE AS c2 FROM th
       |       WHERE h1 IS NOT NULL GROUP BY 1, 2),
       |t3 AS (SELECT h2, h1, w, count(*)::DOUBLE AS c3 FROM th
-      |       WHERE h2 IS NOT NULL GROUP BY 1, 2, 3),
+      |       WHERE h2 IS NOT NULL GROUP BY 1, 2, 3$hv),
       |t4 AS (SELECT h3, h2, h1, w, count(*)::DOUBLE AS c4 FROM th
-      |       WHERE h3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+      |       WHERE h3 IS NOT NULL GROUP BY 1, 2, 3, 4$hv),
       |t5 AS (SELECT h4, h3, h2, h1, w, count(*)::DOUBLE AS c5 FROM th
-      |       WHERE h4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+      |       WHERE h4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5$hv),
       |cc2 AS (SELECT h1, w, count(*)::DOUBLE AS cc2 FROM t3 GROUP BY 1, 2),
       |cc3 AS (SELECT h2, h1, w, count(*)::DOUBLE AS cc3 FROM t4
       |        GROUP BY 1, 2, 3),
@@ -5310,9 +5315,15 @@ object LlmQueries {
       |         lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3,
       |         lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS h4
       |       FROM stok)""".stripMargin
+  }
 
-  private val kn5ScoreSql: String =
-    s"""$kn5ModelSql,
+  private val kn5ModelSql: String = kn5ModelSqlFor(prune345 = false)
+
+  /** Fixed-discount scoring chain over a given model prefix — shared by
+    * the full and the pruned replays (the chain itself is identical; only
+    * the model tables differ). Ends in `kn5s`. */
+  private def kn5ScoreSqlOver(modelSql: String): String =
+    s"""$modelSql,
       |ctx2 AS (SELECT h1, sum(c2) AS cs2, count(*)::DOUBLE AS nf2
       |         FROM t2 GROUP BY 1),
       |ctx3 AS (SELECT h2, h1, sum(c3) AS cs3, count(*)::DOUBLE AS nf3
@@ -5404,6 +5415,10 @@ object LlmQueries {
       |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
       |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
       |         FROM sp GROUP BY 1)""".stripMargin
+
+  private val kn5ScoreSql: String = kn5ScoreSqlOver(kn5ModelSql)
+  private val kn5pScoreSql: String =
+    kn5ScoreSqlOver(kn5ModelSqlFor(prune345 = true))
 
   /** One modified-KN discount CTE: count-of-counts n₁..n₄ of `tbl.c`,
     * Chen & Goodman's `Y/D₁/D₂/D₃` under KenLM's validity rule — any
@@ -5615,7 +5630,13 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH $kn5ScoreSql,
-            |p AS (SELECT k.doc_id, dd.lang, k.n_words,
+            |$pplBuckets5TailSql""".stripMargin))
+
+  /** Perplexity-tercile construction over a `kn5s` score CTE — shared by
+    * the full-model and pruned-model stored-score gates (the gate is the
+    * same construction; only the scoring model differs). */
+  private lazy val pplBuckets5TailSql: String =
+    """p AS (SELECT k.doc_id, dd.lang, k.n_words,
             |        ((2 * round(k.nll_sum * 1000000, 0)::BIGINT + k.n_words)
             |          // (2 * k.n_words)) / 1000000.0 AS ppl_tok
             |      FROM kn5s k JOIN documents dd USING (doc_id)
@@ -5641,7 +5662,184 @@ object LlmQueries {
             |SELECT doc_id, lang, n_words, ppl_tok, bucket,
             |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
             |       ELSE 'middle' END AS bucket_label
-            |FROM b ORDER BY doc_id""".stripMargin))
+            |FROM b ORDER BY doc_id""".stripMargin
+
+  /** 5-gram KN scoring against the COUNT-THRESHOLD-PRUNED stored model
+    * (KenLM `--prune 0 0 1 1 1`, [[Materialized.kn5TypesPruned]]):
+    * order-3/4/5 singletons dropped at store time, every smoothing mass
+    * re-derived from the pruned table so the model stays exactly
+    * normalized (LlmSpec property). The scale story: the unpruned
+    * order-4/5 slices are near corpus-sized at 100 TB — this is the
+    * artifact a production gate actually ships. */
+  val textLmKn5p: QueryDef = QueryDef("text_lm_kn5p",
+    (s, d) => TextAnalysis.lmScoreKn5FromModel(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5TypesPruned(s, d))
+      .orderBy("doc_id"),
+    Some(s"""WITH $kn5pScoreSql
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
+
+  /** The quantized-ARPA replay: pruned model prefix → 6-dp micro-unit
+    * integer quantization of every per-gram numerator and per-context
+    * backoff γ (half-up integer division, γ/uniform floors clamped to
+    * 1 µ), then the q+γ·lower chain. Ends in `kn5s`. */
+  private lazy val kn5qScoreSql: String = {
+    def q6(a: String, b: String) = s"(2000000 * ($a) + ($b)) // (2 * ($b))"
+    s"""${kn5ModelSqlFor(prune345 = true)},
+      |ctq2 AS (SELECT h1, sum(c2)::BIGINT AS cs2,
+      |           count(*)::BIGINT AS nf2 FROM t2 GROUP BY 1),
+      |ctq3 AS (SELECT h2, h1, sum(c3)::BIGINT AS cs3,
+      |           count(*)::BIGINT AS nf3 FROM t3 GROUP BY 1, 2),
+      |ctq4 AS (SELECT h3, h2, h1, sum(c4)::BIGINT AS cs4,
+      |           count(*)::BIGINT AS nf4 FROM t4 GROUP BY 1, 2, 3),
+      |ctq5 AS (SELECT h4, h3, h2, h1, sum(c5)::BIGINT AS cs5,
+      |           count(*)::BIGINT AS nf5 FROM t5 GROUP BY 1, 2, 3, 4),
+      |cxq2 AS (SELECT h1, sum(cc2)::BIGINT AS ccs2,
+      |           count(*)::BIGINT AS ncf2 FROM cc2 GROUP BY 1),
+      |cxq3 AS (SELECT h2, h1, sum(cc3)::BIGINT AS ccs3,
+      |           count(*)::BIGINT AS ncf3 FROM cc3 GROUP BY 1, 2),
+      |cxq4 AS (SELECT h3, h2, h1, sum(cc4)::BIGINT AS ccs4,
+      |           count(*)::BIGINT AS ncf4 FROM cc4 GROUP BY 1, 2, 3),
+      |qg2 AS (SELECT t.h1, t.w,
+      |          ${q6("4 * t.c2::BIGINT - 3", "4 * c.cs2")} AS qr2,
+      |          CASE WHEN u.cc2 IS NOT NULL THEN
+      |            ${q6("4 * u.cc2::BIGINT - 3", "4 * x.ccs2")} END AS qc2
+      |        FROM t2 t JOIN ctq2 c USING (h1)
+      |        LEFT JOIN cc2 u ON u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq2 x ON x.h1 = t.h1),
+      |qg3 AS (SELECT t.h2, t.h1, t.w,
+      |          ${q6("4 * t.c3::BIGINT - 3", "4 * c.cs3")} AS qr3,
+      |          CASE WHEN u.cc3 IS NOT NULL THEN
+      |            ${q6("4 * u.cc3::BIGINT - 3", "4 * x.ccs3")} END AS qc3
+      |        FROM t3 t JOIN ctq3 c USING (h2, h1)
+      |        LEFT JOIN cc3 u ON u.h2 = t.h2 AND u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq3 x ON x.h2 = t.h2 AND x.h1 = t.h1),
+      |qg4 AS (SELECT t.h3, t.h2, t.h1, t.w,
+      |          ${q6("4 * t.c4::BIGINT - 3", "4 * c.cs4")} AS qr4,
+      |          CASE WHEN u.cc4 IS NOT NULL THEN
+      |            ${q6("4 * u.cc4::BIGINT - 3", "4 * x.ccs4")} END AS qc4
+      |        FROM t4 t JOIN ctq4 c USING (h3, h2, h1)
+      |        LEFT JOIN cc4 u ON u.h3 = t.h3 AND u.h2 = t.h2
+      |          AND u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq4 x ON x.h3 = t.h3 AND x.h2 = t.h2
+      |          AND x.h1 = t.h1),
+      |qg5 AS (SELECT t.h4, t.h3, t.h2, t.h1, t.w,
+      |          ${q6("4 * t.c5::BIGINT - 3", "4 * c.cs5")} AS qr5
+      |        FROM t5 t JOIN ctq5 c USING (h4, h3, h2, h1)),
+      |qx2 AS (SELECT c.h1,
+      |          greatest(${q6("3 * c.nf2", "4 * c.cs2")}, 1) AS gr2,
+      |          CASE WHEN x.ccs2 IS NOT NULL THEN
+      |            greatest(${q6("3 * x.ncf2", "4 * x.ccs2")}, 1) END AS gc2
+      |        FROM ctq2 c LEFT JOIN cxq2 x USING (h1)),
+      |qx3 AS (SELECT c.h2, c.h1,
+      |          greatest(${q6("3 * c.nf3", "4 * c.cs3")}, 1) AS gr3,
+      |          CASE WHEN x.ccs3 IS NOT NULL THEN
+      |            greatest(${q6("3 * x.ncf3", "4 * x.ccs3")}, 1) END AS gc3
+      |        FROM ctq3 c LEFT JOIN cxq3 x USING (h2, h1)),
+      |qx4 AS (SELECT c.h3, c.h2, c.h1,
+      |          greatest(${q6("3 * c.nf4", "4 * c.cs4")}, 1) AS gr4,
+      |          CASE WHEN x.ccs4 IS NOT NULL THEN
+      |            greatest(${q6("3 * x.ncf4", "4 * x.ccs4")}, 1) END AS gc4
+      |        FROM ctq4 c LEFT JOIN cxq4 x USING (h3, h2, h1)),
+      |qx5 AS (SELECT h4, h3, h2, h1,
+      |          greatest(${q6("3 * nf5", "4 * cs5")}, 1) AS gr5 FROM ctq5),
+      |qu AS (SELECT u.w,
+      |         greatest(${q6("u.c1::BIGINT", "nv.n::BIGINT")}, 1) AS q0,
+      |         CASE WHEN cont1.nc1 IS NOT NULL AND tts.tt > 0 THEN
+      |           ${q6("4 * cont1.nc1::BIGINT - 3", "4 * tts.tt::BIGINT")}
+      |         END AS q1u
+      |       FROM uni u LEFT JOIN cont1 ON u.w = cont1.w
+      |       CROSS JOIN nv CROSS JOIN tts),
+      |qsc AS (SELECT CASE WHEN tts.tt > 0 THEN
+      |          greatest(${q6("3 * tts.w1::BIGINT", "4 * tts.tt::BIGINT")}, 1)
+      |        END AS gam1,
+      |        greatest(${q6("1", "nv.v::BIGINT")}, 1) AS vinv
+      |       FROM tts CROSS JOIN nv),
+      |jq AS (SELECT sh.doc_id, sh.pos, qu.q0, qu.q1u,
+      |         g2.qr2, g2.qc2, x2.gr2, x2.gc2,
+      |         g3.qr3, g3.qc3, x3.gr3, x3.gc3,
+      |         g4.qr4, g4.qc4, x4.gr4, x4.gc4,
+      |         g5.qr5, x5.gr5, qsc.gam1, qsc.vinv
+      |       FROM sh
+      |       LEFT JOIN qu ON sh.w = qu.w
+      |       LEFT JOIN qg2 g2 ON sh.h1 = g2.h1 AND sh.w = g2.w
+      |       LEFT JOIN qx2 x2 ON sh.h1 = x2.h1
+      |       LEFT JOIN qg3 g3 ON sh.h2 = g3.h2 AND sh.h1 = g3.h1
+      |         AND sh.w = g3.w
+      |       LEFT JOIN qx3 x3 ON sh.h2 = x3.h2 AND sh.h1 = x3.h1
+      |       LEFT JOIN qg4 g4 ON sh.h3 = g4.h3 AND sh.h2 = g4.h2
+      |         AND sh.h1 = g4.h1 AND sh.w = g4.w
+      |       LEFT JOIN qx4 x4 ON sh.h3 = x4.h3 AND sh.h2 = x4.h2
+      |         AND sh.h1 = x4.h1
+      |       LEFT JOIN qg5 g5 ON sh.h4 = g5.h4 AND sh.h3 = g5.h3
+      |         AND sh.h2 = g5.h2 AND sh.h1 = g5.h1 AND sh.w = g5.w
+      |       LEFT JOIN qx5 x5 ON sh.h4 = x5.h4 AND sh.h3 = x5.h3
+      |         AND sh.h2 = x5.h2 AND sh.h1 = x5.h1
+      |       CROSS JOIN qsc),
+      |m1 AS (SELECT *, CASE WHEN gam1 IS NOT NULL THEN
+      |           coalesce(q1u, 0) / 1000000.0
+      |             + (gam1 / 1000000.0) * (vinv / 1000000.0)
+      |         ELSE vinv / 1000000.0 END AS p1 FROM jq),
+      |m2 AS (SELECT *,
+      |         CASE WHEN gc2 IS NOT NULL THEN coalesce(qc2, 0) / 1000000.0
+      |             + (gc2 / 1000000.0) * p1 ELSE p1 END AS p2c,
+      |         CASE WHEN gr2 IS NOT NULL THEN coalesce(qr2, 0) / 1000000.0
+      |             + (gr2 / 1000000.0) * p1 ELSE p1 END AS p2r FROM m1),
+      |m3 AS (SELECT *,
+      |         CASE WHEN gc3 IS NOT NULL THEN coalesce(qc3, 0) / 1000000.0
+      |             + (gc3 / 1000000.0) * p2c ELSE p2c END AS p3c,
+      |         CASE WHEN gr3 IS NOT NULL THEN coalesce(qr3, 0) / 1000000.0
+      |             + (gr3 / 1000000.0) * p2c ELSE p2c END AS p3r FROM m2),
+      |m4 AS (SELECT *,
+      |         CASE WHEN gc4 IS NOT NULL THEN coalesce(qc4, 0) / 1000000.0
+      |             + (gc4 / 1000000.0) * p3c ELSE p3c END AS p4c,
+      |         CASE WHEN gr4 IS NOT NULL THEN coalesce(qr4, 0) / 1000000.0
+      |             + (gr4 / 1000000.0) * p3c ELSE p3c END AS p4r FROM m3),
+      |m5 AS (SELECT *,
+      |         CASE WHEN gr5 IS NOT NULL THEN coalesce(qr5, 0) / 1000000.0
+      |             + (gr5 / 1000000.0) * p4c ELSE p4c END AS p5 FROM m4),
+      |spq AS (SELECT doc_id,
+      |         CASE WHEN q0 IS NULL THEN NULL
+      |              WHEN pos = 1 THEN q0 / 1000000.0
+      |              WHEN pos = 2 THEN p2r
+      |              WHEN pos = 3 THEN p3r
+      |              WHEN pos = 4 THEN p4r
+      |              ELSE p5 END AS s FROM m5),
+      |kn5s AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
+      |         FROM spq GROUP BY 1)""".stripMargin
+  }
+
+  /** 5-gram KN scoring against the QUANTIZED ARPA-style stored model
+    * ([[Materialized.kn5Quant]] ∘ [[TextAnalysis.lmScoreKn5Quant]]) —
+    * KenLM's prune+quantize recipe end-to-end: per-gram discounted
+    * probabilities and per-context backoff masses in 6-dp micro-unit
+    * longs (γ/uniform floors clamped to 1 µ so `ln` never sees 0), two
+    * partition-pruned joins per order, zero model-side aggregation at
+    * scoring time. */
+  val textLmKn5q: QueryDef = QueryDef("text_lm_kn5q",
+    (s, d) => TextAnalysis.lmScoreKn5Quant(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5Quant(s, d))
+      .orderBy("doc_id"),
+    Some(s"""WITH $kn5qScoreSql
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
+
+  /** The CCNet perplexity-tercile gate consuming the PRUNED stored scores
+    * ([[Materialized.kn5ScoresPruned]]) — `text_ppl_buckets5`'s
+    * construction unchanged over the production-pruned artifact (verdict
+    * r11 item #1's done-bar). */
+  val textPplBuckets5p: QueryDef = QueryDef("text_ppl_buckets5p",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = Materialized.kn5ScoresPruned(s, d)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.pplBucketsThreshold(scored, "doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $kn5pScoreSql,
+            |$pplBuckets5TailSql""".stripMargin))
 
   /** Count-min sketch frequency probe ([[TextAnalysis.cmsCells]] /
     * [[TextAnalysis.cmsEstimate]], Cormode & Muthukrishnan 2005): 4×1024

@@ -841,6 +841,44 @@ object Materialized {
         "doc_id", "text")
     }
 
+  /** COUNT-THRESHOLD-PRUNED stored 5-gram type table (KenLM's
+    * `--prune 0 0 1 1 1` shape, [[graft.llm.TextAnalysis.kn5Prune]]):
+    * order-3/4/5 singleton types dropped at store time, orders 1–2 kept
+    * whole. Consumers re-derive every smoothing mass from THIS table, so
+    * the pruned model stays exactly normalized (LlmSpec property). This
+    * is the artifact that survives 100 TB — the unpruned order-4/5
+    * slices are near corpus-sized while singletons carry ~no smoothing
+    * mass (row reduction measured in BASELINE.md). Derived from the
+    * stored full table: pruning costs one bounded artifact scan, never a
+    * corpus re-count. */
+  def kn5TypesPruned(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_types_pruned", "even_split_p00111", sfDir,
+      "documents", partitionCols = Seq("ord")) {
+      graft.llm.TextAnalysis.kn5Prune(kn5Types(spark, sfDir))
+    }
+
+  /** Stored QUANTIZED ARPA-style 5-gram model over the pruned types
+    * ([[graft.llm.TextAnalysis.kn5QuantModel]]): per-gram discounted
+    * probabilities and per-context backoff masses in 6-dp micro-unit
+    * longs, `(kind, ord)`-partitioned so each scoring join leg reads only
+    * its slice. Scoring against it pays ZERO model-side aggregation. */
+  def kn5Quant(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_quant", "even_split_p00111_q6c1", sfDir,
+      "documents", partitionCols = Seq("kind", "ord")) {
+      graft.llm.TextAnalysis.kn5QuantModel(kn5TypesPruned(spark, sfDir))
+    }
+
+  /** Stored per-doc scores against the PRUNED model — the
+    * [[kn5Scores]] staging with the production-pruned artifact; the
+    * perplexity gate consumes these unchanged. */
+  def kn5ScoresPruned(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_scores_pruned", "even_split_p00111_d075",
+      sfDir, "documents") {
+      graft.llm.TextAnalysis.lmScoreKn5FromModel(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        kn5TypesPruned(spark, sfDir))
+    }
+
   /** Stored per-doc 5-gram KN scores `(doc_id, n_words, n_oov, nll_sum)`
     * over the whole corpus against [[kn5Types]] — the CCNet pipeline
     * materializes LM scores BEFORE perplexity bucketing because the

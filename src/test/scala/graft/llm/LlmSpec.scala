@@ -2915,6 +2915,57 @@ class LlmSpec extends AnyFunSuite {
     assert(msgChain(e2).contains("non-negative nll_sum"), msgChain(e2))
   }
 
+  test("kn5 pruning: pruned model stays exactly normalized; quantized model within its floors") {
+    val d = graft.queries.Tables.documents(spark, TestSpark.sf).limit(200)
+    val types = TextAnalysis.kn5TypeTable(
+      d.where(col("doc_id") % 2 === 0), "doc_id", "text").persist()
+    val pruned = TextAnalysis.kn5Prune(types).persist()
+    // the prune actually bites and only where it should
+    assert(pruned.count() < types.count())
+    assert(pruned.where(col("ord") >= 3 && col("cnt") < 2.0).count() == 0)
+    assert(pruned.where(col("ord") <= 2).count() ==
+      types.where(col("ord") <= 2).count())
+    // normalization probe: pick the heaviest pruned order-5 context h and
+    // score "h w" for EVERY vocab word — Σ_w p(w|h) must be 1. Each probe
+    // doc shares the 4 history positions with the prefix doc, so their
+    // rounded per-position scores cancel exactly; only the last position's
+    // 6-dp ln rounding remains (≤ 5e-7 relative per term). A model whose
+    // context masses were NOT recomputed over the pruned table fails this
+    // at the percent level (the dropped singleton mass).
+    val h = pruned.where(col("ord") === 5)
+      .groupBy("h4", "h3", "h2", "h1").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("h4")).limit(1).collect()(0)
+    val hist = Seq(h.getString(0), h.getString(1), h.getString(2), h.getString(3))
+    val vocab = pruned.where(col("ord") === 1).select("w")
+      .collect().map(_.getString(0))
+    assert(vocab.length > 20, s"degenerate vocab: ${vocab.length}")
+    val probe = ((-1L, hist.mkString(" ")) +: vocab.zipWithIndex.map {
+      case (w, i) => (i.toLong, (hist :+ w).mkString(" "))
+    }.toSeq).toDF("doc_id", "text")
+    def sumP(scored: org.apache.spark.sql.DataFrame): Double = {
+      val nll = scored.select(col("doc_id"), col("nll_sum"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prefix = nll(-1L)
+      vocab.indices.iterator.map(i => math.exp(prefix - nll(i.toLong))).sum
+    }
+    val sPruned = sumP(TextAnalysis.lmScoreKn5FromModel(probe, "doc_id",
+      "text", pruned))
+    assert(math.abs(sPruned - 1.0) < 1e-3, s"pruned model sum_w p(w|h) = $sPruned")
+    // quantized model: same probe, quantization-error tolerance
+    val quant = TextAnalysis.kn5QuantModel(pruned).persist()
+    val sQuant = sumP(TextAnalysis.lmScoreKn5Quant(probe, "doc_id", "text",
+      quant))
+    assert(math.abs(sQuant - 1.0) < 1e-2, s"quantized model sum_w p(w|h) = $sQuant")
+    // ln(0) floors: every backoff γ, the uniform floor and the pos-0
+    // unigram are clamped to ≥ 1 micro-unit
+    val floors = quant.where(col("kind").isin("ctx", "scal"))
+      .agg(min(col("qa6")), min(col("qb6"))).collect()(0)
+    assert(floors.getLong(0) >= 1L && floors.getLong(1) >= 1L, floors.toString)
+    assert(quant.where(col("kind") === "uni").agg(min(col("qa6")))
+      .collect()(0).getLong(0) >= 1L)
+    types.unpersist(); pruned.unpersist(); quant.unpersist()
+  }
+
   test("softEmExpected: hand-computed masses, per-position coverage conservation") {
     // word "ab", vocab {a: .25, b: .25, ab: .5}: Z = .25·.25 + .5 = .5625
     // ec(a) = ec(b) = .0625/.5625 = .1̄; ec(ab) = .5/.5625 = .8̄

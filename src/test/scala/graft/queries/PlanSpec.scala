@@ -82,6 +82,20 @@ class PlanSpec extends AnyFunSuite {
         "leg, not re-aggregated ~15x\n" + p)
   }
 
+  test("text_lm_kn5q: every model leg is a (kind, ord)-pruned scan of the quant store; no model-side aggregation") {
+    val p = plan("text_lm_kn5q")
+    // 9 legs: uni + gram/ctx for orders 2..5 (scal broadcasts separately)
+    val pruned = ("PartitionFilters: \\[[^\\]]*kind[^\\]]* = (uni|gram|ctx)" +
+      "[^\\]]*\\]").r.findAllIn(p).size
+    assert(pruned >= 9,
+      s"expected >= 9 partition-pruned quant-store scans, got $pruned\n" + p)
+    // scoring pays NO model derivation: the only aggregation is the final
+    // per-doc rollup (partial + final)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs <= 2, s"model-side aggregation leaked into scoring ($aggs)\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_ivf_search: partition-pruned scan of the stored index, no join over the corpus") {
     val p = plan("sim_ivf_search")
     assert(p.contains("TakeOrderedAndProject"), p)
