@@ -1927,6 +1927,72 @@ object TextAnalysis {
   }
 
   /**
+   * Per-word likelihood LOSSES for removing each candidate multi-char
+   * piece — SentencePiece's actual pruning criterion (Kudo 2018 §3.2):
+   * for a vocabulary piece `x` occurring in word `w`,
+   * `loss_w(x) = f · (ln Z − ln Z₋ₓ)` where `Z` is the word's total
+   * segmentation mass and `Z₋ₓ` the mass with `x` removed — the corpus
+   * log-likelihood given up if the piece is pruned. Both forwards fold
+   * their ≤`maxPieceLen` terms in ascending piece-length order (skipping
+   * `x` ≡ adding its 0.0 — IEEE `x + 0.0 = x`), so the oracle's
+   * register-carrying recursive CTE with `piece <> x` join conditions
+   * replays the doubles bit-for-bit. `Z₋ₓ > 0` always: the single-char
+   * coverage floor keeps every word segmentable without any multi. Each
+   * (word, piece) loss is 6-dp-quantized micro-units, so the
+   * cross-partition/cross-engine reduction is an exact integer sum.
+   */
+  private[llm] def softEmLoss(w: String, f: Long,
+                              p: collection.Map[String, Double],
+                              maxPieceLen: Int): Iterator[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Iterator.empty
+    def forward(skip: String): Double = {
+      val a = new Array[Double](n + 1)
+      a(0) = 1.0
+      var i = 1
+      while (i <= n) {
+        var s = 0.0
+        var l = 1
+        val lm = math.min(maxPieceLen, i)
+        while (l <= lm) {
+          val piece = w.substring(i - l, i)
+          if (piece != skip) {
+            val pv = p.get(piece)
+            if (pv.isDefined) s += a(i - l) * pv.get
+          }
+          l += 1
+        }
+        a(i) = s
+        i += 1
+      }
+      a(n)
+    }
+    val z = forward(null)
+    require(z > 1e-300,
+      s"soft-EM forward mass underflowed for '${w.take(32)}…' (z=$z) — " +
+        "word too long / vocabulary too diffuse for probability space")
+    val lnZ = math.log(z)
+    // distinct multi-char vocab pieces occurring in w, first-seen order
+    val cands = scala.collection.mutable.LinkedHashSet[String]()
+    var j = 0
+    while (j < n) {
+      var l = 2
+      val lm = math.min(maxPieceLen, n - j)
+      while (l <= lm) {
+        val piece = w.substring(j, j + l)
+        if (p.contains(piece)) cands += piece
+        l += 1
+      }
+      j += 1
+    }
+    cands.iterator.map { x =>
+      val m6 = Math.round(
+        Similarity.roundHalfUp(f * (lnZ - math.log(forward(x))), 6) * 1e6)
+      (x, m6)
+    }
+  }
+
+  /**
    * SOFT-EM unigram-LM tokenizer training with a vocabulary-pruning
    * schedule — the full SentencePiece trainer shape (Kudo 2018) beside
    * [[unigramTrain]]'s hard-EM twin: the E-step accumulates
@@ -1943,6 +2009,15 @@ object TextAnalysis {
    * any engine. Output: `(piece, em6, lp)` — surviving pieces, expected
    * mass in micro-units, 6-dp log-probability.
    *
+   * `lossPrune = true` switches the multi-char ranking from expected MASS
+   * to corpus likelihood LOSS (Kudo 2018 §3.2 — SentencePiece's shipped
+   * criterion): each candidate is ranked by [[softEmLoss]]'s exact
+   * integer micro-nat `Σ_w f·(ln Z − ln Z₋ₓ)`, the likelihood given up if
+   * it were removed, computed from the same forward tables (one extra
+   * pass over the persisted WORD table, never the corpus). Probabilities
+   * still renormalize from the masses; output gains a `loss6` column
+   * (null on the never-prunable singles).
+   *
    * 100 TB shape: the [[unigramTrain]] discipline exactly — ONE corpus
    * token scan into the persisted distinct-word table, every EM round a
    * vocab-bounded flatMap + integer-sum aggregation over it with the
@@ -1952,7 +2027,8 @@ object TextAnalysis {
   def unigramTrainSoft(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                        seedSize: Int = 40, iters: Int = 2,
                        targetMulti: Int = 8, shrink: Double = 0.5,
-                       maxVocabCollect: Int = 200000): DataFrame = {
+                       maxVocabCollect: Int = 200000,
+                       lossPrune: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wt = unigramWordTable(docs, textCol).persist()
@@ -1980,18 +2056,26 @@ object TextAnalysis {
         masses.iterator.map { case (p, m) => p -> (m / total) }.toMap
       }
       // the deterministic prune: singles clamped and always kept, positive
-      // multis ranked (mass desc, piece asc), keep max(target, ceil(n·shrink))
-      def prune(masses: Array[(String, Long)]): Array[(String, Long)] = {
+      // multis ranked by the mode's criterion (expected MASS by default;
+      // corpus likelihood LOSS when `lossPrune` — Kudo 2018 §3.2, the
+      // criterion SentencePiece actually ships), ties by piece asc, keep
+      // max(target, ceil(n·shrink))
+      def prune(masses: Array[(String, Long)],
+                loss: collection.Map[String, Long]): Array[(String, Long)] = {
         val singles = masses.filter(_._1.length == 1)
           .map { case (p, m) => (p, math.max(m, 1L)) }
         val multis = masses.filter { case (p, m) => p.length > 1 && m > 0 }
         val keep = math.max(targetMulti.toLong,
           math.ceil(multis.length * shrink).toLong).toInt
-        val kept = multis.sortBy { case (p, m) => (-m, p) }.take(keep)
+        val kept =
+          if (lossPrune)
+            multis.sortBy { case (p, _) => (-loss.getOrElse(p, 0L), p) }.take(keep)
+          else multis.sortBy { case (p, m) => (-m, p) }.take(keep)
         singles ++ kept
       }
       var vocab = seed
       var pm = probs(vocab)
+      var lastLoss: collection.Map[String, Long] = Map.empty
       var it = 0
       while (it < iters) {
         val pB = spark.sparkContext.broadcast(pm)
@@ -2002,14 +2086,33 @@ object TextAnalysis {
           .as[(String, Long)].collect()
         require(masses.length <= maxVocabCollect,
           s"unigram vocab ${masses.length} exceeds $maxVocabCollect")
-        vocab = prune(masses)
+        if (lossPrune) {
+          // second pass over the PERSISTED word table (never the corpus):
+          // per-piece removal losses, exact integer micro-unit reduction
+          val rows = wt.flatMap { case (w, f) =>
+            softEmLoss(w, f, pB.value, mp)
+          }.toDF("piece", "l").groupBy("piece")
+            .agg(sum("l").cast("long").as("l"))
+            .as[(String, Long)].collect()
+          require(rows.length <= maxVocabCollect,
+            s"unigram vocab ${rows.length} exceeds $maxVocabCollect")
+          lastLoss = rows.toMap
+        }
+        vocab = prune(masses, lastLoss)
         pm = probs(vocab)
         it += 1
       }
       val total = vocab.map(_._2).sum.toDouble
-      spark.createDataFrame(vocab.toSeq.map { case (p, m) =>
-        (p, m, Similarity.roundHalfUp(math.log(m / total), 6))
-      }).toDF("piece", "em6", "lp")
+      if (lossPrune)
+        spark.createDataFrame(vocab.toSeq.map { case (p, m) =>
+          (p, m,
+            if (p.length > 1) Some(lastLoss.getOrElse(p, 0L)) else None,
+            Similarity.roundHalfUp(math.log(m / total), 6))
+        }).toDF("piece", "em6", "loss6", "lp")
+      else
+        spark.createDataFrame(vocab.toSeq.map { case (p, m) =>
+          (p, m, Similarity.roundHalfUp(math.log(m / total), 6))
+        }).toDF("piece", "em6", "lp")
     } finally wt.unpersist()
   }
 

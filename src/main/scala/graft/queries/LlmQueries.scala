@@ -53,7 +53,7 @@ object LlmQueries {
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
     textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
     textFastCdcChunks,
-    textLmKn5p, textLmKn5q, textPplBuckets5p)
+    textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -6254,8 +6254,56 @@ object LlmQueries {
     * use `α(j)·p·β(j+l)/z` quantized to integer micro-units, then the
     * deterministic prune (singles clamped ≥1, positive multis ranked by
     * (mass desc, piece asc), keep `max(8, ceil(n·0.5))`). `pIn` names the
-    * incoming probability CTE; emits `a$r/b$r/occ$r/m$r/s$r/mu$r/v$r/p$r`. */
-  private def softEmRoundSql(r: Int, pIn: String): String =
+    * incoming probability CTE; emits `a$r/b$r/occ$r/m$r/s$r/mu$r/v$r/p$r`.
+    * `lossPrune` swaps the multi ranking from mass to removal-loss
+    * (Kudo 2018 §3.2): per (word, candidate multi) a register-carrying
+    * forward with `piece <> x` join conditions replays `Z₋ₓ` in the
+    * kernel's exact fold order (a failed join multiplies a 0.0 register —
+    * IEEE-identical to skipping the term), losses quantize to integer
+    * micro-nats, and `mu$r` ranks by (loss desc, piece asc); also emits
+    * `lw$r` so the final select can surface the kept losses. */
+  private def softEmRoundSql(r: Int, pIn: String,
+                             lossPrune: Boolean = false): String = {
+    val muCte =
+      if (!lossPrune)
+        s"""mu$r AS MATERIALIZED (SELECT piece, m FROM mu${r}a, k$r
+           |         QUALIFY row_number() OVER (ORDER BY m DESC, piece) <= k$r.k)"""
+          .stripMargin
+      else
+        s"""zz$r AS (SELECT w, a0 AS z FROM a$r WHERE i = len(w)),
+           |cand$r AS (SELECT wt.w, wt.f, px.piece AS x
+           |           FROM wt JOIN (SELECT piece FROM $pIn
+           |                         WHERE len(piece) > 1) px
+           |             ON contains(wt.w, px.piece)),
+           |ax$r AS (
+           |  SELECT w, f, x, 0::INT AS i, 1.0::DOUBLE AS a0,
+           |         0.0::DOUBLE AS am1, 0.0::DOUBLE AS am2,
+           |         0.0::DOUBLE AS am3 FROM cand$r
+           |  UNION ALL
+           |  SELECT s.w, s.f, s.x, s.i + 1,
+           |    coalesce(s.a0 * p1.p, 0.0) + coalesce(s.am1 * p2.p, 0.0)
+           |      + coalesce(s.am2 * p3.p, 0.0) + coalesce(s.am3 * p4.p, 0.0),
+           |    s.a0, s.am1, s.am2
+           |  FROM ax$r s
+           |  LEFT JOIN $pIn p1 ON p1.piece = substr(s.w, s.i + 1, 1)
+           |    AND p1.piece <> s.x
+           |  LEFT JOIN $pIn p2 ON p2.piece = substr(s.w, s.i, 2)
+           |    AND p2.piece <> s.x
+           |  LEFT JOIN $pIn p3 ON p3.piece = substr(s.w, s.i - 1, 3)
+           |    AND p3.piece <> s.x
+           |  LEFT JOIN $pIn p4 ON p4.piece = substr(s.w, s.i - 2, 4)
+           |    AND p4.piece <> s.x
+           |  WHERE s.i < len(s.w)),
+           |lw$r AS MATERIALIZED (SELECT ax.x AS piece,
+           |          sum(round(round(ax.f * (ln(zz.z) - ln(ax.a0)), 6)
+           |                * 1000000, 0)::BIGINT)::BIGINT AS l
+           |        FROM ax$r ax JOIN zz$r zz ON ax.w = zz.w
+           |        WHERE ax.i = len(ax.w) GROUP BY 1),
+           |mu$r AS MATERIALIZED (SELECT m.piece, m.m FROM mu${r}a m
+           |         LEFT JOIN lw$r lw ON lw.piece = m.piece, k$r
+           |         QUALIFY row_number()
+           |           OVER (ORDER BY coalesce(lw.l, 0) DESC, m.piece) <= k$r.k)"""
+          .stripMargin
     s"""a$r AS (
       |  SELECT w, f, 0::INT AS i, 1.0::DOUBLE AS a0, 0.0::DOUBLE AS am1,
       |         0.0::DOUBLE AS am2, 0.0::DOUBLE AS am3 FROM wt
@@ -6298,11 +6346,11 @@ object LlmQueries {
       |s$r AS MATERIALIZED (SELECT piece, greatest(m, 1) AS m FROM m$r WHERE len(piece) = 1),
       |mu${r}a AS MATERIALIZED (SELECT piece, m FROM m$r WHERE len(piece) > 1 AND m > 0),
       |k$r AS (SELECT greatest(8, ceil(count(*) * 0.5)::BIGINT) AS k FROM mu${r}a),
-      |mu$r AS MATERIALIZED (SELECT piece, m FROM mu${r}a, k$r
-      |         QUALIFY row_number() OVER (ORDER BY m DESC, piece) <= k$r.k),
+      |$muCte,
       |v$r AS MATERIALIZED (SELECT * FROM s$r UNION ALL SELECT * FROM mu$r),
       |p$r AS MATERIALIZED (SELECT piece, m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v$r) AS p
       |        FROM v$r)""".stripMargin
+  }
 
   /** Soft-EM unigram training with the pruning schedule
     * ([[TextAnalysis.unigramTrainSoft]], Kudo 2018's full trainer shape):
@@ -6337,6 +6385,46 @@ object LlmQueries {
             |SELECT piece, m AS em6,
             |  round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
             |FROM v2 ORDER BY piece""".stripMargin))
+
+  /** Soft-EM unigram training with LIKELIHOOD-LOSS pruning
+    * ([[TextAnalysis.unigramTrainSoft]] `lossPrune = true` — Kudo 2018
+    * §3.2, the criterion SentencePiece ships): each candidate multi is
+    * ranked by the exact integer micro-nat corpus likelihood delta if
+    * removed (`Σ_w f·(ln Z − ln Z₋ₓ)`, computed from the same
+    * forward–backward tables), lowest-loss tranche pruned; probabilities
+    * still renormalize from the expected masses; singles floor and
+    * monotone shrink unchanged. The oracle replays every removal forward
+    * via register-carrying recursive CTEs with `piece <> x` join
+    * conditions — the kernel's exact fold order — so the kept set, the
+    * losses and the model match bit-for-bit. */
+  val textUnigramTrainEm2: QueryDef = QueryDef("text_unigram_train_em2",
+    (s, d) => TextAnalysis.unigramTrainSoft(Tables.documents(s, d), "text",
+        maxPieceLen = 4, seedSize = 40, iters = 2,
+        targetMulti = 8, shrink = 0.5, lossPrune = true)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE
+            |wt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f
+            |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1),
+            |sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
+            |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
+            |        WHERE i + l <= len(w) + 1
+            |        GROUP BY 1),
+            |top AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 40),
+            |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM
+            |        (SELECT * FROM top UNION ALL
+            |         SELECT * FROM sub WHERE len(piece) = 1)),
+            |p0 AS MATERIALIZED (SELECT piece,
+            |         cnt::DOUBLE / (SELECT sum(cnt)::DOUBLE FROM v0) AS p
+            |       FROM v0),
+            |${softEmRoundSql(1, "p0", lossPrune = true)},
+            |${softEmRoundSql(2, "p1", lossPrune = true)}
+            |SELECT v2.piece, v2.m AS em6,
+            |  CASE WHEN len(v2.piece) > 1 THEN coalesce(lw2.l, 0) END AS loss6,
+            |  round(ln(v2.m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
+            |FROM v2 LEFT JOIN lw2 ON lw2.piece = v2.piece
+            |ORDER BY v2.piece""".stripMargin))
 
   /** Unigram tokenization from the STORED soft-EM piece artifact
     * ([[Materialized.unigramPiecesEm]] ∘ [[TextAnalysis.unigramEncode]]) —

@@ -2966,6 +2966,74 @@ class LlmSpec extends AnyFunSuite {
     types.unpersist(); pruned.unpersist(); quant.unpersist()
   }
 
+  test("softEmLoss: hand-computed removal losses; loss-prune keeps the max-retained-likelihood set at the cut") {
+    // word "ab", vocab {a:.25, b:.25, ab:.5}: Z = .5625, Z₋ab = .0625
+    // loss(ab) = ln 9 → 2.197225 → 2197225 µnats
+    val l1 = TextAnalysis.softEmLoss("ab", 1L,
+      Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), 4).toMap
+    assert(l1 == Map("ab" -> 2197225L), l1.toString)
+    // word "aab" f=2, vocab {a:.2, b:.2, ab:.3, aa:.3}:
+    // Z = .128, Z₋ab = .068, Z₋aa = .068 (both forwards hand-checked)
+    val l2 = TextAnalysis.softEmLoss("aab", 2L,
+      Map("a" -> 0.2, "b" -> 0.2, "ab" -> 0.3, "aa" -> 0.3), 4).toMap
+    val exp = Math.round(Similarity.roundHalfUp(
+      2.0 * (math.log(0.128) - math.log(0.068)), 6) * 1e6)
+    assert(l2 == Map("aa" -> exp, "ab" -> exp), s"$l2 vs $exp")
+
+    // cut property on a real corpus, one EM round: reconstruct the seed
+    // state independently, recompute masses/losses through the kernels,
+    // and assert the trainer kept EXACTLY the top-loss tranche (min kept
+    // loss ≥ max dropped loss, ties by piece asc), singles floor intact
+    val d = Tables10
+    val wt = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val subCounts = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, f) <- wt; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      subCounts.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    val top = subCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(40)
+    val seed = (top ++ subCounts.toSeq.filter(_._1.length == 1))
+      .distinctBy(_._1)
+    val tot0 = seed.map(_._2).sum.toDouble
+    val p0 = seed.map { case (p, c) => p -> (c / tot0) }.toMap
+    val masses = scala.collection.mutable.HashMap[String, Long]()
+    val losses = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, f) <- wt) {
+      TextAnalysis.softEmExpected(w, f, p0, 4).foreach { case (p, m) =>
+        masses.updateWith(p)(c => Some(c.getOrElse(0L) + m)) }
+      TextAnalysis.softEmLoss(w, f, p0, 4).foreach { case (p, m) =>
+        losses.updateWith(p)(c => Some(c.getOrElse(0L) + m)) }
+    }
+    val multis = masses.toSeq.filter { case (p, m) => p.length > 1 && m > 0 }
+    val keep = math.max(8, math.ceil(multis.length * 0.5).toLong).toInt
+    val ranked = multis.map { case (p, _) => (p, losses.getOrElse(p, 0L)) }
+      .sortBy { case (p, l) => (-l, p) }
+    val expectedKept = ranked.take(keep).map(_._1).toSet
+    val out = TextAnalysis.unigramTrainSoft(d, "text", maxPieceLen = 4,
+        seedSize = 40, iters = 1, targetMulti = 8, shrink = 0.5,
+        lossPrune = true)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val keptMultis = out.filter(_._1.length > 1)
+    assert(keptMultis.map(_._1).toSet == expectedKept,
+      s"kept ${keptMultis.map(_._1).sorted} vs expected ${expectedKept.toSeq.sorted}")
+    // the cut maximizes retained likelihood: nothing dropped out-ranks a keep
+    if (ranked.length > keep) {
+      val minKept = ranked.take(keep).map(_._2).min
+      val maxDropped = ranked.drop(keep).map(_._2).max
+      assert(minKept >= maxDropped, s"$minKept < $maxDropped")
+    }
+    // losses surfaced on multis, null on singles; coverage floor intact
+    keptMultis.foreach { case (p, _, l) =>
+      assert(l.contains(losses.getOrElse(p, 0L)), s"$p loss mismatch") }
+    val chars = wt.flatMap(_._1.toSeq).map(_.toString).toSet
+    val singles = out.filter(_._1.length == 1)
+    assert(singles.map(_._1).toSet == chars)
+    singles.foreach { case (p, m, l) =>
+      assert(l.isEmpty && m >= 1L, s"single $p: m=$m l=$l") }
+  }
+
   test("softEmExpected: hand-computed masses, per-position coverage conservation") {
     // word "ab", vocab {a: .25, b: .25, ab: .5}: Z = .25·.25 + .5 = .5625
     // ec(a) = ec(b) = .0625/.5625 = .1̄; ec(ab) = .5/.5625 = .8̄
