@@ -852,7 +852,7 @@ object Dedup {
     * persisted tables across a session (in a production pipeline the result
     * would be written to storage instead). `materialize=false` leaves the
     * intermediates cached for the caller to manage. */
-  private def materializeAndRelease(out: DataFrame, materialize: Boolean,
+  private[llm] def materializeAndRelease(out: DataFrame, materialize: Boolean,
                                     intermediates: DataFrame*): DataFrame = {
     if (!materialize) out
     else {
@@ -994,7 +994,7 @@ object Dedup {
     materializeAndRelease(out, materialize, sigs)
   }
 
-  private def simhashBandJoin(sigs: DataFrame, nBands: Int, bandBits: Int,
+  private[llm] def simhashBandJoin(sigs: DataFrame, nBands: Int, bandBits: Int,
                               maxHamming: Int): DataFrame = {
     val bandRows = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>

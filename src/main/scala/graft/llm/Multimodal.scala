@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,6 +104,218 @@ object Multimodal {
           MediaFeature(id, DecodeStub.featDim, feat.toSeq, ok)
         }
       }.toDF()
+  }
+
+  /** Perceptual-hash width: 60 bits — the repo's positive-BIGINT packing
+    * discipline (md5Long60/simhash), banded 4×15 so Hamming ≤ 3 pair
+    * search is EXHAUSTIVE by pigeonhole (the [[Dedup.simhashPairs]]
+    * guarantee, reused verbatim). */
+  val PhashBits = 60
+
+  /** Deterministic ±1 projection planes from md5 parity (engine-portable,
+    * the [[TextHashing]] discipline) — no baked-in constants, so any
+    * engine regenerates the same planes from the string `ph|k|i`. */
+  private lazy val phashPlanes: Array[Array[Long]] =
+    Array.tabulate(PhashBits, DecodeStub.featDim) { (k, i) =>
+      if ((TextHashing.md5Long60Kernel(s"ph|$k|$i") & 1L) == 0L) 1L else -1L
+    }
+
+  /**
+   * 60-bit perceptual sketch of one µ-unit feature vector — the
+   * pHash/dHash construction (mean-center, project, threshold the signs)
+   * over the decoded features, which stand in for the DCT coefficients a
+   * real pHash thresholds. EXACT integer arithmetic end-to-end:
+   * `u_i = d·f6_i − Σf6` (mean-centering scaled by `d` to stay integral —
+   * removing the common brightness/length component is what makes the
+   * bits content-discriminative), `bit_k = (Σ_i u_i·s(k,i)) > 0` — no
+   * float sign decision anywhere, so any engine reproduces the bits
+   * bit-for-bit. A featureless vector (all components equal ⇒ `u ≡ 0`)
+   * has no perceptual signature and returns None — the zero-norm cosine
+   * guard's analogue (every bit would be 0 and all such media would pair
+   * with each other at Hamming 0).
+   */
+  private[llm] def phashKernel(f6: Array[Long]): Option[Long] = {
+    val d = f6.length
+    var s = 0L
+    var i = 0
+    while (i < d) { s += f6(i); i += 1 }
+    val u = new Array[Long](d)
+    var anyNz = false
+    i = 0
+    while (i < d) {
+      u(i) = d * f6(i) - s
+      if (u(i) != 0L) anyNz = true
+      i += 1
+    }
+    if (!anyNz) None
+    else {
+      var h = 0L
+      var k = 0
+      while (k < PhashBits) {
+        val pk = phashPlanes(k)
+        var v = 0L
+        var j = 0
+        while (j < d) { v += u(j) * pk(j); j += 1 }
+        if (v > 0L) h |= (1L << k)
+        k += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** µ-unit quantization of a decoded feature vector (6-dp HALF_UP then
+    * micro-unit longs — the house exact-reduction discipline). */
+  private def feat6(payload: Array[Byte]): Array[Long] =
+    DecodeStub.decodeOne(payload).map(x =>
+      Math.round(Similarity.roundHalfUp(x, 6) * 1e6))
+
+  /** Per-media perceptual sketches `(id, sig)`: decode + sketch fused in
+    * ONE typed stage over the payload scan — zero shuffle (PlanSpec); a
+    * production decoder would read its stored feature column instead.
+    * Null payloads and featureless media emit nothing. */
+  def phashSketches(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null) Iterator.empty
+        else phashKernel(feat6(payload)).map(h => (id, h)).iterator
+      }.toDF("id", "sig")
+  }
+
+  /**
+   * Cross-media perceptual near-dup pairs at `hamming ≤ maxHamming` —
+   * the pHash sketch scan composed with the existing Hamming-LSH ring
+   * ([[Dedup.simhashPairs]]' band join: 4×15-bit bands, so radius ≤ 3 is
+   * EXHAUSTIVE by pigeonhole, not approximate). 100 TB shape: the only
+   * exchange carries fixed-width `(band key, id, sig)` rows — media
+   * bytes never shuffle; the sketch is an 8-byte stored column in a
+   * production pipeline.
+   */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3,
+                 materialize: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x15-bit banding is exhaustive only for hamming <= 3, got $maxHamming")
+    val sigs = phashSketches(media).persist()
+    val out = Dedup.simhashBandJoin(sigs, nBands = 4, bandBits = 15,
+      maxHamming = maxHamming)
+    Dedup.materializeAndRelease(out, materialize, sigs)
+  }
+
+  /** Frame-packing bound for the canonical-election key
+    * (`media_id·2²⁰ + frame_idx` — the same expression in any engine). */
+  private val FramePackBits = 20
+
+  /** Per-frame perceptual sketches for video media `(media_id, frame_idx,
+    * sig)`: every `stride`-th frame's payload slice
+    * (`bytes [⌊f·L/n⌋, ⌊(f+1)·L/n⌋)` — the [[sampleFrames]] indices over
+    * an even byte split) is decoded and sketched in the same fused typed
+    * stage. Empty/featureless slices emit nothing. */
+  def frameSketches(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"), col("meta.n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .flatMap { case (id, payload, nf) =>
+        if (payload == null || nf <= 0) Iterator.empty
+        else {
+          val len = payload.length
+          Iterator.range(0, nf, stride).flatMap { f =>
+            require(f < (1 << FramePackBits),
+              s"frame index $f exceeds the 2^$FramePackBits canonical-key bound")
+            val a = (f.toLong * len / nf).toInt
+            val b = ((f + 1).toLong * len / nf).toInt
+            val slice = java.util.Arrays.copyOfRange(payload, a, b)
+            phashKernel(feat6(slice)).map(h => (id, f.toLong, h)).iterator
+          }
+        }
+      }.toDF("media_id", "frame_idx", "sig")
+  }
+
+  /**
+   * Frame-level CROSS-VIDEO dedup: perceptual frame sketches grouped by
+   * exact signature; groups spanning ≥ 2 distinct videos are shared
+   * content (a planted duplicate video shares EVERY sampled frame).
+   * Output per duplicated signature: occurrence/video counts and the
+   * canonical (min `(media_id, frame_idx)`) holder via the packed
+   * integer key — the [[Dedup.exact]] election at frame granularity.
+   * One fixed-width `(sig, media, frame)` exchange; video bytes never
+   * shuffle.
+   */
+  def frameDupGroups(media: DataFrame, stride: Int): DataFrame = {
+    val packed = col("media_id") * (1L << FramePackBits) + col("frame_idx")
+    frameSketches(media, stride)
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(packed).as("ck"))
+      .where(col("n_media") >= 2)
+      // ck is non-negative, so the arithmetic shift IS the exact div 2^20
+      .select(col("sig"), col("n_occ"), col("n_media"),
+        call_function("shiftright", col("ck"), lit(FramePackBits))
+          .as("canonical_media"),
+        pmod(col("ck"), lit(1L << FramePackBits)).as("canonical_frame"))
+  }
+
+  /**
+   * Image-text pair gating (the LAION/CLIP-score filter shape): join each
+   * media row's decoded features against its caption's embedding — folded
+   * from 64 to the shared 8-dim space by congruence-class sums, the
+   * deterministic stand-in for projecting both encoders into one space —
+   * and gate on the cosine. Output one row per pair with the score and
+   * the keep decision; zero-norm sides (undefined cosine) are excluded,
+   * exactly like the embedding near-dup guard. 100 TB shape: one
+   * id-equality hash join (pairs are 1:1 by construction — PlanSpec pins
+   * no cartesian), per-row arithmetic only.
+   */
+  def pairFilter(media: DataFrame, emb: DataFrame, vecIdCol: String,
+                 vecCol: String, threshold: Double): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val d = DecodeStub.featDim
+    val mf = media.transform(decodeFeatures)
+      .where(col("ok") && size(col("feature")) > 0)
+      .select(col("media_id"), col("feature"))
+    val tf = emb.select(col(vecIdCol).cast("long").as("media_id"),
+      Similarity.asDouble(col(vecCol)).as("tv"))
+    // fused gate kernel (the expression form of this 8-way fold + dot +
+    // norms blows the 64 KB codegen method limit and falls back to
+    // interpreted eval — one JIT kernel keeps the hot path compiled):
+    // fold ascending within each congruence class, 6-dp-round both
+    // sides, sequential IEEE dot/norms, HALF_UP cosine — the exact
+    // expression order the oracle's list comprehensions replay.
+    mf.join(tf, "media_id")
+      .select(col("media_id"), col("feature"), col("tv"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (id, f, tvRaw) =>
+        if (tvRaw == null) Iterator.empty
+        else {
+          val mv = f.iterator.map(Similarity.roundHalfUp(_, 6)).toArray
+          val tv = new Array[Double](d)
+          var k = 0
+          while (k < d) {
+            var s = 0.0
+            var j = k
+            while (j < tvRaw.length) { s += tvRaw(j); j += d }
+            tv(k) = Similarity.roundHalfUp(s, 6)
+            k += 1
+          }
+          var dot = 0.0; var mn = 0.0; var tn = 0.0
+          var i = 0
+          while (i < mv.length) {
+            dot += mv(i) * tv(i); mn += mv(i) * mv(i); tn += tv(i) * tv(i)
+            i += 1
+          }
+          if (mn == 0.0 || tn == 0.0) Iterator.empty
+          else {
+            val c = Similarity.roundHalfUp(
+              dot / (math.sqrt(mn) * math.sqrt(tn)), 6)
+            Iterator.single((id, c, c >= threshold))
+          }
+        }
+      }.toDF("media_id", "cosine", "kept")
   }
 
   /** Frame sampling for video-kind rows: emit every `stride`-th frame index

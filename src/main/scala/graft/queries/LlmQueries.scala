@@ -53,7 +53,8 @@ object LlmQueries {
     textLmKn5, textLmKn52, textPplBuckets5, textUnigramTrainEm,
     textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
     textFastCdcChunks,
-    textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2)
+    textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
+    mmPhash, mmFrameDedup, mmPairFilter)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -586,6 +587,178 @@ object LlmQueries {
          |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, 9)]) / (a.nrm * b.nrm), 6)
          |      >= 0.9999
          |ORDER BY 1, 2""".stripMargin
+    })
+
+  /** The 8-component µ-unit feature list of a text expression — the
+    * decode-stub byte fold, 6-dp rounded then micro-unit longs (the
+    * exact-integer discipline [[Multimodal.phashKernel]] consumes). */
+  private def phashF6Sql(t: String): String =
+    (0 until 8).map(k =>
+      s"round(round(coalesce(list_sum([ascii(substr($t, i, 1)) / 255.0 " +
+        s"for i in range(1, length($t) + 1) if (i - 1) % 8 = $k]), 0.0), 6) " +
+        "* 1000000, 0)::BIGINT").mkString("[", ", ", "]")
+
+  /** The deterministic ±1 plane table (md5 parity of `ph|k|i`) shared by
+    * both perceptual-hash replays. */
+  private val phashPlanesSql: String =
+    """pm AS (SELECT k, i,
+      |         CASE WHEN ('0x' || substr(md5('ph|' || k || '|' || i), 1, 15))::BIGINT
+      |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+      |       FROM range(0, 60) t1(k), range(0, 8) t2(i))""".stripMargin
+
+  /** Perceptual near-dup media pairs at Hamming ≤ 3
+    * ([[Multimodal.phashPairs]] — pHash-style 60-bit sketch over the
+    * decoded features composed with the simhash band-join ring, radius-3
+    * EXHAUSTIVE by pigeonhole). Planted perceptual dups: every 41st doc
+    * copied with bytes 1 and 9 swapped — same fold class, so the decoded
+    * features (and the sketch) are EXACTLY preserved while the byte
+    * string differs: the pair exact dedup misses and pHash recovers at
+    * Hamming 0, guaranteed. The sketch is exact integer arithmetic
+    * end-to-end (mean-centering scaled by the dimension; no float sign
+    * decisions), so the oracle replays every bit. */
+  val mmPhash: QueryDef = QueryDef("mm_phash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val planted = docs
+        .where(col("text").isNotNull && length(col("text")) >= 16 &&
+          col("doc_id") % 41 === 7)
+        .select((col("doc_id") + maxd + 1001).as("doc_id"),
+          concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+            substring(col("text"), 1, 1),
+            substring(col("text"), 10, Int.MaxValue)).as("text"))
+      val media = Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text")
+      Multimodal.phashPairs(media, maxHamming = 3).orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            |corpus AS (
+            |  SELECT doc_id AS media_id, text FROM documents
+            |  WHERE text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + m + 1001,
+            |         text[9] || text[2:8] || text[1] || text[10:]
+            |  FROM documents, mx
+            |  WHERE text IS NOT NULL AND len(text) >= 16 AND doc_id % 41 = 7),
+            |f AS (SELECT media_id, ${phashF6Sql("text")} AS v FROM corpus),
+            |sv AS (SELECT media_id, v,
+            |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
+            |       FROM f),
+            |u AS (SELECT media_id, [8 * v[i] - sv for i in range(1, 9)] AS u
+            |      FROM sv),
+            |uk AS (SELECT * FROM u WHERE list_max([abs(x) for x in u]) > 0),
+            |$phashPlanesSql,
+            |vb AS (SELECT uk.media_id, pm.k,
+            |         sum(uk.u[pm.i + 1] * pm.s)::BIGINT AS vk
+            |       FROM uk, pm GROUP BY 1, 2),
+            |sig AS (SELECT media_id,
+            |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT
+            |            AS sig
+            |        FROM vb GROUP BY 1),
+            |bands AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
+            |          FROM sig, range(0, 4) t(b)),
+            |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+            |                a.sig AS sa, b.sig AS sb
+            |         FROM bands a JOIN bands b
+            |           ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id)
+            |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Frame-level cross-video dedup ([[Multimodal.frameDupGroups]] —
+    * [[Multimodal.sampleFrames]]' stride-2 indices, per-frame payload
+    * slices decoded and perceptually sketched, exact-signature groups
+    * spanning ≥ 2 videos). Planted duplicate videos (every 59th video
+    * re-labeled with a mod-3-preserving id offset, pinned below) share
+    * every sampled frame, guaranteeing recovery; the canonical holder is
+    * the min packed `(media, frame)` key, the [[Dedup.exact]] election at
+    * frame granularity. */
+  val mmFrameDedup: QueryDef = QueryDef("mm_frame_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      // a multiple of 3 past maxd: the copy keeps doc_id mod 3 = 2, so
+      // asMedia still assigns kind = video (and the same n_frames)
+      val off = (maxd / 3 + 1) * 3
+      val planted = docs.where(col("text").isNotNull &&
+          col("doc_id") % 59 === 2 && col("doc_id") % 3 === 2)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val media = Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text")
+      Multimodal.frameDupGroups(media, stride = 2).orderBy("sig")
+    },
+    Some(s"""WITH mx AS (SELECT ((max(doc_id) // 3) + 1) * 3 AS off
+            |           FROM documents),
+            |corpus AS (
+            |  SELECT doc_id AS media_id, text FROM documents
+            |  WHERE text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + off, text FROM documents, mx
+            |  WHERE text IS NOT NULL AND doc_id % 59 = 2 AND doc_id % 3 = 2),
+            |vids AS (SELECT media_id, text, len(text)::BIGINT AS L,
+            |           (len(text) % 30 + 1)::BIGINT AS nf
+            |         FROM corpus WHERE media_id % 3 = 2),
+            |fr AS (SELECT media_id, f,
+            |         text[((f * L) // nf + 1)::INT : (((f + 1) * L) // nf)::INT]
+            |           AS sl
+            |       FROM vids, range(0, 30, 2) t(f) WHERE f < nf),
+            |f6 AS (SELECT media_id, f, ${phashF6Sql("sl")} AS v FROM fr),
+            |sv AS (SELECT media_id, f, v,
+            |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
+            |       FROM f6),
+            |u AS (SELECT media_id, f,
+            |        [8 * v[i] - sv for i in range(1, 9)] AS u FROM sv),
+            |uk AS (SELECT * FROM u WHERE list_max([abs(x) for x in u]) > 0),
+            |$phashPlanesSql,
+            |vb AS (SELECT uk.media_id, uk.f, pm.k,
+            |         sum(uk.u[pm.i + 1] * pm.s)::BIGINT AS vk
+            |       FROM uk, pm GROUP BY 1, 2, 3),
+            |sig AS (SELECT media_id, f,
+            |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT
+            |            AS sig
+            |        FROM vb GROUP BY 1, 2)
+            |SELECT sig, count(*)::BIGINT AS n_occ,
+            |  count(DISTINCT media_id)::BIGINT AS n_media,
+            |  min(media_id * 1048576 + f)::BIGINT // 1048576 AS canonical_media,
+            |  min(media_id * 1048576 + f)::BIGINT % 1048576 AS canonical_frame
+            |FROM sig GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
+            |ORDER BY sig""".stripMargin))
+
+  /** Image-text pair gating ([[Multimodal.pairFilter]] — the LAION/CLIP-
+    * score filter shape): each media row's decoded features against its
+    * caption embedding folded 64→8 by congruence-class sums (the
+    * deterministic stand-in for a shared encoder space), cosine ≥ 0.25
+    * keeps the pair. One id-equality hash join (PlanSpec pins no
+    * cartesian); zero-norm sides excluded like the embedding near-dup
+    * guard. */
+  val mmPairFilter: QueryDef = QueryDef("mm_pair_filter",
+    (s, d) => Multimodal.pairFilter(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.25)
+      .orderBy("media_id"),
+    Some {
+      val feats = (0 until 8).map(k =>
+        s"coalesce(round(list_sum([ascii(substr(text, i, 1)) / 255.0 " +
+          s"for i in range(1, length(text) + 1) if (i - 1) % 8 = $k]), 6), 0.0)")
+        .mkString("[", ", ", "]")
+      val fold = (0 until 8).map(k =>
+        s"round(list_sum([embedding[j]::DOUBLE for j in range(${k + 1}, 65, 8)]), 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH mf AS (SELECT doc_id AS media_id, $feats AS mv FROM documents
+         |            WHERE text IS NOT NULL),
+         |tf AS (SELECT vec_id AS media_id, $fold AS tv FROM embeddings),
+         |j AS (SELECT mf.media_id, mv, tv,
+         |        sqrt(list_sum([x * x for x in mv])) AS mn,
+         |        sqrt(list_sum([x * x for x in tv])) AS tn
+         |      FROM mf JOIN tf USING (media_id)),
+         |c AS (SELECT media_id,
+         |        round(list_sum([mv[i] * tv[i] for i in range(1, 9)])
+         |              / (mn * tn), 6) AS cosine
+         |      FROM j WHERE mn > 0 AND tn > 0)
+         |SELECT media_id, cosine, (cosine >= 0.25) AS kept FROM c
+         |ORDER BY media_id""".stripMargin
     })
 
   /** Recall@k of the probed IVF search vs the brute-force ground truth as

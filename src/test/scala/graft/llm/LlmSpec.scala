@@ -1672,6 +1672,95 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
+  test("phash: fold-class byte permutations preserve the sketch; featureless media have none; radius-3 banding is exhaustive") {
+    // swapping bytes within the same fold class (positions ≡ mod 8) is a
+    // perceptual no-op: features are exactly preserved → Hamming 0
+    def sk(t: String): Option[Long] = {
+      val f6 = Multimodal.DecodeStub.decodeOne(t.getBytes("UTF-8"))
+        .map(x => Math.round(Similarity.roundHalfUp(x, 6) * 1e6))
+      Multimodal.phashKernel(f6)
+    }
+    val base = "the quick brown fox jumps over the lazy dog"
+    val swapped = base(8) + base.substring(1, 8) + base(0) + base.substring(9)
+    assert(swapped != base)
+    assert(sk(base).isDefined && sk(base) == sk(swapped))
+    // featureless (all fold classes equal): uniform bytes, length % 8 == 0
+    assert(sk("aaaaaaaa" * 4).isEmpty)
+    assert(sk("").isEmpty)
+    // pairs: planted swap recovered at Hamming 0; banding = brute force
+    val docs2 = Seq(
+      (1L, base), (2L, swapped),
+      (3L, "completely different content about spark engines and columns"),
+      (4L, "another unrelated string with its own byte histogram profile x"),
+      (5L, base + " extra tail words changing several fold classes a lot more"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs2, "doc_id", "text")
+    val pairs = Multimodal.phashPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)), pairs.toString)
+    // brute-force radius-3 ground truth over the sketches
+    val sigs = Multimodal.phashSketches(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+  }
+
+  test("frameDupGroups: a duplicate video shares every sampled frame; canonical is min (media, frame)") {
+    // ids ≡ 2 (mod 3) are video-kind; 2 and 5 duplicate payloads
+    val vid = "frame one content frame two content frame three content!"
+    val docs2 = Seq((2L, vid), (5L, vid),
+      (8L, "a distinct video payload with entirely different frames here"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs2, "doc_id", "text")
+    val groups = Multimodal.frameDupGroups(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // ground truth from the sketch table itself (tiny slices collide
+    // across frames, so groups are per-SIGNATURE, not per-frame)
+    val fs = Multimodal.frameSketches(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = fs.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2)
+      .map { case (sig, rows) =>
+        val ck = rows.map { case (m, f, _) => m * 1048576L + f }.min
+        (sig, rows.length.toLong, rows.map(_._1).distinct.length.toLong,
+          ck / 1048576L, ck % 1048576L)
+      }.toSet
+    assert(groups == expected, s"$groups vs $expected")
+    assert(groups.nonEmpty)
+    // the duplicate pair guarantees recovery: EVERY sampled frame of
+    // video 2 (mirrored exactly by video 5) sits in some dup group, and
+    // video 2 is always the canonical holder (min media id present)
+    val dupSigs = groups.map(_._1)
+    fs.filter(_._1 == 2L).foreach { case (_, f, sig) =>
+      assert(dupSigs.contains(sig), s"frame $f of the dup video not grouped")
+    }
+    groups.foreach { case g => assert(g._4 == 2L, g.toString) }
+  }
+
+  test("pairFilter: hand-computed folded cosine, threshold gate, zero-norm exclusion") {
+    val docs2 = Seq((0L, "abcdefgh"), (1L, "")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, (0 until 64).map(j => if (j % 8 == 0) 1.0f else 0.0f)),
+      (1L, (0 until 64).map(_ => 1.0f)),
+      (2L, (0 until 64).map(_ => 0.0f))) // zero-norm: excluded
+      .toDF("vec_id", "embedding")
+    val media = Multimodal.asMedia(docs2, "doc_id", "text")
+    val out = Multimodal.pairFilter(media, emb, "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    // doc 1 (empty text → zero features) and vec 2 (zero embedding) drop;
+    // only pair 0 survives. mv = bytes(a..h)/255; tv = (8,0,...,0) → cos =
+    // mv0·8 / (|mv|·8) = mv0/|mv|
+    assert(out.map(_._1).toSeq == Seq(0L))
+    val mv = "abcdefgh".getBytes("UTF-8").map(b => (b & 0xff) / 255.0)
+      .map(Similarity.roundHalfUp(_, 6))
+    val expect = Similarity.roundHalfUp(
+      mv(0) / math.sqrt(mv.map(x => x * x).sum), 6)
+    assert(out(0)._2 == expect && out(0)._3 == (expect >= 0.25), out(0).toString)
+  }
+
   test("resizeMeta fits into the box preserving aspect, never upscales, skips audio") {
     // widths/heights via asMedia are byte_len-derived; craft texts whose
     // lengths produce a small image (no resize) and an oversized video

@@ -74,6 +74,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("mm_phash: sketch derivation is shuffle-free; pair join is banded, never cartesian") {
+    import org.apache.spark.sql.functions._
+    val media = graft.llm.Multimodal.asMedia(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val sp = graft.llm.Multimodal.phashSketches(media)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"),
+      "decode + sketch must be one shuffle-free typed stage\n" + sp)
+    val p = plan("mm_phash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pairing must go through the band join\n" + p)
+  }
+
+  test("mm_pair_filter: one id-equality join, no cartesian, codegen-compiled kernel stage") {
+    val p = plan("mm_pair_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("text_lm_kn5: live type-table subtree cached and reused across join legs") {
     val p = plan("text_lm_kn5")
     val hits = "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size
