@@ -1036,6 +1036,46 @@ object Similarity {
           call_function("shiftleft", lit(1L), d.cast("int"))).otherwise(lit(0L))))
   }
 
+  /** ±1 projection planes for the densified (2-bit/dim) sign sketch —
+    * md5 parity of `hb|k|i`, engine-portable, no persisted RNG state
+    * (the deterministic-hyperplane discipline of [[lshBucket]]). */
+  private lazy val superBitPlanes: Array[Array[Long]] =
+    Array.tabulate(128, 64) { (k, i) =>
+      if ((TextHashing.md5Long60Kernel(s"hb|$k|$i") & 1L) == 0L) 1L else -1L
+    }
+
+  /**
+   * Densified 2-bit-per-dimension sign sketch: 128 sign bits of
+   * deterministic ±1 hyperplane projections (sign-random-projection
+   * simhash, Charikar 2002), packed as two 64-bit words. Twice the
+   * angle samples of the 64-bit axis-sign code halves the Hamming
+   * estimator's variance — the recall dial on STRUCTURELESS corpora,
+   * where axis signs are the 1-bit worst case (a naive two-threshold
+   * thermometer at mean |v| was measured WORSE than the sign code here:
+   * its region boundary sits at peak component density, so boundary
+   * noise dominates — see LlmSpec). Projections are EXACT integers
+   * (6-dp µ-unit components × ±1 planes), so the bits replay in any
+   * engine with no float sign decision; 16 bytes/row = still 32× below
+   * raw float64.
+   */
+  private[llm] def superBitKernel(v: Seq[Double]): (Long, Long) = {
+    val v6 = v.iterator.map(x => Math.round(roundHalfUp(x, 6) * 1e6)).toArray
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 128) {
+      val pk = superBitPlanes(k)
+      var s = 0L
+      var i = 0
+      while (i < v6.length) { s += v6(i) * pk(i); i += 1 }
+      if (s > 0L) {
+        if (k < 64) lo |= (1L << k) else hi |= (1L << (k - 64))
+      }
+      k += 1
+    }
+    (lo, hi)
+  }
+
   /**
    * Batch kNN join through a Hamming prefilter over [[binarySig]]
    * signatures with exact-cosine rerank — the 1-bit ANN regime:
@@ -1065,7 +1105,9 @@ object Similarity {
   def knnJoinHamming(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, qIdCol: String, k: Int, dims: Int,
                      oversample: Int = 4, excludeSelf: Boolean = true,
-                     maxQueries: Int = 4096): DataFrame = {
+                     maxQueries: Int = 4096, bitsPerDim: Int = 1): DataFrame = {
+    require(bitsPerDim == 1 || bitsPerDim == 2,
+      s"bitsPerDim must be 1 (sign) or 2 (thermometer), got $bitsPerDim")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -1080,19 +1122,39 @@ object Similarity {
       }
     require(qRows.length <= maxQueries,
       s"query side has ${qRows.length} vectors; broadcast Hamming kNN is bounded at $maxQueries")
-    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
-      .withColumn("qsig", binarySig(col("qv"), dims))
+    val q =
+      if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
+        .withColumn("qsig", binarySig(col("qv"), dims))
+      else qRows.toSeq.map { case (qid, v, qn) =>
+        val (lo, hi) = superBitKernel(v)
+        (qid, v, qn, lo, hi)
+      }.toDF("query_id", "qv", "qn", "qlo", "qhi")
     val base = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nrm", norm(col("v")))
       .where(col("nrm") > 0.0)
-    val scored0 = base.select(col("neighbor_id"), binarySig(col("v"), dims).as("sig"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("qsig"))))
+    val qSigCols =
+      if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
+      else Seq(col("query_id"), col("qlo"), col("qhi"))
+    val sigged =
+      if (bitsPerDim == 1)
+        base.select(col("neighbor_id"), binarySig(col("v"), dims).as("sig"))
+      else base.select(col("neighbor_id"), col("v"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) =>
+          val (lo, hi) = superBitKernel(v)
+          (id, lo, hi)
+        }.toDF("neighbor_id", "slo", "shi")
+    val scored0 = sigged.crossJoin(broadcast(q.select(qSigCols: _*)))
     val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
                   else scored0)
       .withColumn("hamming",
-        call_function("bit_count", col("sig").bitwiseXOR(col("qsig"))).cast("long"))
+        if (bitsPerDim == 1)
+          call_function("bit_count", col("sig").bitwiseXOR(col("qsig"))).cast("long")
+        else
+          (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
+            call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
     val cand = scored.withColumn("hrank", row_number().over(wh))

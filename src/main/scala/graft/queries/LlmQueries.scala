@@ -54,7 +54,7 @@ object LlmQueries {
     textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
     textFastCdcChunks,
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
-    mmPhash, mmFrameDedup, mmPairFilter)
+    mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -86,6 +86,58 @@ object LlmQueries {
            |          round(list_sum([v[i] * qv[i] for i in range(1, 65)]) / (nrm * qn), 6)
            |            AS cosine
            |        FROM cand WHERE hrank <= 20),
+           |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+           |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** The DENSIFIED 2-bit-per-dim Hamming regime
+    * ([[Similarity.superBitKernel]]): 128 sign bits of deterministic
+    * md5-parity ±1 hyperplane projections — twice the angle samples of
+    * the 64-bit axis-sign code, halving the Hamming estimator's variance
+    * (measured at sf0.1: recall@5 0.381 vs 0.267 at oversample 4 —
+    * BASELINE.md; a naive mean-|v| thermometer measured WORSE than the
+    * sign code, see LlmSpec). Projections are exact µ-unit integers, so
+    * every bit replays in any engine. Same two-stage construction as
+    * `sim_knn_hamming`, 16 bytes/row. */
+  val simKnnHamming2: QueryDef = QueryDef("sim_knn_hamming2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHamming(emb, emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
+          bitsPerDim = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+           |        for i in range(1, len(v) + 1)] AS u FROM nz),
+           |pb AS (SELECT k, i,
+           |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+           |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+           |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+           |bits AS (SELECT u.vec_id, pb.k,
+           |           (sum(u.u[pb.i + 1] * pb.s) > 0) AS b
+           |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+           |qb AS (SELECT vec_id AS query_id, k, b FROM bits
+           |       WHERE vec_id % 97 = 3),
+           |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+           |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+           |            AS hamming
+           |        FROM bits cb JOIN qb USING (k)
+           |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id, hamming,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+           |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+           |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+           |                / (cv.nrm * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
            |r AS (SELECT query_id, neighbor_id, hamming, cosine,
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)

@@ -2169,6 +2169,36 @@ class LlmSpec extends AnyFunSuite {
     // uniform vectors are the worst case for a 64-bit sign sketch; the dial
     // exists to buy recall with oversample — pin only that it's not broken
     assert(recall >= 0.2, s"recall collapsed: $recall")
+    // the densified 2-bit code (128 projection sign bits) at EQUAL
+    // oversample — the r11 recall dial. The comparative claim is measured
+    // where the sample is real: at sf0.1 (105 truth pairs,
+    // RecallProbeMain) 2-bit beats 1-bit at every oversample
+    // (0.276/0.381/0.486 vs 0.200/0.267/0.400 at os=2/4/8 — BASELINE.md);
+    // this 30-pair corpus only pins that the code is functional, since a
+    // 3-pair swing flips the comparison either way at this sample size.
+    val got2 = pairs(Similarity.knnJoinHamming(emb, qs, "vec_id", "embedding",
+      "vec_id", k = 5, dims = 64, oversample = 4, bitsPerDim = 2))
+    val recall2 = (got2 & truth).size.toDouble / truth.size
+    info(f"hamming2 oversample=4 recall@5 = $recall2%.3f (densified 2-bit, same corpus)")
+    assert(recall2 >= 0.2, s"2-bit recall collapsed: $recall2")
+  }
+
+  test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val v = emb.where(col("vec_id") === 7)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+    val (lo, hi) = Similarity.superBitKernel(v)
+    assert(Similarity.superBitKernel(v) == ((lo, hi)))
+    // scale invariance of the signs (projections scale linearly):
+    // positive scaling cannot flip any strict sign... but 6-dp µ-unit
+    // quantization happens BEFORE the projection, so only exact doubling
+    // (which doubles every µ component exactly) is guaranteed invariant
+    val (lo2, hi2) = Similarity.superBitKernel(v.map(_ * 2.0))
+    assert((lo2, hi2) == ((lo, hi)), "sign sketch must be scale-invariant")
+    // negation flips every decided bit: hamming(v, -v) = #k with s != 0
+    val (lo3, hi3) = Similarity.superBitKernel(v.map(x => -x))
+    val ham = java.lang.Long.bitCount(lo ^ lo3) + java.lang.Long.bitCount(hi ^ hi3)
+    assert(ham >= 120, s"antipodal vectors nearly coincide: $ham")
   }
 
   test("rrfFuse: fusion of overlapping and one-sided ranks, house tie rule") {
