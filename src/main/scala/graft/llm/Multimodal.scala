@@ -202,6 +202,55 @@ object Multimodal {
     Dedup.materializeAndRelease(out, materialize, sigs)
   }
 
+  /**
+   * Incremental perceptual near-dup: judge a NEW media batch against the
+   * STORED corpus sketch table ([[phashSketches]]' `(id, sig)` rows,
+   * materialized once per corpus) — the media pillar's analogue of the
+   * text ring's incremental MinHash judgment. The batch is sketched (one
+   * fused decode+sketch stage), its band keys BROADCAST into the corpus
+   * sketch table's band expansion (the corpus is never re-decoded and
+   * media bytes never move), candidates verified by exact sketch Hamming
+   * (no second payload pass — the sketch IS the verifier at a pinned
+   * radius), and each batch row reports its best corpus match
+   * `(dup_of, hamming)` — min Hamming, ties to the smaller id — or
+   * `keep = true`. Unsketchable batch rows (null payload / featureless)
+   * have no perceptual identity and keep. 4×15-bit banding makes
+   * radius ≤ 3 exhaustive (pigeonhole), so `keep` decisions are exact,
+   * not probabilistic.
+   */
+  def phashIncremental(batch: DataFrame, corpusSigs: DataFrame,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x15-bit banding is exhaustive only for hamming <= 3, got $maxHamming")
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+          explode(transform(sequence(lit(0), lit(3)), b =>
+            struct(b.as("band"),
+              pmod(call_function("shiftright", col("sig"), (b * 15).cast("int")),
+                lit(32768L)).as("v")))).as("b"))
+        .select(col("id"), col("sig"), col("b.band").as("band"),
+          col("b.v").as("v"))
+    val bSigs = phashSketches(batch)
+    val cand = bandsOf(corpusSigs).as("c")
+      .join(broadcast(bandsOf(bSigs).as("x")),
+        col("c.band") === col("x.band") && col("c.v") === col("x.v"))
+      .select(col("x.id").as("id_a"), col("c.id").as("id_b"),
+        col("x.sig").as("sa"), col("c.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("hamming"), col("id_b"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id_a").as("media_id"), col("id_b").as("dup_of"),
+        col("hamming"))
+    batch.select(col("media_id"))
+      .join(best, Seq("media_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
   /** Frame-packing bound for the canonical-election key
     * (`media_id·2²⁰ + frame_idx` — the same expression in any engine). */
   private val FramePackBits = 20

@@ -54,7 +54,8 @@ object LlmQueries {
     textGearChunks, textLmKn5m, dedupGear, textUnigramEncodeEm,
     textFastCdcChunks,
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
-    mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2)
+    mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
+    mmDedupIncremental)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -658,6 +659,26 @@ object LlmQueries {
       |                   % 2 = 0 THEN 1 ELSE -1 END AS s
       |       FROM range(0, 60) t1(k), range(0, 8) t2(i))""".stripMargin
 
+  /** The pHash signature replay over a `(media_id, text)` CTE named
+    * `src`: emits `out` = `(media_id, sig)`. Requires [[phashPlanesSql]]
+    * (`pm`) in scope. */
+  private def phashSigSql(src: String, out: String): String =
+    s"""${out}f AS (SELECT media_id, ${phashF6Sql("text")} AS v FROM $src),
+       |${out}s AS (SELECT media_id, v,
+       |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
+       |       FROM ${out}f),
+       |${out}u AS (SELECT media_id,
+       |        [8 * v[i] - sv for i in range(1, 9)] AS u FROM ${out}s),
+       |${out}k AS (SELECT * FROM ${out}u
+       |       WHERE list_max([abs(x) for x in u]) > 0),
+       |${out}v AS (SELECT k.media_id, pm.k AS kk,
+       |         sum(k.u[pm.i + 1] * pm.s)::BIGINT AS vk
+       |       FROM ${out}k k, pm GROUP BY 1, 2),
+       |$out AS (SELECT media_id,
+       |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << kk) ELSE 0 END)::BIGINT
+       |            AS sig
+       |        FROM ${out}v GROUP BY 1)""".stripMargin
+
   /** Perceptual near-dup media pairs at Hamming ≤ 3
     * ([[Multimodal.phashPairs]] — pHash-style 60-bit sketch over the
     * decoded features composed with the simhash band-join ring, radius-3
@@ -693,21 +714,8 @@ object LlmQueries {
             |         text[9] || text[2:8] || text[1] || text[10:]
             |  FROM documents, mx
             |  WHERE text IS NOT NULL AND len(text) >= 16 AND doc_id % 41 = 7),
-            |f AS (SELECT media_id, ${phashF6Sql("text")} AS v FROM corpus),
-            |sv AS (SELECT media_id, v,
-            |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
-            |       FROM f),
-            |u AS (SELECT media_id, [8 * v[i] - sv for i in range(1, 9)] AS u
-            |      FROM sv),
-            |uk AS (SELECT * FROM u WHERE list_max([abs(x) for x in u]) > 0),
             |$phashPlanesSql,
-            |vb AS (SELECT uk.media_id, pm.k,
-            |         sum(uk.u[pm.i + 1] * pm.s)::BIGINT AS vk
-            |       FROM uk, pm GROUP BY 1, 2),
-            |sig AS (SELECT media_id,
-            |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT
-            |            AS sig
-            |        FROM vb GROUP BY 1),
+            |${phashSigSql("corpus", "sig")},
             |bands AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
             |          FROM sig, range(0, 4) t(b)),
             |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
@@ -812,6 +820,66 @@ object LlmQueries {
          |SELECT media_id, cosine, (cosine >= 0.25) AS kept FROM c
          |ORDER BY media_id""".stripMargin
     })
+
+  /** Incremental media near-dup against the STORED perceptual sketch
+    * table ([[Materialized.phashSigs]] ∘ [[Multimodal.phashIncremental]])
+    * — the media pillar's production ingestion gate, mirroring
+    * `dedup_incremental_near`: the corpus is decoded + sketched once
+    * ever; the new batch broadcasts its band keys into the stored table,
+    * candidates verify by exact sketch Hamming (radius-3 exhaustive by
+    * pigeonhole — no payload re-read), each batch row reports its best
+    * corpus match or keeps. Batch = fold-class-swapped copies of every
+    * 37th doc (feature-exact perceptual dups → guaranteed `dup_of` at
+    * Hamming 0) plus uppercased copies of others (byte histograms shift
+    * wholesale → genuinely new content). */
+  val mmDedupIncremental: QueryDef = QueryDef("mm_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val dups = docs.where(col("text").isNotNull &&
+          length(col("text")) >= 16 && col("doc_id") % 37 === 5)
+        .select((col("doc_id") + maxd + 5001).as("doc_id"),
+          concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+            substring(col("text"), 1, 1),
+            substring(col("text"), 10, Int.MaxValue)).as("text"))
+      val fresh = docs.where(col("text").isNotNull && col("doc_id") % 37 === 8)
+        .select((col("doc_id") + maxd + 90001).as("doc_id"),
+          upper(col("text")).as("text"))
+      val batch = Multimodal.asMedia(dups.unionByName(fresh), "doc_id", "text")
+      Multimodal.phashIncremental(batch, Materialized.phashSigs(s, d))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            |$phashPlanesSql,
+            |csrc AS (SELECT doc_id AS media_id, text FROM documents
+            |         WHERE text IS NOT NULL),
+            |bsrc AS (
+            |  SELECT doc_id + m + 5001 AS media_id,
+            |         text[9] || text[2:8] || text[1] || text[10:] AS text
+            |  FROM documents, mx
+            |  WHERE text IS NOT NULL AND len(text) >= 16 AND doc_id % 37 = 5
+            |  UNION ALL
+            |  SELECT doc_id + m + 90001, upper(text) FROM documents, mx
+            |  WHERE text IS NOT NULL AND doc_id % 37 = 8),
+            |${phashSigSql("csrc", "csig")},
+            |${phashSigSql("bsrc", "bsig")},
+            |cb AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
+            |       FROM csig, range(0, 4) t(b)),
+            |bb AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
+            |       FROM bsig, range(0, 4) t(b)),
+            |cand AS (SELECT DISTINCT bb.media_id AS id_a, cb.media_id AS id_b,
+            |                bb.sig AS sa, cb.sig AS sb
+            |         FROM bb JOIN cb ON bb.b = cb.b AND bb.bv = cb.bv),
+            |ver AS (SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            |        FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+            |best AS (SELECT id_a, id_b, hamming FROM ver
+            |         QUALIFY row_number() OVER (PARTITION BY id_a
+            |           ORDER BY hamming, id_b) = 1)
+            |SELECT b.media_id, best.id_b AS dup_of, best.hamming,
+            |  best.id_b IS NULL AS keep
+            |FROM (SELECT media_id FROM bsrc) b
+            |LEFT JOIN best ON best.id_a = b.media_id
+            |ORDER BY media_id""".stripMargin))
 
   /** Recall@k of the probed IVF search vs the brute-force ground truth as
     * a FIRST-CLASS oracled query — the maintainer's honest quality dial
@@ -5694,8 +5762,8 @@ object LlmQueries {
   /** The MODIFIED-KN replay: same model prefix, context CTEs widened with
     * count-class follower counts, eight discount triples, class-weighted
     * interpolation at every level. Ends in `kn5s` like the fixed form. */
-  private val kn5mScoreSql: String =
-    s"""$kn5ModelSql,
+  private def kn5mScoreSqlOver(modelSql: String): String =
+    s"""$modelSql,
       |ctx2 AS (SELECT h1, sum(c2) AS cs2,
       |           ${knmCls("c2", "e2_")}
       |         FROM t2 GROUP BY 1),
@@ -5790,6 +5858,8 @@ object LlmQueries {
       |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
       |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
       |         FROM sp GROUP BY 1)""".stripMargin
+
+  private val kn5mScoreSql: String = kn5mScoreSqlOver(kn5ModelSql)
 
   /** Interpolated 5-gram Kneser–Ney scoring ([[TextAnalysis.lmScoreKn5]],
     * D=0.75 at every order) — the KenLM-shape gate CCNet ships: raw-count
@@ -6065,6 +6135,22 @@ object LlmQueries {
     },
     Some(s"""WITH $kn5pScoreSql,
             |$pplBuckets5TailSql""".stripMargin))
+
+  /** MODIFIED Kneser–Ney over the PRUNED stored model — the two KenLM
+    * production dials composed: count-threshold pruning
+    * ([[Materialized.kn5TypesPruned]]) under the Chen–Goodman
+    * count-of-count discounts. The eight discount triples re-estimate
+    * from the PRUNED tables (their count-of-counts change when
+    * singletons vanish — n₁ of orders 3–5 is zero post-prune, so those
+    * levels fall back to the fixed discount by KenLM's validity rule,
+    * exactly what KenLM does when pruning empties a count class). */
+  val textLmKn5pm: QueryDef = QueryDef("text_lm_kn5pm",
+    (s, d) => TextAnalysis.lmScoreKn5FromModel(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5TypesPruned(s, d), modified = true)
+      .orderBy("doc_id"),
+    Some(s"""WITH ${kn5mScoreSqlOver(kn5ModelSqlFor(prune345 = true))}
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
 
   /** Count-min sketch frequency probe ([[TextAnalysis.cmsCells]] /
     * [[TextAnalysis.cmsEstimate]], Cormode & Muthukrishnan 2005): 4×1024

@@ -893,6 +893,19 @@ object Materialized {
         kn5Types(spark, sfDir))
     }
 
+  /** Stored perceptual sketch table `(id, sig)` over `documents`-as-media
+    * ([[graft.llm.Multimodal.phashSketches]]) — the corpus artifact
+    * incremental media near-dup judges new batches against: the corpus is
+    * decoded + sketched ONCE; every future batch broadcasts its band keys
+    * into this table and never re-reads media bytes (the
+    * [[minhashSignatures]] pattern at the media pillar). */
+  def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "phash_sigs", "b60_planes8", sfDir, "documents") {
+      graft.llm.Multimodal.phashSketches(
+        graft.llm.Multimodal.asMedia(Tables.documents(spark, sfDir),
+          "doc_id", "text"))
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,

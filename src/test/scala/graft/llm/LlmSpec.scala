@@ -1708,6 +1708,28 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == brute, s"banded $pairs vs brute $brute")
   }
 
+  test("phashIncremental: planted perceptual dup matches its donor at Hamming 0; fresh and unsketchable batch rows keep") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val corpus = Seq((1L, base),
+      (2L, "completely different content about spark query engines zz"),
+      (3L, "yet another corpus document with its own byte level profile"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.phashSketches(
+      Multimodal.asMedia(corpus, "doc_id", "text"))
+    val batch = Multimodal.asMedia(Seq(
+      (100L, base(8) + base.substring(1, 8) + base(0) + base.substring(9)),
+      (101L, "ZQXJKVBWPY MMNHGFDSA 0192837465 entirely alien histogram!!"),
+      (102L, "aaaaaaaa" * 4) // featureless: all fold classes equal
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.phashIncremental(batch, sigs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
+          r.getBoolean(3))).toMap
+    assert(out(100L) == ((Some((1L, 0L)), false)), out.toString)
+    assert(out(101L)._2, out.toString)     // fresh content keeps
+    assert(out(102L) == ((None, true)), out.toString) // no perceptual identity
+  }
+
   test("frameDupGroups: a duplicate video shares every sampled frame; canonical is min (media, frame)") {
     // ids ≡ 2 (mod 3) are video-kind; 2 and 5 duplicate payloads
     val vid = "frame one content frame two content frame three content!"
