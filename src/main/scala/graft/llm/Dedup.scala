@@ -994,14 +994,9 @@ object Dedup {
     materializeAndRelease(out, materialize, sigs)
   }
 
-  private[llm] def simhashBandJoin(sigs: DataFrame, nBands: Int, bandBits: Int,
-                              maxHamming: Int): DataFrame = {
-    val bandRows = sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-          struct(b.as("band"),
-            pmod(call_function("shiftright", col("sig"), (b * bandBits).cast("int")),
-              pow(lit(2.0), bandBits).cast("long")).as("v")))).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
+  /** Shared pair tail over exploded band-key rows `(id, sig, band, v)`:
+    * self-join on the key, elect `id_a < id_b`, verify exact Hamming. */
+  private def bandPairTail(bandRows: DataFrame, maxHamming: Int): DataFrame =
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
@@ -1011,7 +1006,59 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+
+  private[graft] def simhashBandJoin(sigs: DataFrame, nBands: Int, bandBits: Int,
+                              maxHamming: Int): DataFrame = {
+    val bandRows = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+          struct(b.as("band"),
+            pmod(call_function("shiftright", col("sig"), (b * bandBits).cast("int")),
+              pow(lit(2.0), bandBits).cast("long")).as("v")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
+    bandPairTail(bandRows, maxHamming)
   }
+
+  /** WIDE-KEY combination band rows (Manku, Jain & Das Sarma 2007 §3 —
+    * the simhash-dedup construction Google ran at web scale): the `bits`
+    * signature splits into `nBlocks` blocks; `maxHamming` differing BITS
+    * touch ≤ `maxHamming` blocks, so every `(nBlocks − maxHamming)`-block
+    * combination is a pigeonhole-exhaustive key. At radius 3 over 60
+    * bits that is C(6,3) = 20 keys of 30 bits — vs the contiguous 4×15
+    * scheme, each key is 2³⁰ wide instead of 2¹⁵, so the accidental
+    * candidate mass at N rows falls from ~4·N²/2¹⁶ (≈ 6·10⁹ at N = 10M —
+    * a broken join) to ~20·N²/2³¹ (≈ 10⁶ — a working one) for 5× the
+    * exchanged key rows. Both schemes verify exact Hamming, so the PAIR
+    * SET is identical; only candidate generation differs. */
+  private[graft] def comboKeyRows(sigs: DataFrame, bits: Int, nBlocks: Int,
+                                maxHamming: Int): DataFrame = {
+    require(bits % nBlocks == 0 && maxHamming >= 0 && maxHamming < nBlocks,
+      s"need bits % nBlocks == 0 and 0 <= maxHamming < nBlocks, " +
+        s"got bits=$bits nBlocks=$nBlocks maxHamming=$maxHamming")
+    val blockBits = bits / nBlocks
+    val keep = nBlocks - maxHamming
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    val keyStructs = combos.zipWithIndex.map { case (c, ci) =>
+      val key = c.zipWithIndex.map { case (blk, pos) =>
+        call_function("shiftleft",
+          pmod(call_function("shiftright", col("sig"), lit(blk * blockBits)),
+            lit(1L << blockBits)),
+          lit(pos * blockBits))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(ci).as("band"), key.as("v"))
+    }
+    sigs.select(col("id"), col("sig"),
+        explode(array(keyStructs: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"),
+        col("b.v").as("v"))
+  }
+
+  /** [[simhashBandJoin]]'s wide-key sibling: pairs at `hamming ≤
+    * maxHamming` through [[comboKeyRows]] — identical output, 2³⁰-wide
+    * keys, the generator that survives 10M+ rows (BASELINE.md). */
+  private[graft] def simhashComboJoin(sigs: DataFrame, maxHamming: Int,
+                                    bits: Int = 60,
+                                    nBlocks: Int = 6): DataFrame =
+    bandPairTail(comboKeyRows(sigs, bits, nBlocks, maxHamming), maxHamming)
 
   /**
    * Duplicate-cluster assignment: connected components over the near-dup

@@ -185,20 +185,23 @@ object Multimodal {
 
   /**
    * Cross-media perceptual near-dup pairs at `hamming ≤ maxHamming` —
-   * the pHash sketch scan composed with the existing Hamming-LSH ring
-   * ([[Dedup.simhashPairs]]' band join: 4×15-bit bands, so radius ≤ 3 is
-   * EXHAUSTIVE by pigeonhole, not approximate). 100 TB shape: the only
-   * exchange carries fixed-width `(band key, id, sig)` rows — media
-   * bytes never shuffle; the sketch is an 8-byte stored column in a
-   * production pipeline.
+   * the pHash sketch scan composed with the WIDE-KEY Hamming-LSH ring
+   * ([[Dedup.simhashComboJoin]], Manku et al. 2007): C(6, 6−r)
+   * 30-bit-wide block-combination keys, pigeonhole-EXHAUSTIVE at any
+   * r ≤ 3 — the generator that survives 10M+ media rows, where
+   * contiguous 15-bit bands drown in ~N²/2¹⁵ accidental candidates
+   * (measured crossover in BASELINE.md; the PAIR SET is identical, both
+   * verify exact Hamming). 100 TB shape: the only exchange carries
+   * fixed-width `(key, id, sig)` rows — media bytes never shuffle; the
+   * sketch is an 8-byte stored column in a production pipeline.
    */
   def phashPairs(media: DataFrame, maxHamming: Int = 3,
                  materialize: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x15-bit banding is exhaustive only for hamming <= 3, got $maxHamming")
+      s"6-block combo keys are exhaustive only for hamming <= 3 (and 15-bit" +
+        s" keys below that), got $maxHamming")
     val sigs = phashSketches(media).persist()
-    val out = Dedup.simhashBandJoin(sigs, nBands = 4, bandBits = 15,
-      maxHamming = maxHamming)
+    val out = Dedup.simhashComboJoin(sigs, maxHamming = maxHamming)
     Dedup.materializeAndRelease(out, materialize, sigs)
   }
 
@@ -214,22 +217,17 @@ object Multimodal {
    * radius), and each batch row reports its best corpus match
    * `(dup_of, hamming)` — min Hamming, ties to the smaller id — or
    * `keep = true`. Unsketchable batch rows (null payload / featureless)
-   * have no perceptual identity and keep. 4×15-bit banding makes
-   * radius ≤ 3 exhaustive (pigeonhole), so `keep` decisions are exact,
-   * not probabilistic.
+   * have no perceptual identity and keep. Wide combination keys
+   * ([[Dedup.comboKeyRows]]) make radius ≤ 3 exhaustive (pigeonhole) AND
+   * survive 10M+ stored rows, so `keep` decisions are exact, not
+   * probabilistic.
    */
   def phashIncremental(batch: DataFrame, corpusSigs: DataFrame,
                        maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x15-bit banding is exhaustive only for hamming <= 3, got $maxHamming")
+      s"6-block combo keys are exhaustive only for hamming <= 3, got $maxHamming")
     def bandsOf(sigs: DataFrame): DataFrame =
-      sigs.select(col("id"), col("sig"),
-          explode(transform(sequence(lit(0), lit(3)), b =>
-            struct(b.as("band"),
-              pmod(call_function("shiftright", col("sig"), (b * 15).cast("int")),
-                lit(32768L)).as("v")))).as("b"))
-        .select(col("id"), col("sig"), col("b.band").as("band"),
-          col("b.v").as("v"))
+      Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6, maxHamming = maxHamming)
     val bSigs = phashSketches(batch)
     val cand = bandsOf(corpusSigs).as("c")
       .join(broadcast(bandsOf(bSigs).as("x")),

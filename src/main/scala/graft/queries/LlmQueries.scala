@@ -55,7 +55,7 @@ object LlmQueries {
     textFastCdcChunks,
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
-    mmDedupIncremental)
+    mmDedupIncremental, textUnigramEncodeEm2, mmCuration)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -880,6 +880,76 @@ object LlmQueries {
             |FROM (SELECT media_id FROM bsrc) b
             |LEFT JOIN best ON best.id_a = b.media_id
             |ORDER BY media_id""".stripMargin))
+
+  /** Media curation capstone — the multimodal ring composed end-to-end
+    * the way `pipeline_curation` composes the text gates: perceptual
+    * near-dup drop (any media with a smaller-id Hamming ≤ 3 partner
+    * drops — exact payload dups are Hamming 0, so exact dedup is
+    * subsumed) ∧ CLIP-score pair gate (cosine ≥ 0.25 against the caption
+    * embedding; media without a scorable caption — missing embedding or
+    * zero norm on either side — fail the gate, the LAION default). One
+    * row per media with every gate's verdict and the final keep. */
+  val mmCuration: QueryDef = QueryDef("mm_curation",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMedia(docs, "doc_id", "text")
+      val dupped = Multimodal.phashPairs(media, maxHamming = 3)
+        .select(col("id_b").as("media_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      val gated = Multimodal.pairFilter(media, Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.25)
+      media.select(col("media_id"))
+        .join(dupped, Seq("media_id"), "left")
+        .join(gated, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("is_dup"), lit(false)).as("perceptual_dup"),
+          col("cosine"),
+          coalesce(col("kept"), lit(false)).as("gate_kept"),
+          (!coalesce(col("is_dup"), lit(false)) &&
+            coalesce(col("kept"), lit(false))).as("kept_final"))
+        .orderBy("media_id")
+    },
+    Some {
+      val feats = (0 until 8).map(k =>
+        s"coalesce(round(list_sum([ascii(substr(text, i, 1)) / 255.0 " +
+          s"for i in range(1, length(text) + 1) if (i - 1) % 8 = $k]), 6), 0.0)")
+        .mkString("[", ", ", "]")
+      val fold = (0 until 8).map(k =>
+        s"round(list_sum([embedding[j]::DOUBLE for j in range(${k + 1}, 65, 8)]), 6)")
+        .mkString("[", ", ", "]")
+      s"""WITH $phashPlanesSql,
+         |csrc AS (SELECT doc_id AS media_id, text FROM documents
+         |         WHERE text IS NOT NULL),
+         |${phashSigSql("csrc", "sig")},
+         |bands AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
+         |          FROM sig, range(0, 4) t(b)),
+         |pr AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |       FROM bands a JOIN bands b
+         |         ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id
+         |       WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |dup AS (SELECT DISTINCT id_b AS media_id FROM pr),
+         |mf AS (SELECT doc_id AS media_id, $feats AS mv FROM documents
+         |       WHERE text IS NOT NULL),
+         |tf AS (SELECT vec_id AS media_id, $fold AS tv FROM embeddings),
+         |jj AS (SELECT mf.media_id, mv, tv,
+         |        sqrt(list_sum([x * x for x in mv])) AS mn,
+         |        sqrt(list_sum([x * x for x in tv])) AS tn
+         |      FROM mf JOIN tf USING (media_id)),
+         |cs AS (SELECT media_id,
+         |        round(list_sum([mv[i] * tv[i] for i in range(1, 9)])
+         |              / (mn * tn), 6) AS cosine
+         |      FROM jj WHERE mn > 0 AND tn > 0)
+         |SELECT d.doc_id AS media_id,
+         |  (dup.media_id IS NOT NULL) AS perceptual_dup,
+         |  cs.cosine,
+         |  coalesce(cs.cosine >= 0.25, false) AS gate_kept,
+         |  (dup.media_id IS NULL AND coalesce(cs.cosine >= 0.25, false))
+         |    AS kept_final
+         |FROM documents d
+         |LEFT JOIN dup ON dup.media_id = d.doc_id
+         |LEFT JOIN cs ON cs.media_id = d.doc_id
+         |ORDER BY media_id""".stripMargin
+    })
 
   /** Recall@k of the probed IVF search vs the brute-force ground truth as
     * a FIRST-CLASS oracled query — the maintainer's honest quality dial
@@ -6766,6 +6836,55 @@ object LlmQueries {
             |       FROM v0),
             |${softEmRoundSql(1, "p0")},
             |${softEmRoundSql(2, "p1")},
+            |lpe AS MATERIALIZED (SELECT piece,
+            |         round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
+            |       FROM v2),
+            |sege AS (
+            |  SELECT w, 0::INT AS pos, 0.0::DOUBLE AS lp, 0::INT AS np, '' AS seq FROM wt
+            |  UNION ALL
+            |  SELECT s.w, (s.pos + len(v.piece))::INT, s.lp + v.lp, (s.np + 1)::INT,
+            |         CASE WHEN s.seq = '' THEN v.piece ELSE s.seq || ' ' || v.piece END
+            |  FROM sege s JOIN lpe v ON v.piece = substr(s.w, s.pos + 1, len(v.piece))
+            |  WHERE s.pos < len(s.w)),
+            |be AS (SELECT w, lp, np FROM sege WHERE pos = len(w)
+            |       QUALIFY row_number() OVER (PARTITION BY w ORDER BY lp DESC, np, seq) = 1),
+            |tfe AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+            |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1, 2)
+            |SELECT tfe.doc_id, sum(tfe.tf)::BIGINT AS n_words,
+            |  sum(tfe.tf * be.np)::BIGINT AS n_pieces,
+            |  round(-sum(tfe.tf * be.lp), 6) AS nll_sum
+            |FROM tfe JOIN be USING (w) GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Unigram tokenization from the STORED loss-pruned soft-EM pieces
+    * ([[Materialized.unigramPiecesEmLoss]] ∘ [[TextAnalysis.unigramEncode]])
+    * — the production twin of `text_unigram_train_em2`: loss-criterion
+    * training paid once per (corpus, config); encode broadcasts the
+    * stored `(piece, lp)` rows and pays its one tf scan. Oracle replays
+    * both loss-pruned EM rounds, then full-enumeration Viterbi. */
+  val textUnigramEncodeEm2: QueryDef = QueryDef("text_unigram_encode_em2",
+    (s, d) => TextAnalysis.unigramEncode(Tables.documents(s, d), "doc_id",
+        "text", Materialized.unigramPiecesEmLoss(s, d), maxPieceLen = 4)
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE
+            |wt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f
+            |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+            |             FROM documents)
+            |       GROUP BY 1),
+            |sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(f)::BIGINT AS cnt
+            |        FROM wt, range(1, 64) r(i), range(1, 5) q(l)
+            |        WHERE i + l <= len(w) + 1
+            |        GROUP BY 1),
+            |top AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 40),
+            |v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM
+            |        (SELECT * FROM top UNION ALL
+            |         SELECT * FROM sub WHERE len(piece) = 1)),
+            |p0 AS MATERIALIZED (SELECT piece,
+            |         cnt::DOUBLE / (SELECT sum(cnt)::DOUBLE FROM v0) AS p
+            |       FROM v0),
+            |${softEmRoundSql(1, "p0", lossPrune = true)},
+            |${softEmRoundSql(2, "p1", lossPrune = true)},
             |lpe AS MATERIALIZED (SELECT piece,
             |         round(ln(m::DOUBLE / (SELECT sum(m)::DOUBLE FROM v2)), 6) AS lp
             |       FROM v2),

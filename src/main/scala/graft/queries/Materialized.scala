@@ -940,6 +940,19 @@ object Materialized {
         targetMulti = 8, shrink = 0.5)
     }
 
+  /** Stored LOSS-PRUNED soft-EM unigram pieces `(piece, em6, loss6, lp)`
+    * ([[graft.llm.TextAnalysis.unigramTrainSoft]] `lossPrune = true` —
+    * the SentencePiece likelihood-loss criterion): trained once per
+    * (corpus, config); encode runs broadcast the stored `(piece, lp)`
+    * rows. */
+  def unigramPiecesEmLoss(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "unigram_pieces_em_loss", "p4_s40_i2_t8_s05", sfDir,
+      "documents") {
+      graft.llm.TextAnalysis.unigramTrainSoft(Tables.documents(spark, sfDir),
+        "text", maxPieceLen = 4, seedSize = 40, iters = 2,
+        targetMulti = 8, shrink = 0.5, lossPrune = true)
+    }
+
   /** Stored DSIR log-likelihood-ratio table `(bucket, log_ratio)` against
     * the English slice as the target distribution
     * ([[graft.llm.TextAnalysis.dsirRatios]]) — estimated once per corpus

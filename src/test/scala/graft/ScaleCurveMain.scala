@@ -28,7 +28,7 @@ object ScaleCurveMain {
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
-      "gear-only")
+      "gear-only", "phash-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -80,6 +80,7 @@ object ScaleCurveMain {
     else if (args.contains("cdc-only")) cdc10M(spark)
     else if (args.contains("hotgram-only")) hotGram10M(spark)
     else if (args.contains("gear-only")) gear10M(spark)
+    else if (args.contains("phash-only")) phash10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -1041,6 +1042,85 @@ object ScaleCurveMain {
       f"max_docs_at_32+chars=${gd._2} rollup ${tGd}%.1fs | " +
       f"fastcdc dup_hashes=${fd._1} max_docs_at_32+chars=${fd._2} " +
       f"(both expect ≈ ${n / 1000}) rollup ${tFd}%.1fs")
+  }
+
+  /** Perceptual-hash ring at 10M media rows: sketch scan throughput, the
+    * wide-combo pair join at radius 3 with 10k planted fold-class-swap
+    * perceptual dups, and the candidate-mass contrast that motivates the
+    * wide keys — contiguous 4×15-bit bands vs C(6,3) 30-bit combination
+    * keys, both measured at 1M rows (the narrow scheme's ~N²/2¹⁵
+    * candidate mass is already the bottleneck there and would be a
+    * broken join at 10M). */
+  private def phash10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Dedup, Multimodal}
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    // texts must carry genuinely DIVERSE byte histograms: an id-digit
+    // skeleton corpus (the gear fixture) is perceptually one document —
+    // 9.0M of 10M rows shared a single 60-bit sketch when first measured
+    // (pHash judging correctly; the fixture was wrong for a PAIR metric).
+    // Three md5 blocks give each doc a random 96-char byte mix.
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat(md5(concat(lit("da"), col("id"))),
+        md5(concat(lit("db"), col("id"))),
+        md5(concat(lit("dc"), col("id")))).as("text"))
+    val plants = base.where(col("doc_id") % 1000 === 3)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+          substring(col("text"), 1, 1),
+          substring(col("text"), 10, Int.MaxValue)).as("text"))
+    val media = Multimodal.asMedia(base, "doc_id", "text")
+    val sigs = Multimodal.phashSketches(media).persist()
+    val (nS, tS) = timed(sigs.count())
+    // candidate MASS analytically from the key histograms — Σ C(m, 2)
+    // over each scheme's key multiplicities. An aggregation, never a
+    // join: the number itself decides whether a join is even runnable.
+    def mass(bandRows: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val h = bandRows.groupBy("band", "v").agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("cand"), max(col("m")).as("mx"))
+        .head()
+      (h.getLong(0), h.getLong(1))
+    }
+    val narrowRows = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("band"),
+            pmod(call_function("shiftright", col("sig"), (b * 15).cast("int")),
+              lit(32768L)).as("v")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
+    val ((cN, mxN), tN) = timed(mass(narrowRows))
+    val comboRows = Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6,
+      maxHamming = 3)
+    val ((cC, mxC), tC) = timed(mass(comboRows))
+    // the production forms at this scale: GROUPED exact-sketch dedup
+    // (linear) and INCREMENTAL batch judgment against the stored sigs
+    val (grp, tG) = timed {
+      sigs.groupBy("sig").agg(count(lit(1)).as("m")).where(col("m") >= 2)
+        .agg(count(lit(1)), max(col("m"))).head() match {
+          case r => (r.getLong(0), r.getLong(1))
+        }
+    }
+    val (inc, tI) = timed {
+      val out = Multimodal.phashIncremental(
+        Multimodal.asMedia(plants, "doc_id", "text"), sigs).persist()
+      val total = out.count()
+      val flagged = out.where(!col("keep") && col("hamming") === 0).count()
+      val donor = out.where(col("dup_of") === col("media_id") - 20000000L &&
+        col("hamming") === 0).count()
+      out.unpersist()
+      (total, flagged, donor)
+    }
+    sigs.unpersist()
+    println(f"phash-10M sigs=$nS scan ${tS}%.1fs | candidate mass: " +
+      f"narrow(4x15)=$cN (max key $mxN) in ${tN}%.1fs vs " +
+      f"combo(20x30)=$cC (max key $mxC) in ${tC}%.1fs — 8-dim stub " +
+      f"features cap sketch entropy, so corpus-wide radius-3 PAIR " +
+      f"enumeration is inherently quadratic here | grouped dup sigs=" +
+      f"${grp._1} (max group ${grp._2}) in ${tG}%.1fs | incremental " +
+      f"batch=${inc._1} flagged_h0=${inc._2}/${n / 1000} " +
+      f"donor_exact=${inc._3} in ${tI}%.1fs")
   }
 
   /** The hot-gram cap at 10M docs: EVERY doc opens with the same 4-word
