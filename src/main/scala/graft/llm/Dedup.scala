@@ -976,10 +976,20 @@ object Dedup {
    * pair within the distance must agree exactly on ≥1 band, so a band-equality
    * join has recall 1 (this variant is EXACT, unlike MinHash LSH). Verify
    * with `bit_count(xor)`.
+   *
+   * `comboKeys = true` switches candidate generation to the WIDE
+   * block-combination keys ([[comboKeyRows]], Manku et al. 2007): C(6,
+   * 6−maxHamming) keys of `(6−maxHamming)·10` bits — the generator that
+   * survives 10M+ rows, where the contiguous 15-bit bands drown in
+   * ~N²/2¹⁵ accidental candidates (measured 320× candidate-mass
+   * reduction at 10M docs, BASELINE.md). The PAIR SET is identical
+   * either way (both exhaustive, both verify exact Hamming —
+   * spec-pinned), so the dial is purely a scale choice.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bits: Int = 60,
-                   materialize: Boolean = false): DataFrame = {
+                   materialize: Boolean = false,
+                   comboKeys: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val sigs = docs
@@ -987,7 +997,9 @@ object Dedup {
         transform(words(col(textCol)), w => md5Long60(w)).as("hs"))
       .select(col("id"), simhashSignature(col("hs"), bits).as("sig"))
       .persist() // self-joined below — compute the 60-bit signatures once
-    val out = simhashBandJoin(sigs, nBands, bandBits, maxHamming)
+    val out =
+      if (comboKeys) simhashComboJoin(sigs, maxHamming, bits, nBlocks = 6)
+      else simhashBandJoin(sigs, nBands, bandBits, maxHamming)
     // same persist discipline as minhashLsh/ngramJaccard: materialize=true
     // frees the signature intermediate once the (tiny) pair result is cached,
     // so repeated calls don't accumulate persisted tables across a session

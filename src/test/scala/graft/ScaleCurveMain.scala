@@ -28,7 +28,7 @@ object ScaleCurveMain {
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
-      "gear-only", "phash-only")
+      "gear-only", "phash-only", "simhash-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -81,6 +81,7 @@ object ScaleCurveMain {
     else if (args.contains("hotgram-only")) hotGram10M(spark)
     else if (args.contains("gear-only")) gear10M(spark)
     else if (args.contains("phash-only")) phash10M(spark)
+    else if (args.contains("simhash-only")) simhash10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -1042,6 +1043,66 @@ object ScaleCurveMain {
       f"max_docs_at_32+chars=${gd._2} rollup ${tGd}%.1fs | " +
       f"fastcdc dup_hashes=${fd._1} max_docs_at_32+chars=${fd._2} " +
       f"(both expect ≈ ${n / 1000}) rollup ${tFd}%.1fs")
+  }
+
+  /** Text simhash at 10M docs — the wide-key contrast on FULL-entropy
+    * sketches (word-hash simhash, unlike the entropy-capped 8-dim stub
+    * features of `phash-only`): candidate mass for contiguous 4×15-bit
+    * bands vs C(6,3) 30-bit combination keys, analytically from the key
+    * histograms, then the combo pair join actually RUN at 10M with 10k
+    * planted exact-dup docs (Hamming 0, guaranteed recovery). */
+  private def simhash10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Dedup
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = 10000000L
+    // 16 distinct 8-hex-char words per doc — high-entropy signatures
+    def wordsOf(seed: String) = (0 until 4).map(j =>
+      substring(md5(concat(lit(seed), col("id"))), j * 8 + 1, 8))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (wordsOf("sa") ++ wordsOf("sb") ++ wordsOf("sc") ++
+        wordsOf("sd")): _*).as("text"))
+    val plants = base.where(col("doc_id") % 1000 === 3)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(plants)
+    val sigs = docs
+      .select(col("doc_id").as("id"),
+        transform(split(col("text"), " "),
+          w => graft.llm.TextHashing.md5Long60(w)).as("hs"))
+      .select(col("id"), Dedup.simhashSignature(col("hs"), 60).as("sig"))
+      .persist()
+    val (nS, tS) = timed(sigs.count())
+    def mass(bandRows: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val h = bandRows.groupBy("band", "v").agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("cand"), max(col("m")).as("mx"))
+        .head()
+      (h.getLong(0), h.getLong(1))
+    }
+    val narrowRows = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("band"),
+            pmod(call_function("shiftright", col("sig"), (b * 15).cast("int")),
+              lit(32768L)).as("v")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
+    val ((cN, mxN), tN) = timed(mass(narrowRows))
+    val ((cC, mxC), tC) = timed(mass(
+      Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6, maxHamming = 3)))
+    val (pairStats, tP) = timed {
+      val p = Dedup.simhashComboJoin(sigs, maxHamming = 3).persist()
+      val c = p.count()
+      val planted = p.where(col("hamming") === 0 &&
+        col("id_b") - col("id_a") === 20000000L).count()
+      p.unpersist()
+      (c, planted)
+    }
+    sigs.unpersist()
+    println(f"simhash-10M sigs=$nS scan ${tS}%.1fs | candidate mass: " +
+      f"narrow(4x15)=$cN (max key $mxN) in ${tN}%.1fs vs " +
+      f"combo(20x30)=$cC (max key $mxC) in ${tC}%.1fs | combo pairs=" +
+      f"${pairStats._1} planted_h0=${pairStats._2}/${n / 1000} " +
+      f"join ${tP}%.1fs")
   }
 
   /** Perceptual-hash ring at 10M media rows: sketch scan throughput, the

@@ -112,6 +112,18 @@ class LlmSpec extends AnyFunSuite {
       s"banded path must not fall back to an all-pairs join:\n$plan")
   }
 
+  test("simhashPairs: wide combo keys produce the identical pair set (both generators exhaustive)") {
+    val d = Tables10
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val narrow = asSet(Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3))
+    val combo = asSet(Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
+      comboKeys = true))
+    assert(narrow == combo)
+    assert(narrow.nonEmpty)
+  }
+
   test("t90 banded dedup: recall 1 vs exact scan AND candidate mass well below n(n-1)/2") {
     val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
     val n = emb.count()
