@@ -703,7 +703,11 @@ object LlmQueries {
       val media = Multimodal.asMedia(
         docs.select(col("doc_id"), col("text")).unionByName(planted),
         "doc_id", "text")
-      Multimodal.phashPairs(media, maxHamming = 3).orderBy("id_a", "id_b")
+      // materialize=true (the minhashLsh discipline): the tiny pair result
+      // caches eagerly and the signature intermediate unpersists, so
+      // repeated registry runs don't accumulate cached tables
+      Multimodal.phashPairs(media, maxHamming = 3, materialize = true)
+        .orderBy("id_a", "id_b")
     },
     Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
             |corpus AS (
@@ -893,7 +897,8 @@ object LlmQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val media = Multimodal.asMedia(docs, "doc_id", "text")
-      val dupped = Multimodal.phashPairs(media, maxHamming = 3)
+      val dupped = Multimodal.phashPairs(media, maxHamming = 3,
+          materialize = true)
         .select(col("id_b").as("media_id")).distinct()
         .withColumn("is_dup", lit(true))
       val gated = Multimodal.pairFilter(media, Tables.embeddings(s, d),
