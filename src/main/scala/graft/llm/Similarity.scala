@@ -1059,6 +1059,8 @@ object Similarity {
    * raw float64.
    */
   private[llm] def superBitKernel(v: Seq[Double]): (Long, Long) = {
+    require(v.length <= 64,
+      s"superBitKernel planes cover <= 64 dims, got ${v.length}")
     val v6 = v.iterator.map(x => Math.round(roundHalfUp(x, 6) * 1e6)).toArray
     var lo = 0L
     var hi = 0L
