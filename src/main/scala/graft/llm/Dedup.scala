@@ -977,19 +977,22 @@ object Dedup {
    * join has recall 1 (this variant is EXACT, unlike MinHash LSH). Verify
    * with `bit_count(xor)`.
    *
-   * `comboKeys = true` switches candidate generation to the WIDE
-   * block-combination keys ([[comboKeyRows]], Manku et al. 2007): C(6,
-   * 6−maxHamming) keys of `(6−maxHamming)·10` bits — the generator that
-   * survives 10M+ rows, where the contiguous 15-bit bands drown in
-   * ~N²/2¹⁵ accidental candidates (measured 320× candidate-mass
-   * reduction at 10M docs, BASELINE.md). The PAIR SET is identical
-   * either way (both exhaustive, both verify exact Hamming —
-   * spec-pinned), so the dial is purely a scale choice.
+   * Candidate generation DEFAULTS to the WIDE block-combination keys
+   * ([[comboKeyRows]], Manku et al. 2007): C(6, 6−maxHamming) keys of
+   * `(6−maxHamming)·10` bits — the generator that survives 10M+ rows,
+   * where the contiguous 15-bit bands drown in ~N²/2¹⁵ accidental
+   * candidates (measured 3,474× candidate-mass reduction at 10M
+   * full-entropy docs, BASELINE.md; defaults are what a 100× user runs —
+   * r12 verdict). `comboKeys = false` selects the narrow contiguous
+   * bands (fewer key rows — marginally cheaper below ~10⁵ rows). The
+   * PAIR SET is identical either way (both exhaustive by pigeonhole,
+   * both verify exact Hamming — spec-pinned), so the dial is purely a
+   * scale choice.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bits: Int = 60,
                    materialize: Boolean = false,
-                   comboKeys: Boolean = false): DataFrame = {
+                   comboKeys: Boolean = true): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val sigs = docs

@@ -268,6 +268,12 @@ object Multimodal {
       .flatMap { case (id, payload, nf) =>
         if (payload == null || nf <= 0) Iterator.empty
         else {
+          // both halves of the packed canonical key (media_id·2²⁰ +
+          // frame_idx) are bounded fail-loud: an id ≥ 2⁴³ (or negative)
+          // would overflow the long and corrupt the min-election silently
+          require(id >= 0L && id < (1L << (63 - FramePackBits)),
+            s"media_id $id outside [0, 2^${63 - FramePackBits}) — the packed " +
+              "canonical-key election would overflow")
           val len = payload.length
           Iterator.range(0, nf, stride).flatMap { f =>
             require(f < (1 << FramePackBits),

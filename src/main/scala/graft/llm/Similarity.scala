@@ -1109,7 +1109,11 @@ object Similarity {
                      oversample: Int = 4, excludeSelf: Boolean = true,
                      maxQueries: Int = 4096, bitsPerDim: Int = 1): DataFrame = {
     require(bitsPerDim == 1 || bitsPerDim == 2,
-      s"bitsPerDim must be 1 (sign) or 2 (thermometer), got $bitsPerDim")
+      s"bitsPerDim must be 1 (axis signs) or 2 (densified sign sketch), got $bitsPerDim")
+    // driver-side twin of superBitKernel's executor require: a dims > 64
+    // call must fail at validation, not mid-job on an executor
+    if (bitsPerDim == 2) require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries

@@ -117,11 +117,18 @@ class LlmSpec extends AnyFunSuite {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "hamming").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val narrow = asSet(Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3))
+    val narrow = asSet(Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
+      comboKeys = false))
     val combo = asSet(Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
       comboKeys = true))
     assert(narrow == combo)
     assert(narrow.nonEmpty)
+    // the DEFAULT generator is the scale-safe wide-key one (r12 verdict:
+    // defaults are what a 100× user runs) — its plan carries the
+    // shiftleft block-recombination, which the narrow band path never has
+    val defPlan = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(defPlan.contains("shiftleft"), defPlan)
   }
 
   test("t90 banded dedup: recall 1 vs exact scan AND candidate mass well below n(n-1)/2") {
