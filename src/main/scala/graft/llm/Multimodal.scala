@@ -86,6 +86,50 @@ object Multimodal {
       }
       acc
     }
+
+    /** Width of the SPECTRAL decode mode: 64 integer coefficients — the
+      * stand-in for the 8×8 DCT block a real pHash thresholds. */
+    val spectralDim = 64
+
+    /** Deterministic dense weight table for the spectral fold, transposed
+      * `(byte-class j)(coefficient k)` for the inner loop: small signed
+      * integers in [−8, 8] from md5 of `dw|k|j` — engine-portable like the
+      * projection planes (any engine regenerates the identical table; a
+      * DuckDB oracle replays it in three lines), no baked-in constants. */
+    private[llm] lazy val spectralWeightsT: Array[Array[Long]] =
+      Array.tabulate(spectralDim, spectralDim) { (j, k) =>
+        TextHashing.md5Long60Kernel(s"dw|$k|$j") % 17L - 8L
+      }
+
+    /**
+     * SPECTRAL decode — the full-entropy stand-in for "decode pixels, take
+     * the 64 low-frequency DCT coefficients" (the real pHash front end):
+     * `coef_k = Σ_i byte_i · W(k, i mod 64)` — a dense period-64 integer
+     * transform (exactly a DCT-II of the period-64-folded signal under a
+     * different orthogonal-ish basis), so EVERY byte feeds EVERY
+     * coefficient and the downstream 60-bit sketch draws entropy from the
+     * whole 64-dim spectrum. The 8-dim histogram ([[decodeOne]]) caps
+     * sketch entropy at ~10⁶ distinct values over 10M rows, which makes
+     * corpus-wide radius-3 pair enumeration inherently quadratic (measured,
+     * BASELINE.md r12) — THIS mode is what makes the 10M pair join real.
+     * Exact long arithmetic end-to-end: |coef| ≤ 8·255·len, so the kernel's
+     * `64·coef − Σcoef` centering and ±1 projections stay inside a long for
+     * any payload under ~4·10¹⁴ bytes. Positions ≡ (mod 64) share a weight
+     * column, so a same-class byte permutation is a perceptual no-op — the
+     * planted-dup construction the oracles replay.
+     */
+    def decodeSpectral(payload: Array[Byte]): Array[Long] = {
+      val acc = new Array[Long](spectralDim)
+      var i = 0
+      while (i < payload.length) {
+        val b = (payload(i) & 0xff).toLong
+        val row = spectralWeightsT(i & 63)
+        var k = 0
+        while (k < spectralDim) { acc(k) += b * row(k); k += 1 }
+        i += 1
+      }
+      acc
+    }
   }
 
   /** Decode/feature-extract stage: typed `mapPartitions` over the payloads
@@ -114,36 +158,38 @@ object Multimodal {
 
   /** Deterministic ±1 projection planes from md5 parity (engine-portable,
     * the [[TextHashing]] discipline) — no baked-in constants, so any
-    * engine regenerates the same planes from the string `ph|k|i`. */
+    * engine regenerates the same planes from the string `ph|k|i`. Sized
+    * for the 64-coefficient spectral decode. */
   private lazy val phashPlanes: Array[Array[Long]] =
-    Array.tabulate(PhashBits, DecodeStub.featDim) { (k, i) =>
+    Array.tabulate(PhashBits, DecodeStub.spectralDim) { (k, i) =>
       if ((TextHashing.md5Long60Kernel(s"ph|$k|$i") & 1L) == 0L) 1L else -1L
     }
 
   /**
-   * 60-bit perceptual sketch of one µ-unit feature vector — the
+   * 60-bit perceptual sketch of one integer coefficient vector — the
    * pHash/dHash construction (mean-center, project, threshold the signs)
-   * over the decoded features, which stand in for the DCT coefficients a
-   * real pHash thresholds. EXACT integer arithmetic end-to-end:
-   * `u_i = d·f6_i − Σf6` (mean-centering scaled by `d` to stay integral —
+   * over the SPECTRAL decode ([[DecodeStub.decodeSpectral]]'s 64
+   * coefficients, the stand-in for the DCT block a real pHash
+   * thresholds). EXACT integer arithmetic end-to-end:
+   * `u_i = d·f_i − Σf` (mean-centering scaled by `d` to stay integral —
    * removing the common brightness/length component is what makes the
    * bits content-discriminative), `bit_k = (Σ_i u_i·s(k,i)) > 0` — no
    * float sign decision anywhere, so any engine reproduces the bits
-   * bit-for-bit. A featureless vector (all components equal ⇒ `u ≡ 0`)
-   * has no perceptual signature and returns None — the zero-norm cosine
-   * guard's analogue (every bit would be 0 and all such media would pair
-   * with each other at Hamming 0).
+   * bit-for-bit. A featureless vector (all components equal ⇒ `u ≡ 0`,
+   * e.g. an empty payload) has no perceptual signature and returns None
+   * — the zero-norm cosine guard's analogue (every bit would be 0 and
+   * all such media would pair with each other at Hamming 0).
    */
-  private[llm] def phashKernel(f6: Array[Long]): Option[Long] = {
-    val d = f6.length
+  private[llm] def phashKernel(f: Array[Long]): Option[Long] = {
+    val d = f.length
     var s = 0L
     var i = 0
-    while (i < d) { s += f6(i); i += 1 }
+    while (i < d) { s += f(i); i += 1 }
     val u = new Array[Long](d)
     var anyNz = false
     i = 0
     while (i < d) {
-      u(i) = d * f6(i) - s
+      u(i) = d * f(i) - s
       if (u(i) != 0L) anyNz = true
       i += 1
     }
@@ -163,23 +209,18 @@ object Multimodal {
     }
   }
 
-  /** µ-unit quantization of a decoded feature vector (6-dp HALF_UP then
-    * micro-unit longs — the house exact-reduction discipline). */
-  private def feat6(payload: Array[Byte]): Array[Long] =
-    DecodeStub.decodeOne(payload).map(x =>
-      Math.round(Similarity.roundHalfUp(x, 6) * 1e6))
-
-  /** Per-media perceptual sketches `(id, sig)`: decode + sketch fused in
-    * ONE typed stage over the payload scan — zero shuffle (PlanSpec); a
-    * production decoder would read its stored feature column instead.
-    * Null payloads and featureless media emit nothing. */
+  /** Per-media perceptual sketches `(id, sig)`: spectral decode + sketch
+    * fused in ONE typed stage over the payload scan — zero shuffle
+    * (PlanSpec); a production decoder would read its stored DCT-coefficient
+    * column instead. Null payloads and featureless media emit nothing. */
   def phashSketches(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         if (payload == null) Iterator.empty
-        else phashKernel(feat6(payload)).map(h => (id, h)).iterator
+        else phashKernel(DecodeStub.decodeSpectral(payload))
+          .map(h => (id, h)).iterator
       }.toDF("id", "sig")
   }
 
@@ -281,7 +322,8 @@ object Multimodal {
             val a = (f.toLong * len / nf).toInt
             val b = ((f + 1).toLong * len / nf).toInt
             val slice = java.util.Arrays.copyOfRange(payload, a, b)
-            phashKernel(feat6(slice)).map(h => (id, f.toLong, h)).iterator
+            phashKernel(DecodeStub.decodeSpectral(slice))
+              .map(h => (id, f.toLong, h)).iterator
           }
         }
       }.toDF("media_id", "frame_idx", "sig")

@@ -642,38 +642,44 @@ object LlmQueries {
          |ORDER BY 1, 2""".stripMargin
     })
 
-  /** The 8-component µ-unit feature list of a text expression — the
-    * decode-stub byte fold, 6-dp rounded then micro-unit longs (the
-    * exact-integer discipline [[Multimodal.phashKernel]] consumes). */
-  private def phashF6Sql(t: String): String =
-    (0 until 8).map(k =>
-      s"round(round(coalesce(list_sum([ascii(substr($t, i, 1)) / 255.0 " +
-        s"for i in range(1, length($t) + 1) if (i - 1) % 8 = $k]), 0.0), 6) " +
-        "* 1000000, 0)::BIGINT").mkString("[", ", ", "]")
-
-  /** The deterministic ±1 plane table (md5 parity of `ph|k|i`) shared by
-    * both perceptual-hash replays. */
+  /** The deterministic perceptual tables shared by every pHash replay:
+    * the 64×64 spectral weight fold `W(k,j) = md5('dw|k|j') % 17 − 8`
+    * ([[Multimodal.DecodeStub.decodeSpectral]]) and the ±1 projection
+    * planes (md5 parity of `ph|k|i`, 64 dims). */
   private val phashPlanesSql: String =
     """pm AS (SELECT k, i,
       |         CASE WHEN ('0x' || substr(md5('ph|' || k || '|' || i), 1, 15))::BIGINT
       |                   % 2 = 0 THEN 1 ELSE -1 END AS s
-      |       FROM range(0, 60) t1(k), range(0, 8) t2(i))""".stripMargin
+      |       FROM range(0, 60) t1(k), range(0, 64) t2(i)),
+      |dwt AS (SELECT k, j,
+      |          ('0x' || substr(md5('dw|' || k || '|' || j), 1, 15))::BIGINT
+      |            % 17 - 8 AS wt
+      |        FROM range(0, 64) t1(k), range(0, 64) t2(j))""".stripMargin
 
   /** The pHash signature replay over a `(media_id, text)` CTE named
-    * `src`: emits `out` = `(media_id, sig)`. Requires [[phashPlanesSql]]
-    * (`pm`) in scope. */
+    * `src`: spectral 64-coefficient fold (byte class = position mod 64,
+    * the exact-integer [[Multimodal.DecodeStub.decodeSpectral]]), integral
+    * mean-centering `64·f − Σf`, ±1 projections, sign bits — emits `out` =
+    * `(media_id, sig)`. Requires [[phashPlanesSql]] (`pm`, `dwt`) in
+    * scope. Empty texts emit no byte rows and therefore no signature,
+    * matching the kernel's featureless None. */
   private def phashSigSql(src: String, out: String): String =
-    s"""${out}f AS (SELECT media_id, ${phashF6Sql("text")} AS v FROM $src),
-       |${out}s AS (SELECT media_id, v,
-       |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
-       |       FROM ${out}f),
-       |${out}u AS (SELECT media_id,
-       |        [8 * v[i] - sv for i in range(1, 9)] AS u FROM ${out}s),
-       |${out}k AS (SELECT * FROM ${out}u
-       |       WHERE list_max([abs(x) for x in u]) > 0),
-       |${out}v AS (SELECT k.media_id, pm.k AS kk,
-       |         sum(k.u[pm.i + 1] * pm.s)::BIGINT AS vk
-       |       FROM ${out}k k, pm GROUP BY 1, 2),
+    s"""${out}c AS (SELECT media_id, (u.i - 1) % 64 AS j,
+       |          ascii(substr(text, u.i::INT, 1)) AS b
+       |        FROM $src, unnest(range(1, length(text) + 1)) u(i)),
+       |${out}f AS (SELECT c.media_id, dwt.k AS i,
+       |          sum(c.b * dwt.wt)::BIGINT AS f
+       |        FROM ${out}c c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2),
+       |${out}s AS (SELECT media_id, sum(f)::BIGINT AS sv
+       |        FROM ${out}f GROUP BY 1),
+       |${out}u AS (SELECT f.media_id, f.i, 64 * f.f - s.sv AS u
+       |        FROM ${out}f f JOIN ${out}s s USING (media_id)),
+       |${out}k AS (SELECT media_id FROM ${out}u
+       |        GROUP BY 1 HAVING max(abs(u)) > 0),
+       |${out}v AS (SELECT u.media_id, pm.k AS kk,
+       |          sum(u.u * pm.s)::BIGINT AS vk
+       |        FROM ${out}u u JOIN ${out}k USING (media_id)
+       |        JOIN pm ON pm.i = u.i GROUP BY 1, 2),
        |$out AS (SELECT media_id,
        |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << kk) ELSE 0 END)::BIGINT
        |            AS sig
@@ -681,25 +687,26 @@ object LlmQueries {
 
   /** Perceptual near-dup media pairs at Hamming ≤ 3
     * ([[Multimodal.phashPairs]] — pHash-style 60-bit sketch over the
-    * decoded features composed with the simhash band-join ring, radius-3
-    * EXHAUSTIVE by pigeonhole). Planted perceptual dups: every 41st doc
-    * copied with bytes 1 and 9 swapped — same fold class, so the decoded
-    * features (and the sketch) are EXACTLY preserved while the byte
-    * string differs: the pair exact dedup misses and pHash recovers at
-    * Hamming 0, guaranteed. The sketch is exact integer arithmetic
-    * end-to-end (mean-centering scaled by the dimension; no float sign
-    * decisions), so the oracle replays every bit. */
+    * SPECTRAL 64-coefficient decode composed with the wide-key Hamming
+    * ring, radius-3 EXHAUSTIVE by pigeonhole). Planted perceptual dups:
+    * every 41st doc (length ≥ 72) copied with bytes 1 and 65 swapped —
+    * positions ≡ (mod 64) share a spectral weight column, so the decoded
+    * coefficients (and the sketch) are EXACTLY preserved while the byte
+    * string differs: exact dedup misses and pHash recovers at Hamming 0,
+    * guaranteed. The sketch is exact integer arithmetic end-to-end
+    * (integral mean-centering; no float sign decisions), so the oracle
+    * replays every bit. */
   val mmPhash: QueryDef = QueryDef("mm_phash",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val maxd = docs.agg(max("doc_id")).head.getLong(0)
       val planted = docs
-        .where(col("text").isNotNull && length(col("text")) >= 16 &&
+        .where(col("text").isNotNull && length(col("text")) >= 72 &&
           col("doc_id") % 41 === 7)
         .select((col("doc_id") + maxd + 1001).as("doc_id"),
-          concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+          concat(substring(col("text"), 65, 1), substring(col("text"), 2, 63),
             substring(col("text"), 1, 1),
-            substring(col("text"), 10, Int.MaxValue)).as("text"))
+            substring(col("text"), 66, Int.MaxValue)).as("text"))
       val media = Multimodal.asMedia(
         docs.select(col("doc_id"), col("text")).unionByName(planted),
         "doc_id", "text")
@@ -715,9 +722,9 @@ object LlmQueries {
             |  WHERE text IS NOT NULL
             |  UNION ALL
             |  SELECT doc_id + m + 1001,
-            |         text[9] || text[2:8] || text[1] || text[10:]
+            |         text[65] || text[2:64] || text[1] || text[66:]
             |  FROM documents, mx
-            |  WHERE text IS NOT NULL AND len(text) >= 16 AND doc_id % 41 = 7),
+            |  WHERE text IS NOT NULL AND len(text) >= 72 AND doc_id % 41 = 7),
             |$phashPlanesSql,
             |${phashSigSql("corpus", "sig")},
             |bands AS (SELECT media_id, sig, b, (sig >> (b * 15)) % 32768 AS bv
@@ -768,21 +775,27 @@ object LlmQueries {
             |         text[((f * L) // nf + 1)::INT : (((f + 1) * L) // nf)::INT]
             |           AS sl
             |       FROM vids, range(0, 30, 2) t(f) WHERE f < nf),
-            |f6 AS (SELECT media_id, f, ${phashF6Sql("sl")} AS v FROM fr),
-            |sv AS (SELECT media_id, f, v,
-            |         (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8])::BIGINT AS sv
-            |       FROM f6),
-            |u AS (SELECT media_id, f,
-            |        [8 * v[i] - sv for i in range(1, 9)] AS u FROM sv),
-            |uk AS (SELECT * FROM u WHERE list_max([abs(x) for x in u]) > 0),
             |$phashPlanesSql,
-            |vb AS (SELECT uk.media_id, uk.f, pm.k,
-            |         sum(uk.u[pm.i + 1] * pm.s)::BIGINT AS vk
-            |       FROM uk, pm GROUP BY 1, 2, 3),
+            |frc AS (SELECT media_id, f, (u.i - 1) % 64 AS j,
+            |          ascii(substr(sl, u.i::INT, 1)) AS b
+            |        FROM fr, unnest(range(1, length(sl) + 1)) u(i)),
+            |frf AS (SELECT c.media_id, c.f, dwt.k AS i,
+            |          sum(c.b * dwt.wt)::BIGINT AS fv
+            |        FROM frc c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2, 3),
+            |frs AS (SELECT media_id, f, sum(fv)::BIGINT AS sv
+            |        FROM frf GROUP BY 1, 2),
+            |fru AS (SELECT ff.media_id, ff.f, ff.i, 64 * ff.fv - fs.sv AS u
+            |        FROM frf ff JOIN frs fs USING (media_id, f)),
+            |frk AS (SELECT media_id, f FROM fru
+            |        GROUP BY 1, 2 HAVING max(abs(u)) > 0),
+            |frv AS (SELECT u.media_id, u.f, pm.k,
+            |          sum(u.u * pm.s)::BIGINT AS vk
+            |        FROM fru u JOIN frk USING (media_id, f)
+            |        JOIN pm ON pm.i = u.i GROUP BY 1, 2, 3),
             |sig AS (SELECT media_id, f,
             |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT
             |            AS sig
-            |        FROM vb GROUP BY 1, 2)
+            |        FROM frv GROUP BY 1, 2)
             |SELECT sig, count(*)::BIGINT AS n_occ,
             |  count(DISTINCT media_id)::BIGINT AS n_media,
             |  min(media_id * 1048576 + f)::BIGINT // 1048576 AS canonical_media,
@@ -832,20 +845,21 @@ object LlmQueries {
     * ever; the new batch broadcasts its band keys into the stored table,
     * candidates verify by exact sketch Hamming (radius-3 exhaustive by
     * pigeonhole — no payload re-read), each batch row reports its best
-    * corpus match or keeps. Batch = fold-class-swapped copies of every
-    * 37th doc (feature-exact perceptual dups → guaranteed `dup_of` at
-    * Hamming 0) plus uppercased copies of others (byte histograms shift
-    * wholesale → genuinely new content). */
+    * corpus match or keeps. Batch = spectral-class-swapped copies of
+    * every 37th doc (bytes 1/65 swapped — coefficient-exact perceptual
+    * dups → guaranteed `dup_of` at Hamming 0) plus uppercased copies of
+    * others (every spectral coefficient shifts → genuinely new
+    * content). */
   val mmDedupIncremental: QueryDef = QueryDef("mm_dedup_incremental",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val maxd = docs.agg(max("doc_id")).head.getLong(0)
       val dups = docs.where(col("text").isNotNull &&
-          length(col("text")) >= 16 && col("doc_id") % 37 === 5)
+          length(col("text")) >= 72 && col("doc_id") % 37 === 5)
         .select((col("doc_id") + maxd + 5001).as("doc_id"),
-          concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+          concat(substring(col("text"), 65, 1), substring(col("text"), 2, 63),
             substring(col("text"), 1, 1),
-            substring(col("text"), 10, Int.MaxValue)).as("text"))
+            substring(col("text"), 66, Int.MaxValue)).as("text"))
       val fresh = docs.where(col("text").isNotNull && col("doc_id") % 37 === 8)
         .select((col("doc_id") + maxd + 90001).as("doc_id"),
           upper(col("text")).as("text"))
@@ -859,9 +873,9 @@ object LlmQueries {
             |         WHERE text IS NOT NULL),
             |bsrc AS (
             |  SELECT doc_id + m + 5001 AS media_id,
-            |         text[9] || text[2:8] || text[1] || text[10:] AS text
+            |         text[65] || text[2:64] || text[1] || text[66:] AS text
             |  FROM documents, mx
-            |  WHERE text IS NOT NULL AND len(text) >= 16 AND doc_id % 37 = 5
+            |  WHERE text IS NOT NULL AND len(text) >= 72 AND doc_id % 37 = 5
             |  UNION ALL
             |  SELECT doc_id + m + 90001, upper(text) FROM documents, mx
             |  WHERE text IS NOT NULL AND doc_id % 37 = 8),

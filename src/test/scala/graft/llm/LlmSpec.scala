@@ -1691,27 +1691,38 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.count() == expected)
   }
 
-  test("phash: fold-class byte permutations preserve the sketch; featureless media have none; radius-3 banding is exhaustive") {
-    // swapping bytes within the same fold class (positions ≡ mod 8) is a
-    // perceptual no-op: features are exactly preserved → Hamming 0
-    def sk(t: String): Option[Long] = {
-      val f6 = Multimodal.DecodeStub.decodeOne(t.getBytes("UTF-8"))
-        .map(x => Math.round(Similarity.roundHalfUp(x, 6) * 1e6))
-      Multimodal.phashKernel(f6)
-    }
-    val base = "the quick brown fox jumps over the lazy dog"
-    val swapped = base(8) + base.substring(1, 8) + base(0) + base.substring(9)
+  test("phash: spectral-class byte permutations preserve the sketch; featureless media have none; radius-3 banding is exhaustive") {
+    // swapping bytes within the same spectral class (positions ≡ mod 64)
+    // is a perceptual no-op: every coefficient is exactly preserved →
+    // Hamming 0
+    def sk(t: String): Option[Long] =
+      Multimodal.phashKernel(
+        Multimodal.DecodeStub.decodeSpectral(t.getBytes("UTF-8")))
+    val base = "the quick brown fox jumps over the lazy dog near a wide " +
+      "slow river bend while herons stand watching for silver fish"
+    assert(base.length > 64 && base(0) != base(64))
+    val swapped = base(64) + base.substring(1, 64) + base(0) + base.substring(65)
     assert(swapped != base)
     assert(sk(base).isDefined && sk(base) == sk(swapped))
-    // featureless (all fold classes equal): uniform bytes, length % 8 == 0
-    assert(sk("aaaaaaaa" * 4).isEmpty)
+    // a DIFFERENT-class swap (positions 0 and 8) now changes the decoded
+    // coefficients — the 8-dim histogram's blind spot (it mapped both
+    // strings to identical features) the spectral decode closes; the
+    // SKETCH may still agree at Hamming 0, which is exactly what a
+    // perceptual hash should do for a one-pair byte perturbation
+    val offClass = base(8) + base.substring(1, 8) + base(0) + base.substring(9)
+    assert(!java.util.Arrays.equals(
+      Multimodal.DecodeStub.decodeSpectral(offClass.getBytes("UTF-8")),
+      Multimodal.DecodeStub.decodeSpectral(base.getBytes("UTF-8"))))
+    // featureless: an empty payload has u ≡ 0 and no perceptual identity
     assert(sk("").isEmpty)
+    // uniform bytes are NOT featureless under the dense spectral fold
+    assert(sk("aaaaaaaa" * 4).isDefined)
     // pairs: planted swap recovered at Hamming 0; banding = brute force
     val docs2 = Seq(
       (1L, base), (2L, swapped),
       (3L, "completely different content about spark engines and columns"),
       (4L, "another unrelated string with its own byte histogram profile x"),
-      (5L, base + " extra tail words changing several fold classes a lot more"))
+      (5L, base + " extra tail words changing several spectral classes more"))
       .toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs2, "doc_id", "text")
     val pairs = Multimodal.phashPairs(media, maxHamming = 3)
@@ -1728,7 +1739,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("phashIncremental: planted perceptual dup matches its donor at Hamming 0; fresh and unsketchable batch rows keep") {
-    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val base = "the quick brown fox jumps over the lazy dog near the wide " +
+      "slow river bend where herons stand watching for silver fish"
+    assert(base.length > 64 && base(0) != base(64))
     val corpus = Seq((1L, base),
       (2L, "completely different content about spark query engines zz"),
       (3L, "yet another corpus document with its own byte level profile"))
@@ -1736,9 +1749,9 @@ class LlmSpec extends AnyFunSuite {
     val sigs = Multimodal.phashSketches(
       Multimodal.asMedia(corpus, "doc_id", "text"))
     val batch = Multimodal.asMedia(Seq(
-      (100L, base(8) + base.substring(1, 8) + base(0) + base.substring(9)),
-      (101L, "ZQXJKVBWPY MMNHGFDSA 0192837465 entirely alien histogram!!"),
-      (102L, "aaaaaaaa" * 4) // featureless: all fold classes equal
+      (100L, base(64) + base.substring(1, 64) + base(0) + base.substring(65)),
+      (101L, "ZQXJKVBWPY MMNHGFDSA 0192837465 entirely alien spectrum!!!"),
+      (102L, "") // featureless: empty payload has no perceptual identity
     ).toDF("doc_id", "text"), "doc_id", "text")
     val out = Multimodal.phashIncremental(batch, sigs)
       .collect().map(r => r.getLong(0) ->
