@@ -180,7 +180,7 @@ object Multimodal {
    * — the zero-norm cosine guard's analogue (every bit would be 0 and
    * all such media would pair with each other at Hamming 0).
    */
-  private[llm] def phashKernel(f: Array[Long]): Option[Long] = {
+  private[graft] def phashKernel(f: Array[Long]): Option[Long] = {
     val d = f.length
     var s = 0L
     var i = 0
@@ -264,14 +264,20 @@ object Multimodal {
    * probabilistic.
    */
   def phashIncremental(batch: DataFrame, corpusSigs: DataFrame,
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3,
+                       broadcastBatchLimit: Long = Dedup.MaxBroadcastBatchRows): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"6-block combo keys are exhaustive only for hamming <= 3, got $maxHamming")
     def bandsOf(sigs: DataFrame): DataFrame =
       Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6, maxHamming = maxHamming)
+    // batch≪corpus broadcast contract made explicit (payload column is
+    // pruned from the count scan) — see [[Dedup.MaxBroadcastBatchRows]]
+    val batchSmall =
+      batch.select(col("media_id")).count() <= broadcastBatchLimit
     val bSigs = phashSketches(batch)
+    val bKeys = bandsOf(bSigs).as("x")
     val cand = bandsOf(corpusSigs).as("c")
-      .join(broadcast(bandsOf(bSigs).as("x")),
+      .join(if (batchSmall) broadcast(bKeys) else bKeys,
         col("c.band") === col("x.band") && col("c.v") === col("x.v"))
       .select(col("x.id").as("id_a"), col("c.id").as("id_b"),
         col("x.sig").as("sa"), col("c.sig").as("sb"))
@@ -352,6 +358,48 @@ object Multimodal {
         call_function("shiftright", col("ck"), lit(FramePackBits))
           .as("canonical_media"),
         pmod(col("ck"), lit(1L << FramePackBits)).as("canonical_frame"))
+  }
+
+  /**
+   * Frame-level cross-video NEAR-dup grouping — the Hamming ≤ `maxHamming`
+   * generalization of [[frameDupGroups]] (whose exact-signature groups are
+   * the radius-0 special case): perceptual frame sketches are clustered by
+   * connected components over the near-dup pair graph, so re-encoded /
+   * lightly-perturbed frames group with their exact twins. Candidate
+   * generation rides the WIDE combination keys ([[Dedup.comboKeyRows]] —
+   * pigeonhole-exhaustive at r ≤ 3 AND the generator that survives 10M+
+   * frames); components come from [[Dedup.duplicateClusters]]' label
+   * propagation over the PACKED frame key, so the cluster label IS the
+   * canonical min `(media_id, frame_idx)` holder — no second election
+   * pass. Output: one row per cluster spanning ≥ 2 distinct videos, with
+   * occurrence/video/distinct-signature counts (`n_sigs > 1` ⇔ the
+   * cluster holds genuine near-dups, not just exact twins). 100 TB shape:
+   * the exchanges carry fixed-width `(key, id, sig)` rows and verified
+   * pairs — video bytes never shuffle; dup-cluster diameters are tiny, so
+   * the component closure converges in 2–4 rounds.
+   */
+  def frameNearDupGroups(media: DataFrame, stride: Int, maxHamming: Int = 3,
+                         materialize: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"6-block combo keys are exhaustive only for hamming <= 3, got $maxHamming")
+    val packed = col("media_id") * (1L << FramePackBits) + col("frame_idx")
+    val sigs = frameSketches(media, stride)
+      .select(packed.as("id"), col("sig")).persist()
+    val pairs = Dedup.simhashComboJoin(sigs, maxHamming = maxHamming)
+    val clusters = Dedup.duplicateClusters(pairs, sigs.select(col("id")))
+    val out = sigs.join(clusters, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(call_function("shiftright", col("id"),
+          lit(FramePackBits))).as("n_media"),
+        countDistinct(col("sig")).as("n_sigs"))
+      .where(col("n_media") >= 2)
+      .select(
+        call_function("shiftright", col("cluster_id"), lit(FramePackBits))
+          .as("canonical_media"),
+        pmod(col("cluster_id"), lit(1L << FramePackBits)).as("canonical_frame"),
+        col("n_occ"), col("n_media"), col("n_sigs"))
+    Dedup.materializeAndRelease(out, materialize, sigs)
   }
 
   /**

@@ -1058,19 +1058,34 @@ object Similarity {
    * engine with no float sign decision; 16 bytes/row = still 32× below
    * raw float64.
    */
-  private[llm] def superBitKernel(v: Seq[Double]): (Long, Long) = {
+  /** The 128 raw plane projections (exact integers, µ-unit components ×
+    * ±1 planes) the densified sketch signs — kept UNSIGNED here for the
+    * asymmetric-distance path, which scores corpus sign bits against the
+    * query's full projection magnitudes. */
+  private[llm] def superBitProj(v: Seq[Double]): Array[Long] = {
     require(v.length <= 64,
       s"superBitKernel planes cover <= 64 dims, got ${v.length}")
     val v6 = v.iterator.map(x => Math.round(roundHalfUp(x, 6) * 1e6)).toArray
-    var lo = 0L
-    var hi = 0L
+    val out = new Array[Long](128)
     var k = 0
     while (k < 128) {
       val pk = superBitPlanes(k)
       var s = 0L
       var i = 0
       while (i < v6.length) { s += v6(i) * pk(i); i += 1 }
-      if (s > 0L) {
+      out(k) = s
+      k += 1
+    }
+    out
+  }
+
+  private[llm] def superBitKernel(v: Seq[Double]): (Long, Long) = {
+    val proj = superBitProj(v)
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 128) {
+      if (proj(k) > 0L) {
         if (k < 64) lo |= (1L << k) else hi |= (1L << (k - 64))
       }
       k += 1
@@ -1176,6 +1191,95 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("hamming"), col("cosine"))
+  }
+
+  /**
+   * ASYMMETRIC-distance kNN over the densified binary sketch — the ADC
+   * step (Jégou et al. 2011's symmetric→asymmetric move, already shipped
+   * for PQ in `sim_graph_sdc`) applied to the binary ring: the CORPUS
+   * stays 16 bytes/row (the 128 packed sign bits of [[superBitKernel]]),
+   * but the QUERY keeps its full per-plane projection magnitudes
+   * ([[superBitProj]] — exact integer µ-units), and stage 1 ranks by
+   * `Σ_k q_k·sign_k(corpus)` instead of Hamming distance. A plane where
+   * the query projects near zero contributes ~nothing either way (it
+   * carries no angle information for THIS query), while Hamming weighs
+   * every disagreeing plane equally — that reweighting is worth ~2× the
+   * oversample dial on structureless vectors (measured, BASELINE.md).
+   * The score is an EXACT LONG (integer projections × ±1), so candidate
+   * sets replay bit-for-bit in any engine; ties break by smaller id.
+   * Stage 2 is the house exact-cosine rerank, unchanged.
+   *
+   * 100 TB shape: identical to [[knnJoinHamming]] — one corpus scan of a
+   * stored 16-byte column, per-partition candidate cut pushed into
+   * WindowGroupLimit, queries a bounded broadcast (the projection table
+   * is 1 KB/query); the per-row work rises from 2 integer ops to a
+   * 128-step fused loop, the classic ADC compute-for-recall trade.
+   */
+  def knnJoinHammingAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, qIdCol: String, k: Int, dims: Int,
+                        oversample: Int = 4, excludeSelf: Boolean = true,
+                        maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) =>
+        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
+        val qn = math.sqrt(dotKernel(v, v))
+        require(qn > 0.0 && !qn.isInfinite,
+          s"kNN query $qid has zero/non-finite norm — cosine undefined")
+        (qid, v.toSeq, qn)
+      }
+    require(qRows.length <= maxQueries,
+      s"query side has ${qRows.length} vectors; broadcast Hamming kNN is bounded at $maxQueries")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    // per-query projection table, computed once on the driver and shipped
+    // in the task closure (≤ maxQueries × 1 KB)
+    val qProj: Array[(Long, Array[Long])] =
+      qRows.map { case (qid, v, _) => (qid, superBitProj(v)) }
+    val base = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0.0)
+    val exSelf = excludeSelf
+    val scored = base.select(col("neighbor_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (nid, v) =>
+        val (lo, hi) = superBitKernel(v)
+        qProj.iterator
+          .filter { case (qid, _) => !exSelf || qid != nid }
+          .map { case (qid, qp) =>
+            var s = 0L
+            var kk = 0
+            while (kk < 128) {
+              val bit =
+                if (kk < 64) ((lo >>> kk) & 1L) == 1L
+                else ((hi >>> (kk - 64)) & 1L) == 1L
+              s += (if (bit) qp(kk) else -qp(kk))
+              kk += 1
+            }
+            (nid, qid, s)
+          }
+      }.toDF("neighbor_id", "query_id", "ascore")
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("ascore"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    val rer = base.join(broadcast(cand), "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("ascore"), col("cosine"))
   }
 
   /**

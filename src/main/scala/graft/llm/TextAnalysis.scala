@@ -1303,7 +1303,7 @@ object TextAnalysis {
    * aggregations are paid once at store time; the quantized longs halve
    * the artifact width vs doubles and cap the value alphabet.
    */
-  def kn5QuantModel(types: DataFrame): DataFrame = {
+  def kn5QuantModel(types: DataFrame, modified: Boolean = false): DataFrame = {
     // micro-unit half-up quantization of a/b on integer columns (a,b > 0)
     def q6(a: String, b: String): Column =
       expr(s"(2000000 * ($a) + ($b)) div (2 * ($b))")
@@ -1337,26 +1337,80 @@ object TextAnalysis {
     val tts = t2.agg(count(lit(1)).as("tt"),
       countDistinct(col("w")).as("w1"))
     val cont1 = t2.groupBy("w").agg(count(lit(1)).as("nc1"))
+    // per-history count-class follower counts (N₁, N₂, N₃₊) ride the
+    // context aggregates only in MODIFIED mode — the class-weighted γ
+    // needs them; the fixed path stays narrow
+    def cls(c: Column, p: String): Seq[Column] =
+      if (!modified) Nil
+      else Seq(count(when(c === 1L, 1)).as(s"${p}1"),
+        count(when(c === 2L, 1)).as(s"${p}2"),
+        count(when(c >= 3L, 1)).as(s"${p}3"))
     def ctxOf(tbl: DataFrame, keys: Seq[String], c: String, cs: String,
-              nf: String): DataFrame =
-      tbl.groupBy(keys.map(col): _*)
-        .agg(sum(col(c)).as(cs), count(lit(1)).as(nf))
+              nf: String, p: String): DataFrame = {
+      val aggs = Seq(sum(col(c)).as(cs), count(lit(1)).as(nf)) ++ cls(col(c), p)
+      tbl.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
     def ccOf(tbl: DataFrame, keys: Seq[String], cc: String): DataFrame =
       tbl.groupBy((keys :+ "w").map(col): _*).agg(count(lit(1)).as(cc))
+    // MODIFIED-KN discount triples as MICRO-UNIT LONGS — Chen & Goodman's
+    // Y/D₁/D₂/D₃ estimator with KenLM's validity rule, the SAME expression
+    // text as [[lmScoreKn5FromModel]]'s discountsOf, then 6-dp half-up
+    // quantized (round(round(d,6)·10⁶) — the phash/µ-unit discipline).
+    // Quantizing the DISCOUNTS first makes every downstream numerator an
+    // exact integer: q6 = round((10⁶·c − Dµ)/cs) = (2(10⁶c − Dµ) + cs)
+    // div (2cs) — identical in any engine. The validity bounds D₁ ≤ 1,
+    // D₂ ≤ 2, D₃ ≤ 3 guarantee c·10⁶ − Dµ(c) ≥ 0 per count class (the
+    // fallback 0.75 quantizes to exactly 750000, reproducing the fixed
+    // model's numerators bit-for-bit on degenerate levels).
+    def discountsMu(tbl: DataFrame, c: String, p: String): DataFrame = {
+      val coc = tbl.agg(
+        count(when(col(c) === 1L, 1)).cast("double").as("n1"),
+        count(when(col(c) === 2L, 1)).cast("double").as("n2"),
+        count(when(col(c) === 3L, 1)).cast("double").as("n3"),
+        count(when(col(c) === 4L, 1)).cast("double").as("n4"))
+      val y = try_divide(col("n1"), col("n1") + lit(2.0) * col("n2"))
+      val d1r = lit(1.0) - try_divide(lit(2.0) * y * col("n2"), col("n1"))
+      val d2r = lit(2.0) - try_divide(lit(3.0) * y * col("n3"), col("n2"))
+      val d3r = lit(3.0) - try_divide(lit(4.0) * y * col("n4"), col("n3"))
+      val invalid = col("n1") === 0.0 || col("n2") === 0.0 ||
+        col("n3") === 0.0 || col("n4") === 0.0 ||
+        d1r <= 0.0 || d1r > 1.0 || d2r <= 0.0 || d2r > 2.0 ||
+        d3r <= 0.0 || d3r > 3.0
+      def dk(k: Int, raw: Column): Column =
+        round(round(when(invalid, lit(0.75)).otherwise(raw), 6) * 1e6, 0)
+          .cast("long").as(s"$p$k")
+      coc.select(dk(1, d1r), dk(2, d2r), dk(3, d3r))
+    }
+    // the count-class pick D(c) over a µ-long triple
+    def dmuOf(cnt: Column, p: String): Column =
+      when(cnt === 1L, col(s"${p}1")).when(cnt === 2L, col(s"${p}2"))
+        .otherwise(col(s"${p}3"))
     val k2 = Seq("h1"); val k3 = Seq("h2", "h1")
     val k4 = Seq("h3", "h2", "h1"); val k5 = Seq("h4", "h3", "h2", "h1")
-    val ctx2 = ctxOf(t2, k2, "c2", "cs2", "nf2")
-    val ctx3 = ctxOf(t3, k3, "c3", "cs3", "nf3")
-    val ctx4 = ctxOf(t4, k4, "c4", "cs4", "nf4")
+    val ctx2 = ctxOf(t2, k2, "c2", "cs2", "nf2", "e2_")
+    val ctx3 = ctxOf(t3, k3, "c3", "cs3", "nf3", "e3_")
+    val ctx4 = ctxOf(t4, k4, "c4", "cs4", "nf4", "e4_")
     val ctx5 = ctxOf(t5.select((k5 :+ "w").map(col) :+ col("c5"): _*), k5,
-      "c5", "cs5", "nf5")
+      "c5", "cs5", "nf5", "e5_")
     val cc2 = ccOf(t3.select(col("h1"), col("w"), col("c3")), k2, "cc2")
     val cc3 = ccOf(t4.select(col("h2"), col("h1"), col("w"), col("c4")), k3, "cc3")
     val cc4 = ccOf(t5.select(col("h3"), col("h2"), col("h1"), col("w"),
       col("c5")), k4, "cc4")
-    val cx2 = ctxOf(cc2, k2, "cc2", "ccs2", "ncf2")
-    val cx3 = ctxOf(cc3, k3, "cc3", "ccs3", "ncf3")
-    val cx4 = ctxOf(cc4, k4, "cc4", "ccs4", "ncf4")
+    val cx2 = ctxOf(cc2, k2, "cc2", "ccs2", "ncf2", "f2_")
+    val cx3 = ctxOf(cc3, k3, "cc3", "ccs3", "ncf3", "f3_")
+    val cx4 = ctxOf(cc4, k4, "cc4", "ccs4", "ncf4", "f4_")
+    // the eight discount triples (only materialized in MODIFIED mode):
+    // raw levels from raw counts, continuation levels from continuation
+    // counts, the base from the continuation unigram — one-row broadcast
+    // aggregates of the bounded type tables, never corpus scans
+    lazy val r2d = discountsMu(t2, "c2", "r2d")
+    lazy val r3d = discountsMu(t3, "c3", "r3d")
+    lazy val r4d = discountsMu(t4, "c4", "r4d")
+    lazy val r5d = discountsMu(t5, "c5", "r5d")
+    lazy val c2d = discountsMu(cc2, "cc2", "c2d")
+    lazy val c3d = discountsMu(cc3, "cc3", "c3d")
+    lazy val c4d = discountsMu(cc4, "cc4", "c4d")
+    lazy val udd = discountsMu(cont1, "nc1", "ud")
     def pad(df: DataFrame, k: Int, kind: String, qa: Column,
             qb: Column): DataFrame = {
       val have = df.columns.toSet
@@ -1366,58 +1420,98 @@ object TextAnalysis {
         hcol("h1").as("h1"), hcol("w").as("w"),
         qa.as("qa6"), qb.as("qb6"))
     }
+    // MODIFIED gram numerator: q6 = (2(10⁶c − Dµ(c)) + cs) div (2cs) —
+    // the count-class discount picked row-wise from the broadcast triple
+    def qm(c: String, dmu: String, cs: String): Column =
+      expr(s"(2 * (1000000 * $c - $dmu) + $cs) div (2 * $cs)")
+    // MODIFIED backoff γ: (Σ Dₖµ·Nₖ)/cs, clamped ≥ 1 µ like the fixed form
+    def gm(dp: String, kp: String, cs: String): Column =
+      clamp(expr(s"(2 * (${dp}1 * ${kp}1 + ${dp}2 * ${kp}2 + " +
+        s"${dp}3 * ${kp}3) + $cs) div (2 * $cs)"))
     def gramRows(k: Int, t: DataFrame, keys: Seq[String], c: String,
                  ctx: DataFrame, cs: String,
-                 cc: Option[(DataFrame, String, DataFrame, String)]): DataFrame = {
-      val base = t.join(ctx, keys)
+                 cc: Option[(DataFrame, String, DataFrame, String,
+                   DataFrame, String)], rd: DataFrame, rdP: String): DataFrame = {
+      val base0 = t.join(ctx, keys)
+      val base = if (modified) base0.crossJoin(broadcast(rd)) else base0
       val withCc = cc match {
-        case Some((ccT, ccC, cxT, ccsC)) =>
-          base.join(ccT, keys :+ "w", "left").join(cxT, keys, "left")
-            .withColumn("qb", when(col(ccC).isNotNull,
-              q6(s"4 * $ccC - 3", s"4 * $ccsC")).otherwise(nl))
+        case Some((ccT, ccC, cxT, ccsC, cd, cdP)) =>
+          val j0 = base.join(ccT, keys :+ "w", "left").join(cxT, keys, "left")
+          val j = if (modified) j0.crossJoin(broadcast(cd))
+            .withColumn("dmu_c", dmuOf(col(ccC), cdP)) else j0
+          j.withColumn("qb", when(col(ccC).isNotNull,
+            if (modified) qm(ccC, "dmu_c", ccsC)
+            else q6(s"4 * $ccC - 3", s"4 * $ccsC")).otherwise(nl))
         case None => base.withColumn("qb", nl)
       }
-      pad(withCc.withColumn("qa", q6(s"4 * $c - 3", s"4 * $cs")),
-        k, "gram", col("qa"), col("qb"))
+      val withQa =
+        if (modified) withCc.withColumn("dmu_r", dmuOf(col(c), rdP))
+          .withColumn("qa", qm(c, "dmu_r", cs))
+        else withCc.withColumn("qa", q6(s"4 * $c - 3", s"4 * $cs"))
+      pad(withQa, k, "gram", col("qa"), col("qb"))
     }
-    def ctxRows(k: Int, ctx: DataFrame, cs: String, nf: String,
-                cx: Option[(DataFrame, String, String)]): DataFrame = {
+    def ctxRows(k: Int, ctx: DataFrame, cs: String, nf: String, eP: String,
+                cx: Option[(DataFrame, String, String, String,
+                  DataFrame, String)], rd: DataFrame, rdP: String): DataFrame = {
+      val withRd = if (modified) ctx.crossJoin(broadcast(rd)) else ctx
       val base = cx match {
-        case Some((cxT, ccs, ncf)) =>
-          ctx.join(cxT, ctx.columns.filter(_.startsWith("h")).toSeq, "left")
-            .withColumn("qb", when(col(ccs).isNotNull,
-              clamp(q6(s"3 * $ncf", s"4 * $ccs"))).otherwise(nl))
-        case None => ctx.withColumn("qb", nl)
+        case Some((cxT, ccs, ncf, fP, cd, cdP)) =>
+          val j0 = withRd.join(cxT,
+            ctx.columns.filter(_.startsWith("h")).toSeq, "left")
+          val j = if (modified) j0.crossJoin(broadcast(cd)) else j0
+          j.withColumn("qb", when(col(ccs).isNotNull,
+            if (modified) gm(cdP, fP, ccs)
+            else clamp(q6(s"3 * $ncf", s"4 * $ccs"))).otherwise(nl))
+        case None => withRd.withColumn("qb", nl)
       }
-      pad(base.withColumn("qa", clamp(q6(s"3 * $nf", s"4 * $cs"))),
+      pad(base.withColumn("qa",
+          if (modified) gm(rdP, eP, cs) else clamp(q6(s"3 * $nf", s"4 * $cs"))),
         k, "ctx", col("qa"), col("qb"))
     }
+    val uniBase0 = uniT.crossJoin(nv).join(cont1, Seq("w"), "left")
+      .crossJoin(tts)
+    val uniBase = if (modified) uniBase0.crossJoin(broadcast(udd))
+      .withColumn("dmu_u", dmuOf(col("nc1"), "ud")) else uniBase0
     val uniRows = pad(
-      uniT.crossJoin(nv).join(cont1, Seq("w"), "left").crossJoin(tts)
+      uniBase
         .withColumn("qa", clamp(q6("c1", "n")))
         .withColumn("qb", when(col("nc1").isNotNull && col("tt") > 0L,
-          q6("4 * nc1 - 3", "4 * tt")).otherwise(nl)),
+          if (modified) qm("nc1", "dmu_u", "tt")
+          else q6("4 * nc1 - 3", "4 * tt")).otherwise(nl)),
       1, "uni", col("qa"), col("qb"))
+    // base γ₁: fixed = D·W₁/tt; modified = (Σ Dₖµ·u_k)/tt over the global
+    // count classes of the continuation unigram
+    lazy val ucls = cont1.agg(
+      count(when(col("nc1") === 1L, 1)).as("u_1"),
+      count(when(col("nc1") === 2L, 1)).as("u_2"),
+      count(when(col("nc1") >= 3L, 1)).as("u_3"))
+    val scalBase = if (modified)
+      tts.crossJoin(nv).crossJoin(broadcast(udd)).crossJoin(broadcast(ucls))
+    else tts.crossJoin(nv)
     val scalRow = pad(
-      tts.crossJoin(nv)
+      scalBase
         .withColumn("qa", when(col("tt") > 0L,
-          clamp(q6("3 * w1", "4 * tt"))).otherwise(nl))
+          if (modified) gm("ud", "u_", "tt")
+          else clamp(q6("3 * w1", "4 * tt"))).otherwise(nl))
         .withColumn("qb", clamp(q6("1", "v"))),
       0, "scal", col("qa"), col("qb"))
     uniRows
       .unionByName(gramRows(2, t2, k2, "c2", ctx2, "cs2",
-        Some((cc2, "cc2", cx2, "ccs2"))))
+        Some((cc2, "cc2", cx2, "ccs2", c2d, "c2d")), r2d, "r2d"))
       .unionByName(gramRows(3, t3, k3, "c3", ctx3, "cs3",
-        Some((cc3, "cc3", cx3, "ccs3"))))
+        Some((cc3, "cc3", cx3, "ccs3", c3d, "c3d")), r3d, "r3d"))
       .unionByName(gramRows(4, t4, k4, "c4", ctx4, "cs4",
-        Some((cc4, "cc4", cx4, "ccs4"))))
+        Some((cc4, "cc4", cx4, "ccs4", c4d, "c4d")), r4d, "r4d"))
       .unionByName(gramRows(5,
         t5.select((k5 :+ "w").map(col) :+ col("c5"): _*), k5, "c5",
-        ctx5, "cs5", None))
-      .unionByName(ctxRows(2, ctx2, "cs2", "nf2", Some((cx2, "ccs2", "ncf2"))))
-      .unionByName(ctxRows(3, ctx3, "cs3", "nf3", Some((cx3, "ccs3", "ncf3"))))
-      .unionByName(ctxRows(4, ctx4, "cs4", "nf4", Some((cx4, "ccs4", "ncf4"))))
-      .unionByName(ctxRows(5, ctx5, "cs5", "nf5", None))
+        ctx5, "cs5", None, r5d, "r5d"))
+      .unionByName(ctxRows(2, ctx2, "cs2", "nf2", "e2_",
+        Some((cx2, "ccs2", "ncf2", "f2_", c2d, "c2d")), r2d, "r2d"))
+      .unionByName(ctxRows(3, ctx3, "cs3", "nf3", "e3_",
+        Some((cx3, "ccs3", "ncf3", "f3_", c3d, "c3d")), r3d, "r3d"))
+      .unionByName(ctxRows(4, ctx4, "cs4", "nf4", "e4_",
+        Some((cx4, "ccs4", "ncf4", "f4_", c4d, "c4d")), r4d, "r4d"))
+      .unionByName(ctxRows(5, ctx5, "cs5", "nf5", "e5_", None, r5d, "r5d"))
       .unionByName(scalRow)
   }
 

@@ -55,7 +55,8 @@ object LlmQueries {
     textFastCdcChunks,
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
-    mmDedupIncremental, textUnigramEncodeEm2, mmCuration)
+    mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
+    mmFrameNearDup, textLmKn5qm, simKnnHamming3)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -143,6 +144,56 @@ object LlmQueries {
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
            |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** ASYMMETRIC-distance binary ANN ([[Similarity.knnJoinHammingAdc]] —
+    * the ADC rung above the 2-bit sketch's SDC): corpus stays the
+    * 16-byte packed sign sketch, the query keeps its exact-integer
+    * per-plane projection magnitudes, stage 1 ranks by
+    * `Σ q_k·sign_k(corpus)` (higher = more aligned; ties → smaller id)
+    * and only the k·oversample survivors pay the exact cosine. The
+    * integer score replays bit-for-bit in the oracle. */
+  val simKnnHamming3: QueryDef = QueryDef("sim_knn_hamming3",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHammingAdc(emb, emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+           |        for i in range(1, len(v) + 1)] AS u FROM nz),
+           |pb AS (SELECT k, i,
+           |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+           |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+           |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+           |proj AS (SELECT u.vec_id, pb.k,
+           |           sum(u.u[pb.i + 1] * pb.s)::BIGINT AS pv
+           |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+           |bits AS (SELECT vec_id, k, (pv > 0) AS b FROM proj),
+           |qp AS (SELECT vec_id AS query_id, k, pv FROM proj
+           |       WHERE vec_id % 97 = 3),
+           |sc AS (SELECT cb.vec_id AS neighbor_id, qp.query_id,
+           |         sum(CASE WHEN cb.b THEN qp.pv ELSE -qp.pv END)::BIGINT
+           |           AS ascore
+           |       FROM bits cb JOIN qp USING (k)
+           |       WHERE cb.vec_id <> qp.query_id GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id, ascore,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY ascore DESC, neighbor_id) AS hrank FROM sc),
+           |rer AS (SELECT c.query_id, c.neighbor_id, c.ascore,
+           |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+           |                / (cv.nrm * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
+           |r AS (SELECT query_id, neighbor_id, ascore, cosine,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+           |SELECT query_id, neighbor_id, rank, ascore, cosine FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Hybrid retrieval ([[TextAnalysis.rrfFuse]]): BM25 keyword top-10 and
@@ -802,6 +853,91 @@ object LlmQueries {
             |  min(media_id * 1048576 + f)::BIGINT % 1048576 AS canonical_frame
             |FROM sig GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
             |ORDER BY sig""".stripMargin))
+
+  /** Frame-level cross-video NEAR-dup grouping
+    * ([[Multimodal.frameNearDupGroups]], Hamming ≤ 3 — the radius-r
+    * generalization of `mm_frame_dedup`, whose exact-signature groups are
+    * the radius-0 special case): frame sketches clustered by connected
+    * components over the near-dup pair graph (wide combination keys, the
+    * 10M-survivable generator), cluster label = min packed `(media,
+    * frame)` key = the canonical holder. Same planted duplicate videos as
+    * the exact twin; `n_sigs > 1` marks clusters holding genuine
+    * near-dups. Oracle = recursive-CTE reachability closure over the
+    * banded pair edges (generator-agnostic: narrow bands, identical pair
+    * set). */
+  val mmFrameNearDup: QueryDef = QueryDef("mm_frame_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxd = docs.agg(max("doc_id")).head.getLong(0)
+      val off = (maxd / 3 + 1) * 3
+      val planted = docs.where(col("text").isNotNull &&
+          col("doc_id") % 59 === 2 && col("doc_id") % 3 === 2)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val media = Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text")
+      Multimodal.frameNearDupGroups(media, stride = 2, maxHamming = 3,
+          materialize = true)
+        .orderBy("canonical_media", "canonical_frame")
+    },
+    Some(s"""WITH RECURSIVE mx AS (SELECT ((max(doc_id) // 3) + 1) * 3 AS off
+            |           FROM documents),
+            |corpus AS (
+            |  SELECT doc_id AS media_id, text FROM documents
+            |  WHERE text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + off, text FROM documents, mx
+            |  WHERE text IS NOT NULL AND doc_id % 59 = 2 AND doc_id % 3 = 2),
+            |vids AS (SELECT media_id, text, len(text)::BIGINT AS L,
+            |           (len(text) % 30 + 1)::BIGINT AS nf
+            |         FROM corpus WHERE media_id % 3 = 2),
+            |fr AS (SELECT media_id, f,
+            |         text[((f * L) // nf + 1)::INT : (((f + 1) * L) // nf)::INT]
+            |           AS sl
+            |       FROM vids, range(0, 30, 2) t(f) WHERE f < nf),
+            |$phashPlanesSql,
+            |frc AS (SELECT media_id, f, (u.i - 1) % 64 AS j,
+            |          ascii(substr(sl, u.i::INT, 1)) AS b
+            |        FROM fr, unnest(range(1, length(sl) + 1)) u(i)),
+            |frf AS (SELECT c.media_id, c.f, dwt.k AS i,
+            |          sum(c.b * dwt.wt)::BIGINT AS fv
+            |        FROM frc c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2, 3),
+            |frs AS (SELECT media_id, f, sum(fv)::BIGINT AS sv
+            |        FROM frf GROUP BY 1, 2),
+            |fru AS (SELECT ff.media_id, ff.f, ff.i, 64 * ff.fv - fs.sv AS u
+            |        FROM frf ff JOIN frs fs USING (media_id, f)),
+            |frk AS (SELECT media_id, f FROM fru
+            |        GROUP BY 1, 2 HAVING max(abs(u)) > 0),
+            |frv AS (SELECT u.media_id, u.f, pm.k,
+            |          sum(u.u * pm.s)::BIGINT AS vk
+            |        FROM fru u JOIN frk USING (media_id, f)
+            |        JOIN pm ON pm.i = u.i GROUP BY 1, 2, 3),
+            |sig AS (SELECT media_id, f,
+            |          sum(CASE WHEN vk > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT
+            |            AS sig
+            |        FROM frv GROUP BY 1, 2),
+            |fid AS (SELECT media_id * 1048576 + f AS id, sig FROM sig),
+            |bands AS (SELECT id, sig, b, (sig >> (b * 15)) % 32768 AS bv
+            |          FROM fid, range(0, 4) t(b)),
+            |pr AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            |       FROM bands a JOIN bands b
+            |         ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
+            |       WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+            |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+            |          UNION ALL SELECT id_b, id_a FROM pr),
+            |r(id, lab) AS (
+            |  SELECT id, id FROM fid
+            |  UNION
+            |  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id),
+            |cl AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY 1),
+            |g AS (SELECT cl.cluster_id, count(*)::BIGINT AS n_occ,
+            |        count(DISTINCT fid.id // 1048576)::BIGINT AS n_media,
+            |        count(DISTINCT fid.sig)::BIGINT AS n_sigs
+            |      FROM fid JOIN cl USING (id) GROUP BY 1
+            |      HAVING count(DISTINCT fid.id // 1048576) >= 2)
+            |SELECT cluster_id // 1048576 AS canonical_media,
+            |  cluster_id % 1048576 AS canonical_frame, n_occ, n_media, n_sigs
+            |FROM g ORDER BY 1, 2""".stripMargin))
 
   /** Image-text pair gating ([[Multimodal.pairFilter]] — the LAION/CLIP-
     * score filter shape): each media row's decoded features against its
@@ -6195,6 +6331,206 @@ object LlmQueries {
       |         FROM spq GROUP BY 1)""".stripMargin
   }
 
+  /** One QUANTIZED modified-KN discount-triple CTE: the knmDiscountSql
+    * doubles (same expression text, same KenLM validity rule) rounded to
+    * micro-unit longs — `round(round(d, 6)·10⁶)`, the exact quantization
+    * [[TextAnalysis.kn5QuantModel]] applies in modified mode (the
+    * fallback 0.75 quantizes to exactly 750000). */
+  private def knqDiscountSql(cte: String, tbl: String, c: String,
+                             p: String): String = {
+    val y = "(n1 / (n1 + 2.0 * n2))"
+    val d1r = s"1.0 - 2.0 * $y * n2 / n1"
+    val d2r = s"2.0 - 3.0 * $y * n3 / n2"
+    val d3r = s"3.0 - 4.0 * $y * n4 / n3"
+    val invalid =
+      s"""n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0
+         |         OR $d1r <= 0.0 OR $d1r > 1.0
+         |         OR $d2r <= 0.0 OR $d2r > 2.0
+         |         OR $d3r <= 0.0 OR $d3r > 3.0""".stripMargin
+    def dk(k: Int, raw: String) =
+      s"""round(round(CASE WHEN $invalid
+         |    THEN 0.75 ELSE $raw END, 6) * 1000000, 0)::BIGINT AS $p$k""".stripMargin
+    s"""$cte AS (SELECT
+       |    ${dk(1, d1r)},
+       |    ${dk(2, d2r)},
+       |    ${dk(3, d3r)}
+       |  FROM (SELECT (count(*) FILTER (WHERE $c = 1))::DOUBLE AS n1,
+       |          (count(*) FILTER (WHERE $c = 2))::DOUBLE AS n2,
+       |          (count(*) FILTER (WHERE $c = 3))::DOUBLE AS n3,
+       |          (count(*) FILTER (WHERE $c = 4))::DOUBLE AS n4 FROM $tbl))""".stripMargin
+  }
+
+  /** The quantized MODIFIED-KN replay: pruned model prefix, eight
+    * µ-quantized discount triples, count-class numerators
+    * `(2(10⁶c − Dµ(c)) + cs) div (2cs)` and class-weighted γ
+    * `(2·ΣDₖµNₖ + cs) div (2cs)` clamped to 1 µ, then the same q+γ·lower
+    * chain as the fixed quant replay. Ends in `kn5s`. */
+  private lazy val kn5qmScoreSql: String = {
+    // count-class discount pick and the exact-integer modified numerator
+    def pick(c: String, p: String) =
+      s"CASE WHEN $c = 1 THEN ${p}1 WHEN $c = 2 THEN ${p}2 ELSE ${p}3 END"
+    def qm(c: String, p: String, cs: String) =
+      s"(2 * (1000000 * ($c)::BIGINT - ${pick(c, p)}) + $cs) // (2 * ($cs))"
+    def gmx(dp: String, kp: String, cs: String) =
+      s"greatest((2 * (${dp}1 * ${kp}1 + ${dp}2 * ${kp}2 + ${dp}3 * ${kp}3) " +
+        s"+ $cs) // (2 * ($cs)), 1)"
+    def clsSql(c: String, p: String) =
+      s"""(count(*) FILTER (WHERE $c = 1))::BIGINT AS ${p}1,
+         |           (count(*) FILTER (WHERE $c = 2))::BIGINT AS ${p}2,
+         |           (count(*) FILTER (WHERE $c >= 3))::BIGINT AS ${p}3""".stripMargin
+    def q6(a: String, b: String) = s"(2000000 * ($a) + ($b)) // (2 * ($b))"
+    s"""${kn5ModelSqlFor(prune345 = true)},
+      |ctq2 AS (SELECT h1, sum(c2)::BIGINT AS cs2,
+      |           ${clsSql("c2", "e2_")}
+      |         FROM t2 GROUP BY 1),
+      |ctq3 AS (SELECT h2, h1, sum(c3)::BIGINT AS cs3,
+      |           ${clsSql("c3", "e3_")}
+      |         FROM t3 GROUP BY 1, 2),
+      |ctq4 AS (SELECT h3, h2, h1, sum(c4)::BIGINT AS cs4,
+      |           ${clsSql("c4", "e4_")}
+      |         FROM t4 GROUP BY 1, 2, 3),
+      |ctq5 AS (SELECT h4, h3, h2, h1, sum(c5)::BIGINT AS cs5,
+      |           ${clsSql("c5", "e5_")}
+      |         FROM t5 GROUP BY 1, 2, 3, 4),
+      |cxq2 AS (SELECT h1, sum(cc2)::BIGINT AS ccs2,
+      |           ${clsSql("cc2", "f2_")}
+      |         FROM cc2 GROUP BY 1),
+      |cxq3 AS (SELECT h2, h1, sum(cc3)::BIGINT AS ccs3,
+      |           ${clsSql("cc3", "f3_")}
+      |         FROM cc3 GROUP BY 1, 2),
+      |cxq4 AS (SELECT h3, h2, h1, sum(cc4)::BIGINT AS ccs4,
+      |           ${clsSql("cc4", "f4_")}
+      |         FROM cc4 GROUP BY 1, 2, 3),
+      |${knqDiscountSql("rq2", "t2", "c2", "r2d")},
+      |${knqDiscountSql("rq3", "t3", "c3", "r3d")},
+      |${knqDiscountSql("rq4", "t4", "c4", "r4d")},
+      |${knqDiscountSql("rq5", "t5", "c5", "r5d")},
+      |${knqDiscountSql("cq2", "cc2", "cc2", "c2d")},
+      |${knqDiscountSql("cq3", "cc3", "cc3", "c3d")},
+      |${knqDiscountSql("cq4", "cc4", "cc4", "c4d")},
+      |${knqDiscountSql("uq", "cont1", "nc1", "ud")},
+      |ucls AS (SELECT (count(*) FILTER (WHERE nc1 = 1))::BIGINT AS u_1,
+      |           (count(*) FILTER (WHERE nc1 = 2))::BIGINT AS u_2,
+      |           (count(*) FILTER (WHERE nc1 >= 3))::BIGINT AS u_3 FROM cont1),
+      |qg2 AS (SELECT t.h1, t.w,
+      |          ${qm("t.c2", "r2d", "c.cs2")} AS qr2,
+      |          CASE WHEN u.cc2 IS NOT NULL THEN
+      |            ${qm("u.cc2", "c2d", "x.ccs2")} END AS qc2
+      |        FROM t2 t JOIN ctq2 c USING (h1)
+      |        LEFT JOIN cc2 u ON u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq2 x ON x.h1 = t.h1
+      |        CROSS JOIN rq2 CROSS JOIN cq2),
+      |qg3 AS (SELECT t.h2, t.h1, t.w,
+      |          ${qm("t.c3", "r3d", "c.cs3")} AS qr3,
+      |          CASE WHEN u.cc3 IS NOT NULL THEN
+      |            ${qm("u.cc3", "c3d", "x.ccs3")} END AS qc3
+      |        FROM t3 t JOIN ctq3 c USING (h2, h1)
+      |        LEFT JOIN cc3 u ON u.h2 = t.h2 AND u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq3 x ON x.h2 = t.h2 AND x.h1 = t.h1
+      |        CROSS JOIN rq3 CROSS JOIN cq3),
+      |qg4 AS (SELECT t.h3, t.h2, t.h1, t.w,
+      |          ${qm("t.c4", "r4d", "c.cs4")} AS qr4,
+      |          CASE WHEN u.cc4 IS NOT NULL THEN
+      |            ${qm("u.cc4", "c4d", "x.ccs4")} END AS qc4
+      |        FROM t4 t JOIN ctq4 c USING (h3, h2, h1)
+      |        LEFT JOIN cc4 u ON u.h3 = t.h3 AND u.h2 = t.h2
+      |          AND u.h1 = t.h1 AND u.w = t.w
+      |        LEFT JOIN cxq4 x ON x.h3 = t.h3 AND x.h2 = t.h2
+      |          AND x.h1 = t.h1
+      |        CROSS JOIN rq4 CROSS JOIN cq4),
+      |qg5 AS (SELECT t.h4, t.h3, t.h2, t.h1, t.w,
+      |          ${qm("t.c5", "r5d", "c.cs5")} AS qr5
+      |        FROM t5 t JOIN ctq5 c USING (h4, h3, h2, h1)
+      |        CROSS JOIN rq5),
+      |qx2 AS (SELECT c.h1,
+      |          ${gmx("rq2.r2d", "c.e2_", "c.cs2")} AS gr2,
+      |          CASE WHEN x.ccs2 IS NOT NULL THEN
+      |            ${gmx("cq2.c2d", "x.f2_", "x.ccs2")} END AS gc2
+      |        FROM ctq2 c LEFT JOIN cxq2 x USING (h1)
+      |        CROSS JOIN rq2 CROSS JOIN cq2),
+      |qx3 AS (SELECT c.h2, c.h1,
+      |          ${gmx("rq3.r3d", "c.e3_", "c.cs3")} AS gr3,
+      |          CASE WHEN x.ccs3 IS NOT NULL THEN
+      |            ${gmx("cq3.c3d", "x.f3_", "x.ccs3")} END AS gc3
+      |        FROM ctq3 c LEFT JOIN cxq3 x USING (h2, h1)
+      |        CROSS JOIN rq3 CROSS JOIN cq3),
+      |qx4 AS (SELECT c.h3, c.h2, c.h1,
+      |          ${gmx("rq4.r4d", "c.e4_", "c.cs4")} AS gr4,
+      |          CASE WHEN x.ccs4 IS NOT NULL THEN
+      |            ${gmx("cq4.c4d", "x.f4_", "x.ccs4")} END AS gc4
+      |        FROM ctq4 c LEFT JOIN cxq4 x USING (h3, h2, h1)
+      |        CROSS JOIN rq4 CROSS JOIN cq4),
+      |qx5 AS (SELECT h4, h3, h2, h1,
+      |          ${gmx("rq5.r5d", "e5_", "cs5")} AS gr5
+      |        FROM ctq5 CROSS JOIN rq5),
+      |qu AS (SELECT u.w,
+      |         greatest(${q6("u.c1::BIGINT", "nv.n::BIGINT")}, 1) AS q0,
+      |         CASE WHEN cont1.nc1 IS NOT NULL AND tts.tt > 0 THEN
+      |           ${qm("cont1.nc1", "ud", "tts.tt::BIGINT")}
+      |         END AS q1u
+      |       FROM uni u LEFT JOIN cont1 ON u.w = cont1.w
+      |       CROSS JOIN nv CROSS JOIN tts CROSS JOIN uq),
+      |qsc AS (SELECT CASE WHEN tts.tt > 0 THEN
+      |          ${gmx("uq.ud", "ucls.u_", "tts.tt::BIGINT")}
+      |        END AS gam1,
+      |        greatest(${q6("1", "nv.v::BIGINT")}, 1) AS vinv
+      |       FROM tts CROSS JOIN nv CROSS JOIN uq CROSS JOIN ucls),
+      |jq AS (SELECT sh.doc_id, sh.pos, qu.q0, qu.q1u,
+      |         g2.qr2, g2.qc2, x2.gr2, x2.gc2,
+      |         g3.qr3, g3.qc3, x3.gr3, x3.gc3,
+      |         g4.qr4, g4.qc4, x4.gr4, x4.gc4,
+      |         g5.qr5, x5.gr5, qsc.gam1, qsc.vinv
+      |       FROM sh
+      |       LEFT JOIN qu ON sh.w = qu.w
+      |       LEFT JOIN qg2 g2 ON sh.h1 = g2.h1 AND sh.w = g2.w
+      |       LEFT JOIN qx2 x2 ON sh.h1 = x2.h1
+      |       LEFT JOIN qg3 g3 ON sh.h2 = g3.h2 AND sh.h1 = g3.h1
+      |         AND sh.w = g3.w
+      |       LEFT JOIN qx3 x3 ON sh.h2 = x3.h2 AND sh.h1 = x3.h1
+      |       LEFT JOIN qg4 g4 ON sh.h3 = g4.h3 AND sh.h2 = g4.h2
+      |         AND sh.h1 = g4.h1 AND sh.w = g4.w
+      |       LEFT JOIN qx4 x4 ON sh.h3 = x4.h3 AND sh.h2 = x4.h2
+      |         AND sh.h1 = x4.h1
+      |       LEFT JOIN qg5 g5 ON sh.h4 = g5.h4 AND sh.h3 = g5.h3
+      |         AND sh.h2 = g5.h2 AND sh.h1 = g5.h1 AND sh.w = g5.w
+      |       LEFT JOIN qx5 x5 ON sh.h4 = x5.h4 AND sh.h3 = x5.h3
+      |         AND sh.h2 = x5.h2 AND sh.h1 = x5.h1
+      |       CROSS JOIN qsc),
+      |m1 AS (SELECT *, CASE WHEN gam1 IS NOT NULL THEN
+      |           coalesce(q1u, 0) / 1000000.0
+      |             + (gam1 / 1000000.0) * (vinv / 1000000.0)
+      |         ELSE vinv / 1000000.0 END AS p1 FROM jq),
+      |m2 AS (SELECT *,
+      |         CASE WHEN gc2 IS NOT NULL THEN coalesce(qc2, 0) / 1000000.0
+      |             + (gc2 / 1000000.0) * p1 ELSE p1 END AS p2c,
+      |         CASE WHEN gr2 IS NOT NULL THEN coalesce(qr2, 0) / 1000000.0
+      |             + (gr2 / 1000000.0) * p1 ELSE p1 END AS p2r FROM m1),
+      |m3 AS (SELECT *,
+      |         CASE WHEN gc3 IS NOT NULL THEN coalesce(qc3, 0) / 1000000.0
+      |             + (gc3 / 1000000.0) * p2c ELSE p2c END AS p3c,
+      |         CASE WHEN gr3 IS NOT NULL THEN coalesce(qr3, 0) / 1000000.0
+      |             + (gr3 / 1000000.0) * p2c ELSE p2c END AS p3r FROM m2),
+      |m4 AS (SELECT *,
+      |         CASE WHEN gc4 IS NOT NULL THEN coalesce(qc4, 0) / 1000000.0
+      |             + (gc4 / 1000000.0) * p3c ELSE p3c END AS p4c,
+      |         CASE WHEN gr4 IS NOT NULL THEN coalesce(qr4, 0) / 1000000.0
+      |             + (gr4 / 1000000.0) * p3c ELSE p3c END AS p4r FROM m3),
+      |m5 AS (SELECT *,
+      |         CASE WHEN gr5 IS NOT NULL THEN coalesce(qr5, 0) / 1000000.0
+      |             + (gr5 / 1000000.0) * p4c ELSE p4c END AS p5 FROM m4),
+      |spq AS (SELECT doc_id,
+      |         CASE WHEN q0 IS NULL THEN NULL
+      |              WHEN pos = 1 THEN q0 / 1000000.0
+      |              WHEN pos = 2 THEN p2r
+      |              WHEN pos = 3 THEN p3r
+      |              WHEN pos = 4 THEN p4r
+      |              ELSE p5 END AS s FROM m5),
+      |kn5s AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |           sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |           round(-sum(coalesce(round(ln(s), 6), 0.0)), 6) AS nll_sum
+      |         FROM spq GROUP BY 1)""".stripMargin
+  }
+
   /** 5-gram KN scoring against the QUANTIZED ARPA-style stored model
     * ([[Materialized.kn5Quant]] ∘ [[TextAnalysis.lmScoreKn5Quant]]) —
     * KenLM's prune+quantize recipe end-to-end: per-gram discounted
@@ -6238,6 +6574,26 @@ object LlmQueries {
         "doc_id", "text", Materialized.kn5TypesPruned(s, d), modified = true)
       .orderBy("doc_id"),
     Some(s"""WITH ${kn5mScoreSqlOver(kn5ModelSqlFor(prune345 = true))}
+            |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Quantized MODIFIED-KN scoring ([[Materialized.kn5QuantMod]] ∘
+    * [[TextAnalysis.lmScoreKn5Quant]]) — the two KenLM production dials
+    * composed INTO the stored artifact: count-threshold pruning + the
+    * Chen–Goodman count-class discounts, quantized to 6-dp micro-unit
+    * longs (discounts first — `round(round(d,6)·10⁶)` — so every
+    * numerator `(2(10⁶c − Dµ(c)) + cs) div (2cs)` and class-weighted γ
+    * is exact integer arithmetic; validity-rule fallbacks quantize to
+    * exactly the fixed model's 750000). Scoring is the UNCHANGED
+    * partition-pruned join plan of `text_lm_kn5q` — the modified-ness
+    * lives entirely in the stored qa6/qb6 values, which is the point:
+    * the production artifact carries the better estimator at zero
+    * scoring-time cost. */
+  val textLmKn5qm: QueryDef = QueryDef("text_lm_kn5qm",
+    (s, d) => TextAnalysis.lmScoreKn5Quant(Tables.documents(s, d),
+        "doc_id", "text", Materialized.kn5QuantMod(s, d))
+      .orderBy("doc_id"),
+    Some(s"""WITH $kn5qmScoreSql
             |SELECT doc_id, n_words, n_oov, nll_sum FROM kn5s
             |ORDER BY doc_id""".stripMargin))
 

@@ -868,6 +868,19 @@ object Materialized {
       graft.llm.TextAnalysis.kn5QuantModel(kn5TypesPruned(spark, sfDir))
     }
 
+  /** Stored quantized MODIFIED-KN model (Chen & Goodman count-of-count
+    * discounts carried as micro-unit longs inside the same `(kind, ord)`
+    * artifact schema — the model KenLM actually ships after `--prune` +
+    * quantize). Scoring reads it through the UNCHANGED
+    * [[graft.llm.TextAnalysis.lmScoreKn5Quant]] joins: the modified-ness
+    * lives entirely in the stored qa6/qb6 values. */
+  def kn5QuantMod(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "kn5_quant_mod", "even_split_p00111_cg_q6c1", sfDir,
+      "documents", partitionCols = Seq("kind", "ord")) {
+      graft.llm.TextAnalysis.kn5QuantModel(kn5TypesPruned(spark, sfDir),
+        modified = true)
+    }
+
   /** Stored per-doc scores against the PRUNED model — the
     * [[kn5Scores]] staging with the production-pruned artifact; the
     * perplexity gate consumes these unchanged. */

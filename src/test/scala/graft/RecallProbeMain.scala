@@ -30,7 +30,10 @@ object RecallProbeMain {
       val r2 = (pairs(Similarity.knnJoinHamming(emb, qs, "vec_id",
         "embedding", "vec_id", k = 5, dims = 64, oversample = os,
         bitsPerDim = 2)) & truth).size.toDouble / truth.size
-      println(f"oversample=$os%d  1-bit recall@5=$r1%.3f  2-bit recall@5=$r2%.3f  (n=${truth.size})")
+      val r3 = (pairs(Similarity.knnJoinHammingAdc(emb, qs, "vec_id",
+        "embedding", "vec_id", k = 5, dims = 64, oversample = os))
+        & truth).size.toDouble / truth.size
+      println(f"oversample=$os%d  1-bit recall@5=$r1%.3f  2-bit recall@5=$r2%.3f  adc recall@5=$r3%.3f  (n=${truth.size})")
     }
     spark.stop()
   }

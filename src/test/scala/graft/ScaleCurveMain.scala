@@ -1105,13 +1105,17 @@ object ScaleCurveMain {
       f"join ${tP}%.1fs")
   }
 
-  /** Perceptual-hash ring at 10M media rows: sketch scan throughput, the
-    * wide-combo pair join at radius 3 with 10k planted fold-class-swap
-    * perceptual dups, and the candidate-mass contrast that motivates the
-    * wide keys — contiguous 4×15-bit bands vs C(6,3) 30-bit combination
-    * keys, both measured at 1M rows (the narrow scheme's ~N²/2¹⁵
-    * candidate mass is already the bottleneck there and would be a
-    * broken join at 10M). */
+  /** Perceptual-hash ring at 10M media rows over the FULL-ENTROPY
+    * spectral decode (64 integer coefficients — r12's "make the media
+    * pair ring's 10 TB path real"): sketch scan throughput, the
+    * candidate-mass contrast (contiguous 4×15-bit bands vs C(6,3) 30-bit
+    * combination keys), and the corpus-wide radius-3 PAIR JOIN actually
+    * RUN end-to-end with 10k planted spectral-class-swap perceptual dups
+    * (bytes 1/65 swapped — sketch-exact, byte-distinct; Hamming-0
+    * recovery guaranteed), plus the grouped and incremental production
+    * forms. Under the old 8-dim histogram decode the sketch alphabet
+    * capped at ~10⁶ values and this join was inherently quadratic; the
+    * spectral sketch draws on the full 2⁶⁰ alphabet. */
   private def phash10M(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     import graft.llm.{Dedup, Multimodal}
@@ -1119,20 +1123,18 @@ object ScaleCurveMain {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val n = 10000000L
-    // texts must carry genuinely DIVERSE byte histograms: an id-digit
-    // skeleton corpus (the gear fixture) is perceptually one document —
-    // 9.0M of 10M rows shared a single 60-bit sketch when first measured
-    // (pHash judging correctly; the fixture was wrong for a PAIR metric).
-    // Three md5 blocks give each doc a random 96-char byte mix.
+    // three md5 blocks give each doc a random 96-char byte mix; the plant
+    // swaps positions 1 and 65 (same spectral class mod 64 → coefficients
+    // and sketch EXACTLY preserved, bytes differ)
     val base = spark.range(n).select(col("id").as("doc_id"),
       concat(md5(concat(lit("da"), col("id"))),
         md5(concat(lit("db"), col("id"))),
         md5(concat(lit("dc"), col("id")))).as("text"))
     val plants = base.where(col("doc_id") % 1000 === 3)
       .select((col("doc_id") + 20000000L).as("doc_id"),
-        concat(substring(col("text"), 9, 1), substring(col("text"), 2, 7),
+        concat(substring(col("text"), 65, 1), substring(col("text"), 2, 63),
           substring(col("text"), 1, 1),
-          substring(col("text"), 10, Int.MaxValue)).as("text"))
+          substring(col("text"), 66, Int.MaxValue)).as("text"))
     val media = Multimodal.asMedia(base, "doc_id", "text")
     val sigs = Multimodal.phashSketches(media).persist()
     val (nS, tS) = timed(sigs.count())
@@ -1173,15 +1175,27 @@ object ScaleCurveMain {
       out.unpersist()
       (total, flagged, donor)
     }
+    // the corpus-wide radius-3 PAIR JOIN end-to-end — measurable now that
+    // the spectral sketch has real entropy (the r12 done-bar): corpus ∪
+    // planted sketch-exact dups through the wide combo keys
+    val (pairStats, tP) = timed {
+      val allSigs = sigs.unionByName(Multimodal.phashSketches(
+        Multimodal.asMedia(plants, "doc_id", "text")))
+      val p = Dedup.simhashComboJoin(allSigs, maxHamming = 3).persist()
+      val c = p.count()
+      val planted = p.where(col("hamming") === 0 &&
+        col("id_b") - col("id_a") === 20000000L).count()
+      p.unpersist()
+      (c, planted)
+    }
     sigs.unpersist()
     println(f"phash-10M sigs=$nS scan ${tS}%.1fs | candidate mass: " +
       f"narrow(4x15)=$cN (max key $mxN) in ${tN}%.1fs vs " +
-      f"combo(20x30)=$cC (max key $mxC) in ${tC}%.1fs — 8-dim stub " +
-      f"features cap sketch entropy, so corpus-wide radius-3 PAIR " +
-      f"enumeration is inherently quadratic here | grouped dup sigs=" +
+      f"combo(20x30)=$cC (max key $mxC) in ${tC}%.1fs | grouped dup sigs=" +
       f"${grp._1} (max group ${grp._2}) in ${tG}%.1fs | incremental " +
       f"batch=${inc._1} flagged_h0=${inc._2}/${n / 1000} " +
-      f"donor_exact=${inc._3} in ${tI}%.1fs")
+      f"donor_exact=${inc._3} in ${tI}%.1fs | combo pairs=${pairStats._1} " +
+      f"planted_h0=${pairStats._2}/${n / 1000} join ${tP}%.1fs")
   }
 
   /** The hot-gram cap at 10M docs: EVERY doc opens with the same 4-word

@@ -1794,6 +1794,51 @@ class LlmSpec extends AnyFunSuite {
     groups.foreach { case g => assert(g._4 == 2L, g.toString) }
   }
 
+  test("frameNearDupGroups: components equal a brute-force union-find at radius 3; radius 0 reproduces the exact-signature groups") {
+    val vid = "frame one content frame two content frame three content!"
+    val docs2 = Seq((2L, vid), (5L, vid),
+      (8L, "a distinct video payload with entirely different frames here"),
+      (11L, "yet another clip whose sliced frames have their own spectra"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs2, "doc_id", "text")
+    val fs = Multimodal.frameSketches(media, stride = 2).collect()
+      .map(r => (r.getLong(0) * 1048576L + r.getLong(1), r.getLong(2)))
+    // brute-force union-find over ALL frame pairs at Hamming <= 3
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    for { (ia, sa) <- fs; (ib, sb) <- fs
+          if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3 } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = fs.groupBy { case (id, _) => find(id) }
+    val expected = byCluster
+      .filter(_._2.map(_._1 / 1048576L).distinct.length >= 2)
+      .map { case (cl, rows) =>
+        (cl / 1048576L, cl % 1048576L, rows.length.toLong,
+          rows.map(_._1 / 1048576L).distinct.length.toLong,
+          rows.map(_._2).distinct.length.toLong)
+      }.toSet
+    val got = Multimodal.frameNearDupGroups(media, stride = 2, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected, s"$got vs $expected")
+    assert(got.nonEmpty)
+    // radius 0 degenerates to the exact-signature grouping of
+    // frameDupGroups (clusters = per-sig cliques, n_sigs = 1)
+    val r0 = Multimodal.frameNearDupGroups(media, stride = 2, maxHamming = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val exact = Multimodal.frameDupGroups(media, stride = 2).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(1), r.getLong(2), 1L))
+      .toSet
+    assert(r0 == exact, s"$r0 vs $exact")
+  }
+
   test("pairFilter: hand-computed folded cosine, threshold gate, zero-norm exclusion") {
     val docs2 = Seq((0L, "abcdefgh"), (1L, "")).toDF("doc_id", "text")
     val emb = Seq(
@@ -1961,6 +2006,53 @@ class LlmSpec extends AnyFunSuite {
       .orderBy("vec_id").collect()
     assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0 && !out(0).getBoolean(3))
     assert(out(1).isNullAt(1) && out(1).getBoolean(3))
+  }
+
+  test("incremental judgments: past the broadcast batch limit the candidate join falls back un-broadcast with identical output") {
+    // the batch≪corpus broadcast contract (r12 verdict missing #4): at
+    // broadcastBatchLimit = 0 every judgment takes the shuffle-join path;
+    // verdicts must be IDENTICAL to the broadcast path
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    // text minhash judgment
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "completely different words entirely here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureTable(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (11L, "utterly unrelated fresh content with brand new tokens only")
+    ).toDF("doc_id", "text")
+    assert(rows(Dedup.dedupIncrementalNear(batch, sigs, corpus, "doc_id", "text")) ==
+      rows(Dedup.dedupIncrementalNear(batch, sigs, corpus, "doc_id", "text",
+        broadcastBatchLimit = 0L)))
+    // embedding judgment
+    val ecorpus = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val esigs = ecorpus.select(col("vec_id").as("id"),
+      Similarity.lshBandSignature(
+        Similarity.asDouble(col("embedding")), 32, 8, 4).as("sig"))
+    val ebatch = Seq((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    def eJudge(limit: Long) = Dedup.dedupIncrementalEmbedding(ebatch, esigs,
+      ecorpus, "vec_id", "embedding", dims = 4, threshold = 0.9,
+      planesPerBand = 8, bands = 32, broadcastBatchLimit = limit)
+    assert(rows(eJudge(Long.MaxValue)) == rows(eJudge(0L)))
+    // perceptual judgment
+    val mbase = "the quick brown fox jumps over the lazy dog near the wide " +
+      "slow river bend where herons stand watching for silver fish"
+    val mcorpus = Multimodal.asMedia(
+      Seq((1L, mbase), (2L, "other corpus media row with its own spectrum"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val msigs = Multimodal.phashSketches(mcorpus)
+    val mbatch = Multimodal.asMedia(Seq(
+      (100L, mbase(64) + mbase.substring(1, 64) + mbase(0) + mbase.substring(65)),
+      (101L, "wholly novel batch media content unlike anything stored!!"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(rows(Multimodal.phashIncremental(mbatch, msigs)) ==
+      rows(Multimodal.phashIncremental(mbatch, msigs,
+        broadcastBatchLimit = 0L)))
   }
 
   test("dedupIncremental: corpus duplicates outrank batch duplicates; first-in-batch wins") {
@@ -2235,6 +2327,47 @@ class LlmSpec extends AnyFunSuite {
     val recall2 = (got2 & truth).size.toDouble / truth.size
     info(f"hamming2 oversample=4 recall@5 = $recall2%.3f (densified 2-bit, same corpus)")
     assert(recall2 >= 0.2, s"2-bit recall collapsed: $recall2")
+  }
+
+  test("knnJoinHammingAdc: corpus-covering oversample equals exact knnJoin; planted copies take rank 1 with the maximal score") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val qs = emb.where(col("vec_id") % 97 === 3)
+    val n = emb.count().toInt
+    val exact = Similarity.knnJoin(emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    // an asymmetric cut wide enough to admit the whole corpus degrades to
+    // the exact ranking — same IEEE dot order, same (cosine desc, id) rule
+    val full = Similarity.knnJoinHammingAdc(emb, qs, "vec_id", "embedding",
+        "vec_id", k = 5, dims = 64, oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // planted exact copies: the donor's stored bits agree with the sign of
+    // every query projection, so its score is Σ|q_k| — the global maximum
+    // over the corpus — guaranteeing admission; rerank puts it first at
+    // exact cosine 1 (ties to the smaller id = the donor itself)
+    val pemb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val pqs = pemb.where(col("vec_id") >= 2000000L)
+    val out = Similarity.knnJoinHammingAdc(pemb, pqs, "vec_id", "embedding",
+        "vec_id", k = 1, dims = 64, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (qid, nid, cos) =>
+      assert(nid == qid - 2000000L && cos == 1.0, s"query $qid retrieved $nid")
+    }
+    // the reweighted score is the recall rung: measured at sf0.1 the ADC
+    // cut reaches 0.343/0.524/0.657 at oversample 2/4/8 vs the 2-bit
+    // SDC's 0.276/0.381/0.486 (RecallProbeMain — BASELINE.md); this tiny
+    // corpus only pins that the path is functional
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.knnJoin(emb, qs, "vec_id", "embedding",
+      "vec_id", k = 5))
+    val got = pairs(Similarity.knnJoinHammingAdc(emb, qs, "vec_id",
+      "embedding", "vec_id", k = 5, dims = 64, oversample = 4))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"adc oversample=4 recall@5 = $recall%.3f")
+    assert(recall >= 0.2, s"adc recall collapsed: $recall")
   }
 
   test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
@@ -3136,7 +3269,41 @@ class LlmSpec extends AnyFunSuite {
     assert(floors.getLong(0) >= 1L && floors.getLong(1) >= 1L, floors.toString)
     assert(quant.where(col("kind") === "uni").agg(min(col("qa6")))
       .collect()(0).getLong(0) >= 1L)
+    // quantized MODIFIED-KN: same normalization probe and floors, scored
+    // through the UNCHANGED lmScoreKn5Quant (the modified-ness lives
+    // entirely in the stored qa6/qb6 values)
+    val quantM = TextAnalysis.kn5QuantModel(pruned, modified = true).persist()
+    val sQuantM = sumP(TextAnalysis.lmScoreKn5Quant(probe, "doc_id", "text",
+      quantM))
+    assert(math.abs(sQuantM - 1.0) < 1e-2,
+      s"quantized modified model sum_w p(w|h) = $sQuantM")
+    val floorsM = quantM.where(col("kind").isin("ctx", "scal"))
+      .agg(min(col("qa6")), min(col("qb6"))).collect()(0)
+    assert(floorsM.getLong(0) >= 1L && floorsM.getLong(1) >= 1L,
+      floorsM.toString)
+    // the Chen–Goodman triples actually bite on this corpus (the stored
+    // values differ from the fixed-discount artifact)
+    assert(quantM.exceptAll(quant).count() > 0)
+    quantM.unpersist()
     types.unpersist(); pruned.unpersist(); quant.unpersist()
+  }
+
+  test("kn5QuantModel modified: an all-degenerate count-of-counts corpus falls back to the fixed model bit-for-bit") {
+    // every word distinct → every count = 1 → n2..n4 = 0 at every level →
+    // KenLM's validity rule falls every triple back to 0.75, which
+    // quantizes to exactly 750000: the modified artifact must equal the
+    // fixed one row-for-row
+    val docs2 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron")).toDF("doc_id", "text")
+    val types = TextAnalysis.kn5TypeTable(docs2, "doc_id", "text").persist()
+    val fixed = TextAnalysis.kn5QuantModel(types).collect()
+      .map(_.toSeq.toList).toSet
+    val mod = TextAnalysis.kn5QuantModel(types, modified = true).collect()
+      .map(_.toSeq.toList).toSet
+    assert(mod == fixed)
+    types.unpersist()
   }
 
   test("softEmLoss: hand-computed removal losses; loss-prune keeps the max-retained-likelihood set at the cut") {

@@ -272,4 +272,55 @@ class StreamingTtlSpec extends AnyFunSuite {
     assert(out.contains((3L, None, true)), s"post-horizon arrival must re-register: $out")
     assert(out.contains((50L, None, true)), s"novel vector keeps: $out")
   }
+
+  test("media TTL: perceptual dup within horizon matches, idle bucket evicts, fresh keeper re-elected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sttl-media").toFile
+    val ckpt = Files.createTempDirectory("sttl-media-ckpt").toFile
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Boolean)]()
+
+    def writeBatch(rows: Seq[(Long, Array[Byte], Timestamp)]): Unit =
+      rows.toDF("mediaId", "payload", "ts").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    val base = ("the quick brown fox jumps over the lazy dog near the wide " +
+      "slow river bend where herons stand watching for silver fish")
+      .getBytes("UTF-8")
+    val alien = ("completely different media content with its own spectral " +
+      "profile and nothing shared with the fox document at all!!")
+      .getBytes("UTF-8")
+
+    val op = StreamingMediaDedup()
+    val q = op.judgedTtl(
+        spark.readStream.schema("mediaId LONG, payload BINARY, ts TIMESTAMP")
+          .parquet(dir.getAbsolutePath).as[StreamingMediaDedup.TimedMediaDoc],
+        horizon = Duration.ofSeconds(60), watermarkDelay = "10 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingMediaDedup.MediaBandVerdict], _: Long) =>
+        StreamingNearDedup.verdicts(df.toDF()).collect().foreach { r =>
+          sunk.add((r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getBoolean(3)))
+        }
+      }
+      .start()
+
+    writeBatch(Seq((1L, base, at(0))))
+    q.processAllAvailable()
+    writeBatch(Seq((2L, base, at(30)))) // exact copy within horizon → dup of 1
+    q.processAllAvailable()
+    writeBatch(Seq((50L, alien, at(600)))) // watermark advancer, novel media
+    q.processAllAvailable()
+    writeBatch(Seq((3L, base, at(610)))) // past horizon → entry evicted → keep
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val out = sunk.iterator().asScala.toSet
+    assert(out.contains((2L, Some(1L), false)), s"within-horizon dup must match: $out")
+    assert(out.contains((3L, None, true)), s"post-horizon arrival must re-register: $out")
+    assert(out.contains((50L, None, true)), s"novel media keeps: $out")
+  }
 }
