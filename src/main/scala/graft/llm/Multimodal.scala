@@ -91,41 +91,51 @@ object Multimodal {
       * stand-in for the 8×8 DCT block a real pHash thresholds. */
     val spectralDim = 64
 
-    /** Deterministic dense weight table for the spectral fold, transposed
-      * `(byte-class j)(coefficient k)` for the inner loop: small signed
-      * integers in [−8, 8] from md5 of `dw|k|j` — engine-portable like the
-      * projection planes (any engine regenerates the identical table; a
-      * DuckDB oracle replays it in three lines), no baked-in constants. */
-    private[llm] lazy val spectralWeightsT: Array[Array[Long]] =
-      Array.tabulate(spectralDim, spectralDim) { (j, k) =>
-        TextHashing.md5Long60Kernel(s"dw|$k|$j") % 17L - 8L
+    /** Deterministic KEYED weight table for the spectral fold, indexed
+      * `(byte-class j)(byte value b)(coefficient k)` for the inner loop:
+      * small signed integers in [−8, 8] from md5 of `dw|k|j|b` —
+      * engine-portable like the projection planes (any engine regenerates
+      * the identical 64×256×64 table; the DuckDB oracle replays it in
+      * four lines), no baked-in constants. The weight must key on the
+      * byte VALUE, not multiply it: a transform LINEAR in the raw byte
+      * (`Σ bᵢ·W(k, i mod 64)`) concentrates the cross-document mean —
+      * every doc shares the corpus byte distribution, so |E v_k| ≈ 3·σ
+      * and most sketch bits freeze (measured: 20k md5-payload docs →
+      * 11,449 distinct sketches, per-bit frequencies hitting 0.0/1.0 —
+      * the r12 entropy cap reborn). Keying on (class, value) makes the
+      * per-slot expectation ~0, so the DOC-specific selection is the
+      * signal (same 20k docs → 20,000 distinct sketches, bit
+      * frequencies 0.19–0.73). */
+    private[llm] lazy val spectralWeights: Array[Array[Array[Long]]] =
+      Array.tabulate(spectralDim, 256) { (j, b) =>
+        Array.tabulate(spectralDim)(k =>
+          TextHashing.md5Long60Kernel(s"dw|$k|$j|$b") % 17L - 8L)
       }
 
     /**
      * SPECTRAL decode — the full-entropy stand-in for "decode pixels, take
      * the 64 low-frequency DCT coefficients" (the real pHash front end):
-     * `coef_k = Σ_i byte_i · W(k, i mod 64)` — a dense period-64 integer
-     * transform (exactly a DCT-II of the period-64-folded signal under a
-     * different orthogonal-ish basis), so EVERY byte feeds EVERY
-     * coefficient and the downstream 60-bit sketch draws entropy from the
-     * whole 64-dim spectrum. The 8-dim histogram ([[decodeOne]]) caps
-     * sketch entropy at ~10⁶ distinct values over 10M rows, which makes
-     * corpus-wide radius-3 pair enumeration inherently quadratic (measured,
-     * BASELINE.md r12) — THIS mode is what makes the 10M pair join real.
-     * Exact long arithmetic end-to-end: |coef| ≤ 8·255·len, so the kernel's
-     * `64·coef − Σcoef` centering and ±1 projections stay inside a long for
-     * any payload under ~4·10¹⁴ bytes. Positions ≡ (mod 64) share a weight
-     * column, so a same-class byte permutation is a perceptual no-op — the
-     * planted-dup construction the oracles replay.
+     * `coef_k = Σ_i W(k, i mod 64, byte_i)` — a dense keyed integer
+     * transform where EVERY byte feeds EVERY coefficient through a
+     * content-selected weight, so the downstream 60-bit sketch draws
+     * entropy from the whole 64-dim spectrum (the 8-dim histogram
+     * [[decodeOne]] caps sketch entropy at ~10⁶ distinct values over 10M
+     * rows, making corpus-wide radius-3 pair enumeration inherently
+     * quadratic — measured, BASELINE.md r12; THIS mode is what makes the
+     * 10M pair join real). Exact long arithmetic end-to-end:
+     * |coef| ≤ 8·len, so the kernel's `64·coef − Σcoef` centering and ±1
+     * projections stay inside a long for any realistic payload. Positions
+     * ≡ (mod 64) share a weight column, so a same-class byte PERMUTATION
+     * is a perceptual no-op — the planted-dup construction the oracles
+     * replay.
      */
     def decodeSpectral(payload: Array[Byte]): Array[Long] = {
       val acc = new Array[Long](spectralDim)
       var i = 0
       while (i < payload.length) {
-        val b = (payload(i) & 0xff).toLong
-        val row = spectralWeightsT(i & 63)
+        val row = spectralWeights(i & 63)(payload(i) & 0xff)
         var k = 0
-        while (k < spectralDim) { acc(k) += b * row(k); k += 1 }
+        while (k < spectralDim) { acc(k) += row(k); k += 1 }
         i += 1
       }
       acc

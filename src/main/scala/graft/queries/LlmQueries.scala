@@ -694,18 +694,20 @@ object LlmQueries {
     })
 
   /** The deterministic perceptual tables shared by every pHash replay:
-    * the 64×64 spectral weight fold `W(k,j) = md5('dw|k|j') % 17 − 8`
-    * ([[Multimodal.DecodeStub.decodeSpectral]]) and the ±1 projection
-    * planes (md5 parity of `ph|k|i`, 64 dims). */
+    * the KEYED 64×64×256 spectral weight fold
+    * `W(k,j,b) = md5('dw|k|j|b') % 17 − 8`
+    * ([[Multimodal.DecodeStub.decodeSpectral]] — keyed on the byte VALUE
+    * so the cross-document byte-distribution mean carries no weight) and
+    * the ±1 projection planes (md5 parity of `ph|k|i`, 64 dims). */
   private val phashPlanesSql: String =
     """pm AS (SELECT k, i,
       |         CASE WHEN ('0x' || substr(md5('ph|' || k || '|' || i), 1, 15))::BIGINT
       |                   % 2 = 0 THEN 1 ELSE -1 END AS s
       |       FROM range(0, 60) t1(k), range(0, 64) t2(i)),
-      |dwt AS (SELECT k, j,
-      |          ('0x' || substr(md5('dw|' || k || '|' || j), 1, 15))::BIGINT
+      |dwt AS (SELECT k, j, b,
+      |          ('0x' || substr(md5('dw|' || k || '|' || j || '|' || b), 1, 15))::BIGINT
       |            % 17 - 8 AS wt
-      |        FROM range(0, 64) t1(k), range(0, 64) t2(j))""".stripMargin
+      |        FROM range(0, 64) t1(k), range(0, 64) t2(j), range(0, 256) t3(b))""".stripMargin
 
   /** The pHash signature replay over a `(media_id, text)` CTE named
     * `src`: spectral 64-coefficient fold (byte class = position mod 64,
@@ -719,8 +721,9 @@ object LlmQueries {
        |          ascii(substr(text, u.i::INT, 1)) AS b
        |        FROM $src, unnest(range(1, length(text) + 1)) u(i)),
        |${out}f AS (SELECT c.media_id, dwt.k AS i,
-       |          sum(c.b * dwt.wt)::BIGINT AS f
-       |        FROM ${out}c c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2),
+       |          sum(dwt.wt)::BIGINT AS f
+       |        FROM ${out}c c JOIN dwt ON dwt.j = c.j AND dwt.b = c.b
+       |        GROUP BY 1, 2),
        |${out}s AS (SELECT media_id, sum(f)::BIGINT AS sv
        |        FROM ${out}f GROUP BY 1),
        |${out}u AS (SELECT f.media_id, f.i, 64 * f.f - s.sv AS u
@@ -831,8 +834,9 @@ object LlmQueries {
             |          ascii(substr(sl, u.i::INT, 1)) AS b
             |        FROM fr, unnest(range(1, length(sl) + 1)) u(i)),
             |frf AS (SELECT c.media_id, c.f, dwt.k AS i,
-            |          sum(c.b * dwt.wt)::BIGINT AS fv
-            |        FROM frc c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2, 3),
+            |          sum(dwt.wt)::BIGINT AS fv
+            |        FROM frc c JOIN dwt ON dwt.j = c.j AND dwt.b = c.b
+            |        GROUP BY 1, 2, 3),
             |frs AS (SELECT media_id, f, sum(fv)::BIGINT AS sv
             |        FROM frf GROUP BY 1, 2),
             |fru AS (SELECT ff.media_id, ff.f, ff.i, 64 * ff.fv - fs.sv AS u
@@ -900,8 +904,9 @@ object LlmQueries {
             |          ascii(substr(sl, u.i::INT, 1)) AS b
             |        FROM fr, unnest(range(1, length(sl) + 1)) u(i)),
             |frf AS (SELECT c.media_id, c.f, dwt.k AS i,
-            |          sum(c.b * dwt.wt)::BIGINT AS fv
-            |        FROM frc c JOIN dwt ON dwt.j = c.j GROUP BY 1, 2, 3),
+            |          sum(dwt.wt)::BIGINT AS fv
+            |        FROM frc c JOIN dwt ON dwt.j = c.j AND dwt.b = c.b
+            |        GROUP BY 1, 2, 3),
             |frs AS (SELECT media_id, f, sum(fv)::BIGINT AS sv
             |        FROM frf GROUP BY 1, 2),
             |fru AS (SELECT ff.media_id, ff.f, ff.i, 64 * ff.fv - fs.sv AS u

@@ -913,7 +913,7 @@ object Materialized {
     * into this table and never re-reads media bytes (the
     * [[minhashSignatures]] pattern at the media pillar). */
   def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "phash_sigs", "b60_spec64", sfDir, "documents") {
+    parquetBacked(spark, "phash_sigs", "b60_spec64k", sfDir, "documents") {
       graft.llm.Multimodal.phashSketches(
         graft.llm.Multimodal.asMedia(Tables.documents(spark, sfDir),
           "doc_id", "text"))

@@ -1138,6 +1138,18 @@ object ScaleCurveMain {
     val media = Multimodal.asMedia(base, "doc_id", "text")
     val sigs = Multimodal.phashSketches(media).persist()
     val (nS, tS) = timed(sigs.count())
+    println(s"[phash10M] scan done ${tS}s")
+    // full-entropy sketches mean the 200M-row key expansions no longer
+    // collapse in partial aggregation — each step shuffles ~200M near-
+    // unique keys, and the files outlive the step until its shuffle
+    // dependency is GC'd. Reclaim between steps so the probe's cumulative
+    // footprint is one step's shuffle, not five (a prior run filled the
+    // disk with ~80 GB of stacked shuffle files).
+    def reclaim(): Unit = {
+      System.gc(); Thread.sleep(3000)
+      println(f"[phash10M] tmp free: " +
+        f"${new java.io.File("/tmp").getUsableSpace / 1e9}%.1f GB")
+    }
     // candidate MASS analytically from the key histograms — Σ C(m, 2)
     // over each scheme's key multiplicities. An aggregation, never a
     // join: the number itself decides whether a join is even runnable.
@@ -1154,9 +1166,11 @@ object ScaleCurveMain {
               lit(32768L)).as("v")))).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.v").as("v"))
     val ((cN, mxN), tN) = timed(mass(narrowRows))
+    reclaim()
     val comboRows = Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6,
       maxHamming = 3)
     val ((cC, mxC), tC) = timed(mass(comboRows))
+    reclaim()
     // the production forms at this scale: GROUPED exact-sketch dedup
     // (linear) and INCREMENTAL batch judgment against the stored sigs
     val (grp, tG) = timed {
@@ -1165,6 +1179,7 @@ object ScaleCurveMain {
           case r => (r.getLong(0), r.getLong(1))
         }
     }
+    reclaim()
     val (inc, tI) = timed {
       val out = Multimodal.phashIncremental(
         Multimodal.asMedia(plants, "doc_id", "text"), sigs).persist()
@@ -1175,6 +1190,8 @@ object ScaleCurveMain {
       out.unpersist()
       (total, flagged, donor)
     }
+    println(s"[phash10M] incremental done ${tI}s")
+    reclaim()
     // the corpus-wide radius-3 PAIR JOIN end-to-end — measurable now that
     // the spectral sketch has real entropy (the r12 done-bar): corpus ∪
     // planted sketch-exact dups through the wide combo keys
