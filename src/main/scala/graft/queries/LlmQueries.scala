@@ -56,7 +56,7 @@ object LlmQueries {
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
     mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
-    mmFrameNearDup, textLmKn5qm, simKnnHamming3)
+    mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -1120,6 +1120,85 @@ object LlmQueries {
     * the probed set's overlap with ground truth. Both sides share the
     * (cosine desc, id) tie-break, so the sets are deterministic in both
     * engines. */
+  /** Recall@k of the ASYMMETRIC binary-sketch search vs the brute-force
+    * ground truth as a first-class oracled artifact — the `sim_ivf_recall`
+    * discipline applied to the ADC rung ([[Similarity.knnJoinHammingAdc]]
+    * at oversample 4): both sides share the (cosine desc, id) tie rule
+    * and the stage-1 cut is an exact integer score, so the sets are
+    * deterministic in both engines. The honest corpus-scale numbers live
+    * in BASELINE.md (RecallProbeMain at 105 truth pairs); this makes the
+    * dial replayable per run. */
+  val simHammingRecall: QueryDef = QueryDef("sim_hamming_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5)
+      val adc = Similarity.knnJoinHammingAdc(emb, queries, "vec_id",
+        "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+      val hits = brute.select(col("query_id"), col("neighbor_id"))
+        .join(adc.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(5L).as("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+           |        for i in range(1, len(v) + 1)] AS u FROM nz),
+           |pb AS (SELECT k, i,
+           |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+           |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+           |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+           |proj AS (SELECT u.vec_id, pb.k,
+           |           sum(u.u[pb.i + 1] * pb.s)::BIGINT AS pv
+           |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+           |bits AS (SELECT vec_id, k, (pv > 0) AS b FROM proj),
+           |qp AS (SELECT vec_id AS query_id, k, pv FROM proj
+           |       WHERE vec_id < 20),
+           |sc AS (SELECT cb.vec_id AS neighbor_id, qp.query_id,
+           |         sum(CASE WHEN cb.b THEN qp.pv ELSE -qp.pv END)::BIGINT
+           |           AS ascore
+           |       FROM bits cb JOIN qp USING (k)
+           |       WHERE cb.vec_id <> qp.query_id GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY ascore DESC, neighbor_id) AS hrank FROM sc),
+           |rer AS (SELECT c.query_id, c.neighbor_id,
+           |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+           |                / (cv.nrm * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
+           |ra AS (SELECT query_id, neighbor_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+           |      WHERE rank <= 5),
+           |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+           |       WHERE vec_id < 20),
+           |sb AS (SELECT q.query_id, n2.vec_id AS neighbor_id,
+           |        round(list_sum([n2.v[i] * q.qv[i] for i in range(1, 65)])
+           |              / (n2.nrm * q.qn), 6) AS cosine
+           |      FROM nz n2, qs q WHERE n2.vec_id <> q.query_id),
+           |rb AS (SELECT query_id, neighbor_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sb)
+           |      WHERE rank <= 5),
+           |h AS (SELECT rb.query_id, count(*)::BIGINT AS hits
+           |      FROM rb JOIN ra USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT q.query_id, 5::BIGINT AS k,
+           |  coalesce(h.hits, 0)::BIGINT AS hits,
+           |  round(coalesce(h.hits, 0) / 5.0, 6) AS recall
+           |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) q
+           |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin))
+
   val simIvfRecall: QueryDef = QueryDef("sim_ivf_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
