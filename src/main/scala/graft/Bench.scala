@@ -54,9 +54,10 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val runsFor = if (NoisyQueries(name)) NoisyRuns else Runs
       var run = 0
       var failed = false
-      while (run < Runs && !failed) {
+      while (run < runsFor && !failed) {
         val t0 = System.nanoTime()
         try {
           fullyEvaluate(fn(spark, sfDir))
@@ -135,7 +136,7 @@ object Bench {
     // — a cut from either end still records the number that matters
     println(s"""{"metric":"total_headline","value":$total,"unit":"sec"}""")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"timing_action":"xxhash64_agg","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir","total_secs":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"runs_noisy":$NoisyRuns,"timing_action":"xxhash64_agg","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir","total_secs":$total}"""
     println(fullLine)
     // truncation-proof artifact: the driver's stdout capture has clipped
     // this (long) line from both ends across rounds — BENCH_r06 lost its
@@ -150,6 +151,16 @@ object Bench {
 
   /** Median-of-N repetitions per timed item (queries and the CDC stream). */
   val Runs = 3
+
+  /** The live modified-KN re-derivations run a dozen-join plan whose
+    * median-of-3 swings ±40% run-to-run and came to dominate cross-round
+    * total noise (r13 verdict #4). These queries are deliberately kept
+    * LIVE (the re-derivation IS the measurement — the production paths
+    * are the stored quant twins), so the stabilizer is more repetitions,
+    * not a plan change: median-of-[[NoisyRuns]]. */
+  val NoisyRuns = 5
+  val NoisyQueries: Set[String] =
+    Set("text_lm_kn5m", "text_lm_kn5pm", "text_lm_kn5p", "text_lm_kn52")
 
   /** Full-evaluation timing sink: reduce xxhash64 over EVERY output column
     * to one row. Unlike `count()`, Catalyst cannot prune the projection, so

@@ -295,11 +295,10 @@ object Dedup {
     import spark.implicits._
     val k = bands * rowsPerBand
     // the batch≪corpus broadcast contract, made explicit: a column-pruned
-    // count (no text read) decides whether the batch band keys broadcast
-    // or the candidate join falls back to a shuffle join — identical
-    // output, bounded executor memory either way
-    val batchSmall =
-      batch.select(col(idCol)).count() <= broadcastBatchLimit
+    // bounded probe (no text read, ≤ limit+1 rows touched) decides whether
+    // the batch band keys broadcast or the candidate join falls back to a
+    // shuffle join — identical output, bounded executor memory either way
+    val batchSmall = fitsBroadcast(batch.select(col(idCol)), broadcastBatchLimit)
     // pure (no persist — nothing lingers in the session cache): the batch
     // is signed once for band keys and re-shingled once for verification;
     // the final id list comes from the raw batch with no kernel at all
@@ -381,9 +380,9 @@ object Dedup {
                                 dims: Int, threshold: Double = 0.9,
                                 planesPerBand: Int = 16, bands: Int = 128,
                                 broadcastBatchLimit: Long = MaxBroadcastBatchRows): DataFrame = {
-    // batch≪corpus contract made explicit — see [[MaxBroadcastBatchRows]]
-    val batchSmall =
-      batch.select(col(idCol)).count() <= broadcastBatchLimit
+    // batch≪corpus contract made explicit — see [[MaxBroadcastBatchRows]];
+    // the probe is bounded ([[fitsBroadcast]]), not a full batch count
+    val batchSmall = fitsBroadcast(batch.select(col(idCol)), broadcastBatchLimit)
     val b = batch.select(col(idCol).cast("long").as("id"),
       Similarity.asDouble(col(vecCol)).as("v"))
     val bSigs =
@@ -1516,6 +1515,15 @@ object Dedup {
     * either way (spec-pinned); the dial is exposed per call for clusters
     * with more or less broadcast headroom. */
   val MaxBroadcastBatchRows: Long = 65536L
+
+  /** Bounded probe for the batch≪corpus broadcast gate: touches at most
+    * `limit + 1` rows of the (column-pruned) key projection — never a full
+    * count of the batch subtree, which at scale is its own Spark job (the
+    * house bound pattern of [[Similarity.hardNegatives]]). */
+  private[llm] def fitsBroadcast(keys: DataFrame, limit: Long): Boolean = {
+    val probe = math.min(limit + 1L, Int.MaxValue.toLong).toInt
+    keys.limit(probe).count() <= limit
+  }
 
   private def lshCandidatePairs(e: DataFrame, dims: Int, planesPerBand: Int,
                                 bands: Int, maxBucket: Int): DataFrame = {

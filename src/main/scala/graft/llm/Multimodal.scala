@@ -281,9 +281,10 @@ object Multimodal {
     def bandsOf(sigs: DataFrame): DataFrame =
       Dedup.comboKeyRows(sigs, bits = 60, nBlocks = 6, maxHamming = maxHamming)
     // batch≪corpus broadcast contract made explicit (payload column is
-    // pruned from the count scan) — see [[Dedup.MaxBroadcastBatchRows]]
+    // pruned from the probe, which touches ≤ limit+1 rows — never a full
+    // batch count) — see [[Dedup.MaxBroadcastBatchRows]]
     val batchSmall =
-      batch.select(col("media_id")).count() <= broadcastBatchLimit
+      Dedup.fitsBroadcast(batch.select(col("media_id")), broadcastBatchLimit)
     val bSigs = phashSketches(batch)
     val bKeys = bandsOf(bSigs).as("x")
     val cand = bandsOf(corpusSigs).as("c")
@@ -389,7 +390,13 @@ object Multimodal {
    * the component closure converges in 2–4 rounds.
    */
   def frameNearDupGroups(media: DataFrame, stride: Int, maxHamming: Int = 3,
-                         materialize: Boolean = false): DataFrame = {
+                         materialize: Boolean = true): DataFrame = {
+    // materialize defaults TRUE here, unlike the pair generators: the
+    // persisted frame-sketch table is internal (callers never see it), so
+    // the lazy path has no release hook — materialize=false intentionally
+    // leaves the sketch cached in the session cache for an immediately
+    // following re-query and is for callers who manage
+    // spark.catalog.clearCache() themselves.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"6-block combo keys are exhaustive only for hamming <= 3, got $maxHamming")
     val packed = col("media_id") * (1L << FramePackBits) + col("frame_idx")

@@ -1131,18 +1131,7 @@ object Similarity {
       s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries
-      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .as[(Long, Array[Double])].collect()
-      .map { case (qid, v) =>
-        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
-        val qn = math.sqrt(dotKernel(v, v))
-        require(qn > 0.0 && !qn.isInfinite,
-          s"kNN query $qid has zero/non-finite norm — cosine undefined")
-        (qid, v.toSeq, qn)
-      }
-    require(qRows.length <= maxQueries,
-      s"query side has ${qRows.length} vectors; broadcast Hamming kNN is bounded at $maxQueries")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
     val q =
       if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
         .withColumn("qsig", binarySig(col("qv"), dims))
@@ -1182,15 +1171,7 @@ object Similarity {
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    val rer = base.join(broadcast(cand), "neighbor_id")
-      .withColumn("cosine",
-        round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    rer.withColumn("rank", row_number().over(wr).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("hamming"), col("cosine"))
+    rerankHammingCandidates(base, cand, k, "hamming")
   }
 
   /**
@@ -1223,18 +1204,7 @@ object Similarity {
       s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries
-      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .as[(Long, Array[Double])].collect()
-      .map { case (qid, v) =>
-        require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
-        val qn = math.sqrt(dotKernel(v, v))
-        require(qn > 0.0 && !qn.isInfinite,
-          s"kNN query $qid has zero/non-finite norm — cosine undefined")
-        (qid, v.toSeq, qn)
-      }
-    require(qRows.length <= maxQueries,
-      s"query side has ${qRows.length} vectors; broadcast Hamming kNN is bounded at $maxQueries")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
     val q = qRows.toSeq.toDF("query_id", "qv", "qn")
     // per-query projection table, computed once on the driver and shipped
     // in the task closure (≤ maxQueries × 1 KB)
@@ -1271,6 +1241,78 @@ object Similarity {
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("ascore"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    rerankHammingCandidates(base, cand, k, "ascore")
+  }
+
+  /**
+   * One-scan build of the stored binary-sketch SIGNATURE table backing
+   * the Hamming ANN ring's I/O story: per corpus vector, BOTH binary
+   * codes — the 64-bit axis-sign word (bit-identical to [[binarySig]];
+   * kernel twin of the `>= 0.0` sign rule, `-0.0` included) and the two
+   * words of the 128-plane densified sign sketch ([[superBitKernel]]) —
+   * in one typed JIT pass. Null/empty/zero-norm vectors carry no angle
+   * and are excluded exactly as the live [[knnJoinHamming]] stage 1
+   * excludes them, so candidacy through the stored table equals
+   * candidacy through a re-sketch, bit for bit. Schema
+   * `(id, sig, slo, shi)`: 8 bytes of id + 24 bytes of code per row;
+   * the `*FromSigs` readers column-prune to the code they need, so a
+   * stage-1 scan reads 8 (axis signs) or 16 (densified sketch) bytes of
+   * code per row instead of the 512-byte raw vector.
+   */
+  def hammingSigRows(emb: DataFrame, idCol: String, vecCol: String,
+                     dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"the packed sign codes cover <= 64 dims, got $dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        val nrm = math.sqrt(dotKernel(arr, arr))
+        if (!(nrm > 0.0)) Iterator.empty // zero/NaN norm: no angle, no code
+        else {
+          var sig = 0L
+          var d = 0
+          val lim = math.min(dims, arr.length)
+          while (d < lim) { if (arr(d) >= 0.0) sig |= 1L << d; d += 1 }
+          val (lo, hi) = superBitKernel(v)
+          Iterator.single((id, sig, lo, hi))
+        }
+      }.toDF("id", "sig", "slo", "shi")
+  }
+
+  /** Shared bounded query-side pull of the Hamming ANN family: at most
+    * `maxQueries + 1` rows reach the driver before the fail-loud bound
+    * fires ([[hardNegatives]]' bound discipline); every query is
+    * validated non-null / non-empty / positive-finite-norm loud. */
+  private def collectHammingQueries(queries: DataFrame, vecCol: String,
+      qIdCol: String, maxQueries: Int): Array[(Long, Seq[Double], Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRaw = queries
+      .select(col(qIdCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .limit(maxQueries + 1)
+      .as[(Long, Array[Double])].collect()
+    require(qRaw.length <= maxQueries,
+      s"query side has more than $maxQueries vectors; broadcast Hamming kNN is bounded there")
+    qRaw.map { case (qid, v) =>
+      require(v != null && v.nonEmpty, s"kNN query $qid has a null/empty vector")
+      val qn = math.sqrt(dotKernel(v, v))
+      require(qn > 0.0 && !qn.isInfinite,
+        s"kNN query $qid has zero/non-finite norm — cosine undefined")
+      (qid, v.toSeq, qn)
+    }
+  }
+
+  /** Shared exact-cosine rerank of the Hamming ANN family: broadcast the
+    * k·oversample candidates back into the (never-shuffled) corpus scan,
+    * rank by the house cosine — (cosine desc, id asc), HALF_UP 6 dp —
+    * and cut to k. `carry` is the stage-1 score column that rides along
+    * into the output (`hamming` or `ascore`). */
+  private def rerankHammingCandidates(base: DataFrame, cand: DataFrame,
+                                      k: Int, carry: String): DataFrame = {
     val rer = base.join(broadcast(cand), "neighbor_id")
       .withColumn("cosine",
         round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6))
@@ -1279,7 +1321,124 @@ object Similarity {
     rer.withColumn("rank", row_number().over(wr).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("ascore"), col("cosine"))
+        col(carry), col("cosine"))
+  }
+
+  /**
+   * [[knnJoinHamming]] reading a STORED signature table
+   * ([[hammingSigRows]]' schema) instead of re-sketching raw vectors —
+   * the shipped form of the ring's I/O claim: stage 1 scans ONLY the
+   * sig table's `(id, sig)` (1-bit) or `(id, slo, shi)` (2-bit) columns
+   * (ReadSchema-pruned, PlanSpec-pinned — the raw vector column never
+   * reaches stage 1), computes the same `bit_count(xor)` Hamming cut
+   * against the broadcast query signatures, and stage 2 joins the
+   * k·oversample candidate ids back into the raw corpus for the exact
+   * cosine rerank. The stored codes ARE the re-sketch (exact integer
+   * sign decisions), so the result is bit-replayable with
+   * [[knnJoinHamming]] and the oracle is unchanged. At 100 TB stage 1
+   * reads 16–24 bytes/row instead of 520 — a ~25× probe-byte cut the
+   * sig store pays for once at build time.
+   */
+  def knnJoinHammingFromSigs(corpus: DataFrame, sigs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, qIdCol: String,
+      k: Int, dims: Int, oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096, bitsPerDim: Int = 1): DataFrame = {
+    require(bitsPerDim == 1 || bitsPerDim == 2,
+      s"bitsPerDim must be 1 (axis signs) or 2 (densified sign sketch), got $bitsPerDim")
+    if (bitsPerDim == 2) require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val q =
+      if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
+        .withColumn("qsig", binarySig(col("qv"), dims))
+      else qRows.toSeq.map { case (qid, v, qn) =>
+        val (lo, hi) = superBitKernel(v)
+        (qid, v, qn, lo, hi)
+      }.toDF("query_id", "qv", "qn", "qlo", "qhi")
+    val base = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0.0)
+    val qSigCols =
+      if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
+      else Seq(col("query_id"), col("qlo"), col("qhi"))
+    // stage 1: the stored codes, nothing else — the whole point
+    val sigged =
+      if (bitsPerDim == 1) sigs.select(col("id").as("neighbor_id"), col("sig"))
+      else sigs.select(col("id").as("neighbor_id"), col("slo"), col("shi"))
+    val scored0 = sigged.crossJoin(broadcast(q.select(qSigCols: _*)))
+    val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
+                  else scored0)
+      .withColumn("hamming",
+        if (bitsPerDim == 1)
+          call_function("bit_count", col("sig").bitwiseXOR(col("qsig"))).cast("long")
+        else
+          (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
+            call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    rerankHammingCandidates(base, cand, k, "hamming")
+  }
+
+  /**
+   * [[knnJoinHammingAdc]] reading the STORED densified sketch
+   * ([[hammingSigRows]]' `(id, slo, shi)`) instead of re-sketching raw
+   * vectors: stage 1 is a typed scan of the 16-byte code columns scoring
+   * each corpus row's sign bits against the broadcast per-query
+   * projection magnitudes (the same exact-long ADC score), stage 2 the
+   * shared exact-cosine rerank. Bit-replayable with
+   * [[knnJoinHammingAdc]]; oracle unchanged.
+   */
+  def knnJoinHammingAdcFromSigs(corpus: DataFrame, sigs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, qIdCol: String,
+      k: Int, dims: Int, oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    val qProj: Array[(Long, Array[Long])] =
+      qRows.map { case (qid, v, _) => (qid, superBitProj(v)) }
+    val base = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0.0)
+    val exSelf = excludeSelf
+    val scored = sigs.select(col("id"), col("slo"), col("shi"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (nid, lo, hi) =>
+        qProj.iterator
+          .filter { case (qid, _) => !exSelf || qid != nid }
+          .map { case (qid, qp) =>
+            var s = 0L
+            var kk = 0
+            while (kk < 128) {
+              val bit =
+                if (kk < 64) ((lo >>> kk) & 1L) == 1L
+                else ((hi >>> (kk - 64)) & 1L) == 1L
+              s += (if (bit) qp(kk) else -qp(kk))
+              kk += 1
+            }
+            (nid, qid, s)
+          }
+      }.toDF("neighbor_id", "query_id", "ascore")
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("ascore"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    rerankHammingCandidates(base, cand, k, "ascore")
   }
 
   /**
@@ -1769,7 +1928,15 @@ object Similarity {
       }
   }
 
-  private[llm] def sdcTermTables(codebooks: DataFrame, centroids: DataFrame): SdcTables = {
+  /** `rotation`: when the codebooks/codes quantize OPQ-ROTATED residuals
+    * (`R·(v − c)`, [[opqRotateKernel]]), pass the sign diagonal so the
+    * centroid-cross term pairs the codes with the ROTATED centroid:
+    * `c·Rᵀr̂ = (R·c)·r̂` — the same identity [[pqSearchAdc]]'s rotated
+    * LUT uses. `‖c‖²` stays in the original space (R is orthonormal; the
+    * oracle replays it on the unrotated centroid), and the code-code
+    * table needs no change (both sides already live in rotated space). */
+  private[llm] def sdcTermTables(codebooks: DataFrame, centroids: DataFrame,
+                                 rotation: Option[Array[Double]] = None): SdcTables = {
     def s6(x: Double): Long = math.round(roundHalfUp(x, 6) * 1e6)
     val rows = codebooks
       .select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
@@ -1799,10 +1966,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
     val cn = cents.map { case (cid, c) => cid -> s6(dotKernel(c, c)) }
     val cd = cents.map { case (cid, c) =>
+      val cRot = rotation.map(opqRotateKernel(c, _)).getOrElse(c)
       cid -> Array.tabulate(m) { s =>
         bySub(s).map { case (_, cv) =>
           var acc = 0.0; var i = 0
-          while (i < cv.length) { acc += c(s * sub + i) * cv(i); i += 1 }
+          while (i < cv.length) { acc += cRot(s * sub + i) * cv(i); i += 1 }
           s6(acc)
         }
       }
@@ -1810,11 +1978,15 @@ object Similarity {
     SdcTables(m, codeIdx, nn, sd, ksub, cn, cd)
   }
 
+  /** `rotation`: see [[sdcTermTables]] — pass the OPQ sign diagonal when
+    * `codes`/`codebooks` are the rotated-residual artifacts; everything
+    * downstream of the term tables is unchanged (the distributed kernel
+    * never sees vectors, only codes and 6-dp long terms). */
   def knnGraphSdc(codes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
-                  k: Int): DataFrame = {
+                  k: Int, rotation: Option[Array[Double]] = None): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(sdcTermTables(codebooks, centroids))
+    val bc = spark.sparkContext.broadcast(sdcTermTables(codebooks, centroids, rotation))
     val edges = codes
       .select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
       .as[(Long, Long, Seq[Long])]

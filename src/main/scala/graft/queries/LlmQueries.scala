@@ -56,7 +56,8 @@ object LlmQueries {
     textLmKn5p, textLmKn5q, textPplBuckets5p, textUnigramTrainEm2,
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
     mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
-    mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall)
+    mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
+    simKnnHamming4, simKnnHamming5, simGraphSdc2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -103,15 +104,12 @@ object LlmQueries {
     * sign code, see LlmSpec). Projections are exact µ-unit integers, so
     * every bit replays in any engine. Same two-stage construction as
     * `sim_knn_hamming`, 16 bytes/row. */
-  val simKnnHamming2: QueryDef = QueryDef("sim_knn_hamming2",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.knnJoinHamming(emb, emb.where(col("vec_id") % 97 === 3),
-          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
-          bitsPerDim = 2)
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The densified-sketch SDC oracle, shared verbatim by the live
+    * re-sketch query (`sim_knn_hamming2`) and its stored-signature twin
+    * (`sim_knn_hamming4`) — the two Spark paths are bit-replayable by
+    * construction, so one SQL covers both. */
+  private val hammingSdc2Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
            |nz AS (SELECT * FROM n WHERE nrm > 0),
@@ -144,7 +142,37 @@ object LlmQueries {
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
            |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val simKnnHamming2: QueryDef = QueryDef("sim_knn_hamming2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHamming(emb, emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
+          bitsPerDim = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(hammingSdc2Sql))
+
+  /** STORED-SIGNATURE twin of `sim_knn_hamming2`
+    * ([[Similarity.knnJoinHammingFromSigs]] over
+    * [[Materialized.hammingSigs]]): stage 1 scans the 16-byte densified
+    * sketch columns of the signature store — the raw vector column never
+    * reaches the Hamming cut (ReadSchema-pruned, PlanSpec-pinned) — and
+    * only the k·oversample candidates pay a vector read in the rerank.
+    * Bit-replayable with the live re-sketch, so the oracle is shared
+    * verbatim. This is the ANN ring's shipped I/O story: 8–16 B of
+    * stage-1 probe bytes per corpus row instead of 512. */
+  val simKnnHamming4: QueryDef = QueryDef("sim_knn_hamming4",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHammingFromSigs(emb, Materialized.hammingSigs(s, d),
+          emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
+          bitsPerDim = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some(hammingSdc2Sql))
 
   /** ASYMMETRIC-distance binary ANN ([[Similarity.knnJoinHammingAdc]] —
     * the ADC rung above the 2-bit sketch's SDC): corpus stays the
@@ -153,14 +181,11 @@ object LlmQueries {
     * `Σ q_k·sign_k(corpus)` (higher = more aligned; ties → smaller id)
     * and only the k·oversample survivors pay the exact cosine. The
     * integer score replays bit-for-bit in the oracle. */
-  val simKnnHamming3: QueryDef = QueryDef("sim_knn_hamming3",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.knnJoinHammingAdc(emb, emb.where(col("vec_id") % 97 === 3),
-          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The ADC oracle, shared verbatim by the live re-sketch query
+    * (`sim_knn_hamming3`) and its stored-signature twin
+    * (`sim_knn_hamming5`). */
+  private val hammingAdcSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
            |nz AS (SELECT * FROM n WHERE nrm > 0),
@@ -194,7 +219,31 @@ object LlmQueries {
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
            |SELECT query_id, neighbor_id, rank, ascore, cosine FROM r
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val simKnnHamming3: QueryDef = QueryDef("sim_knn_hamming3",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHammingAdc(emb, emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(hammingAdcSql))
+
+  /** STORED-SIGNATURE twin of `sim_knn_hamming3`
+    * ([[Similarity.knnJoinHammingAdcFromSigs]] over
+    * [[Materialized.hammingSigs]]): the ADC scorer reads the stored
+    * 16-byte sketch words instead of re-projecting raw vectors — same
+    * exact-long scores, shared oracle. */
+  val simKnnHamming5: QueryDef = QueryDef("sim_knn_hamming5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHammingAdcFromSigs(emb, Materialized.hammingSigs(s, d),
+          emb.where(col("vec_id") % 97 === 3),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(hammingAdcSql))
 
   /** Hybrid retrieval ([[TextAnalysis.rrfFuse]]): BM25 keyword top-10 and
     * embedding-kNN top-10 for the same three document-anchored queries
@@ -1127,14 +1176,18 @@ object LlmQueries {
     * and the stage-1 cut is an exact integer score, so the sets are
     * deterministic in both engines. The honest corpus-scale numbers live
     * in BASELINE.md (RecallProbeMain at 105 truth pairs); this makes the
-    * dial replayable per run. */
+    * dial replayable per run. The ADC side reads the STORED signature
+    * table ([[Similarity.knnJoinHammingAdcFromSigs]] over
+    * [[Materialized.hammingSigs]] — the production read path; output
+    * bit-identical to the live re-sketch, oracle unchanged). */
   val simHammingRecall: QueryDef = QueryDef("sim_hamming_recall",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 20)
       val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
         "vec_id", k = 5)
-      val adc = Similarity.knnJoinHammingAdc(emb, queries, "vec_id",
+      val adc = Similarity.knnJoinHammingAdcFromSigs(emb,
+        Materialized.hammingSigs(s, d), queries, "vec_id",
         "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
       val hits = brute.select(col("query_id"), col("neighbor_id"))
         .join(adc.select(col("query_id"), col("neighbor_id")),
@@ -4633,6 +4686,87 @@ object LlmQueries {
             |          round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
             |                          for i in range(1, 9)]), 6) AS cdot6
             |         FROM pb2 p, c2 c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |mem AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |          sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS sa,
+            |          sum(CAST(n.nn6 AS DECIMAL(20,6))) AS snn
+            |        FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
+            |        JOIN lutc l ON a3.centroid_id = l.cell
+            |          AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |        JOIN nnt n ON a.subspace = n.subspace AND a.code_id = n.code_id
+            |        GROUP BY 1, 2),
+            |keep AS (SELECT mem.vec_id, mem.cell, mem.sa,
+            |          CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn AS na
+            |         FROM mem JOIN cc ON mem.cell = cc.cell
+            |         WHERE CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn > 0),
+            |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
+            |         a.sa AS qsa, a.na AS qna, b.sa AS nsa, b.na AS nna
+            |       FROM keep a JOIN keep b ON a.cell = b.cell
+            |         AND a.vec_id <> b.vec_id),
+            |sab AS (SELECT sc.query_id, sc.neighbor_id,
+            |          sum(CAST(s.sdot6 AS DECIMAL(20,6))) AS sab
+            |        FROM sc JOIN pa3 qa ON sc.query_id = qa.vec_id
+            |          JOIN pa3 qb ON sc.neighbor_id = qb.vec_id
+            |            AND qb.subspace = qa.subspace
+            |          JOIN sdt s ON s.subspace = qa.subspace
+            |            AND s.ca = qa.code_id AND s.cb = qb.code_id
+            |        GROUP BY 1, 2),
+            |fin AS (SELECT sc.query_id, sc.neighbor_id,
+            |          round(((CAST(cc.cn6 AS DECIMAL(20,6)) + sc.qsa + sc.nsa
+            |                  + sab.sab)::DOUBLE)
+            |            / (sqrt(sc.qna::DOUBLE) * sqrt(sc.nna::DOUBLE)), 6)
+            |            AS sdc_cosine
+            |        FROM sc JOIN sab USING (query_id, neighbor_id)
+            |          JOIN cc ON sc.cell = cc.cell),
+            |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY sdc_cosine DESC, neighbor_id) AS rank FROM fin),
+            |g AS (SELECT query_id, neighbor_id, rank::BIGINT AS rank, sdc_cosine
+            |      FROM rk WHERE rank <= 3)
+            |SELECT g.query_id, g.neighbor_id, g.rank, g.sdc_cosine,
+            |  (g2.query_id IS NOT NULL) AS mutual
+            |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
+            |  AND g.neighbor_id = g2.query_id
+            |ORDER BY g.query_id, g.rank""".stripMargin))
+
+  /** OPQ-ROTATED code-to-code SDC kNN graph
+    * ([[Similarity.knnGraphSdc]] with the rotation over
+    * [[Materialized.opqCodes]]/[[Materialized.opqCodebooks]]): the
+    * sim_graph_sdc construction at the SAME bytes, with the
+    * sign-flip + Walsh–Hadamard pre-rotation decorrelating the subspace
+    * split — the dial against the documented top-1-agreement weakness
+    * of plain residual PQ on structureless corpora. Only the
+    * centroid-cross term changes (`c·Rᵀr̂ = (R·c)·r̂`); the oracle
+    * replays the rotation as the bit-equal 6-stage butterfly and then
+    * the identical four-term decomposition. */
+  val simGraphSdc2: QueryDef = QueryDef("sim_graph_sdc2",
+    (s, d) => {
+      val ivf = Materialized.ivfIndex(s, d)
+      Similarity.knnGraphSdc(Materialized.opqCodes(s, d),
+          Materialized.opqCodebooks(s, d), ivf.centroids, k = 3,
+          rotation = Some(Similarity.opqSigns(64, Materialized.OpqSeed)))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$opqSgCte,
+            |${ivfResidualRawSql("er0")},
+            |${opqChainSql("er0", "er", "vec_id, centroid_id")},
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |c20 AS (SELECT centroid_id, cv AS rv FROM c2),
+            |${opqChainSql("c20", "crot", "centroid_id")},
+            |cr AS (SELECT centroid_id, rv AS cv FROM crot),
+            |nnt AS (SELECT subspace, code_id,
+            |          round(list_sum([x * x for x in cv]), 6) AS nn6 FROM pb2),
+            |sdt AS (SELECT p1.subspace, p1.code_id AS ca, p2.code_id AS cb,
+            |          round(list_sum([p1.cv[i] * p2.cv[i] for i in range(1, 9)]), 6)
+            |            AS sdot6
+            |        FROM pb2 p1 JOIN pb2 p2 ON p1.subspace = p2.subspace),
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |          round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                          for i in range(1, 9)]), 6) AS cdot6
+            |         FROM pb2 p, cr c),
             |cc AS (SELECT centroid_id AS cell,
             |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
             |mem AS (SELECT a.vec_id, a3.centroid_id AS cell,

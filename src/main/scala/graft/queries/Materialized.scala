@@ -919,6 +919,22 @@ object Materialized {
           "doc_id", "text"))
     }
 
+  /** Stored binary-sketch signature table `(id, sig, slo, shi)` over
+    * `embeddings` ([[graft.llm.Similarity.hammingSigRows]]: the 64-bit
+    * axis-sign word AND the 128-bit densified sign sketch, one typed
+    * pass) — the Hamming ANN ring's stage-1 artifact: the corpus is
+    * sketched ONCE; every `knnJoinHammingFromSigs` /
+    * `knnJoinHammingAdcFromSigs` search scans this table's 8–16 bytes of
+    * code per row (column-pruned) instead of re-reading and re-signing
+    * the 512-byte raw vectors. Codes are exact integer sign decisions,
+    * so a search through the store is bit-replayable with the live
+    * re-sketch path. */
+  def hammingSigs(spark: SparkSession, sfDir: String): DataFrame =
+    parquetBacked(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {
+      graft.llm.Similarity.hammingSigRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,

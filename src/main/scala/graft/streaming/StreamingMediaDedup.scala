@@ -22,11 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * exact sketch Hamming (min distance, ties to the smaller id).
  *
  * Design notes, 100 TB shape:
- *  - State is 16 bytes per kept item per key (id + 60-bit sketch — media
- *    BYTES never enter the state store), 20 keys per item: ~320 B/kept
- *    item, the cheapest state in the family (the emb stream carries
- *    dims·8 B per band). Unbounded feeds use [[judgedTtl]] (event-time
- *    eviction, one dedup horizon of state).
+ *  - State is 24 bytes per kept item per key (id + 60-bit sketch +
+ *    last-seen ms — media BYTES never enter the state store) under an
+ *    8-byte PACKED-LONG group key (combo index above the concatenated
+ *    block bits — see [[comboKeys]]), 20 keys per item at r=3:
+ *    ~480 B/kept item, the cheapest state in the family (the emb stream
+ *    carries dims·8 B per band). Unbounded feeds use [[judgedTtl]]
+ *    (event-time eviction, one dedup horizon of state).
  *  - Unsketchable media (null payload / featureless) have no perceptual
  *    identity: sentinel key, match nothing, register nothing, kept — the
  *    batch [[Multimodal.phashIncremental]] verdict.
@@ -49,7 +51,15 @@ final case class StreamingMediaDedup(maxHamming: Int = 3) {
   private val combos: Seq[Seq[Int]] =
     (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq.map(_.toSeq)
 
-  private def comboKeys(sig: Long): Iterator[String] =
+  /** One combo key = the combo index packed ABOVE the concatenated block
+    * bits: `(ci << keyBits) | key`, where `keyBits = (6−r)·10` is the key
+    * width of THIS radius (30..60 bits) — at r=3 the C(6,3)=20 combo
+    * indexes need 5 bits, which fit above a 30-bit key but NOT above a
+    * fixed 60-bit shift. One 8-byte long per group key instead of a
+    * ~20-char string: the state store's per-group key shrinks ~4× and
+    * grouping hashes an integer, not a string. */
+  private val comboKeyBits = (nBlocks - maxHamming) * blockBits
+  private def comboKeys(sig: Long): Iterator[Long] =
     combos.iterator.zipWithIndex.map { case (c, ci) =>
       var key = 0L
       var pos = 0
@@ -57,20 +67,26 @@ final case class StreamingMediaDedup(maxHamming: Int = 3) {
         key |= ((sig >>> (blk * blockBits)) & ((1L << blockBits) - 1)) << (pos * blockBits)
         pos += 1
       }
-      s"$ci:$key"
+      (ci.toLong << comboKeyBits) | key
     }
 
-  /** Decode + sketch + explode one arrival into its key rows (sentinel
-    * key for unsketchable media). `ts` rides on every row for the TTL
-    * path's watermark. */
+  /** Decode + sketch + explode one arrival into its key rows. Unsketchable
+    * media get a per-item SENTINEL key in the negative key space
+    * (`~mediaId` — combo keys are nonnegative by construction, so the
+    * spaces never collide for the nonnegative media ids the pillar uses),
+    * preserving "match nothing, register nothing" without funneling every
+    * unsketchable arrival through one bucket. `ts` rides on every row for
+    * the TTL path's watermark. */
   private def explode(mediaId: Long, payload: Array[Byte],
                       ts: java.sql.Timestamp): Iterator[MediaBandRow] = {
+    require(mediaId >= 0L,
+      s"media ids are nonnegative (the sentinel key space is ~id), got $mediaId")
     val sig =
       if (payload == null) None
       else Multimodal.phashKernel(Multimodal.DecodeStub.decodeSpectral(payload))
     sig match {
       case None =>
-        Iterator.single(MediaBandRow(mediaId, s"empty:$mediaId", 0L,
+        Iterator.single(MediaBandRow(mediaId, ~mediaId, 0L,
           sketchable = false, carry = true, ts))
       case Some(s) =>
         comboKeys(s).zipWithIndex.map { case (k, i) =>
@@ -83,14 +99,14 @@ final case class StreamingMediaDedup(maxHamming: Int = 3) {
     * (smaller-id) same-batch registrants; best exact sketch Hamming ≤
     * maxHamming wins (min distance, ties to the smaller id), otherwise
     * the arrival registers. Pure function of (state, batch). */
-  def judgeBand(key: String, rows: Iterator[MediaBandRow],
+  def judgeBand(key: Long, rows: Iterator[MediaBandRow],
                 state: GroupState[MediaBucket]): Iterator[MediaBandVerdict] =
     judgeBandImpl(0L)(key, rows, state)
 
   /** Core judgment, TTL-aware when `horizonMs > 0` — the family's
     * two-path eviction contract (expired entries dropped on the data
     * path, idle buckets evicted on the timeout path, arrivals re-warm). */
-  private def judgeBandImpl(horizonMs: Long)(key: String,
+  private def judgeBandImpl(horizonMs: Long)(key: Long,
       rows: Iterator[MediaBandRow],
       state: GroupState[MediaBucket]): Iterator[MediaBandVerdict] = {
     if (horizonMs > 0 && state.hasTimedOut) {
@@ -159,7 +175,7 @@ final case class StreamingMediaDedup(maxHamming: Int = 3) {
     * (shared column contract) inside `foreachBatch`. */
   def judged(media: Dataset[MediaDoc]): Dataset[MediaBandVerdict] =
     media.flatMap(m => explode(m.mediaId, m.payload, null))(mediaBandRowEnc)
-      .groupByKey(_.bandKey)(Encoders.STRING)
+      .groupByKey(_.bandKey)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         judgeBand _)(mediaBucketEnc, mediaBandVerdictEnc)
 
@@ -170,7 +186,7 @@ final case class StreamingMediaDedup(maxHamming: Int = 3) {
                 watermarkDelay: String): Dataset[MediaBandVerdict] =
     media.flatMap(m => explode(m.mediaId, m.payload, m.ts))(mediaBandRowEnc)
       .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.bandKey)(Encoders.STRING)
+      .groupByKey(_.bandKey)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         judgeBandImpl(horizon.toMillis) _)(mediaBucketEnc, mediaBandVerdictEnc)
@@ -183,7 +199,7 @@ object StreamingMediaDedup {
     * horizon are measured against. */
   final case class TimedMediaDoc(mediaId: Long, payload: Array[Byte],
                                  ts: java.sql.Timestamp)
-  final case class MediaBandRow(mediaId: Long, bandKey: String, sig: Long,
+  final case class MediaBandRow(mediaId: Long, bandKey: Long, sig: Long,
                                 sketchable: Boolean, carry: Boolean,
                                 ts: java.sql.Timestamp = null)
   final case class MediaEntry(id: Long, sig: Long, lastSeenMs: Long = 0L)

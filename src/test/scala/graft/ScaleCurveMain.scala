@@ -28,7 +28,7 @@ object ScaleCurveMain {
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
-      "gear-only", "phash-only", "simhash-only")
+      "gear-only", "phash-only", "simhash-only", "adc-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -82,6 +82,7 @@ object ScaleCurveMain {
     else if (args.contains("gear-only")) gear10M(spark)
     else if (args.contains("phash-only")) phash10M(spark)
     else if (args.contains("simhash-only")) simhash10M(spark)
+    else if (args.contains("adc-only")) adcStored55k(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -481,6 +482,65 @@ object ScaleCurveMain {
     run("clustered", clustered, checkPlanted = false)
   }
 
+  /**
+   * The STORED binary-sketch ANN datapoint at the 55k uniform corpus
+   * (the regimes corpus — structureless, the sign sketch's worst case):
+   * build the `(id, sig, slo, shi)` signature table once
+   * ([[graft.llm.Similarity.hammingSigRows]], written to parquet — the
+   * readers pay real storage I/O), then measure recall@10 and wall time
+   * of the sketch-reading SDC ([[graft.llm.Similarity
+   * .knnJoinHammingFromSigs]], 2-bit) and ADC ([[graft.llm.Similarity
+   * .knnJoinHammingAdcFromSigs]]) cuts at oversample 4/8/16 against the
+   * exact [[graft.llm.Similarity.knnJoin]] ground truth. Also prints the
+   * bytes story: sig-store size vs flat corpus size (the stage-1
+   * probed-bytes ratio the ring's 100 TB claim rests on).
+   */
+  private def adcStored55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = spark.range(55000).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-adc-stored")
+    base.write.parquet(root.resolve("flat").toString)
+    val corpus = spark.read.parquet(root.resolve("flat").toString)
+    val (_, tSig) = timed(
+      graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
+        .write.parquet(root.resolve("sigs").toString))
+    val sigs = spark.read.parquet(root.resolve("sigs").toString)
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val (bFlat, bSigs) = (dirBytes(root.resolve("flat")), dirBytes(root.resolve("sigs")))
+    println(f"adc-stored n=55000 sig-build=${tSig}%.1fs bytes flat=$bFlat " +
+      f"sigs=$bSigs (${bFlat.toDouble / bSigs}%.1fx)")
+    val queries = corpus.where(col("vec_id") < 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (truth, tExact) = timed(pairs(graft.llm.Similarity.knnJoin(
+      corpus, queries, "vec_id", "embedding", "vec_id", k = 10)))
+    Seq(4, 8, 16).foreach { os =>
+      val (sdc, tSdc) = timed(pairs(graft.llm.Similarity.knnJoinHammingFromSigs(
+        corpus, sigs, queries, "vec_id", "embedding", "vec_id", k = 10,
+        dims = 64, oversample = os, bitsPerDim = 2)))
+      val (adc, tAdc) = timed(pairs(graft.llm.Similarity.knnJoinHammingAdcFromSigs(
+        corpus, sigs, queries, "vec_id", "embedding", "vec_id", k = 10,
+        dims = 64, oversample = os)))
+      println(f"adc-stored Q=32 k=10 os=$os | " +
+        f"sdc2 ${tSdc}%.1fs recall=${(sdc & truth).size.toDouble / truth.size}%.3f | " +
+        f"adc ${tAdc}%.1fs recall=${(adc & truth).size.toDouble / truth.size}%.3f | " +
+        f"exact ${tExact}%.1fs")
+    }
+  }
+
   /** One-scan batch retrieval vs Q repeated scans: [[Similarity.knnJoin]]
     * at Q=32, k=10 over a 55k synthetic corpus against a driver loop of
     * [[Similarity.topK]] — the wall-clock evidence for the broadcast-heap
@@ -574,7 +634,28 @@ object ScaleCurveMain {
     println(f"knn-regimes sdc-graph n=55000 cells=64 k=10 edges=$sdcEdges " +
       f"(${tSdc}%.1fs, pq-train ${tPq}%.1fs) " +
       f"top1-agree=${agree.toDouble / f1.size}%.3f vs float graph")
-    gs.unpersist(); g.unpersist(); index.unpersist(); base.unpersist()
+    // OPQ-rotated twin at the SAME bytes (sign-flip + Walsh–Hadamard
+    // before PQ): the dial against plain residual PQ's documented top-1
+    // weakness on structureless corpora — measured, not assumed
+    val signs = graft.llm.Similarity.opqSigns(64, 17L)
+    val resRot = graft.llm.Similarity.opqRotateResiduals(res, signs)
+    val (booksR, tPqR) = timed {
+      val b = graft.llm.Similarity.pqTrainCodebooks(resRot, "id", "rv",
+        m = 8, ksub = 16, iters = 2, dims = 64)
+      b.count(); b
+    }
+    val codesR = graft.llm.Similarity.pqEncode(resRot, "id", "rv", booksR,
+      dims = 64, cellCol = Some("centroid_id"))
+    val gr = graft.llm.Similarity.knnGraphSdc(codesR, booksR, cents, k = 10,
+      rotation = Some(signs)).persist()
+    val (rotEdges, tRot) = timed(gr.count())
+    val r1 = top1(gr)
+    val agreeR = f1.count { case (q, n) => r1.get(q).contains(n) }
+    println(f"knn-regimes sdc-graph-opq n=55000 cells=64 k=10 edges=$rotEdges " +
+      f"(${tRot}%.1fs, pq-train ${tPqR}%.1fs) " +
+      f"top1-agree=${agreeR.toDouble / f1.size}%.3f vs float graph " +
+      f"(plain sdc ${agree.toDouble / f1.size}%.3f)")
+    gr.unpersist(); gs.unpersist(); g.unpersist(); index.unpersist(); base.unpersist()
   }
 
   /**

@@ -2370,6 +2370,41 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"adc recall collapsed: $recall")
   }
 
+  test("hammingSigRows: stored codes replay binarySig/superBitKernel bit-for-bit; FromSigs searches equal the live re-sketch searches") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val sigs = Similarity.hammingSigRows(emb, "vec_id", "embedding", dims = 64)
+    // the stored axis-sign word IS binarySig over the zero-norm-filtered base
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .where(Similarity.norm(col("v")) > 0.0)
+    val expr1 = base.select(col("id"), Similarity.binarySig(col("v"), 64).as("sig"))
+    assert(sigs.select("id", "sig").exceptAll(expr1).isEmpty &&
+      expr1.exceptAll(sigs.select("id", "sig")).isEmpty)
+    // the stored sketch words replay the kernel row-for-row
+    val kern = base.as[(Long, Seq[Double])].map { case (id, v) =>
+      val (lo, hi) = Similarity.superBitKernel(v); (id, lo, hi)
+    }.toDF("id", "slo", "shi")
+    assert(sigs.select("id", "slo", "shi").exceptAll(kern).isEmpty &&
+      kern.exceptAll(sigs.select("id", "slo", "shi")).isEmpty)
+    // every FromSigs search equals its live re-sketch twin bit-for-bit
+    val qs = emb.where(col("vec_id") % 97 === 3)
+    Seq(1, 2).foreach { bpd =>
+      val live = Similarity.knnJoinHamming(emb, qs, "vec_id", "embedding",
+        "vec_id", k = 5, dims = 64, oversample = 4, bitsPerDim = bpd)
+      val stored = Similarity.knnJoinHammingFromSigs(emb, sigs, qs, "vec_id",
+        "embedding", "vec_id", k = 5, dims = 64, oversample = 4, bitsPerDim = bpd)
+      assert(stored.exceptAll(live).isEmpty && live.exceptAll(stored).isEmpty,
+        s"stored-sig SDC path diverged at bitsPerDim=$bpd")
+    }
+    val liveAdc = Similarity.knnJoinHammingAdc(emb, qs, "vec_id", "embedding",
+      "vec_id", k = 5, dims = 64, oversample = 4)
+    val storedAdc = Similarity.knnJoinHammingAdcFromSigs(emb, sigs, qs,
+      "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+    assert(storedAdc.exceptAll(liveAdc).isEmpty &&
+      liveAdc.exceptAll(storedAdc).isEmpty, "stored-sig ADC path diverged")
+  }
+
   test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val v = emb.where(col("vec_id") === 7)
@@ -2663,6 +2698,52 @@ class LlmSpec extends AnyFunSuite {
         case Seq(x, y) => assert(x._2 >= y._2)
         case _ =>
       }
+    }
+  }
+
+  test("knnGraphSdc with OPQ rotation: copy edges stay exact; rotated-space SDC cosine matches the Rᵀ-reconstruction cosine") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select(col("id"), col("centroid_id"), col("v"))
+    val signs = Similarity.opqSigns(64, 17L)
+    val res = Similarity.opqRotateResiduals(Similarity.ivfResiduals(index, cents), signs)
+    val books = Similarity.pqTrainCodebooks(res, "id", "rv", m = 8, ksub = 16,
+      iters = 2, dims = 64)
+    val codes = Similarity.pqEncode(res, "id", "rv", books, dims = 64,
+      cellCol = Some("centroid_id"))
+    val g = Similarity.knnGraphSdc(codes, books, cents, k = 3,
+        rotation = Some(signs)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // identical vectors share rotated codes → copy-donor cosine exactly 1
+    val copyEdges = g.keys.collect { case (q, n) if q >= 2000000L && n == q - 2000000L => (q, n) }
+    assert(copyEdges.nonEmpty)
+    copyEdges.foreach { case (q, n) =>
+      val (_, cos, mu) = g((q, n))
+      assert(cos == 1.0 && mu, s"copy edge ($q,$n): cos=$cos mutual=$mu")
+    }
+    // the rotation identity itself: the SDC cosine of an edge equals the
+    // cosine of the Rᵀ-RECONSTRUCTED vectors (c + Rᵀ·decode(codes)) up to
+    // the 6-dp term quantization — checked on a handful of edges
+    val bookArr = books.select(col("subspace").cast("int"), col("code_id").cast("long"), col("cv"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray)).toMap
+    val codeMap = codes.select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2).toArray))).toMap
+    val centMap = cents.select(col("centroid_id").cast("long"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def recon(id: Long): Array[Double] = {
+      val (cell, cs) = codeMap(id)
+      val rHat = cs.zipWithIndex.flatMap { case (c, s) => bookArr((s, c)) }
+      val back = Similarity.opqRotateInverseKernel(rHat, signs)
+      centMap(cell).zip(back).map { case (a, b) => a + b }
+    }
+    g.keys.take(5).foreach { case (q, n) =>
+      val (rq, rn) = (recon(q), recon(n))
+      val cos = Similarity.dotKernel(rq, rn) /
+        (math.sqrt(Similarity.dotKernel(rq, rq)) * math.sqrt(Similarity.dotKernel(rn, rn)))
+      assert(math.abs(g((q, n))._2 - cos) < 1e-4,
+        s"edge ($q,$n): sdc=${g((q, n))._2} recon=$cos")
     }
   }
 

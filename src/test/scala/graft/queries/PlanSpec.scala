@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sim_knn_hamming4/5: stage 1 scans only the stored sketch words — raw vectors reach the plan solely through the rerank") {
+    Seq("sim_knn_hamming4", "sim_knn_hamming5").foreach { q =>
+      val p = plan(q)
+      val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+      // the signature-store scan: 16 bytes of sketch words per row, with
+      // the unused axis-sign word AND (trivially) the vector pruned away
+      assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
+          && !r.contains("embedding") && !r.contains("sig:")),
+        s"$q stage 1 must scan only (id, slo, shi) from the sig store\n" + p)
+      // the rerank joins the bounded candidate set broadcast-side — the
+      // corpus vector scan is never shuffled
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the
