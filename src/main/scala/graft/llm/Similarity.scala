@@ -1062,7 +1062,10 @@ object Similarity {
     * ±1 planes) the densified sketch signs — kept UNSIGNED here for the
     * asymmetric-distance path, which scores corpus sign bits against the
     * query's full projection magnitudes. */
-  private[llm] def superBitProj(v: Seq[Double]): Array[Long] = {
+  // public (not private[llm]): the streaming ADC verifier
+  // (graft.streaming.StreamingEmbDedupAdc) scores arrivals' projections
+  // against stored corpus sketches with the same kernels
+  def superBitProj(v: Seq[Double]): Array[Long] = {
     require(v.length <= 64,
       s"superBitKernel planes cover <= 64 dims, got ${v.length}")
     val v6 = v.iterator.map(x => Math.round(roundHalfUp(x, 6) * 1e6)).toArray
@@ -1079,7 +1082,7 @@ object Similarity {
     out
   }
 
-  private[llm] def superBitKernel(v: Seq[Double]): (Long, Long) = {
+  def superBitKernel(v: Seq[Double]): (Long, Long) = {
     val proj = superBitProj(v)
     var lo = 0L
     var hi = 0L

@@ -928,9 +928,23 @@ object Materialized {
     * code per row (column-pruned) instead of re-reading and re-signing
     * the 512-byte raw vectors. Codes are exact integer sign decisions,
     * so a search through the store is bit-replayable with the live
-    * re-sketch path. */
+    * re-sketch path. Absorb-able ([[absorbHammingSigs]]): after a
+    * streaming ADC micro-batch commits its keepers, the view is
+    * corpus ∪ absorbed keeps. */
   def hammingSigs(spark: SparkSession, sfDir: String): DataFrame =
-    parquetBacked(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {
+    headAware(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {
+      graft.llm.Similarity.hammingSigRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
+    }
+
+  /** Absorb kept batch vectors' binary-sketch rows (schema of
+    * [[graft.llm.Similarity.hammingSigRows]]: `(id, sig, slo, shi)`)
+    * into [[hammingSigs]]' store — exactly once per batch id; the next
+    * `FromSigs` search sees corpus ∪ kept(this batch). */
+  def absorbHammingSigs(spark: SparkSession, sfDir: String,
+                        keptSigs: DataFrame, batchId: String): DataFrame =
+    absorbInto(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings",
+        keptSigs, batchId) {
       graft.llm.Similarity.hammingSigRows(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
     }

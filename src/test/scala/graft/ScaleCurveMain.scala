@@ -28,7 +28,8 @@ object ScaleCurveMain {
       "million-floor-only", "million-lean-only", "million-ivfpq-only",
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
-      "gear-only", "phash-only", "simhash-only", "adc-only")
+      "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
+      "frames-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -83,6 +84,8 @@ object ScaleCurveMain {
     else if (args.contains("phash-only")) phash10M(spark)
     else if (args.contains("simhash-only")) simhash10M(spark)
     else if (args.contains("adc-only")) adcStored55k(spark)
+    else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
+    else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
     else if (args.contains("crossover-only")) { crossover50k(spark); knn55k(spark) }
     else { crossover50k(spark); knn55k(spark); knnIvf55k(spark); knnDist55k(spark)
@@ -539,6 +542,64 @@ object ScaleCurveMain {
         f"adc ${tAdc}%.1fs recall=${(adc & truth).size.toDouble / truth.size}%.3f | " +
         f"exact ${tExact}%.1fs")
     }
+  }
+
+  /**
+   * The OPQ-vs-plain SDC graph contrast on BOTH corpus shapes at 55k/64
+   * cells: UNIFORM (isotropic — a variance-equalizing rotation has
+   * nothing to fix; the honest null result) and ANISOTROPIC (per-dim
+   * scale `2^(−d/8)` — variance concentrated in the low dims, the
+   * documented failure mode of plain residual PQ's blind subspace
+   * split, and OPQ's actual premise). Measurement: top-1 agreement of
+   * each code-space graph with its float graph, same geometry and
+   * bytes, only the rotation differing.
+   */
+  private def sdcOpq55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(label: String, scale: Int => Double): Unit = {
+      val base = spark.range(55000).map { id =>
+        (id, Array.tabulate(64)(d => scale(d) *
+          ((mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5)))
+      }.toDF("vec_id", "embedding").persist()
+      base.count()
+      val cents = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 64, iters = 2)
+      val index = graft.llm.Similarity.ivfIndexRows(base, "vec_id", "embedding", cents)
+        .persist()
+      index.count()
+      val g = graft.llm.Similarity.knnGraph(index, cents, k = 10).persist()
+      g.count()
+      def top1(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("rank") === 1).select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val f1 = top1(g)
+      val res = graft.llm.Similarity.ivfResiduals(
+        index.select(col("id"), col("centroid_id"), col("v")), cents)
+      def agree(rot: Option[Array[Double]]): (Double, Double) = {
+        val r2 = rot.map(s => graft.llm.Similarity.opqRotateResiduals(res, s))
+          .getOrElse(res)
+        val books = graft.llm.Similarity.pqTrainCodebooks(r2, "id", "rv",
+          m = 8, ksub = 16, iters = 2, dims = 64)
+        val codes = graft.llm.Similarity.pqEncode(r2, "id", "rv", books,
+          dims = 64, cellCol = Some("centroid_id"))
+        val (s1, t) = timed(top1(graft.llm.Similarity.knnGraphSdc(
+          codes, books, cents, k = 10, rotation = rot)))
+        (f1.count { case (q, n) => s1.get(q).contains(n) }.toDouble / f1.size, t)
+      }
+      val signs = graft.llm.Similarity.opqSigns(64, 17L)
+      val (aPlain, tPlain) = agree(None)
+      val (aOpq, tOpq) = agree(Some(signs))
+      println(f"sdc-opq[$label] n=55000 cells=64 k=10 " +
+        f"top1-agree plain=$aPlain%.3f (${tPlain}%.1fs) " +
+        f"opq=$aOpq%.3f (${tOpq}%.1fs)")
+      g.unpersist(); index.unpersist(); base.unpersist()
+    }
+    run("uniform", _ => 1.0)
+    run("aniso", d => math.pow(2.0, -d / 8.0))
   }
 
   /** One-scan batch retrieval vs Q repeated scans: [[Similarity.knnJoin]]
@@ -1184,6 +1245,62 @@ object ScaleCurveMain {
       f"combo(20x30)=$cC (max key $mxC) in ${tC}%.1fs | combo pairs=" +
       f"${pairStats._1} planted_h0=${pairStats._2}/${n / 1000} " +
       f"join ${tP}%.1fs")
+  }
+
+  /**
+   * The frame near-dup ring at 10M FRAMES ([[graft.llm.Multimodal
+   * .frameNearDupGroups]] — the r13 operator, measured only at sf0.1
+   * until now): 500k synthetic videos × 20 frames (md5-derived 96-byte
+   * payloads, frame slices through the spectral decode), with 500
+   * planted TWIN videos (identical payload under a distinct id — every
+   * frame an exact cross-video perceptual dup of its donor's, 10k
+   * planted dup frames total). Measures the end-to-end grouped ring:
+   * frame sketch scan + radius-3 combo-key pair join + label-propagation
+   * components + the cluster rollup, and pins that every planted twin
+   * frame lands in a donor-canonical multi-video cluster.
+   */
+  private def frames10M(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Multimodal
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val nVids = 500000L
+    val nf = 20
+    // 160 RAW bytes (10 unhexed md5 blocks) = 8 random bytes per frame
+    // slice — a 2^64 slice alphabet, so organic sketch collisions across
+    // 10M frames are ~zero and every recovered dup is a planted one
+    // (hex-char payloads at 4 bits/byte were measured to collide wildly)
+    def mediaOf(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("media_id"),
+      lit("video").as("kind"),
+      concat((0 until 10).map(j =>
+        unhex(md5(concat(lit(s"f$j|"), col("seed"))))): _*).as("payload"),
+      struct(lit(160L).as("byte_len"), lit("webm").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(nf).as("n_frames")).as("meta"))
+    val base = mediaOf(spark.range(nVids)
+      .select(col("id").as("media_id"), col("id").as("seed")))
+    // twins: same seed (= byte-identical payload) under a disjoint id range
+    val twins = mediaOf(spark.range(nVids).where(col("id") % 1000 === 3)
+      .select((col("id") + 2000000L).as("media_id"), col("id").as("seed")))
+    val media = base.unionByName(twins)
+    val ((rows, planted, maxMedia), t) = timed {
+      val g = Multimodal.frameNearDupGroups(media, stride = 1, maxHamming = 3)
+        .persist()
+      val n = g.count()
+      // every planted twin frame: cluster canonical = the donor (smaller
+      // packed key), spanning exactly the donor + twin
+      val p = g.where(col("canonical_media") % 1000 === 3 &&
+        col("canonical_media") < 2000000L && col("n_media") >= 2).count()
+      val mx = g.agg(max(col("n_media"))).head().getLong(0)
+      g.unpersist()
+      (n, p, mx)
+    }
+    println(f"frames-10M videos=${nVids + nVids / 1000} frames=${nVids * nf} " +
+      f"(+${nVids / 1000 * nf} planted) | multi-video clusters=$rows " +
+      f"donor-canonical planted=$planted/${nVids / 1000 * nf} " +
+      f"max n_media=$maxMedia | end-to-end ${t}%.1fs")
   }
 
   /** Perceptual-hash ring at 10M media rows over the FULL-ENTROPY
