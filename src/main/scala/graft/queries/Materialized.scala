@@ -1011,6 +1011,13 @@ object Materialized {
         "doc_id", "text", col("lang") === "en")
     }
 
+  /** [[compactStore]] for the binary-sketch signature store. */
+  def compactHammingSigs(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {
+      graft.llm.Similarity.hammingSigRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {

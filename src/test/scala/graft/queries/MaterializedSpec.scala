@@ -501,6 +501,47 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming sig store: absorb-able and compact-able like the other signature stores; absorbed rows replay the kernel codes") {
+    withTempStore { root =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        def hamDirs = {
+          val v = root.resolve(s"v${Materialized.FormatVersion}")
+          if (!Files.isDirectory(v)) Nil
+          else Files.list(v).iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("hamming_sigs_") && !n.contains(".json")).toSeq
+        }
+        val n0 = Materialized.hammingSigs(spark, TestSpark.sf).count()
+        val vNew = Array.tabulate(64)(i => math.sin(7.0 * i + 0.3)).toSeq
+        val kept = graft.llm.Similarity.hammingSigRows(
+          Seq((9001L, vNew)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dims = 64)
+        Materialized.absorbHammingSigs(spark, TestSpark.sf, kept, "h-b1")
+        val view = Materialized.hammingSigs(spark, TestSpark.sf)
+        assert(view.count() == n0 + 1)
+        // the absorbed row's codes are the kernel's, bit for bit
+        val got = view.where(col("id") === 9001L)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+        val (elo, ehi) = graft.llm.Similarity.superBitKernel(vNew)
+        assert(got._2 == elo && got._3 == ehi)
+        // exactly-once: batch id replays as a no-op
+        val a0 = Materialized.absorbsPublished.get()
+        Materialized.absorbHammingSigs(spark, TestSpark.sf, kept, "h-b1")
+        assert(Materialized.absorbsPublished.get() == a0)
+        // compaction: chain → one entry, content identical
+        assert(hamDirs.size == 2) // base + 1 delta
+        val before = view.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val compacted = Materialized.compactHammingSigs(spark, TestSpark.sf)
+        assert(compacted.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == before,
+          "compaction must not change the view's content")
+        assert(hamDirs.size == 1, s"superseded chain must be swept: $hamDirs")
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
   test("ivf append: batch assigned against stored centroids, appended generation serves searches, base stays pinned") {
     withTempStore { root =>
       import org.apache.spark.sql.functions.transform

@@ -44,18 +44,20 @@ class StoreReuseE2eSpec extends AnyFunSuite {
 
   test("a fresh reader PROCESS serves every store artifact from storage with zero builds") {
     val root = Files.createTempDirectory("graft-store-e2e").toString
-    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+) opq=(\d+) hashes=(\d+) bpe=(\d+) lm=(\d+) clf=(\d+) dsir=(\d+) uni=(\d+) wfp=(\d+) kn=(\d+)""".r
+    val Line = """builds=(\d+) minhash=(\d+) ivf=(\d+) pq=(\d+) opq=(\d+) hashes=(\d+) bpe=(\d+) lm=(\d+) clf=(\d+) dsir=(\d+) uni=(\d+) wfp=(\d+) kn=(\d+) ham=(\d+)""".r
     val w = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p, o, h, t, l, c, ds, u, wf, kn) =>
+      case Line(b, m, i, p, o, h, t, l, c, ds, u, wf, kn, hm) =>
         (b.toInt, m.toLong, i.toLong, p.toLong, o.toLong, h.toLong, t.toLong,
-          l.toLong, c.toLong, ds.toLong, u.toLong, wf.toLong, kn.toLong)
+          l.toLong, c.toLong, ds.toLong, u.toLong, wf.toLong, kn.toLong,
+          hm.toLong)
     }
     assert(w._1 > 0, "writer must build on an empty store")
 
     val r = runProcess(root, graft.TestSpark.sf) match {
-      case Line(b, m, i, p, o, h, t, l, c, ds, u, wf, kn) =>
+      case Line(b, m, i, p, o, h, t, l, c, ds, u, wf, kn, hm) =>
         (b.toInt, m.toLong, i.toLong, p.toLong, o.toLong, h.toLong, t.toLong,
-          l.toLong, c.toLong, ds.toLong, u.toLong, wf.toLong, kn.toLong)
+          l.toLong, c.toLong, ds.toLong, u.toLong, wf.toLong, kn.toLong,
+          hm.toLong)
     }
     assert(r._1 == 0, "a restarted process must reuse the published store, not rebuild")
     assert(r.productIterator.toSeq.drop(1) == w.productIterator.toSeq.drop(1),

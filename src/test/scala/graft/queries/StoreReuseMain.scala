@@ -41,8 +41,9 @@ object StoreReuseMain {
     val uni = Materialized.unigramPieces(spark, sfDir).count()
     val wfp = Materialized.winnowFps(spark, sfDir).count()
     val kn = Materialized.knTypes(spark, sfDir).count()
+    val ham = Materialized.hammingSigs(spark, sfDir).count()
     val builds = Materialized.buildsStarted.get()
     spark.stop()
-    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir uni=$uni wfp=$wfp kn=$kn")
+    println(s"builds=$builds minhash=$minhash ivf=$ivf pq=$pq opq=$opq hashes=$hashes bpe=$bpe lm=$lm clf=$clf dsir=$dsir uni=$uni wfp=$wfp kn=$kn ham=$ham")
   }
 }
