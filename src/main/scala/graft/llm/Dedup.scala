@@ -1440,12 +1440,17 @@ object Dedup {
    * threshold judges code-space similarity (exact copies share codes and
    * still land at cosine 1).
    */
+  /** `rotation`: see [[Similarity.sdcTermTables]] — pass the OPQ sign
+    * diagonal when `codes`/`codebooks` quantize rotated residuals; only
+    * the centroid-cross term table changes, the election kernel is
+    * untouched. */
   def semanticDedupSdc(codes: DataFrame, codebooks: DataFrame,
-                       centroids: DataFrame, threshold: Double): DataFrame = {
+                       centroids: DataFrame, threshold: Double,
+                       rotation: Option[Array[Double]] = None): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
-      Similarity.sdcTermTables(codebooks, centroids))
+      Similarity.sdcTermTables(codebooks, centroids, rotation))
     codes
       .select(col("id").cast("long"), col("centroid_id").cast("long"), col("codes"))
       .as[(Long, Long, Seq[Long])]

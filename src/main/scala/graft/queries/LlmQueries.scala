@@ -57,7 +57,7 @@ object LlmQueries {
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
     mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
     mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
-    simKnnHamming4, simKnnHamming5, simGraphSdc2)
+    simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4809,6 +4809,81 @@ object LlmQueries {
             |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
             |  AND g.neighbor_id = g2.query_id
             |ORDER BY g.query_id, g.rank""".stripMargin))
+
+  /** OPQ-ROTATED SemDeDup at code bytes ([[Dedup.semanticDedupSdc]] with
+    * the rotation over the stored OPQ artifacts): `dedup_semantic_sdc`'s
+    * election contract at the same bytes, with the rotated-residual
+    * codes and the `(R·c)·r̂` centroid-cross term — the SDC consumer
+    * family's second member on the OPQ dial. Oracle = the full chain
+    * replay with the butterfly CTEs. */
+  val dedupSemanticSdc2: QueryDef = QueryDef("dedup_semantic_sdc2",
+    (s, d) => {
+      val ivf = Materialized.ivfIndex(s, d)
+      Dedup.semanticDedupSdc(Materialized.opqCodes(s, d),
+          Materialized.opqCodebooks(s, d), ivf.centroids, threshold = 0.5,
+          rotation = Some(Similarity.opqSigns(64, Materialized.OpqSeed)))
+        .orderBy("id")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |$opqSgCte,
+            |${ivfResidualRawSql("er0")},
+            |${opqChainSql("er0", "er", "vec_id, centroid_id")},
+            |$pqTrainedSql,
+            |$pqEncodeSql,
+            |c20 AS (SELECT centroid_id, cv AS rv FROM c2),
+            |${opqChainSql("c20", "crot", "centroid_id")},
+            |cr AS (SELECT centroid_id, rv AS cv FROM crot),
+            |nnt AS (SELECT subspace, code_id,
+            |          round(list_sum([x * x for x in cv]), 6) AS nn6 FROM pb2),
+            |sdt AS (SELECT p1.subspace, p1.code_id AS ca, p2.code_id AS cb,
+            |          round(list_sum([p1.cv[i] * p2.cv[i] for i in range(1, 9)]), 6)
+            |            AS sdot6
+            |        FROM pb2 p1 JOIN pb2 p2 ON p1.subspace = p2.subspace),
+            |lutc AS (SELECT c.centroid_id AS cell, p.subspace, p.code_id,
+            |          round(list_sum([c.cv[p.subspace*8 + i] * p.cv[i]
+            |                          for i in range(1, 9)]), 6) AS cdot6
+            |         FROM pb2 p, cr c),
+            |cc AS (SELECT centroid_id AS cell,
+            |        round(list_sum([x * x for x in cv]), 6) AS cn6 FROM c2),
+            |mem AS (SELECT a.vec_id, a3.centroid_id AS cell,
+            |          sum(CAST(l.cdot6 AS DECIMAL(20,6))) AS sa,
+            |          sum(CAST(n.nn6 AS DECIMAL(20,6))) AS snn
+            |        FROM pa3 a JOIN a3 ON a.vec_id = a3.vec_id
+            |        JOIN lutc l ON a3.centroid_id = l.cell
+            |          AND a.subspace = l.subspace AND a.code_id = l.code_id
+            |        JOIN nnt n ON a.subspace = n.subspace AND a.code_id = n.code_id
+            |        GROUP BY 1, 2),
+            |memn AS (SELECT mem.vec_id, mem.cell, mem.sa,
+            |          CAST(cc.cn6 AS DECIMAL(20,6)) + 2 * mem.sa + mem.snn AS na
+            |         FROM mem JOIN cc ON mem.cell = cc.cell),
+            |valid AS (SELECT * FROM memn WHERE na > 0),
+            |sc AS (SELECT a.vec_id AS id, b.vec_id AS id_b, a.cell,
+            |         a.sa AS qsa, a.na AS qna, b.sa AS nsa, b.na AS nna
+            |       FROM valid a JOIN valid b ON a.cell = b.cell
+            |         AND b.vec_id < a.vec_id),
+            |sab AS (SELECT sc.id, sc.id_b,
+            |          sum(CAST(s.sdot6 AS DECIMAL(20,6))) AS sab
+            |        FROM sc JOIN pa3 qa ON sc.id = qa.vec_id
+            |          JOIN pa3 qb ON sc.id_b = qb.vec_id
+            |            AND qb.subspace = qa.subspace
+            |          JOIN sdt s ON s.subspace = qa.subspace
+            |            AND s.ca = qa.code_id AND s.cb = qb.code_id
+            |        GROUP BY 1, 2),
+            |sco AS (SELECT sc.id, sc.id_b,
+            |          round(((CAST(cc.cn6 AS DECIMAL(20,6)) + sc.qsa + sc.nsa
+            |                  + sab.sab)::DOUBLE)
+            |            / (sqrt(sc.qna::DOUBLE) * sqrt(sc.nna::DOUBLE)), 6) AS cos
+            |        FROM sc JOIN sab ON sc.id = sab.id AND sc.id_b = sab.id_b
+            |          JOIN cc ON sc.cell = cc.cell),
+            |best AS (SELECT id, id_b AS dup_of, cos AS sdc_cosine FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY id
+            |      ORDER BY cos DESC, id_b) AS rn
+            |    FROM sco WHERE cos >= 0.5) WHERE rn = 1)
+            |SELECT m.vec_id AS id, m.cell AS cluster_id, best.dup_of,
+            |  best.sdc_cosine, (best.dup_of IS NULL) AS keep
+            |FROM memn m LEFT JOIN best ON m.vec_id = best.id
+            |ORDER BY id""".stripMargin))
 
   /** Top-10 over int8-QUANTIZED vectors against the same vec_id=0 query —
     * the memory-shrunk (4×) ranking an ANN index storing quantized codes

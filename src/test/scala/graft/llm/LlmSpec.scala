@@ -2747,6 +2747,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupSdc with OPQ rotation: planted exact copies elect their donors at cosine 1; keeps partition the corpus") {
+    val emb = graft.queries.LlmQueries.plantedEmbeddings(spark, TestSpark.sf)
+    val cents = Similarity.ivfTrainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = Similarity.ivfIndexRows(emb, "vec_id", "embedding", cents)
+      .select(col("id"), col("centroid_id"), col("v"))
+    val signs = Similarity.opqSigns(64, 17L)
+    val res = Similarity.opqRotateResiduals(Similarity.ivfResiduals(index, cents), signs)
+    val books = Similarity.pqTrainCodebooks(res, "id", "rv", m = 8, ksub = 16,
+      iters = 2, dims = 64)
+    val codes = Similarity.pqEncode(res, "id", "rv", books, dims = 64,
+      cellCol = Some("centroid_id"))
+    val out = Dedup.semanticDedupSdc(codes, books, cents, threshold = 0.9,
+        rotation = Some(signs))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))).toMap
+    // identical vectors share rotated codes and the cell: every planted
+    // copy loses to an earlier cos-1 member (its donor, or a code twin)
+    val copies = out.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (dupOf, cos, keep) = out(id)
+      assert(!keep && cos.contains(1.0),
+        s"copy $id: dup_of=$dupOf cos=$cos keep=$keep")
+    }
+    // verdict consistency: keep ⇔ no dup_of
+    assert(out.values.forall(v => v._3 == v._1.isEmpty))
+  }
+
   test("cellBalancedSample: quotas sum to the budget; alpha lifts the small cell; admission follows prototypicality") {
     val rows = (1 to 90).map(i => (i.toLong, 1L, i.toDouble)) ++
       (91 to 100).map(i => (i.toLong, 2L, (i - 90).toDouble))
