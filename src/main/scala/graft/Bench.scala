@@ -136,7 +136,7 @@ object Bench {
     // — a cut from either end still records the number that matters
     println(s"""{"metric":"total_headline","value":$total,"unit":"sec"}""")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"runs_noisy":$NoisyRuns,"timing_action":"xxhash64_agg","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir","total_secs":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stream$errJson$coldJson"runs":$Runs,"runs_noisy":$NoisyRuns,"noisy_queries":${NoisyQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"timing_action":"xxhash64_agg","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir","total_secs":$total}"""
     println(fullLine)
     // truncation-proof artifact: the driver's stdout capture has clipped
     // this (long) line from both ends across rounds — BENCH_r06 lost its

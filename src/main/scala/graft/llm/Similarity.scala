@@ -1082,8 +1082,11 @@ object Similarity {
     out
   }
 
-  def superBitKernel(v: Seq[Double]): (Long, Long) = {
-    val proj = superBitProj(v)
+  /** Pack the 128 projection signs (`> 0`) into the two sketch words —
+    * THE sign convention of the densified ring, shared by every packer
+    * (batch kernel, streaming ADC ingest) so stream/batch bit-parity is
+    * structural, not maintained by hand. */
+  def packSketch(proj: Array[Long]): (Long, Long) = {
     var lo = 0L
     var hi = 0L
     var k = 0
@@ -1095,6 +1098,23 @@ object Similarity {
     }
     (lo, hi)
   }
+
+  /** The exact-long ADC score `Σ_k q_k·sign_k` of a query's projection
+    * magnitudes against a packed corpus sketch — shared by the batch ADC
+    * searches and the streaming ADC verifier. */
+  def adcScoreKernel(proj: Array[Long], lo: Long, hi: Long): Long = {
+    var s = 0L
+    var k = 0
+    while (k < 128) {
+      val bit = if (k < 64) ((lo >>> k) & 1L) == 1L
+                else ((hi >>> (k - 64)) & 1L) == 1L
+      s += (if (bit) proj(k) else -proj(k))
+      k += 1
+    }
+    s
+  }
+
+  def superBitKernel(v: Seq[Double]): (Long, Long) = packSketch(superBitProj(v))
 
   /**
    * Batch kNN join through a Hamming prefilter over [[binarySig]]
@@ -1135,21 +1155,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
-    val q =
-      if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
-        .withColumn("qsig", binarySig(col("qv"), dims))
-      else qRows.toSeq.map { case (qid, v, qn) =>
-        val (lo, hi) = superBitKernel(v)
-        (qid, v, qn, lo, hi)
-      }.toDF("query_id", "qv", "qn", "qlo", "qhi")
-    val base = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .where(col("v").isNotNull && size(col("v")) > 0)
-      .withColumn("nrm", norm(col("v")))
-      .where(col("nrm") > 0.0)
-    val qSigCols =
-      if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
-      else Seq(col("query_id"), col("qlo"), col("qhi"))
+    val q = hammingQueryTable(spark, qRows, bitsPerDim, dims)
+    val base = hammingBase(corpus, idCol, vecCol)
     val sigged =
       if (bitsPerDim == 1)
         base.select(col("neighbor_id"), binarySig(col("v"), dims).as("sig"))
@@ -1159,6 +1166,43 @@ object Similarity {
           val (lo, hi) = superBitKernel(v)
           (id, lo, hi)
         }.toDF("neighbor_id", "slo", "shi")
+    hammingSearchFromSigged(base, sigged, q, bitsPerDim, excludeSelf, k, oversample)
+  }
+
+  /** The zero-norm-filtered raw-vector corpus view every Hamming-family
+    * search reranks against — ONE definition, so live and stored paths
+    * cannot diverge on candidacy. */
+  private def hammingBase(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0.0)
+
+  /** Broadcast query table of the SDC cut (signatures beside the vector
+    * and norm the rerank needs). */
+  private def hammingQueryTable(spark: org.apache.spark.sql.SparkSession,
+      qRows: Array[(Long, Seq[Double], Double)], bitsPerDim: Int,
+      dims: Int): DataFrame = {
+    import spark.implicits._
+    if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
+      .withColumn("qsig", binarySig(col("qv"), dims))
+    else qRows.toSeq.map { case (qid, v, qn) =>
+      val (lo, hi) = superBitKernel(v)
+      (qid, v, qn, lo, hi)
+    }.toDF("query_id", "qv", "qn", "qlo", "qhi")
+  }
+
+  /** SDC stage 1 + exact rerank from a prepared signature view `sigged`
+    * (`(neighbor_id, sig)` or `(neighbor_id, slo, shi)`) — the ONE body
+    * behind [[knnJoinHamming]] and [[knnJoinHammingFromSigs]], so the
+    * live and stored paths are equivalent by construction. */
+  private def hammingSearchFromSigged(base: DataFrame, sigged: DataFrame,
+      q: DataFrame, bitsPerDim: Int, excludeSelf: Boolean, k: Int,
+      oversample: Int): DataFrame = {
+    val qSigCols =
+      if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
+      else Seq(col("query_id"), col("qlo"), col("qhi"))
     val scored0 = sigged.crossJoin(broadcast(q.select(qSigCols: _*)))
     val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
                   else scored0)
@@ -1175,6 +1219,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
     rerankHammingCandidates(base, cand, k, "hamming")
+  }
+
+  /** ADC stage 1 + exact rerank from prepared `(id, slo, shi)` sketch
+    * rows — the ONE body behind [[knnJoinHammingAdc]] and
+    * [[knnJoinHammingAdcFromSigs]]. */
+  private def adcSearchFromSketches(base: DataFrame,
+      sketches: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      q: DataFrame, qProj: Array[(Long, Array[Long])], excludeSelf: Boolean,
+      k: Int, oversample: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val exSelf = excludeSelf
+    val scored = sketches
+      .flatMap { case (nid, lo, hi) =>
+        qProj.iterator
+          .filter { case (qid, _) => !exSelf || qid != nid }
+          .map { case (qid, qp) => (nid, qid, adcScoreKernel(qp, lo, hi)) }
+      }.toDF("neighbor_id", "query_id", "ascore")
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("ascore"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    rerankHammingCandidates(base, cand, k, "ascore")
   }
 
   /**
@@ -1213,38 +1282,14 @@ object Similarity {
     // in the task closure (≤ maxQueries × 1 KB)
     val qProj: Array[(Long, Array[Long])] =
       qRows.map { case (qid, v, _) => (qid, superBitProj(v)) }
-    val base = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .where(col("v").isNotNull && size(col("v")) > 0)
-      .withColumn("nrm", norm(col("v")))
-      .where(col("nrm") > 0.0)
-    val exSelf = excludeSelf
-    val scored = base.select(col("neighbor_id"), col("v"))
+    val base = hammingBase(corpus, idCol, vecCol)
+    val sketches = base.select(col("neighbor_id"), col("v"))
       .as[(Long, Seq[Double])]
-      .flatMap { case (nid, v) =>
+      .map { case (nid, v) =>
         val (lo, hi) = superBitKernel(v)
-        qProj.iterator
-          .filter { case (qid, _) => !exSelf || qid != nid }
-          .map { case (qid, qp) =>
-            var s = 0L
-            var kk = 0
-            while (kk < 128) {
-              val bit =
-                if (kk < 64) ((lo >>> kk) & 1L) == 1L
-                else ((hi >>> (kk - 64)) & 1L) == 1L
-              s += (if (bit) qp(kk) else -qp(kk))
-              kk += 1
-            }
-            (nid, qid, s)
-          }
-      }.toDF("neighbor_id", "query_id", "ascore")
-    val wh = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id"))
-    val cand = scored.withColumn("hrank", row_number().over(wh))
-      .where(col("hrank") <= k * oversample)
-      .select(col("query_id"), col("neighbor_id"), col("ascore"))
-      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "ascore")
+        (nid, lo, hi)
+      }
+    adcSearchFromSketches(base, sketches, q, qProj, excludeSelf, k, oversample)
   }
 
   /**
@@ -1341,6 +1386,16 @@ object Similarity {
    * [[knnJoinHamming]] and the oracle is unchanged. At 100 TB stage 1
    * reads 16–24 bytes/row instead of 520 — a ~25× probe-byte cut the
    * sig store pays for once at build time.
+   *
+   * CALLER CONTRACT: `corpus` must cover every id in `sigs` — the rerank
+   * joins stage-1 candidates back into the corpus by id, so a sig-store
+   * id missing from the corpus view silently shrinks the rerank pool
+   * below k·oversample and breaks replayability with the live path. In
+   * the streaming-absorb composition ([[graft.streaming
+   * .StreamingEmbDedupAdc.absorbKeepers]]) this means the corpus view
+   * must be `base ∪ absorbed keepers' vectors` (union the kept vectors,
+   * exactly as StreamingEmbDedupAdcSpec does) whenever `sigs` is the
+   * absorbed head view.
    */
   def knnJoinHammingFromSigs(corpus: DataFrame, sigs: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, qIdCol: String,
@@ -1351,43 +1406,14 @@ object Similarity {
     if (bitsPerDim == 2) require(dims <= 64,
       s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
     val spark = corpus.sparkSession
-    import spark.implicits._
     val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
-    val q =
-      if (bitsPerDim == 1) qRows.toSeq.toDF("query_id", "qv", "qn")
-        .withColumn("qsig", binarySig(col("qv"), dims))
-      else qRows.toSeq.map { case (qid, v, qn) =>
-        val (lo, hi) = superBitKernel(v)
-        (qid, v, qn, lo, hi)
-      }.toDF("query_id", "qv", "qn", "qlo", "qhi")
-    val base = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .where(col("v").isNotNull && size(col("v")) > 0)
-      .withColumn("nrm", norm(col("v")))
-      .where(col("nrm") > 0.0)
-    val qSigCols =
-      if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
-      else Seq(col("query_id"), col("qlo"), col("qhi"))
+    val q = hammingQueryTable(spark, qRows, bitsPerDim, dims)
+    val base = hammingBase(corpus, idCol, vecCol)
     // stage 1: the stored codes, nothing else — the whole point
     val sigged =
       if (bitsPerDim == 1) sigs.select(col("id").as("neighbor_id"), col("sig"))
       else sigs.select(col("id").as("neighbor_id"), col("slo"), col("shi"))
-    val scored0 = sigged.crossJoin(broadcast(q.select(qSigCols: _*)))
-    val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
-                  else scored0)
-      .withColumn("hamming",
-        if (bitsPerDim == 1)
-          call_function("bit_count", col("sig").bitwiseXOR(col("qsig"))).cast("long")
-        else
-          (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
-            call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
-    val wh = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
-    val cand = scored.withColumn("hrank", row_number().over(wh))
-      .where(col("hrank") <= k * oversample)
-      .select(col("query_id"), col("neighbor_id"), col("hamming"))
-      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "hamming")
+    hammingSearchFromSigged(base, sigged, q, bitsPerDim, excludeSelf, k, oversample)
   }
 
   /**
@@ -1397,7 +1423,10 @@ object Similarity {
    * each corpus row's sign bits against the broadcast per-query
    * projection magnitudes (the same exact-long ADC score), stage 2 the
    * shared exact-cosine rerank. Bit-replayable with
-   * [[knnJoinHammingAdc]]; oracle unchanged.
+   * [[knnJoinHammingAdc]]; oracle unchanged. Same CALLER CONTRACT as
+   * [[knnJoinHammingFromSigs]]: `corpus` must cover every id in `sigs`
+   * (union absorbed keepers' vectors into the corpus view when `sigs`
+   * is an absorbed head).
    */
   def knnJoinHammingAdcFromSigs(corpus: DataFrame, sigs: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, qIdCol: String,
@@ -1411,37 +1440,10 @@ object Similarity {
     val q = qRows.toSeq.toDF("query_id", "qv", "qn")
     val qProj: Array[(Long, Array[Long])] =
       qRows.map { case (qid, v, _) => (qid, superBitProj(v)) }
-    val base = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .where(col("v").isNotNull && size(col("v")) > 0)
-      .withColumn("nrm", norm(col("v")))
-      .where(col("nrm") > 0.0)
-    val exSelf = excludeSelf
-    val scored = sigs.select(col("id"), col("slo"), col("shi"))
+    val base = hammingBase(corpus, idCol, vecCol)
+    val sketches = sigs.select(col("id"), col("slo"), col("shi"))
       .as[(Long, Long, Long)]
-      .flatMap { case (nid, lo, hi) =>
-        qProj.iterator
-          .filter { case (qid, _) => !exSelf || qid != nid }
-          .map { case (qid, qp) =>
-            var s = 0L
-            var kk = 0
-            while (kk < 128) {
-              val bit =
-                if (kk < 64) ((lo >>> kk) & 1L) == 1L
-                else ((hi >>> (kk - 64)) & 1L) == 1L
-              s += (if (bit) qp(kk) else -qp(kk))
-              kk += 1
-            }
-            (nid, qid, s)
-          }
-      }.toDF("neighbor_id", "query_id", "ascore")
-    val wh = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("ascore").desc, col("neighbor_id"))
-    val cand = scored.withColumn("hrank", row_number().over(wh))
-      .where(col("hrank") <= k * oversample)
-      .select(col("query_id"), col("neighbor_id"), col("ascore"))
-      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "ascore")
+    adcSearchFromSketches(base, sketches, q, qProj, excludeSelf, k, oversample)
   }
 
   /**

@@ -74,12 +74,9 @@ final case class StreamingEmbDedupAdc(bands: Int = 16, planesPerBand: Int = 8,
         Iterator.single(AdcBandRow(vecId, s"empty:$vecId", 0L, 0L,
           Array.emptyLongArray, carry = true, ts, Array.emptyDoubleArray))
       else {
-        var lo = 0L; var hi = 0L
-        i = 0
-        while (i < 128) {
-          if (proj(i) > 0L) { if (i < 64) lo |= (1L << i) else hi |= (1L << (i - 64)) }
-          i += 1
-        }
+        // the shared packer — stream and batch sketch bit-parity is
+        // structural, not a convention maintained by hand
+        val (lo, hi) = Similarity.packSketch(proj)
         val sig = signer(v)
         // the raw vector rides ONLY the carry row (band 0) — the absorb
         // bridge re-signs keepers for the batch store; verification and
@@ -92,21 +89,13 @@ final case class StreamingEmbDedupAdc(bands: Int = 16, planesPerBand: Int = 8,
     }
   }
 
-  /** The ADC estimate of the cosine between the arrival (projections)
-    * and a stored keeper (sign bits). Exact-integer score; deterministic
-    * across replays. */
-  private def estCosine(proj: Array[Long], lo: Long, hi: Long): Double = {
-    var s = 0L
-    var qabs = 0L
-    var k = 0
-    while (k < 128) {
-      val p = proj(k)
-      val bit = if (k < 64) ((lo >>> k) & 1L) == 1L
-                else ((hi >>> (k - 64)) & 1L) == 1L
-      s += (if (bit) p else -p)
-      qabs += math.abs(p)
-      k += 1
-    }
+  /** The ADC estimate of the cosine between the arrival (projections,
+    * with its Σ|q_k| precomputed ONCE per row — it is a per-arrival
+    * constant, not a per-entry one) and a stored keeper (sign bits).
+    * Score via the shared [[Similarity.adcScoreKernel]] — exact-integer,
+    * deterministic across replays, bit-identical to the batch ADC. */
+  private def estCosine(proj: Array[Long], qabs: Long, lo: Long, hi: Long): Double = {
+    val s = Similarity.adcScoreKernel(proj, lo, hi)
     math.cos(math.Pi / 2.0 * (1.0 - s.toDouble / qabs.toDouble))
   }
 
@@ -133,13 +122,16 @@ final case class StreamingEmbDedupAdc(bands: Int = 16, planesPerBand: Int = 8,
       if (r.proj.isEmpty) AdcBandVerdict(r.vecId, None, None, r.carry, None)
       else {
         val ts = if (r.ts == null) 0L else r.ts.getTime
+        var qabs = 0L
+        var pi = 0
+        while (pi < r.proj.length) { qabs += math.abs(r.proj(pi)); pi += 1 }
         var bestAt = -1
         var bestId = Long.MaxValue
         var bestEst = -2.0
         var i = 0
         entries.foreach { e =>
           if (e.id != r.vecId) { // keeper replay never matches itself
-            val est = estCosine(r.proj, e.slo, e.shi)
+            val est = estCosine(r.proj, qabs, e.slo, e.shi)
             if (est > bestEst || (est == bestEst && e.id < bestId)) {
               bestEst = est; bestId = e.id; bestAt = i
             }
@@ -210,6 +202,13 @@ object StreamingEmbDedupAdc {
    * (streamId, micro-batch id) via the store ledger — the family
    * contract of [[StreamingEmbDedup.absorbKeepers]]. Returns the per-doc
    * verdicts for the caller's own sink.
+   *
+   * The FromSigs CALLER CONTRACT follows: once keepers are absorbed,
+   * batch searches over the absorbed sig head must pass a corpus view
+   * that UNIONS the kept vectors (see
+   * [[graft.llm.Similarity.knnJoinHammingFromSigs]]'s contract and the
+   * StreamingEmbDedupAdcSpec absorb test) — a sig id with no corpus row
+   * would silently shrink the rerank pool.
    */
   def absorbKeepers(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                     bandVerdicts: org.apache.spark.sql.DataFrame,

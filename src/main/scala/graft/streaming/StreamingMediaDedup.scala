@@ -34,6 +34,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    batch [[Multimodal.phashIncremental]] verdict.
  *  - Keeper replay never matches itself and re-emits `keep = true`
  *    (checkpoint-replay safety, the family contract).
+ *  - STATE KEY FORMAT v2 (round 14): group keys are packed longs, not
+ *    the previous `"ci:key"` strings — a checkpoint written by the
+ *    string-keyed version cannot be restarted against this one (key
+ *    schema mismatch); start such streams from a fresh checkpoint. Media
+ *    ids must be nonnegative (the sentinel key space is `~id`) — a
+ *    negative id fails the micro-batch loud rather than corrupting the
+ *    key spaces, the same fail-loud id bound the batch ring's
+ *    `frameSketches` enforces.
  *  - Per-doc verdicts reduce with [[StreamingNearDedup.verdicts]] (shared
  *    column contract; `est` = −hamming so the shared (est desc, id asc)
  *    best-candidate election picks the MINIMUM distance).
