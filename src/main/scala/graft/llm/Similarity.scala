@@ -1447,6 +1447,78 @@ object Similarity {
   }
 
   /**
+   * IVF × binary-sketch HYBRID kNN — the two pruning axes of the ring
+   * composed (the FAISS IVF-with-binary-quantization shape): the coarse
+   * quantizer prunes WHICH rows stage 1 reads (probed-cell partition
+   * pruning over the cell-partitioned signature store —
+   * `PartitionFilters` at the scan, PlanSpec-pinned), and the densified
+   * sketch prunes WHAT stage 1 reads per row (16 bytes of code, never
+   * the vector). Per query: its `nprobe` nearest cells by squared L2
+   * ((dist, cid) tie rule — [[knnJoinIvf]]'s probe convention,
+   * driver-side against the collected centroid sidecar), then the
+   * Hamming cut over the probed cells' sketches (the [[knnJoinHamming]]
+   * 2-bit metric), then the shared exact-cosine rerank. Recall composes
+   * multiplicatively: cell recall (the probed cells must hold the true
+   * neighbors) × sketch recall (the oversample dial) — the trade that
+   * buys O(probed cells × 16 B/row) stage-1 I/O at 100 TB.
+   *
+   * `sigs` is the CELL-PARTITIONED signature table
+   * ([[graft.queries.Materialized]]'s `hamming_sigs_ivf` store:
+   * `(id, sig, slo, shi, centroid_id)`). Same CALLER CONTRACT as
+   * [[knnJoinHammingFromSigs]]: `corpus` must cover the sig ids.
+   */
+  def knnJoinHammingIvf(sigs: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, k: Int, dims: Int, nprobe: Int,
+      oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "knnJoinHammingIvf: empty centroid table")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val qProbe: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (qid, v, _) =>
+      val va = v.toArray
+      cents.map { case (cid, cv) =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { val dx = cv(i) - va(i); s += dx * dx; i += 1 }
+          (cid, s)
+        }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val q = hammingQueryTable(spark, qRows, bitsPerDim = 2, dims)
+    val base = hammingBase(corpus, idCol, vecCol)
+    val allCells = qProbe.map(_._2).distinct.sorted
+    // the broadcast probe table pairs each query's sketch with ONLY its
+    // probed cells — the cell equi-join replaces the crossJoin of the
+    // flat searches, and the isin prunes partitions at the scan
+    val qp = qProbe.toDF("query_id", "centroid_id")
+      .join(q.select(col("query_id"), col("qlo"), col("qhi")), "query_id")
+    val scored0 = sigs
+      .where(col("centroid_id").isin(allCells: _*))
+      .select(col("id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("slo"), col("shi"))
+      .join(broadcast(qp), "centroid_id")
+    val scored = (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
+                  else scored0)
+      .withColumn("hamming",
+        (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
+          call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val cand = scored.withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+    rerankHammingCandidates(base, cand, k, "hamming")
+  }
+
+  /**
    * Brute-force top-k over int8-QUANTIZED vectors — the ranking an ANN
    * index that stores [[quantizeInt8]] codes (4× memory shrink) actually
    * produces: each vector is quantized, dequantized (`round(x/s·127)·s/127`)

@@ -57,7 +57,8 @@ object LlmQueries {
     mmPhash, mmFrameDedup, mmPairFilter, simKnnHamming2, textLmKn5pm,
     mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
     mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
-    simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2)
+    simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2,
+    simKnnHammingIvf)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -4809,6 +4810,72 @@ object LlmQueries {
             |FROM g LEFT JOIN g g2 ON g.query_id = g2.neighbor_id
             |  AND g.neighbor_id = g2.query_id
             |ORDER BY g.query_id, g.rank""".stripMargin))
+
+  /** IVF × binary-sketch HYBRID kNN ([[Similarity.knnJoinHammingIvf]]
+    * over [[Materialized.hammingSigsIvf]]): the coarse quantizer prunes
+    * which PARTITIONS stage 1 reads (probed cells), the densified sketch
+    * prunes what it reads per row (16 bytes) — the FAISS
+    * IVF-binary-quantization shape, both pruning axes in one plan
+    * (PlanSpec pins PartitionFilters + the sketch-only ReadSchema).
+    * Probe convention = `sim_knn_join_ivf`'s (squared L2, (dist, cid)
+    * ties); sketch metric = `sim_knn_hamming2`'s; rerank = the shared
+    * exact cosine. The oracle composes the two existing replays. */
+  val simKnnHammingIvf: QueryDef = QueryDef("sim_knn_hamming_ivf",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinHammingIvf(Materialized.hammingSigsIvf(s, d),
+          Tables.embeddings(s, d), idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 20),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+          oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+            |        for i in range(1, len(v) + 1)] AS u FROM nz),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |bits AS (SELECT u.vec_id, pb.k,
+            |           (sum(u.u[pb.i + 1] * pb.s) > 0) AS b
+            |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+            |qb AS (SELECT vec_id AS query_id, k, b FROM bits
+            |       WHERE vec_id < 20),
+            |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM bits cb
+            |          JOIN a3 ON cb.vec_id = a3.vec_id
+            |          JOIN probe p ON a3.centroid_id = p.centroid_id
+            |          JOIN qb ON qb.query_id = p.query_id AND qb.k = cb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+            |cand AS (SELECT query_id, neighbor_id, hamming,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+            |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+            |        row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+            |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** OPQ-ROTATED SemDeDup at code bytes ([[Dedup.semanticDedupSdc]] with
     * the rotation over the stored OPQ artifacts): `dedup_semantic_sdc`'s

@@ -1011,6 +1011,26 @@ object Materialized {
         "doc_id", "text", col("lang") === "en")
     }
 
+  /** CELL-PARTITIONED binary-sketch signature table
+    * `(id, sig, slo, shi, centroid_id)` over `embeddings` — the
+    * [[hammingSigs]] codes laid out by the stored IVF index's cell
+    * assignment, so the hybrid search
+    * ([[graft.llm.Similarity.knnJoinHammingIvf]]) prunes PARTITIONS by
+    * probed cell AND reads only the 16-byte sketch columns per surviving
+    * row: the two pruning axes composed in one store. Rebuilt when the
+    * index retrains (the cell layout IS the index's). */
+  def hammingSigsIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = parquetBacked(spark, "hamming_sigs_ivf", "d64_k128_cell",
+        sfDir, "embeddings", partitionCols = Seq("centroid_id")) {
+      val idx = ivfIndex(spark, sfDir)
+      graft.llm.Similarity.hammingSigRows(
+          Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
+        .join(idx.assignment.select(col("id"), col("centroid_id")), "id")
+    }
+    view.select(col("id"), col("sig"), col("slo"), col("shi"),
+      col("centroid_id").cast("long").as("centroid_id"))
+  }
+
   /** [[compactStore]] for the binary-sketch signature store. */
   def compactHammingSigs(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {

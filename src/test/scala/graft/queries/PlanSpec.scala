@@ -198,6 +198,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_hamming_ivf: both pruning axes in one plan — probed-cell PartitionFilters AND sketch-only ReadSchema") {
+    val p = plan("sim_knn_hamming_ivf")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the sig-store scan\n" + p)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
+        && !r.contains("embedding") && !r.contains("sig:")),
+      "stage 1 must scan only the 16-byte sketch words from the cell store\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the
