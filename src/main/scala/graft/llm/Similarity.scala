@@ -1199,7 +1199,7 @@ object Similarity {
     * live and stored paths are equivalent by construction. */
   private def hammingSearchFromSigged(base: DataFrame, sigged: DataFrame,
       q: DataFrame, bitsPerDim: Int, excludeSelf: Boolean, k: Int,
-      oversample: Int): DataFrame = {
+      oversample: Int, requireCoverage: Boolean = false): DataFrame = {
     val qSigCols =
       if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
       else Seq(col("query_id"), col("qlo"), col("qhi"))
@@ -1218,7 +1218,7 @@ object Similarity {
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "hamming")
+    rerankHammingCandidates(base, cand, k, "hamming", requireCoverage)
   }
 
   /** ADC stage 1 + exact rerank from prepared `(id, slo, shi)` sketch
@@ -1227,7 +1227,7 @@ object Similarity {
   private def adcSearchFromSketches(base: DataFrame,
       sketches: org.apache.spark.sql.Dataset[(Long, Long, Long)],
       q: DataFrame, qProj: Array[(Long, Array[Long])], excludeSelf: Boolean,
-      k: Int, oversample: Int): DataFrame = {
+      k: Int, oversample: Int, requireCoverage: Boolean = false): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val exSelf = excludeSelf
@@ -1243,7 +1243,7 @@ object Similarity {
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("ascore"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "ascore")
+    rerankHammingCandidates(base, cand, k, "ascore", requireCoverage)
   }
 
   /**
@@ -1358,12 +1358,49 @@ object Similarity {
     * k·oversample candidates back into the (never-shuffled) corpus scan,
     * rank by the house cosine — (cosine desc, id asc), HALF_UP 6 dp —
     * and cut to k. `carry` is the stage-1 score column that rides along
-    * into the output (`hamming` or `ascore`). */
+    * into the output (`hamming` or `ascore`).
+    *
+    * `requireCoverage` enforces the `FromSigs` CALLER CONTRACT ("`corpus`
+    * covers every id in `sigs`") in the plan instead of documentation:
+    * each query's stage-1 candidate count rides the broadcast
+    * (`cand_cnt`, a window over the tiny candidate set), the joined rows
+    * are re-counted per query (`got_cnt` — same `query_id` partitioning
+    * as the rank window, so no extra exchange), and every output row's
+    * cosine asserts their equality — a sig-store id missing from the
+    * rerank corpus now fails loud with the contract's name instead of
+    * silently shrinking the rerank pool below k·oversample. The one
+    * shape this row-borne assert cannot see is a query whose candidates
+    * are ALL missing (zero joined rows → zero asserts → zero output rows
+    * for that query): not silent wrongness — the query vanishes from the
+    * result instead of returning a plausible-but-wrong top-k. */
   private def rerankHammingCandidates(base: DataFrame, cand: DataFrame,
-                                      k: Int, carry: String): DataFrame = {
-    val rer = base.join(broadcast(cand), "neighbor_id")
-      .withColumn("cosine",
-        round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6))
+                                      k: Int, carry: String,
+                                      requireCoverage: Boolean = false): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val cand2 =
+      if (requireCoverage) cand.withColumn("cand_cnt", count(lit(1)).over(wq))
+      else cand
+    val cosine =
+      round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6)
+    val joined = base.join(broadcast(cand2), "neighbor_id")
+    val rer =
+      if (requireCoverage)
+        joined.withColumn("got_cnt", count(lit(1)).over(wq))
+          // the house fail-loud idiom: assert_true returns null when the
+          // contract holds, so the coalesce is free and unprunable (the
+          // cosine is consumed by the rank window and the output)
+          .withColumn("cosine", coalesce(
+            assert_true(col("got_cnt") === col("cand_cnt"), concat(
+              lit("FromSigs caller contract violated: query "),
+              col("query_id").cast("string"),
+              lit(" has "), col("cand_cnt").cast("string"),
+              lit(" stage-1 candidates but only "),
+              col("got_cnt").cast("string"),
+              lit(" corpus rows to rerank — every sig-store id must have " +
+                "a row in the rerank corpus (union absorbed keepers' " +
+                "vectors into the corpus view)"))).cast("double"),
+            cosine))
+      else joined.withColumn("cosine", cosine)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     rer.withColumn("rank", row_number().over(wr).cast("long"))
@@ -1387,11 +1424,14 @@ object Similarity {
    * reads 16–24 bytes/row instead of 520 — a ~25× probe-byte cut the
    * sig store pays for once at build time.
    *
-   * CALLER CONTRACT: `corpus` must cover every id in `sigs` — the rerank
-   * joins stage-1 candidates back into the corpus by id, so a sig-store
-   * id missing from the corpus view silently shrinks the rerank pool
-   * below k·oversample and breaks replayability with the live path. In
-   * the streaming-absorb composition ([[graft.streaming
+   * CALLER CONTRACT (ENFORCED in the plan): `corpus` must cover every id
+   * in `sigs` — the rerank joins stage-1 candidates back into the corpus
+   * by id, so a sig-store id missing from the corpus view would shrink
+   * the rerank pool below k·oversample and break replayability with the
+   * live path. The rerank asserts per-query candidate coverage
+   * (see [[rerankHammingCandidates]]) and FAILS LOUD naming this
+   * contract instead of returning a short result. In the
+   * streaming-absorb composition ([[graft.streaming
    * .StreamingEmbDedupAdc.absorbKeepers]]) this means the corpus view
    * must be `base ∪ absorbed keepers' vectors` (union the kept vectors,
    * exactly as StreamingEmbDedupAdcSpec does) whenever `sigs` is the
@@ -1413,7 +1453,8 @@ object Similarity {
     val sigged =
       if (bitsPerDim == 1) sigs.select(col("id").as("neighbor_id"), col("sig"))
       else sigs.select(col("id").as("neighbor_id"), col("slo"), col("shi"))
-    hammingSearchFromSigged(base, sigged, q, bitsPerDim, excludeSelf, k, oversample)
+    hammingSearchFromSigged(base, sigged, q, bitsPerDim, excludeSelf, k,
+      oversample, requireCoverage = true)
   }
 
   /**
@@ -1423,10 +1464,11 @@ object Similarity {
    * each corpus row's sign bits against the broadcast per-query
    * projection magnitudes (the same exact-long ADC score), stage 2 the
    * shared exact-cosine rerank. Bit-replayable with
-   * [[knnJoinHammingAdc]]; oracle unchanged. Same CALLER CONTRACT as
-   * [[knnJoinHammingFromSigs]]: `corpus` must cover every id in `sigs`
-   * (union absorbed keepers' vectors into the corpus view when `sigs`
-   * is an absorbed head).
+   * [[knnJoinHammingAdc]]; oracle unchanged. Same ENFORCED CALLER
+   * CONTRACT as [[knnJoinHammingFromSigs]]: `corpus` must cover every id
+   * in `sigs` (union absorbed keepers' vectors into the corpus view when
+   * `sigs` is an absorbed head) — a coverage gap fails loud in the
+   * rerank.
    */
   def knnJoinHammingAdcFromSigs(corpus: DataFrame, sigs: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, qIdCol: String,
@@ -1443,7 +1485,8 @@ object Similarity {
     val base = hammingBase(corpus, idCol, vecCol)
     val sketches = sigs.select(col("id"), col("slo"), col("shi"))
       .as[(Long, Long, Long)]
-    adcSearchFromSketches(base, sketches, q, qProj, excludeSelf, k, oversample)
+    adcSearchFromSketches(base, sketches, q, qProj, excludeSelf, k,
+      oversample, requireCoverage = true)
   }
 
   /**
@@ -1464,8 +1507,9 @@ object Similarity {
    *
    * `sigs` is the CELL-PARTITIONED signature table
    * ([[graft.queries.Materialized]]'s `hamming_sigs_ivf` store:
-   * `(id, sig, slo, shi, centroid_id)`). Same CALLER CONTRACT as
-   * [[knnJoinHammingFromSigs]]: `corpus` must cover the sig ids.
+   * `(id, sig, slo, shi, centroid_id)`). Same ENFORCED CALLER CONTRACT
+   * as [[knnJoinHammingFromSigs]]: `corpus` must cover the sig ids — a
+   * coverage gap fails loud in the rerank.
    */
   def knnJoinHammingIvf(sigs: DataFrame, corpus: DataFrame,
       centroids: DataFrame, queries: DataFrame, idCol: String,
@@ -1515,7 +1559,7 @@ object Similarity {
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "hamming")
+    rerankHammingCandidates(base, cand, k, "hamming", requireCoverage = true)
   }
 
   /**

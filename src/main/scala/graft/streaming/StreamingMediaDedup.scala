@@ -36,8 +36,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    (checkpoint-replay safety, the family contract).
  *  - STATE KEY FORMAT v2 (round 14): group keys are packed longs, not
  *    the previous `"ci:key"` strings — a checkpoint written by the
- *    string-keyed version cannot be restarted against this one (key
- *    schema mismatch); start such streams from a fresh checkpoint. Media
+ *    string-keyed version cannot be restarted against this one. Spark's
+ *    state-store schema validation rejects the restart AT STREAM START
+ *    with `StateSchemaNotCompatible: Provided keySchema is different
+ *    from existing state keySchema` (the stored `StructType(value:
+ *    string)` vs this version's `StructType(value: bigint)`) — that
+ *    error on a media-dedup checkpoint means "pre-v2 checkpoint": start
+ *    the stream from a fresh checkpoint directory (state is one dedup
+ *    horizon; it re-warms from the feed). Media
  *    ids must be nonnegative (the sentinel key space is `~id`) — a
  *    negative id fails the micro-batch loud rather than corrupting the
  *    key spaces, the same fail-loud id bound the batch ring's

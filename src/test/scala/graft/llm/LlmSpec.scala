@@ -2405,6 +2405,50 @@ class LlmSpec extends AnyFunSuite {
       liveAdc.exceptAll(storedAdc).isEmpty, "stored-sig ADC path diverged")
   }
 
+  test("FromSigs coverage guard: a corpus view missing a sig-store candidate fails loud naming the caller contract") {
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
+    val sigs = Similarity.hammingSigRows(emb, "vec_id", "embedding", dims = 64)
+    val qs = emb.where(col("vec_id") < 4)
+    def contractViolation(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists(e =>
+        e.getMessage != null && e.getMessage.contains("FromSigs caller contract"))
+    // pick a NEIGHBOR the stored search actually returns — by construction
+    // a stage-1 candidate — and drop exactly that row from the corpus view
+    val victim = Similarity.knnJoinHammingFromSigs(emb, sigs, qs, "vec_id",
+        "embedding", "vec_id", k = 5, dims = 64, oversample = 4, bitsPerDim = 2)
+      .select("neighbor_id").head().getLong(0)
+    val truncated = emb.where(col("vec_id") =!= victim)
+    val eSdc = intercept[Throwable] {
+      Similarity.knnJoinHammingFromSigs(truncated, sigs, qs, "vec_id",
+        "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
+        bitsPerDim = 2).collect()
+    }
+    assert(contractViolation(eSdc), s"wrong failure: $eSdc")
+    // ADC twin, same guard
+    val victimAdc = Similarity.knnJoinHammingAdcFromSigs(emb, sigs, qs,
+        "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+      .select("neighbor_id").head().getLong(0)
+    val eAdc = intercept[Throwable] {
+      Similarity.knnJoinHammingAdcFromSigs(emb.where(col("vec_id") =!= victimAdc),
+        sigs, qs, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
+        oversample = 4).collect()
+    }
+    assert(contractViolation(eAdc), s"wrong failure: $eAdc")
+    // hybrid, same guard through the cell-partitioned store
+    val idx = graft.queries.Materialized.ivfIndex(spark, TestSpark.sf)
+    val isigs = graft.queries.Materialized.hammingSigsIvf(spark, TestSpark.sf)
+    val victimIvf = Similarity.knnJoinHammingIvf(isigs, emb, idx.centroids,
+        qs, "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+        oversample = 4)
+      .select("neighbor_id").head().getLong(0)
+    val eIvf = intercept[Throwable] {
+      Similarity.knnJoinHammingIvf(isigs, emb.where(col("vec_id") =!= victimIvf),
+        idx.centroids, qs, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
+        nprobe = 2, oversample = 4).collect()
+    }
+    assert(contractViolation(eIvf), s"wrong failure: $eIvf")
+  }
+
   test("knnJoinHammingIvf: all-cell probe + corpus-covering oversample degrades to exact knnJoin; narrow probe stays inside probed cells") {
     val sf = TestSpark.sf
     val emb = graft.queries.Tables.embeddings(spark, sf)
