@@ -1018,17 +1018,51 @@ object Materialized {
     * ([[graft.llm.Similarity.knnJoinHammingIvf]]) prunes PARTITIONS by
     * probed cell AND reads only the 16-byte sketch columns per surviving
     * row: the two pruning axes composed in one store. Rebuilt when the
-    * index retrains (the cell layout IS the index's). */
+    * index retrains (the cell layout IS the index's). Absorb-able
+    * ([[absorbHammingSigsIvf]], the [[hammingSigs]] contract): after a
+    * streaming ADC micro-batch commits its keepers, the hybrid search
+    * sees the SAME corpus the flat `FromSigs` searches do — the two
+    * stored paths can no longer disagree on membership. Absorb deltas
+    * carry their own `centroid_id=` layout, so probed-cell partition
+    * pruning holds across every generation of the union view. */
   def hammingSigsIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val view = parquetBacked(spark, "hamming_sigs_ivf", "d64_k128_cell",
+    val view = headAware(spark, "hamming_sigs_ivf", "d64_k128_cell",
         sfDir, "embeddings", partitionCols = Seq("centroid_id")) {
-      val idx = ivfIndex(spark, sfDir)
-      graft.llm.Similarity.hammingSigRows(
-          Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
-        .join(idx.assignment.select(col("id"), col("centroid_id")), "id")
+      hammingSigsIvfBase(spark, sfDir)
     }
     view.select(col("id"), col("sig"), col("slo"), col("shi"),
       col("centroid_id").cast("long").as("centroid_id"))
+  }
+
+  private def hammingSigsIvfBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = ivfIndex(spark, sfDir)
+    graft.llm.Similarity.hammingSigRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
+      .join(idx.assignment.select(col("id"), col("centroid_id")), "id")
+  }
+
+  /** Absorb kept batch vectors into the CELL-PARTITIONED sig store —
+    * exactly once per batch id: each keeper is assigned to its IVF cell
+    * AT ABSORB TIME ([[graft.llm.Similarity.ivfAssign]] against the
+    * PINNED base index's centroids — the generation whose layout this
+    * store is), its sig rows ([[graft.llm.Similarity.hammingSigRows]])
+    * land in that cell's partition, and the head advances. Keepers with
+    * no angle (zero-norm) emit no sig row — exactly the base build's
+    * exclusion — and the inner join on `id` keeps assignment and codes
+    * consistent by construction. Centroid drift is the documented IVF
+    * trade: absorbed keepers live in cells trained on the original
+    * corpus until a retrain rebuilds the base layout. */
+  def absorbHammingSigsIvf(spark: SparkSession, sfDir: String,
+                           keptVecs: DataFrame, idCol: String, vecCol: String,
+                           batchId: String): DataFrame = {
+    val cents = ivfIndex(spark, sfDir).centroids
+    val rows = graft.llm.Similarity.hammingSigRows(keptVecs, idCol, vecCol, dims = 64)
+      .join(graft.llm.Similarity.ivfAssign(keptVecs, idCol, vecCol, cents)
+        .select(col("id").cast("long").as("id"), col("centroid_id")), "id")
+    absorbInto(spark, "hamming_sigs_ivf", "d64_k128_cell", sfDir, "embeddings",
+        rows, batchId, partitionCols = Seq("centroid_id")) {
+      hammingSigsIvfBase(spark, sfDir)
+    }
   }
 
   /** [[compactStore]] for the binary-sketch signature store. */

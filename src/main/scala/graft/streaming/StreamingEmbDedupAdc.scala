@@ -43,6 +43,11 @@ final case class StreamingEmbDedupAdc(bands: Int = 16, planesPerBand: Int = 8,
   import StreamingEmbDedupAdc._
   require(dims <= 64,
     s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+  // the estimator is a cosine: anything outside (-1, 1] either matches
+  // nothing (> 1) or would index the -2.0 "no candidate" sentinel as a
+  // real match (<= -1) — fail at construction, not mid-stream
+  require(threshold > -1.0 && threshold <= 1.0,
+    s"threshold is an estimated cosine and must be in (-1, 1], got $threshold")
 
   private val signer: Array[Double] => Array[Long] =
     Similarity.lshBandSignatureKernel(bands, planesPerBand, dims)
@@ -138,7 +143,10 @@ final case class StreamingEmbDedupAdc(bands: Int = 16, planesPerBand: Int = 8,
           }
           i += 1
         }
-        if (bestEst >= threshold) {
+        // bestAt >= 0 is implied by the threshold require (> -1 > the -2.0
+        // no-candidate sentinel) — kept local so the index below is
+        // self-evidently in bounds
+        if (bestAt >= 0 && bestEst >= threshold) {
           if (entries(bestAt).lastSeenMs < ts) { // matched keeper stays hot
             entries = entries.updated(bestAt,
               entries(bestAt).copy(lastSeenMs = ts))
@@ -194,14 +202,19 @@ object StreamingEmbDedupAdc {
 
   /**
    * `foreachBatch` bridge from the ADC stream to the BATCH binary-sketch
-   * store: reduce the micro-batch's band verdicts, then absorb the kept
+   * stores: reduce the micro-batch's band verdicts, then absorb the kept
    * vectors' full signature rows ([[Similarity.hammingSigRows]] —
    * axis-sign word + densified sketch, the store's `d64_b1_k128` config)
-   * into [[graft.queries.Materialized.hammingSigs]]' store, so batch
-   * `FromSigs` searches see streaming keeps too. Exactly-once per
-   * (streamId, micro-batch id) via the store ledger — the family
-   * contract of [[StreamingEmbDedup.absorbKeepers]]. Returns the per-doc
-   * verdicts for the caller's own sink.
+   * into BOTH [[graft.queries.Materialized.hammingSigs]] (flat) and
+   * [[graft.queries.Materialized.absorbHammingSigsIvf]] (cell-
+   * partitioned, keepers assigned to their IVF cell at absorb time), so
+   * batch `FromSigs` searches AND the hybrid `knnJoinHammingIvf` see the
+   * same corpus after the micro-batch — the two stored paths cannot
+   * disagree on membership. Exactly-once per (streamId, micro-batch id)
+   * via each store's ledger — the family contract of
+   * [[StreamingEmbDedup.absorbKeepers]]; a crash between the two absorbs
+   * replays idempotently (the already-absorbed store no-ops). Returns
+   * the per-doc verdicts for the caller's own sink.
    *
    * The FromSigs CALLER CONTRACT follows: once keepers are absorbed,
    * batch searches over the absorbed sig head must pass a corpus view
@@ -221,6 +234,8 @@ object StreamingEmbDedupAdc {
     graft.queries.Materialized.absorbHammingSigs(spark, sfDir,
       Similarity.hammingSigRows(keptVecs, "docId", "vec", dims = 64),
       s"$streamId-$microBatchId")
+    graft.queries.Materialized.absorbHammingSigsIvf(spark, sfDir,
+      keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     v
   }
 

@@ -138,6 +138,35 @@ class StreamingEmbDedupAdcSpec extends AnyFunSuite {
       assert(hit.length == 1 && hit(0).getLong(1) == 100L &&
         hit(0).getDouble(4) == 1.0,
         s"stored-path search must retrieve the STREAMED keeper at cosine 1: ${hit.toSeq}")
+
+      // the CELL-PARTITIONED twin absorbed the same keeper: the hybrid
+      // search sees it too — flat and hybrid stored paths agree on corpus
+      // membership after the micro-batch. nprobe=1 makes this strict: the
+      // query (= the keeper's own vector) probes exactly one cell, and the
+      // absorb-time assignment must have put the keeper in that cell (same
+      // (dist, cid) argmin rule on an identical vector).
+      val isigs = graft.queries.Materialized.hammingSigsIvf(spark, corpusDir.toString)
+      assert(isigs.count() == 3,
+        s"cell store must hold corpus 2 + 1 streamed keeper, got ${isigs.count()}")
+      val idx = graft.queries.Materialized.ivfIndex(spark, corpusDir.toString)
+      val hybHit = graft.llm.Similarity.knnJoinHammingIvf(isigs, corpus,
+          idx.centroids, Seq((500L, v1.toSeq)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", "vec_id", k = 1, dims = 64, nprobe = 1,
+          oversample = 4)
+        .collect()
+      assert(hybHit.length == 1 && hybHit(0).getLong(1) == 100L &&
+        hybHit(0).getDouble(4) == 1.0,
+        s"hybrid search must retrieve the STREAMED keeper at cosine 1: ${hybHit.toSeq}")
+
+      // exactly-once: replaying the micro-batch's absorb (the crashed-
+      // writer recovery path) publishes no new delta in either store
+      val before = graft.queries.Materialized.absorbsPublished.get()
+      StreamingEmbDedupAdc.absorbKeepers(spark, corpusDir.toString,
+        Seq(StreamingEmbDedupAdc.AdcBandVerdict(100L, None, None,
+          carry = true, Some(v1))).toDF(),
+        "ingest-adc", 0L)
+      assert(graft.queries.Materialized.absorbsPublished.get() == before,
+        "re-absorbing an absorbed micro-batch must publish nothing")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.graft.materialized.dir", v)
