@@ -1521,28 +1521,58 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = centroids
-      .select(col("centroid_id").cast("long"), col("vec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(cents.nonEmpty, "knnJoinHammingIvf: empty centroid table")
+    val cents = collectCentroids(centroids, "knnJoinHammingIvf")
     val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
-    val qProbe: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (qid, v, _) =>
+    // the RAW hybrid: one sketch per query, paired with each probed cell
+    val qp = probeCells(cents, qRows, nprobe).map { case (qid, cid, qv) =>
+      val (lo, hi) = superBitKernel(qv.toSeq)
+      (qid, cid, lo, hi)
+    }.toDF("query_id", "centroid_id", "qlo", "qhi")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    hammingIvfSearch(sigs, hammingBase(corpus, idCol, vecCol), q, qp,
+      excludeSelf, k, oversample)
+  }
+
+  /** Bounded driver pull of a centroid sidecar (≤ k rows by construction),
+    * centroid_id-ascending — the scan/tie order of every assignment. */
+  private def collectCentroids(centroids: DataFrame,
+                               caller: String): Array[(Long, Array[Double])] = {
+    val cents = centroids.select(col("centroid_id").cast("long"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"$caller: empty centroid table")
+    cents
+  }
+
+  /** Per query, its `nprobe` nearest cells by squared L2 ((dist, cid) tie
+    * rule — [[knnJoinIvf]]'s probe convention, driver-side against the
+    * collected centroid sidecar). Carries the query vector along so
+    * residual-sketch probes can subtract the probed cell's centroid. */
+  private def probeCells(cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Double], Double)],
+      nprobe: Int): Seq[(Long, Long, Array[Double])] =
+    qRows.toSeq.flatMap { case (qid, v, _) =>
       val va = v.toArray
       cents.map { case (cid, cv) =>
           var s = 0.0; var i = 0
           while (i < cv.length) { val dx = cv(i) - va(i); s += dx * dx; i += 1 }
           (cid, s)
         }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe)
-        .map { case (cid, _) => (qid, cid) }
+        .map { case (cid, _) => (qid, cid, va) }
     }
-    val q = hammingQueryTable(spark, qRows, bitsPerDim = 2, dims)
-    val base = hammingBase(corpus, idCol, vecCol)
-    val allCells = qProbe.map(_._2).distinct.sorted
-    // the broadcast probe table pairs each query's sketch with ONLY its
-    // probed cells — the cell equi-join replaces the crossJoin of the
-    // flat searches, and the isin prunes partitions at the scan
-    val qp = qProbe.toDF("query_id", "centroid_id")
-      .join(q.select(col("query_id"), col("qlo"), col("qhi")), "query_id")
+
+  /** The ONE stage-1 + rerank body behind the hybrid searches
+    * ([[knnJoinHammingIvf]] raw, [[knnJoinHammingIvfRes]] residual): the
+    * broadcast probe table `qp(query_id, centroid_id, qlo, qhi)` pairs
+    * each query with ONLY its probed cells (the cell equi-join replaces
+    * the crossJoin of the flat searches; the isin prunes partitions at
+    * the scan), Hamming cut via WindowGroupLimit, then the shared
+    * exact-cosine rerank with the coverage guard on. */
+  private def hammingIvfSearch(sigs: DataFrame, base: DataFrame,
+      q: DataFrame, qp: DataFrame, excludeSelf: Boolean, k: Int,
+      oversample: Int): DataFrame = {
+    val allCells = qp.select("centroid_id").collect().map(_.getLong(0))
+      .distinct.sorted.toSeq
     val scored0 = sigs
       .where(col("centroid_id").isin(allCells: _*))
       .select(col("id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"),
@@ -1560,6 +1590,103 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
     rerankHammingCandidates(base, cand, k, "hamming", requireCoverage = true)
+  }
+
+  /**
+   * One-scan build of the RESIDUAL binary-sketch signature table — the
+   * FAISS binary-IVF refinement of [[hammingSigRows]]: per corpus
+   * vector, the 128-plane densified sign sketch of its IVF RESIDUAL
+   * `r = v − centroid(cell)` instead of the raw vector. Inside a cell
+   * every member shares the centroid offset, so raw-vector sign bits
+   * spend planes re-encoding the cell's common direction; sketching the
+   * residual concentrates all 128 bits on exactly the variance the
+   * coarse quantizer leaves — the within-cell ranking's entropy (the
+   * same move the residual-PQ rung makes for codebooks,
+   * [[ivfResiduals]]). Assignment is the house (dist, centroid_id)
+   * argmin over the broadcast sidecar — bit-identical to
+   * [[ivfIndexRows]]/[[ivfAssign]] — so the store's cells ARE the
+   * index's. Schema `(id, slo, shi, centroid_id)`, cell-partitioned by
+   * construction (a residual code is only comparable within its own
+   * cell). Zero-norm raw vectors carry no angle and are excluded
+   * exactly as [[hammingSigRows]] excludes them; residual components
+   * pass through the same 6-dp µ-unit rounding ([[superBitProj]]), so
+   * the codes replay exactly in any engine.
+   */
+  def hammingResidualSigRows(emb: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, "hammingResidualSigRows")
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val nrm = math.sqrt(dotKernel(v, v))
+        if (!(nrm > 0.0)) Iterator.empty // zero/NaN norm: no angle, no code
+        else {
+          val cs = bc.value
+          var bestAt = 0
+          var best = Double.PositiveInfinity
+          var j = 0
+          while (j < cs.length) {
+            val cv = cs(j)._2
+            var s = 0.0; var i = 0
+            while (i < v.length) { val dx = v(i) - cv(i); s += dx * dx; i += 1 }
+            // strict < over centroid_id-ascending order = min_by struct(dist, cid)
+            if (s < best) { best = s; bestAt = j }
+            j += 1
+          }
+          val cv = cs(bestAt)._2
+          val r = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+          val (lo, hi) = superBitKernel(r.toSeq)
+          Iterator.single((id, lo, hi, cs(bestAt)._1))
+        }
+      }.toDF("id", "slo", "shi", "centroid_id")
+  }
+
+  /**
+   * IVF × RESIDUAL-sketch hybrid kNN — [[knnJoinHammingIvf]] with the
+   * sketch entropy concentrated where the cells leave it: stage 1
+   * compares the stored residual sketches ([[hammingResidualSigRows]])
+   * against the QUERY'S residual sketch w.r.t. EACH probed cell (the
+   * probe table carries one `(qlo, qhi)` per (query, probed cell) —
+   * still ≤ Q·nprobe·16 bytes broadcast), so both sides of every
+   * Hamming comparison are offsets from the same centroid — the FAISS
+   * binary-IVF refinement. Probe convention, Hamming cut, partition
+   * pruning, rerank and the coverage guard are the raw hybrid's,
+   * verbatim (shared body). Same ENFORCED CALLER CONTRACT: `corpus`
+   * must cover the sig ids.
+   */
+  def knnJoinHammingIvfRes(sigs: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, k: Int, dims: Int, nprobe: Int,
+      oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, "knnJoinHammingIvfRes")
+    val centById = cents.toMap
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    // per (query, probed cell): the query's residual sketch vs THAT cell
+    val qp = probeCells(cents, qRows, nprobe).map { case (qid, cid, va) =>
+      val cv = centById(cid)
+      val r = new Array[Double](va.length)
+      var i = 0
+      while (i < va.length) { r(i) = va(i) - cv(i); i += 1 }
+      val (lo, hi) = superBitKernel(r.toSeq)
+      (qid, cid, lo, hi)
+    }.toDF("query_id", "centroid_id", "qlo", "qhi")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    hammingIvfSearch(sigs, hammingBase(corpus, idCol, vecCol), q, qp,
+      excludeSelf, k, oversample)
   }
 
   /**

@@ -58,7 +58,8 @@ object LlmQueries {
     mmDedupIncremental, textUnigramEncodeEm2, mmCuration,
     mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
     simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2,
-    simKnnHammingIvf, simHammingIvfRecall, simHammingIvfRecall2)
+    simKnnHammingIvf, simHammingIvfRecall, simHammingIvfRecall2,
+    simKnnHammingIvfRes, simHammingIvfResRecall)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5060,6 +5061,217 @@ object LlmQueries {
             |SELECT np.nprobe, coalesce(h.hits, 0)::BIGINT AS hits, tot.total,
             |  round(coalesce(h.hits, 0)::DOUBLE / tot.total, 6) AS recall
             |FROM np LEFT JOIN h USING (nprobe), tot ORDER BY nprobe""".stripMargin))
+
+  /** IVF × RESIDUAL-sketch hybrid kNN
+    * ([[Similarity.knnJoinHammingIvfRes]] over
+    * [[Materialized.hammingSigsIvfRes]]) — the FAISS binary-IVF
+    * refinement: stage 1 Hamming compares sketches of `v −
+    * centroid(cell)` on BOTH sides (the query re-sketches its residual
+    * per probed cell), concentrating all 128 sign bits on the
+    * within-cell variance the coarse quantizer leaves. Same probe
+    * convention, partition pruning, WindowGroupLimit cut and exact
+    * rerank as `sim_knn_hamming_ivf`; the oracle replays the residual
+    * subtraction inside the same 6-dp µ-unit plane projection. */
+  val simKnnHammingIvfRes: QueryDef = QueryDef("sim_knn_hamming_ivfres",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinHammingIvfRes(Materialized.hammingSigsIvfRes(s, d),
+          Tables.embeddings(s, d), idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 20),
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+          oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |res AS (SELECT z.vec_id, a3.centroid_id,
+            |          [round(round(z.v[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |           for i in range(1, 65)] AS u
+            |        FROM nz z JOIN a3 ON z.vec_id = a3.vec_id
+            |        JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |cbits AS (SELECT r.vec_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM res r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |qres AS (SELECT p.query_id, p.centroid_id,
+            |           [round(round(q.qv[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |            for i in range(1, 65)] AS u
+            |         FROM probe p JOIN qs q ON p.query_id = q.query_id
+            |         JOIN c2 c ON p.centroid_id = c.centroid_id),
+            |qbits AS (SELECT r.query_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM cbits cb
+            |          JOIN qbits qb ON cb.centroid_id = qb.centroid_id
+            |            AND cb.k = qb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+            |cand AS (SELECT query_id, neighbor_id, hamming,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+            |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+            |        row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+            |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Recall@5 of the RESIDUAL-sketch hybrid vs the RAW-sketch hybrid at
+    * the same (nprobe, oversample) point, both against brute-force
+    * ground truth — the honest measurement of whether residual
+    * sketching buys recall on THIS corpus (it concentrates sketch
+    * entropy only where cells actually absorb variance; on an isotropic
+    * corpus with weak cells the two variants should tie — the
+    * `sdc-opq` honest-negative discipline applied to the sketch
+    * family). One row per variant; both chains replayed in SQL. */
+  val simHammingIvfResRecall: QueryDef = QueryDef("sim_hamming_ivfres_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val idx = Materialized.ivfIndex(s, d)
+      val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
+      val tot = brute.agg(count(lit(1)).as("total"))
+      def hitRow(name: String, hyb: org.apache.spark.sql.DataFrame) =
+        brute.join(hyb.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("variant"), col("hits"))
+      hitRow("raw", Similarity.knnJoinHammingIvf(
+          Materialized.hammingSigsIvf(s, d), emb, idx.centroids, queries,
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+          oversample = 4))
+        .unionByName(hitRow("residual", Similarity.knnJoinHammingIvfRes(
+          Materialized.hammingSigsIvfRes(s, d), emb, idx.centroids, queries,
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+          oversample = 4)))
+        .crossJoin(tot)
+        .select(col("variant"), col("hits"), col("total"),
+          round(col("hits") / col("total"), 6).as("recall"))
+        .orderBy("variant")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+            |        for i in range(1, len(v) + 1)] AS u FROM nz),
+            |bits AS (SELECT u.vec_id, pb.k,
+            |           (sum(u.u[pb.i + 1] * pb.s) > 0) AS b
+            |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+            |qb AS (SELECT vec_id AS query_id, k, b FROM bits
+            |       WHERE vec_id < 20),
+            |hamr AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM bits cb
+            |          JOIN a3 ON cb.vec_id = a3.vec_id
+            |          JOIN probe p ON a3.centroid_id = p.centroid_id
+            |          JOIN qb ON qb.query_id = p.query_id AND qb.k = cb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+            |candr AS (SELECT query_id, neighbor_id,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM hamr),
+            |rerr AS (SELECT c.query_id, c.neighbor_id,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM candr c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |rar AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rerr)
+            |      WHERE rank <= 5),
+            |res AS (SELECT z.vec_id, a3.centroid_id,
+            |          [round(round(z.v[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |           for i in range(1, 65)] AS u
+            |        FROM nz z JOIN a3 ON z.vec_id = a3.vec_id
+            |        JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |cbits AS (SELECT r.vec_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM res r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |qres AS (SELECT p.query_id, p.centroid_id,
+            |           [round(round(q.qv[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |            for i in range(1, 65)] AS u
+            |         FROM probe p JOIN qs q ON p.query_id = q.query_id
+            |         JOIN c2 c ON p.centroid_id = c.centroid_id),
+            |qbits AS (SELECT r.query_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |hams AS (SELECT cb.vec_id AS neighbor_id, qb2.query_id,
+            |          sum(CASE WHEN cb.b <> qb2.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM cbits cb
+            |          JOIN qbits qb2 ON cb.centroid_id = qb2.centroid_id
+            |            AND cb.k = qb2.k
+            |        WHERE cb.vec_id <> qb2.query_id GROUP BY 1, 2),
+            |cands AS (SELECT query_id, neighbor_id,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM hams),
+            |rers AS (SELECT c.query_id, c.neighbor_id,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM cands c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |ras AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rers)
+            |      WHERE rank <= 5),
+            |sb AS (SELECT q.query_id, n2.vec_id AS neighbor_id,
+            |        round(list_sum([n2.v[i] * q.qv[i] for i in range(1, 65)])
+            |              / (n2.nrm * q.qn), 6) AS cosine
+            |      FROM nz n2, qs q WHERE n2.vec_id <> q.query_id),
+            |rb AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sb)
+            |      WHERE rank <= 5),
+            |tot AS (SELECT count(*)::BIGINT AS total FROM rb),
+            |hr AS (SELECT count(*)::BIGINT AS hits
+            |       FROM rb JOIN rar USING (query_id, neighbor_id)),
+            |hs AS (SELECT count(*)::BIGINT AS hits
+            |       FROM rb JOIN ras USING (query_id, neighbor_id))
+            |SELECT * FROM (
+            |  SELECT 'raw' AS variant, hr.hits, tot.total,
+            |    round(hr.hits::DOUBLE / tot.total, 6) AS recall FROM hr, tot
+            |  UNION ALL
+            |  SELECT 'residual' AS variant, hs.hits, tot.total,
+            |    round(hs.hits::DOUBLE / tot.total, 6) AS recall FROM hs, tot)
+            |ORDER BY variant""".stripMargin))
 
   /** OPQ-ROTATED SemDeDup at code bytes ([[Dedup.semanticDedupSdc]] with
     * the rotation over the stored OPQ artifacts): `dedup_semantic_sdc`'s

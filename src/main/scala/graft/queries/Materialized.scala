@@ -1065,6 +1065,45 @@ object Materialized {
     }
   }
 
+  /** CELL-PARTITIONED RESIDUAL-sketch signature table
+    * `(id, slo, shi, centroid_id)` over `embeddings`
+    * ([[graft.llm.Similarity.hammingResidualSigRows]] — the 128-plane
+    * sign sketch of `v − centroid(cell)` instead of the raw vector, the
+    * FAISS binary-IVF refinement): same partition-pruned 16-byte stage 1
+    * as [[hammingSigsIvf]], with the sketch entropy concentrated on the
+    * within-cell variance the coarse quantizer leaves. Absorb-able
+    * ([[absorbHammingSigsIvfRes]]) like its raw twin, so all three
+    * stored search paths agree on corpus membership after a streaming
+    * micro-batch. */
+  def hammingSigsIvfRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = headAware(spark, "hamming_sigs_ivfres", "d64_k128_rescell",
+        sfDir, "embeddings", partitionCols = Seq("centroid_id")) {
+      hammingSigsIvfResBase(spark, sfDir)
+    }
+    view.select(col("id"), col("slo"), col("shi"),
+      col("centroid_id").cast("long").as("centroid_id"))
+  }
+
+  private def hammingSigsIvfResBase(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Similarity.hammingResidualSigRows(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      ivfIndex(spark, sfDir).centroids, dims = 64)
+
+  /** [[absorbHammingSigsIvf]] for the RESIDUAL-sketch cell store —
+    * keepers are assigned AND residual-sketched against the pinned base
+    * centroids in one pass (the builder does both), exactly-once per
+    * batch id. */
+  def absorbHammingSigsIvfRes(spark: SparkSession, sfDir: String,
+                              keptVecs: DataFrame, idCol: String,
+                              vecCol: String, batchId: String): DataFrame =
+    absorbInto(spark, "hamming_sigs_ivfres", "d64_k128_rescell", sfDir,
+        "embeddings",
+        graft.llm.Similarity.hammingResidualSigRows(keptVecs, idCol, vecCol,
+          ivfIndex(spark, sfDir).centroids, dims = 64),
+        batchId, partitionCols = Seq("centroid_id")) {
+      hammingSigsIvfResBase(spark, sfDir)
+    }
+
   /** [[compactStore]] for the binary-sketch signature store. */
   def compactHammingSigs(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "hamming_sigs", "d64_b1_k128", sfDir, "embeddings") {

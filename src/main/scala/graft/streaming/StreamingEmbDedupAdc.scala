@@ -205,12 +205,15 @@ object StreamingEmbDedupAdc {
    * stores: reduce the micro-batch's band verdicts, then absorb the kept
    * vectors' full signature rows ([[Similarity.hammingSigRows]] —
    * axis-sign word + densified sketch, the store's `d64_b1_k128` config)
-   * into BOTH [[graft.queries.Materialized.hammingSigs]] (flat) and
+   * into ALL the stored search artifacts:
+   * [[graft.queries.Materialized.hammingSigs]] (flat),
    * [[graft.queries.Materialized.absorbHammingSigsIvf]] (cell-
-   * partitioned, keepers assigned to their IVF cell at absorb time), so
-   * batch `FromSigs` searches AND the hybrid `knnJoinHammingIvf` see the
-   * same corpus after the micro-batch — the two stored paths cannot
-   * disagree on membership. Exactly-once per (streamId, micro-batch id)
+   * partitioned raw sketches, keepers assigned to their IVF cell at
+   * absorb time) and
+   * [[graft.queries.Materialized.absorbHammingSigsIvfRes]] (cell-
+   * partitioned RESIDUAL sketches) — so batch `FromSigs` searches AND
+   * both hybrid searches see the same corpus after the micro-batch; no
+   * stored path serves a stale membership view. Exactly-once per (streamId, micro-batch id)
    * via each store's ledger — the family contract of
    * [[StreamingEmbDedup.absorbKeepers]]; a crash between the two absorbs
    * replays idempotently (the already-absorbed store no-ops). Returns
@@ -235,6 +238,8 @@ object StreamingEmbDedupAdc {
       Similarity.hammingSigRows(keptVecs, "docId", "vec", dims = 64),
       s"$streamId-$microBatchId")
     graft.queries.Materialized.absorbHammingSigsIvf(spark, sfDir,
+      keptVecs, "docId", "vec", s"$streamId-$microBatchId")
+    graft.queries.Materialized.absorbHammingSigsIvfRes(spark, sfDir,
       keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     v
   }

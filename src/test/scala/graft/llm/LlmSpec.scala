@@ -2479,6 +2479,42 @@ class LlmSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("knnJoinHammingIvfRes: all-cell probe + corpus-covering oversample degrades to exact knnJoin; exact copy lands in the query's probed cell at hamming 0") {
+    val sf = TestSpark.sf
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val qs = emb.where(col("vec_id") < 20)
+    val idx = graft.queries.Materialized.ivfIndex(spark, sf)
+    val sigs = graft.queries.Materialized.hammingSigsIvfRes(spark, sf)
+    val nCells = idx.centroids.count().toInt
+    val n = emb.count().toInt
+    val exact = Similarity.knnJoin(emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    val full = Similarity.knnJoinHammingIvfRes(sigs, emb, idx.centroids, qs,
+        "vec_id", "embedding", "vec_id", k = 5, dims = 64, nprobe = nCells,
+        oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // an exact copy shares its donor's cell (identical vector, same
+    // (dist, cid) argmin) and its residual sketch bit-for-bit, so even a
+    // nprobe=1 residual search retrieves it at stage-1 hamming 0 and
+    // exact cosine 1
+    val copies = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val emb2 = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val cents2 = idx.centroids
+    val sigs2 = Similarity.hammingResidualSigRows(emb2, "vec_id", "embedding",
+      cents2, dims = 64)
+    val out = Similarity.knnJoinHammingIvfRes(sigs2, emb2, cents2,
+        copies, "vec_id", "embedding", "vec_id", k = 1, dims = 64,
+        nprobe = 1, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.length == 8, s"every copy must retrieve: ${out.toSeq}")
+    out.foreach { case (qid, nid, ham, cos) =>
+      assert(nid == qid - 3000000L && ham == 0L && cos == 1.0,
+        s"copy $qid retrieved ($nid, ham=$ham, cos=$cos)")
+    }
+  }
+
   test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val v = emb.where(col("vec_id") === 7)

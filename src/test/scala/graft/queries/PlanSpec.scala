@@ -209,6 +209,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim_knn_hamming_ivfres: the residual hybrid keeps both pruning axes — PartitionFilters AND residual-sketch-only ReadSchema") {
+    val p = plan("sim_knn_hamming_ivfres")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the residual-sig-store scan\n" + p)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
+        && !r.contains("embedding")),
+      "stage 1 must scan only the 16-byte residual sketch words\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the

@@ -158,6 +158,20 @@ class StreamingEmbDedupAdcSpec extends AnyFunSuite {
         hybHit(0).getDouble(4) == 1.0,
         s"hybrid search must retrieve the STREAMED keeper at cosine 1: ${hybHit.toSeq}")
 
+      // ... and the RESIDUAL-sketch twin: all three stored search paths
+      // agree on membership after the micro-batch
+      val rsigs = graft.queries.Materialized.hammingSigsIvfRes(spark, corpusDir.toString)
+      assert(rsigs.count() == 3,
+        s"residual cell store must hold corpus 2 + 1 streamed keeper, got ${rsigs.count()}")
+      val resHit = graft.llm.Similarity.knnJoinHammingIvfRes(rsigs, corpus,
+          idx.centroids, Seq((500L, v1.toSeq)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", "vec_id", k = 1, dims = 64, nprobe = 1,
+          oversample = 4)
+        .collect()
+      assert(resHit.length == 1 && resHit(0).getLong(1) == 100L &&
+        resHit(0).getDouble(4) == 1.0,
+        s"residual hybrid must retrieve the STREAMED keeper at cosine 1: ${resHit.toSeq}")
+
       // exactly-once: replaying the micro-batch's absorb (the crashed-
       // writer recovery path) publishes no new delta in either store
       val before = graft.queries.Materialized.absorbsPublished.get()
