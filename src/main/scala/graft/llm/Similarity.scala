@@ -1567,10 +1567,24 @@ object Similarity {
     * each query with ONLY its probed cells (the cell equi-join replaces
     * the crossJoin of the flat searches; the isin prunes partitions at
     * the scan), Hamming cut via WindowGroupLimit, then the shared
-    * exact-cosine rerank with the coverage guard on. */
+    * exact-cosine rerank with the coverage guard on.
+    *
+    * `perCellCut` picks the stage-1 rank scope. RAW sketches share one
+    * global sign basis, so their Hamming distances are comparable across
+    * cells and the cut is per QUERY (k·oversample candidates total — the
+    * FAISS global binary heap). RESIDUAL sketches measure angles of
+    * offsets from EACH CELL'S OWN centroid — two cells' distances are
+    * not on the same scale, and a global rank lets far cells' random
+    * residual angles crowd out the near cell's true candidates (measured
+    * at 55k: recall FALLS as nprobe grows under a global cut). So the
+    * residual cut is per (query, probed cell) — k·oversample per
+    * inverted list, the classic scan-each-list shape — and the exact
+    * rerank (cosines, globally comparable) resolves the per-cell
+    * winners. Candidate bound: nprobe·k·oversample per query, still a
+    * broadcast-sized set. */
   private def hammingIvfSearch(sigs: DataFrame, base: DataFrame,
       q: DataFrame, qp: DataFrame, excludeSelf: Boolean, k: Int,
-      oversample: Int): DataFrame = {
+      oversample: Int, perCellCut: Boolean = false): DataFrame = {
     val allCells = qp.select("centroid_id").collect().map(_.getLong(0))
       .distinct.sorted.toSeq
     val scored0 = sigs
@@ -1583,8 +1597,10 @@ object Similarity {
       .withColumn("hamming",
         (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
           call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
-    val wh = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val wh = (if (perCellCut)
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id", "centroid_id")
+      else org.apache.spark.sql.expressions.Window.partitionBy("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
     val cand = scored.withColumn("hrank", row_number().over(wh))
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
@@ -1657,10 +1673,14 @@ object Similarity {
    * probe table carries one `(qlo, qhi)` per (query, probed cell) —
    * still ≤ Q·nprobe·16 bytes broadcast), so both sides of every
    * Hamming comparison are offsets from the same centroid — the FAISS
-   * binary-IVF refinement. Probe convention, Hamming cut, partition
-   * pruning, rerank and the coverage guard are the raw hybrid's,
-   * verbatim (shared body). Same ENFORCED CALLER CONTRACT: `corpus`
-   * must cover the sig ids.
+   * binary-IVF refinement. Probe convention, partition pruning, rerank
+   * and the coverage guard are the raw hybrid's (shared body); the
+   * stage-1 cut is PER PROBED CELL (k·oversample per inverted list, so
+   * up to nprobe·k·oversample candidates reach the rerank) because
+   * residual Hamming distances are only comparable within a cell — see
+   * [[hammingIvfSearch]]'s scope note for the measured failure of a
+   * global cut. Same ENFORCED CALLER CONTRACT: `corpus` must cover the
+   * sig ids.
    */
   def knnJoinHammingIvfRes(sigs: DataFrame, corpus: DataFrame,
       centroids: DataFrame, queries: DataFrame, idCol: String,
@@ -1686,7 +1706,7 @@ object Similarity {
     }.toDF("query_id", "centroid_id", "qlo", "qhi")
     val q = qRows.toSeq.toDF("query_id", "qv", "qn")
     hammingIvfSearch(sigs, hammingBase(corpus, idCol, vecCol), q, qp,
-      excludeSelf, k, oversample)
+      excludeSelf, k, oversample, perCellCut = true)
   }
 
   /**

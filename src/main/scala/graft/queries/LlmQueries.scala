@@ -5069,9 +5069,12 @@ object LlmQueries {
     * centroid(cell)` on BOTH sides (the query re-sketches its residual
     * per probed cell), concentrating all 128 sign bits on the
     * within-cell variance the coarse quantizer leaves. Same probe
-    * convention, partition pruning, WindowGroupLimit cut and exact
-    * rerank as `sim_knn_hamming_ivf`; the oracle replays the residual
-    * subtraction inside the same 6-dp µ-unit plane projection. */
+    * convention, partition pruning and exact rerank as
+    * `sim_knn_hamming_ivf`; the stage-1 cut is PER PROBED CELL (residual
+    * distances are only comparable within a cell — the measured failure
+    * of a global cut is in BASELINE.md); the oracle replays the residual
+    * subtraction inside the same 6-dp µ-unit plane projection and the
+    * per-cell rank. */
   val simKnnHammingIvfRes: QueryDef = QueryDef("sim_knn_hamming_ivfres",
     (s, d) => {
       val idx = Materialized.ivfIndex(s, d)
@@ -5116,14 +5119,15 @@ object LlmQueries {
             |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
             |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
             |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          cb.centroid_id,
             |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
             |            AS hamming
             |        FROM cbits cb
             |          JOIN qbits qb ON cb.centroid_id = qb.centroid_id
             |            AND cb.k = qb.k
-            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2, 3),
             |cand AS (SELECT query_id, neighbor_id, hamming,
-            |           row_number() OVER (PARTITION BY query_id
+            |           row_number() OVER (PARTITION BY query_id, centroid_id
             |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
             |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
             |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
@@ -5233,14 +5237,15 @@ object LlmQueries {
             |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
             |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
             |hams AS (SELECT cb.vec_id AS neighbor_id, qb2.query_id,
+            |          cb.centroid_id,
             |          sum(CASE WHEN cb.b <> qb2.b THEN 1 ELSE 0 END)::BIGINT
             |            AS hamming
             |        FROM cbits cb
             |          JOIN qbits qb2 ON cb.centroid_id = qb2.centroid_id
             |            AND cb.k = qb2.k
-            |        WHERE cb.vec_id <> qb2.query_id GROUP BY 1, 2),
+            |        WHERE cb.vec_id <> qb2.query_id GROUP BY 1, 2, 3),
             |cands AS (SELECT query_id, neighbor_id,
-            |           row_number() OVER (PARTITION BY query_id
+            |           row_number() OVER (PARTITION BY query_id, centroid_id
             |             ORDER BY hamming, neighbor_id) AS hrank FROM hams),
             |rers AS (SELECT c.query_id, c.neighbor_id,
             |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])

@@ -29,7 +29,7 @@ object ScaleCurveMain {
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
-      "frames-only")
+      "frames-only", "hybrid-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -84,6 +84,7 @@ object ScaleCurveMain {
     else if (args.contains("phash-only")) phash10M(spark)
     else if (args.contains("simhash-only")) simhash10M(spark)
     else if (args.contains("adc-only")) adcStored55k(spark)
+    else if (args.contains("hybrid-only")) hybridStored55k(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -542,6 +543,130 @@ object ScaleCurveMain {
         f"adc ${tAdc}%.1fs recall=${(adc & truth).size.toDouble / truth.size}%.3f | " +
         f"exact ${tExact}%.1fs")
     }
+  }
+
+  /**
+   * The HYBRID (IVF × binary-sketch) datapoint at the 55k corpus — the
+   * composed dial measured, not formula'd: build the cell-partitioned
+   * raw-sketch and residual-sketch stores once (written to parquet —
+   * the searches pay real partition-pruned storage I/O), then sweep the
+   * nprobe × oversample grid against brute-force ground truth, with
+   * every miss decomposed into CELL-miss (the true neighbor's cell was
+   * not probed — `nprobe`'s axis; no oversample can recover it) vs
+   * SKETCH-miss (probed but cut by the Hamming rank — `oversample`'s
+   * axis). The flat stored-sig search at the same oversamples is the
+   * crossover reference (what the partition pruning trades recall
+   * against). Two corpus shapes, the `sdc-opq` discipline: UNIFORM
+   * (isotropic — cells absorb little variance, the residual refinement's
+   * null case) and ANISOTROPIC (per-dim scale 2^(−d/8) — cells carry
+   * real structure, the residual sketch's actual premise).
+   */
+  private def hybridStored55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    def run(label: String, scale: Int => Double,
+            grid: Seq[(Int, Int)], flatOs: Seq[Int]): Unit = {
+      val base = spark.range(55000).map { id =>
+        (id, Array.tabulate(64)(d => scale(d) *
+          ((mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5)))
+      }.toDF("vec_id", "embedding")
+      val root = java.nio.file.Files.createTempDirectory(s"graft-hybrid-$label")
+      base.write.parquet(root.resolve("flat").toString)
+      val corpus = spark.read.parquet(root.resolve("flat").toString)
+      val cents = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 64, iters = 2)
+      // raw-sketch cell store: codes + assignment, partitioned by cell
+      val (_, tRaw) = timed(
+        graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
+          .join(graft.llm.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+            .select(col("id"), col("centroid_id")), "id")
+          .write.partitionBy("centroid_id").parquet(root.resolve("rawsigs").toString))
+      val rawSigs = spark.read.parquet(root.resolve("rawsigs").toString)
+      // residual-sketch cell store (assignment inside the builder)
+      val (_, tRes) = timed(
+        graft.llm.Similarity.hammingResidualSigRows(corpus, "vec_id", "embedding",
+            cents, dims = 64)
+          .write.partitionBy("centroid_id").parquet(root.resolve("ressigs").toString))
+      val resSigs = spark.read.parquet(root.resolve("ressigs").toString)
+      // flat sig store for the crossover reference
+      graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
+        .write.parquet(root.resolve("sigs").toString)
+      val flatSigs = spark.read.parquet(root.resolve("sigs").toString)
+      println(f"hybrid[$label] n=55000 cells=64 store-build raw=${tRaw}%.1fs " +
+        f"res=${tRes}%.1fs bytes flat=${dirBytes(root.resolve("flat"))} " +
+        f"rawsigs=${dirBytes(root.resolve("rawsigs"))} " +
+        f"ressigs=${dirBytes(root.resolve("ressigs"))}")
+      val queries = corpus.where(col("vec_id") < 32)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (truth, tExact) = timed(pairs(graft.llm.Similarity.knnJoin(
+        corpus, queries, "vec_id", "embedding", "vec_id", k = 10)))
+      // driver-side replicas for the miss decomposition: the true
+      // neighbors' cells and each query's probed-cell ladder (the house
+      // (dist, cid) probe rule)
+      val centArr = cents.select(col("centroid_id").cast("long"), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val truthIds = truth.map(_._2).toSeq.distinct
+      val cellOf = rawSigs.select(col("id"), col("centroid_id").cast("long"))
+        .where(col("id").isin(truthIds: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val qVecs = queries.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      def probedSet(qid: Long, np: Int): Set[Long] = {
+        val va = qVecs(qid)
+        centArr.map { case (cid, cv) =>
+            var s = 0.0; var i = 0
+            while (i < cv.length) { val dx = cv(i) - va(i); s += dx * dx; i += 1 }
+            (cid, s)
+          }.sortBy { case (cid, dist) => (dist, cid) }.take(np)
+          .map(_._1).toSet
+      }
+      def sweep(variant: String,
+                search: (Int, Int) => org.apache.spark.sql.DataFrame): Unit =
+        grid.foreach { case (np, os) =>
+          val (got, t) = timed(pairs(search(np, os)))
+          val misses = truth -- got
+          val cellMiss = misses.count { case (q, n) =>
+            !probedSet(q, np).contains(cellOf(n)) }
+          val recall = (got & truth).size.toDouble / truth.size
+          println(f"hybrid[$variant,$label] Q=32 k=10 np=$np os=$os ${t}%.1fs " +
+            f"recall@10=$recall%.3f misses=${misses.size} " +
+            f"cell=$cellMiss sketch=${misses.size - cellMiss}")
+        }
+      sweep("raw", (np, os) => graft.llm.Similarity.knnJoinHammingIvf(
+        rawSigs, corpus, cents, queries, "vec_id", "embedding", "vec_id",
+        k = 10, dims = 64, nprobe = np, oversample = os))
+      sweep("res", (np, os) => graft.llm.Similarity.knnJoinHammingIvfRes(
+        resSigs, corpus, cents, queries, "vec_id", "embedding", "vec_id",
+        k = 10, dims = 64, nprobe = np, oversample = os))
+      // crossover: the flat stored-sig search (no cell pruning, sketch
+      // recall only) at the same oversamples
+      flatOs.foreach { os =>
+        val (got, t) = timed(pairs(graft.llm.Similarity.knnJoinHammingFromSigs(
+          corpus, flatSigs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, dims = 64, oversample = os, bitsPerDim = 2)))
+        println(f"hybrid[flat,$label] Q=32 k=10 os=$os ${t}%.1fs " +
+          f"recall@10=${(got & truth).size.toDouble / truth.size}%.3f " +
+          f"(exact ${tExact}%.1fs)")
+      }
+    }
+    run("uniform", _ => 1.0,
+      grid = for (np <- Seq(1, 2, 4, 8); os <- Seq(4, 8, 16)) yield (np, os),
+      flatOs = Seq(4, 8, 16))
+    run("aniso", d => math.pow(2.0, -d / 8.0),
+      grid = for (np <- Seq(1, 2, 4, 8); os <- Seq(8)) yield (np, os),
+      flatOs = Seq(8))
   }
 
   /**
