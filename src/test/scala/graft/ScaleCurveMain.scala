@@ -29,7 +29,7 @@ object ScaleCurveMain {
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
-      "frames-only", "hybrid-only")
+      "frames-only", "hybrid-only", "adc-state-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -85,6 +85,7 @@ object ScaleCurveMain {
     else if (args.contains("simhash-only")) simhash10M(spark)
     else if (args.contains("adc-only")) adcStored55k(spark)
     else if (args.contains("hybrid-only")) hybridStored55k(spark)
+    else if (args.contains("adc-state-only")) adcStreamState(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -543,6 +544,75 @@ object ScaleCurveMain {
         f"adc ${tAdc}%.1fs recall=${(adc & truth).size.toDouble / truth.size}%.3f | " +
         f"exact ${tExact}%.1fs")
     }
+  }
+
+  /**
+   * The streaming-ADC STATE-BYTES datapoint — the 16× state-cut claim
+   * measured from the state store's own accounting, not schema
+   * arithmetic: ingest UNIQUE vectors (no dups, so every arrival
+   * registers — the worst-case state the claim is about) through
+   * [[graft.streaming.StreamingEmbDedupAdc]] (16-byte sketch per
+   * keeper per band) and its parent [[graft.streaming.StreamingEmbDedup]]
+   * (full 512-byte vector per keeper per band), same banding geometry
+   * (8 bands × 16 planes — 65k keys/band keeps bucket occupancy ~15 at
+   * 1M, the production-shaped dial for unique-heavy feeds), and read
+   * `stateOperators.memoryUsedBytes` / `numRowsTotal` from the query
+   * progress. The ADC stream runs at 1M arrivals; the parent at 250k
+   * (its 1M state would be ~4 GB of vectors — the point being made);
+   * bytes/row is the size-independent comparison, and the parent's 1M
+   * projection is printed from it.
+   */
+  private def adcStreamState(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def gen(n: Int) = spark.range(n.toLong).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vecId", "vec")
+    val bands = 8
+    def measure(label: String, n: Int,
+                judge: org.apache.spark.sql.Dataset[graft.streaming.StreamingEmbDedup.VecDoc]
+                  => org.apache.spark.sql.Dataset[_]): (Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory(s"adc-state-$label")
+      gen(n).coalesce(8).write.parquet(root.resolve("in").toString)
+      val t0 = System.nanoTime()
+      val q = judge(
+          spark.readStream.schema("vecId LONG, vec ARRAY<DOUBLE>")
+            .parquet(root.resolve("in").toString)
+            .as[graft.streaming.StreamingEmbDedup.VecDoc])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[_], _: Long) =>
+          df.count(); ()
+        }
+        .start()
+      q.processAllAvailable()
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      // numRowsTotal counts state-store rows = BUCKETS (one AdcBucket/
+      // EmbBucket per touched band key); the per-KEEPER-entry figure
+      // divides by the known entry count — every arrival is unique here,
+      // so entries = arrivals × bands exactly
+      val buckets = states.map(_.numRowsTotal).max
+      val bytes = states.map(_.memoryUsedBytes).max
+      q.stop()
+      val entries = n.toLong * bands
+      println(f"adc-state[$label] arrivals=$n entries=$entries " +
+        f"buckets=$buckets state-bytes=$bytes " +
+        f"(${bytes.toDouble / entries}%.0f B/entry) " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.0fs")
+      (entries, bytes)
+    }
+    val (aEntries, aBytes) = measure("adc-1m", 1000000,
+      graft.streaming.StreamingEmbDedupAdc(bands = bands, planesPerBand = 16).judged)
+    val (pEntries, pBytes) = measure("parent-250k", 250000,
+      graft.streaming.StreamingEmbDedup(bands = bands, planesPerBand = 16).judged)
+    val aPer = aBytes.toDouble / aEntries
+    val pPer = pBytes.toDouble / pEntries
+    println(f"adc-state ratio: parent ${pPer}%.0f B/entry vs adc " +
+      f"${aPer}%.0f B/entry = ${pPer / aPer}%.1fx measured (schema " +
+      f"32 B vs 528 B = 16.5x; store map/seq overhead is shared); " +
+      f"parent@1M projected ${pPer * aEntries / 1e9}%.2f GB vs adc@1M " +
+      f"measured ${aBytes / 1e9}%.2f GB")
   }
 
   /**
