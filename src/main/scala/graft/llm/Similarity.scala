@@ -1535,8 +1535,8 @@ object Similarity {
 
   /** Bounded driver pull of a centroid sidecar (≤ k rows by construction),
     * centroid_id-ascending — the scan/tie order of every assignment. */
-  private def collectCentroids(centroids: DataFrame,
-                               caller: String): Array[(Long, Array[Double])] = {
+  private[graft] def collectCentroids(centroids: DataFrame,
+                                      caller: String): Array[(Long, Array[Double])] = {
     val cents = centroids.select(col("centroid_id").cast("long"), col("vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)

@@ -29,7 +29,7 @@ object ScaleCurveMain {
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
-      "frames-only", "hybrid-only", "adc-state-only")
+      "frames-only", "hybrid-only", "adc-state-only", "cell-state-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -86,6 +86,7 @@ object ScaleCurveMain {
     else if (args.contains("adc-only")) adcStored55k(spark)
     else if (args.contains("hybrid-only")) hybridStored55k(spark)
     else if (args.contains("adc-state-only")) adcStreamState(spark)
+    else if (args.contains("cell-state-only")) cellStreamState(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -613,6 +614,76 @@ object ScaleCurveMain {
       f"32 B vs 528 B = 16.5x; store map/seq overhead is shared); " +
       f"parent@1M projected ${pPer * aEntries / 1e9}%.2f GB vs adc@1M " +
       f"measured ${aBytes / 1e9}%.2f GB")
+  }
+
+  /**
+   * Total-state datapoint for the CELL-partitioned streaming dedup
+   * ([[graft.streaming.StreamingEmbDedupCell]]) at 1M arrivals, against
+   * the band-ADC stream at the same 128-plane sketch width: the band
+   * family registers each keeper once per band (8 entries here), the
+   * cell stream exactly ONCE, in its argmin cell — the claim is an
+   * ENTRIES cut on top of the ADC stream's per-entry bytes cut, measured
+   * from the state store's own accounting (`memoryUsedBytes`), not
+   * schema arithmetic. C = 4096 uniform centroids (the same mix64
+   * generator, negative key space so they are independent of the
+   * arrivals); nprobe = 1 — nprobe scales probe WORK, not state. All 1M
+   * vectors are unique isotropic-random (pairwise cosine ~ N(0, 1/64),
+   * never near the 0.9 threshold), so every arrival registers —
+   * worst-case state on both sides.
+   */
+  private def cellStreamState(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def gen(n: Int) = spark.range(n.toLong).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+    }.toDF("vecId", "vec")
+    val bands = 8
+    val cents = Array.tabulate(4096)(c => (c.toLong, Array.tabulate(64)(d =>
+      (mix64(-(c.toLong * 64L + d) - 1L) >>> 11).toDouble / (1L << 53).toDouble - 0.5)))
+    def measure(label: String, n: Int, entriesPerArrival: Int,
+                judge: org.apache.spark.sql.Dataset[graft.streaming.StreamingEmbDedup.VecDoc]
+                  => org.apache.spark.sql.Dataset[_]): (Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory(s"cell-state-$label")
+      gen(n).coalesce(8).write.parquet(root.resolve("in").toString)
+      val t0 = System.nanoTime()
+      val q = judge(
+          spark.readStream.schema("vecId LONG, vec ARRAY<DOUBLE>")
+            .parquet(root.resolve("in").toString)
+            .as[graft.streaming.StreamingEmbDedup.VecDoc])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[_], _: Long) =>
+          df.count(); ()
+        }
+        .start()
+      q.processAllAvailable()
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      // numRowsTotal counts state-store rows: CELLS here, band buckets
+      // for the ADC stream; per-keeper-entry bytes divide by the known
+      // entry count (every arrival is unique → registers exactly
+      // entriesPerArrival entries)
+      val groups = states.map(_.numRowsTotal).max
+      val bytes = states.map(_.memoryUsedBytes).max
+      q.stop()
+      val entries = n.toLong * entriesPerArrival
+      println(f"cell-state[$label] arrivals=$n entries=$entries " +
+        f"groups=$groups state-bytes=$bytes " +
+        f"(${bytes.toDouble / entries}%.0f B/entry, " +
+        f"${bytes.toDouble / n}%.0f B/keeper) " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.0fs")
+      (entries, bytes)
+    }
+    val (cEntries, cBytes) = measure("cell-1m", 1000000, 1,
+      graft.streaming.StreamingEmbDedupCell(cents, nprobe = 1).judged)
+    val (aEntries, aBytes) = measure("adc-1m", 1000000, bands,
+      graft.streaming.StreamingEmbDedupAdc(bands = bands, planesPerBand = 16).judged)
+    println(f"cell-state ratio: adc ${aBytes.toDouble / 1000000}%.0f B/keeper " +
+      f"(${aEntries} entries) vs cell ${cBytes.toDouble / 1000000}%.0f B/keeper " +
+      f"(${cEntries} entries) = ${aBytes.toDouble / cBytes}%.1fx measured " +
+      f"total-state cut at equal sketch width (entries cut $bands x; " +
+      f"the trade is recall geometry: band-LSH corpus-independent vs " +
+      f"cell-quality-dependent, the batch hybrid grid's axis)")
   }
 
   /**
