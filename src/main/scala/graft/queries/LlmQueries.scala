@@ -59,7 +59,7 @@ object LlmQueries {
     mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
     simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2,
     simKnnHammingIvf, simHammingIvfRecall, simHammingIvfRecall2,
-    simKnnHammingIvfRes, simHammingIvfResRecall)
+    simKnnHammingIvfRes, simHammingIvfResRecall, simHammingIvfResRecall2)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5277,6 +5277,115 @@ object LlmQueries {
             |  SELECT 'residual' AS variant, hs.hits, tot.total,
             |    round(hs.hits::DOUBLE / tot.total, 6) AS recall FROM hs, tot)
             |ORDER BY variant""".stripMargin))
+
+  /** The RESIDUAL hybrid's recall dial as a LADDER —
+    * `sim_hamming_ivf_recall2`'s artifact for the residual variant:
+    * aggregate recall@5 vs brute ground truth at nprobe 1/2/4/8, fixed
+    * oversample 4, one row per rung, with the PER-CELL stage-1 cut
+    * replayed (residual Hamming distances are only comparable within a
+    * cell — BASELINE.md records the measured collapse of a global cut,
+    * recall FALLING as nprobe grew; this stored artifact is the
+    * monotone dial that fix bought). Against `sim_hamming_ivf_recall2`
+    * at the same rungs the two ladders decompose the design choice:
+    * same cells probed, same rerank — only the sketch basis differs. */
+  val simHammingIvfResRecall2: QueryDef = QueryDef("sim_hamming_ivfres_recall2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val idx = Materialized.ivfIndex(s, d)
+      val sigs = Materialized.hammingSigsIvfRes(s, d)
+      val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
+      val tot = brute.agg(count(lit(1)).as("total"))
+      Seq(1, 2, 4, 8).map { np =>
+        val hyb = Similarity.knnJoinHammingIvfRes(sigs, emb, idx.centroids,
+          queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
+          nprobe = np, oversample = 4)
+        brute.join(hyb.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"))
+      }.reduce(_.unionByName(_))
+        .crossJoin(tot)
+        .select(col("nprobe"), col("hits"), col("total"),
+          round(col("hits") / col("total"), 6).as("recall"))
+        .orderBy("nprobe")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |np AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS nprobe),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT np.nprobe, pd.query_id, pd.centroid_id
+            |          FROM pd, np WHERE pd.prn <= np.nprobe),
+            |res AS (SELECT z.vec_id, a3.centroid_id,
+            |          [round(round(z.v[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |           for i in range(1, 65)] AS u
+            |        FROM nz z JOIN a3 ON z.vec_id = a3.vec_id
+            |        JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |cbits AS (SELECT r.vec_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM res r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |qcells AS (SELECT DISTINCT query_id, centroid_id FROM probe),
+            |qres AS (SELECT p.query_id, p.centroid_id,
+            |           [round(round(q.qv[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |            for i in range(1, 65)] AS u
+            |         FROM qcells p JOIN qs q ON p.query_id = q.query_id
+            |         JOIN c2 c ON p.centroid_id = c.centroid_id),
+            |qbits AS (SELECT r.query_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          cb.centroid_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM cbits cb
+            |          JOIN qbits qb ON cb.centroid_id = qb.centroid_id
+            |            AND cb.k = qb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2, 3),
+            |hamn AS (SELECT p.nprobe, h.query_id, h.neighbor_id,
+            |           h.centroid_id, h.hamming
+            |         FROM ham h JOIN probe p ON h.query_id = p.query_id
+            |           AND h.centroid_id = p.centroid_id),
+            |cand AS (SELECT nprobe, query_id, neighbor_id,
+            |           row_number() OVER (PARTITION BY nprobe, query_id, centroid_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM hamn),
+            |rer AS (SELECT c.nprobe, c.query_id, c.neighbor_id,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |ra AS (SELECT nprobe, query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+            |      WHERE rank <= 5),
+            |sb AS (SELECT q.query_id, n2.vec_id AS neighbor_id,
+            |        round(list_sum([n2.v[i] * q.qv[i] for i in range(1, 65)])
+            |              / (n2.nrm * q.qn), 6) AS cosine
+            |      FROM nz n2, qs q WHERE n2.vec_id <> q.query_id),
+            |rb AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sb)
+            |      WHERE rank <= 5),
+            |tot AS (SELECT count(*)::BIGINT AS total FROM rb),
+            |h AS (SELECT ra.nprobe, count(*)::BIGINT AS hits
+            |      FROM rb JOIN ra USING (query_id, neighbor_id) GROUP BY 1)
+            |SELECT np.nprobe, coalesce(h.hits, 0)::BIGINT AS hits, tot.total,
+            |  round(coalesce(h.hits, 0)::DOUBLE / tot.total, 6) AS recall
+            |FROM np LEFT JOIN h USING (nprobe), tot ORDER BY nprobe""".stripMargin))
 
   /** OPQ-ROTATED SemDeDup at code bytes ([[Dedup.semanticDedupSdc]] with
     * the rotation over the stored OPQ artifacts): `dedup_semantic_sdc`'s

@@ -29,7 +29,8 @@ object ScaleCurveMain {
       "million-sdc-only", "tenmillion-doc-only", "regimes-only",
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
-      "frames-only", "hybrid-only", "adc-state-only", "cell-state-only")
+      "frames-only", "hybrid-only", "adc-state-only", "cell-state-only",
+      "cell-recall-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -87,6 +88,7 @@ object ScaleCurveMain {
     else if (args.contains("hybrid-only")) hybridStored55k(spark)
     else if (args.contains("adc-state-only")) adcStreamState(spark)
     else if (args.contains("cell-state-only")) cellStreamState(spark)
+    else if (args.contains("cell-recall-only")) cellStreamRecall(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -684,6 +686,93 @@ object ScaleCurveMain {
       f"total-state cut at equal sketch width (entries cut $bands x; " +
       f"the trade is recall geometry: band-LSH corpus-independent vs " +
       f"cell-quality-dependent, the batch hybrid grid's axis)")
+  }
+
+  /**
+   * Streaming dedup RECALL trade at the 55k corpus — the honest side of
+   * the cell stream's 9.4× state cut: 500 planted near-dups (per-dim
+   * perturbation 10% of the dim's scale → true cosine ≈ 0.995) arrive
+   * one micro-batch AFTER their keepers; recall = planted dups judged
+   * dup OF THEIR OWN KEEPER. [[graft.streaming.StreamingEmbDedupCell]]
+   * at nprobe 1/2/4 over k-means-trained cells (C=64, the hybrid grid's
+   * config) vs [[graft.streaming.StreamingEmbDedupAdc]] at the deep
+   * 8×16 banding — on BOTH corpus shapes (uniform = weak cells, the
+   * cell stream's null case; anisotropic 2^(−d/8) = cells carry real
+   * structure). A planted dup can only match if its nprobe probes reach
+   * the keeper's home cell, so uniform-corpus misses here ARE the
+   * cell-boundary crossings the batch grid's cell-miss axis measures;
+   * the band stream's recall is corpus-independent (`1 − (1 − p^r)^b`)
+   * by construction. `wrong-keeper` counts planted dups that matched an
+   * ORGANIC near-neighbor instead (not an error — the dedup verdict is
+   * "is there any keeper within threshold", the pair label is just the
+   * plant); `kept` counts planted dups that matched nothing.
+   */
+  private def cellStreamRecall(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nPlanted = 500
+    def run(label: String, scale: Int => Double): Unit = {
+      def vec(id: Long) = Array.tabulate(64)(d => scale(d) *
+        ((mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+      val base = spark.range(55000).map(id => (id, vec(id))).toDF("vecId", "vec")
+      val dups = spark.range(nPlanted.toLong).map { i =>
+        val keeper = i * 100L
+        val v = vec(keeper)
+        val d = Array.tabulate(64)(dd => v(dd) + 0.1 * scale(dd) *
+          ((mix64(-(i * 64L + dd) - 7L) >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+        (1000000L + i, d)
+      }.toDF("vecId", "vec")
+      val cents = graft.llm.Similarity.ivfTrainCentroids(
+        base.select(col("vecId").as("vec_id"), col("vec").as("embedding")),
+        "vec_id", "embedding", k = 64, iters = 2)
+      def measure(cfg: String,
+                  judge: org.apache.spark.sql.Dataset[graft.streaming.StreamingEmbDedup.VecDoc]
+                    => org.apache.spark.sql.Dataset[_]): Unit = {
+        val root = java.nio.file.Files.createTempDirectory(s"cell-recall-$label")
+        val in = root.resolve("in").toString
+        base.coalesce(8).write.mode("append").parquet(in)
+        val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], Boolean)]()
+        val t0 = System.nanoTime()
+        val q = judge(
+            spark.readStream.schema("vecId LONG, vec ARRAY<DOUBLE>")
+              .parquet(in).as[graft.streaming.StreamingEmbDedup.VecDoc])
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[_], _: Long) =>
+            graft.streaming.StreamingNearDedup.verdicts(df.toDF()).collect().foreach { r =>
+              sunk.add((r.getLong(0),
+                if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                r.getBoolean(3)))
+            }
+          }
+          .start()
+        q.processAllAvailable() // micro-batch 1: keepers register
+        dups.coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable() // micro-batch 2: planted dups probe
+        q.stop()
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val out = sunk.iterator().asScala.toSeq
+        val planted = out.filter(_._1 >= 1000000L)
+        val right = planted.count(r => r._2.contains((r._1 - 1000000L) * 100L))
+        val wrong = planted.count(r => r._2.isDefined &&
+          !r._2.contains((r._1 - 1000000L) * 100L))
+        val kept = planted.count(_._3)
+        val keptB1 = out.count(r => r._1 < 1000000L && r._3)
+        println(f"cell-recall[$label/$cfg] planted=$nPlanted " +
+          f"recall=${right.toDouble / nPlanted}%.3f wrong-keeper=$wrong " +
+          f"kept=$kept corpus-keeps=$keptB1/55000 wall=$wall%.0fs")
+      }
+      Seq(1, 2, 4).foreach { np =>
+        measure(s"cell-np$np",
+          graft.streaming.StreamingEmbDedupCell.fromCentroids(cents, nprobe = np).judged)
+      }
+      measure("adc-8x16",
+        graft.streaming.StreamingEmbDedupAdc(bands = 8, planesPerBand = 16).judged)
+    }
+    run("uniform", _ => 1.0)
+    run("aniso", d => math.pow(2.0, -d / 8.0))
   }
 
   /**
