@@ -41,13 +41,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * (same argmin on an identical vector), its residual equals the keeper's,
  * every decided plane agrees → est = 1 exactly — structural, like the
  * parent. NEAR-copies must probe the keeper's home cell to match:
- * `nprobe` is the recall dial, and the trade vs the band family is the
- * batch grid's, measured — band-LSH recall is corpus-independent
- * (`1 − (1 − p^r)^b`), cell recall tracks quantizer quality (weak cells
- * on isotropic corpora, strong on anisotropic — BASELINE.md hybrid
- * table). Degenerate vectors (null/zero/∞, or a vector EXACTLY on its
+ * `nprobe` is the recall dial (measured at 55k, BASELINE.md round 15:
+ * 0.896 → 1.000 as nprobe 1 → 4 on planted 0.995-cosine pairs, uniform
+ * corpus). Degenerate vectors (null/zero/∞, or a vector EXACTLY on its
  * home centroid, whose residual carries no angle) take a per-doc
  * sentinel key, match nothing, register nothing, are kept.
+ *
+ * VERDICT SEMANTICS — what `threshold` thresholds: the estimated
+ * WITHIN-CELL (residual) cosine, NOT the raw cosine the band family
+ * estimates. The two agree where centroids are small relative to the
+ * data (isotropic corpora) and on exact copies (est = 1 under both),
+ * but on a clustered corpus the cell centroid absorbs the direction
+ * mass every member shares, so organic same-cell pairs whose RAW
+ * cosine is high score LOW here unless they also agree on the
+ * within-cell offset — this is SemDeDup's semantic (Abbas et al. 2023,
+ * "SemDeDup": k-means cells + within-cluster similarity threshold),
+ * streamed, with 16-byte sketch state; the band-ADC stream is the
+ * raw-cosine (MinHashLSH-style) semantic. Pick by what "duplicate"
+ * means for the corpus — the measured divergence on an anisotropic
+ * corpus is in BASELINE.md (the band stream judged 85% of organic
+ * arrivals dups at 0.9 raw; the cell stream kept most of them).
  *
  * Verdict columns are the family contract ([[StreamingEmbDedupAdc.AdcBandVerdict]]);
  * reduce with [[StreamingNearDedup.verdicts]], absorb keepers into the
