@@ -1199,7 +1199,18 @@ object Similarity {
     * live and stored paths are equivalent by construction. */
   private def hammingSearchFromSigged(base: DataFrame, sigged: DataFrame,
       q: DataFrame, bitsPerDim: Int, excludeSelf: Boolean, k: Int,
-      oversample: Int, requireCoverage: Boolean = false): DataFrame = {
+      oversample: Int, requireCoverage: Boolean = false): DataFrame =
+    rerankHammingCandidates(base,
+      hammingCandidates(sigged, q, bitsPerDim, excludeSelf, k, oversample),
+      k, "hamming", requireCoverage)
+
+  /** Stage 1 of the SDC family from a prepared signature view: Hamming
+    * distance to every broadcast query signature, per-query cut to
+    * k·oversample via WindowGroupLimit — shared by the exact-rerank
+    * searches and the SQ-rerank search so candidacy cannot diverge. */
+  private def hammingCandidates(sigged: DataFrame,
+      q: DataFrame, bitsPerDim: Int, excludeSelf: Boolean, k: Int,
+      oversample: Int): DataFrame = {
     val qSigCols =
       if (bitsPerDim == 1) Seq(col("query_id"), col("qsig"))
       else Seq(col("query_id"), col("qlo"), col("qhi"))
@@ -1214,11 +1225,10 @@ object Similarity {
             call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
-    val cand = scored.withColumn("hrank", row_number().over(wh))
+    scored.withColumn("hrank", row_number().over(wh))
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "hamming", requireCoverage)
   }
 
   /** ADC stage 1 + exact rerank from prepared `(id, slo, shi)` sketch
@@ -1375,14 +1385,27 @@ object Similarity {
     * result instead of returning a plausible-but-wrong top-k. */
   private def rerankHammingCandidates(base: DataFrame, cand: DataFrame,
                                       k: Int, carry: String,
-                                      requireCoverage: Boolean = false): DataFrame = {
+                                      requireCoverage: Boolean = false): DataFrame =
+    rerankCandidatesBy(base, cand, k, carry,
+      round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6),
+      requireCoverage)
+
+  /** The ONE rerank body behind every stage-2 of the Hamming family:
+    * join the broadcast stage-1 candidates into `src` (keyed by
+    * `neighbor_id` — the raw corpus for the exact-cosine paths, the
+    * stored int8 code table for the SQ path), score with the given
+    * `cosine` column, cut to the final k by (cosine desc, id asc). The
+    * coverage guard (the enforced `FromSigs` caller contract) counts
+    * stage-1 candidates vs reranked rows per query and FAILS LOUD on a
+    * gap instead of returning a short result. */
+  private def rerankCandidatesBy(src: DataFrame, cand: DataFrame,
+                                 k: Int, carry: String, cosine: Column,
+                                 requireCoverage: Boolean): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
     val cand2 =
       if (requireCoverage) cand.withColumn("cand_cnt", count(lit(1)).over(wq))
       else cand
-    val cosine =
-      round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6)
-    val joined = base.join(broadcast(cand2), "neighbor_id")
+    val joined = src.join(broadcast(cand2), "neighbor_id")
     val rer =
       if (requireCoverage)
         joined.withColumn("got_cnt", count(lit(1)).over(wq))
@@ -1487,6 +1510,65 @@ object Similarity {
       .as[(Long, Long, Long)]
     adcSearchFromSketches(base, sketches, q, qProj, excludeSelf, k,
       oversample, requireCoverage = true)
+  }
+
+  /**
+   * One-scan build of the stored INT8 scalar-quantization code table —
+   * the rerank-side artifact of the all-stored search: per corpus
+   * vector, [[quantizeInt8]]'s per-vector max-abs scale and the 64
+   * signed-byte codes (`round(x/scale·127)` HALF_UP — the exact values
+   * [[topKQuantized]] dequantizes), schema `(id, scale, q)`: 8 B id +
+   * 8 B scale + 64 B codes vs the 520 B raw row. Null/empty and
+   * zero/NaN-scale vectors carry no direction and are excluded, exactly
+   * as [[hammingSigRows]] excludes them — so the code table covers
+   * precisely the sig table's ids and the `FromSigs` coverage contract
+   * holds between the two stored artifacts by construction.
+   */
+  def q8CodeRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        quantizeInt8(asDouble(col(vecCol))).as("c"))
+      .where(col("c.scale") > 0.0 && !isnan(col("c.scale")))
+      .select(col("id"), col("c.scale").as("scale"),
+        transform(col("c.q"), x => x.cast("byte")).as("q"))
+
+  /**
+   * The ALL-STORED two-level search — [[knnJoinHammingFromSigs]] with
+   * the exact-cosine rerank replaced by an int8 SCALAR-QUANTIZED rerank
+   * from the stored [[q8CodeRows]] table: stage 1 scans only the
+   * 16-byte sketch columns (identical candidacy to every other 2-bit
+   * stage 1 — shared [[hammingCandidates]] body), stage 2 joins the
+   * broadcast candidates into the code table and ranks by the
+   * quantized cosine. NO RAW VECTOR IS EVER READ: the search touches
+   * 16 B/row at stage 1 and 72 B/candidate at stage 2 (the per-vector
+   * `scale` column is not referenced — it cancels in the cosine:
+   * `cos(dequant(q), qv) = Σq_i·qv_i / (√(Σq_i²)·‖qv‖)` since dequant
+   * is `q·scale/127` — so column pruning drops it; it stays in the
+   * store for reconstruction/L2 consumers). This is the SQ8 flat-index
+   * shape (FAISS `IndexScalarQuantizer` with a binary coarse filter):
+   * the rank it returns is the QUANTIZED ranking — agreement with the
+   * exact-rerank twin is the fidelity dial, measured by
+   * `sim_hamming_q8_recall`. Ties and rounding are the house rules
+   * (HALF_UP 6 dp, id asc), the cosine is replayable exactly (integer
+   * codes, sequential IEEE sums). Same ENFORCED CALLER CONTRACT,
+   * guarded in-plan: `codes` must cover every id in `sigs`.
+   */
+  def knnJoinHammingSqFromSigs(codes: DataFrame, sigs: DataFrame,
+      queries: DataFrame, vecCol: String, qIdCol: String,
+      k: Int, dims: Int, oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    val spark = sigs.sparkSession
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val q = hammingQueryTable(spark, qRows, 2, dims)
+    val sigged = sigs.select(col("id").as("neighbor_id"), col("slo"), col("shi"))
+    val cand = hammingCandidates(sigged, q, 2, excludeSelf, k, oversample)
+    val qd = asDouble(col("q"))
+    rerankCandidatesBy(
+      codes.select(col("id").as("neighbor_id"), col("q")), cand, k, "hamming",
+      round(dot(qd, asDouble(col("qv"))) / (sqrt(dot(qd, qd)) * col("qn")), 6),
+      requireCoverage = true)
   }
 
   /**

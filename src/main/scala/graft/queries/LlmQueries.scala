@@ -59,7 +59,8 @@ object LlmQueries {
     mmFrameNearDup, textLmKn5qm, simKnnHamming3, simHammingRecall,
     simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2,
     simKnnHammingIvf, simHammingIvfRecall, simHammingIvfRecall2,
-    simKnnHammingIvfRes, simHammingIvfResRecall, simHammingIvfResRecall2)
+    simKnnHammingIvfRes, simHammingIvfResRecall, simHammingIvfResRecall2,
+    simKnnHammingQ8, simHammingQ8Recall)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -246,6 +247,140 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
     Some(hammingAdcSql))
+
+  /** The ALL-STORED two-level search
+    * ([[Similarity.knnJoinHammingSqFromSigs]] over
+    * [[Materialized.hammingSigs]] + [[Materialized.q8Codes]]): stage 1
+    * reads only the 16-byte sketch columns, stage 2 reranks from the
+    * stored int8 codes — NO raw vector is read anywhere in the plan
+    * (the per-vector `scale` prunes too: it cancels in the cosine). The
+    * rank is the QUANTIZED ranking by definition; the oracle replays
+    * the sketch stage and the integer-code cosine
+    * (`Σq_i·qv_i / (√(Σq_i²)·‖qv‖)`, `q = round(v/scale·127)` — the
+    * `sim_topk_q8` quantizer) exactly. */
+  val simKnnHammingQ8: QueryDef = QueryDef("sim_knn_hamming_q8",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoinHammingSqFromSigs(Materialized.q8Codes(s, d),
+          Materialized.hammingSigs(s, d),
+          emb.where(col("vec_id") % 97 === 3),
+          "embedding", "vec_id", k = 5, dims = 64, oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+           |        for i in range(1, len(v) + 1)] AS u FROM nz),
+           |pb AS (SELECT k, i,
+           |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+           |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+           |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+           |bits AS (SELECT u.vec_id, pb.k,
+           |           (sum(u.u[pb.i + 1] * pb.s) > 0) AS b
+           |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+           |qb AS (SELECT vec_id AS query_id, k, b FROM bits
+           |       WHERE vec_id % 97 = 3),
+           |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+           |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+           |            AS hamming
+           |        FROM bits cb JOIN qb USING (k)
+           |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id, hamming,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+           |qc AS (SELECT vec_id, [round(v[i] / list_max([abs(x) for x in v]) * 127.0,
+           |          0)::BIGINT for i in range(1, len(v) + 1)] AS q FROM nz),
+           |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+           |          round(list_sum([cv.q[i] * qv.v[i] for i in range(1, 65)])
+           |                / (sqrt(list_sum([x * x for x in cv.q])) * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN qc cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
+           |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+           |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Fidelity dial of the int8 rerank: top-5 agreement between the
+    * all-stored SQ search and its exact-rerank twin
+    * (`sim_knn_hamming4`) at the same dial point — identical stage-1
+    * candidates by construction (shared body), so any disagreement is
+    * PURELY what 8-bit scalar quantization moves in the final ranking.
+    * One row; both chains replayed in SQL. */
+  val simHammingQ8Recall: QueryDef = QueryDef("sim_hamming_q8_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 97 === 3)
+      val sigs = Materialized.hammingSigs(s, d)
+      val exact = Similarity.knnJoinHammingFromSigs(emb, sigs, queries,
+          "vec_id", "embedding", "vec_id", k = 5, dims = 64, oversample = 4,
+          bitsPerDim = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq = Similarity.knnJoinHammingSqFromSigs(Materialized.q8Codes(s, d),
+          sigs, queries, "embedding", "vec_id", k = 5, dims = 64,
+          oversample = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      exact.join(sq, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(tot)
+        .select(col("hits"), col("total"),
+          round(col("hits") / col("total"), 6).as("agreement"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+           |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+           |nz AS (SELECT * FROM n WHERE nrm > 0),
+           |u AS (SELECT vec_id, [round(round(v[i], 6) * 1000000, 0)::BIGINT
+           |        for i in range(1, len(v) + 1)] AS u FROM nz),
+           |pb AS (SELECT k, i,
+           |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+           |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+           |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+           |bits AS (SELECT u.vec_id, pb.k,
+           |           (sum(u.u[pb.i + 1] * pb.s) > 0) AS b
+           |         FROM u, pb WHERE pb.i < len(u.u) GROUP BY 1, 2),
+           |qb AS (SELECT vec_id AS query_id, k, b FROM bits
+           |       WHERE vec_id % 97 = 3),
+           |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+           |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+           |            AS hamming
+           |        FROM bits cb JOIN qb USING (k)
+           |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+           |qc AS (SELECT vec_id, [round(v[i] / list_max([abs(x) for x in v]) * 127.0,
+           |          0)::BIGINT for i in range(1, len(v) + 1)] AS q FROM nz),
+           |rx AS (SELECT c.query_id, c.neighbor_id,
+           |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+           |                / (cv.nrm * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
+           |ra AS (SELECT query_id, neighbor_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rx)
+           |      WHERE rank <= 5),
+           |rq0 AS (SELECT c.query_id, c.neighbor_id,
+           |          round(list_sum([cv.q[i] * qv.v[i] for i in range(1, 65)])
+           |                / (sqrt(list_sum([x * x for x in cv.q])) * qv.nrm), 6) AS cosine
+           |        FROM cand c JOIN qc cv ON cv.vec_id = c.neighbor_id
+           |        JOIN nz qv ON qv.vec_id = c.query_id
+           |        WHERE c.hrank <= 20),
+           |rq AS (SELECT query_id, neighbor_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rq0)
+           |      WHERE rank <= 5),
+           |tot AS (SELECT count(*)::BIGINT AS total FROM ra),
+           |h AS (SELECT count(*)::BIGINT AS hits FROM ra JOIN rq
+           |      USING (query_id, neighbor_id))
+           |SELECT h.hits, tot.total,
+           |  round(h.hits::DOUBLE / tot.total, 6) AS agreement
+           |FROM h, tot""".stripMargin))
 
   /** Hybrid retrieval ([[TextAnalysis.rrfFuse]]): BM25 keyword top-10 and
     * embedding-kNN top-10 for the same three document-anchored queries

@@ -949,6 +949,34 @@ object Materialized {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
     }
 
+  /** Stored INT8 scalar-quantization code table `(id, scale, q)` over
+    * `embeddings` ([[graft.llm.Similarity.q8CodeRows]]) — the rerank
+    * side of the all-stored search
+    * ([[graft.llm.Similarity.knnJoinHammingSqFromSigs]]): 80 B/row vs
+    * the 520 B raw vector, and the search's column pruning drops
+    * `scale` too (it cancels in the cosine). Exclusion rule identical
+    * to [[hammingSigs]], so the two stored artifacts cover the same
+    * ids and the enforced `FromSigs` coverage contract holds between
+    * them by construction; head-aware + absorb-able on the same
+    * batch-id ledger. */
+  def q8Codes(spark: SparkSession, sfDir: String): DataFrame =
+    headAware(spark, "q8_codes", "d64_s127", sfDir, "embeddings") {
+      graft.llm.Similarity.q8CodeRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    }
+
+  /** Absorb kept batch vectors' int8 code rows into [[q8Codes]]' store —
+    * exactly once per batch id, the [[absorbHammingSigs]] contract: after
+    * a streaming micro-batch commits its keepers, the SQ-rerank search
+    * sees the same corpus every other stored path does. */
+  def absorbQ8Codes(spark: SparkSession, sfDir: String, keptVecs: DataFrame,
+                    idCol: String, vecCol: String, batchId: String): DataFrame =
+    absorbInto(spark, "q8_codes", "d64_s127", sfDir, "embeddings",
+        graft.llm.Similarity.q8CodeRows(keptVecs, idCol, vecCol), batchId) {
+      graft.llm.Similarity.q8CodeRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    }
+
   /** Stored winnowing fingerprint table `(id, fp)` (distinct,
     * [[graft.llm.Dedup.winnowFingerprints]] k=4/w=4) — the corpus-side
     * artifact incremental near-dup judgment joins new batches against,

@@ -209,10 +209,11 @@ object StreamingEmbDedupAdc {
    * [[graft.queries.Materialized.hammingSigs]] (flat),
    * [[graft.queries.Materialized.absorbHammingSigsIvf]] (cell-
    * partitioned raw sketches, keepers assigned to their IVF cell at
-   * absorb time) and
-   * [[graft.queries.Materialized.absorbHammingSigsIvfRes]] (cell-
-   * partitioned RESIDUAL sketches) — so batch `FromSigs` searches AND
-   * both hybrid searches see the same corpus after the micro-batch; no
+   * absorb time), [[graft.queries.Materialized.absorbHammingSigsIvfRes]]
+   * (cell-partitioned RESIDUAL sketches) and
+   * [[graft.queries.Materialized.absorbQ8Codes]] (int8 rerank codes) —
+   * so batch `FromSigs` searches, both hybrid searches AND the
+   * all-stored SQ search see the same corpus after the micro-batch; no
    * stored path serves a stale membership view. Exactly-once per (streamId, micro-batch id)
    * via each store's ledger — the family contract of
    * [[StreamingEmbDedup.absorbKeepers]]; a crash between the two absorbs
@@ -240,6 +241,8 @@ object StreamingEmbDedupAdc {
     graft.queries.Materialized.absorbHammingSigsIvf(spark, sfDir,
       keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     graft.queries.Materialized.absorbHammingSigsIvfRes(spark, sfDir,
+      keptVecs, "docId", "vec", s"$streamId-$microBatchId")
+    graft.queries.Materialized.absorbQ8Codes(spark, sfDir,
       keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     v
   }

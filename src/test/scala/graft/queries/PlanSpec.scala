@@ -198,6 +198,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_hamming_q8: the all-stored search never reads a raw vector — sketch-only stage 1, scale-pruned int8 rerank") {
+    val p = plan("sim_knn_hamming_q8")
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
+        && !r.contains("embedding") && !r.contains("sig:")),
+      "stage 1 must scan only (id, slo, shi) from the sig store\n" + p)
+    // the rerank reads the int8 codes — and ONLY the codes: the raw
+    // vector never appears in any scan of this plan (queries are a
+    // bounded driver pull, not a scan), and the per-vector scale column
+    // prunes too (it cancels in the cosine)
+    assert(reads.exists(r => r.contains("q:array<tinyint>")
+        && !r.contains("scale") && !r.contains("embedding")),
+      "the rerank must scan only (id, q) from the code store\n" + p)
+    assert("ReadSchema: [^\\n]*embedding".r.findFirstIn(p).isEmpty,
+      "no scan in the all-stored search may read raw vectors\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sim_knn_hamming_ivf: both pruning axes in one plan — probed-cell PartitionFilters AND sketch-only ReadSchema") {
     val p = plan("sim_knn_hamming_ivf")
     assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,

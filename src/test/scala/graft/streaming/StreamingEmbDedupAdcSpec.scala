@@ -172,6 +172,19 @@ class StreamingEmbDedupAdcSpec extends AnyFunSuite {
         resHit(0).getDouble(4) == 1.0,
         s"residual hybrid must retrieve the STREAMED keeper at cosine 1: ${resHit.toSeq}")
 
+      // ... and the INT8 code store: the all-stored SQ search (sketch
+      // stage 1 + int8 rerank, no raw vector anywhere) sees the streamed
+      // keeper too — all four stored search paths agree on membership
+      val codes = graft.queries.Materialized.q8Codes(spark, corpusDir.toString)
+      assert(codes.count() == 3,
+        s"code store must hold corpus 2 + 1 streamed keeper, got ${codes.count()}")
+      val sqHit = graft.llm.Similarity.knnJoinHammingSqFromSigs(codes, sigs,
+          Seq((500L, v1.toSeq)).toDF("vec_id", "embedding"), "embedding",
+          "vec_id", k = 1, dims = 64, oversample = 4)
+        .collect()
+      assert(sqHit.length == 1 && sqHit(0).getLong(1) == 100L,
+        s"SQ search must retrieve the STREAMED keeper: ${sqHit.toSeq}")
+
       // exactly-once: replaying the micro-batch's absorb (the crashed-
       // writer recovery path) publishes no new delta in either store
       val before = graft.queries.Materialized.absorbsPublished.get()
