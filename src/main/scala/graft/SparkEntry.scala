@@ -21,7 +21,7 @@ object SparkEntry {
     * without bumping it fails every entrypoint (Verify, Bench, any spec)
     * immediately — a drift can no longer ship three commits before a test
     * notices (the round-9 146-vs-148 failure mode). */
-  val DeclaredCoverage: Int = 225
+  val DeclaredCoverage: Int = 227
 
   val defs: Seq[QueryDef] = {
     val all = ParityQueries.all ++ RelationalQueries.all ++ LlmQueries.all

@@ -1666,7 +1666,17 @@ object Similarity {
     * broadcast-sized set. */
   private def hammingIvfSearch(sigs: DataFrame, base: DataFrame,
       q: DataFrame, qp: DataFrame, excludeSelf: Boolean, k: Int,
-      oversample: Int, perCellCut: Boolean = false): DataFrame = {
+      oversample: Int, perCellCut: Boolean = false): DataFrame =
+    rerankHammingCandidates(base,
+      hammingIvfCandidates(sigs, q, qp, excludeSelf, k, oversample, perCellCut),
+      k, "hamming", requireCoverage = true)
+
+  /** Stage 1 of the hybrid searches, shared by the exact-rerank and the
+    * SQ-rerank variants so candidacy cannot diverge: probed-cell
+    * partition pruning + broadcast probe equi-join + Hamming cut. */
+  private def hammingIvfCandidates(sigs: DataFrame,
+      q: DataFrame, qp: DataFrame, excludeSelf: Boolean, k: Int,
+      oversample: Int, perCellCut: Boolean): DataFrame = {
     val allCells = qp.select("centroid_id").collect().map(_.getLong(0))
       .distinct.sorted.toSeq
     val scored0 = sigs
@@ -1683,11 +1693,10 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("query_id", "centroid_id")
       else org.apache.spark.sql.expressions.Window.partitionBy("query_id"))
       .orderBy(col("hamming"), col("neighbor_id"))
-    val cand = scored.withColumn("hrank", row_number().over(wh))
+    scored.withColumn("hrank", row_number().over(wh))
       .where(col("hrank") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
-    rerankHammingCandidates(base, cand, k, "hamming", requireCoverage = true)
   }
 
   /**
@@ -1775,10 +1784,22 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = collectCentroids(centroids, "knnJoinHammingIvfRes")
-    val centById = cents.toMap
     val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
-    // per (query, probed cell): the query's residual sketch vs THAT cell
-    val qp = probeCells(cents, qRows, nprobe).map { case (qid, cid, va) =>
+    val qp = residualProbeTable(spark, cents, qRows, nprobe)
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    hammingIvfSearch(sigs, hammingBase(corpus, idCol, vecCol), q, qp,
+      excludeSelf, k, oversample, perCellCut = true)
+  }
+
+  /** Per (query, probed cell): the query's RESIDUAL sketch w.r.t. that
+    * cell's centroid — the broadcast probe table of the residual
+    * hybrids (≤ Q·nprobe rows of 16 bytes each). */
+  private def residualProbeTable(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Double], Double)], nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centById = cents.toMap
+    probeCells(cents, qRows, nprobe).map { case (qid, cid, va) =>
       val cv = centById(cid)
       val r = new Array[Double](va.length)
       var i = 0
@@ -1786,9 +1807,51 @@ object Similarity {
       val (lo, hi) = superBitKernel(r.toSeq)
       (qid, cid, lo, hi)
     }.toDF("query_id", "centroid_id", "qlo", "qhi")
+  }
+
+  /**
+   * The FULLY-COMPOSED all-stored search — every pruning axis of the
+   * ring in ONE plan, with NO raw corpus vector read anywhere (the
+   * FAISS IVF + binary refinement + SQ-rerank shape): the coarse
+   * quantizer prunes WHICH rows stage 1 reads (probed-cell
+   * `PartitionFilters` over the cell-partitioned RESIDUAL sketch store,
+   * [[hammingResidualSigRows]]), the residual sketch prunes WHAT stage
+   * 1 reads per row (16 bytes, entropy concentrated on the within-cell
+   * variance), and the rerank joins the surviving ≤ nprobe·k·oversample
+   * candidates into the stored int8 code table ([[q8CodeRows]]) and
+   * ranks by the QUANTIZED cosine — 72 B/candidate, `scale` pruned (it
+   * cancels, see [[knnJoinHammingSqFromSigs]]). Stage-1 candidacy is
+   * bit-equal to [[knnJoinHammingIvfRes]] (shared body, per-cell cut —
+   * residual distances are only comparable within a cell); the rank is
+   * the quantized ranking by definition, with agreement vs the
+   * exact-rerank twin as the fidelity dial. Same ENFORCED CALLER
+   * CONTRACT, guarded in-plan: `codes` must cover every sig id. The
+   * centroid sidecar and the query table are bounded driver pulls, so
+   * total I/O at 100 TB is `nprobe/C · corpus × 16 B` of sketch plus
+   * 72 B per candidate — the plan survives a 1000-executor scale-up
+   * with nothing but the broadcast probe table on the wire.
+   */
+  def knnJoinHammingIvfResSq(codes: DataFrame, sigs: DataFrame,
+      centroids: DataFrame, queries: DataFrame, vecCol: String,
+      qIdCol: String, k: Int, dims: Int, nprobe: Int,
+      oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, "knnJoinHammingIvfResSq")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val qp = residualProbeTable(spark, cents, qRows, nprobe)
     val q = qRows.toSeq.toDF("query_id", "qv", "qn")
-    hammingIvfSearch(sigs, hammingBase(corpus, idCol, vecCol), q, qp,
-      excludeSelf, k, oversample, perCellCut = true)
+    val cand = hammingIvfCandidates(sigs, q, qp, excludeSelf, k, oversample,
+      perCellCut = true)
+    val qd = asDouble(col("q"))
+    rerankCandidatesBy(
+      codes.select(col("id").as("neighbor_id"), col("q")), cand, k, "hamming",
+      round(dot(qd, asDouble(col("qv"))) / (sqrt(dot(qd, qd)) * col("qn")), 6),
+      requireCoverage = true)
   }
 
   /**

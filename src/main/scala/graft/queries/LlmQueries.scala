@@ -60,7 +60,8 @@ object LlmQueries {
     simKnnHamming4, simKnnHamming5, simGraphSdc2, dedupSemanticSdc2,
     simKnnHammingIvf, simHammingIvfRecall, simHammingIvfRecall2,
     simKnnHammingIvfRes, simHammingIvfResRecall, simHammingIvfResRecall2,
-    simKnnHammingQ8, simHammingQ8Recall)
+    simKnnHammingQ8, simHammingQ8Recall, simKnnHammingIvfResQ8,
+    simHammingIvfResQ8Recall)
 
   /** Binary sign quantization as an ANN regime ([[Similarity.knnJoinHamming]]):
     * an 8-byte signature per vector (64× below raw float64) prefilters
@@ -5521,6 +5522,187 @@ object LlmQueries {
             |SELECT np.nprobe, coalesce(h.hits, 0)::BIGINT AS hits, tot.total,
             |  round(coalesce(h.hits, 0)::DOUBLE / tot.total, 6) AS recall
             |FROM np LEFT JOIN h USING (nprobe), tot ORDER BY nprobe""".stripMargin))
+
+  /** The FULLY-COMPOSED all-stored search
+    * ([[Similarity.knnJoinHammingIvfResSq]] over
+    * [[Materialized.hammingSigsIvfRes]] + [[Materialized.q8Codes]]):
+    * probed-cell PartitionFilters prune WHICH rows stage 1 reads, the
+    * residual sketch prunes WHAT it reads per row (16 B), and the
+    * rerank ranks by the int8 quantized cosine from the stored code
+    * table — NO raw corpus vector is read anywhere in the plan
+    * (PlanSpec-pinned). Stage-1 candidacy is bit-equal to
+    * `sim_knn_hamming_ivfres` (shared body, per-cell cut); the rank is
+    * the quantized ranking by definition. The oracle replays the probe,
+    * the residual µ-unit sketches, the per-cell rank AND the
+    * integer-code cosine. */
+  val simKnnHammingIvfResQ8: QueryDef = QueryDef("sim_knn_hamming_ivfres_q8",
+    (s, d) => {
+      val idx = Materialized.ivfIndex(s, d)
+      Similarity.knnJoinHammingIvfResSq(Materialized.q8Codes(s, d),
+          Materialized.hammingSigsIvfRes(s, d), idx.centroids,
+          Tables.embeddings(s, d).where(col("vec_id") < 20),
+          "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
+          oversample = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |res AS (SELECT z.vec_id, a3.centroid_id,
+            |          [round(round(z.v[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |           for i in range(1, 65)] AS u
+            |        FROM nz z JOIN a3 ON z.vec_id = a3.vec_id
+            |        JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |cbits AS (SELECT r.vec_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM res r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |qres AS (SELECT p.query_id, p.centroid_id,
+            |           [round(round(q.qv[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |            for i in range(1, 65)] AS u
+            |         FROM probe p JOIN qs q ON p.query_id = q.query_id
+            |         JOIN c2 c ON p.centroid_id = c.centroid_id),
+            |qbits AS (SELECT r.query_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          cb.centroid_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM cbits cb
+            |          JOIN qbits qb ON cb.centroid_id = qb.centroid_id
+            |            AND cb.k = qb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2, 3),
+            |cand AS (SELECT query_id, neighbor_id, hamming,
+            |           row_number() OVER (PARTITION BY query_id, centroid_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+            |qc AS (SELECT vec_id, [round(v[i] / list_max([abs(x) for x in v]) * 127.0,
+            |          0)::BIGINT for i in range(1, len(v) + 1)] AS q FROM nz),
+            |rer AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+            |          round(list_sum([cv.q[i] * qv.v[i] for i in range(1, 65)])
+            |                / (sqrt(list_sum([x * x for x in cv.q])) * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN qc cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+            |        row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+            |SELECT query_id, neighbor_id, rank, hamming, cosine FROM r
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Fidelity dial of the fully-composed search: top-5 agreement
+    * between the SQ-rerank residual hybrid and its exact-rerank twin
+    * (`sim_knn_hamming_ivfres`) at the same (nprobe=2, oversample=4)
+    * point — identical stage-1 candidates by construction (shared
+    * body), so any disagreement is PURELY what the int8 rerank moves in
+    * the final ranking, with the partition-pruning axis along for the
+    * ride. One row; both chains replayed in SQL. */
+  val simHammingIvfResQ8Recall: QueryDef = QueryDef("sim_hamming_ivfres_q8_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val idx = Materialized.ivfIndex(s, d)
+      val sigs = Materialized.hammingSigsIvfRes(s, d)
+      val exact = Similarity.knnJoinHammingIvfRes(sigs, emb, idx.centroids,
+          queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
+          nprobe = 2, oversample = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq = Similarity.knnJoinHammingIvfResSq(Materialized.q8Codes(s, d),
+          sigs, idx.centroids, queries, "embedding", "vec_id", k = 5,
+          dims = 64, nprobe = 2, oversample = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      exact.join(sq, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(tot)
+        .select(col("hits"), col("total"),
+          round(col("hits") / col("total"), 6).as("agreement"))
+    },
+    Some(s"""WITH $ivfTrainedSql,
+            |$ivfAssignFromTrainedSql,
+            |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+            |      FROM e WHERE v IS NOT NULL AND len(v) > 0),
+            |nz AS (SELECT * FROM n WHERE nrm > 0),
+            |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nz
+            |       WHERE vec_id < 20),
+            |pd AS (SELECT q.query_id, c.centroid_id,
+            |         row_number() OVER (PARTITION BY q.query_id
+            |           ORDER BY list_sum([(c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])
+            |                              for i in range(1, 65)]), c.centroid_id) AS prn
+            |       FROM c2 c, qs q),
+            |probe AS (SELECT query_id, centroid_id FROM pd WHERE prn <= 2),
+            |res AS (SELECT z.vec_id, a3.centroid_id,
+            |          [round(round(z.v[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |           for i in range(1, 65)] AS u
+            |        FROM nz z JOIN a3 ON z.vec_id = a3.vec_id
+            |        JOIN c2 c ON a3.centroid_id = c.centroid_id),
+            |pb AS (SELECT k, i,
+            |         CASE WHEN ('0x' || substr(md5('hb|' || k || '|' || i), 1, 15))::BIGINT
+            |                   % 2 = 0 THEN 1 ELSE -1 END AS s
+            |       FROM range(0, 128) t1(k), range(0, 64) t2(i)),
+            |cbits AS (SELECT r.vec_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM res r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |qres AS (SELECT p.query_id, p.centroid_id,
+            |           [round(round(q.qv[i] - c.cv[i], 6) * 1000000, 0)::BIGINT
+            |            for i in range(1, 65)] AS u
+            |         FROM probe p JOIN qs q ON p.query_id = q.query_id
+            |         JOIN c2 c ON p.centroid_id = c.centroid_id),
+            |qbits AS (SELECT r.query_id, r.centroid_id, pb.k,
+            |            (sum(r.u[pb.i + 1] * pb.s) > 0) AS b
+            |          FROM qres r, pb WHERE pb.i < len(r.u) GROUP BY 1, 2, 3),
+            |ham AS (SELECT cb.vec_id AS neighbor_id, qb.query_id,
+            |          cb.centroid_id,
+            |          sum(CASE WHEN cb.b <> qb.b THEN 1 ELSE 0 END)::BIGINT
+            |            AS hamming
+            |        FROM cbits cb
+            |          JOIN qbits qb ON cb.centroid_id = qb.centroid_id
+            |            AND cb.k = qb.k
+            |        WHERE cb.vec_id <> qb.query_id GROUP BY 1, 2, 3),
+            |cand AS (SELECT query_id, neighbor_id,
+            |           row_number() OVER (PARTITION BY query_id, centroid_id
+            |             ORDER BY hamming, neighbor_id) AS hrank FROM ham),
+            |qc AS (SELECT vec_id, [round(v[i] / list_max([abs(x) for x in v]) * 127.0,
+            |          0)::BIGINT for i in range(1, len(v) + 1)] AS q FROM nz),
+            |rx AS (SELECT c.query_id, c.neighbor_id,
+            |          round(list_sum([cv.v[i] * qv.v[i] for i in range(1, 65)])
+            |                / (cv.nrm * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN nz cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |ra AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rx)
+            |      WHERE rank <= 5),
+            |rq0 AS (SELECT c.query_id, c.neighbor_id,
+            |          round(list_sum([cv.q[i] * qv.v[i] for i in range(1, 65)])
+            |                / (sqrt(list_sum([x * x for x in cv.q])) * qv.nrm), 6) AS cosine
+            |        FROM cand c JOIN qc cv ON cv.vec_id = c.neighbor_id
+            |        JOIN nz qv ON qv.vec_id = c.query_id
+            |        WHERE c.hrank <= 20),
+            |rq AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY cosine DESC, neighbor_id) AS rank FROM rq0)
+            |      WHERE rank <= 5),
+            |tot AS (SELECT count(*)::BIGINT AS total FROM ra),
+            |h AS (SELECT count(*)::BIGINT AS hits FROM ra JOIN rq
+            |      USING (query_id, neighbor_id))
+            |SELECT h.hits, tot.total,
+            |  round(h.hits::DOUBLE / tot.total, 6) AS agreement
+            |FROM h, tot""".stripMargin))
 
   /** OPQ-ROTATED SemDeDup at code bytes ([[Dedup.semanticDedupSdc]] with
     * the rotation over the stored OPQ artifacts): `dedup_semantic_sdc`'s

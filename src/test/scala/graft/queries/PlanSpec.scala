@@ -239,6 +239,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim_knn_hamming_ivfres_q8: every pruning axis in one plan, and no raw vector read anywhere") {
+    val p = plan("sim_knn_hamming_ivfres_q8")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions at the residual-sig-store scan\n" + p)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
+        && !r.contains("embedding")),
+      "stage 1 must scan only the 16-byte residual sketch words\n" + p)
+    assert(reads.exists(r => r.contains("q:array<tinyint>")
+        && !r.contains("scale") && !r.contains("embedding")),
+      "the rerank must scan only (id, q) from the code store\n" + p)
+    assert("ReadSchema: [^\\n]*embedding".r.findFirstIn(p).isEmpty,
+      "no scan in the fully-composed search may read raw vectors\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sim_knn_join_ivf: probed-cell union pruned at the scan, no corpus join") {
     val p = plan("sim_knn_join_ivf")
     // the batch retrieval must read only the probed cells' files — the
