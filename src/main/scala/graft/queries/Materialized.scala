@@ -1139,6 +1139,15 @@ object Materialized {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
     }
 
+  /** [[compactStore]] for the int8 code store — maintenance parity with
+    * its sig-store twin, so a long-absorbing deployment can fold either
+    * chain without the other drifting out of the coverage contract. */
+  def compactQ8Codes(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "q8_codes", "d64_s127", sfDir, "embeddings") {
+      graft.llm.Similarity.q8CodeRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    }
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {

@@ -30,7 +30,7 @@ object ScaleCurveMain {
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
       "frames-only", "hybrid-only", "adc-state-only", "cell-state-only",
-      "cell-recall-only")
+      "cell-recall-only", "sq8-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -89,6 +89,7 @@ object ScaleCurveMain {
     else if (args.contains("adc-state-only")) adcStreamState(spark)
     else if (args.contains("cell-state-only")) cellStreamState(spark)
     else if (args.contains("cell-recall-only")) cellStreamRecall(spark)
+    else if (args.contains("sq8-only")) sq8Stored55k(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -897,6 +898,94 @@ object ScaleCurveMain {
     run("aniso", d => math.pow(2.0, -d / 8.0),
       grid = for (np <- Seq(1, 2, 4, 8); os <- Seq(8)) yield (np, os),
       flatOs = Seq(8))
+  }
+
+  /**
+   * The SQ8-rerank story at 55k on BOTH corpus shapes: what does
+   * replacing the exact-cosine rerank with the stored int8 rerank cost
+   * in recall, and what does it buy in bytes? Stores built once per
+   * shape (flat raw vectors / 16-byte sketches / 80-byte int8 codes /
+   * cell-partitioned residual sketches); the FLAT ladder sweeps
+   * oversample for exact-rerank vs SQ-rerank reading the SAME stage-1
+   * candidates, the COMPOSED ladder sweeps nprobe at fixed oversample
+   * for the residual hybrid's exact vs SQ rerank. Recall is vs the
+   * brute-force float truth, so the printed delta IS the int8 cost at
+   * the ranking level (stage-1 candidacy is shared by construction);
+   * bytes are the on-disk store sizes — the all-stored searches read
+   * sigs + codes and never the flat store.
+   */
+  private def sq8Stored55k(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    def run(label: String, scale: Int => Double): Unit = {
+      val base = spark.range(55000).map { id =>
+        (id, Array.tabulate(64)(d => scale(d) *
+          ((mix64(id * 64L + d) >>> 11).toDouble / (1L << 53).toDouble - 0.5)))
+      }.toDF("vec_id", "embedding")
+      val root = java.nio.file.Files.createTempDirectory(s"graft-sq8-$label")
+      base.write.parquet(root.resolve("flat").toString)
+      val corpus = spark.read.parquet(root.resolve("flat").toString)
+      graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
+        .write.parquet(root.resolve("sigs").toString)
+      val sigs = spark.read.parquet(root.resolve("sigs").toString)
+      val (_, tCodes) = timed(
+        graft.llm.Similarity.q8CodeRows(corpus, "vec_id", "embedding")
+          .write.parquet(root.resolve("codes").toString))
+      val codes = spark.read.parquet(root.resolve("codes").toString)
+      val cents = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 64, iters = 2)
+      graft.llm.Similarity.hammingResidualSigRows(corpus, "vec_id", "embedding",
+          cents, dims = 64)
+        .write.partitionBy("centroid_id").parquet(root.resolve("ressigs").toString)
+      val resSigs = spark.read.parquet(root.resolve("ressigs").toString)
+      println(f"sq8[$label] n=55000 code-build=${tCodes}%.1fs bytes " +
+        f"flat=${dirBytes(root.resolve("flat"))} " +
+        f"sigs=${dirBytes(root.resolve("sigs"))} " +
+        f"codes=${dirBytes(root.resolve("codes"))} " +
+        f"ressigs=${dirBytes(root.resolve("ressigs"))}")
+      val queries = corpus.where(col("vec_id") < 32)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (truth, tExact) = timed(pairs(graft.llm.Similarity.knnJoin(
+        corpus, queries, "vec_id", "embedding", "vec_id", k = 10)))
+      def recall(got: Set[(Long, Long)]) = (got & truth).size.toDouble / truth.size
+      // FLAT ladder: exact rerank vs SQ rerank over the same stage-1 cut
+      Seq(4, 8, 16).foreach { os =>
+        val (ex, tEx) = timed(pairs(graft.llm.Similarity.knnJoinHammingFromSigs(
+          corpus, sigs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, dims = 64, oversample = os, bitsPerDim = 2)))
+        val (sq, tSq) = timed(pairs(graft.llm.Similarity.knnJoinHammingSqFromSigs(
+          codes, sigs, queries, "embedding", "vec_id",
+          k = 10, dims = 64, oversample = os)))
+        println(f"sq8[flat,$label] Q=32 k=10 os=$os exact=${recall(ex)}%.3f " +
+          f"${tEx}%.1fs sq=${recall(sq)}%.3f ${tSq}%.1fs " +
+          f"rankmoved=${(ex -- sq).size} (brute ${tExact}%.1fs)")
+      }
+      // COMPOSED ladder: the residual hybrid's exact vs SQ rerank
+      Seq(1, 2, 4, 8).foreach { np =>
+        val (ex, tEx) = timed(pairs(graft.llm.Similarity.knnJoinHammingIvfRes(
+          resSigs, corpus, cents, queries, "vec_id", "embedding", "vec_id",
+          k = 10, dims = 64, nprobe = np, oversample = 8)))
+        val (sq, tSq) = timed(pairs(graft.llm.Similarity.knnJoinHammingIvfResSq(
+          codes, resSigs, cents, queries, "embedding", "vec_id",
+          k = 10, dims = 64, nprobe = np, oversample = 8)))
+        println(f"sq8[res,$label] Q=32 k=10 np=$np os=8 exact=${recall(ex)}%.3f " +
+          f"${tEx}%.1fs sq=${recall(sq)}%.3f ${tSq}%.1fs " +
+          f"rankmoved=${(ex -- sq).size}")
+      }
+    }
+    run("uniform", _ => 1.0)
+    run("aniso", d => math.pow(2.0, -d / 8.0))
   }
 
   /**

@@ -542,6 +542,53 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("q8 code store: absorb-able and compact-able; absorbed rows replay the quantizer, coverage with the sig store holds") {
+    withTempStore { root =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        def q8Dirs = {
+          val v = root.resolve(s"v${Materialized.FormatVersion}")
+          if (!Files.isDirectory(v)) Nil
+          else Files.list(v).iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("q8_codes_") && !n.contains(".json")).toSeq
+        }
+        val n0 = Materialized.q8Codes(spark, TestSpark.sf).count()
+        // the two stored artifacts share the exclusion rule → same ids
+        assert(Materialized.hammingSigs(spark, TestSpark.sf).count() == n0,
+          "sig and code stores must cover the same ids")
+        val vNew = Array.tabulate(64)(i => math.sin(7.0 * i + 0.3)).toSeq
+        val kept = Seq((9001L, vNew)).toDF("vec_id", "embedding")
+        Materialized.absorbQ8Codes(spark, TestSpark.sf, kept,
+          "vec_id", "embedding", "q8-b1")
+        val view = Materialized.q8Codes(spark, TestSpark.sf)
+        assert(view.count() == n0 + 1)
+        // the absorbed row's codes are the quantizer's, byte for byte
+        val got = view.where(col("id") === 9001L).select("q").collect()
+          .head.getSeq[Byte](0)
+        val scale = vNew.map(math.abs).max
+        val exp = vNew.map(x =>
+          java.math.BigDecimal.valueOf(x / scale * 127.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).byteValue())
+        assert(got == exp, s"absorbed codes must replay quantizeInt8")
+        // exactly-once: batch id replays as a no-op
+        val a0 = Materialized.absorbsPublished.get()
+        Materialized.absorbQ8Codes(spark, TestSpark.sf, kept,
+          "vec_id", "embedding", "q8-b1")
+        assert(Materialized.absorbsPublished.get() == a0)
+        // compaction: chain → one entry, content identical
+        assert(q8Dirs.size == 2) // base + 1 delta
+        val before = view.select("id", "q").collect()
+          .map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet
+        val compacted = Materialized.compactQ8Codes(spark, TestSpark.sf)
+        assert(compacted.select("id", "q").collect()
+          .map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet == before,
+          "compaction must not change the view's content")
+        assert(q8Dirs.size == 1, s"superseded chain must be swept: $q8Dirs")
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
   test("ivf append: batch assigned against stored centroids, appended generation serves searches, base stays pinned") {
     withTempStore { root =>
       import org.apache.spark.sql.functions.transform
