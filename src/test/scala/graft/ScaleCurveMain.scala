@@ -30,7 +30,7 @@ object ScaleCurveMain {
       "admission-only", "winnow-only", "cdc-only", "hotgram-only",
       "gear-only", "phash-only", "simhash-only", "adc-only", "sdc-opq-only",
       "frames-only", "hybrid-only", "adc-state-only", "cell-state-only",
-      "cell-recall-only", "sq8-only")
+      "cell-recall-only", "sq8-only", "million-sq8-only")
     require(args.forall(modes.contains), s"unknown args: ${args.mkString(" ")}; modes: $modes")
     val sfs = if (args.isEmpty) Seq("sf0.001", "sf0.01", "sf0.1") else Nil
     sfs.foreach { sf =>
@@ -90,6 +90,7 @@ object ScaleCurveMain {
     else if (args.contains("cell-state-only")) cellStreamState(spark)
     else if (args.contains("cell-recall-only")) cellStreamRecall(spark)
     else if (args.contains("sq8-only")) sq8Stored55k(spark)
+    else if (args.contains("million-sq8-only")) millionSq8(spark)
     else if (args.contains("sdc-opq-only")) sdcOpq55k(spark)
     else if (args.contains("frames-only")) frames10M(spark)
     else if (args.contains("tenmillion-doc-only")) tenMillionDocs(spark)
@@ -1329,6 +1330,75 @@ object ScaleCurveMain {
       .count())
     println(f"million-vec ivf-pq retrieval: Q=$nQ k=1 nprobe=8 ${tAdc}%.1fs " +
       f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+  }
+
+  /**
+   * The fully-composed all-stored search at 1M vectors — the newest
+   * rung measured at the batch ring's scale: residual cell store +
+   * int8 code store built once, then [[graft.llm.Similarity
+   * .knnJoinHammingIvfResSq]] retrieving 1,024 planted exact twins'
+   * donors at k=1. A planted copy shares its donor's vector, hence its
+   * cell and its residual sketch (Hamming 0) — recall@1 is structural,
+   * so the datapoints are the build walls, the store bytes, and the
+   * probed-vs-flat search wall (the composed plan reads nprobe/128 of
+   * the sketch rows the flat SQ search scans; both rerank from the
+   * same 72 B/candidate codes and neither ever reads the flat
+   * vectors).
+   */
+  private def millionSq8(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val (root, corpus) = millionCorpus(spark)
+    val base = corpus.where(col("vec_id") < 10000000L)
+    val (cents, tTrain) = timed {
+      val c = graft.llm.Similarity.ivfTrainCentroids(
+        base, "vec_id", "embedding", k = 128, iters = 2)
+      c.count(); c
+    }
+    val (_, tSigs) = timed(
+      graft.llm.Similarity.hammingResidualSigRows(corpus, "vec_id", "embedding",
+          cents, dims = 64)
+        .write.partitionBy("centroid_id").parquet(root.resolve("ressigs").toString))
+    val resSigs = spark.read.parquet(root.resolve("ressigs").toString)
+    val (_, tCodes) = timed(
+      graft.llm.Similarity.q8CodeRows(corpus, "vec_id", "embedding")
+        .write.parquet(root.resolve("codes").toString))
+    val codes = spark.read.parquet(root.resolve("codes").toString)
+    graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
+      .write.parquet(root.resolve("sigs").toString)
+    val flatSigs = spark.read.parquet(root.resolve("sigs").toString)
+    println(f"million-sq8 build: train=${tTrain}%.1fs ressigs=${tSigs}%.1fs " +
+      f"codes=${tCodes}%.1fs bytes flat=${dirBytes(root.resolve("flat"))} " +
+      f"ressigs=${dirBytes(root.resolve("ressigs"))} " +
+      f"codes=${dirBytes(root.resolve("codes"))} " +
+      f"sigs=${dirBytes(root.resolve("sigs"))}")
+    val plantedQ = corpus.where(col("vec_id") >= 10000000L)
+      .where(col("vec_id") % 1000 === 5)
+    val nQ = plantedQ.count()
+    Seq(1, 4).foreach { np =>
+      val (hits, t) = timed(graft.llm.Similarity.knnJoinHammingIvfResSq(
+          codes, resSigs, cents, plantedQ, "embedding", "vec_id",
+          k = 1, dims = 64, nprobe = np, oversample = 4)
+        .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000000L)
+        .count())
+      println(f"million-sq8 composed: Q=$nQ k=1 np=$np os=4 ${t}%.1fs " +
+        f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
+    }
+    val (fHits, tFlat) = timed(graft.llm.Similarity.knnJoinHammingSqFromSigs(
+        codes, flatSigs, plantedQ, "embedding", "vec_id",
+        k = 1, dims = 64, oversample = 4)
+      .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000000L)
+      .count())
+    println(f"million-sq8 flat-sq: Q=$nQ k=1 os=4 ${tFlat}%.1fs " +
+      f"planted recall@1=$fHits/$nQ (${fHits.toDouble / nQ}%.3f)")
   }
 
   /**
