@@ -2515,6 +2515,46 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ searches: corpus-covering dials degrade to the brute int8 ranking (topKQuantized), flat and composed") {
+    val sf = TestSpark.sf
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val qs = emb.where(col("vec_id") < 10)
+    val sigs = graft.queries.Materialized.hammingSigs(spark, sf)
+    val codes = graft.queries.Materialized.q8Codes(spark, sf)
+    val idx = graft.queries.Materialized.ivfIndex(spark, sf)
+    val resSigs = graft.queries.Materialized.hammingSigsIvfRes(spark, sf)
+    val n = emb.count().toInt
+    val nCells = idx.centroids.count().toInt
+    // the brute int8 ranking, one typed-kernel pass per query: the
+    // ranking an SQ search with nothing pruned away must reproduce —
+    // the cross-implementation contract (dequantized-dot kernel vs the
+    // integer-code expression rerank; the 6-dp round makes them equal)
+    val brute = qs.select(col("vec_id"),
+        Similarity.asDouble(col("embedding"))).collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      Similarity.topKQuantized(emb, "vec_id", "embedding", v, k = 5,
+          excludeId = Some(qid))
+        .collect().zipWithIndex
+        .map { case (row, i) => (qid, row.getLong(0), i + 1L, row.getDouble(1)) }
+    }.toSet
+    val flat = Similarity.knnJoinHammingSqFromSigs(codes, sigs, qs,
+        "embedding", "vec_id", k = 5, dims = 64, oversample = n / 5 + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(flat == brute,
+      s"flat SQ must equal brute int8: missing=${brute -- flat} extra=${flat -- brute}")
+    // all-cell probe: the per-cell cut admits k·oversample per cell, so a
+    // corpus-covering oversample admits every row of every cell
+    val composed = Similarity.knnJoinHammingIvfResSq(codes, resSigs,
+        idx.centroids, qs, "embedding", "vec_id", k = 5, dims = 64,
+        nprobe = nCells, oversample = n / 5 + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(composed == brute,
+      s"composed SQ must equal brute int8: missing=${brute -- composed} extra=${composed -- brute}")
+  }
+
   test("superBitKernel: planted exact copy shares all 128 bits; negation flips all decided projections") {
     val emb = graft.queries.Tables.embeddings(spark, TestSpark.sf)
     val v = emb.where(col("vec_id") === 7)
