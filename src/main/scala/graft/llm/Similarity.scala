@@ -1818,18 +1818,28 @@ object Similarity {
    * [[hammingResidualSigRows]]), the residual sketch prunes WHAT stage
    * 1 reads per row (16 bytes, entropy concentrated on the within-cell
    * variance), and the rerank joins the surviving ≤ nprobe·k·oversample
-   * candidates into the stored int8 code table ([[q8CodeRows]]) and
-   * ranks by the QUANTIZED cosine — 72 B/candidate, `scale` pruned (it
-   * cancels, see [[knnJoinHammingSqFromSigs]]). Stage-1 candidacy is
+   * candidates into the stored int8 code table and ranks by the
+   * QUANTIZED cosine — 72 B/candidate, `scale` pruned (it cancels, see
+   * [[knnJoinHammingSqFromSigs]]). `codes` is the CELL-PARTITIONED
+   * code table (`(id, scale, q, centroid_id)`, [[q8CodeRows]] laid out
+   * by the index's assignment): every stage-1 candidate lives in a
+   * probed cell, so the rerank scan is restricted to the probed cells'
+   * partitions — WITHOUT this the rerank side would scan the ENTIRE
+   * code store per search batch (~1.5 TB at a 100 TB corpus) while
+   * stage 1 reads nprobe/C of its store; with it, BOTH scans carry
+   * probed-cell `PartitionFilters` and total I/O is
+   * `nprobe/C · corpus × (16 B + 88 B)`. Stage-1 candidacy is
    * bit-equal to [[knnJoinHammingIvfRes]] (shared body, per-cell cut —
    * residual distances are only comparable within a cell); the rank is
    * the quantized ranking by definition, with agreement vs the
    * exact-rerank twin as the fidelity dial. Same ENFORCED CALLER
-   * CONTRACT, guarded in-plan: `codes` must cover every sig id. The
-   * centroid sidecar and the query table are bounded driver pulls, so
-   * total I/O at 100 TB is `nprobe/C · corpus × 16 B` of sketch plus
-   * 72 B per candidate — the plan survives a 1000-executor scale-up
-   * with nothing but the broadcast probe table on the wire.
+   * CONTRACT, guarded in-plan: `codes` must cover every sig id — the
+   * two stores share the exclusion rule AND the assignment, so
+   * coverage holds cell-by-cell by construction, and the probed-cell
+   * restriction cannot drop a candidate's code row. The centroid
+   * sidecar and the query table are bounded driver pulls — the plan
+   * survives a 1000-executor scale-up with nothing but the broadcast
+   * probe table on the wire.
    */
   def knnJoinHammingIvfResSq(codes: DataFrame, sigs: DataFrame,
       centroids: DataFrame, queries: DataFrame, vecCol: String,
@@ -1839,17 +1849,24 @@ object Similarity {
     require(dims <= 64,
       s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(codes.columns.contains("centroid_id"),
+      "knnJoinHammingIvfResSq needs the CELL-PARTITIONED code table " +
+        "(id, scale, q, centroid_id) — a flat q8 store would be scanned " +
+        "in full at the rerank; use knnJoinHammingSqFromSigs for flat codes")
     val spark = sigs.sparkSession
     import spark.implicits._
     val cents = collectCentroids(centroids, "knnJoinHammingIvfResSq")
     val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
     val qp = residualProbeTable(spark, cents, qRows, nprobe)
+    val probedCells = qp.select("centroid_id").collect().map(_.getLong(0))
+      .distinct.sorted.toSeq
     val q = qRows.toSeq.toDF("query_id", "qv", "qn")
     val cand = hammingIvfCandidates(sigs, q, qp, excludeSelf, k, oversample,
       perCellCut = true)
     val qd = asDouble(col("q"))
     rerankCandidatesBy(
-      codes.select(col("id").as("neighbor_id"), col("q")), cand, k, "hamming",
+      codes.where(col("centroid_id").isin(probedCells: _*))
+        .select(col("id").as("neighbor_id"), col("q")), cand, k, "hamming",
       round(dot(qd, asDouble(col("qv"))) / (sqrt(dot(qd, qd)) * col("qn")), 6),
       requireCoverage = true)
   }

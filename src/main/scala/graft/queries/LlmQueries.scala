@@ -5525,20 +5525,24 @@ object LlmQueries {
 
   /** The FULLY-COMPOSED all-stored search
     * ([[Similarity.knnJoinHammingIvfResSq]] over
-    * [[Materialized.hammingSigsIvfRes]] + [[Materialized.q8Codes]]):
-    * probed-cell PartitionFilters prune WHICH rows stage 1 reads, the
-    * residual sketch prunes WHAT it reads per row (16 B), and the
-    * rerank ranks by the int8 quantized cosine from the stored code
-    * table — NO raw corpus vector is read anywhere in the plan
-    * (PlanSpec-pinned). Stage-1 candidacy is bit-equal to
-    * `sim_knn_hamming_ivfres` (shared body, per-cell cut); the rank is
-    * the quantized ranking by definition. The oracle replays the probe,
-    * the residual µ-unit sketches, the per-cell rank AND the
-    * integer-code cosine. */
+    * [[Materialized.hammingSigsIvfRes]] + [[Materialized.q8CodesIvf]]):
+    * probed-cell PartitionFilters prune WHICH rows BOTH scans read —
+    * the sketch scan AND the rerank's code scan (the cell-partitioned
+    * code store closes the last full-scan in the search; both
+    * PartitionFilters PlanSpec-pinned) — the residual sketch prunes
+    * WHAT stage 1 reads per row (16 B), and the rerank ranks by the
+    * int8 quantized cosine from the stored codes. NO raw corpus vector
+    * is read anywhere in the plan. Stage-1 candidacy is bit-equal to
+    * `sim_knn_hamming_ivfres` (shared body, per-cell cut); the
+    * probed-cell restriction of the rerank cannot drop a candidate
+    * (same assignment on both stores), so the result is identical to a
+    * flat-code rerank and the oracle replays the probe, the residual
+    * µ-unit sketches, the per-cell rank AND the integer-code cosine
+    * without modeling the partition layout. */
   val simKnnHammingIvfResQ8: QueryDef = QueryDef("sim_knn_hamming_ivfres_q8",
     (s, d) => {
       val idx = Materialized.ivfIndex(s, d)
-      Similarity.knnJoinHammingIvfResSq(Materialized.q8Codes(s, d),
+      Similarity.knnJoinHammingIvfResSq(Materialized.q8CodesIvf(s, d),
           Materialized.hammingSigsIvfRes(s, d), idx.centroids,
           Tables.embeddings(s, d).where(col("vec_id") < 20),
           "embedding", "vec_id", k = 5, dims = 64, nprobe = 2,
@@ -5620,7 +5624,7 @@ object LlmQueries {
           queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
           nprobe = 2, oversample = 4)
         .select(col("query_id"), col("neighbor_id"))
-      val sq = Similarity.knnJoinHammingIvfResSq(Materialized.q8Codes(s, d),
+      val sq = Similarity.knnJoinHammingIvfResSq(Materialized.q8CodesIvf(s, d),
           sigs, idx.centroids, queries, "embedding", "vec_id", k = 5,
           dims = 64, nprobe = 2, oversample = 4)
         .select(col("query_id"), col("neighbor_id"))

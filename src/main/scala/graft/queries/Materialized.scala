@@ -1139,6 +1139,51 @@ object Materialized {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", dims = 64)
     }
 
+  /** CELL-PARTITIONED int8 code table `(id, scale, q, centroid_id)` —
+    * the [[q8Codes]] rows laid out by the stored IVF index's cell
+    * assignment, so the fully-composed search
+    * ([[graft.llm.Similarity.knnJoinHammingIvfResSq]]) prunes the
+    * RERANK scan to probed cells exactly as stage 1 prunes the sketch
+    * scan: both sides of the search carry probed-cell
+    * `PartitionFilters`, and neither reads outside `nprobe/C` of its
+    * store. Same exclusion rule and assignment as
+    * [[hammingSigsIvfRes]], so the coverage contract holds
+    * cell-by-cell. Rebuilt when the index retrains; absorb-able
+    * ([[absorbQ8CodesIvf]]). */
+  def q8CodesIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = headAware(spark, "q8_codes_ivf", "d64_s127_cell", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      q8CodesIvfBase(spark, sfDir)
+    }
+    view.select(col("id"), col("scale"), col("q"),
+      col("centroid_id").cast("long").as("centroid_id"))
+  }
+
+  private def q8CodesIvfBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = ivfIndex(spark, sfDir)
+    graft.llm.Similarity.q8CodeRows(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      .join(idx.assignment.select(col("id"), col("centroid_id")), "id")
+  }
+
+  /** [[absorbHammingSigsIvf]] for the cell-partitioned code store —
+    * keepers assigned against the pinned base centroids and their int8
+    * code rows landed in that cell's partition, exactly-once per batch
+    * id, so the composed search's PRUNED rerank still covers every
+    * absorbed keeper's cell. */
+  def absorbQ8CodesIvf(spark: SparkSession, sfDir: String,
+                       keptVecs: DataFrame, idCol: String, vecCol: String,
+                       batchId: String): DataFrame = {
+    val cents = ivfIndex(spark, sfDir).centroids
+    val rows = graft.llm.Similarity.q8CodeRows(keptVecs, idCol, vecCol)
+      .join(graft.llm.Similarity.ivfAssign(keptVecs, idCol, vecCol, cents)
+        .select(col("id").cast("long").as("id"), col("centroid_id")), "id")
+    absorbInto(spark, "q8_codes_ivf", "d64_s127_cell", sfDir, "embeddings",
+        rows, batchId, partitionCols = Seq("centroid_id")) {
+      q8CodesIvfBase(spark, sfDir)
+    }
+  }
+
   /** [[compactStore]] for the int8 code store — maintenance parity with
     * its sig-store twin, so a long-absorbing deployment can fold either
     * chain without the other drifting out of the coverage contract. */

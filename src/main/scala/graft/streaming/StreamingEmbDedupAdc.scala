@@ -210,10 +210,12 @@ object StreamingEmbDedupAdc {
    * [[graft.queries.Materialized.absorbHammingSigsIvf]] (cell-
    * partitioned raw sketches, keepers assigned to their IVF cell at
    * absorb time), [[graft.queries.Materialized.absorbHammingSigsIvfRes]]
-   * (cell-partitioned RESIDUAL sketches) and
-   * [[graft.queries.Materialized.absorbQ8Codes]] (int8 rerank codes) —
-   * so batch `FromSigs` searches, both hybrid searches AND the
-   * all-stored SQ search see the same corpus after the micro-batch; no
+   * (cell-partitioned RESIDUAL sketches),
+   * [[graft.queries.Materialized.absorbQ8Codes]] (flat int8 rerank
+   * codes) and [[graft.queries.Materialized.absorbQ8CodesIvf]]
+   * (cell-partitioned int8 codes, assigned at absorb time) — so batch
+   * `FromSigs` searches, both hybrid searches, the flat SQ search AND
+   * the fully-composed search see the same corpus after the micro-batch; no
    * stored path serves a stale membership view. Exactly-once per (streamId, micro-batch id)
    * via each store's ledger — the family contract of
    * [[StreamingEmbDedup.absorbKeepers]]; a crash between the two absorbs
@@ -243,6 +245,8 @@ object StreamingEmbDedupAdc {
     graft.queries.Materialized.absorbHammingSigsIvfRes(spark, sfDir,
       keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     graft.queries.Materialized.absorbQ8Codes(spark, sfDir,
+      keptVecs, "docId", "vec", s"$streamId-$microBatchId")
+    graft.queries.Materialized.absorbQ8CodesIvf(spark, sfDir,
       keptVecs, "docId", "vec", s"$streamId-$microBatchId")
     v
   }

@@ -948,6 +948,11 @@ object ScaleCurveMain {
           cents, dims = 64)
         .write.partitionBy("centroid_id").parquet(root.resolve("ressigs").toString)
       val resSigs = spark.read.parquet(root.resolve("ressigs").toString)
+      graft.llm.Similarity.q8CodeRows(corpus, "vec_id", "embedding")
+        .join(graft.llm.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+          .select(col("id"), col("centroid_id")), "id")
+        .write.partitionBy("centroid_id").parquet(root.resolve("cellcodes").toString)
+      val cellCodes = spark.read.parquet(root.resolve("cellcodes").toString)
       println(f"sq8[$label] n=55000 code-build=${tCodes}%.1fs bytes " +
         f"flat=${dirBytes(root.resolve("flat"))} " +
         f"sigs=${dirBytes(root.resolve("sigs"))} " +
@@ -978,7 +983,7 @@ object ScaleCurveMain {
           resSigs, corpus, cents, queries, "vec_id", "embedding", "vec_id",
           k = 10, dims = 64, nprobe = np, oversample = 8)))
         val (sq, tSq) = timed(pairs(graft.llm.Similarity.knnJoinHammingIvfResSq(
-          codes, resSigs, cents, queries, "embedding", "vec_id",
+          cellCodes, resSigs, cents, queries, "embedding", "vec_id",
           k = 10, dims = 64, nprobe = np, oversample = 8)))
         println(f"sq8[res,$label] Q=32 k=10 np=$np os=8 exact=${recall(ex)}%.3f " +
           f"${tEx}%.1fs sq=${recall(sq)}%.3f ${tSq}%.1fs " +
@@ -1370,10 +1375,13 @@ object ScaleCurveMain {
     val resSigs = spark.read.parquet(root.resolve("ressigs").toString)
     val (_, tCodes) = timed(
       graft.llm.Similarity.q8CodeRows(corpus, "vec_id", "embedding")
-        .write.parquet(root.resolve("codes").toString))
+        .join(graft.llm.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+          .select(col("id"), col("centroid_id")), "id")
+        .write.partitionBy("centroid_id").parquet(root.resolve("codes").toString))
     val codes = spark.read.parquet(root.resolve("codes").toString)
     graft.llm.Similarity.hammingSigRows(corpus, "vec_id", "embedding", dims = 64)
       .write.parquet(root.resolve("sigs").toString)
+    val flatCodes = codes.select("id", "scale", "q")
     val flatSigs = spark.read.parquet(root.resolve("sigs").toString)
     println(f"million-sq8 build: train=${tTrain}%.1fs ressigs=${tSigs}%.1fs " +
       f"codes=${tCodes}%.1fs bytes flat=${dirBytes(root.resolve("flat"))} " +
@@ -1393,7 +1401,7 @@ object ScaleCurveMain {
         f"planted recall@1=$hits/$nQ (${hits.toDouble / nQ}%.3f)")
     }
     val (fHits, tFlat) = timed(graft.llm.Similarity.knnJoinHammingSqFromSigs(
-        codes, flatSigs, plantedQ, "embedding", "vec_id",
+        flatCodes, flatSigs, plantedQ, "embedding", "vec_id",
         k = 1, dims = 64, oversample = 4)
       .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000000L)
       .count())

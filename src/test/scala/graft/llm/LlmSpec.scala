@@ -2545,8 +2545,10 @@ class LlmSpec extends AnyFunSuite {
     assert(flat == brute,
       s"flat SQ must equal brute int8: missing=${brute -- flat} extra=${flat -- brute}")
     // all-cell probe: the per-cell cut admits k·oversample per cell, so a
-    // corpus-covering oversample admits every row of every cell
-    val composed = Similarity.knnJoinHammingIvfResSq(codes, resSigs,
+    // corpus-covering oversample admits every row of every cell (and the
+    // probed-cell rerank restriction covers every cell of the code store)
+    val composed = Similarity.knnJoinHammingIvfResSq(
+        graft.queries.Materialized.q8CodesIvf(spark, sf), resSigs,
         idx.centroids, qs, "embedding", "vec_id", k = 5, dims = 64,
         nprobe = nCells, oversample = n / 5 + 1)
       .collect()

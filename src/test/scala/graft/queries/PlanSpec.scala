@@ -241,8 +241,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("sim_knn_hamming_ivfres_q8: every pruning axis in one plan, and no raw vector read anywhere") {
     val p = plan("sim_knn_hamming_ivfres_q8")
-    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
-      "probed cells must prune partitions at the residual-sig-store scan\n" + p)
+    // BOTH stores prune by probed cell: the residual sketch scan AND the
+    // int8 code scan each carry a centroid_id PartitionFilter — the
+    // search reads nprobe/C of each store, full-scan-free end to end
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findAllIn(p).size >= 2,
+      "probed cells must prune partitions at BOTH store scans\n" + p)
     val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
     assert(reads.exists(r => r.contains("slo:bigint") && r.contains("shi:bigint")
         && !r.contains("embedding")),

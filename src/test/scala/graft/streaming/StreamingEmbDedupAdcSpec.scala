@@ -185,6 +185,22 @@ class StreamingEmbDedupAdcSpec extends AnyFunSuite {
       assert(sqHit.length == 1 && sqHit(0).getLong(1) == 100L,
         s"SQ search must retrieve the STREAMED keeper: ${sqHit.toSeq}")
 
+      // ... and the CELL-PARTITIONED code store: the fully-composed
+      // search (probed-cell pruning on BOTH scans, int8 rerank, no raw
+      // vector anywhere) sees the streamed keeper too — all five stored
+      // search paths agree on membership. nprobe=1 again makes the
+      // absorb-time cell assignment strict on both stores at once.
+      val icodes = graft.queries.Materialized.q8CodesIvf(spark, corpusDir.toString)
+      assert(icodes.count() == 3,
+        s"cell code store must hold corpus 2 + 1 streamed keeper, got ${icodes.count()}")
+      val composedHit = graft.llm.Similarity.knnJoinHammingIvfResSq(icodes,
+          rsigs, idx.centroids,
+          Seq((500L, v1.toSeq)).toDF("vec_id", "embedding"), "embedding",
+          "vec_id", k = 1, dims = 64, nprobe = 1, oversample = 4)
+        .collect()
+      assert(composedHit.length == 1 && composedHit(0).getLong(1) == 100L,
+        s"composed search must retrieve the STREAMED keeper: ${composedHit.toSeq}")
+
       // exactly-once: replaying the micro-batch's absorb (the crashed-
       // writer recovery path) publishes no new delta in either store
       val before = graft.queries.Materialized.absorbsPublished.get()
