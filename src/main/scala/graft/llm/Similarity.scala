@@ -1663,7 +1663,15 @@ object Similarity {
     * inverted list, the classic scan-each-list shape — and the exact
     * rerank (cosines, globally comparable) resolves the per-cell
     * winners. Candidate bound: nprobe·k·oversample per query, still a
-    * broadcast-sized set. */
+    * broadcast-sized set.
+    *
+    * SCALE NOTE: the exact rerank joins the broadcast candidates into
+    * the FULL `base` scan — stage 1 is partition-pruned but the rerank
+    * reads the whole raw corpus per search batch. These exact-rerank
+    * hybrids are the FIDELITY REFERENCES; the production-scale form is
+    * [[knnJoinHammingIvfResSq]], whose cell-partitioned int8 code
+    * store prunes the rerank scan to probed cells too (and whose int8
+    * rank was measured recall-identical at every 55k grid point). */
   private def hammingIvfSearch(sigs: DataFrame, base: DataFrame,
       q: DataFrame, qp: DataFrame, excludeSelf: Boolean, k: Int,
       oversample: Int, perCellCut: Boolean = false): DataFrame =
