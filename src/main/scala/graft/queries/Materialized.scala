@@ -1193,6 +1193,35 @@ object Materialized {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding")
     }
 
+  /** [[compactStore]] for the CELL-PARTITIONED stores — the compacted
+    * entry is rewritten `partitionBy(centroid_id)`, so probed-cell
+    * partition pruning holds across the fold exactly as it holds across
+    * absorb deltas. A streaming deployment absorbing every micro-batch
+    * into five stores needs all five chains foldable, or read
+    * amplification returns through whichever store was left out. */
+  def compactHammingSigsIvf(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "hamming_sigs_ivf", "d64_k128_cell", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      hammingSigsIvfBase(spark, sfDir)
+    }.select(col("id"), col("sig"), col("slo"), col("shi"),
+      col("centroid_id").cast("long").as("centroid_id"))
+
+  /** [[compactHammingSigsIvf]] for the residual-sketch cell store. */
+  def compactHammingSigsIvfRes(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "hamming_sigs_ivfres", "d64_k128_rescell", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      hammingSigsIvfResBase(spark, sfDir)
+    }.select(col("id"), col("slo"), col("shi"),
+      col("centroid_id").cast("long").as("centroid_id"))
+
+  /** [[compactHammingSigsIvf]] for the cell-partitioned code store. */
+  def compactQ8CodesIvf(spark: SparkSession, sfDir: String): DataFrame =
+    compactStore(spark, "q8_codes_ivf", "d64_s127_cell", sfDir,
+        "embeddings", partitionCols = Seq("centroid_id")) {
+      q8CodesIvfBase(spark, sfDir)
+    }.select(col("id"), col("scale"), col("q"),
+      col("centroid_id").cast("long").as("centroid_id"))
+
   /** [[compactStore]] for the content-hash store. */
   def compactContentHashes(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "content_hashes", "md5", sfDir, "documents") {

@@ -589,6 +589,58 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("cell-partitioned stores compact: absorb chain folds to one partitioned entry, content identical, probed-cell pruning preserved") {
+    withTempStore { root =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.materialized.gc.ageMs", "0")
+      try {
+        def entries(prefix: String) = {
+          val v = root.resolve(s"v${Materialized.FormatVersion}")
+          if (!Files.isDirectory(v)) Nil
+          else Files.list(v).iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith(prefix) && !n.contains(".json")).toSeq
+        }
+        val n0 = Materialized.q8CodesIvf(spark, TestSpark.sf).count()
+        val vNew = Array.tabulate(64)(i => math.cos(3.0 * i + 0.7)).toSeq
+        val kept = Seq((9101L, vNew)).toDF("vec_id", "embedding")
+        Materialized.absorbQ8CodesIvf(spark, TestSpark.sf, kept,
+          "vec_id", "embedding", "q8i-b1")
+        val view = Materialized.q8CodesIvf(spark, TestSpark.sf)
+        assert(view.count() == n0 + 1)
+        val before = view.select("id", "centroid_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(entries("q8_codes_ivf_").size == 2) // base + 1 delta
+        val compacted = Materialized.compactQ8CodesIvf(spark, TestSpark.sf)
+        assert(compacted.select("id", "centroid_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet == before,
+          "compaction must not change the view's content")
+        assert(entries("q8_codes_ivf_").size == 1,
+          s"superseded chain must be swept: ${entries("q8_codes_ivf_")}")
+        // the compacted entry is still cell-partitioned: a probed-cell
+        // restriction prunes partitions at the scan, keeper's cell included
+        val keeperCell = before.find(_._1 == 9101L).get._2
+        val pruned = compacted.where(col("centroid_id") === keeperCell)
+        val p = pruned.queryExecution.executedPlan.toString
+        assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+          "compacted cell store must still partition-prune\n" + p)
+        assert(pruned.select("id").as[Long].collect().contains(9101L))
+        // exactly-once survives the fold: the absorbed batch id replays
+        // as a no-op against the compacted head
+        val a0 = Materialized.absorbsPublished.get()
+        Materialized.absorbQ8CodesIvf(spark, TestSpark.sf, kept,
+          "vec_id", "embedding", "q8i-b1")
+        assert(Materialized.absorbsPublished.get() == a0,
+          "compaction must preserve the exactly-once ledger")
+        // the sig-store twins fold the same way (content-identical)
+        val sigBefore = Materialized.hammingSigsIvfRes(spark, TestSpark.sf)
+          .select("id").as[Long].collect().toSet
+        Materialized.compactHammingSigsIvfRes(spark, TestSpark.sf)
+        assert(Materialized.hammingSigsIvfRes(spark, TestSpark.sf)
+          .select("id").as[Long].collect().toSet == sigBefore)
+      } finally spark.conf.unset("spark.graft.materialized.gc.ageMs")
+    }
+  }
+
   test("ivf append: batch assigned against stored centroids, appended generation serves searches, base stays pinned") {
     withTempStore { root =>
       import org.apache.spark.sql.functions.transform
