@@ -2447,6 +2447,22 @@ class LlmSpec extends AnyFunSuite {
         nprobe = 2, oversample = 4).collect()
     }
     assert(contractViolation(eIvf), s"wrong failure: $eIvf")
+    // the fully-composed search, same guard: a DRIFTED store pair (a sig
+    // row whose id is missing from the cell code store — the absorbed-
+    // sigs-but-not-codes scenario the guard exists for) fails loud
+    // instead of silently dropping the candidate from the rerank
+    val rsigs = graft.queries.Materialized.hammingSigsIvfRes(spark, TestSpark.sf)
+    val icodes = graft.queries.Materialized.q8CodesIvf(spark, TestSpark.sf)
+    val victimSq = Similarity.knnJoinHammingIvfResSq(icodes, rsigs,
+        idx.centroids, qs, "embedding", "vec_id", k = 5, dims = 64,
+        nprobe = 2, oversample = 4)
+      .select("neighbor_id").head().getLong(0)
+    val eSq = intercept[Throwable] {
+      Similarity.knnJoinHammingIvfResSq(icodes.where(col("id") =!= victimSq),
+        rsigs, idx.centroids, qs, "embedding", "vec_id", k = 5, dims = 64,
+        nprobe = 2, oversample = 4).collect()
+    }
+    assert(contractViolation(eSq), s"wrong failure: $eSq")
   }
 
   test("knnJoinHammingIvf: all-cell probe + corpus-covering oversample degrades to exact knnJoin; narrow probe stays inside probed cells") {
