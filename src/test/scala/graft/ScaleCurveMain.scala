@@ -1407,6 +1407,20 @@ object ScaleCurveMain {
       .count())
     println(f"million-sq8 flat-sq: Q=$nQ k=1 os=4 ${tFlat}%.1fs " +
       f"planted recall@1=$fHits/$nQ (${fHits.toDouble / nQ}%.3f)")
+    // the maxQueries bound, honestly exercised: 4,096 queries at the
+    // realistic retrieval dial (k=10, np=4, os=8) put ~4096·4·10·8 ≈
+    // 1.3M candidate rows through the broadcast rerank — the measured
+    // ceiling of the "candidates are still broadcast-sized" claim
+    val qMax = corpus.where(col("vec_id") >= 10000000L && col("vec_id") < 10409600L)
+    val nMax = qMax.count()
+    val (mHits, tMax) = timed(graft.llm.Similarity.knnJoinHammingIvfResSq(
+        codes, resSigs, cents, qMax, "embedding", "vec_id",
+        k = 10, dims = 64, nprobe = 4, oversample = 8)
+      .where(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000000L)
+      .count())
+    println(f"million-sq8 composed-qmax: Q=$nMax k=10 np=4 os=8 ${tMax}%.1fs " +
+      f"(${nMax / tMax}%.0f q/s) planted recall@1=$mHits/$nMax " +
+      f"(${mHits.toDouble / nMax}%.3f)")
   }
 
   /**
