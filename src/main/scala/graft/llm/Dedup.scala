@@ -258,7 +258,12 @@ object Dedup {
                             shingleN: Int = 3, k: Int = 128): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // spread before the typed kernel: k x shingles universal hashes per doc
+    // must not serialize into a single-split scan (r15; see
+    // TextAnalysis.spreadByDoc)
+    TextAnalysis.spreadIfNarrow(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")),
+        col("id"))
       .as[(Long, String)]
       .map { case (id, t) =>
         // null text ⇒ zero shingles with the degenerate all-P sentinel
@@ -864,7 +869,7 @@ object Dedup {
     * persisted tables across a session (in a production pipeline the result
     * would be written to storage instead). `materialize=false` leaves the
     * intermediates cached for the caller to manage. */
-  private[llm] def materializeAndRelease(out: DataFrame, materialize: Boolean,
+  private[graft] def materializeAndRelease(out: DataFrame, materialize: Boolean,
                                     intermediates: DataFrame*): DataFrame = {
     if (!materialize) out
     else {

@@ -279,7 +279,12 @@ object Similarity {
     import spark.implicits._
     val planesBc = spark.sparkContext.broadcast(
       planeMatrix(bands * planesPerBand, dims))
-    emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    // spread before the typed kernel: bands x planes x dims multiply-adds
+    // per row must not serialize into a single-split scan (r15; see
+    // TextAnalysis.spreadByDoc)
+    TextAnalysis.spreadIfNarrow(
+        emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")),
+        col("id"))
       .as[(Long, Array[Double])]
       // expression-path parity: a null or wrong-dims vector gets a null
       // signature there and never enters the banding index — drop it here
@@ -514,9 +519,6 @@ object Similarity {
         .groupBy("centroid_id", "dim")
         .agg((sum(col("val").cast("decimal(30,15)")).cast("double") /
           count(lit(1))).as("m"))
-      val next = means.groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
-        .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("vec"))
       // lineage truncation: round-trip the k×dims centroid table through the
       // driver (a bounded control-plane pull — every consumer collects it
       // anyway for the broadcast probe). Without this, each Lloyd round
@@ -524,9 +526,17 @@ object Similarity {
       // balloons past a handful of iterations; localCheckpoint would truncate
       // too, but leaks one persisted RDD per iteration per call (the
       // "retained cache" class LlmSpec's purity pin exists to forbid). The
-      // collected doubles are exact, so results are bit-identical.
-      cents = next.select(col("centroid_id"), col("vec"))
-        .as[(Long, Seq[Double])].collect().toSeq
+      // collected doubles are exact, so results are bit-identical. The
+      // (centroid, dim) → dense-vector assembly happens HERE on the pulled
+      // k×dims rows instead of a second distributed groupBy — one exchange
+      // per Lloyd round, not two (r15 optimization; same values, dim is
+      // unique per centroid so the sort is the array_sort it replaces).
+      cents = means.select(col("centroid_id"), col("dim"), col("m"))
+        .as[(Long, Int, Double)].collect()
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
         .toDF("centroid_id", "vec")
     }
     cents

@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Hash-spread a per-document table by its id BEFORE the token explode
+    * (r15 optimization, guide §2.3 "project before the exchange" + §2.5
+    * input splits): every per-doc lag-window pipeline needs one
+    * hash(id) exchange anyway — paying it on the COMPACT doc rows instead
+    * of the exploded token stream moves ~doc-length× fewer bytes through
+    * the shuffle at every scale, and it parallelizes the tokenize/explode
+    * kernel away from the scan's input split count (a small corpus arrives
+    * as one parquet row group = one task; the heavy per-token work used to
+    * serialize there). The explicit partition count (the session's shuffle
+    * parallelism — the deployment dial, never a hard-coded core count)
+    * keeps AQE from byte-coalescing the exchange under the compute-dense
+    * token stages that follow. Generate/Project preserve hash(id), so the
+    * downstream window/groupBy on id adds NO second exchange. */
+  private[llm] def spreadByDoc(docs: DataFrame, id: Column): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    val parts = scala.util.Try(n.toInt).getOrElse(200)
+    docs.repartition(parts, id)
+  }
+
+  /** [[spreadByDoc]] gated by `spark.graft.spread.kernelScans` — for
+    * kernel pipelines with NO downstream wide exchange of their own
+    * (signature builds, sketch scans, hashed-feature explodes), where the
+    * repartition ADDS an exchange rather than narrowing an existing one.
+    * Default TRUE: a small/bench corpus arrives as one parquet row group
+    * (one scan task), so without the spread the whole hash/sign kernel
+    * serializes onto one core (guide §2.5: "one huge unsplittable file …
+    * repartition immediately after the read"). A production 100 TB corpus
+    * arrives with ≥ cluster-parallelism input splits — there the added
+    * corpus-sized exchange buys nothing, and the deployment sets this
+    * conf FALSE (the dial is a conf, not a hard-coded core count — see
+    * OPTIMIZATION_r15.md). A runtime partition-count probe was tried
+    * instead and rejected: `df.rdd` forces eager AQE stage
+    * materialization on computed inputs. */
+  private[llm] def spreadIfNarrow(docs: DataFrame, id: Column): DataFrame =
+    if (!docs.sparkSession.conf
+        .get("spark.graft.spread.kernelScans", "true").toBoolean) docs
+    else spreadByDoc(docs, id)
+
   /** Largest type count [[kn5QuantModel]] accepts: past ~1.15·10¹² the
     * `2·10⁶·(4c−3)` exact-integer quantization wraps a long; 10¹² leaves
     * headroom and fails LOUD instead of corrupting stored probabilities. */
@@ -796,8 +834,9 @@ object TextAnalysis {
   private def lmBigramFamily(docs: DataFrame, idCol: String, textCol: String)
       (typeLp: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
     val total = uni.agg(sum(col("cu")).as("t"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -866,8 +905,9 @@ object TextAnalysis {
   def knTypeTable(docs: DataFrame, idCol: String, textCol: String,
                   discount: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
       .where(col("pw").isNotNull)
@@ -914,8 +954,9 @@ object TextAnalysis {
   def lmScoreStupidBackoff(docs: DataFrame, train: DataFrame, idCol: String,
                            textCol: String, alpha: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def toks(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    def toks(df: DataFrame): DataFrame =
+      spreadByDoc(df.select(col(idCol).as("id"), col(textCol)), col("id"))
+        .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     def withHist(t: DataFrame): DataFrame = {
       val byDoc = Window.partitionBy("id").orderBy("pos")
       t.withColumn("pw", lag(col("w"), 1).over(byDoc))
@@ -976,8 +1017,9 @@ object TextAnalysis {
   def kn5TypeTable(train: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    val th = train.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val th = spreadByDoc(train.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .withColumn("h1", lag(col("w"), 1).over(byDoc))
       .withColumn("h2", lag(col("w"), 2).over(byDoc))
       .withColumn("h3", lag(col("w"), 3).over(byDoc))
@@ -1151,44 +1193,62 @@ object TextAnalysis {
       coc.select(dk(1, d1r), dk(2, d2r), dk(3, d3r))
     }
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    val occ = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val occ = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .withColumn("h1", lag(col("w"), 1).over(byDoc))
       .withColumn("h2", lag(col("w"), 2).over(byDoc))
       .withColumn("h3", lag(col("w"), 3).over(byDoc))
       .withColumn("h4", lag(col("w"), 4).over(byDoc))
-    val joined = occ
-      .join(uni, Seq("w"), "left")
-      .join(cont1, Seq("w"), "left")
-      .join(t2, Seq("h1", "w"), "left")
-      .join(ctx2, Seq("h1"), "left")
-      .join(cc2, Seq("h1", "w"), "left")
-      .join(cx2, Seq("h1"), "left")
-      .join(t3, Seq("h2", "h1", "w"), "left")
-      .join(ctx3, Seq("h2", "h1"), "left")
-      .join(cc3, Seq("h2", "h1", "w"), "left")
-      .join(cx3, Seq("h2", "h1"), "left")
-      .join(t4, Seq("h3", "h2", "h1", "w"), "left")
-      .join(ctx4, Seq("h3", "h2", "h1"), "left")
-      .join(cc4, Seq("h3", "h2", "h1", "w"), "left")
-      .join(cx4, Seq("h3", "h2", "h1"), "left")
+    // r15 optimization (guide §2.4/§3): the token stream used to take one
+    // join per model table — 15 legs + 2 (or 11, modified) one-row
+    // cross-joins. Legs that share a key are now pre-joined MODEL-SIDE
+    // (gram tables with their continuation twins on the gram key, context
+    // tables with their continuation-context twins on the history key), so
+    // the token stream is probed once per KEY instead of once per table:
+    // 9 legs. The pre-joins are LEFT joins, which keeps them broadcastable
+    // (a full-outer join would force a sort-merge with two extra exchanges
+    // per leg — and broadcast is exactly what AQE picks for these at spec
+    // scale). Left is equivalent to the two independent occ-side left
+    // joins because every continuation table's keys are a SUBSET of its
+    // raw twin's: continuation counts are distinct (history, w) of the
+    // order ABOVE, and n-gram counting (and the pruning schedule's
+    // suffix-count monotonicity — see kn5Prune) keeps every such key
+    // attested at its own order. All one-row aggregates (n/v, tt/w1, and
+    // the 8 modified-KN discount triples) collapse into ONE one-row
+    // broadcast instead of a chain of 2-11 BroadcastNestedLoopJoins
+    // through the token stream.
+    val g2 = t2.join(cc2, Seq("h1", "w"), "left")
+    val x2 = ctx2.join(cx2, Seq("h1"), "left")
+    val g3 = t3.join(cc3, Seq("h2", "h1", "w"), "left")
+    val x3 = ctx3.join(cx3, Seq("h2", "h1"), "left")
+    val g4 = t4.join(cc4, Seq("h3", "h2", "h1", "w"), "left")
+    val x4 = ctx4.join(cx4, Seq("h3", "h2", "h1"), "left")
+    val u1 = uni.join(cont1, Seq("w"), "left")
+    val scalars0 = nv.crossJoin(tts)
+    val scalars =
+      if (!modified) scalars0
+      else scalars0
+        .crossJoin(discountsOf(t2, "c2", "r2d"))
+        .crossJoin(discountsOf(t3, "c3", "r3d"))
+        .crossJoin(discountsOf(t4, "c4", "r4d"))
+        .crossJoin(discountsOf(t5, "c5", "r5d"))
+        .crossJoin(discountsOf(cc2, "cc2", "c2d"))
+        .crossJoin(discountsOf(cc3, "cc3", "c3d"))
+        .crossJoin(discountsOf(cc4, "cc4", "c4d"))
+        .crossJoin(discountsOf(cont1, "nc1", "ud"))
+        .crossJoin(
+          cont1.agg(cls(col("nc1"), "u_").head, cls(col("nc1"), "u_").tail: _*))
+    val joinedD = occ
+      .join(u1, Seq("w"), "left")
+      .join(g2, Seq("h1", "w"), "left")
+      .join(x2, Seq("h1"), "left")
+      .join(g3, Seq("h2", "h1", "w"), "left")
+      .join(x3, Seq("h2", "h1"), "left")
+      .join(g4, Seq("h3", "h2", "h1", "w"), "left")
+      .join(x4, Seq("h3", "h2", "h1"), "left")
       .join(t5, Seq("h4", "h3", "h2", "h1", "w"), "left")
       .join(ctx5, Seq("h4", "h3", "h2", "h1"), "left")
-      .crossJoin(broadcast(nv))
-      .crossJoin(broadcast(tts))
-    val joinedD =
-      if (!modified) joined
-      else joined
-        .crossJoin(broadcast(discountsOf(t2, "c2", "r2d")))
-        .crossJoin(broadcast(discountsOf(t3, "c3", "r3d")))
-        .crossJoin(broadcast(discountsOf(t4, "c4", "r4d")))
-        .crossJoin(broadcast(discountsOf(t5, "c5", "r5d")))
-        .crossJoin(broadcast(discountsOf(cc2, "cc2", "c2d")))
-        .crossJoin(broadcast(discountsOf(cc3, "cc3", "c3d")))
-        .crossJoin(broadcast(discountsOf(cc4, "cc4", "c4d")))
-        .crossJoin(broadcast(discountsOf(cont1, "nc1", "ud")))
-        .crossJoin(broadcast(
-          cont1.agg(cls(col("nc1"), "u_").head, cls(col("nc1"), "u_").tail: _*)))
+      .crossJoin(broadcast(scalars))
     // the discounted-interpolation step, identical shape at every level —
     // the SAME expression text as the oracle's replay
     def interp(cnt: Column, cs: Column, nf: Column, lower: Column): Column =
@@ -1551,8 +1611,9 @@ object TextAnalysis {
       .select(keysOf(k).map(col) :+ col("qa6").as(s"gr$k") :+
         col("qb6").as(s"gc$k"): _*)
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    val occ = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val occ = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .withColumn("h1", lag(col("w"), 1).over(byDoc))
       .withColumn("h2", lag(col("w"), 2).over(byDoc))
       .withColumn("h3", lag(col("w"), 3).over(byDoc))
@@ -1624,7 +1685,12 @@ object TextAnalysis {
    */
   def cmsCells(docs: DataFrame, textCol: String,
                depth: Int = 4, width: Int = 1024): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("w"))
+    // spread by the text value before the token x seed explode: the
+    // depth x tokens md5 stream is the dominant cost and must not pipeline
+    // into a single-split scan (r15 optimization; conditional — at scale
+    // the scan is already parallel and no exchange is added)
+    spreadIfNarrow(docs.select(col(textCol)), col(textCol))
+      .select(explode(split(col(textCol), " ")).as("w"))
       .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
       .groupBy(col("seed"), cmsBucket(col("w"), col("seed"), width).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -1655,8 +1721,9 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       minCount: Long = 20, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
     val t = uni.agg(sum(col("cu")).as("t"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -2484,8 +2551,9 @@ object TextAnalysis {
                        k1: Double, b: Double, hintBroadcast: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
-    val toks = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val toks = spreadIfNarrow(docs.select(col(idCol).as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), size(col("ws")).cast("double").as("dl"),
         explode(col("ws")).as("term"))
     val doclens = docs.select(col(idCol).as("id"),
@@ -3231,8 +3299,9 @@ object TextAnalysis {
     * whole gradient, bias included. */
   def qualityClfFeatures(docs: DataFrame, idCol: String, textCol: String,
                          buckets: Int = QualityClfBuckets): DataFrame = {
-    val words = docs.select(col(idCol).cast("long").as("id"),
-        explode(split(col(textCol), "\\s+")).as("word"))
+    val words = spreadIfNarrow(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol)), col("id"))
+      .select(col("id"), explode(split(col(textCol), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .select(col("id"),
         pmod(TextHashing.md5Long60(col("word")), lit(buckets.toLong)).as("bucket"))
@@ -3255,11 +3324,18 @@ object TextAnalysis {
                       iters: Int = 3, lr: Double = 0.5): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val ys = labeled.select(col(idCol).cast("long").as("id"),
-      col(labelCol).cast("double").as("y"))
-    val feats = qualityClfFeatures(labeled, idCol, textCol, buckets).persist()
+    // the labeled table is typically a COMPUTED bootstrap (rule-filter
+    // labels over text analysis) and this loop references it many times:
+    // ys feeds every iteration's residual join and feats' build scans the
+    // text — without pinning, the label bootstrap re-runs per iteration
+    // (measured: gopherFilter re-evaluated 5x per training run at sf0.1).
+    // All three pins are loop-scoped and released in finally.
+    val lab = labeled.persist()
+    val ys = lab.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("double").as("y")).persist()
+    val feats = qualityClfFeatures(lab, idCol, textCol, buckets).persist()
     try {
-      val n = ys.count()
+      val n = ys.count() // also materializes the ys pin
       require(n > 0, "qualityClfTrain: empty training set")
       // the intercept lives at bucket -1 (an always-on feature from
       // qualityClfFeatures), so ONE gradient aggregation per round covers
@@ -3286,7 +3362,7 @@ object TextAnalysis {
         weights = m.toMap
       }
       weights.toSeq.toDF("bucket", "w")
-    } finally feats.unpersist()
+    } finally { feats.unpersist(); ys.unpersist(); lab.unpersist() }
   }
 
   /** Score documents against a trained model: per doc the 6-dp margin

@@ -4229,9 +4229,13 @@ object LlmQueries {
 
   val textBpeTokensBytes: QueryDef = QueryDef("text_bpe_tokens_bytes",
     (s, d) => {
+      // r15 optimization: delta-maintained trainer (one corpus scan) in
+      // place of the per-round re-count loop — identical merge list
+      // (LlmSpec equivalence property; `text_bpe_train_bytes` keeps
+      // measuring the re-count loop itself), same oracle, same output.
       val mapped = TextAnalysis.byteLevelCorpusKeyed(
         byteCorpusKeyed(s, d), "doc_id", "text")
-      val merges = TextAnalysis.bpeTrain(mapped, "text",
+      val merges = TextAnalysis.bpeTrainDelta(mapped, "text",
           merges = 256, batch = 32)
         .orderBy("rank").select("lhs", "rhs").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -4303,9 +4307,22 @@ object LlmQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val textBpeTokens: QueryDef = QueryDef("text_bpe_tokens",
-    (s, d) => TextAnalysis.bpeDocTokens(Tables.documents(s, d), "doc_id",
-        "text", merges = 256, batch = 32)
-      .orderBy("doc_id"),
+    // r15 optimization: the trainer feeding this TOKENIZATION measurement is
+    // the delta-maintained one (ONE distributed corpus scan) instead of the
+    // per-round re-count loop (rounds × pair-count jobs) — the two trainers
+    // emit the identical merge list row-for-row (LlmSpec equivalence
+    // property; `text_bpe_train` keeps measuring the re-count loop itself)
+    // and sequential replay of the rank-ordered merges equals the training
+    // word table, so the same oracle pins the output unchanged.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrainDelta(docs, "text",
+          merges = 256, batch = 32)
+        .orderBy("rank").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeDocTokensFromMerges(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
     Some(bpeTokensOracleSql))
 
   /** Tokenization from the STORED tokenizer artifact

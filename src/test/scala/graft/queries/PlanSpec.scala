@@ -815,14 +815,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("FileScan parquet.*documents".r.findAllIn(p).size == 1,
       "held-out scoring must tokenize the corpus exactly once\n" + p)
-    // the only broadcast HINTS are the two one-row scalar aggregates; the
-    // n-gram/continuation/context tables float with Catalyst — AQE
-    // broadcasts them at spec scale, shuffle-joins them at corpus scale,
-    // and nothing pins a corpus-sized table to broadcast memory
+    // the only broadcast HINT is the ONE consolidated one-row scalar
+    // aggregate (r15 optimization: the n/v and tt/w1 scalars — and, on the
+    // modified path, the eight discount triples — pre-cross-join model-side
+    // into a single one-row broadcast instead of a BNLJ chain through the
+    // token stream); the n-gram/continuation/context tables float with
+    // Catalyst — AQE broadcasts them at spec scale, shuffle-joins them at
+    // corpus scale, and nothing pins a corpus-sized table to broadcast
+    // memory
     val hints = "ResolvedHint".r
       .findAllIn(df.queryExecution.analyzed.toString).size
-    assert(hints == 2,
-      s"expected exactly the 2 scalar broadcast hints, saw $hints")
+    assert(hints == 1,
+      s"expected exactly the 1 consolidated scalar broadcast hint, saw $hints")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       "only the one-row scalars may cross-join\n" + p)
     // each per-order consumer prunes the stored unified table to its slice
