@@ -255,15 +255,16 @@ object Dedup {
     * corpus) — [[dedupIncrementalNear]] re-derives shingles for the tiny
     * candidate set only. */
   def minhashSignatureTable(docs: DataFrame, idCol: String, textCol: String,
-                            shingleN: Int = 3, k: Int = 128): DataFrame = {
+                            shingleN: Int = 3, k: Int = 128,
+                            spread: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread before the typed kernel: k x shingles universal hashes per doc
-    // must not serialize into a single-split scan (r15; see
-    // TextAnalysis.spreadByDoc)
-    TextAnalysis.spreadIfNarrow(
-        docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")),
-        col("id"))
+    // `spread = true` at CORPUS-scale call sites only (store builds): k x
+    // shingles universal hashes per doc must not serialize into a
+    // single-split scan (r15; see TextAnalysis.spreadByDoc); batch-sized
+    // signing calls keep their layout
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    (if (spread) TextAnalysis.spreadIfNarrow(base, col("id")) else base)
       .as[(Long, String)]
       .map { case (id, t) =>
         // null text ⇒ zero shingles with the degenerate all-P sentinel
@@ -1306,7 +1307,8 @@ object Dedup {
                                  maxBucket: Int = 100000): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"),
       Similarity.asDouble(col(vecCol)).as("v"))
-    val sigs = Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims)
+    val sigs = Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand,
+      dims, spread = true)
     val bandRows = sigs
       .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
     // Both joins below are pair generation over TINY equi-groups (bucket
@@ -1547,7 +1549,8 @@ object Dedup {
     // survives exactly once, nothing is materialized or re-shuffled.
     val sigs =
       if (bands * planesPerBand > TypedSignaturePlaneThreshold)
-        Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims)
+        Similarity.lshSigRowsTyped(e, "id", "v", bands, planesPerBand, dims,
+          spread = true)
       else
         e.select(col("id"),
           Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims).as("sig"))

@@ -274,17 +274,20 @@ object Similarity {
    * ONCE as a broadcast variable instead of riding in every task closure.
    */
   def lshSigRowsTyped(emb: DataFrame, idCol: String, vecCol: String,
-                      bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+                      bands: Int, planesPerBand: Int, dims: Int,
+                      spread: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planesBc = spark.sparkContext.broadcast(
       planeMatrix(bands * planesPerBand, dims))
-    // spread before the typed kernel: bands x planes x dims multiply-adds
-    // per row must not serialize into a single-split scan (r15; see
-    // TextAnalysis.spreadByDoc)
-    TextAnalysis.spreadIfNarrow(
-        emb.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")),
-        col("id"))
+    // `spread = true` at CORPUS-scale call sites only: bands x planes x
+    // dims multiply-adds per row must not serialize into a single-split
+    // scan (r15; see TextAnalysis.spreadByDoc) — but batch/keeper-sized
+    // inputs (incremental judgments, streaming absorbs) keep their layout,
+    // where the extra exchange is pure overhead (measured)
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    (if (spread) TextAnalysis.spreadIfNarrow(base, col("id")) else base)
       .as[(Long, Array[Double])]
       // expression-path parity: a null or wrong-dims vector gets a null
       // signature there and never enters the banding index — drop it here

@@ -834,9 +834,8 @@ object TextAnalysis {
   private def lmBigramFamily(docs: DataFrame, idCol: String, textCol: String)
       (typeLp: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
-        col("id"))
-      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
     val total = uni.agg(sum(col("cu")).as("t"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -905,9 +904,8 @@ object TextAnalysis {
   def knTypeTable(docs: DataFrame, idCol: String, textCol: String,
                   discount: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
-        col("id"))
-      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val pairs = toks.withColumn("pw", lag(col("w"), 1).over(byDoc))
       .where(col("pw").isNotNull)
@@ -954,9 +952,8 @@ object TextAnalysis {
   def lmScoreStupidBackoff(docs: DataFrame, train: DataFrame, idCol: String,
                            textCol: String, alpha: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def toks(df: DataFrame): DataFrame =
-      spreadByDoc(df.select(col(idCol).as("id"), col(textCol)), col("id"))
-        .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    def toks(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     def withHist(t: DataFrame): DataFrame = {
       val byDoc = Window.partitionBy("id").orderBy("pos")
       t.withColumn("pw", lag(col("w"), 1).over(byDoc))
@@ -1721,9 +1718,8 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       minCount: Long = 20, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = spreadByDoc(docs.select(col(idCol).as("id"), col(textCol)),
-        col("id"))
-      .select(col("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
     val t = uni.agg(sum(col("cu")).as("t"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -3298,9 +3294,14 @@ object TextAnalysis {
     * bias trains/scores as a regular weight — one aggregation covers the
     * whole gradient, bias included. */
   def qualityClfFeatures(docs: DataFrame, idCol: String, textCol: String,
-                         buckets: Int = QualityClfBuckets): DataFrame = {
-    val words = spreadIfNarrow(
-        docs.select(col(idCol).cast("long").as("id"), col(textCol)), col("id"))
+                         buckets: Int = QualityClfBuckets,
+                         spread: Boolean = false): DataFrame = {
+    // `spread = true` only where the feature build is reused enough to
+    // amortize the exchange (the training loop); one-shot scoring passes
+    // keep the scan layout — measured: spreading per-score calls cost the
+    // curation pipelines ~+0.5-1 s each (r15)
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol))
+    val words = (if (spread) spreadIfNarrow(base, col("id")) else base)
       .select(col("id"), explode(split(col(textCol), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .select(col("id"),
@@ -3333,7 +3334,8 @@ object TextAnalysis {
     val lab = labeled.persist()
     val ys = lab.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("double").as("y")).persist()
-    val feats = qualityClfFeatures(lab, idCol, textCol, buckets).persist()
+    val feats = qualityClfFeatures(lab, idCol, textCol, buckets,
+      spread = true).persist()
     try {
       val n = ys.count() // also materializes the ys pin
       require(n > 0, "qualityClfTrain: empty training set")

@@ -334,6 +334,18 @@ object Materialized {
     dead
   }
 
+  /** Compact output files on store writes (guide §6: small files hurt
+    * twice — driver listing and per-file open cost; the 32-partition local
+    * shuffles were writing 256-row tables as 32 KB-sized files, and every
+    * store READ then paid a 32-file scan). REBALANCE is the AQE-sized
+    * write shape: tiny stores collapse to one file per partition value,
+    * corpus-scale stores split at the advisory partition size — the same
+    * hint a 100 TB deployment wants in front of its writes (r15
+    * optimization). */
+  private def compactOnWrite(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols.map(col): _*)
+    else df.hint("rebalance")
+
   /** Write-once / read-many parquet table: build + write on first use (per
     * corpus fingerprint + config, atomic publish), read back everywhere
     * else — including a fresh session after restart. `build`'s result is
@@ -353,7 +365,7 @@ object Materialized {
         val tmp = dir.getParent.resolve(
           s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         val df = build
-        val w = df.write.mode("overwrite")
+        val w = compactOnWrite(df, partitionCols).write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(tmp.toString)
         df.unpersist()
@@ -589,7 +601,7 @@ object Materialized {
               sweepStaleTmp(deltaDir)
               val tmp = deltaDir.getParent.resolve(
                 s"${deltaDir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-              val w = novel.write.mode("overwrite")
+              val w = compactOnWrite(novel, partitionCols).write.mode("overwrite")
               (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
                 .parquet(tmp.toString)
               publish(tmp, deltaDir)
@@ -638,7 +650,7 @@ object Materialized {
           sweepStaleTmp(dir)
           val tmp = dir.getParent.resolve(
             s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-          val w = snapshot.write.mode("overwrite")
+          val w = compactOnWrite(snapshot, partitionCols).write.mode("overwrite")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(tmp.toString)
           publish(tmp, dir)
@@ -663,7 +675,7 @@ object Materialized {
   def compactMinhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     compactStore(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
       Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
-        "doc_id", "text", shingleN = 3, k = 128)
+        "doc_id", "text", shingleN = 3, k = 128, spread = true)
     }
 
   /** [[compactStore]] for the embedding signature store. */
@@ -671,7 +683,7 @@ object Materialized {
     compactStore(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
       graft.llm.Similarity.lshSigRowsTyped(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        bands = 128, planesPerBand = 16, dims = 64)
+        bands = 128, planesPerBand = 16, dims = 64, spread = true)
     }
 
   /** [[compactStore]] for the IVF index (keeps the cell-partitioned
@@ -698,7 +710,7 @@ object Materialized {
     absorbInto(spark, "minhash_sigs", "n3_k128", sfDir, "documents",
         keptSigs, batchId) {
       Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
-        "doc_id", "text", shingleN = 3, k = 128)
+        "doc_id", "text", shingleN = 3, k = 128, spread = true)
     }
 
   /** Absorb kept batch vectors' sign-LSH signatures (schema of
@@ -710,7 +722,7 @@ object Materialized {
         keptSigs, batchId) {
       graft.llm.Similarity.lshSigRowsTyped(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        bands = 128, planesPerBand = 16, dims = 64)
+        bands = 128, planesPerBand = 16, dims = 64, spread = true)
     }
 
   /** Stored content-hash table `(id, h)` over `documents` — the corpus
@@ -1253,7 +1265,7 @@ object Materialized {
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     headAware(spark, "minhash_sigs", "n3_k128", sfDir, "documents") {
       Dedup.minhashSignatureTable(Tables.documents(spark, sfDir),
-        "doc_id", "text", shingleN = 3, k = 128)
+        "doc_id", "text", shingleN = 3, k = 128, spread = true)
     }
 
   /** Stored sign-LSH bucket table `(id, sig)` over `embeddings` at the
@@ -1269,7 +1281,7 @@ object Materialized {
     headAware(spark, "emb_sigs", "d64_r16b128", sfDir, "embeddings") {
       graft.llm.Similarity.lshSigRowsTyped(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        bands = 128, planesPerBand = 16, dims = 64)
+        bands = 128, planesPerBand = 16, dims = 64, spread = true)
     }
 
   /** Exact word-3-gram Jaccard pair table at J ≥ 0.6 (inverted-index /
@@ -1784,7 +1796,7 @@ object Materialized {
       sweepStaleTmp(dir)
       val tmp = dir.getParent.resolve(
         s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-      val w = df.write.mode("overwrite")
+      val w = compactOnWrite(df, partitionCols).write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
       publish(tmp, dir)
