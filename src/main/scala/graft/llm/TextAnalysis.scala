@@ -3320,9 +3320,15 @@ object TextAnalysis {
    * Deterministic: fixed `iters` full-batch GD rounds from w = 0 — no
    * RNG, no early stop; the SQL oracle replays every round bit-for-bit.
    */
+  /** `callerPinned = true`: the caller already persists `labeled` for a
+    * wider scope (e.g. the eval query reuses it for scoring after
+    * training) — the loop then must NOT pin/unpin it itself, because
+    * `unpersist` is not reference-counted and would drop the caller's
+    * cache entry mid-query (r15). */
   def qualityClfTrain(labeled: DataFrame, idCol: String, textCol: String,
                       labelCol: String, buckets: Int = QualityClfBuckets,
-                      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+                      iters: Int = 3, lr: Double = 0.5,
+                      callerPinned: Boolean = false): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
     // the labeled table is typically a COMPUTED bootstrap (rule-filter
@@ -3331,7 +3337,7 @@ object TextAnalysis {
     // text — without pinning, the label bootstrap re-runs per iteration
     // (measured: gopherFilter re-evaluated 5x per training run at sf0.1).
     // All three pins are loop-scoped and released in finally.
-    val lab = labeled.persist()
+    val lab = if (callerPinned) labeled else labeled.persist()
     val ys = lab.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("double").as("y")).persist()
     val feats = qualityClfFeatures(lab, idCol, textCol, buckets,
@@ -3364,7 +3370,10 @@ object TextAnalysis {
         weights = m.toMap
       }
       weights.toSeq.toDF("bucket", "w")
-    } finally { feats.unpersist(); ys.unpersist(); lab.unpersist() }
+    } finally {
+      feats.unpersist(); ys.unpersist()
+      if (!callerPinned) lab.unpersist()
+    }
   }
 
   /** Score documents against a trained model: per doc the 6-dp margin

@@ -3169,16 +3169,29 @@ object LlmQueries {
     * which is the signal this classifier family exists to learn. */
   val textQualityClfEval: QueryDef = QueryDef("text_quality_clf_eval",
     (s, d) => {
-      val lab = clfLabeled(s, d)
-      val model = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
-        iters = ClfIters, lr = ClfLr)
-      val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model)
-      lab.select(col("id"), col("y").cast("long").as("label"))
-        .join(scored.select(col("id"), col("keep")), Seq("id"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("keep") === (col("label") === 1L), 1)).as("correct"))
-        .orderBy("label")
+      // the label bootstrap (gopher rules over corpus text) feeds the
+      // training loop AND the post-training scoring AND the verdict join —
+      // pin it for the query's lifetime (released below) so it is computed
+      // once per run, and pull the TWO-ROW per-label verdict driver-side
+      // while the pin is alive (the bounded control-plane collect the
+      // incremental-dedup family already established; everything is
+      // recomputed from parquet on every run — r15 optimization)
+      val lab = clfLabeled(s, d).persist()
+      try {
+        val model = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
+          iters = ClfIters, lr = ClfLr, callerPinned = true)
+        val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model)
+        val rows = lab.select(col("id"), col("y").cast("long").as("label"))
+          .join(scored.select(col("id"), col("keep")), Seq("id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("keep") === (col("label") === 1L), 1)).as("correct"))
+          .orderBy("label")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        rows.toSeq.toDF("label", "n", "correct")
+      } finally lab.unpersist()
     },
     Some(s"""WITH $clfTrainedSql,
             |zse AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
