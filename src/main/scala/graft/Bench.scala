@@ -145,6 +145,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // compact trailing summary (r15 verdict #1/#2): at 227 queries the full
+    // line is ~7 KB and the driver's ~3.4 KB TAIL capture truncates its
+    // front half — `parsed: null` two rounds running, so PERF lost all
+    // per-query ground truth. This LAST line is sized to survive that
+    // capture (~1 KB): same metric/value/unit/sf contract, the 25 slowest
+    // query medians at 3 dp (`queries_elided` counts the cheap tail that
+    // is only in bench_full.json / the full line above), the stream rate,
+    // and the EFFECTIVE core count ($SPARK_GRAFT_CPUS — the full line's
+    // host_cpus stamps physical cores, which mislabelled the r15 8-core
+    // scaling run). Nothing is measured differently; this only restores
+    // the driver-visible report of the same numbers.
+    val topQs = results.sortBy { case (k, v) => (-v, k) }.take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + num3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,"queries_total":${results.size},"queries_elided":${math.max(0, results.size - 25)},$stream${errJson}"cpus_effective":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors()},"runs":$Runs,"sf":"$sfDir","total_secs":$total}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }

@@ -300,14 +300,21 @@ object Dedup {
     val spark = batch.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
-    // the batch≪corpus broadcast contract, made explicit: a column-pruned
-    // bounded probe (no text read, ≤ limit+1 rows touched) decides whether
-    // the batch band keys broadcast or the candidate join falls back to a
-    // shuffle join — identical output, bounded executor memory either way
-    val batchSmall = fitsBroadcast(batch.select(col(idCol)), broadcastBatchLimit)
-    // pure (no persist — nothing lingers in the session cache): the batch
-    // is signed once for band keys and re-shingled once for verification;
-    // the final id list comes from the raw batch with no kernel at all
+    // the batch≪corpus broadcast contract, made explicit. r16 (guide §2.4 +
+    // r15 verdict "next round" #1): within the bound, the batch is PULLED
+    // once (the same ≤ limit+1-row probe the old fitsBroadcast paid, now
+    // keeping the rows instead of discarding them) and signed + shingled in
+    // ONE driver-side pass through the identical kernels the typed maps
+    // ran — the old shape re-evaluated the batch subtree three times (band
+    // keys, verification shingles, final id list), each evaluation
+    // re-running its scan/union/regex stages as separate AQE jobs. The
+    // band keys, shingle sets and id list become LOCAL relations, so their
+    // broadcasts build without jobs. Values are bit-identical (same JVM
+    // kernels, same rows). Past the bound, the distributed shuffle-join
+    // path below is unchanged — identical output, bounded driver memory.
+    val signedOpt = collectSignedBatch(batch, idCol, textCol, shingleN, k,
+      broadcastBatchLimit)
+    // pure (no persist — nothing lingers in the session cache)
     def raw(df: DataFrame) = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     // null text ⇒ empty shingle set (Jaccard undefined): such docs never
@@ -319,21 +326,38 @@ object Dedup {
         if (t == null) Array.empty[String]
         else TextHashing.wordShinglesKernel(t, shingleN)) }
       .toDF(outId, s"sh_$outId")
-    val bBandRows = raw(batch)
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        val sh = if (t == null) Array.empty[String]
-                 else TextHashing.wordShinglesKernel(t, shingleN)
-        (id, sh.length, TextHashing.minhashSignatureKernel(sh, k))
-      }
-      .toDF("id", "n_sh", "sig")
-      .where(col("n_sh") > 0)
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val (bBandRows0, batchSh, batchIds, batchSmall) = signedOpt match {
+      case Some(signed) =>
+        val sigLocal = signed.map { case (id, n, sig, _) => (id, n, sig) }
+          .toDF("id", "n_sh", "sig")
+        val bandRows = sigLocal.where(col("n_sh") > 0)
+          .select(col("id"),
+            explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+        val sh = signed.map { case (id, _, _, s) => (id, s) }
+          .toDF("id_a", "sh_id_a")
+        val ids = signed.map(_._1).toDF(idCol)
+        (bandRows, sh, ids, true)
+      case None =>
+        val bandRows = raw(batch)
+          .as[(Long, String)]
+          .map { case (id, t) =>
+            val sh = if (t == null) Array.empty[String]
+                     else TextHashing.wordShinglesKernel(t, shingleN)
+            (id, sh.length, TextHashing.minhashSignatureKernel(sh, k))
+          }
+          .toDF("id", "n_sh", "sig")
+          .where(col("n_sh") > 0)
+          .select(col("id"),
+            explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
+          .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+        (bandRows, shingles(raw(batch), "id_a"),
+          batch.select(col(idCol).cast("long").as(idCol)), false)
+    }
     val cBandRows = corpusSigs.where(col("n_sh") > 0)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-    val bSide = if (batchSmall) broadcast(bBandRows.as("x")) else bBandRows.as("x")
+    val bSide = if (batchSmall) broadcast(bBandRows0.as("x")) else bBandRows0.as("x")
     val candidates = cBandRows.as("c")
       .join(bSide,
         col("c.band") === col("x.band") && col("c.key") === col("x.key"))
@@ -343,7 +367,7 @@ object Dedup {
       .join(broadcast(candidates.select(col("id_b").as("id")).distinct()),
         Seq("id"), "left_semi"), "id_b")
     val verified = candidates
-      .join(shingles(raw(batch), "id_a"), "id_a")
+      .join(batchSh, "id_a")
       .join(corpusSh, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_id_a"), col("sh_id_b"))).cast("double") /
@@ -353,10 +377,38 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("jaccard").desc, col("id_b"))
     val best = verified.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-    batch.select(col(idCol).cast("long").as(idCol))
+    batchIds
       .join(best.select(col("id_a").as(idCol), col("id_b").as("dup_of"),
         col("jaccard")), Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /** Bounded driver pull of an incremental batch with the sign + shingle
+    * kernels fused into one pass (r16): touches at most `limit + 1` rows —
+    * the same bound the old [[fitsBroadcast]] probe paid, now keeping the
+    * rows — and returns `(id, n_sh, sig, shingles)` per row, or None when
+    * the batch exceeds `limit` (callers then keep the distributed path).
+    * Same kernels as the typed executor maps, so every derived value is
+    * bit-identical to the distributed computation. */
+  private[graft] def collectSignedBatch(batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int,
+      limit: Long): Option[Seq[(Long, Long, Array[Long], Array[String])]] = {
+    // limit + 1 would overflow at Long.MaxValue (the old boolean probe got
+    // away with that — a 0-row probe still answered "fits"; a 0-row PULL
+    // would silently judge an empty batch)
+    val probe = if (limit >= Int.MaxValue.toLong) Int.MaxValue
+                else (limit + 1L).toInt
+    val rows = batch
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .limit(probe).collect()
+    if (rows.length > limit) None
+    else Some(rows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val t = if (r.isNullAt(1)) null else r.getString(1)
+      val sh = if (t == null) Array.empty[String]
+               else TextHashing.wordShinglesKernel(t, shingleN)
+      (id, sh.length.toLong, TextHashing.minhashSignatureKernel(sh, k), sh)
+    })
   }
 
   /**
@@ -386,16 +438,48 @@ object Dedup {
                                 dims: Int, threshold: Double = 0.9,
                                 planesPerBand: Int = 16, bands: Int = 128,
                                 broadcastBatchLimit: Long = MaxBroadcastBatchRows): DataFrame = {
-    // batch≪corpus contract made explicit — see [[MaxBroadcastBatchRows]];
-    // the probe is bounded ([[fitsBroadcast]]), not a full batch count
-    val batchSmall = fitsBroadcast(batch.select(col(idCol)), broadcastBatchLimit)
-    val b = batch.select(col(idCol).cast("long").as("id"),
-      Similarity.asDouble(col(vecCol)).as("v"))
-    val bSigs =
-      if (bands * planesPerBand > TypedSignaturePlaneThreshold)
-        Similarity.lshSigRowsTyped(batch, idCol, vecCol, bands, planesPerBand, dims)
-      else b.select(col("id"),
-        Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims).as("sig"))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // batch≪corpus contract made explicit — see [[MaxBroadcastBatchRows]].
+    // r16 (guide §2.4 + r15 verdict "next round" #1), the
+    // [[dedupIncrementalNear]] move on the vector side: within the bound
+    // the batch vectors are PULLED once (≤ limit+1 rows — the bound the
+    // old fitsBroadcast probe touched and discarded) and signed in one
+    // driver pass through [[Similarity.lshBandSignatureKernel]] — the
+    // same kernel (and plane matrix) the typed executor map runs, so the
+    // buckets are bit-identical. The batch's band rows, rerank vectors
+    // and id list become LOCAL relations (their broadcasts build without
+    // jobs) instead of three separate evaluations of the batch subtree.
+    // Past the bound the distributed shuffle-join path is unchanged.
+    val collected: Option[Seq[(Long, Array[Double])]] = {
+      // see collectSignedBatch: limit + 1 overflows at Long.MaxValue
+      val probe = if (broadcastBatchLimit >= Int.MaxValue.toLong) Int.MaxValue
+                  else (broadcastBatchLimit + 1L).toInt
+      val rows = batch.select(col(idCol).cast("long").as("id"),
+          Similarity.asDouble(col(vecCol)).as("v"))
+        .limit(probe).as[(Long, Array[Double])].collect()
+      if (rows.length > broadcastBatchLimit) None else Some(rows.toSeq)
+    }
+    val batchSmall = collected.isDefined
+    val sigKernel = Similarity.lshBandSignatureKernel(bands, planesPerBand, dims)
+    val b = collected match {
+      case Some(rows) => rows.toDF("id", "v")
+      case None => batch.select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+    }
+    val bSigs = collected match {
+      case Some(rows) =>
+        // typed-path parity: null / wrong-dims vectors get no signature
+        // and never enter the banding index
+        rows.filter(r => r._2 != null && r._2.length == dims)
+          .map { case (id, v) => (id, sigKernel(v)) }
+          .toDF("id", "sig")
+      case None =>
+        if (bands * planesPerBand > TypedSignaturePlaneThreshold)
+          Similarity.lshSigRowsTyped(batch, idCol, vecCol, bands, planesPerBand, dims)
+        else b.select(col("id"),
+          Similarity.lshBandSignature(col("v"), bands, planesPerBand, dims).as("sig"))
+    }
     val bBands = bSigs
       .select(col("id"), posexplode(col("sig")).as(Seq("band", "bucket")))
     val cBands = corpusSigs
@@ -1533,7 +1617,10 @@ object Dedup {
     * count of the batch subtree, which at scale is its own Spark job (the
     * house bound pattern of [[Similarity.hardNegatives]]). */
   private[llm] def fitsBroadcast(keys: DataFrame, limit: Long): Boolean = {
-    val probe = math.min(limit + 1L, Int.MaxValue.toLong).toInt
+    // limit + 1 overflows at Long.MaxValue; the 0-row probe it produced
+    // still answered "fits" (0 <= limit), but keep the arithmetic honest
+    val probe = if (limit >= Int.MaxValue.toLong) Int.MaxValue
+                else (limit + 1L).toInt
     keys.limit(probe).count() <= limit
   }
 

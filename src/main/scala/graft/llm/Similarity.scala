@@ -1646,6 +1646,15 @@ object Similarity {
   private def probeCells(cents: Array[(Long, Array[Double])],
       qRows: Array[(Long, Seq[Double], Double)],
       nprobe: Int): Seq[(Long, Long, Array[Double])] =
+    probeCellsRanked(cents, qRows, nprobe)
+      .map { case (qid, cid, va, _) => (qid, cid, va) }
+
+  /** [[probeCells]] carrying each probed cell's PROBE RANK (1-based, the
+    * same (dist, cid) order) — the ladder searches slice one max-nprobe
+    * probe table by `prn <= rung` instead of re-probing per rung. */
+  private def probeCellsRanked(cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Double], Double)],
+      nprobe: Int): Seq[(Long, Long, Array[Double], Int)] =
     qRows.toSeq.flatMap { case (qid, v, _) =>
       val va = v.toArray
       cents.map { case (cid, cv) =>
@@ -1653,7 +1662,8 @@ object Similarity {
           while (i < cv.length) { val dx = cv(i) - va(i); s += dx * dx; i += 1 }
           (cid, s)
         }.sortBy { case (cid, dist) => (dist, cid) }.take(nprobe)
-        .map { case (cid, _) => (qid, cid, va) }
+        .zipWithIndex
+        .map { case ((cid, _), rk) => (qid, cid, va, rk + 1) }
     }
 
   /** The ONE stage-1 + rerank body behind the hybrid searches
@@ -1828,6 +1838,158 @@ object Similarity {
       val (lo, hi) = superBitKernel(r.toSeq)
       (qid, cid, lo, hi)
     }.toDF("query_id", "centroid_id", "qlo", "qhi")
+  }
+
+  // ------------------------------------------------------------------
+  // nprobe LADDERS (r16; r15 verdict "next round" #3): the recall-dial
+  // artifacts replay the same search at nprobe 1/2/4/8 — as four
+  // independent plans that was four probe collects, four stage-1 sig
+  // scans and four full-corpus rerank scans. A ladder probes ONCE at
+  // max(nprobes) carrying the probe rank `prn`, scores stage-1
+  // candidates ONCE over the max-rung cells, re-derives each rung's cut
+  // by `prn <= rung` (the rung's candidate set is exactly the scored
+  // rows whose cell ranks within its nprobe — same rows, same Hamming
+  // values), and reranks the UNION against one corpus scan with every
+  // window re-partitioned by (nprobe, query). Each rung's slice is
+  // row-identical to the single-shot search at that nprobe: the raw
+  // ladder re-ranks per rung because its per-QUERY cut depends on which
+  // cells compete; the residual ladder ranks once because its per-
+  // (query, CELL) cut is rung-independent. Oracle unchanged.
+  // ------------------------------------------------------------------
+
+  /** Stage-1 scored candidates for a ladder: one sig scan over the cells
+    * of the MAX rung, broadcast probe join, Hamming — `prn` rides along
+    * so rungs can slice. */
+  private def scoredLadderCandidates(sigs: DataFrame, qp: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    val allCells = qp.select("centroid_id").collect().map(_.getLong(0))
+      .distinct.sorted.toSeq
+    val scored0 = sigs
+      .where(col("centroid_id").isin(allCells: _*))
+      .select(col("id").as("neighbor_id"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("slo"), col("shi"))
+      .join(broadcast(qp), "centroid_id")
+    (if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
+     else scored0)
+      .withColumn("hamming",
+        (call_function("bit_count", col("slo").bitwiseXOR(col("qlo"))) +
+          call_function("bit_count", col("shi").bitwiseXOR(col("qhi")))).cast("long"))
+  }
+
+  /** The shared exact-cosine rerank of [[rerankHammingCandidates]] with
+    * every window keyed by (nprobe, query_id) — one corpus scan reranks
+    * all rungs' candidates; per rung the arithmetic, the coverage guard
+    * and the (cosine desc, id) cut are identical to the single-shot
+    * search. */
+  private def rerankHammingLadder(base: DataFrame, cand: DataFrame,
+                                  k: Int): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "query_id")
+    val cand2 = cand.withColumn("cand_cnt", count(lit(1)).over(wq))
+    val joined = base.join(broadcast(cand2), "neighbor_id")
+    val rer = joined.withColumn("got_cnt", count(lit(1)).over(wq))
+      .withColumn("cosine", coalesce(
+        assert_true(col("got_cnt") === col("cand_cnt"), concat(
+          lit("FromSigs caller contract violated: query "),
+          col("query_id").cast("string"),
+          lit(" has "), col("cand_cnt").cast("string"),
+          lit(" stage-1 candidates but only "),
+          col("got_cnt").cast("string"),
+          lit(" corpus rows to rerank — every sig-store id must have " +
+            "a row in the rerank corpus (union absorbed keepers' " +
+            "vectors into the corpus view)"))).cast("double"),
+        round(dot(col("v"), asDouble(col("qv"))) / (col("nrm") * col("qn")), 6)))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"), col("cosine"))
+  }
+
+  /** [[knnJoinHammingIvf]] replayed at every rung of `nprobes` in ONE
+    * plan — output `(nprobe, query_id, neighbor_id, rank, hamming,
+    * cosine)`, each rung's slice row-identical to the single-shot
+    * search at that nprobe. The per-QUERY stage-1 cut is re-ranked per
+    * rung (which cells compete depends on the rung); everything else —
+    * probe collect, sig scan, rerank corpus scan — is paid once. */
+  def knnJoinHammingIvfLadder(sigs: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, k: Int, dims: Int, nprobes: Seq[Int],
+      oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be nonempty with every rung >= 1, got $nprobes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, "knnJoinHammingIvfLadder")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val qp = probeCellsRanked(cents, qRows, nprobes.max)
+      .map { case (qid, cid, qv, prn) =>
+        val (lo, hi) = superBitKernel(qv.toSeq)
+        (qid, cid, lo, hi, prn)
+      }.toDF("query_id", "centroid_id", "qlo", "qhi", "prn")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    val scoredAll = scoredLadderCandidates(sigs, qp, excludeSelf)
+    val rungs = nprobes.map { np =>
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+      scoredAll.where(col("prn") <= np)
+        .withColumn("hrank", row_number().over(wh))
+        .where(col("hrank") <= k * oversample)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("neighbor_id"), col("hamming"))
+    }.reduce(_.unionByName(_))
+    rerankHammingLadder(hammingBase(corpus, idCol, vecCol),
+      rungs.join(q.select(col("query_id"), col("qv"), col("qn")), "query_id"), k)
+  }
+
+  /** [[knnJoinHammingIvfRes]] replayed at every rung of `nprobes` in ONE
+    * plan. The residual stage-1 cut is per (query, probed CELL) — a
+    * cell's candidate ranking does not depend on which other cells are
+    * probed — so the ladder ranks ONCE at max nprobe and each rung is a
+    * pure `prn <= rung` slice of the cut candidates. */
+  def knnJoinHammingIvfResLadder(sigs: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, k: Int, dims: Int, nprobes: Seq[Int],
+      oversample: Int = 4, excludeSelf: Boolean = true,
+      maxQueries: Int = 4096): DataFrame = {
+    require(dims <= 64,
+      s"the 128-plane densified sign sketch covers <= 64 dims, got $dims")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be nonempty with every rung >= 1, got $nprobes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, "knnJoinHammingIvfResLadder")
+    val qRows = collectHammingQueries(queries, vecCol, qIdCol, maxQueries)
+    val centById = cents.toMap
+    val qp = probeCellsRanked(cents, qRows, nprobes.max)
+      .map { case (qid, cid, va, prn) =>
+        val cv = centById(cid)
+        val r = new Array[Double](va.length)
+        var i = 0
+        while (i < va.length) { r(i) = va(i) - cv(i); i += 1 }
+        val (lo, hi) = superBitKernel(r.toSeq)
+        (qid, cid, lo, hi, prn)
+      }.toDF("query_id", "centroid_id", "qlo", "qhi", "prn")
+    val q = qRows.toSeq.toDF("query_id", "qv", "qn")
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "centroid_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cut = scoredLadderCandidates(sigs, qp, excludeSelf)
+      .withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= k * oversample)
+    val rungs = nprobes.map { np =>
+      cut.where(col("prn") <= np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("neighbor_id"), col("hamming"))
+    }.reduce(_.unionByName(_))
+    rerankHammingLadder(hammingBase(corpus, idCol, vecCol),
+      rungs.join(q.select(col("query_id"), col("qv"), col("qn")), "query_id"), k)
   }
 
   /**

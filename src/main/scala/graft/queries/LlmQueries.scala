@@ -3125,7 +3125,8 @@ object LlmQueries {
     (s, d) => {
       val model = TextAnalysis.qualityClfTrain(clfLabeled(s, d), "id", "text",
         "y", iters = ClfIters, lr = ClfLr)
-      TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id", "text", model)
+      TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id", "text",
+          model, spread = true)
         .orderBy("doc_id")
     },
     Some(s"""WITH $clfTrainedSql,
@@ -3145,7 +3146,7 @@ object LlmQueries {
     * oracle: the SQL replays the training the store performed once. */
   val textQualityClf2: QueryDef = QueryDef("text_quality_clf2",
     (s, d) => TextAnalysis.qualityClfScore(Tables.documents(s, d), "doc_id",
-        "text", Materialized.clfWeights(s, d))
+        "text", Materialized.clfWeights(s, d), spread = true)
       .orderBy("doc_id"),
     Some(s"""WITH $clfTrainedSql,
             |zsf AS (SELECT f.id, sum(w.w::DECIMAL(20,6)) AS zs
@@ -3180,7 +3181,8 @@ object LlmQueries {
       try {
         val model = TextAnalysis.qualityClfTrain(lab, "id", "text", "y",
           iters = ClfIters, lr = ClfLr, callerPinned = true)
-        val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model)
+        val scored = TextAnalysis.qualityClfScore(lab, "id", "text", model,
+          spread = true)
         val rows = lab.select(col("id"), col("y").cast("long").as("label"))
           .join(scored.select(col("id"), col("keep")), Seq("id"))
           .groupBy("label")
@@ -5152,18 +5154,25 @@ object LlmQueries {
       val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
         "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
       val tot = brute.agg(count(lit(1)).as("total"))
-      Seq(1, 2, 4, 8).map { np =>
-        val hyb = Similarity.knnJoinHammingIvf(sigs, emb, idx.centroids,
-          queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
-          nprobe = np, oversample = 4)
-        brute.join(hyb.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("hits"))
-          .select(lit(np.toLong).as("nprobe"), col("hits"))
-      }.reduce(_.unionByName(_))
+      // r16: the four rungs share ONE probe/stage-1/rerank plan (the
+      // ladder search) and the brute ground truth is joined ONCE against
+      // the rung-tagged union instead of once per rung — same rows per
+      // rung (ladder equivalence note in Similarity), same output schema;
+      // empty rungs resurface via the static rung table's left join.
+      val nprobes = Seq(1, 2, 4, 8)
+      val hybAll = Similarity.knnJoinHammingIvfLadder(sigs, emb, idx.centroids,
+        queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
+        nprobes = nprobes, oversample = 4)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      val hits = brute.join(hybAll, Seq("query_id", "neighbor_id"))
+        .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+      import s.implicits._
+      nprobes.map(_.toLong).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
         .crossJoin(tot)
-        .select(col("nprobe"), col("hits"), col("total"),
-          round(col("hits") / col("total"), 6).as("recall"))
+        .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"),
+          col("total"),
+          round(coalesce(col("hits"), lit(0L)) / col("total"), 6).as("recall"))
         .orderBy("nprobe")
     },
     Some(s"""WITH $ivfTrainedSql,
@@ -5463,18 +5472,23 @@ object LlmQueries {
       val brute = Similarity.knnJoin(emb, queries, "vec_id", "embedding",
         "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
       val tot = brute.agg(count(lit(1)).as("total"))
-      Seq(1, 2, 4, 8).map { np =>
-        val hyb = Similarity.knnJoinHammingIvfRes(sigs, emb, idx.centroids,
-          queries, "vec_id", "embedding", "vec_id", k = 5, dims = 64,
-          nprobe = np, oversample = 4)
-        brute.join(hyb.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("hits"))
-          .select(lit(np.toLong).as("nprobe"), col("hits"))
-      }.reduce(_.unionByName(_))
+      // r16: one shared ladder plan + one brute join — see
+      // sim_hamming_ivf_recall2; the residual ladder additionally ranks
+      // stage 1 ONCE (the per-(query, cell) cut is rung-independent).
+      val nprobes = Seq(1, 2, 4, 8)
+      val hybAll = Similarity.knnJoinHammingIvfResLadder(sigs, emb,
+        idx.centroids, queries, "vec_id", "embedding", "vec_id", k = 5,
+        dims = 64, nprobes = nprobes, oversample = 4)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      val hits = brute.join(hybAll, Seq("query_id", "neighbor_id"))
+        .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+      import s.implicits._
+      nprobes.map(_.toLong).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
         .crossJoin(tot)
-        .select(col("nprobe"), col("hits"), col("total"),
-          round(col("hits") / col("total"), 6).as("recall"))
+        .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"),
+          col("total"),
+          round(coalesce(col("hits"), lit(0L)) / col("total"), 6).as("recall"))
         .orderBy("nprobe")
     },
     Some(s"""WITH $ivfTrainedSql,

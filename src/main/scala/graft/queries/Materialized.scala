@@ -342,9 +342,23 @@ object Materialized {
     * corpus-scale stores split at the advisory partition size — the same
     * hint a 100 TB deployment wants in front of its writes (r15
     * optimization). */
-  private def compactOnWrite(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+  @volatile private var warnedRebalanceNoAqe = false
+
+  private def compactOnWrite(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    // REBALANCE is silently a no-op when AQE is disabled (r15 ADVICE) —
+    // warn once so a non-adaptive session's 32-tiny-files-per-store write
+    // shape is diagnosable instead of invisible.
+    val aqe = df.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    if (!aqe && !warnedRebalanceNoAqe) {
+      warnedRebalanceNoAqe = true
+      System.err.println("[graft] spark.sql.adaptive.enabled=false: store " +
+        "writes lose REBALANCE compaction (the hint is an AQE feature) — " +
+        "expect one output file per shuffle partition")
+    }
     if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols.map(col): _*)
     else df.hint("rebalance")
+  }
 
   /** Write-once / read-many parquet table: build + write on first use (per
     * corpus fingerprint + config, atomic publish), read back everywhere

@@ -3567,6 +3567,51 @@ class LlmSpec extends AnyFunSuite {
     types.unpersist(); pruned.unpersist(); quant.unpersist()
   }
 
+  test("kn5 pre-join invariant: every continuation key is attested at its own order, pruned and unpruned") {
+    // lmScoreKn5FromModel's model-side LEFT pre-joins (gram ⟕ continuation
+    // twin on the gram key, context ⟕ continuation-context twin on the
+    // history key) are only equivalent to the old independent occ-side
+    // left joins when every continuation table's keys are a SUBSET of its
+    // raw twin's (r15 verdict #3 / ADVICE: the suffix-closure argument is
+    // correct for kn5TypeTable + any non-decreasing kn5Prune schedule, but
+    // nothing failed loud if a future pruning change broke it — the
+    // queries would silently null out continuation counts). Pin it: the
+    // anti-join must be EMPTY per level, for the unpruned table and two
+    // pruning schedules.
+    val d = graft.queries.Tables.documents(spark, TestSpark.sf)
+    val types0 = TextAnalysis.kn5TypeTable(d, "doc_id", "text").persist()
+    try {
+      assert(types0.where(col("ord") === 5).count() > 0, "degenerate corpus")
+      for ((label, types) <- Seq(
+          "unpruned" -> types0,
+          "pruned(2)" -> TextAnalysis.kn5Prune(types0),
+          "pruned(3)" -> TextAnalysis.kn5Prune(types0, 3L))) {
+        def t(o: Int) = types.where(col("ord") === o)
+        val violations = Seq(
+          "cont1 keys (from ord 2) not in uni" ->
+            t(2).select(col("w")).distinct()
+              .join(t(1).select(col("w")), Seq("w"), "left_anti"),
+          "cc2 keys (from ord 3) not in t2" ->
+            t(3).select(col("h1"), col("w")).distinct()
+              .join(t(2).select(col("h1"), col("w")), Seq("h1", "w"), "left_anti"),
+          "cc3 keys (from ord 4) not in t3" ->
+            t(4).select(col("h2"), col("h1"), col("w")).distinct()
+              .join(t(3).select(col("h2"), col("h1"), col("w")),
+                Seq("h2", "h1", "w"), "left_anti"),
+          "cc4 keys (from ord 5) not in t4" ->
+            t(5).select(col("h3"), col("h2"), col("h1"), col("w")).distinct()
+              .join(t(4).select(col("h3"), col("h2"), col("h1"), col("w")),
+                Seq("h3", "h2", "h1", "w"), "left_anti"))
+        violations.foreach { case (name, v) =>
+          assert(v.count() == 0,
+            s"$label: $name — continuation keys escaped their raw twin; " +
+              "the kn5 model-side left pre-joins are no longer equivalent " +
+              "to independent occ-side joins")
+        }
+      }
+    } finally types0.unpersist()
+  }
+
   test("kn5QuantModel modified: an all-degenerate count-of-counts corpus falls back to the fixed model bit-for-bit") {
     // every word distinct → every count = 1 → n2..n4 = 0 at every level →
     // KenLM's validity rule falls every triple back to 0.75, which
