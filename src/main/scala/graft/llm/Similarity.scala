@@ -510,39 +510,66 @@ object Similarity {
     // default init = the first k corpus vectors (ids < k). Callers whose
     // row ids are arbitrary — the cell-local 2-means of
     // [[graft.queries.Materialized.splitIvfCells]] — pass an explicit
-    // `(centroid_id, vec)` seed instead.
-    var cents = init.map(_.select(col("centroid_id").cast("long").as("centroid_id"),
-        asDouble(col("vec")).as("vec")))
-      .getOrElse(emb.where(col(idCol) < k)
-        .select(col(idCol).cast("long").as("centroid_id"), asDouble(col(vecCol)).as("vec")))
+    // `(centroid_id, vec)` seed instead. Collected up front: the k-row
+    // centroid table is a bounded control-plane pull every consumer makes
+    // anyway, and round-tripping it through the driver per round keeps
+    // the per-iteration PLAN flat (the r15 lineage-truncation argument).
+    var centArr: Array[(Long, Array[Double])] =
+      init.map(_.select(col("centroid_id").cast("long").as("centroid_id"),
+          asDouble(col("vec")).as("vec")))
+        .getOrElse(emb.where(col(idCol) < k)
+          .select(col(idCol).cast("long").as("centroid_id"),
+            asDouble(col(vecCol)).as("vec")))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(centArr.nonEmpty, "ivfTrainCentroids: empty init centroid set")
+    // r16 (guide §2.4; the pqTrainCodebooks shape): per Lloyd round,
+    // assignment and mean contributions come from ONE typed pass — each
+    // row finds its argmin centroid against the broadcast sidecar
+    // (strict < over the centroid_id-ascending scan = min_by
+    // struct(dist, centroid_id), the hammingResidualSigRows equivalence;
+    // distances accumulate dim-ascending, the same IEEE sequence as the
+    // zip_with/aggregate expression) and emits its (centroid, dim, value)
+    // triples directly. One scan + ONE map-side-combined exchange per
+    // round — the old shape paid the crossJoin+argmin aggregation's
+    // exchange AND a join back into the corpus per round. Null / empty /
+    // wrong-dims vectors contribute nothing, exactly as before (their
+    // expression-path distance was null, so min_by never assigned them
+    // and the mean join carried no rows). DECIMAL(30,15) means unchanged
+    // — centroids bit-identical.
     (0 until iters).foreach { _ =>
-      val assigned = ivfAssign(e, "id", "v", cents).select(col("id"), col("centroid_id"))
-      val means = e.join(assigned, "id")
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "val")))
+      val bc = spark.sparkContext.broadcast(centArr)
+      val dims = centArr(0)._2.length
+      val means = e.as[(Long, Array[Double])]
+        .flatMap { case (_, v) =>
+          if (v == null || v.length != dims) Iterator.empty
+          else {
+            val cs = bc.value
+            var bestAt = 0
+            var best = Double.PositiveInfinity
+            var j = 0
+            while (j < cs.length) {
+              val cv = cs(j)._2
+              var s = 0.0; var i = 0
+              while (i < cv.length) { val dx = v(i) - cv(i); s += dx * dx; i += 1 }
+              if (s < best) { best = s; bestAt = j }
+              j += 1
+            }
+            val cid = cs(bestAt)._1
+            v.iterator.zipWithIndex.map { case (x, d) => (cid, d, x) }
+          }
+        }.toDF("centroid_id", "dim", "val")
         .groupBy("centroid_id", "dim")
         .agg((sum(col("val").cast("decimal(30,15)")).cast("double") /
           count(lit(1))).as("m"))
-      // lineage truncation: round-trip the k×dims centroid table through the
-      // driver (a bounded control-plane pull — every consumer collects it
-      // anyway for the broadcast probe). Without this, each Lloyd round
-      // layers join+agg on the previous round's PLAN and optimizer time
-      // balloons past a handful of iterations; localCheckpoint would truncate
-      // too, but leaks one persisted RDD per iteration per call (the
-      // "retained cache" class LlmSpec's purity pin exists to forbid). The
-      // collected doubles are exact, so results are bit-identical. The
-      // (centroid, dim) → dense-vector assembly happens HERE on the pulled
-      // k×dims rows instead of a second distributed groupBy — one exchange
-      // per Lloyd round, not two (r15 optimization; same values, dim is
-      // unique per centroid so the sort is the array_sort it replaces).
-      cents = means.select(col("centroid_id"), col("dim"), col("m"))
+      centArr = means.select(col("centroid_id"), col("dim"), col("m"))
         .as[(Long, Int, Double)].collect()
-        .groupBy(_._1).toSeq
+        .groupBy(_._1).toArray
         .map { case (cid, rows) =>
-          (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+          (cid, rows.sortBy(_._2).map(_._3)) }
         .sortBy(_._1)
-        .toDF("centroid_id", "vec")
     }
-    cents
+    centArr.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "vec")
   }
 
   // ------------------------------------------------------------------
