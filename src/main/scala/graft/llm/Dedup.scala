@@ -225,10 +225,26 @@ object Dedup {
                                       idCol: String, textCol: String,
                                       expectedCorpusItems: Long,
                                       fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
     def h(c: Column) = contentHashSafe(c)
     val hv = corpusHashes.select(col("h"))
     val bloom = bloomFromHashes(hv, expectedCorpusItems, fpp)
-    val nh = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
+    // r16 (the dedupIncrementalNear move): the batch's (id, hash) rows
+    // feed THREE sub-plans (sketch-probe candidates, first-in-batch, the
+    // verdict join) — as a computed subtree each reference re-ran the
+    // batch's scan/union/regex stages. Within the house broadcast bound
+    // the rows are pulled once (hashes computed distributed in the pull
+    // job, values identical) and become a local relation; past the bound
+    // the distributed shape is unchanged.
+    val nhD = newDocs.select(col(idCol).as("id"), h(col(textCol)).as("h"))
+    val nh = {
+      val limit = MaxBroadcastBatchRows
+      val probe = if (limit >= Int.MaxValue.toLong) Int.MaxValue
+                  else (limit + 1L).toInt
+      val rows = nhD.limit(probe).collect()
+      if (rows.length > limit) nhD
+      else spark.createDataFrame(java.util.Arrays.asList(rows: _*), nhD.schema)
+    }
     // an EMPTY corpus yields a zero-insertion sketch ([[bloomFromHashes]])
     // that rejects every probe — nothing can be a corpus dup, so the
     // candidate set is empty by construction (spec-pinned)

@@ -3587,7 +3587,10 @@ object TextAnalysis {
     * whitespace-separated words to the trainer. One narrow projection —
     * no extra scan or shuffle. */
   def preTokenizedCorpus(docs: DataFrame, textCol: String): DataFrame =
-    docs.where(col(textCol).isNotNull)
+    // spread before the pre-tokenizer regex — see [[byteLevelCorpus]]
+    spreadIfNarrow(docs.where(col(textCol).isNotNull)
+        .withColumn("__rid", monotonically_increasing_id()), col("__rid"))
+      .drop("__rid")
       .withColumn(textCol, array_join(
         transform(
           regexp_extract_all(col(textCol), lit(Gpt2PreTokenRegex), lit(0)),
@@ -3663,6 +3666,13 @@ object TextAnalysis {
   def byteLevelCorpus(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // (r16 note: spreading the compact rows before this kernel was
+    // A/B-measured — tokens_bytes 2.47 → 2.66, train_bytes 1.75 → 2.14 —
+    // and REVERTED: the byte-level trainers' own downstream exchanges
+    // already parallelize the hot loop, and the added exchange + pinned
+    // layout cost more than the kernel's single-task head start. The
+    // pre-tokenizer twin [[preTokenizedCorpus]] measured the opposite
+    // way and keeps its spread.)
     docs.where(col(textCol).isNotNull)
       .select(col(textCol)).as[String]
       .map(byteLevelText _).toDF(textCol)
@@ -3689,6 +3699,7 @@ object TextAnalysis {
                            textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // no spread — measured net-negative, see [[byteLevelCorpus]]'s note
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, byteLevelText(t)) }
